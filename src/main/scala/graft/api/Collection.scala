@@ -1,0 +1,203 @@
+package graft.api
+
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** Named group of series sharing one schema and one changelog
+  * (reference lakota/collection.py). The changelog payload is a JSON
+  * [[Manifest]]; all series of the collection live in the same
+  * manifest, keyed by label.
+  */
+class Collection(val repo: Repo, val label: String, val path: String,
+    val schema: GSchema) {
+
+  val changelog = new Changelog(repo.store, s"$path/changelog")
+  var pageLen: Long = 500000L
+
+  // a pending batch of segment rows (multi-series atomic commit)
+  private var batch: scala.collection.mutable.ArrayBuffer[SegmentMeta] = null
+
+  def series(name: String): Series =
+    if (schema.kv) new KVSeries(this, name) else new Series(this, name)
+
+  def kvSeries(name: String): KVSeries = new KVSeries(this, name)
+
+  def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
+    changelog.leaf(beforeMs).map(r => Manifest.decode(changelog.payload(r)))
+
+  /** Series labels present at the current leaf. */
+  def ls(beforeMs: Option[Long] = None): Seq[String] =
+    manifest(beforeMs).map(_.labels).getOrElse(Seq.empty)
+
+  /** Run `body`; any series writes inside are accumulated and
+    * committed as ONE revision (reference Collection.multi /
+    * Batch, lakota/batch.py). */
+  def multi[T](body: => T): T = synchronized {
+    require(batch == null, "nested multi() not supported")
+    batch = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    try {
+      val out = body
+      val rows = batch.toSeq
+      batch = null
+      if (rows.nonEmpty) commitBatch(rows)
+      out
+    } finally batch = null
+  }
+
+  /** Either defer rows to the open batch or run the direct commit. */
+  private[api] def batchOr(direct: () => Unit)(rows: Seq[SegmentMeta])
+      : Unit = synchronized {
+    if (batch != null) batch ++= rows else direct()
+  }
+
+  private def commitBatch(rows: Seq[SegmentMeta]): Unit = {
+    val leaf = changelog.leaf()
+    var m = leaf match {
+      case Some(rev) => Manifest.decode(changelog.payload(rev))
+      case None      => Manifest.empty(schema)
+    }
+    rows.foreach { r => m = m.update(r) }
+    changelog.commit(m.encode,
+      parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+  }
+
+  def refresh(): Unit = changelog.refresh()
+
+  // ------------------------------------------------------------------
+  // series-level DDL (manifest transforms, no data movement)
+  // ------------------------------------------------------------------
+
+  def deleteSeries(labels: String*): Unit = {
+    val leaf = changelog.leaf()
+    manifest() match {
+      case None => ()
+      case Some(m) =>
+        val m2 = m.deleteLabels(labels.toSet)
+        changelog.commit(m2.encode,
+          parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+    }
+  }
+
+  def renameSeries(from: String, to: String): Unit = {
+    val leaf = changelog.leaf()
+    manifest() match {
+      case None => ()
+      case Some(m) =>
+        changelog.commit(m.renameLabel(from, to).encode,
+          parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // maintenance
+  // ------------------------------------------------------------------
+
+  /** Rewrite history as a single root revision holding the current
+    * leaf manifest (reference Collection.squash). */
+  def squash(): Unit = {
+    manifest() match {
+      case None => ()
+      case Some(m) =>
+        val old = changelog.log()
+        changelog.commit(m.encode, parents = Seq(Changelog.Phi))
+        old.foreach(r => repo.store.rm(s"${changelog.dir}/${r.path}"))
+        changelog.refresh()
+    }
+  }
+
+  /** Drop revisions older than `beforeMs` (keep the leaf). */
+  def trim(beforeMs: Long): Unit = {
+    changelog.trim(beforeMs)
+    ()
+  }
+
+  /** Compaction: for each series, find runs of small segments and
+    * rewrite them as page-sized ones (reference Collection.defrag,
+    * lakota/collection.py:364-403 — Delta OPTIMIZE analogue).
+    */
+  def defrag(maxChunk: Int = 4): Unit = {
+    manifest() match {
+      case None => ()
+      case Some(m) =>
+        m.labels.foreach { lbl =>
+          val rows = m.rows.filter(r => r.label == lbl && r.files.nonEmpty)
+          val small = rows.filter(_.length < pageLen / 2)
+          if (small.length > maxChunk) {
+            val s = series(lbl)
+            val start = small.head.start
+            val stop = small.last.stop
+            // read the fragmented range and rewrite it page-sized
+            val df = s.frame(start, stop, closed = Closed.Both)
+            s.write(df, start, stop, Closed.Both)
+          }
+        }
+    }
+  }
+
+  /** 3-way merge of divergent changelog leaves: pick the oldest-branch
+    * leaf as base, splice every segment row committed on the other
+    * leaves since the common ancestor, commit with all leaves as
+    * parents (behavioral port of reference Collection.merge,
+    * lakota/collection.py:235-298).
+    */
+  def merge(): Unit = {
+    val leaves = changelog.leafs()
+    if (leaves.length < 2) return
+    val history = changelog.log()
+    val byChild = history.map(r => r.child -> r).toMap
+
+    def ancestry(rev: Revision): List[Revision] = {
+      var chain = List(rev)
+      var cur = rev
+      while (byChild.contains(cur.parent)) {
+        cur = byChild(cur.parent)
+        chain = cur :: chain
+      }
+      chain
+    }
+    val chains = leaves.map(ancestry)
+    val common = chains.map(_.map(_.child).toSet).reduce(_ intersect _)
+
+    // base = first leaf's manifest; replay rows of other branches
+    // committed after the common ancestor
+    val baseLeaf = leaves.head
+    var m = Manifest.decode(changelog.payload(baseLeaf))
+    chains.tail.foreach { chain =>
+      val divergent = chain.dropWhile(r => common.contains(r.child))
+      divergent.foreach { rev =>
+        val revM = Manifest.decode(changelog.payload(rev))
+        val parentM = byChild.get(rev.parent)
+          .map(p => Manifest.decode(changelog.payload(p)))
+          .getOrElse(Manifest.empty(schema))
+        // rows introduced by this revision = rows absent from parent
+        val parentRows = parentM.rows.toSet
+        revM.rows.filterNot(parentRows.contains).foreach { r =>
+          m = m.update(r)
+        }
+      }
+    }
+    changelog.commit(m.encode, parents = leaves.map(_.child))
+  }
+
+  /** All content-addressed segment files referenced by any revision. */
+  def digests(): Set[String] =
+    changelog.log().flatMap(r =>
+      Manifest.decode(changelog.payload(r)).allFiles).toSet
+
+  /** Copy missing segment files + changelog entries from `remote`. */
+  def pull(remote: Collection, shallow: Boolean = false): Unit = {
+    val mine = digests()
+    val theirs =
+      (if (shallow) remote.changelog.leafs() else remote.changelog.log())
+        .flatMap(r => Manifest.decode(remote.changelog.payload(r)).allFiles)
+        .toSet
+    (theirs -- mine).foreach { f =>
+      repo.store.write(f, remote.repo.store.read(f))
+    }
+    changelog.pull(remote.changelog, shallow)
+    ()
+  }
+
+  def push(remote: Collection, shallow: Boolean = false): Unit =
+    remote.pull(this, shallow)
+}

@@ -1,0 +1,137 @@
+package graft.api
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+
+/** Root of a storage location: holds the registry (collection label →
+  * path + schema) as its own changelog, mirroring the reference where
+  * the registry is itself a versioned KV collection
+  * (lakota/repo.py:115-130).
+  *
+  * Layout under `rootUri`:
+  * {{{
+  *   registry/changelog/<parent>.<child>     JSON {label: {path, schema}}
+  *   c-<digest>/changelog/<parent>.<child>   manifest revisions
+  *   seg/aa/bb/<digest>.parquet              content-addressed segments
+  *   tmp/…                                   staging for writes
+  * }}}
+  */
+class Repo(val rootUri: String, val spark: SparkSession) {
+
+  val store: Store = new HadoopStore(rootUri)
+  val registry = new Changelog(store, "registry/changelog")
+
+  private def regState(): Map[String, (String, GSchema)] =
+    registry.leaf() match {
+      case None => Map.empty
+      case Some(rev) =>
+        val m = Json.parse(new String(registry.payload(rev), "UTF-8"))
+          .asInstanceOf[Map[String, Any]]
+        m.map { case (label, v) =>
+          val vm = v.asInstanceOf[Map[String, Any]]
+          label -> (vm("path").asInstanceOf[String],
+            GSchema.fromJson(GSchema.toJson( // normalize
+              GSchema.fromJson(vm("schema").asInstanceOf[String]))))
+        }
+    }
+
+  private def writeReg(state: Map[String, (String, GSchema)]): Unit = {
+    val parents = Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi))
+    val body = state.toSeq.sortBy(_._1).map { case (l, (p, s)) =>
+      s"${Json.str(l)}:{" +
+        s""""path":${Json.str(p)},"schema":${Json.str(s.serialize)}}"""
+    }.mkString("{", ",", "}")
+    registry.commit(body.getBytes("UTF-8"), parents)
+    ()
+  }
+
+  def createCollection(schema: GSchema, label: String): Collection = {
+    val state = regState()
+    state.get(label) match {
+      case Some((path, existing)) =>
+        require(existing == schema,
+          s"collection $label exists with different schema")
+        new Collection(this, label, path, existing)
+      case None =>
+        val path = "c-" + Hash.sha1(label.getBytes("UTF-8")).take(16)
+        writeReg(state + (label -> (path, schema)))
+        new Collection(this, label, path, schema)
+    }
+  }
+
+  def collection(label: String): Option[Collection] =
+    regState().get(label).map { case (p, s) =>
+      new Collection(this, label, p, s) }
+
+  def ls(): Seq[String] = regState().keys.toSeq.sorted
+
+  def deleteCollection(label: String): Unit = {
+    val state = regState()
+    state.get(label).foreach { case (path, _) =>
+      writeReg(state - label)
+      store.rm(path, recursive = true)
+    }
+  }
+
+  def renameCollection(from: String, to: String): Unit = {
+    val state = regState()
+    state.get(from).foreach { case (p, s) =>
+      require(!state.contains(to), s"collection $to already exists")
+      writeReg(state - from + (to -> (p, s)))
+    }
+  }
+
+  /** Sync: copy missing registry entries + per-collection revisions
+    * and segment files from `remote`. */
+  def pull(remote: Repo, labels: Seq[String] = Nil,
+      shallow: Boolean = false): Unit = {
+    val want = if (labels.nonEmpty) labels else remote.ls()
+    val state = regState()
+    val remoteState = remote.ls().filter(want.contains)
+      .flatMap(l => remote.collection(l).map(l -> _)).toMap
+    // merge registry
+    val merged = state ++ remoteState.map { case (l, c) =>
+      l -> (c.path, c.schema) }
+    if (merged != state) writeReg(merged)
+    remoteState.foreach { case (l, rc) =>
+      collection(l).foreach(_.pull(rc, shallow))
+    }
+  }
+
+  def push(remote: Repo, labels: Seq[String] = Nil,
+      shallow: Boolean = false): Unit = remote.pull(this, labels, shallow)
+
+  def merge(): Unit = ls().flatMap(collection(_)).foreach(_.merge())
+
+  /** Two-phase GC (reference lakota/repo.py:339-413): unreferenced
+    * segment files are soft-deleted (renamed with a hextime suffix);
+    * buried files older than `timeoutMs` are removed; referenced
+    * buried files are resurrected.
+    */
+  def gc(timeoutMs: Long = 600000L): Int = {
+    val live: Set[String] =
+      ls().flatMap(collection(_)).flatMap(_.digests()).toSet
+    val now = System.currentTimeMillis()
+    var buried = 0
+    store.walk("seg").foreach { f =>
+      if (f.endsWith(".parquet")) {
+        if (!live.contains(f)) {
+          store.mv(f, s"$f.t${Hash.hextime(now)}")
+          buried += 1
+        }
+      } else if (f.contains(".parquet.t")) {
+        val plain = f.substring(0, f.indexOf(".parquet.t") + 8)
+        val ts = java.lang.Long.parseLong(
+          f.drop(f.indexOf(".parquet.t") + 10), 16)
+        if (live.contains(plain)) store.mv(f, plain) // resurrect
+        else if (now - ts > timeoutMs) store.rm(f)
+      }
+    }
+    buried
+  }
+}
+
+object Repo {
+  def apply(rootUri: String, spark: SparkSession): Repo =
+    new Repo(rootUri, spark)
+}

@@ -1,0 +1,338 @@
+package graft.api
+
+import graft.core._
+import graft.engine.SparkVals
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A labeled, versioned, sorted series inside a [[Collection]].
+  *
+  * Write path: sort + range-partition to ~pageLen-row parquet segments,
+  * content-address them, splice rows into the leaf manifest, append a
+  * changelog revision. Read path: resolve snapshot manifest, prune
+  * segments by index interval, scan pruned parquet with residual range
+  * predicates (pushed to parquet by Catalyst), union in index order.
+  *
+  * Behavioral reference: lakota/series.py (write 82-157, frame 314-338,
+  * tail 261-312, update 159-190, delete 227-229).
+  */
+class Series(val collection: Collection, val label: String) {
+  import collection.{repo, schema, changelog}
+  private def spark: SparkSession = repo.spark
+  private def store: Store = repo.store
+
+  protected def idxCols: Seq[Column] = schema.idxNames.map(col)
+
+  /** rows per segment parquet file (reference page_len=500_000) */
+  def pageLen: Long = collection.pageLen
+
+  // ------------------------------------------------------------------
+  // bounds helpers
+  // ------------------------------------------------------------------
+
+  /** Parse user bound (scalars or Seq of scalars) to an IndexKey. */
+  def boundKey(v: Any): IndexKey = v match {
+    case null => null
+    case k: IndexKey => k
+    case s: Seq[_] =>
+      IndexKey(s.zip(schema.idx).map { case (x, c) =>
+        SparkVals.parseBound(c.dtype, x) }.toVector)
+    case scalar =>
+      IndexKey(Vector(SparkVals.parseBound(schema.idx.head.dtype, scalar)))
+  }
+
+  private def keyOf(r: Row, off: Int = 0): IndexKey =
+    IndexKey(schema.idx.zipWithIndex.map { case (c, i) =>
+      SparkVals.toKernel(c.dtype, r.get(off + i)) }.toVector)
+
+  // ------------------------------------------------------------------
+  // write path
+  // ------------------------------------------------------------------
+
+  /** Cast an arbitrary DataFrame to the collection schema (column
+    * order + dtypes), mirroring the reference's auto-cast on ingest. */
+  def cast(df: DataFrame): DataFrame =
+    df.select(schema.cols.map(c =>
+      col(c.name).cast(c.dtype.sparkType).as(c.name)): _*)
+
+  def write(df: DataFrame, start: Any = null, stop: Any = null,
+      closed: Closed = Closed.Both, root: Boolean = false): Unit = {
+    val data = cast(df)
+    val startK = boundKey(start)
+    val stopK = boundKey(stop)
+
+    val total = data.count()
+    if (total == 0) {
+      require(startK != null && stopK != null,
+        "empty write needs explicit start/stop bounds")
+      commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
+        Vector.empty)), root)
+      return
+    }
+
+    val nParts = math.max(1, math.ceil(total.toDouble / pageLen).toInt)
+    val sorted =
+      if (nParts == 1) data.coalesce(1).sortWithinPartitions(idxCols: _*)
+      else data.repartitionByRange(nParts, idxCols: _*)
+        .sortWithinPartitions(idxCols: _*)
+
+    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
+    sorted.write.mode("overwrite").parquet(store.uri(tmpRel))
+
+    // per-file row count + index bounds, one job
+    val statRows = spark.read.schema(schema.sparkSchema)
+      .parquet(store.uri(tmpRel))
+      .groupBy(input_file_name().as("_file"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(idxCols: _*)).as("_min"),
+        max(struct(idxCols: _*)).as("_max"))
+      .collect()
+
+    final case class FileStat(name: String, cnt: Long, min: IndexKey,
+      max: IndexKey)
+    val stats = statRows.map { r =>
+      val name = r.getAs[String]("_file").split('/').last
+      FileStat(name, r.getAs[Long]("_cnt"),
+        keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")))
+    }.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
+      schema.cmpKey(a, b) < 0))
+
+    // content-address each part file into the segment store
+    val files = stats.map { st =>
+      val tmpFile = s"$tmpRel/${st.name}"
+      val digest = Hash.sha1(store.read(tmpFile))
+      val target = s"seg/${Hash.hashedPath(digest)}.parquet"
+      if (store.exists(target)) store.rm(tmpFile)
+      else store.mv(tmpFile, target)
+      target
+    }
+    store.rm(tmpRel, recursive = true)
+
+    // segment rows: contiguous cover of [start|min, stop|max]
+    val k = stats.length
+    val rows = (0 until k).map { i =>
+      val rowStart =
+        if (i == 0) Option(startK).getOrElse(stats(0).min)
+        else stats(i).min
+      val rowStop =
+        if (i == k - 1) Option(stopK).getOrElse(stats(k - 1).max)
+        else stats(i + 1).min
+      val cl = Closed.Both
+        .setLeft(if (i == 0) closed.left else true)
+        .setRight(if (i == k - 1) closed.right else false)
+      SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
+        Vector(files(i)))
+    }
+    commitRows(rows, root)
+  }
+
+  /** Splice segment rows into the leaf manifest and append a revision. */
+  protected def commitRows(rows: Seq[SegmentMeta], root: Boolean): Unit =
+    collection.batchOr { () =>
+      val leaf = if (root) None else changelog.leaf()
+      var m = leaf match {
+        case Some(rev) => Manifest.decode(changelog.payload(rev))
+        case None      => Manifest.empty(schema)
+      }
+      rows.foreach { r => m = m.update(r) }
+      changelog.commit(m.encode,
+        parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+      ()
+    }(rows)
+
+  /** Range delete: splice a row with no files over [start, stop] —
+    * overlay hides the data, no data job at all. */
+  def delete(start: Any, stop: Any, closed: Closed = Closed.Both): Unit = {
+    val s = boundKey(start); val e = boundKey(stop)
+    require(s != null && e != null, "delete needs start and stop")
+    commitRows(Seq(SegmentMeta(label, s, e, closed, 0L, Vector.empty)),
+      root = false)
+  }
+
+  // ------------------------------------------------------------------
+  // read path
+  // ------------------------------------------------------------------
+
+  def emptyDf: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      schema.sparkSchema)
+
+  def segments(start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None,
+      closed: Closed = Closed.Left): Seq[SegmentRead] =
+    collection.manifest(beforeMs) match {
+      case None => Seq.empty
+      case Some(m) =>
+        m.segments(label, Option(boundKey(start)), Option(boundKey(stop)),
+          closed)
+    }
+
+  /** Assemble the series DataFrame over [start, stop].
+    *
+    * Row order across segments follows the manifest (sorted), but no
+    * global sort is imposed — add `.orderBy` downstream where total
+    * order matters. limit/offset imply a sort.
+    */
+  def frame(start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
+      limit: Option[Long] = None, offset: Option[Long] = None,
+      select: Seq[String] = Nil): DataFrame = {
+    val segs = segments(start, stop, beforeMs, closed)
+    val parts = segs.filter(_.meta.files.nonEmpty).map { s =>
+      spark.read.schema(schema.sparkSchema)
+        .parquet(s.meta.files.map(store.uri): _*)
+        .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
+          s.stop, s.closed))
+    }
+    var df = parts.reduceOption(_ union _).getOrElse(emptyDf)
+    if (offset.isDefined || limit.isDefined) {
+      df = df.orderBy(idxCols: _*)
+      offset.foreach(o => df = df.offset(o.toInt))
+      limit.foreach(l => df = df.limit(l.toInt))
+    }
+    if (select.nonEmpty) df = df.select(select.map(col): _*)
+    df
+  }
+
+  /** Last `n` rows by index order (optionally pre-filtered). */
+  def tail(n: Long, start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
+      select: Seq[String] = Nil): DataFrame = {
+    require(n > 0, "length argument must be > 0")
+    val base = frame(start, stop, beforeMs, closed)
+    val desc = schema.idxNames.map(c => col(c).desc)
+    var df = base.orderBy(desc: _*).limit(n.toInt).orderBy(idxCols: _*)
+    if (select.nonEmpty) df = df.select(select.map(col): _*)
+    df
+  }
+
+  /** Fixed-size pages in index order. Each page triggers a Spark job;
+    * mostly superseded by Spark's own partition iteration. */
+  def paginate(step: Long = 500000L, start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None,
+      closed: Closed = Closed.Left): Iterator[DataFrame] = {
+    val total = frame(start, stop, beforeMs, closed).count()
+    val sorted = frame(start, stop, beforeMs, closed).orderBy(idxCols: _*)
+    Iterator.range(0L, math.max(total, 1L), step).map { off =>
+      sorted.offset(off.toInt).limit(step.toInt)
+    }.take(if (total == 0) 0 else
+      math.ceil(total.toDouble / step).toInt)
+  }
+
+  // ------------------------------------------------------------------
+  // update (aligned partial-column overwrite)
+  // ------------------------------------------------------------------
+
+  /** Overwrite a subset of non-index columns over an aligned index
+    * range; rows extending beyond stored data get zero-padding for the
+    * columns not provided (reference lakota/series.py:159-190).
+    */
+  def update(dfIn: DataFrame): Unit = {
+    val updCols = dfIn.columns.toSeq.filterNot(schema.idxNames.contains)
+    val readCols = schema.nonIdx.map(_.name).filterNot(updCols.contains)
+    val newDf = dfIn.select(
+      (schema.idxNames ++ updCols).map(c =>
+        col(c).cast(schema(c).dtype.sparkType).as(c)): _*)
+
+    val bounds = newDf.agg(min(struct(idxCols: _*)).as("mn"),
+      max(struct(idxCols: _*)).as("mx")).collect()(0)
+    if (bounds.isNullAt(0)) return
+    val startK = keyOf(bounds.getAs[Row]("mn"))
+    val stopK = keyOf(bounds.getAs[Row]("mx"))
+
+    val db = frame(startK, stopK, closed = Closed.Both).cache()
+    val dbBounds = db.agg(min(struct(idxCols: _*)).as("mn"),
+      max(struct(idxCols: _*)).as("mx")).collect()(0)
+
+    val zeroPadded: Seq[Column] = schema.cols.map { c =>
+      if (c.idx || updCols.contains(c.name)) col(c.name)
+      else lit(c.dtype.zero).cast(c.dtype.sparkType).as(c.name)
+    }
+
+    val full: DataFrame =
+      if (dbBounds.isNullAt(0)) {
+        newDf.select(zeroPadded: _*)
+      } else {
+        val dbStart = keyOf(dbBounds.getAs[Row]("mn"))
+        val dbStop = keyOf(dbBounds.getAs[Row]("mx"))
+        val inRange = SparkVals.rangePredicate(schema.idx, idxCols,
+          dbStart, dbStop, Closed.Both)
+        val overlapNew = newDf.filter(inRange)
+        // alignment check: indexes must match exactly on the overlap
+        val dbCnt = db.count()
+        val ovCnt = overlapNew.count()
+        val misaligned = dbCnt != ovCnt ||
+          overlapNew.join(db, schema.idxNames, "left_anti").count() > 0
+        if (misaligned)
+          throw new IllegalArgumentException(
+            "Update frame is not aligned with existing index")
+        val merged = db.drop(updCols: _*)
+          .join(overlapNew, schema.idxNames.toSeq)
+          .select(schema.names.map(col): _*)
+        val head = newDf.filter(SparkVals.lexBound(schema.idx, idxCols,
+            dbStart, lower = false, strict = true))
+          .select(zeroPadded: _*)
+        val tail = newDf.filter(SparkVals.lexBound(schema.idx, idxCols,
+            dbStop, lower = true, strict = true))
+          .select(zeroPadded: _*)
+        head.unionByName(merged).unionByName(tail)
+      }
+    write(full, startK, stopK, Closed.Both)
+    db.unpersist()
+  }
+
+  def length(): Long = frame().count()
+}
+
+/** Upsert-semantics series (reference lakota/series.py:449-503):
+  * writing merges with existing rows per index key, new rows win.
+  */
+class KVSeries(collection: Collection, label: String)
+    extends Series(collection, label) {
+  import collection.schema
+
+  override def write(df: DataFrame, start: Any = null, stop: Any = null,
+      closed: Closed = Closed.Both, root: Boolean = false): Unit = {
+    if (root || start != null || stop != null) {
+      super.write(df, start, stop, closed, root); return
+    }
+    val data = cast(df)
+    val bounds = data.agg(min(struct(schema.idxNames.map(col): _*)).as("mn"),
+      max(struct(schema.idxNames.map(col): _*)).as("mx")).collect()(0)
+    if (bounds.isNullAt(0)) return
+    val db = frame(boundFromRow(bounds.getAs[Row]("mn")),
+      boundFromRow(bounds.getAs[Row]("mx")), closed = Closed.Both)
+    if (db.isEmpty) { super.write(data, null, null, closed); return }
+
+    // provenance: 0 = new, 1 = stored; first (=min provenance) wins
+    val tagged = data.withColumn("_src", lit(0))
+      .unionByName(db.withColumn("_src", lit(1)))
+    val aggCols = schema.nonIdx.map(c =>
+      expr(s"min_by(${c.name}, _src)").as(c.name))
+    val out = tagged.groupBy(schema.idxNames.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(schema.names.map(col): _*)
+    super.write(out, null, null, Closed.Both)
+  }
+
+  private def boundFromRow(r: Row): IndexKey =
+    IndexKey(schema.idx.zipWithIndex.map { case (c, i) =>
+      SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
+
+  /** Remove the given first-index-column keys (rewrites the covering
+    * range without them). */
+  def deleteKeys(keys: Seq[Any]): Unit = {
+    if (keys.isEmpty) return
+    val dt = schema.idx.head.dtype
+    val ks = keys.map(k => SparkVals.parseBound(dt, k))
+    val mn = ks.min(Ordering.fromLessThan[Any]((a, b) => dt.cmp(a, b) < 0))
+    val mx = ks.max(Ordering.fromLessThan[Any]((a, b) => dt.cmp(a, b) < 0))
+    val db = frame(IndexKey(Vector(mn)), IndexKey(Vector(mx)),
+      closed = Closed.Both)
+    val keyCol = col(schema.idxNames.head)
+    val keep = db.filter(ks.map(k =>
+      keyCol =!= SparkVals.toLiteral(dt, k)).reduce(_ && _))
+    super.write(keep, IndexKey(Vector(mn)), IndexKey(Vector(mx)),
+      Closed.Both)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.core
+
+/** One revision file in a changelog: named `parent.child` where ids
+  * are `hextime-sha1(payload)`. Forms a tree; linearized by DFS with
+  * last-leaf-wins (behaviorally ported from reference
+  * lakota/changelog.py:17-194).
+  */
+final case class Revision(parent: String, child: String,
+    isLeaf: Boolean = false) {
+  def path: String = s"$parent.$child"
+  def epochHex: String = child.takeWhile(_ != '-')
+  def epochMs: Long = java.lang.Long.parseLong(epochHex, 16)
+  def digest: String = child.dropWhile(_ != '-').drop(1)
+}
+
+final class Changelog(val store: Store, val dir: String) {
+
+  import Changelog._
+
+  @volatile private var logCache: Vector[Revision] = null
+
+  def refresh(): Unit = logCache = null
+
+  /** Append a new revision holding `payload`. If `parents` is empty the
+    * current leaf is used (or phi for an empty log). Double-writes of
+    * an identical payload on the same parent are skipped.
+    */
+  def commit(payload: Array[Byte], parents: Seq[String] = Nil)
+      : Seq[Revision] = {
+    val effParents =
+      if (parents.nonEmpty) parents
+      else leaf() match {
+        case Some(l) => Seq(l.child)
+        case None    => Seq(Phi)
+      }
+    val key = Hash.sha1(payload)
+    val revs = effParents.flatMap { parent =>
+      val parentKey = parent.split("-", 2) match {
+        case Array(_, k) => k
+        case _           => ""
+      }
+      if (parent != Phi && parentKey == key) None // double write
+      else {
+        val child = s"${Hash.hextime()}-$key"
+        val rev = Revision(this.pathless(parent), child)
+        store.write(s"$dir/${rev.path}", payload)
+        Some(rev)
+      }
+    }
+    refresh()
+    revs
+  }
+
+  private def pathless(parent: String): String = parent
+
+  def entries(): Seq[String] = store.ls(dir)
+
+  /** Linear history: DFS over the parent->children tree built from the
+    * sorted file listing; last yielded revision of the first branch is
+    * the winning leaf.
+    */
+  def log(beforeMs: Option[Long] = None): Seq[Revision] = {
+    if (logCache == null) logCache = computeLog()
+    beforeMs match {
+      case None => logCache
+      case Some(ms) =>
+        val cut = Hash.hextime(ms)
+        logCache.takeWhile(_.epochHex < cut)
+    }
+  }
+
+  private def computeLog(): Vector[Revision] = {
+    val children = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[Revision]]
+    val allChildren = scala.collection.mutable.Set.empty[String]
+    entries().sorted.foreach { name =>
+      val i = name.indexOf('.')
+      if (i > 0) {
+        val (parent, child) = (name.take(i), name.drop(i + 1))
+        if (parent != child) {
+          allChildren += child
+          children(parent) = children.getOrElse(parent, Vector.empty) :+
+            Revision(parent, child)
+        }
+      }
+    }
+    val roots = children.keys.filterNot(allChildren.contains).toVector
+    val firstGen = roots.flatMap(children.getOrElse(_, Vector.empty))
+    var queue = firstGen.reverse.toList
+    val yielded = scala.collection.mutable.Set.empty[String]
+    val out = Vector.newBuilder[Revision]
+    while (queue.nonEmpty) {
+      val rev = queue.head; queue = queue.tail
+      val kids =
+        if (yielded.contains(rev.child)) Vector.empty
+        else children.getOrElse(rev.child, Vector.empty)
+      yielded += rev.child
+      queue = kids.reverse.toList ::: queue
+      out += rev.copy(isLeaf = kids.isEmpty)
+    }
+    out.result()
+  }
+
+  def leaf(beforeMs: Option[Long] = None): Option[Revision] =
+    log(beforeMs).lastOption
+
+  def leafs(): Seq[Revision] = log().filter(_.isLeaf)
+
+  /** Payload of a revision, sha1-verified with one retry (guards
+    * against a concurrent writer mid-flight). */
+  def payload(rev: Revision): Array[Byte] = {
+    var attempt = 0
+    while (true) {
+      val data = store.read(s"$dir/${rev.path}")
+      if (Hash.sha1(data) == rev.digest) return data
+      attempt += 1
+      if (attempt > 2)
+        throw new IllegalStateException(
+          s"checksum mismatch for revision ${rev.path}")
+      Thread.sleep(50L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Copy missing revision files from a remote changelog. */
+  def pull(remote: Changelog, shallow: Boolean = false): Seq[String] = {
+    val localDigests = log().map(r => (r.parent, r.digest)).toSet
+    val remoteRevs = if (shallow) remote.leafs() else remote.log()
+    val copied = remoteRevs.filterNot(r =>
+      localDigests.contains((r.parent, r.digest))).map { r =>
+      store.write(s"$dir/${r.path}", remote.store.read(s"${remote.dir}/${r.path}"))
+      r.path
+    }
+    refresh()
+    copied
+  }
+
+  /** Remove revisions strictly older than `beforeMs`, keeping the
+    * current winning chain's continuity by re-rooting the first kept
+    * revision at phi (reference Collection.trim semantics). */
+  def trim(beforeMs: Long): Seq[Revision] = {
+    val history = log()
+    val (old, kept) = history.partition(_.epochMs < beforeMs)
+    if (old.isEmpty) return Seq.empty
+    kept.headOption.foreach { keep =>
+      if (keep.parent != Phi) {
+        val rerooted = Revision(Phi, keep.child)
+        store.write(s"$dir/${rerooted.path}",
+          store.read(s"$dir/${keep.path}"))
+        store.rm(s"$dir/${keep.path}")
+      }
+    }
+    old.foreach(r => store.rm(s"$dir/${r.path}"))
+    refresh()
+    old
+  }
+}
+
+object Changelog {
+  val ZeroHextime = "0" * 11
+  val ZeroHash = "0" * 40
+  val Phi = s"$ZeroHextime-$ZeroHash"
+}

@@ -1,0 +1,313 @@
+package graft.core
+
+/** One row of a commit manifest: a segment of one labeled series
+  * covering index interval [start, stop] with closedness flags.
+  *
+  * `files` are repo-relative, digest-named parquet file paths holding
+  * the segment's rows (empty for a delete tombstone / empty write).
+  * `length` is the row count at write time; later splices may truncate
+  * the visible interval without rewriting the file, so it is an upper
+  * bound used only for planning (matches reference behavior,
+  * lakota/commit.py:263-359 keeps lengths unchanged on truncation).
+  *
+  * Semantics ported behaviorally from the reference commit manifest
+  * (lakota/commit.py:142-516); representation is our own (JSON, one
+  * parquet file set per segment instead of per-column chunk digests).
+  */
+final case class SegmentMeta(
+    label: String,
+    start: IndexKey,
+    stop: IndexKey,
+    closed: Closed,
+    length: Long,
+    files: Vector[String]) extends Serializable
+
+final case class SegmentRead(meta: SegmentMeta, start: IndexKey,
+    stop: IndexKey, closed: Closed)
+
+/** Sorted manifest of segments + the interval splice algebra giving
+  * last-write-wins overlay semantics (reference lakota/commit.py).
+  * Rows are kept sorted by (label, start); overlaps are resolved at
+  * commit time (never at read time).
+  */
+final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
+
+  def size: Int = rows.length
+  def isEmpty: Boolean = rows.isEmpty
+
+  /** compare (label, key) with prefix semantics on the key */
+  private def cmpLK(l1: String, k1: IndexKey, l2: String, k2: IndexKey): Int = {
+    val c = l1.compareTo(l2)
+    if (c != 0) c else schema.cmpKey(k1, k2)
+  }
+
+  /** first i in [0,n) where cmp(key(i), q) >= 0 */
+  private def bisectLeft(key: Int => (String, IndexKey),
+      ql: String, qk: IndexKey): Int = {
+    var lo = 0; var hi = rows.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val (l, k) = key(mid)
+      if (cmpLK(l, k, ql, qk) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** first i in [0,n) where cmp(key(i), q) > 0 */
+  private def bisectRight(key: Int => (String, IndexKey),
+      ql: String, qk: IndexKey): Int = {
+    var lo = 0; var hi = rows.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val (l, k) = key(mid)
+      if (cmpLK(l, k, ql, qk) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** (startPos, stopPos) bisect positions for a [start, stop] splice
+    * (reference lakota/commit.py:235-244): startPos bisects right over
+    * row *stop* keys, stopPos bisects left over row *start* keys.
+    */
+  def split(label: String, start: IndexKey, stop: IndexKey): (Int, Int) = {
+    val startPos = bisectRight(i => (rows(i).label, rows(i).stop), label, start)
+    val stopPos  = bisectLeft(i => (rows(i).label, rows(i).start), label, stop)
+    (startPos, stopPos)
+  }
+
+  /** Splice a new segment row into the manifest: truncates overlapped
+    * neighbors, flips closed flags, drops rows emptied to zero width
+    * (unless closed=BOTH). Core overlay algebra, behaviorally ported
+    * from reference lakota/commit.py:263-359.
+    */
+  def update(row: SegmentMeta): Manifest = {
+    require(cmpLK(row.label, row.start, row.label, row.stop) <= 0,
+      s"Invalid range ${row.start} -> ${row.stop}")
+    if (rows.isEmpty) return Manifest(schema, Vector(row))
+
+    val label = row.label
+    val start = row.start
+    val stop  = row.stop
+    val closed = row.closed
+
+    val first = rows.head
+    val last = rows.last
+    if (cmpLK(label, start, first.label, first.start) < 0 &&
+        cmpLK(label, stop, last.label, last.stop) > 0)
+      return Manifest(schema, Vector(row))
+
+    var (startPos, stopPos) = split(label, start, stop)
+
+    // ---- truncate the row hit on the left (head side) ----
+    var head: Vector[SegmentMeta] = null
+    var startRow: SegmentMeta = null
+    // startPos comes from a bisect_right; the slot on the left may be a
+    // perfect (label, stop)==(label, start) match
+    if (startPos > 0) {
+      val prev = rows(startPos - 1)
+      if (prev.label == label && schema.cmpKey(prev.stop, start) == 0) {
+        startPos -= 1
+        startRow = prev
+      }
+    }
+    if (startRow == null) startRow = rows(math.min(startPos, rows.length - 1))
+
+    // closed state of the (possibly truncated) start row — the
+    // reference reuses this in the tail branch below
+    var startRowClosed: Closed = startRow.closed
+
+    if (startRow.label == label &&
+        schema.cmpKey(startRow.start, start) <= 0 &&
+        schema.cmpKey(start, startRow.stop) <= 0) {
+      // we hit the right side of an existing row: its stop shrinks to
+      // our start, and its right-closedness becomes the opposite of
+      // our left-closedness
+      val newClosed = startRow.closed.setRight(!closed.left)
+      startRowClosed = newClosed
+      val truncated = startRow.copy(stop = start, closed = newClosed)
+      if (schema.cmpKey(truncated.start, truncated.stop) == 0 &&
+          truncated.closed != Closed.Both) {
+        head = rows.take(startPos) // zero-width & not fully closed: drop
+      } else {
+        head = rows.take(startPos) :+ truncated
+      }
+    }
+    if (head == null) head = rows.take(startPos)
+
+    // ---- truncate the row hit on the right (tail side) ----
+    var tail: Vector[SegmentMeta] = null
+    var stopRow: SegmentMeta = null
+    // stopPos comes from a bisect_left; the slot on the right may be a
+    // perfect (label, start)==(label, stop) match
+    if (stopPos < rows.length) {
+      val next = rows(stopPos)
+      if (next.label == label && schema.cmpKey(next.start, stop) == 0) {
+        stopRow = next
+        stopPos += 1
+      }
+    }
+    if (stopRow == null) stopRow = rows(math.max(0, stopPos - 1))
+
+    if (stopRow.label == label &&
+        schema.cmpKey(stopRow.start, stop) <= 0 &&
+        schema.cmpKey(stop, stopRow.stop) <= 0) {
+      // we hit the left side of an existing row
+      val truncated = stopRow.copy(start = stop,
+        closed = stopRow.closed.setLeft(!closed.right))
+      // NOTE: the reference checks start_row's closed flag here
+      // (lakota/commit.py:341-344) — kept for behavioral parity
+      if (schema.cmpKey(truncated.start, truncated.stop) == 0 &&
+          startRowClosed != Closed.Both) {
+        tail = rows.drop(stopPos)
+      } else {
+        tail = truncated +: rows.drop(stopPos)
+      }
+    }
+    if (tail == null) tail = rows.drop(stopPos)
+
+    Manifest(schema, head ++ (row +: tail))
+  }
+
+  /** Query-time pruning: all segments of `label` intersecting
+    * [start, stop], with bounds clipped and closed flags resolved
+    * (query flags win — reference lakota/commit.py:425-475).
+    */
+  def segments(label: String, start: Option[IndexKey] = None,
+      stop: Option[IndexKey] = None,
+      closed0: Closed = Closed.Both): Seq[SegmentRead] = {
+    var closed = closed0
+    // an open side with no bound makes no sense: force closed
+    if (start.isEmpty) closed = closed.setLeft(true)
+    if (stop.isEmpty) closed = closed.setRight(true)
+
+    rows.iterator.filter(_.label == label).flatMap { r =>
+      var aStart = r.start
+      var aStop = r.stop
+      var aClosed = r.closed
+      var skip = false
+
+      start.foreach { s =>
+        val cStop = schema.cmpKey(s, r.stop)
+        if (cStop > 0) skip = true                      // fully right of row
+        else if (!aClosed.right && cStop == 0) skip = true
+        else {
+          val cStart = schema.cmpKey(s, aStart)
+          if (cStart > 0) {                              // clip left
+            aClosed = aClosed.setLeft(closed.left)
+            aStart = s
+          } else if (cStart == 0 && aClosed.left) {
+            aClosed = aClosed.setLeft(closed.left)
+          }
+        }
+      }
+      if (!skip) stop.foreach { s =>
+        val cStart = schema.cmpKey(s, aStart)
+        if (cStart < 0) skip = true                      // fully left of row
+        else if (!aClosed.left && cStart == 0) skip = true
+        else {
+          val cStop = schema.cmpKey(s, aStop)
+          if (cStop < 0) {                               // clip right
+            aClosed = aClosed.setRight(closed.right)
+            aStop = s
+          } else if (cStop == 0 && aClosed.right) {
+            aClosed = aClosed.setRight(closed.right)
+          }
+        }
+      }
+      if (skip) Iterator.empty
+      else Iterator.single(SegmentRead(r, aStart, aStop, aClosed))
+    }.toSeq
+  }
+
+  def labels: Seq[String] = rows.map(_.label).distinct.sorted
+
+  def deleteLabels(rm: Set[String]): Manifest =
+    Manifest(schema, rows.filterNot(r => rm.contains(r.label)))
+
+  def renameLabel(from: String, to: String): Manifest = {
+    val extract = rows.filter(_.label == from).map(_.copy(label = to))
+    var base = deleteLabels(Set(from))
+    extract.foreach { r => base = base.update(r) }
+    base
+  }
+
+  def allFiles: Set[String] = rows.iterator.flatMap(_.files).toSet
+
+  // ---------- serialization ----------
+
+  def encode: Array[Byte] = {
+    val idxTypes = schema.idx.map(_.dtype)
+    def key(k: IndexKey): String =
+      k.values.map(Json.scalar).mkString("[", ",", "]")
+    val rws = rows.map { r =>
+      s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
+      s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
+      s""""length":${r.length},"files":${
+        r.files.map(Json.str).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    val _ = idxTypes
+    s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
+      .getBytes("UTF-8")
+  }
+}
+
+object Manifest {
+  def empty(schema: GSchema): Manifest = Manifest(schema, Vector.empty)
+
+  def one(schema: GSchema, row: SegmentMeta): Manifest =
+    Manifest(schema, Vector(row))
+
+  /** Concat non-overlapping manifests in key order
+    * (reference lakota/commit.py:377-407). */
+  def concat(parts: Seq[Manifest]): Manifest = {
+    val nonEmpty = parts.filter(_.rows.nonEmpty)
+    if (nonEmpty.isEmpty) return parts.head
+    val schema = nonEmpty.head.schema
+    nonEmpty.sliding(2).foreach {
+      case Seq(a, b) =>
+        val pt = a.rows.last; val nh = b.rows.head
+        val c = { val lc = pt.label.compareTo(nh.label)
+          if (lc != 0) lc else schema.cmpKey(pt.stop, nh.start) }
+        require(c <= 0, s"manifest concat overlap: $pt vs $nh")
+      case _ =>
+    }
+    Manifest(schema, nonEmpty.flatMap(_.rows).toVector)
+  }
+
+  private def toKernel(dt: GType, v: Any): Any = dt match {
+    case GType.FloatT => Json.toDouble(v)
+    case GType.StrT => v.asInstanceOf[String]
+    case _ => v.asInstanceOf[Long]
+  }
+
+  def decode(bytes: Array[Byte]): Manifest = {
+    val m = Json.parse(new String(bytes, "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    val schema = {
+      val sm = m("schema").asInstanceOf[Map[String, Any]]
+      val kv = sm.get("kind").contains("kv")
+      val cols = sm("columns").asInstanceOf[List[Any]].map { o =>
+        val cm = o.asInstanceOf[Map[String, Any]]
+        ColDef(cm("name").asInstanceOf[String],
+          GType.parse(cm("dt").asInstanceOf[String]),
+          cm("idx").asInstanceOf[Boolean])
+      }
+      GSchema(cols, kv)
+    }
+    val idxTypes = schema.idx.map(_.dtype)
+    def key(v: Any): IndexKey = IndexKey(
+      v.asInstanceOf[List[Any]].zip(idxTypes)
+        .map { case (x, dt) => toKernel(dt, x) }.toVector)
+    val rws = m("rows").asInstanceOf[List[Any]].map { o =>
+      val rm = o.asInstanceOf[Map[String, Any]]
+      SegmentMeta(
+        rm("label").asInstanceOf[String],
+        key(rm("start")), key(rm("stop")),
+        Closed.parse(rm("closed").asInstanceOf[String]),
+        rm("length").asInstanceOf[Long],
+        rm("files").asInstanceOf[List[Any]]
+          .map(_.asInstanceOf[String]).toVector)
+    }.toVector
+    Manifest(schema, rws)
+  }
+}

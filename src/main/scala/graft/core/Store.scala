@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.io.FileNotFoundException
+
+/** Thin blob-store facade over the Hadoop FileSystem API.
+  *
+  * Plays the role of the reference's POD abstraction
+  * (lakota/pod.py:41-141) but delegates all protocols (file://, s3a://,
+  * hdfs://) to Hadoop connectors instead of reimplementing them. Paths
+  * are strings relative to the store root.
+  */
+trait Store extends Serializable {
+  /** names of direct children of `dir` (not full paths) */
+  def ls(dir: String): Seq[String]
+  def read(path: String): Array[Byte]
+  /** create-if-absent; returns false (skips) if the path already
+    * exists — content-addressed names make collisions identical. */
+  def write(path: String, data: Array[Byte]): Boolean
+  def rm(path: String, recursive: Boolean = false): Unit
+  def mv(from: String, to: String): Unit
+  def exists(path: String): Boolean
+  /** all file paths (relative) under prefix, recursively */
+  def walk(prefix: String): Seq[String]
+  /** absolute URI for Spark reads/writes */
+  def uri(path: String): String
+}
+
+final class HadoopStore(val root: String) extends Store {
+  @transient private var fsCache: FileSystem = _
+  @transient private var confCache: Configuration = _
+
+  private def conf: Configuration = {
+    if (confCache == null) confCache = new Configuration()
+    confCache
+  }
+  private def fs: FileSystem = {
+    if (fsCache == null)
+      fsCache = new Path(root).getFileSystem(conf)
+    fsCache
+  }
+  private def p(path: String): Path =
+    if (path.isEmpty) new Path(root) else new Path(root, path)
+
+  def ls(dir: String): Seq[String] =
+    try fs.listStatus(p(dir)).toSeq.map(_.getPath.getName).sorted
+    catch { case _: FileNotFoundException => Seq.empty }
+
+  def read(path: String): Array[Byte] = {
+    val in = fs.open(p(path))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  def write(path: String, data: Array[Byte]): Boolean = {
+    val target = p(path)
+    if (fs.exists(target)) return false
+    val tmp = new Path(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try { out.write(data) } finally out.close()
+    // rename is atomic on posix fs / hdfs; on object stores the
+    // content-addressed naming makes double-writes identical anyway
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false); fs.exists(target) }
+    else true
+  }
+
+  def rm(path: String, recursive: Boolean = false): Unit =
+    fs.delete(p(path), recursive)
+
+  def mv(from: String, to: String): Unit = {
+    val t = p(to)
+    fs.mkdirs(t.getParent)
+    fs.rename(p(from), t)
+  }
+
+  def exists(path: String): Boolean = fs.exists(p(path))
+
+  def walk(prefix: String): Seq[String] = {
+    val base = p(prefix)
+    if (!fs.exists(base)) return Seq.empty
+    val it = fs.listFiles(base, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val rootUri = p("").toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next()
+      val full = f.getPath.toUri.getPath
+      out += full.stripPrefix(rootUri).stripPrefix("/")
+    }
+    out.toSeq.sorted
+  }
+
+  def uri(path: String): String = p(path).toString
+}
+
+object Hash {
+  def sha1(data: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(data).map(b => f"$b%02x").mkString
+  }
+
+  /** 11-hex-digit sortable timestamp (ms precision). */
+  def hextime(ms: Long = System.currentTimeMillis()): String =
+    f"$ms%011x"
+
+  /** content-addressed layout aa/bb/rest (reference
+    * lakota/utils.py:122-133). */
+  def hashedPath(digest: String): String =
+    s"${digest.take(2)}/${digest.slice(2, 4)}/${digest.drop(4)}"
+}

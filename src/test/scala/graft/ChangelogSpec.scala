@@ -1,0 +1,74 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ChangelogSpec extends AnyFunSuite {
+
+  def freshLog(): Changelog = {
+    val dir = Files.createTempDirectory("graft-log").toString
+    new Changelog(new HadoopStore(dir), "changelog")
+  }
+
+  test("linear commits") {
+    val log = freshLog()
+    log.commit("one".getBytes)
+    Thread.sleep(2)
+    log.commit("two".getBytes)
+    val hist = log.log()
+    assert(hist.length == 2)
+    assert(hist.head.parent == Changelog.Phi)
+    assert(hist(1).parent == hist.head.child)
+    assert(new String(log.payload(log.leaf().get)) == "two")
+  }
+
+  test("double write of same payload is skipped") {
+    val log = freshLog()
+    log.commit("same".getBytes)
+    val revs = log.commit("same".getBytes)
+    assert(revs.isEmpty)
+    assert(log.log().length == 1)
+  }
+
+  test("concurrent writers create branches; leaf wins deterministically") {
+    val log = freshLog()
+    val base = log.commit("root".getBytes).head
+    // two children of the same parent
+    Thread.sleep(2)
+    log.commit("a".getBytes, parents = Seq(base.child))
+    Thread.sleep(2)
+    log.commit("b".getBytes, parents = Seq(base.child))
+    log.refresh()
+    val hist = log.log()
+    assert(hist.length == 3)
+    val leaves = log.leafs()
+    assert(leaves.length == 2)
+    // winning leaf = last in DFS linearization
+    assert(log.leaf().get == hist.last)
+  }
+
+  test("before filter (time travel)") {
+    val log = freshLog()
+    log.commit("old".getBytes)
+    Thread.sleep(10)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(10)
+    log.commit("new".getBytes)
+    log.refresh()
+    assert(new String(log.payload(log.leaf().get)) == "new")
+    assert(new String(log.payload(log.leaf(Some(cut)).get)) == "old")
+  }
+
+  test("pull copies missing revisions") {
+    val a = freshLog()
+    val b = freshLog()
+    a.commit("one".getBytes)
+    Thread.sleep(2)
+    a.commit("two".getBytes)
+    b.pull(a)
+    assert(b.log().map(_.path) == a.log().map(_.path))
+    // second pull is a no-op
+    assert(b.pull(a).isEmpty)
+  }
+}
