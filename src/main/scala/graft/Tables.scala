@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided test tables under
+  * /root/testdata/sf0.001 .. sf0.1, with the interop fixups needed for
+  * DuckDB-oracle parity:
+  *
+  * - events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+  *   default; we read it as Long (legacy conf) and integer-divide to
+  *   microseconds — exactly DuckDB's own µs truncation.
+  * - session timezone forced to UTC so timestamp rendering matches.
+  */
+object Tables {
+
+  def init(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    init(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register all tables as temp views named like the files. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
+}

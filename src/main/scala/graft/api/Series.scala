@@ -79,28 +79,37 @@ class Series(val collection: Collection, val label: String) {
     val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
     sorted.write.mode("overwrite").parquet(store.uri(tmpRel))
 
-    // per-file row count + index bounds, one job
+    // per-file row count + index bounds + logical content hash, one job.
+    // The digest is computed from the DATA (order-insensitive xxhash64
+    // aggregate), not the file bytes: parquet encoding metadata is not
+    // byte-deterministic across JVMs, and logical hashing also avoids
+    // pulling file bytes to the driver at scale.
+    val allCols = schema.names.map(col)
     val statRows = spark.read.schema(schema.sparkSchema)
       .parquet(store.uri(tmpRel))
       .groupBy(input_file_name().as("_file"))
       .agg(count(lit(1)).as("_cnt"),
         min(struct(idxCols: _*)).as("_min"),
-        max(struct(idxCols: _*)).as("_max"))
+        max(struct(idxCols: _*)).as("_max"),
+        sum(xxhash64(allCols: _*)).as("_hash"))
       .collect()
 
     final case class FileStat(name: String, cnt: Long, min: IndexKey,
-      max: IndexKey)
+      max: IndexKey, hash: Long)
     val stats = statRows.map { r =>
       val name = r.getAs[String]("_file").split('/').last
       FileStat(name, r.getAs[Long]("_cnt"),
-        keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")))
+        keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")),
+        r.getAs[Long]("_hash"))
     }.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
       schema.cmpKey(a, b) < 0))
 
     // content-address each part file into the segment store
     val files = stats.map { st =>
+      val digest = Hash.sha1(
+        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}"
+          .getBytes("UTF-8"))
       val tmpFile = s"$tmpRel/${st.name}"
-      val digest = Hash.sha1(store.read(tmpFile))
       val target = s"seg/${Hash.hashedPath(digest)}.parquet"
       if (store.exists(target)) store.rm(tmpFile)
       else store.mv(tmpFile, target)

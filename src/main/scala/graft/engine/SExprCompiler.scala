@@ -1,0 +1,142 @@
+package graft.engine
+
+import graft.core.SExpr
+import graft.core.SExpr._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compile s-expression ASTs to Spark Column trees.
+  *
+  * Every primitive of the reference language (lakota/sexpr.py:261-283,
+  * utils.py:232-270) maps to an existing codegen'd Spark function — no
+  * custom Catalyst Expressions needed. Aggregate detection mirrors
+  * `AST.is_aggregate` and decides select vs groupBy.agg in
+  * [[Ops.reduce]].
+  */
+object SExprCompiler {
+
+  val aggOps: Set[String] =
+    Set("min", "max", "sum", "mean", "average", "first", "last",
+      "count", "len", "quantile")
+
+  def isAggregate(src: String): Boolean =
+    SExpr.isAggregate(SExpr.parse(src), aggOps)
+
+  def compile(src: String): Column = compile(SExpr.parse(src))
+
+  /** extract alias if the root call is (as expr "name") */
+  def compileAliased(src: String): (Column, Option[String]) =
+    SExpr.parse(src) match {
+      case SCall("as", List(e, SStr(name))) => (compile(e), Some(name))
+      case SCall("as", List(e, SRef(name))) => (compile(e), Some(name))
+      case e => (compile(e), None)
+    }
+
+  def compile(e: SExpr): Column = e match {
+    case SInt(v)   => lit(v)
+    case SFloat(v) => lit(v)
+    case SStr(v)   => lit(v)
+    case SBool(v)  => lit(v)
+    case SRef(path) =>
+      if (path.startsWith("self.")) col(path.stripPrefix("self."))
+      else col(path)
+    case SCall(op, args) => call(op, args)
+  }
+
+  private def num(args: List[SExpr]): List[Column] = args.map(compile)
+
+  private def variadic(args: List[SExpr], f: (Column, Column) => Column)
+      : Column = num(args).reduceLeft(f)
+
+  private def call(op: String, args: List[SExpr]): Column = op match {
+    // arithmetic (variadic reduce, reference sexpr.py:264-268)
+    case "+" => variadic(args, _ + _)
+    case "-" => if (args.length == 1) -compile(args.head)
+                else variadic(args, _ - _)
+    case "*" => variadic(args, _ * _)
+    case "/" => variadic(args, _ / _)
+    case "%" => variadic(args, _ % _)
+    // comparisons
+    case "<"  => variadic(args, _ < _)
+    case "<=" => variadic(args, _ <= _)
+    case "="  => variadic(args, _ === _)
+    case "!=" => variadic(args, _ =!= _)
+    case ">=" => variadic(args, _ >= _)
+    case ">"  => variadic(args, _ > _)
+    // boolean
+    case "and" => variadic(args, _ && _)
+    case "or"  => variadic(args, _ || _)
+    case "~" | "not" | "logical_not" => !compile(args.head)
+    case "in" | "isin" =>
+      val target = compile(args.head)
+      args.tail.map(a => target === compile(a))
+        .reduceLeft[Column](_ || _)
+    // alias
+    case "as" => args match {
+      case List(e, SStr(name)) => compile(e).as(name)
+      case List(e, SRef(name)) => compile(e).as(name)
+      case _ => throw new IllegalArgumentException("(as expr 'name')")
+    }
+    // datetime (reference utils.py:232-270)
+    case "floor" => args match {
+      case List(e, SStr(unit)) => date_trunc(truncUnit(unit), compile(e))
+      case _ => throw new IllegalArgumentException("(floor ts 'unit')")
+    }
+    case "as-tz" | "as_tz" => args match {
+      case List(e, SStr(zone)) => from_utc_timestamp(compile(e), zone)
+      case _ => throw new IllegalArgumentException("(as-tz ts 'zone')")
+    }
+    case "day_of_week_num" => dayofweek(compile(args.head)) - lit(1)
+    // aggregates (reference sexpr.py:169-224)
+    case "min" => min(compile(args.head))
+    case "max" => max(compile(args.head))
+    case "sum" => sum(compile(args.head))
+    case "mean" | "average" => avg(compile(args.head))
+    case "first" => first(compile(args.head))
+    case "last" => last(compile(args.head))
+    case "count" | "len" => count(compile(args.head))
+    case "quantile" => args match {
+      case List(e, q) => percentile(compile(e), compile(q))
+      case List(e) => percentile(compile(e), lit(0.5))
+      case _ => throw new IllegalArgumentException("(quantile col q)")
+    }
+    // common scalar functions (numpy-by-name coverage for the names
+    // the reference itself exercises; sexpr.py:153-161)
+    case "abs" => abs(compile(args.head))
+    case "round" => args match {
+      case List(e) => round(compile(e))
+      case List(e, SInt(n)) => round(compile(e), n.toInt)
+      case _ => throw new IllegalArgumentException("(round col [n])")
+    }
+    case "sqrt" => sqrt(compile(args.head))
+    case "exp" => exp(compile(args.head))
+    case "log" => log(compile(args.head))
+    case "ceil" => ceil(compile(args.head))
+    case "char.lower" | "lower" => lower(compile(args.head))
+    case "char.upper" | "upper" => upper(compile(args.head))
+    case "char.strip" | "strip" => trim(compile(args.head))
+    case "startswith" =>
+      compile(args.head).startsWith(compile(args(1)))
+    case "endswith" =>
+      compile(args.head).endsWith(compile(args(1)))
+    case "coalesce" => coalesce(num(args): _*)
+    case "where" | "if" => args match {
+      case List(c, t, f) => when(compile(c), compile(t))
+        .otherwise(compile(f))
+      case _ => throw new IllegalArgumentException("(where cond then else)")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"unknown s-expr operator: $other")
+  }
+
+  private def truncUnit(u: String): String = u match {
+    case "Y" => "year"
+    case "M" => "month"
+    case "W" => "week"
+    case "D" => "day"
+    case "h" => "hour"
+    case "m" => "minute"
+    case "s" => "second"
+    case other => other // allow spark-native unit names
+  }
+}
