@@ -1,0 +1,148 @@
+package graft
+
+import graft.api.Repo
+import graft.core.{Closed, GSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-backed queries: route the test data through the versioned
+  * series engine (write → manifest → pruned read) and verify the
+  * result against plain SQL over the original parquet — proving the
+  * storage engine's overlay/time-travel/delete semantics inside the
+  * oracle gate.
+  */
+object QueriesSeries {
+
+  private val eventsSchema = GSchema(
+    "ts" -> "timestamp*", "event_id" -> "int*",
+    "value" -> "float", "event_type" -> "str")
+
+  private def eventsDf(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("value"), col("event_type"))
+
+  private def freshSeries(s: SparkSession): graft.api.Series = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    repo.createCollection(eventsSchema, "events").series("_")
+  }
+
+  private val out = Seq("event_id", "ts", "value")
+
+  /** write through the engine, range-read back [Jan10, Jan20) */
+  def q30_series_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    sr.frame("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+        closed = Closed.Left)
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q30_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      |ORDER BY event_id""".stripMargin
+
+  /** overlay write: double the value over [Jan10, Jan20) without
+    * rewriting the rest; full read shows the merged view */
+  def q31_series_overlay(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    sr.write(ev)
+    val patch = ev
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .withColumn("value", col("value") * 2)
+    sr.write(patch, "2024-01-10 00:00:00", "2024-01-20 00:00:00",
+      Closed.Left)
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q31_oracle: String =
+    """SELECT event_id, ts,
+      | CASE WHEN ts >= TIMESTAMP '2024-01-10'
+      |       AND ts < TIMESTAMP '2024-01-20'
+      |      THEN value * 2 ELSE value END AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** time travel: read the snapshot before an overlay write */
+  def q32_series_timetravel(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    sr.write(ev)
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    sr.write(ev.filter(col("event_id") % 5 === 0)
+        .withColumn("value", lit(-1.0)),
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", Closed.Left)
+    sr.frame(beforeMs = Some(cut))
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q32_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id""".stripMargin
+
+  /** range delete: manifest-only tombstone hides [Jan10, Jan20) */
+  def q33_series_delete(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    sr.delete("2024-01-10 00:00:00", "2024-01-20 00:00:00", Closed.Left)
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q33_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE NOT (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20')
+      |ORDER BY event_id""".stripMargin
+
+  /** KV upsert through the engine: weekly per-key aggregates merged
+    * first-wins (new over old) — engine twin of q09 */
+  def q34_series_kv(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val schema = GSchema.kv("user_id" -> "int*", "event_type" -> "str*",
+      "value" -> "float")
+    val sr = repo.createCollection(schema, "kv").series("_")
+    val ev = Tables.table(s, dir, "events")
+    def weekAgg(lo: String, hi: String) = ev
+      .filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("value")).as("value"))
+    sr.write(weekAgg("2024-01-01", "2024-01-08"))   // old
+    sr.write(weekAgg("2024-01-08", "2024-01-15"))   // new wins per key
+    sr.frame()
+      .select(col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q34_oracle: String =
+    """WITH n AS (
+      |  SELECT user_id, event_type, sum(value) AS v, 0 AS src FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      |  GROUP BY 1, 2),
+      |o AS (
+      |  SELECT user_id, event_type, sum(value) AS v, 1 AS src FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      |  GROUP BY 1, 2),
+      |u AS (SELECT * FROM n UNION ALL SELECT * FROM o)
+      |SELECT user_id, event_type, round(min_by(v, src),2) AS value
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_series_roundtrip" -> q30_series_roundtrip _,
+    "q31_series_overlay" -> q31_series_overlay _,
+    "q32_series_timetravel" -> q32_series_timetravel _,
+    "q33_series_delete" -> q33_series_delete _,
+    "q34_series_kv" -> q34_series_kv _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_series_roundtrip" -> q30_oracle,
+    "q31_series_overlay" -> q31_oracle,
+    "q32_series_timetravel" -> q32_oracle,
+    "q33_series_delete" -> q33_oracle,
+    "q34_series_kv" -> q34_oracle)
+}

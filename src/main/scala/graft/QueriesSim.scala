@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-search / near-duplicate / embedding operators for the
+  * training-data pipeline, with exactly mirrored Spark-SQL and DuckDB
+  * oracle statements (shared constants, same integer hash math).
+  *
+  * Hash design: h(s) = first 8 hex chars of md5(s) as unsigned int
+  * (identical in both engines), minhash_j = min((a_j*h+b_j) mod P)
+  * with a_j < 1e6 so a*h < 2^52 — no 64-bit overflow in either
+  * engine's BIGINT arithmetic.
+  */
+object QueriesSim {
+
+  val P = 2147483647L
+  val A = Seq(999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
+    999917L, 999907L)
+  val B = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
+    104395301L, 122949823L, 141650939L)
+
+  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sql)
+  }
+
+  // ---- dialect snippets -------------------------------------------------
+
+  /** doc_id + exploded DISTINCT 3-gram shingles, Spark dialect */
+  private val sparkShingleTok =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, explode(transform(sequence(1, size(t)-2),
+      |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+      |                  element_at(t,i+2)))) AS s
+      |    FROM (SELECT doc_id, split(text,' ', -1) AS t FROM documents)
+      |    WHERE size(t) >= 3))""".stripMargin
+
+  /** same, DuckDB dialect */
+  private val duckShingleTok =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+      |      i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+      |    WHERE len(t) >= 3))""".stripMargin
+
+  private def sparkHex(e: String): String =
+    s"cast(conv(substr(md5($e),1,8),16,10) as bigint)"
+  private def duckHex(e: String): String =
+    s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  private def minhashCols: String =
+    A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*hv+$b)%$P) AS mh${i + 1}" }.mkString(",\n  ")
+
+  private def sigCte(hex: String => String, shingleTok: String): String =
+    s"""WITH $shingleTok,
+       |h AS (SELECT doc_id, ${hex("s")} AS hv FROM tok),
+       |sig AS (SELECT doc_id,
+       |  $minhashCols
+       |FROM h GROUP BY doc_id)""".stripMargin
+
+  // ---- q22: minhash signatures -----------------------------------------
+
+  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame =
+    run(s, dir,
+      s"""${sigCte(sparkHex, sparkShingleTok)}
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin)
+
+  val q22_oracle: String =
+    s"""${sigCte(duckHex, duckShingleTok)}
+       |SELECT * FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---- q23: LSH banding -> candidate pairs -> exact jaccard verify -----
+
+  private def lshSql(hex: String => String, shingleTok: String): String =
+    s"""${sigCte(hex, shingleTok)},
+       |bands AS (
+       |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM sig UNION ALL
+       |  SELECT doc_id, 2, mh3, mh4 FROM sig UNION ALL
+       |  SELECT doc_id, 3, mh5, mh6 FROM sig UNION ALL
+       |  SELECT doc_id, 4, mh7, mh8 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cnt
+       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON c.da = i.da AND c.db = i.db
+       |JOIN sizes sa ON c.da = sa.doc_id
+       |JOIN sizes sb ON c.db = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, lshSql(sparkHex, sparkShingleTok))
+
+  val q23_oracle: String = lshSql(duckHex, duckShingleTok)
+
+  // ---- q24: exact n-gram jaccard similarity join -----------------------
+
+  private def jaccardSql(shingleTok: String): String =
+    s"""WITH $shingleTok,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cnt
+       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE cnt/(sa.n + sb.n - cnt) >= 0.05
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def q24_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, jaccardSql(sparkShingleTok))
+
+  val q24_oracle: String = jaccardSql(duckShingleTok)
+
+  // ---- q25: brute-force cosine ANN top-k -------------------------------
+
+  def q25_ann_cosine(s: SparkSession, dir: String): DataFrame =
+    run(s, dir,
+      """WITH q AS (SELECT cast(embedding AS array<double>) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |d AS (
+        |  SELECT vec_id, label,
+        |   aggregate(zip_with(cast(embedding AS array<double>), qe,
+        |     (x,y) -> x*y), cast(0 AS double), (a,x) -> a+x) AS dot,
+        |   aggregate(cast(embedding AS array<double>), cast(0 AS double),
+        |     (a,x) -> a+x*x) AS na,
+        |   aggregate(qe, cast(0 AS double), (a,x) -> a+x*x) AS nb
+        |  FROM embeddings, q WHERE vec_id != 0)
+        |SELECT vec_id, label,
+        |  round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+        |FROM d ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, vec_id
+        |LIMIT 20""".stripMargin)
+
+  val q25_oracle: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      |  WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+      |FROM embeddings, q WHERE vec_id != 0
+      |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+      |LIMIT 20""".stripMargin
+
+  // ---- q26: simhash fingerprints ---------------------------------------
+
+  private def simhashSql(hex: String => String, tokSplit: String,
+      shr: (String, Int) => String): String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (${shr("hv", b)} & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val recombine = (0 until 32).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, tk FROM
+       |  (SELECT doc_id, $tokSplit AS tk FROM documents)),
+       |h AS (SELECT doc_id, ${hex("tk")} AS hv FROM tok),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, $recombine AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  def q26_simhash(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, simhashSql(sparkHex,
+      "explode(split(text,' ', -1))", (e, b) => s"shiftright($e, $b)"))
+
+  val q26_oracle: String = simhashSql(duckHex,
+    "unnest(string_split(text,' '))", (e, b) => s"($e >> $b)")
+
+  // ---- q27: per-label embedding centroids ------------------------------
+
+  def q27_centroids(s: SparkSession, dir: String): DataFrame =
+    run(s, dir,
+      """SELECT label, pos, round(avg(v), 4) AS mean_v
+        |FROM embeddings
+        |LATERAL VIEW posexplode(cast(embedding AS array<double>)) t AS pos, v
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+
+  val q27_oracle: String =
+    """SELECT label, pos, round(avg(v), 4) AS mean_v FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_minhash_sig" -> q22_minhash_sig _,
+    "q23_lsh_pairs" -> q23_lsh_pairs _,
+    "q24_ngram_jaccard" -> q24_ngram_jaccard _,
+    "q25_ann_cosine" -> q25_ann_cosine _,
+    "q26_simhash" -> q26_simhash _,
+    "q27_centroids" -> q27_centroids _)
+
+  val oracles: Map[String, String] = Map(
+    "q22_minhash_sig" -> q22_oracle,
+    "q23_lsh_pairs" -> q23_oracle,
+    "q24_ngram_jaccard" -> q24_oracle,
+    "q25_ann_cosine" -> q25_oracle,
+    "q26_simhash" -> q26_oracle,
+    "q27_centroids" -> q27_oracle)
+}

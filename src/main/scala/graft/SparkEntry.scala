@@ -10,9 +10,10 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ QueriesSim.all ++ QueriesSeries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ QueriesSim.oracles ++ QueriesSeries.oracles
 }

@@ -91,7 +91,9 @@ class Series(val collection: Collection, val label: String) {
       .agg(count(lit(1)).as("_cnt"),
         min(struct(idxCols: _*)).as("_min"),
         max(struct(idxCols: _*)).as("_max"),
-        sum(xxhash64(allCols: _*)).as("_hash"))
+        // modular reduction keeps the (order-insensitive) sum within
+        // 2^52 even at page_len rows — no ANSI overflow
+        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
       .collect()
 
     final case class FileStat(name: String, cnt: Long, min: IndexKey,
