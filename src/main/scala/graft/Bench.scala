@@ -1,5 +1,16 @@
 package graft
+
+import graft.api.Repo
+import graft.core.{Closed, GSchema}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: headline analytic queries + engine write/read
+  * throughput on SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Engine rows mirror BASELINE.md comparables: bulk series write, full
+  * read, range read, grouped aggregate over the stored series.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +18,65 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup outside the timed region
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.registerAll(spark, sfDir)
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // headline analytic queries (subset of the oracle suite)
+    val headline = Seq("q01_agg", "q02_range", "q05_tail", "q08_floor_day",
+      "q14_window", "q15_join_revenue", "q16_topk_suppliers",
+      "q17_dedup_exact", "q22_minhash_sig", "q23_lsh_pairs",
+      "q25_ann_cosine", "q26_simhash")
+    val qs = SparkEntry.queries
+    headline.foreach { name =>
+      results(name) = time { qs(name)(spark, sfDir).count(); () }
+    }
+
+    // engine throughput: bulk write / full read / range read / agg
+    val root = java.nio.file.Files.createTempDirectory("graft-bench")
+      .toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    val series = repo.createCollection(schema, "events").series("_")
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_id"), col("value"), col("event_type"))
+      .cache()
+    val nRows = ev.count() // materialize cache outside timed region
+
+    results("bulk_write") = time { series.write(ev) }
+    results("full_read") = time { series.frame().count(); () }
+    results("range_read") = time {
+      series.frame("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+        closed = Closed.Left).count(); ()
+    }
+    results("agg_read") = time {
+      graft.engine.Ops.reduce(series.frame(), Seq(
+        "day" -> "(floor self.ts 'D')",
+        "event_type" -> "self.event_type",
+        "total" -> "(sum self.value)",
+        "cnt" -> "(count self.event_id)")).count(); ()
+    }
+    val _ = nRows
+
+    val qJson = results.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (identical in both engines), minhash_j = min((a_j*h+b_j) mod P)
   * with a_j < 1e6 so a*h < 2^52 — no 64-bit overflow in either
   * engine's BIGINT arithmetic.
+  *
+  * Scale notes: the documents table arrives as one small parquet file
+  * (one input partition) while the shingle explode+md5 pipeline is
+  * CPU-bound — an explicit REPARTITION spreads it across cores, and
+  * the shared shingle table is materialized once instead of being
+  * recomputed inside every broadcast branch. At cluster scale the same
+  * pattern holds: repartition before the expensive map, materialize
+  * between logical phases.
   */
 object QueriesSim {
 
@@ -24,26 +32,41 @@ object QueriesSim {
     s.sql(sql)
   }
 
+  /** Materialize an expensive intermediate once (parallel) and expose
+    * it as a temp view. */
+  private def materialize(s: SparkSession, sql: String, view: String)
+      : Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-$view").toString
+    s.sql(sql).write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp).createOrReplaceTempView(view)
+  }
+
   // ---- dialect snippets -------------------------------------------------
 
-  /** doc_id + exploded DISTINCT 3-gram shingles, Spark dialect */
-  private val sparkShingleTok =
-    """tok AS (
-      |  SELECT DISTINCT doc_id, s FROM (
+  /** doc_id + DISTINCT 3-gram shingles + their hash, Spark dialect.
+    * Two explicit REPARTITIONs keep both the explode and the md5 stage
+    * parallel (AQE would otherwise coalesce the small shuffles to one
+    * partition and serialize the CPU-heavy hashing). */
+  private def sparkShingleSelect =
+    s"""SELECT doc_id, s, ${sparkHex("s")} AS hv FROM (
+      |  SELECT /*+ REPARTITION(32, doc_id) */ DISTINCT doc_id, s FROM (
       |    SELECT doc_id, explode(transform(sequence(1, size(t)-2),
       |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
       |                  element_at(t,i+2)))) AS s
-      |    FROM (SELECT doc_id, split(text,' ', -1) AS t FROM documents)
+      |    FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+      |            split(text,' ', -1) AS t FROM documents)
       |    WHERE size(t) >= 3))""".stripMargin
 
-  /** same, DuckDB dialect */
-  private val duckShingleTok =
-    """tok AS (
+  /** same, DuckDB dialect (as a CTE named tok) */
+  private def duckShingleTok =
+    s"""tok AS (
+      |  SELECT doc_id, s, ${duckHex("s")} AS hv FROM (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
       |      i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
       |    FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-      |    WHERE len(t) >= 3))""".stripMargin
+      |    WHERE len(t) >= 3)))""".stripMargin
 
   private def sparkHex(e: String): String =
     s"cast(conv(substr(md5($e),1,8),16,10) as bigint)"
@@ -54,28 +77,31 @@ object QueriesSim {
     A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*hv+$b)%$P) AS mh${i + 1}" }.mkString(",\n  ")
 
-  private def sigCte(hex: String => String, shingleTok: String): String =
-    s"""WITH $shingleTok,
-       |h AS (SELECT doc_id, ${hex("s")} AS hv FROM tok),
-       |sig AS (SELECT doc_id,
-       |  $minhashCols
-       |FROM h GROUP BY doc_id)""".stripMargin
-
   // ---- q22: minhash signatures -----------------------------------------
+
+  private def sigBody(tokRef: String): String =
+    s"""sig AS (SELECT doc_id,
+       |  $minhashCols
+       |FROM $tokRef GROUP BY doc_id)""".stripMargin
 
   def q22_minhash_sig(s: SparkSession, dir: String): DataFrame =
     run(s, dir,
-      s"""${sigCte(sparkHex, sparkShingleTok)}
+      s"""WITH t0 AS ($sparkShingleSelect),
+         |${sigBody("t0")}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin)
 
   val q22_oracle: String =
-    s"""${sigCte(duckHex, duckShingleTok)}
+    s"""WITH $duckShingleTok,
+       |${sigBody("tok")}
        |SELECT * FROM sig ORDER BY doc_id""".stripMargin
 
   // ---- q23: LSH banding -> candidate pairs -> exact jaccard verify -----
 
-  private def lshSql(hex: String => String, shingleTok: String): String =
-    s"""${sigCte(hex, shingleTok)},
+  /** LSH pipeline over a shingle table `tokRef`. The exact-jaccard
+    * verification joins shingles only against the (few) banding
+    * candidates — never the full quadratic pair space. */
+  private def lshBody(tokRef: String): String =
+    s"""${sigBody(tokRef)},
        |bands AS (
        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM sig UNION ALL
        |  SELECT doc_id, 2, mh3, mh4 FROM sig UNION ALL
@@ -86,11 +112,13 @@ object QueriesSim {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
        |   AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM $tokRef GROUP BY doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cnt
-       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |  SELECT c.da, c.db, count(*) AS cnt
+       |  FROM cand c
+       |  JOIN $tokRef a ON a.doc_id = c.da
+       |  JOIN $tokRef b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY c.da, c.db)
        |SELECT c.da AS doc_a, c.db AS doc_b,
        |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
        |FROM cand c
@@ -99,19 +127,23 @@ object QueriesSim {
        |JOIN sizes sb ON c.db = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, lshSql(sparkHex, sparkShingleTok))
+  def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    materialize(s, sparkShingleSelect, "q23_tok")
+    s.sql(s"WITH ${lshBody("q23_tok")}")
+  }
 
-  val q23_oracle: String = lshSql(duckHex, duckShingleTok)
+  val q23_oracle: String =
+    s"WITH $duckShingleTok,\n${lshBody("tok")}"
 
   // ---- q24: exact n-gram jaccard similarity join -----------------------
 
-  private def jaccardSql(shingleTok: String): String =
-    s"""WITH $shingleTok,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+  private def jaccardBody(tokRef: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM $tokRef GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cnt
-       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM $tokRef a JOIN $tokRef b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT da AS doc_a, db AS doc_b,
        |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
@@ -120,10 +152,14 @@ object QueriesSim {
        |WHERE cnt/(sa.n + sb.n - cnt) >= 0.05
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  def q24_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, jaccardSql(sparkShingleTok))
+  def q24_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    materialize(s, sparkShingleSelect, "q24_tok")
+    s.sql(s"WITH ${jaccardBody("q24_tok")}")
+  }
 
-  val q24_oracle: String = jaccardSql(duckShingleTok)
+  val q24_oracle: String =
+    s"WITH $duckShingleTok,\n${jaccardBody("tok")}"
 
   // ---- q25: brute-force cosine ANN top-k -------------------------------
 
@@ -156,14 +192,14 @@ object QueriesSim {
   // ---- q26: simhash fingerprints ---------------------------------------
 
   private def simhashSql(hex: String => String, tokSplit: String,
-      shr: (String, Int) => String): String = {
+      docsFrom: String, shr: (String, Int) => String): String = {
     val bitSums = (0 until 32).map(b =>
       s"sum(CASE WHEN (${shr("hv", b)} & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n  ")
     val recombine = (0 until 32).map(b =>
       s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH tok AS (SELECT DISTINCT doc_id, tk FROM
-       |  (SELECT doc_id, $tokSplit AS tk FROM documents)),
+       |  (SELECT doc_id, $tokSplit AS tk FROM $docsFrom)),
        |h AS (SELECT doc_id, ${hex("tk")} AS hv FROM tok),
        |bits AS (SELECT doc_id,
        |  $bitSums
@@ -174,10 +210,13 @@ object QueriesSim {
 
   def q26_simhash(s: SparkSession, dir: String): DataFrame =
     run(s, dir, simhashSql(sparkHex,
-      "explode(split(text,' ', -1))", (e, b) => s"shiftright($e, $b)"))
+      "explode(split(text,' ', -1))",
+      "(SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)",
+      (e, b) => s"shiftright($e, $b)"))
 
   val q26_oracle: String = simhashSql(duckHex,
-    "unnest(string_split(text,' '))", (e, b) => s"($e >> $b)")
+    "unnest(string_split(text,' '))", "documents",
+    (e, b) => s"($e >> $b)")
 
   // ---- q27: per-label embedding centroids ------------------------------
 

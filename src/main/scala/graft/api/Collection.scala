@@ -14,8 +14,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
   val changelog = new Changelog(repo.store, s"$path/changelog")
   var pageLen: Long = 500000L
 
-  // a pending batch of segment rows (multi-series atomic commit)
-  private var batch: scala.collection.mutable.ArrayBuffer[SegmentMeta] = null
+  // pending writes (one Seq of tiled rows per write) for multi()
+  private var batch: scala.collection.mutable.ArrayBuffer[Seq[SegmentMeta]] =
+    null
 
   def series(name: String): Series =
     if (schema.kv) new KVSeries(this, name) else new Series(this, name)
@@ -34,29 +35,29 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * Batch, lakota/batch.py). */
   def multi[T](body: => T): T = synchronized {
     require(batch == null, "nested multi() not supported")
-    batch = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+    batch = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
     try {
       val out = body
-      val rows = batch.toSeq
+      val writes = batch.toSeq
       batch = null
-      if (rows.nonEmpty) commitBatch(rows)
+      if (writes.nonEmpty) commitBatch(writes)
       out
     } finally batch = null
   }
 
-  /** Either defer rows to the open batch or run the direct commit. */
+  /** Either defer a write's rows to the open batch or commit direct. */
   private[api] def batchOr(direct: () => Unit)(rows: Seq[SegmentMeta])
       : Unit = synchronized {
-    if (batch != null) batch ++= rows else direct()
+    if (batch != null) batch += rows else direct()
   }
 
-  private def commitBatch(rows: Seq[SegmentMeta]): Unit = {
+  private def commitBatch(writes: Seq[Seq[SegmentMeta]]): Unit = {
     val leaf = changelog.leaf()
     var m = leaf match {
       case Some(rev) => Manifest.decode(changelog.payload(rev))
       case None      => Manifest.empty(schema)
     }
-    rows.foreach { r => m = m.update(r) }
+    writes.foreach { w => m = Manifest.spliceWrite(m, w) }
     changelog.commit(m.encode,
       parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
   }

@@ -61,23 +61,28 @@ class Series(val collection: Collection, val label: String) {
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
-    val total = data.count()
-    if (total == 0) {
+    // Global sort via range partitioning; AQE coalesces the default
+    // shuffle partition count for small inputs, maxRecordsPerFile caps
+    // segment size at pageLen. No driver-side count needed.
+    val sorted = data.repartitionByRange(idxCols: _*)
+      .sortWithinPartitions(idxCols: _*)
+
+    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
+    sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", pageLen)
+      .parquet(store.uri(tmpRel))
+
+    val anyFile = store.walk(tmpRel).exists(_.endsWith(".parquet"))
+    val isEmpty = !anyFile || spark.read.schema(schema.sparkSchema)
+      .parquet(store.uri(tmpRel)).isEmpty
+    if (isEmpty) {
+      store.rm(tmpRel, recursive = true)
       require(startK != null && stopK != null,
         "empty write needs explicit start/stop bounds")
       commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
         Vector.empty)), root)
       return
     }
-
-    val nParts = math.max(1, math.ceil(total.toDouble / pageLen).toInt)
-    val sorted =
-      if (nParts == 1) data.coalesce(1).sortWithinPartitions(idxCols: _*)
-      else data.repartitionByRange(nParts, idxCols: _*)
-        .sortWithinPartitions(idxCols: _*)
-
-    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
-    sorted.write.mode("overwrite").parquet(store.uri(tmpRel))
 
     // per-file row count + index bounds + logical content hash, one job.
     // The digest is computed from the DATA (order-insensitive xxhash64
@@ -119,7 +124,11 @@ class Series(val collection: Collection, val label: String) {
     }
     store.rm(tmpRel, recursive = true)
 
-    // segment rows: contiguous cover of [start|min, stop|max]
+    // segment rows: contiguous cover of [start|min, stop|max]. Interior
+    // boundaries sit at the next file's min key, right-open — except
+    // when a duplicated index key straddles a file split, where both
+    // sides must stay closed on the shared point (each file only
+    // returns its own rows, so no double-read).
     val k = stats.length
     val rows = (0 until k).map { i =>
       val rowStart =
@@ -128,25 +137,28 @@ class Series(val collection: Collection, val label: String) {
       val rowStop =
         if (i == k - 1) Option(stopK).getOrElse(stats(k - 1).max)
         else stats(i + 1).min
+      val straddles = i < k - 1 &&
+        schema.cmpKey(stats(i).max, stats(i + 1).min) == 0
       val cl = Closed.Both
         .setLeft(if (i == 0) closed.left else true)
-        .setRight(if (i == k - 1) closed.right else false)
+        .setRight(if (i == k - 1) closed.right else straddles)
       SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
         Vector(files(i)))
     }
     commitRows(rows, root)
   }
 
-  /** Splice segment rows into the leaf manifest and append a revision. */
+  /** Splice one write's segment rows into the leaf manifest and append
+    * a revision (or defer to an open multi() batch). */
   protected def commitRows(rows: Seq[SegmentMeta], root: Boolean): Unit =
     collection.batchOr { () =>
       val leaf = if (root) None else changelog.leaf()
-      var m = leaf match {
+      val m = leaf match {
         case Some(rev) => Manifest.decode(changelog.payload(rev))
         case None      => Manifest.empty(schema)
       }
-      rows.foreach { r => m = m.update(r) }
-      changelog.commit(m.encode,
+      val m2 = Manifest.spliceWrite(m, rows)
+      changelog.commit(m2.encode,
         parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
       ()
     }(rows)

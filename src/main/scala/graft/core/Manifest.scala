@@ -254,6 +254,26 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
 object Manifest {
   def empty(schema: GSchema): Manifest = Manifest(schema, Vector.empty)
 
+  /** Splice one logical write (tiled into k contiguous physical
+    * segment rows) into `m`: a single covering row performs the
+    * overlay splice against existing data — exactly one splice per
+    * write, as in the reference — and is then expanded in place into
+    * the tiles.
+    */
+  def spliceWrite(m: Manifest, tiles: Seq[SegmentMeta]): Manifest = {
+    require(tiles.nonEmpty, "spliceWrite needs at least one row")
+    if (tiles.length == 1) return m.update(tiles.head)
+    val covering = SegmentMeta(
+      tiles.head.label, tiles.head.start, tiles.last.stop,
+      Closed.Both.setLeft(tiles.head.closed.left)
+        .setRight(tiles.last.closed.right),
+      tiles.map(_.length).sum, Vector.empty)
+    val m1 = m.update(covering)
+    val i = m1.rows.indexWhere(_ eq covering)
+    require(i >= 0, "covering row lost during splice")
+    Manifest(m1.schema, m1.rows.patch(i, tiles, 1))
+  }
+
   def one(schema: GSchema, row: SegmentMeta): Manifest =
     Manifest(schema, Vector(row))
 
