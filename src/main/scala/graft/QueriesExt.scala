@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended training-data operators: multimodal binary metadata,
+  * BPE-style regex tokenization, rolling-hash fingerprints, and the
+  * bucketed (IVF-style) ANN scale path. Oracles mirror the arithmetic
+  * exactly (document texts are pure ASCII, so char and byte math
+  * agree).
+  */
+object QueriesExt {
+
+  /** binary payload plumbing: text bytes stand in for media payloads;
+    * features flow through Dataset.mapPartitions (see
+    * [[graft.functions.Multimodal]]) */
+  def q28_multimodal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+    Multimodal.extractFeatures(docs, "doc_id", "payload")
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  val q28_oracle: String =
+    """SELECT doc_id,
+      | length(text)::BIGINT AS n_bytes,
+      | substr(text, 1, 4) AS magic,
+      | (length(text) % 64 + 16)::INT AS width,
+      | (length(text) % 48 + 16)::INT AS height,
+      | (length(text) % 7 + 1)::INT AS frames,
+      | list_sum(list_transform(range(1, least(length(text), 16) + 1),
+      |    i -> ascii(text[i])))::BIGINT AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish regex tokenizer vs whitespace tokenizer, per doc */
+  def q29_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT doc_id,
+        |  size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+        |    AS n_bpe_tokens,
+        |  size(split(text, ' ', -1)) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val q29_oracle: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+      |   AS n_bpe_tokens,
+      | len(string_split(text, ' ')) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** rolling polynomial fingerprint over the token stream (mod-P
+    * integer math identical in both engines) */
+  private val pow31 = (0 until 8).scanLeft(1L)((a, _) => a * 31L).take(8)
+
+  def q36_rolling_fp(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH tk AS (
+         |  SELECT doc_id, pos, tok FROM (
+         |    SELECT /*+ REPARTITION(32) */ doc_id,
+         |      split(text, ' ', -1) AS toks FROM documents)
+         |  LATERAL VIEW posexplode(toks) t AS pos, tok),
+         |h AS (SELECT doc_id, pos,
+         |  cast(conv(substr(md5(tok),1,8),16,10) as bigint) % 100000 AS hv
+         |  FROM tk)
+         |SELECT doc_id,
+         |  sum(hv * element_at(array(${pow31.mkString(",")}), pos % 8 + 1))
+         |    % ${QueriesSim.P} AS fingerprint
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val q36_oracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+       |    unnest(toks) AS tok FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |h AS (SELECT doc_id, pos,
+       |  ('0x'||substr(md5(tok),1,8))::BIGINT % 100000 AS hv FROM tk)
+       |SELECT doc_id,
+       |  sum(hv * ([${pow31.mkString(",")}])[(pos % 8) + 1])
+       |    % ${QueriesSim.P} AS fingerprint
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** IVF-style bucketed ANN: coarse-quantize vectors by the sign bits
+    * of their first 6 dimensions (64 buckets); search only the query's
+    * bucket. The scale path for q25's brute force: at 100 TB the
+    * bucket join prunes ~63/64 of the corpus before the cosine math.
+    */
+  def q35_ann_bucketed(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val bucketExpr = (0 until 6).map(i =>
+      s"(CASE WHEN element_at(e, ${i + 1}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s.sql(
+      s"""WITH v AS (SELECT vec_id, label,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e, $bucketExpr AS bucket FROM v),
+         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, label, e, qe FROM b, q
+         |  WHERE bucket = qb AND vec_id != 0),
+         |d AS (SELECT vec_id, label,
+         |   aggregate(zip_with(e, qe, (x,y) -> x*y),
+         |     cast(0 AS double), (a,x) -> a+x) AS dot,
+         |   aggregate(e, cast(0 AS double), (a,x) -> a+x*x) AS na,
+         |   aggregate(qe, cast(0 AS double), (a,x) -> a+x*x) AS nb
+         |  FROM cand)
+         |SELECT vec_id, label,
+         |  round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+         |FROM d ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, vec_id
+         |LIMIT 10""".stripMargin)
+  }
+
+  val q35_oracle: String = {
+    val bucketExpr = (0 until 6).map(i =>
+      s"(CASE WHEN e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, label, e, $bucketExpr AS bucket FROM v),
+       |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  round(list_cosine_similarity(e, qe), 4) AS cos
+       |FROM b, q WHERE bucket = qb AND vec_id != 0
+       |ORDER BY list_cosine_similarity(e, qe) DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_multimodal" -> q28_multimodal _,
+    "q29_bpe_tokens" -> q29_bpe_tokens _,
+    "q35_ann_bucketed" -> q35_ann_bucketed _,
+    "q36_rolling_fp" -> q36_rolling_fp _)
+
+  val oracles: Map[String, String] = Map(
+    "q28_multimodal" -> q28_oracle,
+    "q29_bpe_tokens" -> q29_oracle,
+    "q35_ann_bucketed" -> q35_oracle,
+    "q36_rolling_fp" -> q36_oracle)
+}

@@ -1,0 +1,184 @@
+package graft
+
+import graft.api._
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Maintenance operator semantics: merge of concurrent writers,
+  * defrag, trim, squash, gc, sync (push/pull), rename/delete.
+  * Behavioral reference: lakota/collection.py + repo.py tests.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val schema = GSchema("timestamp" -> "int*", "value" -> "float")
+
+  def freshRepo(): Repo =
+    new Repo(Files.createTempDirectory("graft-m").toString, spark)
+
+  def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("timestamp", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+
+  test("merge: two concurrent writers, disjoint ranges") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    val base = clct.changelog.leaf().get
+    val mBase = Manifest.decode(clct.changelog.payload(base))
+
+    // writer A commits normally on top of base
+    Thread.sleep(5)
+    s.write(TestSpark.frame(Seq(10L, 11L), Seq(10.0, 11.0)))
+
+    // writer B: emulate a concurrent fork — write through the API to
+    // produce real segment files, then re-parent the resulting
+    // manifest delta onto base as a sibling revision
+    Thread.sleep(5)
+    s.write(TestSpark.frame(Seq(20L, 21L), Seq(20.0, 21.0)))
+    val leafB = clct.changelog.leaf().get
+    val mB = Manifest.decode(clct.changelog.payload(leafB))
+    val newRows = mB.rows.filterNot(r =>
+      mBase.rows.contains(r) || r.start.values(0) == 10L)
+    val branchM = newRows.foldLeft(mBase)((m, r) => m.update(r))
+    repo.store.rm(s"${clct.changelog.dir}/${leafB.path}")
+    clct.refresh()
+    clct.changelog.commit(branchM.encode, parents = Seq(base.child))
+
+    clct.refresh()
+    assert(clct.changelog.leafs().length == 2)
+    clct.merge()
+    clct.refresh()
+    val merged = clct.series("_").frame()
+    assert(rows(merged) == Seq((1L, 1.0), (2L, 2.0), (10L, 10.0),
+      (11L, 11.0), (20L, 20.0), (21L, 21.0)))
+  }
+
+  test("squash collapses history to one root revision") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    Thread.sleep(3)
+    s.write(TestSpark.frame(Seq(2L), Seq(2.0)))
+    Thread.sleep(3)
+    s.write(TestSpark.frame(Seq(3L), Seq(3.0)))
+    assert(clct.changelog.log().length == 3)
+    clct.squash()
+    assert(clct.changelog.log().length == 1)
+    assert(clct.changelog.log().head.parent == Changelog.Phi)
+    assert(rows(s.frame()) == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("trim drops old revisions but keeps current data") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    Thread.sleep(10)
+    s.write(TestSpark.frame(Seq(2L), Seq(2.0)))
+    Thread.sleep(10)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(10)
+    s.write(TestSpark.frame(Seq(3L), Seq(3.0)))
+    assert(clct.changelog.log().length == 3)
+    clct.trim(cut)
+    clct.refresh()
+    assert(clct.changelog.log().length == 1)
+    assert(rows(s.frame()) == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("defrag compacts small segments") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    clct.pageLen = 100L
+    val s = clct.series("_")
+    (0 until 8).foreach { i =>
+      s.write(TestSpark.frame(Seq(10L * i, 10L * i + 1),
+        Seq(i * 1.0, i * 1.0 + 0.5)))
+    }
+    val before = clct.manifest().get.rows.count(_.files.nonEmpty)
+    assert(before == 8)
+    clct.defrag(maxChunk = 4)
+    clct.refresh()
+    val after = clct.manifest().get.rows.count(_.files.nonEmpty)
+    assert(after < before)
+    val expect = (0 until 8).flatMap(i =>
+      Seq((10L * i, i * 1.0), (10L * i + 1, i * 1.0 + 0.5))).sorted
+    assert(rows(s.frame()) == expect)
+  }
+
+  test("gc buries unreferenced segments and resurrects referenced ones") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    Thread.sleep(3)
+    // overwrite everything -> first segment unreferenced after squash
+    s.write(TestSpark.frame(Seq(1L, 2L), Seq(9.0, 9.0)))
+    clct.squash()
+    val allSegs = repo.store.walk("seg").filter(_.endsWith(".parquet"))
+    val live = clct.digests()
+    assert(allSegs.exists(f => !live.contains(f)))
+
+    val buried = repo.gc(timeoutMs = 60000L)
+    assert(buried > 0)
+    // live files still in place, data readable
+    assert(rows(s.frame()) == Seq((1L, 9.0), (2L, 9.0)))
+    // second gc after timeout=0 hard-deletes buried files
+    val t0 = repo.store.walk("seg").count(_.contains(".parquet.t"))
+    assert(t0 == buried)
+    repo.gc(timeoutMs = -1L)
+    assert(repo.store.walk("seg").count(_.contains(".parquet.t")) == 0)
+  }
+
+  test("push/pull syncs data between repos") {
+    val a = freshRepo()
+    val b = freshRepo()
+    val clct = a.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L, 2L, 3L), Seq(1.0, 2.0, 3.0)))
+    a.push(b)
+    val sB = b.collection("c").get.series("_")
+    assert(rows(sB.frame()) == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // incremental: write more in a, pull from b side
+    Thread.sleep(3)
+    s.write(TestSpark.frame(Seq(4L), Seq(4.0)))
+    b.pull(a)
+    val clB = b.collection("c").get
+    clB.refresh()
+    assert(rows(clB.series("_").frame()).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("series rename and delete") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    clct.series("x").write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    clct.series("y").write(TestSpark.frame(Seq(2L), Seq(2.0)))
+    assert(clct.ls() == Seq("x", "y"))
+    clct.renameSeries("x", "z")
+    clct.refresh()
+    assert(clct.ls() == Seq("y", "z"))
+    assert(rows(clct.series("z").frame()) == Seq((1L, 1.0)))
+    clct.deleteSeries("y")
+    clct.refresh()
+    assert(clct.ls() == Seq("z"))
+  }
+
+  test("collection rename and delete") {
+    val repo = freshRepo()
+    repo.createCollection(schema, "a").series("_")
+      .write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    repo.createCollection(schema, "b")
+    assert(repo.ls() == Seq("a", "b"))
+    repo.renameCollection("a", "c")
+    assert(repo.ls() == Seq("b", "c"))
+    assert(rows(repo.collection("c").get.series("_").frame()) ==
+      Seq((1L, 1.0)))
+    repo.deleteCollection("b")
+    assert(repo.ls() == Seq("c"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** stage the sf0.001 events as a streaming-source directory */
+  def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val df = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed aggregation with watermark over a file stream") {
+    val dir = stageEvents()
+    val stream = StreamOps.eventStream(spark, dir, eventSchema)
+    assert(stream.isStreaming)
+    val agg = StreamOps.windowedStats(stream, "ts", "1 day", "1 day",
+      "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+      val batch = Tables.table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(out.count() == batch.count())
+      // spot-check one bucket against the batch equivalent
+      val streamTotal = out.agg(sum("cnt")).collect()(0).getLong(0)
+      assert(streamTotal == 1000L)
+    } finally q.stop()
+  }
+
+  test("changelog is consumable as a revision stream") {
+    val root = Files.createTempDirectory("graft-rev").toString
+    val repo = new graft.api.Repo(root, spark)
+    val clct = repo.createCollection(
+      graft.core.GSchema("timestamp" -> "int*", "value" -> "float"), "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    Thread.sleep(3)
+    s.write(TestSpark.frame(Seq(3L), Seq(3.0)))
+
+    val stream = StreamOps.revisionStream(spark,
+      s"$root/${clct.path}/changelog")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("rev_out").start()
+    try {
+      q.processAllAvailable()
+      val revs = spark.table("rev_out").collect()
+      assert(revs.length == 2)
+      val parents = revs.map(_.getString(0)).toSet
+      assert(parents.contains(graft.core.Changelog.Phi))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits per-user state") {
+    val sess = spark
+    import sess.implicits._
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamOps.SessionEvent]
+    // batch-mode check of the state function shape: group + fold
+    val out = StreamOps.sessionize(events.limit(100), gapMs = 0L)
+    // batch Datasets cannot run mapGroupsWithState; assert the typed
+    // signature compiles and streaming execution path works instead
+    val dir = Files.createTempDirectory("graft-sess").toString
+    events.limit(100).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .parquet(dir).as[StreamOps.SessionEvent]
+    val sq = StreamOps.sessionize(stream, gapMs = 0L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      sq.processAllAvailable()
+      val res = spark.table("sess_out")
+      assert(res.count() > 0)
+      val total = res.agg(sum("n_events")).collect()(0).getLong(0)
+      assert(total >= 100L) // each user's running count reported
+    } finally sq.stop()
+    val _ = out
+  }
+}
