@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * manifest, keyed by label.
   */
 class Collection(val repo: Repo, val label: String, val path: String,
-    val schema: GSchema) {
+    val schema: GSchema,
+    /** target→source column-name mapping (set by cloneTo renames) */
+    val colMap: Map[String, String] = Map.empty,
+    /** added columns absent from stored segments → default scalar */
+    val defaults: Map[String, Any] = Map.empty) {
 
   val changelog = new Changelog(repo.store, s"$path/changelog")
   var pageLen: Long = 500000L
@@ -178,6 +182,36 @@ class Collection(val repo: Repo, val label: String, val path: String,
       }
     }
     changelog.commit(m.encode, parents = leaves.map(_.child))
+  }
+
+  /** Clone this collection into a new collection `targetLabel` with
+    * optional column renames and added default-valued columns — a
+    * manifest-only transform: segment files are shared
+    * (content-addressed), renames/defaults are resolved at read time
+    * via the target's column mapping (reference Collection.clone,
+    * lakota/collection.py:127-205; same zero-copy idea as Delta column
+    * mapping).
+    *
+    * `rename` maps source→target column names; `additions` lists new
+    * column definitions with their default scalar value.
+    */
+  def cloneTo(targetLabel: String, rename: Map[String, String] = Map.empty,
+      additions: Seq[(ColDef, Any)] = Nil): Collection = {
+    val renamedCols = schema.cols.map { c =>
+      c.copy(name = rename.getOrElse(c.name, c.name)) }
+    val targetSchema = GSchema(renamedCols ++ additions.map(_._1),
+      schema.kv)
+    // target->source name mapping for renamed columns
+    val colMap = rename.map { case (src, tgt) => tgt -> src }
+    val defaults = additions.map { case (cd, v) =>
+      cd.name -> graft.engine.SparkVals.parseBound(cd.dtype, v) }.toMap
+    val target = repo.createCollection(targetSchema, targetLabel,
+      colMap, defaults)
+    manifest().foreach { m =>
+      val tm = Manifest(targetSchema, m.rows)
+      target.changelog.commit(tm.encode, parents = Seq(Changelog.Phi))
+    }
+    target
   }
 
   /** All content-addressed segment files referenced by any revision. */

@@ -21,7 +21,11 @@ class Repo(val rootUri: String, val spark: SparkSession) {
   val store: Store = new HadoopStore(rootUri)
   val registry = new Changelog(store, "registry/changelog")
 
-  private def regState(): Map[String, (String, GSchema)] =
+  /** registry entry: path, schema, column mapping, read defaults */
+  final case class RegEntry(path: String, schema: GSchema,
+      colMap: Map[String, String], defaults: Map[String, Any])
+
+  private def regState(): Map[String, RegEntry] =
     registry.leaf() match {
       case None => Map.empty
       case Some(rev) =>
@@ -29,55 +33,70 @@ class Repo(val rootUri: String, val spark: SparkSession) {
           .asInstanceOf[Map[String, Any]]
         m.map { case (label, v) =>
           val vm = v.asInstanceOf[Map[String, Any]]
-          label -> (vm("path").asInstanceOf[String],
-            GSchema.fromJson(GSchema.toJson( // normalize
-              GSchema.fromJson(vm("schema").asInstanceOf[String]))))
+          val schema = GSchema.fromJson(vm("schema").asInstanceOf[String])
+          val colMap = vm.getOrElse("colmap", Map.empty[String, Any])
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, s) => k -> s.asInstanceOf[String] }
+          val defaults = vm.getOrElse("defaults", Map.empty[String, Any])
+            .asInstanceOf[Map[String, Any]]
+            .map { case (k, s) =>
+              k -> Manifest.kernelValue(schema(k).dtype, s) }
+          label -> RegEntry(vm("path").asInstanceOf[String], schema,
+            colMap, defaults)
         }
     }
 
-  private def writeReg(state: Map[String, (String, GSchema)]): Unit = {
+  private def writeReg(state: Map[String, RegEntry]): Unit = {
     val parents = Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi))
-    val body = state.toSeq.sortBy(_._1).map { case (l, (p, s)) =>
+    val body = state.toSeq.sortBy(_._1).map { case (l, e) =>
+      val cm = e.colMap.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
+      val dm = e.defaults.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${Json.str(k)}:${Json.scalar(v)}" }.mkString("{", ",", "}")
       s"${Json.str(l)}:{" +
-        s""""path":${Json.str(p)},"schema":${Json.str(s.serialize)}}"""
+        s""""path":${Json.str(e.path)},"schema":${Json.str(
+          e.schema.serialize)},"colmap":$cm,"defaults":$dm}"""
     }.mkString("{", ",", "}")
     registry.commit(body.getBytes("UTF-8"), parents)
     ()
   }
 
-  def createCollection(schema: GSchema, label: String): Collection = {
+  def createCollection(schema: GSchema, label: String,
+      colMap: Map[String, String] = Map.empty,
+      defaults: Map[String, Any] = Map.empty): Collection = {
     val state = regState()
     state.get(label) match {
-      case Some((path, existing)) =>
-        require(existing == schema,
+      case Some(e) =>
+        require(e.schema == schema,
           s"collection $label exists with different schema")
-        new Collection(this, label, path, existing)
+        new Collection(this, label, e.path, e.schema, e.colMap, e.defaults)
       case None =>
         val path = "c-" + Hash.sha1(label.getBytes("UTF-8")).take(16)
-        writeReg(state + (label -> (path, schema)))
-        new Collection(this, label, path, schema)
+        writeReg(state + (label -> RegEntry(path, schema, colMap,
+          defaults)))
+        new Collection(this, label, path, schema, colMap, defaults)
     }
   }
 
   def collection(label: String): Option[Collection] =
-    regState().get(label).map { case (p, s) =>
-      new Collection(this, label, p, s) }
+    regState().get(label).map { e =>
+      new Collection(this, label, e.path, e.schema, e.colMap, e.defaults) }
 
   def ls(): Seq[String] = regState().keys.toSeq.sorted
 
   def deleteCollection(label: String): Unit = {
     val state = regState()
-    state.get(label).foreach { case (path, _) =>
+    state.get(label).foreach { e =>
       writeReg(state - label)
-      store.rm(path, recursive = true)
+      store.rm(e.path, recursive = true)
     }
   }
 
   def renameCollection(from: String, to: String): Unit = {
     val state = regState()
-    state.get(from).foreach { case (p, s) =>
+    state.get(from).foreach { e =>
       require(!state.contains(to), s"collection $to already exists")
-      writeReg(state - from + (to -> (p, s)))
+      writeReg(state - from + (to -> e))
     }
   }
 
@@ -91,7 +110,7 @@ class Repo(val rootUri: String, val spark: SparkSession) {
       .flatMap(l => remote.collection(l).map(l -> _)).toMap
     // merge registry
     val merged = state ++ remoteState.map { case (l, c) =>
-      l -> (c.path, c.schema) }
+      l -> RegEntry(c.path, c.schema, c.colMap, c.defaults) }
     if (merged != state) writeReg(merged)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))

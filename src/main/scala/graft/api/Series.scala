@@ -201,9 +201,23 @@ class Series(val collection: Collection, val label: String) {
       limit: Option[Long] = None, offset: Option[Long] = None,
       select: Seq[String] = Nil): DataFrame = {
     val segs = segments(start, stop, beforeMs, closed)
+    // clone support: stored files may use source column names (colMap)
+    // and may lack added columns (defaults) — resolve at scan time
+    val srcOf: String => String = n => collection.colMap.getOrElse(n, n)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      schema.cols.filterNot(c => collection.defaults.contains(c.name))
+        .map(c => org.apache.spark.sql.types.StructField(
+          srcOf(c.name), c.dtype.sparkType, nullable = !c.idx)))
+    val projection = schema.cols.map { c =>
+      collection.defaults.get(c.name) match {
+        case Some(v) => SparkVals.toLiteral(c.dtype, v).as(c.name)
+        case None => col(srcOf(c.name)).as(c.name)
+      }
+    }
     val parts = segs.filter(_.meta.files.nonEmpty).map { s =>
-      spark.read.schema(schema.sparkSchema)
+      spark.read.schema(readSchema)
         .parquet(s.meta.files.map(store.uri): _*)
+        .select(projection: _*)
         .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
           s.stop, s.closed))
     }
@@ -305,6 +319,62 @@ class Series(val collection: Collection, val label: String) {
   }
 
   def length(): Long = frame().count()
+
+  // ------------------------------------------------------------------
+  // bulk import/export (reference Repo.import_/export_ series,
+  // lakota/repo.py:415-499 — native Spark csv/parquet writers here)
+  // ------------------------------------------------------------------
+
+  def exportCsv(path: String): Unit =
+    frame().orderBy(idxCols: _*).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  def importCsv(path: String): Unit =
+    write(spark.read.option("header", "true").csv(path))
+
+  def exportParquet(path: String): Unit =
+    frame().orderBy(idxCols: _*)
+      .write.mode("overwrite").parquet(path)
+
+  def importParquet(path: String): Unit =
+    write(spark.read.parquet(path))
+
+  // ------------------------------------------------------------------
+  // sampling-period helpers (reference Series.period/interval,
+  // lakota/series.py:56-80)
+  // ------------------------------------------------------------------
+
+  /** Average seconds between consecutive ticks, from manifest bounds
+    * only (no data read). First index column must be a timestamp. */
+  def period(): Option[Double] = {
+    require(schema.idx.head.dtype == GType.TimestampT,
+      "period() needs a timestamp first index column")
+    val rows = collection.manifest().map(_.rows.filter(r =>
+      r.label == label && r.length > 0)).getOrElse(Vector.empty)
+    if (rows.isEmpty) None
+    else Some(rows.map { r =>
+      val span = (r.stop.values(0).asInstanceOf[Long] -
+        r.start.values(0).asInstanceOf[Long]) / 1e6
+      span / math.max(r.length, 1)
+    }.min)
+  }
+
+  /** Smallest natural calendar unit fitting ~`size` rows per segment —
+    * used to pick write-partition granularity. */
+  def interval(size: Long = 500000L): Option[String] =
+    period().flatMap(p => Interval.bisect(p * size))
+}
+
+/** Natural calendar partition units (reference lakota/utils.py:289-304). */
+object Interval {
+  private val units = Seq(
+    "m" -> 60.0, "h" -> 3600.0, "D" -> 86400.0, "W" -> 604800.0,
+    "M" -> 2592000.0, "Y" -> 31536000.0)
+
+  /** label of the smallest unit strictly greater than the duration
+    * (None past a year) — matches the reference's bisect_right. */
+  def bisect(seconds: Double): Option[String] =
+    units.collectFirst { case (l, d) if seconds < d => l }
 }
 
 /** Upsert-semantics series (reference lakota/series.py:449-503):

@@ -294,6 +294,9 @@ object Manifest {
     Manifest(schema, nonEmpty.flatMap(_.rows).toVector)
   }
 
+  /** parsed-JSON value -> kernel scalar for a dtype */
+  def kernelValue(dt: GType, v: Any): Any = toKernel(dt, v)
+
   private def toKernel(dt: GType, v: Any): Any = dt match {
     case GType.FloatT => Json.toDouble(v)
     case GType.StrT => v.asInstanceOf[String]

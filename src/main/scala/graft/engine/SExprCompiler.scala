@@ -19,6 +19,15 @@ object SExprCompiler {
     Set("min", "max", "sum", "mean", "average", "first", "last",
       "count", "len", "quantile")
 
+  /** User extension point (the reference lets callers inject functions
+    * into the eval env, lakota/frame.py:51): register a Scala function
+    * under a name usable from s-expressions. */
+  private val custom =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
+
+  def register(name: String, fn: Seq[Column] => Column): Unit =
+    custom.put(name, fn)
+
   def isAggregate(src: String): Boolean =
     SExpr.isAggregate(SExpr.parse(src), aggOps)
 
@@ -125,6 +134,16 @@ object SExprCompiler {
         .otherwise(compile(f))
       case _ => throw new IllegalArgumentException("(where cond then else)")
     }
+    // human-format numbers 1234 -> "1.2k" (display helper, reference
+    // lakota/utils.py:136-145)
+    case "pretty_nb" =>
+      val c = compile(args.head).cast("double")
+      when(abs(c) >= 1e9, concat(round(c / 1e9, 1).cast("string"), lit("G")))
+        .when(abs(c) >= 1e6, concat(round(c / 1e6, 1).cast("string"), lit("M")))
+        .when(abs(c) >= 1e3, concat(round(c / 1e3, 1).cast("string"), lit("k")))
+        .otherwise(c.cast("string"))
+    case other if custom.contains(other) =>
+      custom(other)(args.map(compile))
     case other =>
       throw new IllegalArgumentException(s"unknown s-expr operator: $other")
   }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.SExpr
+import graft.engine.{Ops, SExprCompiler}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s-expression parser + compiler semantics, mirroring the reference
+  * corpus (tests/sexpr_test.py, tests/frame_test.py mask/reduce).
+  */
+class SExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def df = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 1.1, "ham"), (2L, 2.2, "spam"), (3L, 3.3, "ham"),
+      (4L, 4.4, "spam")).toDF("x", "v", "cat")
+  }
+
+  test("parser: literals, calls, refs, strings") {
+    import SExpr._
+    assert(parse("42") == SInt(42))
+    assert(parse("4.2") == SFloat(4.2))
+    assert(parse("true") == SBool(true))
+    assert(parse("'hello world'") == SStr("hello world"))
+    assert(parse("self.x") == SRef("self.x"))
+    assert(parse("(+ 1 2 3)") == SCall("+", List(SInt(1), SInt(2),
+      SInt(3))))
+    assert(parse("(floor self.ts 'M')") ==
+      SCall("floor", List(SRef("self.ts"), SStr("M"))))
+    intercept[IllegalArgumentException](parse("(+ 1"))
+    intercept[IllegalArgumentException](parse(")"))
+    intercept[IllegalArgumentException](parse(""))
+  }
+
+  test("aggregate detection") {
+    assert(SExprCompiler.isAggregate("(max self.v)"))
+    assert(SExprCompiler.isAggregate("(+ (sum self.v) 1)"))
+    assert(!SExprCompiler.isAggregate("(+ self.v 1)"))
+  }
+
+  test("mask with modulo (reference frame_test mask example)") {
+    val out = Ops.mask(df, "(= (% self.x 2) 0)")
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 4L))
+  }
+
+  test("variadic arithmetic and comparisons") {
+    val out = Ops.mask(df, "(and (> self.v 1.5) (< self.x 4))")
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L))
+    val neg = Ops.mask(df, "(~ (in self.cat 'spam'))")
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(neg == Seq(1L, 3L))
+  }
+
+  test("reduce: grouped aggregates, every reference aggregate") {
+    val out = Ops.reduce(df, Seq(
+      "cat" -> "self.cat",
+      "mx" -> "(max self.v)",
+      "mn" -> "(min self.v)",
+      "sm" -> "(sum self.v)",
+      "avg" -> "(mean self.v)",
+      "cnt" -> "(count self.v)"))
+      .orderBy("cat").collect()
+    assert(out.length == 2)
+    val ham = out(0)
+    assert(ham.getString(0) == "ham")
+    assert(ham.getDouble(1) == 3.3 && ham.getDouble(2) == 1.1)
+    assert(math.abs(ham.getDouble(3) - 4.4) < 1e-9)
+    assert(ham.getLong(5) == 2L)
+  }
+
+  test("reduce without keys collapses to one row") {
+    val out = Ops.reduce(df, Seq("total" -> "(sum self.v)",
+      "q" -> "(quantile self.v 0.5)"))
+    val r = out.collect()(0)
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.75) < 1e-9)
+  }
+
+  test("custom function registration") {
+    SExprCompiler.register("double_it", cols => cols.head * 2)
+    val out = Ops.reduce(df, Seq("x" -> "self.x",
+      "d" -> "(double_it self.v)")).orderBy("x").collect()
+    assert(math.abs(out(0).getDouble(1) - 2.2) < 1e-9)
+  }
+
+  test("pretty_nb formatting") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(950.0, 1234.0, 2500000.0).toDF("n")
+    val out = d.select(SExprCompiler.compile("(pretty_nb self.n)")
+      .as("p")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("950.0", "1.2k", "2.5M"))
+  }
+
+  test("alias via (as ...)") {
+    val (c, alias) = SExprCompiler.compileAliased(
+      "(as (sum self.v) 'total')")
+    assert(alias.contains("total"))
+    val _ = c
+  }
+}
