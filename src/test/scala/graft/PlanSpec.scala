@@ -1,0 +1,56 @@
+package graft
+
+import graft.api.Repo
+import graft.core.{Closed, GSchema}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan quality gates: the series read path must keep its
+  * range predicate pushed into the parquet scan and prune unselected
+  * columns — the properties that make manifest-pruned reads scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("series range read pushes filters and prunes columns") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    val s = repo.createCollection(schema, "events").series("_")
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_id"), col("value"), col("event_type"))
+    s.write(ev)
+
+    val df = s.frame("2024-01-10 00:00:00", "2024-01-20 00:00:00",
+      closed = Closed.Left, select = Seq("ts", "value"))
+    val plan = df.queryExecution.executedPlan.toString
+
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts") ||
+      plan.contains("GreaterThanOrEqual(`ts`"), plan.take(2000))
+    // column pruning: unselected columns absent from the read schema
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("ts") && readSchema.contains("value"))
+    assert(!readSchema.contains("event_type"), readSchema)
+  }
+
+  test("flagship join aggregates broadcast the dimension side") {
+    val plan = Queries.q15_join_revenue(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
+  test("tail compiles to TakeOrdered (no full sort)") {
+    val root = Files.createTempDirectory("graft-plan2").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("timestamp" -> "int*", "value" -> "float")
+    val s = repo.createCollection(schema, "c").series("_")
+    s.write(TestSpark.frame((1L to 100L).toSeq,
+      (1 to 100).map(_ * 1.0)))
+    val plan = s.tail(5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+}
