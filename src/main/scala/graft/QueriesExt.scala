@@ -128,15 +128,43 @@ object QueriesExt {
        |LIMIT 10""".stripMargin
   }
 
+  /** ANN top-k via the native codegen CosineSimilarity Expression
+    * (graft.functions.VectorExpressions) — one fused loop per row
+    * instead of zip_with+aggregate lambda chains; same math, same
+    * oracle family as q25 */
+  def q37_ann_native(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings
+        |  WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(graft_cosine(embedding, qe), 4) AS cos
+        |FROM embeddings, q WHERE vec_id != 0
+        |ORDER BY graft_cosine(embedding, qe) DESC, vec_id
+        |LIMIT 15""".stripMargin)
+  }
+
+  val q37_oracle: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      |  WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+      |FROM embeddings, q WHERE vec_id != 0
+      |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+      |LIMIT 15""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_multimodal" -> q28_multimodal _,
     "q29_bpe_tokens" -> q29_bpe_tokens _,
     "q35_ann_bucketed" -> q35_ann_bucketed _,
-    "q36_rolling_fp" -> q36_rolling_fp _)
+    "q36_rolling_fp" -> q36_rolling_fp _,
+    "q37_ann_native" -> q37_ann_native _)
 
   val oracles: Map[String, String] = Map(
     "q28_multimodal" -> q28_oracle,
     "q29_bpe_tokens" -> q29_oracle,
     "q35_ann_bucketed" -> q35_oracle,
-    "q36_rolling_fp" -> q36_oracle)
+    "q36_rolling_fp" -> q36_oracle,
+    "q37_ann_native" -> q37_oracle)
 }

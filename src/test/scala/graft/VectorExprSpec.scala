@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native CosineSimilarity/DotProduct Expressions: correctness vs the
+  * lambda-composed equivalent, null handling, codegen path.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("native cosine matches zip_with/aggregate composition") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val joined = emb.filter(col("vec_id") =!= 0).crossJoin(q)
+    val native = joined.select(col("vec_id"),
+      VectorFunctions.cosineSimilarity(col("embedding"), col("qe"))
+        .as("c"))
+    val lambda = joined.selectExpr("vec_id",
+      """aggregate(zip_with(cast(embedding as array<double>),
+           cast(qe as array<double>), (x,y) -> x*y),
+           cast(0 as double), (a,x) -> a+x)
+         / (sqrt(aggregate(cast(embedding as array<double>),
+             cast(0 as double), (a,x) -> a+x*x))
+          * sqrt(aggregate(cast(qe as array<double>),
+             cast(0 as double), (a,x) -> a+x*x))) as c""")
+    val n = native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l = lambda.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(n.keySet == l.keySet)
+    n.foreach { case (k, v) =>
+      assert(math.abs(v - l(k)) < 1e-12, s"vec $k: $v vs ${l(k)}")
+    }
+  }
+
+  test("dot product and SQL registration") {
+    VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      """SELECT graft_dot(embedding, embedding) AS d,
+        |       graft_cosine(embedding, embedding) AS c
+        |FROM emb_t LIMIT 5""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) > 0)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-9) // self-cosine = 1
+    }
+  }
+
+  test("null inputs yield null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val out = df.select(VectorFunctions.cosineSimilarity(col("a"),
+      col("b"))).collect()
+    assert(out(0).isNullAt(0))
+  }
+}
