@@ -75,6 +75,19 @@ object StreamOps {
       }
   }
 
+  /** Sink a stream INTO the versioned engine: each micro-batch becomes
+    * one overlay write (one revision) on the target series — the
+    * engine's append-only changelog is a natural streaming sink, and
+    * every batch stays time-travelable. */
+  def writeToSeries(stream: DataFrame, series: graft.api.Series)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) series.write(batch)
+        val _ = batchId
+    }
+
   /** The collection changelog as a streaming source: each revision
     * file (parent.child) becomes one row as it appears — the engine's
     * own transaction log is replayable/subscribable. */

@@ -69,6 +69,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream sinks into a versioned series via foreachBatch") {
+    val dir = stageEvents()
+    val root = Files.createTempDirectory("graft-sink").toString
+    val repo = new graft.api.Repo(root, spark)
+    val schema = graft.core.GSchema("ts" -> "timestamp*",
+      "event_id" -> "int*", "value" -> "float")
+    val series = repo.createCollection(schema, "sunk").series("_")
+    val stream = StreamOps.eventStream(spark, dir, eventSchema)
+      .select("ts", "event_id", "value")
+    val q = StreamOps.writeToSeries(stream, series).start()
+    try q.processAllAvailable() finally q.stop()
+    series.collection.refresh()
+    assert(series.frame().count() == 1000L)
+    assert(series.collection.changelog.log().nonEmpty)
+  }
+
   test("stateful sessionization emits per-user state") {
     val sess = spark
     import sess.implicits._
