@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-composed time-series operators Spark has no single operator
+  * for: as-of join, gap sessionization, rollup totals, set ops,
+  * histograms — each with an exactly mirrored DuckDB oracle.
+  */
+object QueriesWindow {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  /** backward as-of join composed from a carry-forward window: each
+    * purchase event picks the same user's most recent prior view */
+  def q38_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, dir)
+      .withColumn("prior_view_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      .withColumn("prior_view_value",
+        last(when(col("event_type") === "view", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prior_view_ts"), col("prior_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q38_oracle: String =
+    """SELECT event_id, user_id, ts, prior_view_ts, prior_view_value
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |   last_value(CASE WHEN event_type = 'view' THEN ts END
+      |     IGNORE NULLS) OVER (PARTITION BY user_id
+      |       ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |     AS prior_view_ts,
+      |   last_value(CASE WHEN event_type = 'view' THEN value END
+      |     IGNORE NULLS) OVER (PARTITION BY user_id
+      |       ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |     AS prior_view_value
+      |  FROM events)
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** gap-based sessionization in batch: a >30min silence starts a new
+    * session; emit per-user session stats */
+  def q39_sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val q39_oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+      |     (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END
+      |     AS new_sess FROM g),
+      |si AS (
+      |  SELECT user_id, value,
+      |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM t)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      | round(sum(value),2) AS total
+      |FROM si GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  /** rollup: per (returnflag, linestatus) with subtotals and grand
+    * total (superset of the reference's flat group-by) */
+  def q40_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q40_oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST,
+      | l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** set operators: users seen in week1 INTERSECT week2, and week1
+    * EXCEPT week2 */
+  def q41_setops(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    def week(lo: String, hi: String) = e
+      .filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      .select(col("user_id"))
+    val w1 = week("2024-01-01", "2024-01-08")
+    val w2 = week("2024-01-08", "2024-01-15")
+    w1.intersect(w2).withColumn("op", lit("both"))
+      .unionByName(w1.except(w2).withColumn("op", lit("only_w1")))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  val q41_oracle: String =
+    """WITH w1 AS (SELECT DISTINCT user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+      |w2 AS (SELECT DISTINCT user_id FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15')
+      |SELECT user_id, 'both' AS op FROM w1 INTERSECT
+      |  SELECT user_id, 'both' FROM w2
+      |UNION ALL
+      |(SELECT user_id, 'only_w1' AS op FROM w1 EXCEPT
+      |  SELECT user_id, 'only_w1' FROM w2)
+      |ORDER BY op, user_id""".stripMargin
+
+  /** value histogram: fixed-width buckets over event values */
+  def q42_histogram(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("bucket", floor(col("value") / 10.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("value")), 4).as("avg_v"))
+      .orderBy(col("bucket"))
+
+  val q42_oracle: String =
+    """SELECT floor(value / 10.0)::BIGINT AS bucket, count(*) AS cnt,
+      | round(avg(value),4) AS avg_v
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_asof_join" -> q38_asof_join _,
+    "q39_sessions" -> q39_sessions _,
+    "q40_rollup" -> q40_rollup _,
+    "q41_setops" -> q41_setops _,
+    "q42_histogram" -> q42_histogram _)
+
+  val oracles: Map[String, String] = Map(
+    "q38_asof_join" -> q38_oracle,
+    "q39_sessions" -> q39_oracle,
+    "q40_rollup" -> q40_oracle,
+    "q41_setops" -> q41_oracle,
+    "q42_histogram" -> q42_oracle)
+}
