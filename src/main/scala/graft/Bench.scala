@@ -40,7 +40,8 @@ object Bench {
     val headline = Seq("q01_agg", "q02_range", "q05_tail", "q08_floor_day",
       "q14_window", "q15_join_revenue", "q16_topk_suppliers",
       "q17_dedup_exact", "q22_minhash_sig", "q23_lsh_pairs",
-      "q25_ann_cosine", "q26_simhash")
+      "q25_ann_cosine", "q26_simhash", "q37_ann_native",
+      "q38_asof_join", "q39_sessions")
     val qs = SparkEntry.queries
     headline.foreach { name =>
       results(name) = time { qs(name)(spark, sfDir).count(); () }

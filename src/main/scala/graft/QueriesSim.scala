@@ -102,11 +102,15 @@ object QueriesSim {
     * candidates — never the full quadratic pair space. */
   private def lshBody(tokRef: String): String =
     s"""${sigBody(tokRef)},
-       |bands AS (
-       |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM sig UNION ALL
-       |  SELECT doc_id, 2, mh3, mh4 FROM sig UNION ALL
-       |  SELECT doc_id, 3, mh5, mh6 FROM sig UNION ALL
-       |  SELECT doc_id, 4, mh7, mh8 FROM sig),
+       |${lshTail("sig", tokRef)}""".stripMargin
+
+  /** banding + candidate verification over existing sig/tok tables */
+  private def lshTail(sigRef: String, tokRef: String): String =
+    s"""bands AS (
+       |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
+       |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL
+       |  SELECT doc_id, 3, mh5, mh6 FROM $sigRef UNION ALL
+       |  SELECT doc_id, 4, mh7, mh8 FROM $sigRef),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
@@ -130,7 +134,10 @@ object QueriesSim {
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     materialize(s, sparkShingleSelect, "q23_tok")
-    s.sql(s"WITH ${lshBody("q23_tok")}")
+    // sig is referenced by all four band branches — materialize once
+    materialize(s,
+      s"WITH ${sigBody("q23_tok")} SELECT * FROM sig", "q23_sig")
+    s.sql(s"WITH ${lshTail("q23_sig", "q23_tok")}")
   }
 
   val q23_oracle: String =
