@@ -281,6 +281,39 @@ class SeriesSpec extends AnyFunSuite {
       (4L, 400L, "")))
   }
 
+  test("all column types, varying index arity") {
+    // reference tests/series_test.py:374-386: every dtype, index
+    // length 1..4 over (date, timestamp, float, int, str)
+    val sess = spark
+    import sess.implicits._
+    val allCols = Seq("d" -> "date", "t" -> "timestamp", "f" -> "float",
+      "i" -> "int", "s" -> "str")
+    for (idxLen <- 1 to 4) {
+      val defs = allCols.zipWithIndex.map { case ((n, dt), j) =>
+        n -> (if (j < idxLen) s"$dt*" else dt) }
+      val root = Files.createTempDirectory("graft-types").toString
+      val repo = new Repo(root, spark)
+      val clct = repo.createCollection(GSchema(defs: _*), s"t$idxLen")
+      val sr = clct.series("_")
+      val df = Seq((
+        java.sql.Date.valueOf("2020-01-02"),
+        java.sql.Timestamp.valueOf("2020-01-02 03:04:05"),
+        1.25, 42L, "zz")).toDF("d", "t", "f", "i", "s")
+      sr.write(df)
+      val got = sr.frame().collect()
+      assert(got.length == 1, s"idxLen=$idxLen")
+      val r = got(0)
+      assert(r.getDate(0).toString == "2020-01-02")
+      assert(r.getTimestamp(1).toString == "2020-01-02 03:04:05.0")
+      assert(r.getDouble(2) == 1.25 && r.getLong(3) == 42L &&
+        r.getString(4) == "zz")
+      // range read on the full index prefix finds the row
+      val hit = sr.frame("2020-01-01", "2020-01-03",
+        closed = Closed.Both)
+      assert(hit.count() == 1, s"idxLen=$idxLen range")
+    }
+  }
+
   test("fragmented write orders") {
     for (order <- Seq("fwd", "bwd", "rand")) {
       val root = Files.createTempDirectory("graft-repo").toString
