@@ -147,7 +147,23 @@ object QueriesWindow {
       | round(avg(value),4) AS avg_v
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** skew-resistant distinct count: explicit two-stage aggregation
+    * (pre-aggregate on (key, member) then count) — the plan shape that
+    * survives a hot key at 1000-executor scale, result identical to
+    * COUNT(DISTINCT) */
+  def q43_twostage_distinct(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val q43_oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_twostage_distinct" -> q43_twostage_distinct _,
     "q38_asof_join" -> q38_asof_join _,
     "q39_sessions" -> q39_sessions _,
     "q40_rollup" -> q40_rollup _,
@@ -155,6 +171,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q43_twostage_distinct" -> q43_oracle,
     "q38_asof_join" -> q38_oracle,
     "q39_sessions" -> q39_oracle,
     "q40_rollup" -> q40_oracle,

@@ -84,6 +84,11 @@ class Repo(val rootUri: String, val spark: SparkSession) {
 
   def ls(): Seq[String] = regState().keys.toSeq.sorted
 
+  /** collections whose label starts with `prefix` (reference
+    * Repo.search / CLI prefix match, lakota/repo.py:138-161). */
+  def search(prefix: String): Seq[String] =
+    ls().filter(_.startsWith(prefix))
+
   def deleteCollection(label: String): Unit = {
     val state = regState()
     state.get(label).foreach { e =>
