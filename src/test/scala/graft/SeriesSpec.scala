@@ -261,6 +261,35 @@ class SeriesSpec extends AnyFunSuite {
     assert(got == Seq(4L, 2L, 5L, 6L, 3L))
   }
 
+  test("kv deleteKeys removes only the given keys") {
+    val root = Files.createTempDirectory("graft-repo").toString
+    val repo = new Repo(root, spark)
+    val kschema = GSchema.kv("label" -> "str*", "meta" -> "int")
+    val s = repo.createCollection(kschema, "kvd").kvSeries("_")
+    val sess = spark
+    import sess.implicits._
+    s.write(Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+      .toDF("label", "meta"))
+    s.deleteKeys(Seq("b", "c"))
+    val got = s.frame().orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("d", 4L)))
+  }
+
+  test("multi() batches several writes into one revision") {
+    val root = Files.createTempDirectory("graft-repo").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "multi")
+    clct.multi {
+      clct.series("s1").write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+      clct.series("s2").write(TestSpark.frame(Seq(5L, 6L), Seq(5.0, 6.0)))
+    }
+    assert(clct.changelog.log().length == 1)
+    assert(clct.ls() == Seq("s1", "s2"))
+    assert(rows(clct.series("s1").frame()) == Seq((1L, 1.0), (2L, 2.0)))
+    assert(rows(clct.series("s2").frame()) == Seq((5L, 5.0), (6L, 6.0)))
+  }
+
   test("update with padding") {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
