@@ -46,7 +46,7 @@ object Oracles {
 
     "q08_floor_day" ->
       """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
-        | count(event_id) AS cnt, round(sum(value),2) AS total
+        | count(event_id) AS cnt, round(sum(value),2) + 0 AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q09_kv_upsert" ->
@@ -59,7 +59,7 @@ object Oracles {
         |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
         |  GROUP BY 1, 2),
         |u AS (SELECT * FROM n UNION ALL SELECT * FROM o)
-        |SELECT user_id, event_type, round(min_by(v, src),2) AS value,
+        |SELECT user_id, event_type, round(min_by(v, src),2) + 0 AS value,
         | min(src) AS src
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -73,7 +73,7 @@ object Oracles {
         |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |  GROUP BY 1)
         |SELECT coalesce(o.user_id, n.user_id) AS user_id,
-        | round(coalesce(vn, v),2) AS value,
+        | round(coalesce(vn, v),2) + 0 AS value,
         | (vn IS NOT NULL) AS updated
         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
         |ORDER BY user_id""".stripMargin,

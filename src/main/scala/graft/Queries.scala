@@ -82,7 +82,7 @@ object Queries {
         "event_type" -> "self.event_type",
         "cnt" -> "(count self.event_id)",
         "total" -> "(sum self.value)"))
-      .withColumn("total", round($"total", 2))
+      .withColumn("total", round($"total", 2) + lit(0.0))
       .orderBy($"day", $"event_type")
 
   /** KV upsert merge: first-wins per key with new rows first —
@@ -100,7 +100,7 @@ object Queries {
       .groupBy($"user_id", $"event_type")
       .agg(expr("min_by(v, src)").as("v0"), min($"src").as("src"))
     merged.select($"user_id", $"event_type",
-        round($"v0", 2).as("value"), $"src")
+        (round($"v0", 2) + lit(0.0)).as("value"), $"src")
       .orderBy($"user_id", $"event_type")
   }
 
@@ -116,7 +116,7 @@ object Queries {
     val n = userSum("2024-01-08", "2024-01-15")
       .withColumnRenamed("v", "vn")
     o.join(n, Seq("user_id"), "full_outer")
-      .select($"user_id", round(coalesce($"vn", $"v"), 2).as("value"),
+      .select($"user_id", (round(coalesce($"vn", $"v"), 2) + lit(0.0)).as("value"),
         $"vn".isNotNull.as("updated"))
       .orderBy($"user_id")
   }

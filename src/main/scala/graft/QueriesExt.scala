@@ -108,7 +108,7 @@ object QueriesExt {
          |   aggregate(qe, cast(0 AS double), (a,x) -> a+x*x) AS nb
          |  FROM cand)
          |SELECT vec_id, label,
-         |  round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+         |  round(dot/(sqrt(na)*sqrt(nb)), 4) + 0 AS cos
          |FROM d ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, vec_id
          |LIMIT 10""".stripMargin)
   }
@@ -122,7 +122,7 @@ object QueriesExt {
        |b AS (SELECT vec_id, label, e, $bucketExpr AS bucket FROM v),
        |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
        |SELECT vec_id, label,
-       |  round(list_cosine_similarity(e, qe), 4) AS cos
+       |  round(list_cosine_similarity(e, qe), 4) + 0 AS cos
        |FROM b, q WHERE bucket = qb AND vec_id != 0
        |ORDER BY list_cosine_similarity(e, qe) DESC, vec_id
        |LIMIT 10""".stripMargin
@@ -139,7 +139,7 @@ object QueriesExt {
       """WITH q AS (SELECT embedding AS qe FROM embeddings
         |  WHERE vec_id = 0)
         |SELECT vec_id, label,
-        |  round(graft_cosine(embedding, qe), 4) AS cos
+        |  round(graft_cosine(embedding, qe), 4) + 0 AS cos
         |FROM embeddings, q WHERE vec_id != 0
         |ORDER BY graft_cosine(embedding, qe) DESC, vec_id
         |LIMIT 15""".stripMargin)
@@ -149,7 +149,7 @@ object QueriesExt {
     """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
       |  WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) + 0 AS cos
       |FROM embeddings, q WHERE vec_id != 0
       |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
       |LIMIT 15""".stripMargin

@@ -183,7 +183,7 @@ object QueriesSim {
         |   aggregate(qe, cast(0 AS double), (a,x) -> a+x*x) AS nb
         |  FROM embeddings, q WHERE vec_id != 0)
         |SELECT vec_id, label,
-        |  round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+        |  round(dot/(sqrt(na)*sqrt(nb)), 4) + 0 AS cos
         |FROM d ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, vec_id
         |LIMIT 20""".stripMargin)
 
@@ -191,7 +191,7 @@ object QueriesSim {
     """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
       |  WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+      |  round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) + 0 AS cos
       |FROM embeddings, q WHERE vec_id != 0
       |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
       |LIMIT 20""".stripMargin
@@ -229,13 +229,13 @@ object QueriesSim {
 
   def q27_centroids(s: SparkSession, dir: String): DataFrame =
     run(s, dir,
-      """SELECT label, pos, round(avg(v), 4) AS mean_v
+      """SELECT label, pos, round(avg(v), 4) + 0 AS mean_v
         |FROM embeddings
         |LATERAL VIEW posexplode(cast(embedding AS array<double>)) t AS pos, v
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin)
 
   val q27_oracle: String =
-    """SELECT label, pos, round(avg(v), 4) AS mean_v FROM (
+    """SELECT label, pos, round(avg(v), 4) + 0 AS mean_v FROM (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
       |    unnest(embedding::DOUBLE[]) AS v
       |  FROM embeddings)

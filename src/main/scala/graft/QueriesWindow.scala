@@ -65,7 +65,7 @@ object QueriesWindow {
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total"))
+        (round(sum(col("value")), 2) + lit(0.0)).as("total"))
       .orderBy(col("user_id"), col("sess_id"))
   }
 
@@ -85,7 +85,7 @@ object QueriesWindow {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM t)
       |SELECT user_id, sess_id, count(*) AS n_events,
-      | round(sum(value),2) AS total
+      | round(sum(value),2) + 0 AS total
       |FROM si GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
@@ -139,12 +139,12 @@ object QueriesWindow {
       .withColumn("bucket", floor(col("value") / 10.0).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"),
-        round(avg(col("value")), 4).as("avg_v"))
+        (round(avg(col("value")), 4) + lit(0.0)).as("avg_v"))
       .orderBy(col("bucket"))
 
   val q42_oracle: String =
     """SELECT floor(value / 10.0)::BIGINT AS bucket, count(*) AS cnt,
-      | round(avg(value),4) AS avg_v
+      | round(avg(value),4) + 0 AS avg_v
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** skew-resistant distinct count: explicit two-stage aggregation
