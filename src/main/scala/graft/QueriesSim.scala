@@ -39,7 +39,10 @@ object QueriesSim {
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft-$view").toString
     s.sql(sql).write.mode("overwrite").parquet(tmp)
-    s.read.parquet(tmp).createOrReplaceTempView(view)
+    // small-file binning would collapse downstream stages to 1-2
+    // partitions; re-spread for parallel joins/aggregates
+    s.read.parquet(tmp).repartition(32)
+      .createOrReplaceTempView(view)
   }
 
   // ---- dialect snippets -------------------------------------------------
