@@ -25,11 +25,24 @@ class Repo(val rootUri: String, val spark: SparkSession) {
   final case class RegEntry(path: String, schema: GSchema,
       colMap: Map[String, String], defaults: Map[String, Any])
 
-  private def regState(): Map[String, RegEntry] =
-    registry.leaf() match {
-      case None => Map.empty
-      case Some(rev) =>
-        val m = Json.parse(new String(registry.payload(rev), "UTF-8"))
+  private def regState(): Map[String, RegEntry] = {
+    // concurrent creates produce sibling registry revisions; a plain
+    // last-leaf-wins read could drop a collection. Union all leaves
+    // (and heal the registry with a merge commit when forked).
+    val leaves = registry.leafs()
+    if (leaves.length > 1) {
+      val merged = leaves.sortBy(_.child)
+        .map(r => decodeReg(registry.payload(r)))
+        .reduce(_ ++ _)
+      writeRegWithParents(merged, leaves.map(_.child))
+      merged
+    } else leaves.headOption
+      .map(r => decodeReg(registry.payload(r)))
+      .getOrElse(Map.empty)
+  }
+
+  private def decodeReg(payload: Array[Byte]): Map[String, RegEntry] = {
+        val m = Json.parse(new String(payload, "UTF-8"))
           .asInstanceOf[Map[String, Any]]
         m.map { case (label, v) =>
           val vm = v.asInstanceOf[Map[String, Any]]
@@ -46,8 +59,12 @@ class Repo(val rootUri: String, val spark: SparkSession) {
         }
     }
 
-  private def writeReg(state: Map[String, RegEntry]): Unit = {
-    val parents = Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi))
+  private def writeReg(state: Map[String, RegEntry]): Unit =
+    writeRegWithParents(state,
+      Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi)))
+
+  private def writeRegWithParents(state: Map[String, RegEntry],
+      parents: Seq[String]): Unit = {
     val body = state.toSeq.sortBy(_._1).map { case (l, e) =>
       val cm = e.colMap.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")

@@ -34,6 +34,10 @@ final class Changelog(val store: Store, val dir: String) {
         case None    => Seq(Phi)
       }
     val key = Hash.sha1(payload)
+    // one child id shared by all parent edges: a multi-parent commit
+    // (merge) is ONE node in the revision tree, so the DFS sees a
+    // single leaf afterwards
+    val child = s"${Hash.hextime()}-$key"
     val revs = effParents.flatMap { parent =>
       val parentKey = parent.split("-", 2) match {
         case Array(_, k) => k
@@ -41,7 +45,6 @@ final class Changelog(val store: Store, val dir: String) {
       }
       if (parent != Phi && parentKey == key) None // double write
       else {
-        val child = s"${Hash.hextime()}-$key"
         val rev = Revision(this.pathless(parent), child)
         store.write(s"$dir/${rev.path}", payload)
         Some(rev)
@@ -104,7 +107,11 @@ final class Changelog(val store: Store, val dir: String) {
   def leaf(beforeMs: Option[Long] = None): Option[Revision] =
     log(beforeMs).lastOption
 
-  def leafs(): Seq[Revision] = log().filter(_.isLeaf)
+  /** distinct leaf nodes (a multi-parent merge writes one edge file
+    * per parent, all sharing one child id — that's ONE leaf) */
+  def leafs(): Seq[Revision] =
+    log().filter(_.isLeaf).groupBy(_.child).map(_._2.head).toSeq
+      .sortBy(_.child)
 
   /** Payload of a revision, sha1-verified with one retry (guards
     * against a concurrent writer mid-flight). */

@@ -168,6 +168,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(clct.ls() == Seq("z"))
   }
 
+  test("forked registry heals by union-merge") {
+    val root = Files.createTempDirectory("graft-reg").toString
+    val r1 = new Repo(root, spark)
+    r1.createCollection(schema, "a")
+    // r2 primes its changelog cache at the current leaf…
+    val r2 = new Repo(root, spark)
+    assert(r2.ls() == Seq("a"))
+    // …then r1 advances the registry while r2 is stale
+    r1.createCollection(schema, "b")
+    // r2 commits against the stale leaf -> fork
+    r2.createCollection(schema, "c")
+    // a fresh reader unions both branches and heals the registry
+    val r3 = new Repo(root, spark)
+    assert(r3.ls() == Seq("a", "b", "c"))
+    assert(r3.registry.leafs().length == 1) // healed
+  }
+
   test("collection rename and delete") {
     val repo = freshRepo()
     repo.createCollection(schema, "a").series("_")
