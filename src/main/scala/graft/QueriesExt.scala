@@ -154,7 +154,32 @@ object QueriesExt {
       |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
       |LIMIT 15""".stripMargin
 
+  /** embedding-cosine near-duplicate pairs: all pairs above a cosine
+    * threshold, computed with the native fused-loop expression (at
+    * corpus scale the q35-style bucket blocking prunes the pair space
+    * first; exact all-pairs here keeps the oracle 1:1) */
+  def q44_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(graft_cosine(a.embedding, b.embedding), 4) + 0 AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE graft_cosine(a.embedding, b.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  val q44_oracle: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 4) + 0 AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |  b.embedding::DOUBLE[]) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_embedding_neardup" -> q44_embedding_neardup _,
     "q28_multimodal" -> q28_multimodal _,
     "q29_bpe_tokens" -> q29_bpe_tokens _,
     "q35_ann_bucketed" -> q35_ann_bucketed _,
@@ -162,6 +187,7 @@ object QueriesExt {
     "q37_ann_native" -> q37_ann_native _)
 
   val oracles: Map[String, String] = Map(
+    "q44_embedding_neardup" -> q44_oracle,
     "q28_multimodal" -> q28_oracle,
     "q29_bpe_tokens" -> q29_oracle,
     "q35_ann_bucketed" -> q35_oracle,
