@@ -143,7 +143,7 @@ class Series(val collection: Collection, val label: String) {
         .setLeft(if (i == 0) closed.left else true)
         .setRight(if (i == k - 1) closed.right else straddles)
       SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
-        Vector(files(i)))
+        Vector(files(i)), Some(stats(i).min), Some(stats(i).max))
     }
     commitRows(rows, root)
   }
@@ -214,7 +214,27 @@ class Series(val collection: Collection, val label: String) {
         case None => col(srcOf(c.name)).as(c.name)
       }
     }
-    val parts = segs.filter(_.meta.files.nonEmpty).map { s =>
+    // a segment needs no residual filter when its visible range still
+    // covers the data range recorded at write time (the common case:
+    // never truncated by later overlays) — those share ONE multi-file
+    // scan instead of exploding the plan into N filtered unions
+    def coversData(s: SegmentRead): Boolean =
+      (s.meta.dataStart, s.meta.dataStop) match {
+        case (Some(ds), Some(de)) =>
+          val l = schema.cmpKey(s.start, ds)
+          val r = schema.cmpKey(s.stop, de)
+          (l < 0 || (l == 0 && s.closed.left)) &&
+            (r > 0 || (r == 0 && s.closed.right))
+        case _ => false
+      }
+    val dataSegs = segs.filter(_.meta.files.nonEmpty)
+    val (unclipped, clipped) = dataSegs.partition(coversData)
+    val grouped =
+      if (unclipped.isEmpty) Nil
+      else Seq(spark.read.schema(readSchema)
+        .parquet(unclipped.flatMap(_.meta.files).map(store.uri): _*)
+        .select(projection: _*))
+    val parts = grouped ++ clipped.map { s =>
       spark.read.schema(readSchema)
         .parquet(s.meta.files.map(store.uri): _*)
         .select(projection: _*)

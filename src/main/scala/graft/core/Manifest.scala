@@ -20,7 +20,15 @@ final case class SegmentMeta(
     stop: IndexKey,
     closed: Closed,
     length: Long,
-    files: Vector[String]) extends Serializable
+    files: Vector[String],
+    /** min/max index keys of the rows actually stored in `files`,
+      * recorded at write time. Splice truncation shrinks the VISIBLE
+      * [start, stop] but never rewrites files, so readers can skip the
+      * residual filter — and share one multi-file scan — whenever the
+      * visible range still covers the data range. None = unknown
+      * (older manifests): always filter. */
+    dataStart: Option[IndexKey] = None,
+    dataStop: Option[IndexKey] = None) extends Serializable
 
 final case class SegmentRead(meta: SegmentMeta, start: IndexKey,
     stop: IndexKey, closed: Closed)
@@ -240,10 +248,15 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     def key(k: IndexKey): String =
       k.values.map(Json.scalar).mkString("[", ",", "]")
     val rws = rows.map { r =>
+      val dataBounds = (r.dataStart, r.dataStop) match {
+        case (Some(ds), Some(de)) =>
+          s""","dstart":${key(ds)},"dstop":${key(de)}"""
+        case _ => ""
+      }
       s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
       s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
       s""""length":${r.length},"files":${
-        r.files.map(Json.str).mkString("[", ",", "]")}}"""
+        r.files.map(Json.str).mkString("[", ",", "]")}$dataBounds}"""
     }.mkString("[", ",", "]")
     val _ = idxTypes
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
@@ -329,7 +342,8 @@ object Manifest {
         Closed.parse(rm("closed").asInstanceOf[String]),
         rm("length").asInstanceOf[Long],
         rm("files").asInstanceOf[List[Any]]
-          .map(_.asInstanceOf[String]).toVector)
+          .map(_.asInstanceOf[String]).toVector,
+        rm.get("dstart").map(key), rm.get("dstop").map(key))
     }.toVector
     Manifest(schema, rws)
   }

@@ -43,6 +43,20 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("unclipped segments share one multi-file scan") {
+    val root = Files.createTempDirectory("graft-plan3").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("timestamp" -> "int*", "value" -> "float")
+    val s = repo.createCollection(schema, "c").series("_")
+    // five disjoint writes -> five segments, none truncated
+    (0 until 5).foreach(i => s.write(TestSpark.frame(
+      Seq(100L * i, 100L * i + 1), Seq(i * 1.0, i * 1.0 + 0.5))))
+    val plan = s.frame().queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 grouped scan, got $scans")
+    assert(s.frame().count() == 10L)
+  }
+
   test("tail compiles to TakeOrdered (no full sort)") {
     val root = Files.createTempDirectory("graft-plan2").toString
     val repo = new Repo(root, spark)
