@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +77,14 @@ object Bench {
     val qJson = results.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which breaks driver-side JSON
+    // parsing — always leave a clean copy on disk as well.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

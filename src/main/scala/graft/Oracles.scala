@@ -134,7 +134,7 @@ object Oracles {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_token_count" ->
-      """SELECT source, sum(len(string_split(text, ' '))) AS total_tokens,
+      """SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
         | count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -173,5 +173,12 @@ object Oracles {
         |      WHEN sc_zh = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'zh'
         |      ELSE '??' END AS guess,
         | greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) AS hits
-        |FROM scored ORDER BY doc_id""".stripMargin)
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q45_grouped_firstlast" ->
+      """SELECT user_id,
+        | first(value ORDER BY ts, event_id) AS first_value,
+        | last(value ORDER BY ts, event_id) AS last_value,
+        | count(event_id) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -187,12 +187,13 @@ object Queries {
 
   // ---- text / training-data ops ---------------------------------------
 
-  /** exact deduplication by full-text hash */
+  /** exact deduplication by full-text hash. Grouping on md5(text), not
+    * text, so the shuffle carries 32-byte digests instead of full
+    * document bodies — at 100 TB the dedup shuffle IS the pipeline. */
   def q17_dedup_exact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .groupBy($"text")
-      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
-        md5($"text").as("fp"))
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select($"keep_id", $"n_copies", $"fp")
       .orderBy($"keep_id")
 
@@ -258,6 +259,18 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** grouped order-sensitive first/last via the s-expr reduce path:
+    * compiles to min_by/max_by over the (ts, event_id) index struct —
+    * deterministic under any shuffle (SURVEY §7.4-5) */
+  def q45_grouped_firstlast(s: SparkSession, dir: String): DataFrame =
+    Ops.reduce(t(s, dir, "events"), Seq(
+        "user_id" -> "self.user_id",
+        "first_value" -> "(first self.value)",
+        "last_value" -> "(last self.value)",
+        "n" -> "(count self.event_id)"),
+      orderKeys = Seq("ts", "event_id"))
+      .orderBy($"user_id")
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +294,8 @@ object Queries {
     "q18_text_stats" -> q18_text_stats _,
     "q19_token_count" -> q19_token_count _,
     "q20_quality" -> q20_quality _,
-    "q21_lang_id" -> q21_lang_id _)
+    "q21_lang_id" -> q21_lang_id _,
+    "q45_grouped_firstlast" -> q45_grouped_firstlast _)
 
   // convenience for $"col" syntax without a SparkSession in scope
   private implicit class Dollar(val sc: StringContext) {

@@ -80,8 +80,8 @@ object QueriesExt {
        |h AS (SELECT doc_id, pos,
        |  ('0x'||substr(md5(tok),1,8))::BIGINT % 100000 AS hv FROM tk)
        |SELECT doc_id,
-       |  sum(hv * ([${pow31.mkString(",")}])[(pos % 8) + 1])
-       |    % ${QueriesSim.P} AS fingerprint
+       |  (sum(hv * ([${pow31.mkString(",")}])[(pos % 8) + 1])
+       |    % ${QueriesSim.P})::BIGINT AS fingerprint
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** IVF-style bucketed ANN: coarse-quantize vectors by the sign bits
@@ -154,29 +154,44 @@ object QueriesExt {
       |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
       |LIMIT 15""".stripMargin
 
-  /** embedding-cosine near-duplicate pairs: all pairs above a cosine
-    * threshold, computed with the native fused-loop expression (at
-    * corpus scale the q35-style bucket blocking prunes the pair space
-    * first; exact all-pairs here keeps the oracle 1:1) */
+  /** embedding-cosine near-duplicate pairs with sign-bit bucket
+    * blocking (the q35 coarse quantizer): pairs are only compared
+    * within their bucket, so the join is an EQUI-join on bucket — never
+    * a cartesian — and prunes ~63/64 of the pair space at corpus scale.
+    * The oracle applies the identical deterministic blocking, so the
+    * candidate sets match 1:1. */
   def q44_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
+    val bucketExpr = (0 until 6).map(i =>
+      s"(CASE WHEN element_at(e, ${i + 1}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
     s.sql(
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(graft_cosine(a.embedding, b.embedding), 4) + 0 AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE graft_cosine(a.embedding, b.embedding) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM v)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  round(graft_cosine(a.embedding, c.embedding), 4) + 0 AS cos
+         |FROM b a JOIN b c
+         |  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE graft_cosine(a.embedding, c.embedding) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin)
   }
 
-  val q44_oracle: String =
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-      |    b.embedding::DOUBLE[]), 4) + 0 AS cos
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-      |  b.embedding::DOUBLE[]) >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+  val q44_oracle: String = {
+    val bucketExpr = (0 until 6).map(i =>
+      s"(CASE WHEN e[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v)
+       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.e, c.e), 4) + 0 AS cos
+       |FROM b a JOIN b c
+       |  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE list_cosine_similarity(a.e, c.e) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_embedding_neardup" -> q44_embedding_neardup _,

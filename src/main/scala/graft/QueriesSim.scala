@@ -33,16 +33,18 @@ object QueriesSim {
   }
 
   /** Materialize an expensive intermediate once (parallel) and expose
-    * it as a temp view. */
+    * it as a temp view. Cluster-safe: persist() keeps the blocks on the
+    * executors that computed them (spilling to executor-local disk as
+    * needed) — no driver-local filesystem round trip, no second write
+    * job. The REPARTITION(32, doc_id) hints inside the SQL keep the
+    * cached data spread across partitions so AQE cannot serialize the
+    * CPU-heavy downstream joins. */
   private def materialize(s: SparkSession, sql: String, view: String)
       : Unit = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft-$view").toString
-    s.sql(sql).write.mode("overwrite").parquet(tmp)
-    // small-file binning would collapse downstream stages to 1-2
-    // partitions; re-spread for parallel joins/aggregates
-    s.read.parquet(tmp).repartition(32)
-      .createOrReplaceTempView(view)
+    val df = s.sql(sql)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // force one computation; all downstream branches reuse it
+    df.createOrReplaceTempView(view)
   }
 
   // ---- dialect snippets -------------------------------------------------

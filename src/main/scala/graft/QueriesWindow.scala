@@ -84,7 +84,7 @@ object QueriesWindow {
       |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM t)
-      |SELECT user_id, sess_id, count(*) AS n_events,
+      |SELECT user_id, sess_id::BIGINT AS sess_id, count(*) AS n_events,
       | round(sum(value),2) + 0 AS total
       |FROM si GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin

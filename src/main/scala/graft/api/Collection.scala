@@ -126,14 +126,27 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case Some(m) =>
         m.labels.foreach { lbl =>
           val rows = m.rows.filter(r => r.label == lbl && r.files.nonEmpty)
-          val small = rows.filter(_.length < pageLen / 2)
-          if (small.length > maxChunk) {
-            val s = series(lbl)
-            val start = small.head.start
-            val stop = small.last.stop
-            // read the fragmented range and rewrite it page-sized
-            val df = s.frame(start, stop, closed = Closed.Both)
-            s.write(df, start, stop, Closed.Both)
+          // contiguous runs of small segments only: a large segment
+          // fast-forwards the cursor and is NEVER rewritten (reference
+          // lakota/collection.py:386-403) — small segments sandwiching
+          // a 500k-row segment must not drag it into the rewrite
+          val runs = scala.collection.mutable.ArrayBuffer
+            .empty[Vector[SegmentMeta]]
+          var cur = Vector.empty[SegmentMeta]
+          rows.foreach { r =>
+            if (r.length < pageLen / 2) cur = cur :+ r
+            else { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+          }
+          if (cur.nonEmpty) runs += cur
+          val s = series(lbl)
+          runs.filter(_.length > maxChunk).foreach { run =>
+            val start = run.head.start
+            val stop = run.last.stop
+            val cl = Closed.Both.setLeft(run.head.closed.left)
+              .setRight(run.last.closed.right)
+            // read the fragmented run and rewrite it page-sized
+            val df = s.frame(start, stop, closed = cl)
+            s.write(df, start, stop, cl)
           }
         }
     }

@@ -72,10 +72,28 @@ class Series(val collection: Collection, val label: String) {
       .option("maxRecordsPerFile", pageLen)
       .parquet(store.uri(tmpRel))
 
+    // per-file row count + index bounds + logical content hash, ONE
+    // read-back job (emptiness falls out of it: zero stat rows = empty
+    // write — no separate isEmpty probe). The digest is computed from
+    // the DATA (order-insensitive xxhash64 aggregate), not the file
+    // bytes: parquet encoding metadata is not byte-deterministic across
+    // JVMs, and logical hashing also avoids pulling file bytes to the
+    // driver at scale.
+    val allCols = schema.names.map(col)
     val anyFile = store.walk(tmpRel).exists(_.endsWith(".parquet"))
-    val isEmpty = !anyFile || spark.read.schema(schema.sparkSchema)
-      .parquet(store.uri(tmpRel)).isEmpty
-    if (isEmpty) {
+    val statRows =
+      if (!anyFile) Array.empty[Row]
+      else spark.read.schema(schema.sparkSchema)
+        .parquet(store.uri(tmpRel))
+        .groupBy(input_file_name().as("_file"))
+        .agg(count(lit(1)).as("_cnt"),
+          min(struct(idxCols: _*)).as("_min"),
+          max(struct(idxCols: _*)).as("_max"),
+          // modular reduction keeps the (order-insensitive) sum within
+          // 2^52 even at page_len rows — no ANSI overflow
+          sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
+        .collect()
+    if (statRows.isEmpty) {
       store.rm(tmpRel, recursive = true)
       require(startK != null && stopK != null,
         "empty write needs explicit start/stop bounds")
@@ -83,23 +101,6 @@ class Series(val collection: Collection, val label: String) {
         Vector.empty)), root)
       return
     }
-
-    // per-file row count + index bounds + logical content hash, one job.
-    // The digest is computed from the DATA (order-insensitive xxhash64
-    // aggregate), not the file bytes: parquet encoding metadata is not
-    // byte-deterministic across JVMs, and logical hashing also avoids
-    // pulling file bytes to the driver at scale.
-    val allCols = schema.names.map(col)
-    val statRows = spark.read.schema(schema.sparkSchema)
-      .parquet(store.uri(tmpRel))
-      .groupBy(input_file_name().as("_file"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(idxCols: _*)).as("_min"),
-        max(struct(idxCols: _*)).as("_max"),
-        // modular reduction keeps the (order-insensitive) sum within
-        // 2^52 even at page_len rows — no ANSI overflow
-        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
-      .collect()
 
     final case class FileStat(name: String, cnt: Long, min: IndexKey,
       max: IndexKey, hash: Long)
@@ -196,51 +197,64 @@ class Series(val collection: Collection, val label: String) {
     * global sort is imposed — add `.orderBy` downstream where total
     * order matters. limit/offset imply a sort.
     */
-  def frame(start: Any = null, stop: Any = null,
-      beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
-      limit: Option[Long] = None, offset: Option[Long] = None,
-      select: Seq[String] = Nil): DataFrame = {
-    val segs = segments(start, stop, beforeMs, closed)
-    // clone support: stored files may use source column names (colMap)
-    // and may lack added columns (defaults) — resolve at scan time
+  // clone support: stored files may use source column names (colMap)
+  // and may lack added columns (defaults) — resolve at scan time
+  private def readSchemaStruct: org.apache.spark.sql.types.StructType = {
     val srcOf: String => String = n => collection.colMap.getOrElse(n, n)
-    val readSchema = org.apache.spark.sql.types.StructType(
+    org.apache.spark.sql.types.StructType(
       schema.cols.filterNot(c => collection.defaults.contains(c.name))
         .map(c => org.apache.spark.sql.types.StructField(
           srcOf(c.name), c.dtype.sparkType, nullable = !c.idx)))
-    val projection = schema.cols.map { c =>
+  }
+
+  private def readProjection: Seq[Column] = {
+    val srcOf: String => String = n => collection.colMap.getOrElse(n, n)
+    schema.cols.map { c =>
       collection.defaults.get(c.name) match {
         case Some(v) => SparkVals.toLiteral(c.dtype, v).as(c.name)
         case None => col(srcOf(c.name)).as(c.name)
       }
     }
-    // a segment needs no residual filter when its visible range still
-    // covers the data range recorded at write time (the common case:
-    // never truncated by later overlays) — those share ONE multi-file
-    // scan instead of exploding the plan into N filtered unions
-    def coversData(s: SegmentRead): Boolean =
-      (s.meta.dataStart, s.meta.dataStop) match {
-        case (Some(ds), Some(de)) =>
-          val l = schema.cmpKey(s.start, ds)
-          val r = schema.cmpKey(s.stop, de)
-          (l < 0 || (l == 0 && s.closed.left)) &&
-            (r > 0 || (r == 0 && s.closed.right))
-        case _ => false
-      }
+  }
+
+  private def scanFiles(files: Seq[String]): DataFrame =
+    spark.read.schema(readSchemaStruct)
+      .parquet(files.map(store.uri): _*)
+      .select(readProjection: _*)
+
+  /** a segment needs no residual filter when its visible range still
+    * covers the data range recorded at write time (the common case:
+    * never truncated by later overlays) — those can share ONE
+    * multi-file scan instead of exploding the plan into filtered unions
+    */
+  private def coversData(s: SegmentRead): Boolean =
+    (s.meta.dataStart, s.meta.dataStop) match {
+      case (Some(ds), Some(de)) =>
+        val l = schema.cmpKey(s.start, ds)
+        val r = schema.cmpKey(s.stop, de)
+        (l < 0 || (l == 0 && s.closed.left)) &&
+          (r > 0 || (r == 0 && s.closed.right))
+      case _ => false
+    }
+
+  /** single-segment DataFrame, residual range filter only if clipped */
+  private def segDf(s: SegmentRead): DataFrame =
+    if (coversData(s)) scanFiles(s.meta.files)
+    else scanFiles(s.meta.files)
+      .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
+        s.stop, s.closed))
+
+  def frame(start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
+      limit: Option[Long] = None, offset: Option[Long] = None,
+      select: Seq[String] = Nil): DataFrame = {
+    val segs = segments(start, stop, beforeMs, closed)
     val dataSegs = segs.filter(_.meta.files.nonEmpty)
     val (unclipped, clipped) = dataSegs.partition(coversData)
     val grouped =
       if (unclipped.isEmpty) Nil
-      else Seq(spark.read.schema(readSchema)
-        .parquet(unclipped.flatMap(_.meta.files).map(store.uri): _*)
-        .select(projection: _*))
-    val parts = grouped ++ clipped.map { s =>
-      spark.read.schema(readSchema)
-        .parquet(s.meta.files.map(store.uri): _*)
-        .select(projection: _*)
-        .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
-          s.stop, s.closed))
-    }
+      else Seq(scanFiles(unclipped.flatMap(_.meta.files)))
+    val parts = grouped ++ clipped.map(segDf)
     var df = parts.reduceOption(_ union _).getOrElse(emptyDf)
     if (offset.isDefined || limit.isDefined) {
       df = df.orderBy(idxCols: _*)
@@ -263,17 +277,30 @@ class Series(val collection: Collection, val label: String) {
     df
   }
 
-  /** Fixed-size pages in index order. Each page triggers a Spark job;
-    * mostly superseded by Spark's own partition iteration. */
+  /** Fixed-size pages in index order, driven by the manifest cursor:
+    * per-segment lengths come straight from the manifest (a count job
+    * only for the rare overlay-clipped segment), and each page scans +
+    * sorts ONLY the 1-2 segments it overlaps — no per-page global sort
+    * (reference lakota/series.py:396-447 Paginate.loop).
+    */
   def paginate(step: Long = 500000L, start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None,
       closed: Closed = Closed.Left): Iterator[DataFrame] = {
-    val total = frame(start, stop, beforeMs, closed).count()
-    val sorted = frame(start, stop, beforeMs, closed).orderBy(idxCols: _*)
-    Iterator.range(0L, math.max(total, 1L), step).map { off =>
-      sorted.offset(off.toInt).limit(step.toInt)
-    }.take(if (total == 0) 0 else
-      math.ceil(total.toDouble / step).toInt)
+    require(step > 0, "step must be > 0")
+    val segs = segments(start, stop, beforeMs, closed)
+      .filter(_.meta.files.nonEmpty)
+    val lens = segs.map(s =>
+      if (coversData(s)) s.meta.length else segDf(s).count())
+    val cum = lens.scanLeft(0L)(_ + _)
+    val total = cum.lastOption.getOrElse(0L)
+    Iterator.range(0L, total, step).map { off =>
+      val hi = math.min(off + step, total)
+      val i0 = cum.indexWhere(_ > off) - 1
+      val i1 = cum.indexWhere(_ >= hi) - 1
+      val page = segs.slice(i0, i1 + 1).map(segDf)
+        .reduce(_ union _).orderBy(idxCols: _*)
+      page.offset((off - cum(i0)).toInt).limit((hi - off).toInt)
+    }
   }
 
   // ------------------------------------------------------------------

@@ -131,10 +131,18 @@ final class Changelog(val store: Store, val dir: String) {
 
   /** Copy missing revision files from a remote changelog. */
   def pull(remote: Changelog, shallow: Boolean = false): Seq[String] = {
-    val localDigests = log().map(r => (r.parent, r.digest)).toSet
+    // dedupe on (parent payload digest, child payload digest): parents
+    // that differ only in hextime (e.g. after a one-sided squash or
+    // re-root) must not resurrect trimmed history on every sync
+    // (reference lakota/changelog.py RevDigest semantics)
+    def pd(parent: String): String = parent.split("-", 2) match {
+      case Array(_, d) => d
+      case _           => parent
+    }
+    val localDigests = log().map(r => (pd(r.parent), r.digest)).toSet
     val remoteRevs = if (shallow) remote.leafs() else remote.log()
     val copied = remoteRevs.filterNot(r =>
-      localDigests.contains((r.parent, r.digest))).map { r =>
+      localDigests.contains((pd(r.parent), r.digest))).map { r =>
       store.write(s"$dir/${r.path}", remote.store.read(s"${remote.dir}/${r.path}"))
       r.path
     }
@@ -147,7 +155,15 @@ final class Changelog(val store: Store, val dir: String) {
     * revision at phi (reference Collection.trim semantics). */
   def trim(beforeMs: Long): Seq[Revision] = {
     val history = log()
-    val (old, kept) = history.partition(_.epochMs < beforeMs)
+    val (old0, kept0) = history.partition(_.epochMs < beforeMs)
+    if (old0.isEmpty) return Seq.empty
+    // never empty the log: if every revision predates the cutoff keep
+    // the newest one (the current leaf), mirroring the reference's
+    // revs = revs[:-1] guard — a cutoff after the last write is the
+    // normal maintenance case, not a request to drop all data
+    val (old, kept) =
+      if (kept0.nonEmpty) (old0, kept0)
+      else (old0.init, Vector(old0.last))
     if (old.isEmpty) return Seq.empty
     kept.headOption.foreach { keep =>
       if (keep.parent != Phi) {

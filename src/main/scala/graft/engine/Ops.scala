@@ -19,20 +19,28 @@ object Ops {
     * group. Without any aggregate, this is a plain projection; without
     * any key, aggregates collapse to one row.
     */
-  def reduce(df: DataFrame, outputs: Seq[(String, String)]): DataFrame = {
+  def reduce(df: DataFrame, outputs: Seq[(String, String)],
+      orderKeys: Seq[String] = Nil): DataFrame = {
     val parsed = outputs.map { case (alias, src) =>
       (alias, src, SExprCompiler.isAggregate(src))
     }
-    val aggs = parsed.collect { case (a, src, true) =>
-      SExprCompiler.compile(src).as(a) }
+    // ordering for first/last: caller-provided index columns, or every
+    // frame column as a deterministic fallback (the index is a prefix
+    // of the column order, so this matches index order with full-row
+    // tiebreak among duplicate keys)
+    val ordCols = (if (orderKeys.nonEmpty) orderKeys
+      else df.columns.toSeq).map(col)
+    def comp(src: String): Column =
+      SExprCompiler.withOrdering(ordCols)(SExprCompiler.compile(src))
+    val aggs = parsed.collect { case (a, src, true) => comp(src).as(a) }
 
     if (aggs.isEmpty)
       return df.select(parsed.map { case (a, src, _) =>
-        SExprCompiler.compile(src).as(a) }: _*)
+        comp(src).as(a) }: _*)
 
     // evaluate group keys first under collision-free internal names
     val keyed = parsed.zipWithIndex.collect {
-      case ((a, src, false), i) => (a, s"_gk$i", SExprCompiler.compile(src))
+      case ((a, src, false), i) => (a, s"_gk$i", comp(src))
     }
     val withKeys = df.select(
       df.columns.map(col).toSeq ++

@@ -31,6 +31,20 @@ object SExprCompiler {
   def isAggregate(src: String): Boolean =
     SExpr.isAggregate(SExpr.parse(src), aggOps)
 
+  /** Row-ordering context for order-sensitive aggregates: inside
+    * [[withOrdering]], `(first x)`/`(last x)` compile to
+    * `min_by(x, ord)`/`max_by(x, ord)` — deterministic under shuffle,
+    * matching the reference's frame-order semantics (frames are sorted
+    * by index; SURVEY §7.4-5). Plain `first()`/`last()` would return an
+    * arbitrary partition's row once a grouped aggregate crosses a real
+    * exchange. */
+  private val orderCtx =
+    new scala.util.DynamicVariable[Option[Column]](None)
+
+  def withOrdering[T](idx: Seq[Column])(body: => T): T =
+    orderCtx.withValue(
+      if (idx.isEmpty) None else Some(struct(idx: _*)))(body)
+
   def compile(src: String): Column = compile(SExpr.parse(src))
 
   /** extract alias if the root call is (as expr "name") */
@@ -101,8 +115,14 @@ object SExprCompiler {
     case "max" => max(compile(args.head))
     case "sum" => sum(compile(args.head))
     case "mean" | "average" => avg(compile(args.head))
-    case "first" => first(compile(args.head))
-    case "last" => last(compile(args.head))
+    case "first" => orderCtx.value match {
+      case Some(ord) => min_by(compile(args.head), ord)
+      case None      => first(compile(args.head))
+    }
+    case "last" => orderCtx.value match {
+      case Some(ord) => max_by(compile(args.head), ord)
+      case None      => last(compile(args.head))
+    }
     case "count" | "len" => count(compile(args.head))
     case "quantile" => args match {
       case List(e, q) => percentile(compile(e), compile(q))

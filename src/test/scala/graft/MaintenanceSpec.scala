@@ -185,6 +185,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r3.registry.leafs().length == 1) // healed
   }
 
+  test("trim with cutoff after the last write keeps the leaf") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    Thread.sleep(5)
+    s.write(TestSpark.frame(Seq(2L), Seq(2.0)))
+    Thread.sleep(5)
+    // cutoff in the future: every revision predates it — the leaf must
+    // survive (reference keeps the last commit), data stays readable
+    clct.trim(System.currentTimeMillis() + 60000L)
+    clct.refresh()
+    assert(clct.changelog.log().length == 1)
+    assert(rows(s.frame()) == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("defrag fast-forwards past large segments (no rewrite)") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    clct.pageLen = 100L
+    val s = clct.series("_")
+    (0 until 5).foreach { i =>
+      s.write(TestSpark.frame(Seq(10L * i), Seq(i * 1.0)))
+    }
+    // one big segment (>= pageLen/2 rows) between the small runs
+    val bigTs: Seq[Long] = (1000L until 1080L)
+    s.write(TestSpark.frame(bigTs, bigTs.map(_.toDouble)))
+    (0 until 5).foreach { i =>
+      s.write(TestSpark.frame(Seq(2000L + 10L * i), Seq(i * 1.0)))
+    }
+    val bigFiles = clct.manifest().get.rows
+      .filter(_.length >= 50L).flatMap(_.files).toSet
+    assert(bigFiles.nonEmpty)
+    clct.defrag(maxChunk = 2)
+    clct.refresh()
+    val after = clct.manifest().get.rows.filter(_.files.nonEmpty)
+    // the big segment's file is still referenced verbatim — not rewritten
+    assert(bigFiles.subsetOf(after.flatMap(_.files).toSet))
+    // both small runs were compacted
+    assert(after.length < 11)
+    val expect = ((0 until 5).map(i => (10L * i, i * 1.0)) ++
+      bigTs.map(t => (t, t.toDouble)) ++
+      (0 until 5).map(i => (2000L + 10L * i, i * 1.0))).sorted
+    assert(rows(s.frame()) == expect)
+  }
+
   test("collection rename and delete") {
     val repo = freshRepo()
     repo.createCollection(schema, "a").series("_")

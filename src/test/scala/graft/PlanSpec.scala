@@ -67,4 +67,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = s.tail(5).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("q44 near-dup pair join is bucketed, never a cartesian") {
+    val plan = QueriesExt
+      .q44_embedding_neardup(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
 }

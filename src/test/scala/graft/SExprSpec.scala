@@ -101,4 +101,26 @@ class SExprSpec extends AnyFunSuite {
     assert(alias.contains("total"))
     val _ = c
   }
+
+  test("grouped first/last deterministic under shuffled partitioning") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 400).map(i => (i % 7, i.toLong, i * 1.0))
+    // arbitrary round-robin partitioning: plain first()/last() would
+    // return whichever partition's row wins the race
+    val base = data.toDF("g", "idx", "v").repartition(13)
+    def run(orderKeys: Seq[String]) = Ops.reduce(base, Seq(
+        "g" -> "self.g",
+        "first_v" -> "(first self.v)",
+        "last_v" -> "(last self.v)"), orderKeys)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    val expect = (0 until 7).map { g =>
+      val is = (1 to 400).filter(_ % 7 == g)
+      (g, is.min * 1.0, is.max * 1.0)
+    }
+    assert(run(Seq("idx")) == expect)
+    // fallback ordering (all columns) is index order here too
+    assert(run(Nil) == expect)
+  }
 }

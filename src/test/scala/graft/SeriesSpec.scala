@@ -215,6 +215,26 @@ class SeriesSpec extends AnyFunSuite {
       Seq((1589455904L, 4.4)))
   }
 
+  test("paginate: fixed pages in order, concat equals frame") {
+    val s = freshSeries()
+    s.write(TestSpark.frame(
+      Seq(1589455906L, 1589455907L, 1589455908L), Seq(6.6, 7.7, 8.8)))
+    // overlay a single point: clips the first segment, so paginate also
+    // exercises the count-path for truncated segments
+    s.write(TestSpark.frame(Seq(1589455905L), Seq(9.9)))
+    val pages = s.paginate(step = 2).toSeq
+      .map(_.select("timestamp", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(pages.length == 3)
+    pages.init.foreach(p => assert(p.length == 2))
+    val flat = pages.flatten
+    assert(flat == flat.sortBy(_._1), "pages must be in index order")
+    assert(flat == rows(s.frame()))
+    // empty series paginates to zero pages
+    assert(s.paginate(step = 2,
+      start = 9999999999L, stop = 9999999999L).isEmpty)
+  }
+
   test("multi-column index") {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
