@@ -1,23 +1,38 @@
 package graft
 
 import graft.api.Repo
-import graft.core.{Closed, GSchema}
+import graft.core.{Closed, GSchema, StoreServer}
 import org.apache.spark.sql.SparkSession
 
-/** Command-line façade over the engine (reference lakota/cli.py).
+/** Command-line façade over the engine (reference lakota/cli.py:672-846
+  * subcommand registry).
   *
   * Usage:
   * {{{
-  *   graft.Cli <repoRoot> ls                         collections
-  *   graft.Cli <repoRoot> ls <collection>            series labels
+  *   graft.Cli <repoRoot> ls                          collections
+  *   graft.Cli <repoRoot> ls <collection>             series labels
   *   graft.Cli <repoRoot> create <collection> <colSpec...>
   *       colSpec: name:type[*]  e.g. ts:timestamp* value:float
   *   graft.Cli <repoRoot> read <collection> <series> [start] [stop]
-  *   graft.Cli <repoRoot> write <collection> <series> <csvPath>
+  *   graft.Cli <repoRoot> length <collection> <series>
+  *   graft.Cli <repoRoot> write|import <collection> <series> <csvPath>
   *   graft.Cli <repoRoot> export <collection> <series> <csvDir>
-  *   graft.Cli <repoRoot> rev <collection>           revision log
+  *   graft.Cli <repoRoot> delete <collection> <series...>
+  *   graft.Cli <repoRoot> delete-collection <collection>
+  *   graft.Cli <repoRoot> rename <collection> <from> <to>
+  *   graft.Cli <repoRoot> rev <collection>            revision log
+  *   graft.Cli <repoRoot> push <remoteRoot> [labels...]
+  *   graft.Cli <repoRoot> pull <remoteRoot> [labels...]
+  *   graft.Cli <repoRoot> merge [collection]
+  *   graft.Cli <repoRoot> defrag <collection>
+  *   graft.Cli <repoRoot> trim <collection> <epochMs>
+  *   graft.Cli <repoRoot> squash <collection>
   *   graft.Cli <repoRoot> gc
+  *   graft.Cli <repoRoot> serve <port>                HTTP POD server
   * }}}
+  *
+  * `remoteRoot` may be a filesystem URI or `http://host:port` (a repo
+  * served by `serve`).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -30,6 +45,12 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  /** dispatch one command (testable without owning the session) */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     val repo = Repo(args(0), spark)
 
     args(1) match {
@@ -55,22 +76,55 @@ object Cli {
           .orderBy(series.collection.schema.idxNames.map(
             org.apache.spark.sql.functions.col): _*)
           .show(100, truncate = false)
-      case "write" =>
+      case "length" =>
+        println(repo.collection(args(2)).get.series(args(3)).length())
+      case "write" | "import" =>
         repo.collection(args(2)).get.series(args(3)).importCsv(args(4))
         println("written")
       case "export" =>
         repo.collection(args(2)).get.series(args(3)).exportCsv(args(4))
         println(s"exported to ${args(4)}")
+      case "delete" =>
+        repo.collection(args(2)).get.deleteSeries(args.drop(3).toSeq: _*)
+        println(s"deleted ${args.drop(3).mkString(", ")}")
+      case "delete-collection" =>
+        repo.deleteCollection(args(2))
+        println(s"deleted collection ${args(2)}")
+      case "rename" =>
+        repo.collection(args(2)).get.renameSeries(args(3), args(4))
+        println(s"renamed ${args(3)} -> ${args(4)}")
       case "rev" =>
         repo.collection(args(2)).get.changelog.log().foreach { r =>
           val flag = if (r.isLeaf) "*" else " "
           println(s"$flag ${r.path} (${new java.util.Date(r.epochMs)})")
         }
+      case "push" =>
+        repo.push(Repo(args(2), spark), args.drop(3).toSeq)
+        println(s"pushed to ${args(2)}")
+      case "pull" =>
+        repo.pull(Repo(args(2), spark), args.drop(3).toSeq)
+        println(s"pulled from ${args(2)}")
+      case "merge" =>
+        if (args.length > 2) repo.collection(args(2)).get.merge()
+        else repo.merge()
+        println("merged")
+      case "defrag" =>
+        repo.collection(args(2)).get.defrag()
+        println("defragged")
+      case "trim" =>
+        repo.collection(args(2)).get.trim(args(3).toLong)
+        println("trimmed")
+      case "squash" =>
+        repo.collection(args(2)).get.squash()
+        println("squashed")
       case "gc" =>
         println(s"buried ${repo.gc()} segments")
+      case "serve" =>
+        val srv = new StoreServer(repo.store, args(2).toInt).start()
+        println(s"serving ${args(0)} on port ${srv.boundPort}")
+        Thread.currentThread().join() // block until killed
       case other =>
         System.err.println(s"unknown command: $other")
     }
-    spark.stop()
   }
 }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.SparkSession
   *   tmp/…                                   staging for writes
   * }}}
   */
-class Repo(val rootUri: String, val spark: SparkSession) {
+class Repo(val rootUri: String, val spark: SparkSession,
+    storeOverride: Store = null) {
 
-  val store: Store = new HadoopStore(rootUri)
+  val store: Store =
+    if (storeOverride != null) storeOverride else new HadoopStore(rootUri)
   val registry = new Changelog(store, "registry/changelog")
 
   /** registry entry: path, schema, column mapping, read defaults */
@@ -173,6 +175,11 @@ class Repo(val rootUri: String, val spark: SparkSession) {
 }
 
 object Repo {
+  /** `http(s)://` roots open as HTTP-POD clients (a repo served by
+    * [[graft.core.StoreServer]]); everything else goes through the
+    * Hadoop FS connectors (file://, hdfs://, s3a://). */
   def apply(rootUri: String, spark: SparkSession): Repo =
-    new Repo(rootUri, spark)
+    if (rootUri.startsWith("http://") || rootUri.startsWith("https://"))
+      new Repo(rootUri, spark, new HttpStore(rootUri))
+    else new Repo(rootUri, spark)
 }

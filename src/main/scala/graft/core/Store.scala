@@ -99,6 +99,47 @@ final class HadoopStore(val root: String) extends Store {
   def uri(path: String): String = p(path).toString
 }
 
+/** Two-tier read-through store (reference lakota/pod.py:475-533
+  * CachePOD, examples/caching.md): blob reads try `front` (a fast
+  * local store) and fall back to `back` (the remote), populating the
+  * front copy on the way out. Content-addressed segment names make the
+  * cache trivially coherent — a path's bytes never change, so a cached
+  * copy is never stale; only deletion (rm/gc) must invalidate.
+  * Writes go straight to `back` (the durable tier). Spark scans via
+  * [[uri]] prefer the cached local copy when present.
+  */
+final class CacheStore(val front: Store, val back: Store) extends Store {
+  def ls(dir: String): Seq[String] = back.ls(dir)
+
+  def read(path: String): Array[Byte] =
+    if (front.exists(path)) front.read(path)
+    else {
+      val data = back.read(path)
+      front.write(path, data)
+      data
+    }
+
+  def write(path: String, data: Array[Byte]): Boolean =
+    back.write(path, data)
+
+  def rm(path: String, recursive: Boolean = false): Unit = {
+    if (front.exists(path)) front.rm(path, recursive)
+    back.rm(path, recursive)
+  }
+
+  def mv(from: String, to: String): Unit = {
+    if (front.exists(from)) front.rm(from, recursive = true)
+    back.mv(from, to)
+  }
+
+  def exists(path: String): Boolean = back.exists(path)
+
+  def walk(prefix: String): Seq[String] = back.walk(prefix)
+
+  def uri(path: String): String =
+    if (front.exists(path)) front.uri(path) else back.uri(path)
+}
+
 object Hash {
   def sha1(data: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-1")

@@ -92,8 +92,21 @@ object SExprCompiler {
     case "~" | "not" | "logical_not" => !compile(args.head)
     case "in" | "isin" =>
       val target = compile(args.head)
-      args.tail.map(a => target === compile(a))
+      // (in x (list a b c)) and variadic (in x a b c) both accepted
+      val cands = args.tail.flatMap {
+        case SCall("list", items) => items
+        case a => List(a)
+      }
+      cands.map(a => target === compile(a))
         .reduceLeft[Column](_ || _)
+    // container literals (reference sexpr.py:279-282)
+    case "list" => array(num(args): _*)
+    case "dict" =>
+      require(args.length % 2 == 0, "(dict k v k v ...)")
+      map(num(args): _*)
+    case "kw" =>
+      throw new IllegalArgumentException(
+        "(kw ...) is only valid as an argument of a call")
     // alias
     case "as" => args match {
       case List(e, SStr(name)) => compile(e).as(name)
@@ -124,11 +137,20 @@ object SExprCompiler {
       case None      => last(compile(args.head))
     }
     case "count" | "len" => count(compile(args.head))
-    case "quantile" => args match {
-      case List(e, q) => percentile(compile(e), compile(q))
-      case List(e) => percentile(compile(e), lit(0.5))
-      case _ => throw new IllegalArgumentException("(quantile col q)")
-    }
+    case "quantile" =>
+      val (kws, plain) = splitKw(args)
+      val interp = kws.get("interpolation") match {
+        case Some(SStr(s)) => s
+        case Some(other) => throw new IllegalArgumentException(
+          s"interpolation must be a string, got $other")
+        case None => "linear"
+      }
+      val (e, q) = plain match {
+        case List(e0, q0) => (compile(e0), compile(q0))
+        case List(e0)     => (compile(e0), lit(0.5))
+        case _ => throw new IllegalArgumentException("(quantile col q [kw])")
+      }
+      quantileInterp(e, q, interp)
     // common scalar functions (numpy-by-name coverage for the names
     // the reference itself exercises; sexpr.py:153-161)
     case "abs" => abs(compile(args.head))
@@ -166,6 +188,48 @@ object SExprCompiler {
       custom(other)(args.map(compile))
     case other =>
       throw new IllegalArgumentException(s"unknown s-expr operator: $other")
+  }
+
+  /** split `(kw 'name' value …)` arguments out of a call's argument
+    * list (reference sexpr.py:66-72, 314-324 KWargs). */
+  private def splitKw(args: List[SExpr])
+      : (Map[String, SExpr], List[SExpr]) = {
+    val (kwCalls, plain) = args.partition {
+      case SCall("kw", _) => true
+      case _ => false
+    }
+    val kws = kwCalls.collect { case SCall(_, items) =>
+      items.grouped(2).map {
+        case List(SStr(k), v) => k -> v
+        case List(SRef(k), v) => k -> v
+        case other => throw new IllegalArgumentException(
+          s"(kw ...) expects name/value pairs, got $other")
+      }.toList
+    }.flatten.toMap
+    (kws, plain)
+  }
+
+  /** numpy-style quantile interpolation modes. `linear` (the default)
+    * uses Spark's native exact percentile (partial-aggregable); the
+    * element-selecting modes sort the group's values — exact but
+    * memory-bound by group size, matching numpy semantics. */
+  private def quantileInterp(c: Column, q: Column, interp: String)
+      : Column = {
+    if (interp == "linear") return percentile(c, q)
+    val arr = sort_array(collect_list(c))
+    val n = size(arr).cast("double")
+    val pos = q * (n - lit(1.0))
+    val lo = floor(pos).cast("int") + lit(1)
+    val hi = ceil(pos).cast("int") + lit(1)
+    interp match {
+      case "lower"   => element_at(arr, lo)
+      case "higher"  => element_at(arr, hi)
+      case "nearest" => element_at(arr, round(pos).cast("int") + lit(1))
+      case "midpoint" =>
+        (element_at(arr, lo) + element_at(arr, hi)) / lit(2.0)
+      case other => throw new IllegalArgumentException(
+        s"unknown interpolation: $other")
+    }
   }
 
   private def truncUnit(u: String): String = u match {

@@ -102,6 +102,38 @@ class SExprSpec extends AnyFunSuite {
     val _ = c
   }
 
+  test("list / dict / in-list forms (reference sexpr_test examples)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(("foo", 1), ("ham", 2), ("nope", 3)).toDF("w", "x")
+    // (in "foo" (list "ham" "foo" "bar")) is trueish in the reference
+    val hits = d.filter(SExprCompiler.compile(
+      """(in self.w (list "ham" "foo" "bar"))"""))
+      .collect().map(_.getString(0)).toSet
+    assert(hits == Set("foo", "ham"))
+    val arr = d.limit(1).select(SExprCompiler.compile("(list 1 2 3)")
+      .as("a")).collect()(0).getSeq[Long](0)
+    assert(arr == Seq(1L, 2L, 3L))
+    val m = d.limit(1).select(SExprCompiler.compile(
+      "(dict 'k1' 10 'k2' 20)").as("m")).collect()(0)
+      .getMap[String, Long](0)
+    assert(m == Map("k1" -> 10L, "k2" -> 20L))
+  }
+
+  test("quantile with (kw 'interpolation' ...) modes") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 10).map(_.toDouble).toDF("v") // quartiles at 3.25/7.75
+    def q(expr: String): Double =
+      d.agg(SExprCompiler.compile(expr).as("q")).collect()(0).getDouble(0)
+    assert(math.abs(q("(quantile self.v 0.25)") - 3.25) < 1e-9)
+    assert(q("(quantile self.v 0.25 (kw 'interpolation' 'lower'))") == 3.0)
+    assert(q("(quantile self.v 0.25 (kw 'interpolation' 'higher'))") == 4.0)
+    assert(q("(quantile self.v 0.25 (kw 'interpolation' 'nearest'))") == 3.0)
+    assert(
+      q("(quantile self.v 0.25 (kw 'interpolation' 'midpoint'))") == 3.5)
+  }
+
   test("grouped first/last deterministic under shuffled partitioning") {
     val s = spark
     import s.implicits._
