@@ -117,6 +117,12 @@ object Cli {
       case "squash" =>
         repo.collection(args(2)).get.squash()
         println("squashed")
+      case "export-repo" =>
+        repo.exportTo(args(2), args.drop(3).toSeq)
+        println(s"exported repo to ${args(2)}")
+      case "import-repo" =>
+        repo.importFrom(args(2))
+        println(s"imported repo from ${args(2)}")
       case "gc" =>
         println(s"buried ${repo.gc()} segments")
       case "serve" =>

@@ -150,13 +150,30 @@ object QueriesSim {
 
   // ---- q24: exact n-gram jaccard similarity join -----------------------
 
+  /** Max document frequency for a shingle to generate candidate
+    * pairs: a stop-shingle shared by 10^6 docs would otherwise explode
+    * the inverted-index join quadratically. Pairs sharing ONLY
+    * frequent shingles are (deterministically, in both engines)
+    * missed; the exact jaccard of surviving candidates still counts
+    * every shingle. */
+  val MaxShingleDf = 100
+
   private def jaccardBody(tokRef: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM $tokRef GROUP BY doc_id),
+       |rare AS (
+       |  SELECT t.doc_id, t.s FROM $tokRef t JOIN (
+       |    SELECT s FROM $tokRef GROUP BY s
+       |    HAVING count(*) <= $MaxShingleDf) f ON t.s = f.s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM rare a JOIN rare b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id),
        |inter AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cnt
-       |  FROM $tokRef a JOIN $tokRef b
-       |    ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |  SELECT c.da, c.db, count(*) AS cnt
+       |  FROM cand c
+       |  JOIN $tokRef a ON a.doc_id = c.da
+       |  JOIN $tokRef b ON b.doc_id = c.db AND b.s = a.s
+       |  GROUP BY c.da, c.db)
        |SELECT da AS doc_a, db AS doc_b,
        |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
        |FROM inter JOIN sizes sa ON da = sa.doc_id

@@ -17,6 +17,12 @@ class Collection(val repo: Repo, val label: String, val path: String,
 
   val changelog = new Changelog(repo.store, s"$path/changelog")
   var pageLen: Long = 500000L
+  /** writes serializing under this many bytes embed their rows in the
+    * manifest instead of creating a parquet segment (reference
+    * lakota/series.py embed_max_size; 0 disables embedding) */
+  var embedMaxSize: Long = 1024L
+  /** row cap for the tiny-write probe collect */
+  var embedProbeRows: Int = 256
 
   // pending writes (one Seq of tiled rows per write) for multi()
   private var batch: scala.collection.mutable.ArrayBuffer[Seq[SegmentMeta]] =
@@ -125,7 +131,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case None => ()
       case Some(m) =>
         m.labels.foreach { lbl =>
-          val rows = m.rows.filter(r => r.label == lbl && r.files.nonEmpty)
+          val rows = m.rows.filter(r => r.label == lbl && r.hasData)
           // contiguous runs of small segments only: a large segment
           // fast-forwards the cursor and is NEVER rewritten (reference
           // lakota/collection.py:386-403) — small segments sandwiching
@@ -180,6 +186,15 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // committed after the common ancestor
     val baseLeaf = leaves.head
     var m = Manifest.decode(changelog.payload(baseLeaf))
+    // rows already present in the base leaf or the common ancestor are
+    // NOT that branch's work — replaying them (e.g. truncated-neighbor
+    // rows produced by a splice) would clobber the other branch's data
+    // (reference merge skips rows present in base/root commits)
+    val ancestorRows: Set[SegmentMeta] =
+      chains.head.takeWhile(r => common.contains(r.child)).lastOption
+        .map(r => Manifest.decode(changelog.payload(r)).rows.toSet)
+        .getOrElse(Set.empty)
+    val skipRows = m.rows.toSet ++ ancestorRows
     chains.tail.foreach { chain =>
       val divergent = chain.dropWhile(r => common.contains(r.child))
       divergent.foreach { rev =>
@@ -189,7 +204,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
           .getOrElse(Manifest.empty(schema))
         // rows introduced by this revision = rows absent from parent
         val parentRows = parentM.rows.toSet
-        revM.rows.filterNot(parentRows.contains).foreach { r =>
+        revM.rows.filterNot(r =>
+          parentRows.contains(r) || skipRows.contains(r)).foreach { r =>
           m = m.update(r)
         }
       }

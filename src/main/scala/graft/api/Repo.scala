@@ -146,6 +146,47 @@ class Repo(val rootUri: String, val spark: SparkSession,
 
   def merge(): Unit = ls().flatMap(collection(_)).foreach(_.merge())
 
+  /** Bulk export of whole collections (reference Repo.export_,
+    * lakota/repo.py:415-499): one parquet dataset per series under
+    * `path/<collection>/<series>/` plus a `_schemas.json` with each
+    * collection's schema, so [[importFrom]] can rebuild from scratch.
+    */
+  def exportTo(path: String, labels: Seq[String] = Nil): Unit = {
+    val want = if (labels.nonEmpty) labels else ls()
+    val out = new HadoopStore(path)
+    val schemas = want.flatMap(l => collection(l).map(l -> _)).map {
+      case (l, c) =>
+        c.ls().foreach { sl =>
+          c.series(sl).frame()
+            .write.mode("overwrite").parquet(out.uri(s"$l/$sl"))
+        }
+        s"${Json.str(l)}:{" +
+          s""""schema":${Json.str(c.schema.serialize)},"series":${
+            c.ls().map(Json.str).mkString("[", ",", "]")}}"""
+    }
+    out.rm("_schemas.json")
+    out.write("_schemas.json",
+      schemas.mkString("{", ",", "}").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Inverse of [[exportTo]]: create collections and load each series'
+    * parquet dump (reference Repo.import_). */
+  def importFrom(path: String): Unit = {
+    val in = new HadoopStore(path)
+    val m = Json.parse(new String(in.read("_schemas.json"), "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    m.foreach { case (label, v) =>
+      val vm = v.asInstanceOf[Map[String, Any]]
+      val schema = GSchema.fromJson(vm("schema").asInstanceOf[String])
+      val c = createCollection(schema, label)
+      vm("series").asInstanceOf[List[Any]].foreach { sl =>
+        val name = sl.asInstanceOf[String]
+        c.series(name).write(spark.read.parquet(in.uri(s"$label/$name")))
+      }
+    }
+  }
+
   /** Two-phase GC (reference lakota/repo.py:339-413): unreferenced
     * segment files are soft-deleted (renamed with a hextime suffix);
     * buried files older than `timeoutMs` are removed; referenced

@@ -61,6 +61,18 @@ class Series(val collection: Collection, val label: String) {
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
+    // tiny-write fast path (reference lakota/series.py:148-157,
+    // embed_max_size): frames that serialize under embedMaxSize bytes
+    // are embedded straight in the manifest — no segment file, no
+    // parquet footer, no sort/stat Spark jobs. The probe collect is
+    // bounded (CollectLimit evaluates partitions incrementally).
+    if (collection.embedMaxSize > 0) {
+      val probeLimit = collection.embedProbeRows + 1
+      val probe = data.limit(probeLimit).collect()
+      if (probe.length < probeLimit &&
+          writeInline(probe, startK, stopK, closed, root)) return
+    }
+
     // Global sort via range partitioning; AQE coalesces the default
     // shuffle partition count for small inputs, maxRecordsPerFile caps
     // segment size at pageLen. No driver-side count needed.
@@ -147,6 +159,38 @@ class Series(val collection: Collection, val label: String) {
         Vector(files(i)), Some(stats(i).min), Some(stats(i).max))
     }
     commitRows(rows, root)
+  }
+
+  /** Embed a collected tiny frame in the manifest if it fits under
+    * collection.embedMaxSize serialized bytes; returns false to fall
+    * back to the parquet path. Empty frames commit a tombstone row
+    * (same contract as the parquet path). */
+  private def writeInline(probe: Array[Row], startK: IndexKey,
+      stopK: IndexKey, closed: Closed, root: Boolean): Boolean = {
+    if (probe.isEmpty) {
+      require(startK != null && stopK != null,
+        "empty write needs explicit start/stop bounds")
+      commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
+        Vector.empty)), root)
+      return true
+    }
+    val idxPos = schema.cols.zipWithIndex.filter(_._1.idx).map(_._2)
+    val kernelRows = probe.map(r =>
+      schema.cols.zipWithIndex.map { case (c, i) =>
+        SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
+    def keyOfRow(v: Vector[Any]): IndexKey = IndexKey(idxPos.map(v).toVector)
+    val sortedRows = kernelRows.sortWith((a, b) =>
+      schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0).toVector
+    val approxBytes = sortedRows.iterator
+      .map(_.map(Json.scalar).map(_.length + 1).sum).sum
+    if (approxBytes > collection.embedMaxSize) return false
+    val mn = keyOfRow(sortedRows.head)
+    val mx = keyOfRow(sortedRows.last)
+    commitRows(Seq(SegmentMeta(label,
+      Option(startK).getOrElse(mn), Option(stopK).getOrElse(mx),
+      closed, sortedRows.length.toLong, Vector.empty,
+      Some(mn), Some(mx), Some(sortedRows))), root)
+    true
   }
 
   /** Splice one write's segment rows into the leaf manifest and append
@@ -237,9 +281,35 @@ class Series(val collection: Collection, val label: String) {
       case _ => false
     }
 
+  /** manifest-embedded rows -> local DataFrame (no store access).
+    * Inline vectors are positional over the SOURCE columns (clones may
+    * add default-valued columns, which are synthesized here). */
+  private def inlineDf(s: SegmentRead): DataFrame = {
+    val srcCols = schema.cols.filterNot(c =>
+      collection.defaults.contains(c.name))
+    val data = s.meta.inline.get.map { v =>
+      val bySrc = srcCols.map(_.name).zip(
+        v.zip(srcCols).map { case (x, c) =>
+          SparkVals.fromKernel(c.dtype, x) }).toMap
+      Row.fromSeq(schema.cols.map { c =>
+        collection.defaults.get(c.name) match {
+          case Some(d) => SparkVals.fromKernel(c.dtype, d)
+          case None    => bySrc(c.name)
+        }
+      })
+    }
+    val jlist = new java.util.ArrayList[Row](data.length)
+    data.foreach(jlist.add)
+    val df = spark.createDataFrame(jlist, schema.sparkSchema)
+    if (coversData(s)) df
+    else df.filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
+      s.stop, s.closed))
+  }
+
   /** single-segment DataFrame, residual range filter only if clipped */
   private def segDf(s: SegmentRead): DataFrame =
-    if (coversData(s)) scanFiles(s.meta.files)
+    if (s.meta.inline.isDefined) inlineDf(s)
+    else if (coversData(s)) scanFiles(s.meta.files)
     else scanFiles(s.meta.files)
       .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
         s.stop, s.closed))
@@ -249,12 +319,13 @@ class Series(val collection: Collection, val label: String) {
       limit: Option[Long] = None, offset: Option[Long] = None,
       select: Seq[String] = Nil): DataFrame = {
     val segs = segments(start, stop, beforeMs, closed)
-    val dataSegs = segs.filter(_.meta.files.nonEmpty)
-    val (unclipped, clipped) = dataSegs.partition(coversData)
+    val (inlineSegs, fileSegs) = segs.filter(_.meta.hasData)
+      .partition(_.meta.inline.isDefined)
+    val (unclipped, clipped) = fileSegs.partition(coversData)
     val grouped =
       if (unclipped.isEmpty) Nil
       else Seq(scanFiles(unclipped.flatMap(_.meta.files)))
-    val parts = grouped ++ clipped.map(segDf)
+    val parts = grouped ++ clipped.map(segDf) ++ inlineSegs.map(inlineDf)
     var df = parts.reduceOption(_ union _).getOrElse(emptyDf)
     if (offset.isDefined || limit.isDefined) {
       df = df.orderBy(idxCols: _*)
@@ -288,7 +359,7 @@ class Series(val collection: Collection, val label: String) {
       closed: Closed = Closed.Left): Iterator[DataFrame] = {
     require(step > 0, "step must be > 0")
     val segs = segments(start, stop, beforeMs, closed)
-      .filter(_.meta.files.nonEmpty)
+      .filter(_.meta.hasData)
     val lens = segs.map(s =>
       if (coversData(s)) s.meta.length else segDf(s).count())
     val cum = lens.scanLeft(0L)(_ + _)

@@ -28,7 +28,16 @@ final case class SegmentMeta(
       * visible range still covers the data range. None = unknown
       * (older manifests): always filter. */
     dataStart: Option[IndexKey] = None,
-    dataStop: Option[IndexKey] = None) extends Serializable
+    dataStop: Option[IndexKey] = None,
+    /** Tiny writes are embedded straight in the manifest instead of
+      * paying a parquet file + footer per write (reference
+      * lakota/series.py:148-157, embed_max_size): rows in kernel
+      * scalar repr, one vector per row in non-default column order,
+      * sorted by index. Mutually exclusive with `files`. */
+    inline: Option[Vector[Vector[Any]]] = None) extends Serializable {
+  /** does this row carry data (either as files or embedded rows)? */
+  def hasData: Boolean = files.nonEmpty || inline.isDefined
+}
 
 final case class SegmentRead(meta: SegmentMeta, start: IndexKey,
     stop: IndexKey, closed: Closed)
@@ -253,10 +262,17 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
           s""","dstart":${key(ds)},"dstop":${key(de)}"""
         case _ => ""
       }
+      val inlinePart = r.inline match {
+        case Some(rows) => s""","inline":${rows.map(
+          _.map(Json.scalar).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")}"""
+        case None => ""
+      }
       s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
       s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
       s""""length":${r.length},"files":${
-        r.files.map(Json.str).mkString("[", ",", "]")}$dataBounds}"""
+        r.files.map(Json.str).mkString("[", ",", "]")
+        }$dataBounds$inlinePart}"""
     }.mkString("[", ",", "]")
     val _ = idxTypes
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
@@ -343,7 +359,11 @@ object Manifest {
         rm("length").asInstanceOf[Long],
         rm("files").asInstanceOf[List[Any]]
           .map(_.asInstanceOf[String]).toVector,
-        rm.get("dstart").map(key), rm.get("dstop").map(key))
+        rm.get("dstart").map(key), rm.get("dstop").map(key),
+        rm.get("inline").map(_.asInstanceOf[List[Any]].map { rv =>
+          rv.asInstanceOf[List[Any]].zip(schema.cols)
+            .map { case (x, c) => toKernel(c.dtype, x) }.toVector
+        }.toVector))
     }.toVector
     Manifest(schema, rws)
   }

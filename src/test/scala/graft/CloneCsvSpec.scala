@@ -19,6 +19,7 @@ class CloneCsvSpec extends AnyFunSuite {
   test("clone with column rename shares segment files") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "src")
+    clct.embedMaxSize = 0L // exercise the shared-file (not inline) path
     val s = clct.series("_")
     s.write(TestSpark.frame(Seq(1L, 2L, 3L), Seq(1.0, 2.0, 3.0)))
 

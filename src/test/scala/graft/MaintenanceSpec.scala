@@ -93,6 +93,7 @@ class MaintenanceSpec extends AnyFunSuite {
   test("defrag compacts small segments") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
     clct.pageLen = 100L
     val s = clct.series("_")
     (0 until 8).foreach { i =>
@@ -113,6 +114,7 @@ class MaintenanceSpec extends AnyFunSuite {
   test("gc buries unreferenced segments and resurrects referenced ones") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // force parquet segments: gc operates on files
     val s = clct.series("_")
     s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
     Thread.sleep(3)
@@ -185,6 +187,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r3.registry.leafs().length == 1) // healed
   }
 
+  test("repo bulk export/import round-trips collections") {
+    val a = freshRepo()
+    val c = a.createCollection(schema, "c")
+    c.series("s1").write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    c.series("s2").write(TestSpark.frame(Seq(5L), Seq(5.0)))
+    val dump = Files.createTempDirectory("graft-dump").toString
+    a.exportTo(dump)
+    val b = freshRepo()
+    b.importFrom(dump)
+    assert(rows(b.collection("c").get.series("s1").frame()) ==
+      Seq((1L, 1.0), (2L, 2.0)))
+    assert(rows(b.collection("c").get.series("s2").frame()) ==
+      Seq((5L, 5.0)))
+  }
+
   test("trim with cutoff after the last write keeps the leaf") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
@@ -204,6 +221,7 @@ class MaintenanceSpec extends AnyFunSuite {
   test("defrag fast-forwards past large segments (no rewrite)") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // the point is file-level rewrite avoidance
     clct.pageLen = 100L
     val s = clct.series("_")
     (0 until 5).foreach { i =>

@@ -47,7 +47,9 @@ class PlanSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-plan3").toString
     val repo = new Repo(root, spark)
     val schema = GSchema("timestamp" -> "int*", "value" -> "float")
-    val s = repo.createCollection(schema, "c").series("_")
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // force file segments to count scans
+    val s = clct.series("_")
     // five disjoint writes -> five segments, none truncated
     (0 until 5).foreach(i => s.write(TestSpark.frame(
       Seq(100L * i, 100L * i + 1), Seq(i * 1.0, i * 1.0 + 0.5))))

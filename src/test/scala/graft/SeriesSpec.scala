@@ -215,6 +215,25 @@ class SeriesSpec extends AnyFunSuite {
       Seq((1589455904L, 4.4)))
   }
 
+  test("tiny writes embed in the manifest (no segment file)") {
+    val s = freshSeries() // 3 rows -> inline
+    assert(s.collection.repo.store.walk("seg").isEmpty,
+      "tiny write must not create parquet segments")
+    val m = s.collection.manifest().get
+    assert(m.rows.forall(_.inline.isDefined))
+    assert(rows(s.frame()) == origTs.zip(origVals))
+    // overlay splice over an inline segment: residual filter applies
+    s.write(TestSpark.frame(Seq(1589455904L), Seq(99.0)))
+    assert(rows(s.frame()) == Seq((1589455903L, 3.3),
+      (1589455904L, 99.0), (1589455905L, 5.5)))
+    // a big write alongside inline neighbors still lands as files
+    val big = (1589456000L until 1589456300L)
+    s.write(TestSpark.frame(big, big.map(_.toDouble)))
+    assert(s.collection.repo.store.walk("seg")
+      .exists(_.endsWith(".parquet")))
+    assert(s.frame().count() == 303L)
+  }
+
   test("paginate: fixed pages in order, concat equals frame") {
     val s = freshSeries()
     s.write(TestSpark.frame(

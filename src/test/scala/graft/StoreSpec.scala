@@ -122,7 +122,9 @@ class StoreSpec extends AnyFunSuite {
     val back = new HadoopStore(backRoot)
     val store = new CacheStore(front, back)
     val repo = new Repo(backRoot, spark, store)
-    val s = repo.createCollection(schema, "c").series("_")
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // the test inspects segment files
+    val s = clct.series("_")
     s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
     val seg = back.walk("seg").filter(_.endsWith(".parquet"))
     assert(seg.nonEmpty)
@@ -140,6 +142,7 @@ class StoreSpec extends AnyFunSuite {
       val url = s"http://127.0.0.1:${server.boundPort}"
       val repo = Repo(url, spark)
       val clct = repo.createCollection(schema, "c")
+      clct.embedMaxSize = 0L // exercise segment upload/download over HTTP
       val s = clct.series("_")
       s.write(TestSpark.frame(Seq(1L, 2L, 3L), Seq(1.0, 2.0, 3.0)))
       // blobs actually live on the served side
