@@ -314,10 +314,29 @@ class Series(val collection: Collection, val label: String) {
       .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
         s.stop, s.closed))
 
+  /** Output dtype mapping styles (reference lakota/schema.py:25-38
+    * DTYPE_MAP): "default" keeps native Spark timestamp/date types,
+    * "epoch" casts both to integral epoch seconds. */
+  def styled(df: DataFrame, style: String): DataFrame = style match {
+    case "default" => df
+    case "epoch" =>
+      df.select(df.columns.toSeq.map { n =>
+        schema.cols.find(_.name == n).map(_.dtype) match {
+          case Some(GType.TimestampT) =>
+            unix_timestamp(col(n)).as(n)
+          case Some(GType.DateT) =>
+            (col(n).cast("timestamp").cast("long")).as(n)
+          case _ => col(n)
+        }
+      }: _*)
+    case other =>
+      throw new IllegalArgumentException(s"unknown dtype style: $other")
+  }
+
   def frame(start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       limit: Option[Long] = None, offset: Option[Long] = None,
-      select: Seq[String] = Nil): DataFrame = {
+      select: Seq[String] = Nil, style: String = "default"): DataFrame = {
     val segs = segments(start, stop, beforeMs, closed)
     val (inlineSegs, fileSegs) = segs.filter(_.meta.hasData)
       .partition(_.meta.inline.isDefined)
@@ -333,7 +352,7 @@ class Series(val collection: Collection, val label: String) {
       limit.foreach(l => df = df.limit(l.toInt))
     }
     if (select.nonEmpty) df = df.select(select.map(col): _*)
-    df
+    styled(df, style)
   }
 
   /** Last `n` rows by index order (optionally pre-filtered). */

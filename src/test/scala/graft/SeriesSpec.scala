@@ -254,6 +254,25 @@ class SeriesSpec extends AnyFunSuite {
       start = 9999999999L, stop = 9999999999L).isEmpty)
   }
 
+  test("epoch dtype output style") {
+    val root = Files.createTempDirectory("graft-repo").toString
+    val repo = new Repo(root, spark)
+    val tschema = GSchema("ts" -> "timestamp*", "d" -> "date",
+      "value" -> "float")
+    val s = repo.createCollection(tschema, "t").series("_")
+    val sess = spark
+    import sess.implicits._
+    s.write(Seq(
+      ("2020-01-02 00:00:00", "2020-01-02", 1.5))
+      .toDF("ts", "d", "value")
+      .selectExpr("cast(ts as timestamp) ts", "cast(d as date) d",
+        "value"))
+    val r = s.frame(style = "epoch").collect()(0)
+    assert(r.getLong(0) == 1577923200L) // 2020-01-02T00:00:00Z seconds
+    assert(r.getLong(1) == 1577923200L) // date -> epoch seconds
+    assert(r.getDouble(2) == 1.5)
+  }
+
   test("multi-column index") {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
