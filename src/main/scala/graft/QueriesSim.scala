@@ -38,12 +38,26 @@ object QueriesSim {
     * needed) — no driver-local filesystem round trip, no second write
     * job. The REPARTITION(32, doc_id) hints inside the SQL keep the
     * cached data spread across partitions so AQE cannot serialize the
-    * CPU-heavy downstream joins. */
-  private def materialize(s: SparkSession, sql: String, view: String)
-      : Unit = {
-    val df = s.sql(sql)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df.count() // force one computation; all downstream branches reuse it
+    * CPU-heavy downstream joins.
+    *
+    * Cached per (session, view, dir): q22/q23/q24 all derive from the
+    * same shingle table, so within one session the explode+md5 pass
+    * runs once, not three times. A cached DataFrame's plan is captured
+    * at creation, so later re-registration of the `documents` temp
+    * view for a different dir cannot leak in — the dir is in the key.
+    */
+  private val matCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), DataFrame]
+
+  private def materialize(s: SparkSession, dir: String, sql: String,
+      view: String): Unit = {
+    val df = matCache.getOrElseUpdate(
+      (System.identityHashCode(s), view, dir), {
+        val d = s.sql(sql)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count() // force one computation; all branches reuse it
+        d
+      })
     df.createOrReplaceTempView(view)
   }
 
@@ -89,11 +103,13 @@ object QueriesSim {
        |  $minhashCols
        |FROM $tokRef GROUP BY doc_id)""".stripMargin
 
-  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame =
-    run(s, dir,
-      s"""WITH t0 AS ($sparkShingleSelect),
-         |${sigBody("t0")}
+  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    materialize(s, dir, sparkShingleSelect, "sim_tok")
+    s.sql(
+      s"""WITH ${sigBody("sim_tok")}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin)
+  }
 
   val q22_oracle: String =
     s"""WITH $duckShingleTok,
@@ -138,11 +154,11 @@ object QueriesSim {
 
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    materialize(s, sparkShingleSelect, "q23_tok")
+    materialize(s, dir, sparkShingleSelect, "sim_tok")
     // sig is referenced by all four band branches — materialize once
-    materialize(s,
-      s"WITH ${sigBody("q23_tok")} SELECT * FROM sig", "q23_sig")
-    s.sql(s"WITH ${lshTail("q23_sig", "q23_tok")}")
+    materialize(s, dir,
+      s"WITH ${sigBody("sim_tok")} SELECT * FROM sig", "sim_sig")
+    s.sql(s"WITH ${lshTail("sim_sig", "sim_tok")}")
   }
 
   val q23_oracle: String =
@@ -183,8 +199,8 @@ object QueriesSim {
 
   def q24_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    materialize(s, sparkShingleSelect, "q24_tok")
-    s.sql(s"WITH ${jaccardBody("q24_tok")}")
+    materialize(s, dir, sparkShingleSelect, "sim_tok")
+    s.sql(s"WITH ${jaccardBody("sim_tok")}")
   }
 
   val q24_oracle: String =

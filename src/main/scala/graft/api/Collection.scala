@@ -243,10 +243,15 @@ class Collection(val repo: Repo, val label: String, val path: String,
     target
   }
 
-  /** All content-addressed segment files referenced by any revision. */
-  def digests(): Set[String] =
-    changelog.log().flatMap(r =>
-      Manifest.decode(changelog.payload(r)).allFiles).toSet
+  /** All content-addressed segment files referenced by any revision.
+    * Revision payloads decode in parallel — at millions of revisions
+    * the serial driver loop, not the store, is the gc bottleneck. */
+  def digests(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    changelog.log().toList.asJava.parallelStream()
+      .map[Set[String]](r => Manifest.decode(changelog.payload(r)).allFiles)
+      .reduce(Set.empty[String], (a: Set[String], b: Set[String]) => a ++ b)
+  }
 
   /** Copy missing segment files + changelog entries from `remote`. */
   def pull(remote: Collection, shallow: Boolean = false): Unit = {
