@@ -76,10 +76,28 @@ object Cli {
           .orderBy(series.collection.schema.idxNames.map(
             org.apache.spark.sql.functions.col): _*)
           .show(100, truncate = false)
+      case "read-csv" =>
+        val series = repo.collection(args(2)).get.series(args(3))
+        val start = if (args.length > 4) args(4) else null
+        val stop = if (args.length > 5) args(5) else null
+        val df = series.frame(start, stop, closed = Closed.Left)
+          .orderBy(series.collection.schema.idxNames.map(
+            org.apache.spark.sql.functions.col): _*)
+        println(df.columns.mkString(","))
+        df.collect().foreach(r => println(
+          r.toSeq.map(v => if (v == null) "" else v.toString)
+            .mkString(",")))
       case "length" =>
         println(repo.collection(args(2)).get.series(args(3)).length())
       case "write" | "import" =>
-        repo.collection(args(2)).get.series(args(3)).importCsv(args(4))
+        // "-" reads csv from stdin (reference `lakota write`)
+        val path =
+          if (args(4) == "-") {
+            val tmp = java.nio.file.Files.createTempFile("graft-in", ".csv")
+            java.nio.file.Files.write(tmp, System.in.readAllBytes())
+            tmp.toString
+          } else args(4)
+        repo.collection(args(2)).get.series(args(3)).importCsv(path)
         println("written")
       case "export" =>
         repo.collection(args(2)).get.series(args(3)).exportCsv(args(4))

@@ -123,6 +123,30 @@ object SExprCompiler {
       case _ => throw new IllegalArgumentException("(as-tz ts 'zone')")
     }
     case "day_of_week_num" => dayofweek(compile(args.head)) - lit(1)
+    // date-range generation (reference utils.py:104-108 drange):
+    // (drange '2020-01-01' '2020-01-05' 'D') -> array of timestamps,
+    // right-open like numpy.arange
+    case "drange" => args match {
+      case List(a, b, SStr(unit)) =>
+        val lo = compile(a).cast("timestamp")
+        val hi = compile(b).cast("timestamp")
+        val step = unit match {
+          case "s" => expr("interval 1 second")
+          case "m" => expr("interval 1 minute")
+          case "h" => expr("interval 1 hour")
+          case "D" => expr("interval 1 day")
+          case "W" => expr("interval 7 days")
+          case "M" => expr("interval 1 month")
+          case "Y" => expr("interval 1 year")
+          case other => throw new IllegalArgumentException(
+            s"unknown drange unit: $other")
+        }
+        // sequence() is closed on both ends; drop the end bound when it
+        // falls exactly on the grid to match arange's right-open range
+        filter(sequence(lo, hi, step), t => t < hi)
+      case _ => throw new IllegalArgumentException(
+        "(drange start stop 'unit')")
+    }
     // aggregates (reference sexpr.py:169-224)
     case "min" => min(compile(args.head))
     case "max" => max(compile(args.head))

@@ -58,4 +58,18 @@ class CliSpec extends AnyFunSuite {
     cli(b, "export", "temp", "brussels", out)
     assert(Files.list(Paths.get(out)).toArray.nonEmpty)
   }
+
+  test("read-csv emits header + rows on stdout") {
+    val a = Files.createTempDirectory("graft-cli-c").toString
+    cli(a, "create", "t", "timestamp:int*", "value:float")
+    api.Repo(a, spark).collection("t").get.series("s")
+      .write(TestSpark.frame(Seq(1L, 2L), Seq(1.5, 2.5)))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      cli(a, "read-csv", "t", "s")
+    }
+    val lines = buf.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines.head == "timestamp,value")
+    assert(lines.tail == Seq("1,1.5", "2,2.5"))
+  }
 }

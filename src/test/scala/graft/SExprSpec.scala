@@ -120,6 +120,19 @@ class SExprSpec extends AnyFunSuite {
     assert(m == Map("k1" -> 10L, "k2" -> 20L))
   }
 
+  test("drange generates right-open timestamp ranges") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(1).toDF("x").select(SExprCompiler.compile(
+      "(drange '2020-01-01' '2020-01-04' 'D')").as("r"))
+      .selectExpr("size(r) n", "cast(r[0] as string) first",
+        "cast(r[2] as string) last")
+      .collect()(0)
+    assert(out.getInt(0) == 3) // right-open: 01, 02, 03
+    assert(out.getString(1) == "2020-01-01 00:00:00")
+    assert(out.getString(2) == "2020-01-03 00:00:00")
+  }
+
   test("quantile with (kw 'interpolation' ...) modes") {
     val s = spark
     import s.implicits._
