@@ -75,6 +75,46 @@ object StreamOps {
       }
   }
 
+  final case class GapState(sessStart: Long, lastTs: Long, n: Long,
+      total: Double)
+  final case class SessionRow(user_id: Long,
+      sess_start: java.sql.Timestamp, n_events: Long, total: Double)
+
+  /** Event-time gap sessionization (streaming twin of the batch
+    * q39_sessions): a silence longer than `gapMs` closes the session.
+    * Closed sessions are emitted as they happen (append mode); the
+    * still-open session per user lives in state across micro-batches.
+    */
+  def gapSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var out = List.empty[SessionRow]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) {
+              st = GapState(t, t, 1L, e.value)
+            } else if (t - st.lastTs > gapMs) {
+              out ::= SessionRow(userId,
+                new java.sql.Timestamp(st.sessStart), st.n, st.total)
+              st = GapState(t, t, 1L, e.value)
+            } else {
+              st = st.copy(lastTs = t, n = st.n + 1L,
+                total = st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.reverse.iterator
+      }
+  }
+
   /** Sink a stream INTO the versioned engine: each micro-batch becomes
     * one overlay write (one revision) on the target series — the
     * engine's append-only changelog is a natural streaming sink, and

@@ -85,6 +85,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(series.collection.changelog.log().nonEmpty)
   }
 
+  test("streaming windowed stats equal the batch plan row-for-row") {
+    val dir = stageEvents()
+    val stream = StreamOps.eventStream(spark, dir, eventSchema)
+    val q = StreamOps.windowedStats(stream, "ts", "1 day", "1 day",
+      "1 hour").writeStream.outputMode("complete")
+      .format("memory").queryName("win_eq").start()
+    try {
+      q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("win_start").cast("string"), col("event_type"),
+        col("cnt"), round(col("total"), 6))
+        .collect().map(_.toString).sorted.toSeq
+      val streamed = norm(spark.table("win_eq"))
+      val batch = norm(
+        Tables.table(spark, "/root/testdata/sf0.001", "events")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+          .select(col("window.start").as("win_start"),
+            col("event_type"), col("cnt"), col("total")))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes sessions on silence > gap") {
+    val sess = spark
+    import sess.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) =
+      new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val dir = Files.createTempDirectory("graft-gap").toString
+    Seq(
+      StreamOps.SessionEvent(1L, at(0), 1.0),
+      StreamOps.SessionEvent(1L, at(1), 2.0),
+      StreamOps.SessionEvent(1L, at(40), 3.0),  // >30min gap: new sess
+      StreamOps.SessionEvent(1L, at(41), 4.0),
+      StreamOps.SessionEvent(2L, at(0), 5.0),
+      StreamOps.SessionEvent(2L, at(90), 6.0)   // user 2: two sessions
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .parquet(dir).as[StreamOps.SessionEvent]
+    val q = StreamOps.gapSessions(stream, gapMs = 30L * 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_out").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("gap_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      // only CLOSED sessions emit; the trailing session of each user
+      // stays open in state
+      assert(closed == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits per-user state") {
     val sess = spark
     import sess.implicits._
