@@ -10,17 +10,24 @@ import java.nio.file.Files
   * writes, closed-bound reads, delete, time travel, tail, select,
   * KV upsert, update padding.
   */
-class SeriesSpec extends AnyFunSuite {
+abstract class SeriesSpecBase(embedOn: Boolean) extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   val schema = GSchema("timestamp" -> "int*", "value" -> "float")
   val origTs = Seq(1589455903L, 1589455904L, 1589455905L)
   val origVals = Seq(3.3, 4.4, 5.5)
 
+  /** run the whole matrix in both storage modes: manifest-inline tiny
+    * segments (default) and forced parquet files */
+  def tuned(c: Collection): Collection = {
+    if (!embedOn) c.embedMaxSize = 0L
+    c
+  }
+
   def freshSeries(): Series = {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
-    val clct = repo.createCollection(schema, "-")
+    val clct = tuned(repo.createCollection(schema, "-"))
     val s = clct.series("_")
     s.write(TestSpark.frame(origTs, origVals))
     s
@@ -216,6 +223,7 @@ class SeriesSpec extends AnyFunSuite {
   }
 
   test("tiny writes embed in the manifest (no segment file)") {
+    assume(embedOn, "inline-embedding mode only")
     val s = freshSeries() // 3 rows -> inline
     assert(s.collection.repo.store.walk("seg").isEmpty,
       "tiny write must not create parquet segments")
@@ -259,7 +267,7 @@ class SeriesSpec extends AnyFunSuite {
     val repo = new Repo(root, spark)
     val tschema = GSchema("ts" -> "timestamp*", "d" -> "date",
       "value" -> "float")
-    val s = repo.createCollection(tschema, "t").series("_")
+    val s = tuned(repo.createCollection(tschema, "t")).series("_")
     val sess = spark
     import sess.implicits._
     s.write(Seq(
@@ -278,7 +286,7 @@ class SeriesSpec extends AnyFunSuite {
     val repo = new Repo(root, spark)
     val mschema = GSchema("timestamp" -> "int*", "version" -> "int*",
       "value" -> "float")
-    val clct = repo.createCollection(mschema, "--")
+    val clct = tuned(repo.createCollection(mschema, "--"))
     val s = clct.series("_")
     val sess = spark
     import sess.implicits._
@@ -304,7 +312,7 @@ class SeriesSpec extends AnyFunSuite {
     val repo = new Repo(root, spark)
     val kschema = GSchema.kv("timestamp" -> "timestamp*",
       "category" -> "str*", "value" -> "int")
-    val clct = repo.createCollection(kschema, "kv")
+    val clct = tuned(repo.createCollection(kschema, "kv"))
     val s = clct.series("_")
     val sess = spark
     import sess.implicits._
@@ -323,7 +331,7 @@ class SeriesSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
     val kschema = GSchema.kv("label" -> "str*", "meta" -> "int")
-    val s = repo.createCollection(kschema, "kvd").kvSeries("_")
+    val s = tuned(repo.createCollection(kschema, "kvd")).kvSeries("_")
     val sess = spark
     import sess.implicits._
     s.write(Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
@@ -337,7 +345,7 @@ class SeriesSpec extends AnyFunSuite {
   test("multi() batches several writes into one revision") {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
-    val clct = repo.createCollection(schema, "multi")
+    val clct = tuned(repo.createCollection(schema, "multi"))
     clct.multi {
       clct.series("s1").write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
       clct.series("s2").write(TestSpark.frame(Seq(5L, 6L), Seq(5.0, 6.0)))
@@ -353,7 +361,7 @@ class SeriesSpec extends AnyFunSuite {
     val repo = new Repo(root, spark)
     val uschema = GSchema("timestamp" -> "int*", "a" -> "int",
       "b" -> "str")
-    val clct = repo.createCollection(uschema, "upd")
+    val clct = tuned(repo.createCollection(uschema, "upd"))
     val s = clct.series("_")
     val sess = spark
     import sess.implicits._
@@ -380,7 +388,7 @@ class SeriesSpec extends AnyFunSuite {
         n -> (if (j < idxLen) s"$dt*" else dt) }
       val root = Files.createTempDirectory("graft-types").toString
       val repo = new Repo(root, spark)
-      val clct = repo.createCollection(GSchema(defs: _*), s"t$idxLen")
+      val clct = tuned(repo.createCollection(GSchema(defs: _*), s"t$idxLen"))
       val sr = clct.series("_")
       val df = Seq((
         java.sql.Date.valueOf("2020-01-02"),
@@ -405,7 +413,7 @@ class SeriesSpec extends AnyFunSuite {
     for (order <- Seq("fwd", "bwd", "rand")) {
       val root = Files.createTempDirectory("graft-repo").toString
       val repo = new Repo(root, spark)
-      val clct = repo.createCollection(schema, "frag")
+      val clct = tuned(repo.createCollection(schema, "frag"))
       val s = clct.series("_")
       val chunks = (0 until 5).map(i =>
         (Seq(100L + 2 * i, 101L + 2 * i), Seq(i * 1.0, i * 1.0 + 0.5)))
@@ -419,5 +427,23 @@ class SeriesSpec extends AnyFunSuite {
       val expect = chunks.flatMap { case (ts, vs) => ts.zip(vs) }.sorted
       assert(rows(s.frame()) == expect, s"order=$order")
     }
+  }
+}
+
+/** default mode: tiny writes embed in the manifest */
+class SeriesSpec extends SeriesSpecBase(embedOn = true) {
+  test("tiny writes actually took the inline path") {
+    val s = freshSeries()
+    assert(s.collection.manifest().get.rows.forall(_.inline.isDefined))
+  }
+}
+
+/** forced-file mode: every write goes through parquet segments */
+class SeriesSpecFiles extends SeriesSpecBase(embedOn = false) {
+  test("tiny writes actually took the parquet path") {
+    val s = freshSeries()
+    assert(s.collection.manifest().get.rows.forall(_.inline.isEmpty))
+    assert(s.collection.repo.store.walk("seg")
+      .exists(_.endsWith(".parquet")))
   }
 }
