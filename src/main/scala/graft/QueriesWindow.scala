@@ -162,7 +162,41 @@ object QueriesWindow {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** KV delete semantics relationally: per-key aggregate with a set of
+    * keys removed (KVSeries.deleteKeys rewrites the covering range
+    * without them — this is the visible result) */
+  def q46_kv_delete(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg((round(sum(col("value")), 2) + lit(0.0)).as("total"))
+      .filter(!col("user_id").isin(3L, 7L, 11L))
+      .orderBy(col("user_id"))
+
+  val q46_oracle: String =
+    """SELECT user_id, round(sum(value),2) + 0 AS total
+      |FROM events GROUP BY user_id
+      |HAVING user_id NOT IN (3, 7, 11)
+      |ORDER BY user_id""".stripMargin
+
+  /** calendar bucketing via the s-expr day_of_week_num primitive
+    * (Sunday=0 in both engines: Spark dayofweek-1, DuckDB dayofweek) */
+  def q47_day_of_week(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Ops.reduce(ev(s, dir), Seq(
+        "dow" -> "(day_of_week_num self.ts)",
+        "cnt" -> "(count self.event_id)",
+        "total" -> "(sum self.value)"))
+      .select(col("dow").cast("long").as("dow"), col("cnt"),
+        (round(col("total"), 2) + lit(0.0)).as("total"))
+      .orderBy(col("dow"))
+
+  val q47_oracle: String =
+    """SELECT dayofweek(ts) AS dow, count(event_id) AS cnt,
+      | round(sum(value),2) + 0 AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_kv_delete" -> q46_kv_delete _,
+    "q47_day_of_week" -> q47_day_of_week _,
     "q43_twostage_distinct" -> q43_twostage_distinct _,
     "q38_asof_join" -> q38_asof_join _,
     "q39_sessions" -> q39_sessions _,
@@ -171,6 +205,8 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q46_kv_delete" -> q46_oracle,
+    "q47_day_of_week" -> q47_oracle,
     "q43_twostage_distinct" -> q43_oracle,
     "q38_asof_join" -> q38_oracle,
     "q39_sessions" -> q39_oracle,
