@@ -132,7 +132,39 @@ object QueriesSeries {
       |SELECT user_id, event_type, round(min_by(v, src),2) AS value
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** fragmentation path: hour-sliced tiny writes (manifest-inline
+    * segments) next to a full-day file write, then defrag — the read
+    * must be byte-identical to plain SQL over the source. Exercises
+    * the embed_max_size fast path and inline-run compaction inside
+    * the oracle gate. */
+  def q48_series_inline(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp"))
+    // Jan 1 fragmented into 24 hour-bounded tiny writes -> inline rows
+    (0 until 24).foreach { h =>
+      val lo = f"2024-01-01 $h%02d:00:00"
+      val hi = if (h == 23) "2024-01-02 00:00:00"
+        else f"2024-01-01 ${h + 1}%02d:00:00"
+      sr.write(ev.filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp")), lo, hi, Closed.Left)
+    }
+    // Jan 2 as one ordinary write (parquet segment at sf>=0.01)
+    sr.write(ev.filter(col("ts") >= lit("2024-01-02").cast("timestamp")),
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00", Closed.Left)
+    sr.collection.defrag()
+    sr.collection.refresh()
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q48_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_series_inline" -> q48_series_inline _,
     "q30_series_roundtrip" -> q30_series_roundtrip _,
     "q31_series_overlay" -> q31_series_overlay _,
     "q32_series_timetravel" -> q32_series_timetravel _,
@@ -140,6 +172,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q48_series_inline" -> q48_oracle,
     "q30_series_roundtrip" -> q30_oracle,
     "q31_series_overlay" -> q31_oracle,
     "q32_series_timetravel" -> q32_oracle,
