@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** SparkSessionExtensions entry point: enable the engine's native
+  * Catalyst expressions in any session by configuration —
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * — the same injection mechanism extension libraries such as Delta
+  * use, so `graft_cosine`/`graft_dot` are available in pure SQL
+  * without any imperative registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => DotProduct(exprs(0), exprs(1))))
+  }
+}

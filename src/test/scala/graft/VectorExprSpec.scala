@@ -57,4 +57,30 @@ class VectorExprSpec extends AnyFunSuite {
       col("b"))).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("GraftExtensions injects functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // keep the shared session alive (same context)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // with no active/default session, getOrCreate builds a NEW
+      // session on the existing context and applies the extensions
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(e => new graft.GraftExtensions().apply(e))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val out = s2.sql(
+        """SELECT graft_cosine(
+          |  array(cast(1.0 as float), cast(0.0 as float)),
+          |  array(cast(1.0 as float), cast(0.0 as float))) AS c"""
+          .stripMargin)
+        .collect()(0).getDouble(0)
+      assert(math.abs(out - 1.0) < 1e-9)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
