@@ -61,16 +61,31 @@ class Series(val collection: Collection, val label: String) {
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
-    // tiny-write fast path (reference lakota/series.py:148-157,
-    // embed_max_size): frames that serialize under embedMaxSize bytes
-    // are embedded straight in the manifest — no segment file, no
-    // parquet footer, no sort/stat Spark jobs. The probe collect is
-    // bounded (CollectLimit evaluates partitions incrementally).
-    if (collection.embedMaxSize > 0) {
+    // small-write fast paths. A bounded probe (CollectLimit evaluates
+    // partitions incrementally) detects frames that fit on the driver:
+    //  - under embedMaxSize serialized bytes -> rows embed straight in
+    //    the manifest (reference embed_max_size): no file, no Spark job;
+    //  - otherwise -> one driver-sorted single-file segment: two tiny
+    //    in-memory jobs instead of the sampling+shuffle sort, the write
+    //    commit and the full stats re-scan. The fragmentation workload
+    //    (reference bench_fragmentation.py) lives entirely here.
+    if (collection.embedProbeRows > 0) {
       val probeLimit = collection.embedProbeRows + 1
       val probe = data.limit(probeLimit).collect()
-      if (probe.length < probeLimit &&
-          writeInline(probe, startK, stopK, closed, root)) return
+      if (probe.length < probeLimit) {
+        if (collection.embedMaxSize > 0 &&
+            writeInline(probe, startK, stopK, closed, root)) return
+        if (probe.nonEmpty) {
+          writeSmallFile(probe, startK, stopK, closed, root)
+          return
+        }
+        // empty frame: tombstone (same contract as the parquet path)
+        require(startK != null && stopK != null,
+          "empty write needs explicit start/stop bounds")
+        commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
+          Vector.empty)), root)
+        return
+      }
     }
 
     // Global sort via range partitioning; AQE coalesces the default
@@ -191,6 +206,46 @@ class Series(val collection: Collection, val label: String) {
       closed, sortedRows.length.toLong, Vector.empty,
       Some(mn), Some(mx), Some(sortedRows))), root)
     true
+  }
+
+  /** One driver-sorted single-file segment for a fully-collected small
+    * frame: stats and the content digest come from the in-memory rows
+    * (one tiny hash job on a local DataFrame, one single-task parquet
+    * write) — no shuffle, no re-scan. Digest formula matches the bulk
+    * path, so identical content dedupes across both. */
+  private def writeSmallFile(probe: Array[Row], startK: IndexKey,
+      stopK: IndexKey, closed: Closed, root: Boolean): Unit = {
+    val idxPos = schema.cols.zipWithIndex.filter(_._1.idx).map(_._2)
+    def keyOfRow(r: Row): IndexKey = IndexKey(idxPos.map(i =>
+      SparkVals.toKernel(schema.cols(i).dtype, r.get(i))).toVector)
+    val sorted = probe.sortWith((a, b) =>
+      schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0)
+    val jlist = new java.util.ArrayList[Row](sorted.length)
+    sorted.foreach(jlist.add)
+    val df = spark.createDataFrame(jlist, schema.sparkSchema)
+    val allCols = schema.names.map(col)
+    // observe() piggybacks the digest aggregate on the write job itself
+    // — one Spark job total for hash + file
+    val obs = new org.apache.spark.sql.Observation()
+    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
+    df.observe(obs,
+        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(store.uri(tmpRel))
+    val hash = obs.get("h").asInstanceOf[Long]
+    val tmpFile = store.walk(tmpRel).find(_.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no parquet written"))
+    val mn = keyOfRow(sorted.head)
+    val mx = keyOfRow(sorted.last)
+    val digest = Hash.sha1(
+      s"${schema.serialize}|${sorted.length}|$hash|$mn|$mx"
+        .getBytes("UTF-8"))
+    val target = s"seg/${Hash.hashedPath(digest)}.parquet"
+    if (store.exists(target)) store.rm(tmpFile) else store.mv(tmpFile, target)
+    store.rm(tmpRel, recursive = true)
+    commitRows(Seq(SegmentMeta(label,
+      Option(startK).getOrElse(mn), Option(stopK).getOrElse(mx),
+      closed, sorted.length.toLong, Vector(target),
+      Some(mn), Some(mx))), root)
   }
 
   /** Splice one write's segment rows into the leaf manifest and append
