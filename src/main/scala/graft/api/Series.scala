@@ -369,6 +369,26 @@ class Series(val collection: Collection, val label: String) {
       .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
         s.stop, s.closed))
 
+  /** rows visible through this segment read: straight from the
+    * manifest when untruncated, one count for the rare clipped one */
+  private def visibleLen(s: SegmentRead): Long =
+    if (coversData(s)) s.meta.length else segDf(s).count()
+
+  /** shortest prefix of `segs` covering `need` rows (manifest order =
+    * index order, so limit/offset never have to scan past it) */
+  private def prefixCovering(segs: Seq[SegmentRead], need: Long)
+      : Seq[SegmentRead] = {
+    val out = Seq.newBuilder[SegmentRead]
+    var cum = 0L
+    val it = segs.iterator
+    while (cum < need && it.hasNext) {
+      val s = it.next()
+      out += s
+      cum += visibleLen(s)
+    }
+    out.result()
+  }
+
   /** Output dtype mapping styles (reference lakota/schema.py:25-38
     * DTYPE_MAP): "default" keeps native Spark timestamp/date types,
     * "epoch" casts both to integral epoch seconds. */
@@ -392,9 +412,16 @@ class Series(val collection: Collection, val label: String) {
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       limit: Option[Long] = None, offset: Option[Long] = None,
       select: Seq[String] = Nil, style: String = "default"): DataFrame = {
-    val segs = segments(start, stop, beforeMs, closed)
-    val (inlineSegs, fileSegs) = segs.filter(_.meta.hasData)
-      .partition(_.meta.inline.isDefined)
+    val segs0 = segments(start, stop, beforeMs, closed)
+      .filter(_.meta.hasData)
+    // a bounded read only needs the manifest-prefix covering
+    // offset+limit rows — at 10k segments a limit-100 read scans 1
+    val segs = limit match {
+      case Some(l) => prefixCovering(segs0, offset.getOrElse(0L) + l)
+      case None => segs0
+    }
+    val (inlineSegs, fileSegs) =
+      segs.partition(_.meta.inline.isDefined)
     val (unclipped, clipped) = fileSegs.partition(coversData)
     val grouped =
       if (unclipped.isEmpty) Nil
@@ -410,12 +437,18 @@ class Series(val collection: Collection, val label: String) {
     styled(df, style)
   }
 
-  /** Last `n` rows by index order (optionally pre-filtered). */
+  /** Last `n` rows by index order (optionally pre-filtered). Only the
+    * trailing manifest segments covering `n` rows are scanned — the
+    * reference walks segments backwards the same way
+    * (lakota/series.py:261-312). */
   def tail(n: Long, start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       select: Seq[String] = Nil): DataFrame = {
     require(n > 0, "length argument must be > 0")
-    val base = frame(start, stop, beforeMs, closed)
+    val segs = segments(start, stop, beforeMs, closed)
+      .filter(_.meta.hasData)
+    val keep = prefixCovering(segs.reverse, n).reverse
+    val base = keep.map(segDf).reduceOption(_ union _).getOrElse(emptyDf)
     val desc = schema.idxNames.map(c => col(c).desc)
     var df = base.orderBy(desc: _*).limit(n.toInt).orderBy(idxCols: _*)
     if (select.nonEmpty) df = df.select(select.map(col): _*)
@@ -434,8 +467,7 @@ class Series(val collection: Collection, val label: String) {
     require(step > 0, "step must be > 0")
     val segs = segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
-    val lens = segs.map(s =>
-      if (coversData(s)) s.meta.length else segDf(s).count())
+    val lens = segs.map(visibleLen)
     val cum = lens.scanLeft(0L)(_ + _)
     val total = cum.lastOption.getOrElse(0L)
     Iterator.range(0L, total, step).map { off =>

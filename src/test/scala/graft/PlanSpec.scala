@@ -70,6 +70,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("tail and limit scan only the manifest segments they need") {
+    val root = Files.createTempDirectory("graft-plan4").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("timestamp" -> "int*", "value" -> "float")
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // file segments so scans are countable
+    val s = clct.series("_")
+    (0 until 6).foreach(i => s.write(TestSpark.frame(
+      Seq(100L * i, 100L * i + 1, 100L * i + 2),
+      Seq(i * 1.0, i + 0.1, i + 0.2))))
+    // tail(2) fits in the last segment -> exactly one scan
+    val tailPlan = s.tail(2).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(tailPlan).length == 1, tailPlan.take(800))
+    assert(s.tail(2).collect().map(_.getLong(0)).toSeq == Seq(501L, 502L))
+    // limit(3) covers the first segment only
+    val limPlan = s.frame(limit = Some(3L))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(limPlan).length == 1, limPlan.take(800))
+    assert(s.frame(limit = Some(3L)).collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L))
+  }
+
   test("q44 near-dup pair join is bucketed, never a cartesian") {
     val plan = QueriesExt
       .q44_embedding_neardup(spark, "/root/testdata/sf0.001")
