@@ -317,9 +317,27 @@ class Series(val collection: Collection, val label: String) {
   }
 
   private def scanFiles(files: Seq[String]): DataFrame =
-    spark.read.schema(readSchemaStruct)
+    try spark.read.schema(readSchemaStruct)
       .parquet(files.map(store.uri): _*)
       .select(readProjection: _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // gc-buried fallback (reference lakota/commit.py:549-557): a
+        // referenced file soft-deleted by a racing gc still exists
+        // under its hextime suffix — resurrect and retry once
+        val missing = files.filterNot(store.exists)
+        if (missing.isEmpty) throw e
+        missing.foreach { f =>
+          val slash = f.lastIndexOf('/')
+          val (dir, name) = (f.take(slash), f.drop(slash + 1))
+          store.ls(dir).find(_.startsWith(name + ".t")).foreach { b =>
+            store.mv(s"$dir/$b", f)
+          }
+        }
+        spark.read.schema(readSchemaStruct)
+          .parquet(files.map(store.uri): _*)
+          .select(readProjection: _*)
+    }
 
   /** a segment needs no residual filter when its visible range still
     * covers the data range recorded at write time (the common case:

@@ -136,6 +136,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(repo.store.walk("seg").count(_.contains(".parquet.t")) == 0)
   }
 
+  test("reads resurrect gc-buried segment files") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // need a real segment file to bury
+    val s = clct.series("_")
+    s.write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    val seg = repo.store.walk("seg").filter(_.endsWith(".parquet"))
+    assert(seg.nonEmpty)
+    // emulate a racing gc: soft-delete the referenced file
+    seg.foreach(f => repo.store.mv(f, s"$f.t${Hash.hextime()}"))
+    assert(rows(s.frame()) == Seq((1L, 1.0), (2L, 2.0)))
+    // resurrected in place
+    assert(seg.forall(repo.store.exists))
+  }
+
   test("push/pull syncs data between repos") {
     val a = freshRepo()
     val b = freshRepo()
