@@ -51,13 +51,18 @@ object QueriesSim {
 
   private def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
-    val df = matCache.getOrElseUpdate(
-      (System.identityHashCode(s), view, dir), {
-        val d = s.sql(sql)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        d.count() // force one computation; all branches reuse it
-        d
-      })
+    val sid = System.identityHashCode(s)
+    // evict (and unpersist) stale entries for the same view on another
+    // dir — cached blocks for data no longer queried must not pin
+    // executor memory for the process lifetime
+    matCache.keys.filter(k => k._1 == sid && k._2 == view && k._3 != dir)
+      .foreach(k => matCache.remove(k).foreach(_.unpersist()))
+    val df = matCache.getOrElseUpdate((sid, view, dir), {
+      val d = s.sql(sql)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // force one computation; all branches reuse it
+      d
+    })
     df.createOrReplaceTempView(view)
   }
 

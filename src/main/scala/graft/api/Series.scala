@@ -189,10 +189,17 @@ class Series(val collection: Collection, val label: String) {
         Vector.empty)), root)
       return true
     }
-    val idxPos = schema.cols.zipWithIndex.filter(_._1.idx).map(_._2)
+    // embed only the non-default (source) columns, matching the file
+    // path where added default columns are synthesized at read time;
+    // nulls in non-index columns pass through
+    val srcIdx = schema.cols.zipWithIndex
+      .filterNot { case (c, _) => collection.defaults.contains(c.name) }
+    val idxPos = srcIdx.zipWithIndex
+      .collect { case ((c, _), j) if c.idx => j }
     val kernelRows = probe.map(r =>
-      schema.cols.zipWithIndex.map { case (c, i) =>
-        SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
+      srcIdx.map { case (c, i) =>
+        if (r.isNullAt(i)) null
+        else SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
     def keyOfRow(v: Vector[Any]): IndexKey = IndexKey(idxPos.map(v).toVector)
     val sortedRows = kernelRows.sortWith((a, b) =>
       schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0).toVector
@@ -363,7 +370,7 @@ class Series(val collection: Collection, val label: String) {
     val data = s.meta.inline.get.map { v =>
       val bySrc = srcCols.map(_.name).zip(
         v.zip(srcCols).map { case (x, c) =>
-          SparkVals.fromKernel(c.dtype, x) }).toMap
+          if (x == null) null else SparkVals.fromKernel(c.dtype, x) }).toMap
       Row.fromSeq(schema.cols.map { c =>
         collection.defaults.get(c.name) match {
           case Some(d) => SparkVals.fromKernel(c.dtype, d)
@@ -418,7 +425,10 @@ class Series(val collection: Collection, val label: String) {
           case Some(GType.TimestampT) =>
             unix_timestamp(col(n)).as(n)
           case Some(GType.DateT) =>
-            (col(n).cast("timestamp").cast("long")).as(n)
+            // epochDay * 86400: timezone-independent, unlike a
+            // date->timestamp cast which binds the session time zone
+            (datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast("long") * lit(86400L)).as(n)
           case _ => col(n)
         }
       }: _*)
@@ -492,9 +502,15 @@ class Series(val collection: Collection, val label: String) {
       val hi = math.min(off + step, total)
       val i0 = cum.indexWhere(_ > off) - 1
       val i1 = cum.indexWhere(_ >= hi) - 1
-      val page = segs.slice(i0, i1 + 1).map(segDf)
-        .reduce(_ union _).orderBy(idxCols: _*)
+      // a duplicated index key straddling a segment boundary must keep
+      // segment order under the page sort (the cum-based offsets assume
+      // it), so the segment ordinal joins the sort key as a tiebreaker
+      val page = segs.slice(i0, i1 + 1).zipWithIndex
+        .map { case (s, k) => segDf(s).withColumn("_seg", lit(k)) }
+        .reduce(_ union _)
+        .orderBy(idxCols :+ col("_seg"): _*)
       page.offset((off - cum(i0)).toInt).limit((hi - off).toInt)
+        .drop("_seg")
     }
   }
 
@@ -556,11 +572,19 @@ class Series(val collection: Collection, val label: String) {
           .select(zeroPadded: _*)
         head.unionByName(merged).unionByName(tail)
       }
-    write(full, startK, stopK, Closed.Both)
+    // the write path evaluates its input twice (bounded probe + main
+    // job); persist the joined frame so the join doesn't run twice
+    val pinned = full.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try write(pinned, startK, stopK, Closed.Both)
+    finally pinned.unpersist()
     db.unpersist()
   }
 
-  def length(): Long = frame().count()
+  /** Row count from the manifest: per-segment lengths are metadata for
+    * untruncated segments; only overlay-clipped ones cost a count. */
+  def length(): Long =
+    segments().filter(_.meta.hasData).map(visibleLen).sum
 
   // ------------------------------------------------------------------
   // bulk import/export (reference Repo.import_/export_ series,
@@ -647,7 +671,11 @@ class KVSeries(collection: Collection, label: String)
     val out = tagged.groupBy(schema.idxNames.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
       .select(schema.names.map(col): _*)
-    super.write(out, null, null, Closed.Both)
+      // the write path evaluates its input twice (probe + main job);
+      // persist so the upsert aggregation doesn't run twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try super.write(out, null, null, Closed.Both)
+    finally out.unpersist()
   }
 
   private def boundFromRow(r: Row): IndexKey =

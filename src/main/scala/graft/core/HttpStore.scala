@@ -69,6 +69,12 @@ final class HttpStore(baseUrl: String,
 
   def write(path: String, data: Array[Byte]): Boolean = {
     val r = request("write", Seq("path" -> path), data)
+    // a server error must NOT read as the benign "already exists,
+    // skipped" result — that would silently drop the blob
+    if (r.statusCode() != 200)
+      throw new java.io.IOException(
+        s"write $path failed: HTTP ${r.statusCode()} " +
+          new String(r.body(), "UTF-8").take(200))
     new String(r.body(), "UTF-8").trim == "true"
   }
 
@@ -103,6 +109,9 @@ final class HttpStore(baseUrl: String,
     if (isLocal(path)) Files.exists(lp(path))
     else {
       val r = request("exists", Seq("path" -> path))
+      if (r.statusCode() != 200)
+        throw new java.io.IOException(
+          s"exists $path failed: HTTP ${r.statusCode()}")
       new String(r.body(), "UTF-8").trim == "true"
     }
 

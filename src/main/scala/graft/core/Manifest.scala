@@ -362,7 +362,8 @@ object Manifest {
         rm.get("dstart").map(key), rm.get("dstop").map(key),
         rm.get("inline").map(_.asInstanceOf[List[Any]].map { rv =>
           rv.asInstanceOf[List[Any]].zip(schema.cols)
-            .map { case (x, c) => toKernel(c.dtype, x) }.toVector
+            .map { case (x, c) =>
+              if (x == null) null else toKernel(c.dtype, x) }.toVector
         }.toVector))
     }.toVector
     Manifest(schema, rws)

@@ -106,7 +106,9 @@ object StreamOps {
                 new java.sql.Timestamp(st.sessStart), st.n, st.total)
               st = GapState(t, t, 1L, e.value)
             } else {
-              st = st.copy(lastTs = t, n = st.n + 1L,
+              // a late out-of-order event must not regress the silence
+              // anchor, or the next on-time event would split spuriously
+              st = st.copy(lastTs = math.max(st.lastTs, t), n = st.n + 1L,
                 total = st.total + e.value)
             }
           }

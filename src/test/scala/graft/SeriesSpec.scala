@@ -262,6 +262,44 @@ abstract class SeriesSpecBase(embedOn: Boolean) extends AnyFunSuite {
       start = 9999999999L, stop = 9999999999L).isEmpty)
   }
 
+  test("null non-index values round-trip in both storage modes") {
+    val root = Files.createTempDirectory("graft-null").toString
+    val repo = new Repo(root, spark)
+    val nschema = GSchema("timestamp" -> "int*", "value" -> "float",
+      "tag" -> "str")
+    val s = tuned(repo.createCollection(nschema, "n")).series("_")
+    val sess = spark
+    import sess.implicits._
+    s.write(Seq(
+      (1L, Some(1.5), Some("a")),
+      (2L, None: Option[Double], None: Option[String]),
+      (3L, Some(3.5), Some("c")))
+      .toDF("timestamp", "value", "tag"))
+    val got = s.frame().orderBy("timestamp").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, Some(1.5), Some("a")), (2L, None, None),
+      (3L, Some(3.5), Some("c"))))
+  }
+
+  test("tiny write into a clone with added default column") {
+    val root = Files.createTempDirectory("graft-clonew").toString
+    val repo = new Repo(root, spark)
+    val clct = tuned(repo.createCollection(schema, "src"))
+    clct.series("_").write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    val target = clct.cloneTo("dst",
+      additions = Seq((ColDef("flag", GType.IntT, idx = false), 7L)))
+    tuned(target)
+    // write AFTER the clone: added column synthesizes its default on
+    // read in both storage modes (same contract as the file path)
+    target.series("_").write(TestSpark.frame(Seq(2L), Seq(2.0))
+      .withColumn("flag", org.apache.spark.sql.functions.lit(9L)))
+    val got = target.series("_").frame().orderBy("timestamp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1.0, 7L), (2L, 2.0, 7L)))
+  }
+
   test("epoch dtype output style") {
     val root = Files.createTempDirectory("graft-repo").toString
     val repo = new Repo(root, spark)
