@@ -61,6 +61,16 @@ class Collection(val repo: Repo, val label: String, val path: String,
     if (batch != null) batch += rows else direct()
   }
 
+  /** Run `body` capturing any series writes as segment rows WITHOUT
+    * committing them — the reference's `batch = True` trick its merge
+    * uses to collect rewrite rows (lakota/collection.py:265-291). */
+  private[api] def captureRows(body: => Unit): Seq[Seq[SegmentMeta]] =
+    synchronized {
+      require(batch == null, "captureRows inside multi() not supported")
+      batch = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
+      try { body; batch.toSeq } finally batch = null
+    }
+
   private def commitBatch(writes: Seq[Seq[SegmentMeta]]): Unit = {
     val leaf = changelog.leaf()
     var m = leaf match {
@@ -182,31 +192,36 @@ class Collection(val repo: Repo, val label: String, val path: String,
     val chains = leaves.map(ancestry)
     val common = chains.map(_.map(_.child).toSet).reduce(_ intersect _)
 
-    // base = first leaf's manifest; replay rows of other branches
-    // committed after the common ancestor
+    // base = first (oldest-branch) leaf's manifest; pile every other
+    // head's rows onto it. Rows already present in the base leaf or the
+    // common ancestor are not that branch's work and are skipped; a
+    // both-closed (or dataless tombstone) row splices in as-is; a
+    // non-both-closed row — typically a splice-truncated neighbor whose
+    // visible window no longer matches its stored bounds — is READ from
+    // that head's snapshot and REWRITTEN as exact-bounded segments,
+    // mirroring the reference's read+rewrite branch
+    // (lakota/collection.py:278-289).
     val baseLeaf = leaves.head
     var m = Manifest.decode(changelog.payload(baseLeaf))
-    // rows already present in the base leaf or the common ancestor are
-    // NOT that branch's work — replaying them (e.g. truncated-neighbor
-    // rows produced by a splice) would clobber the other branch's data
-    // (reference merge skips rows present in base/root commits)
-    val ancestorRows: Set[SegmentMeta] =
+    val baseRows = m.rows.toSet
+    val rootRows: Set[SegmentMeta] =
       chains.head.takeWhile(r => common.contains(r.child)).lastOption
         .map(r => Manifest.decode(changelog.payload(r)).rows.toSet)
         .getOrElse(Set.empty)
-    val skipRows = m.rows.toSet ++ ancestorRows
-    chains.tail.foreach { chain =>
-      val divergent = chain.dropWhile(r => common.contains(r.child))
-      divergent.foreach { rev =>
-        val revM = Manifest.decode(changelog.payload(rev))
-        val parentM = byChild.get(rev.parent)
-          .map(p => Manifest.decode(changelog.payload(p)))
-          .getOrElse(Manifest.empty(schema))
-        // rows introduced by this revision = rows absent from parent
-        val parentRows = parentM.rows.toSet
-        revM.rows.filterNot(r =>
-          parentRows.contains(r) || skipRows.contains(r)).foreach { r =>
-          m = m.update(r)
+    leaves.tail.foreach { leaf =>
+      val headM = Manifest.decode(changelog.payload(leaf))
+      headM.rows.foreach { r =>
+        if (!baseRows.contains(r) && !rootRows.contains(r)) {
+          if (r.closed == Closed.Both || !r.hasData) m = m.update(r)
+          else {
+            val s = new Series(this, r.label)
+            val frm = s.frame(r.start, r.stop, closed = r.closed,
+              from = Some(headM))
+            if (!frm.isEmpty) {
+              val written = captureRows { s.write(frm) }
+              written.flatten.foreach(w => m = m.update(w))
+            }
+          }
         }
       }
     }

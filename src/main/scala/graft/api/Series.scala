@@ -289,8 +289,9 @@ class Series(val collection: Collection, val label: String) {
 
   def segments(start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None,
-      closed: Closed = Closed.Left): Seq[SegmentRead] =
-    collection.manifest(beforeMs) match {
+      closed: Closed = Closed.Left,
+      from: Option[Manifest] = None): Seq[SegmentRead] =
+    from.orElse(collection.manifest(beforeMs)) match {
       case None => Seq.empty
       case Some(m) =>
         m.segments(label, Option(boundKey(start)), Option(boundKey(stop)),
@@ -439,8 +440,9 @@ class Series(val collection: Collection, val label: String) {
   def frame(start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       limit: Option[Long] = None, offset: Option[Long] = None,
-      select: Seq[String] = Nil, style: String = "default"): DataFrame = {
-    val segs0 = segments(start, stop, beforeMs, closed)
+      select: Seq[String] = Nil, style: String = "default",
+      from: Option[Manifest] = None): DataFrame = {
+    val segs0 = segments(start, stop, beforeMs, closed, from)
       .filter(_.meta.hasData)
     // a bounded read only needs the manifest-prefix covering
     // offset+limit rows — at 10k segments a limit-100 read scans 1

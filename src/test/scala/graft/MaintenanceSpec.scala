@@ -56,6 +56,52 @@ class MaintenanceSpec extends AnyFunSuite {
       (11L, 11.0), (20L, 20.0), (21L, 21.0)))
   }
 
+  test("merge rewrites splice-truncated open-bound rows exactly") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    s.write(TestSpark.frame(0L to 9L, (0 to 9).map(_.toDouble)))
+    val base = clct.changelog.leaf().get
+    val mBase = Manifest.decode(clct.changelog.payload(base))
+
+    // writer A commits a disjoint range on top of base
+    Thread.sleep(5)
+    s.write(TestSpark.frame(Seq(100L, 101L), Seq(100.0, 101.0)))
+
+    // writer B (forged fork off base): an overlapping write over [3,6]
+    // — its splice truncates base's segment into open-bound neighbor
+    // rows [0,3) and (6,9], the exact shape merge must read+rewrite
+    Thread.sleep(5)
+    s.write(TestSpark.frame(3L to 6L, Seq(30.0, 40.0, 50.0, 60.0)))
+    val leafB = clct.changelog.leaf().get
+    val mB = Manifest.decode(clct.changelog.payload(leafB))
+    val newRow = mB.rows.find(r => r.start.values(0) == 3L &&
+      r.stop.values(0) == 6L).get
+    val branchM = mBase.update(newRow)
+    assert(branchM.rows.exists(_.closed != Closed.Both),
+      "forged branch must contain truncated open-bound rows")
+    repo.store.rm(s"${clct.changelog.dir}/${leafB.path}")
+    clct.refresh()
+    clct.changelog.commit(branchM.encode, parents = Seq(base.child))
+
+    clct.refresh()
+    assert(clct.changelog.leafs().length == 2)
+    clct.merge()
+    clct.refresh()
+    val expect = Seq(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 30.0,
+      4L -> 40.0, 5L -> 50.0, 6L -> 60.0, 7L -> 7.0, 8L -> 8.0,
+      9L -> 9.0, 100L -> 100.0, 101L -> 101.0)
+    assert(rows(clct.series("_").frame()) == expect)
+    // the read+rewrite branch replays B's truncated [0,3) and (6,9]
+    // rows as exact data-bounded both-closed segments — as-is splicing
+    // would have kept the open bounds
+    val mm = clct.manifest().get
+    assert(mm.rows.exists(r => r.closed == Closed.Both &&
+      r.start.values(0) == 0L && r.stop.values(0) == 2L))
+    assert(mm.rows.exists(r => r.closed == Closed.Both &&
+      r.start.values(0) == 7L && r.stop.values(0) == 9L))
+  }
+
   test("squash collapses history to one root revision") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
