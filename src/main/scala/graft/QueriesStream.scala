@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming queries with batch-checkable DuckDB oracles:
+  * the stream runs over the events parquet with an AvailableNow
+  * trigger into a memory sink, so the result is finite and exactly
+  * reproducible — giving the driver hard correctness signal on the
+  * streaming path (watermarked windowed aggregation and stateful
+  * gap sessionization), not just ScalaTest coverage.
+  */
+object QueriesStream {
+
+  /** raw streaming source over the events file: ts arrives as the
+    * parquet NANOS long (Tables.init sets nanosAsLong) */
+  private def rawEvents(s: SparkSession, dir: String): DataFrame = {
+    Tables.init(s)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // a glob (not a bare file path) so the source's basePath is the dir
+    StreamOps.eventStream(s, s"$dir/events*.parquet", schema)
+  }
+
+  /** drain `df` through a memory sink and return the sink table */
+  private def drain(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Hourly windowed counts+sums per event type, computed BY THE
+    * STREAMING PATH (watermark + window aggregate + memory sink in
+    * complete mode), checked against the batch SQL equivalent. */
+  def q52_stream_window(s: SparkSession, dir: String): DataFrame = {
+    val src = rawEvents(s, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.windowedStats(src, "ts", "1 hour", "1 hour",
+      "1 hour")
+    drain(s, agg, "graft_q52_sink", "complete")
+      .select(col("win_start"), col("win_end"), col("event_type"),
+        col("cnt"), (round(col("total"), 2) + lit(0.0)).as("total"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val q52_oracle: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+      | time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+      | event_type, count(*)::BIGINT AS cnt,
+      | round(sum(value), 2) + 0 AS total
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** Event-time gap sessionization ON THE STREAMING PATH
+    * (flatMapGroupsWithState): emits every CLOSED session (>30 min
+    * silence); the still-open last session per user stays in state, so
+    * the oracle drops each user's final session. Event times are
+    * ms-truncated on both sides — the stream's state math runs on
+    * epoch-millis. */
+  def q53_stream_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = rawEvents(s, dir)
+      .select(col("user_id"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"), col("value"))
+      .as[StreamOps.SessionEvent]
+    val sess = StreamOps.gapSessions(src, gapMs = 1800000L)
+    drain(s, sess.toDF(), "graft_q53_sink", "append")
+      .select(col("user_id"), col("sess_start"), col("n_events"),
+        (round(col("total"), 2) + lit(0.0)).as("total"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val q53_oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('milliseconds', ts) AS ts, event_id,
+      |    value FROM events),
+      |g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER
+      |     (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+      |  FROM e),
+      |t AS (
+      |  SELECT user_id, ts, value,
+      |   CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END
+      |     AS new_sess, event_id FROM g),
+      |si AS (
+      |  SELECT user_id, ts, value,
+      |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM t),
+      |se AS (
+      |  SELECT user_id, sess_id, min(ts) AS sess_start,
+      |   count(*)::BIGINT AS n_events, round(sum(value), 2) + 0 AS total
+      |  FROM si GROUP BY user_id, sess_id)
+      |SELECT user_id, sess_start, n_events, total
+      |FROM se
+      |WHERE sess_id < (SELECT max(s2.sess_id) FROM se s2
+      |  WHERE s2.user_id = se.user_id)
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_stream_window" -> q52_stream_window _,
+    "q53_stream_sessions" -> q53_stream_sessions _)
+
+  val oracles: Map[String, String] = Map(
+    "q52_stream_window" -> q52_oracle,
+    "q53_stream_sessions" -> q53_oracle)
+}

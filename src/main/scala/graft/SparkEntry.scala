@@ -11,11 +11,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesSim.all ++ QueriesSeries.all ++
-      QueriesExt.all ++ QueriesWindow.all ++ QueriesPipe.all
+      QueriesExt.all ++ QueriesWindow.all ++ QueriesPipe.all ++
+      QueriesStream.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ QueriesSim.oracles ++ QueriesSeries.oracles ++
-      QueriesExt.oracles ++ QueriesWindow.oracles ++ QueriesPipe.oracles
+      QueriesExt.oracles ++ QueriesWindow.oracles ++ QueriesPipe.oracles ++
+      QueriesStream.oracles
 }
