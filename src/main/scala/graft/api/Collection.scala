@@ -275,8 +275,14 @@ class Collection(val repo: Repo, val label: String, val path: String,
       (if (shallow) remote.changelog.leafs() else remote.changelog.log())
         .flatMap(r => Manifest.decode(remote.changelog.payload(r)).allFiles)
         .toSet
-    (theirs -- mine).foreach { f =>
-      repo.store.write(f, remote.repo.store.read(f))
+    // per-file copies are independent — parallel, like the reference's
+    // thread pool (lakota/collection.py pull)
+    locally {
+      import scala.jdk.CollectionConverters._
+      (theirs -- mine).toList.asJava.parallelStream().forEach { f =>
+        repo.store.write(f, remote.repo.store.read(f))
+        ()
+      }
     }
     changelog.pull(remote.changelog, shallow)
     ()

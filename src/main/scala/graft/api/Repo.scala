@@ -196,12 +196,18 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val live: Set[String] =
       ls().flatMap(collection(_)).flatMap(_.digests()).toSet
     val now = System.currentTimeMillis()
-    var buried = 0
-    store.walk("seg").foreach { f =>
+    val buried = new java.util.concurrent.atomic.AtomicInteger(0)
+    // each segment's bury/resurrect decision is independent — fan the
+    // per-file store ops out on a parallel stream (like digests()): at
+    // millions of segments the serial driver loop, not the store,
+    // would be the sweep bottleneck
+    import scala.jdk.CollectionConverters._
+    store.walk("seg").toList.asJava.parallelStream().forEach { f =>
       if (f.endsWith(".parquet")) {
         if (!live.contains(f)) {
           store.mv(f, s"$f.t${Hash.hextime(now)}")
-          buried += 1
+          buried.incrementAndGet()
+          ()
         }
       } else if (f.contains(".parquet.t")) {
         val plain = f.substring(0, f.indexOf(".parquet.t") + 8)
@@ -211,7 +217,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
         else if (now - ts > timeoutMs) store.rm(f)
       }
     }
-    buried
+    buried.get
   }
 }
 
