@@ -119,13 +119,111 @@ object QueriesPipe {
       |FROM r WHERE rk <= 5
       |ORDER BY source, rk""".stripMargin
 
+  /** Near-duplicate CLUSTER RESOLUTION: the LSH pair graph (q23,
+    * jaccard >= 0.3) collapsed to connected components by iterative
+    * min-label propagation — every step is a plain distributed
+    * join+groupBy (the standard large-graph CC shape: O(diameter)
+    * rounds, and near-dup clusters are shallow), nothing ever
+    * collects to the driver. The component id is the minimum doc_id
+    * of the cluster, i.e. the canonical document.
+    */
+  def q54_neardup_components(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = QueriesSim.q23_lsh_pairs(s, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    // sum of labels strictly decreases until the fixpoint — a cheap
+    // convergence probe that avoids a change-count join per round
+    var prev = -1L
+    var cur = labels.agg(sum(col("comp"))).head().getLong(0)
+    var rounds = 0
+    while (cur != prev && rounds < 25) {
+      prev = cur
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), col("comp"))
+      val next = labels.union(prop).groupBy(col("id"))
+        .agg(min(col("comp")).as("comp")).persist(lvl)
+      cur = next.agg(sum(col("comp"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** shared oracle prefix: the q23 LSH pair set closed into components
+    * by a recursive CTE (same jaccard >= 0.3 gate, same min-id
+    * canonical labeling) */
+  private def duckComponentCtes: String =
+    s"""WITH RECURSIVE ${QueriesSim.duckShingleTok},
+       |${QueriesSim.sigBody("tok")},
+       |${QueriesSim.lshTail("sig", "tok").split("\nSELECT")(0)},
+       |prs AS (
+       |  SELECT c.da AS a, c.db AS b
+       |  FROM cand c
+       |  JOIN inter i ON c.da = i.da AND c.db = i.db
+       |  JOIN sizes sa ON c.da = sa.doc_id
+       |  JOIN sizes sb ON c.db = sb.doc_id
+       |  WHERE round(cnt/(sa.n + sb.n - cnt), 4) >= 0.3),
+       |edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+       |r(id, c) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM r JOIN edges e ON r.c = e.a),
+       |comp AS (SELECT id, min(c) AS component FROM r GROUP BY id)"""
+      .stripMargin
+
+  val q54_oracle: String =
+    s"""$duckComponentCtes
+       |SELECT id AS doc_id, component FROM comp ORDER BY doc_id"""
+      .stripMargin
+
+  /** The dedup pipeline endpoint: drop every clustered document except
+    * its cluster's canonical (minimum) doc_id, then summarize the kept
+    * corpus per language. The drop set is a broadcast-sized anti-join
+    * against the component table — the full corpus is never shuffled.
+    */
+  def q55_dedup_corpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val drop = q54_neardup_components(s, dir)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    Tables.table(s, dir, "documents")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q55_oracle: String =
+    s"""$duckComponentCtes
+       |SELECT lang, count(*)::BIGINT AS n_kept,
+       |  sum(n_chars)::BIGINT AS chars_kept
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM comp c
+       |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stratified_sample" -> q49_stratified_sample _,
     "q50_train_split" -> q50_train_split _,
-    "q51_quality_topk" -> q51_quality_topk _)
+    "q51_quality_topk" -> q51_quality_topk _,
+    "q54_neardup_components" -> q54_neardup_components _,
+    "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
     "q49_stratified_sample" -> q49_oracle,
     "q50_train_split" -> q50_oracle,
-    "q51_quality_topk" -> q51_oracle)
+    "q51_quality_topk" -> q51_oracle,
+    "q54_neardup_components" -> q54_oracle,
+    "q55_dedup_corpus" -> q55_oracle)
 }

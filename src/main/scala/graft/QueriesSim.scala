@@ -72,7 +72,7 @@ object QueriesSim {
     * Two explicit REPARTITIONs keep both the explode and the md5 stage
     * parallel (AQE would otherwise coalesce the small shuffles to one
     * partition and serialize the CPU-heavy hashing). */
-  private def sparkShingleSelect =
+  private[graft] def sparkShingleSelect =
     s"""SELECT doc_id, s, ${sparkHex("s")} AS hv FROM (
       |  SELECT /*+ REPARTITION(32, doc_id) */ DISTINCT doc_id, s FROM (
       |    SELECT doc_id, explode(transform(sequence(1, size(t)-2),
@@ -83,7 +83,7 @@ object QueriesSim {
       |    WHERE size(t) >= 3))""".stripMargin
 
   /** same, DuckDB dialect (as a CTE named tok) */
-  private def duckShingleTok =
+  private[graft] def duckShingleTok =
     s"""tok AS (
       |  SELECT doc_id, s, ${duckHex("s")} AS hv FROM (
       |  SELECT DISTINCT doc_id, s FROM (
@@ -103,7 +103,7 @@ object QueriesSim {
 
   // ---- q22: minhash signatures -----------------------------------------
 
-  private def sigBody(tokRef: String): String =
+  private[graft] def sigBody(tokRef: String): String =
     s"""sig AS (SELECT doc_id,
        |  $minhashCols
        |FROM $tokRef GROUP BY doc_id)""".stripMargin
@@ -131,7 +131,7 @@ object QueriesSim {
        |${lshTail("sig", tokRef)}""".stripMargin
 
   /** banding + candidate verification over existing sig/tok tables */
-  private def lshTail(sigRef: String, tokRef: String): String =
+  private[graft] def lshTail(sigRef: String, tokRef: String): String =
     s"""bands AS (
        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
        |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL

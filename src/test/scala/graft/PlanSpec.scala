@@ -92,6 +92,26 @@ class PlanSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L))
   }
 
+  test("stratified sample is a scan-time filter: no shuffle at all") {
+    val plan = QueriesPipe
+      .q49_stratified_sample(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // the hash gate must evaluate at the scan — an Exchange would mean
+    // the sample pays a shuffle it doesn't need (ORDER BY is the
+    // presentation sort, allowed to range-partition)
+    val beforeSort = plan.split("Sort").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      plan.take(1500))
+  }
+
+  test("train split summary aggregates partially before its shuffle") {
+    val plan = QueriesPipe.q50_train_split(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // partial_ (map-side) aggregate must appear below the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(2000))
+  }
+
   test("q44 near-dup pair join is bucketed, never a cartesian") {
     val plan = QueriesExt
       .q44_embedding_neardup(spark, "/root/testdata/sf0.001")
