@@ -136,8 +136,11 @@ object QueriesPipe {
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(lvl)
+    // each round is checkpointed (lineage CUT, partitions kept on the
+    // executors): without it the logical plan deepens by a join+union
+    // per round and analysis itself blows up long before the data does
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).persist(lvl)
+      .withColumn("comp", col("id")).localCheckpoint()
     // sum of labels strictly decreases until the fixpoint — a cheap
     // convergence probe that avoids a change-count join per round
     var prev = -1L
@@ -147,11 +150,9 @@ object QueriesPipe {
       prev = cur
       val prop = edges.join(labels, edges("a") === labels("id"))
         .select(edges("b").as("id"), col("comp"))
-      val next = labels.union(prop).groupBy(col("id"))
-        .agg(min(col("comp")).as("comp")).persist(lvl)
-      cur = next.agg(sum(col("comp"))).head().getLong(0)
-      labels.unpersist()
-      labels = next
+      labels = labels.union(prop).groupBy(col("id"))
+        .agg(min(col("comp")).as("comp")).localCheckpoint()
+      cur = labels.agg(sum(col("comp"))).head().getLong(0)
       rounds += 1
     }
     edges.unpersist()

@@ -111,9 +111,11 @@ object QueriesSim {
   def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     materialize(s, dir, sparkShingleSelect, "sim_tok")
-    s.sql(
-      s"""WITH ${sigBody("sim_tok")}
-         |SELECT * FROM sig ORDER BY doc_id""".stripMargin)
+    // materialize the signature table itself: q23 reuses it, so the
+    // 8-way minhash aggregate runs once per session, not twice
+    materialize(s, dir,
+      s"WITH ${sigBody("sim_tok")} SELECT * FROM sig", "sim_sig")
+    s.sql("SELECT * FROM sim_sig ORDER BY doc_id")
   }
 
   val q22_oracle: String =
