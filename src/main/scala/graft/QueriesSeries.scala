@@ -163,8 +163,99 @@ object QueriesSeries {
       |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
       |ORDER BY event_id""".stripMargin
 
+  /** pagination under the oracle gate: pages 1-2 (skip page 0) of the
+    * manifest-cursor paginate must equal plain LIMIT/OFFSET over the
+    * index order */
+  def q56_series_paginate(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    sr.paginate(step = 300L).slice(1, 3)
+      .reduce(_ union _)
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q56_oracle: String =
+    """SELECT event_id, ts, value FROM (
+      |  SELECT * FROM events ORDER BY ts, event_id
+      |  LIMIT 600 OFFSET 300)
+      |ORDER BY event_id""".stripMargin
+
+  /** epoch dtype output style: timestamps come back as integral epoch
+    * seconds (reference DTYPE_MAP style) */
+  def q57_series_epoch(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    sr.frame(style = "epoch")
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q57_oracle: String =
+    """SELECT event_id, floor(epoch(ts))::BIGINT AS ts, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** the full two-repo sync workflow under the oracle gate: B forks
+    * off A's base write, both write concurrently (A appends a later
+    * range, B overlays a patch), A pulls B back and 3-way merges —
+    * the read must equal the SQL composition of both branches */
+  def q58_series_merge(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir)
+    val rootA = java.nio.file.Files.createTempDirectory("graft-qA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-qB").toString
+    val repoA = new Repo(rootA, s)
+    val sa = repoA.createCollection(eventsSchema, "events").series("_")
+    sa.write(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
+      "2020-01-01 00:00:00", "2024-01-15 00:00:00", Closed.Left)
+    val repoB = new Repo(rootB, s)
+    repoB.pull(repoA) // fork point
+    Thread.sleep(10)
+    sa.write(ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp")),
+      "2024-01-15 00:00:00", "2025-01-01 00:00:00", Closed.Left)
+    Thread.sleep(10)
+    val sb = repoB.collection("events").get.series("_")
+    sb.write(ev
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-10").cast("timestamp"))
+        .withColumn("value", col("value") * 3),
+      "2024-01-05 00:00:00", "2024-01-10 00:00:00", Closed.Left)
+    repoA.pull(repoB)
+    val merged = repoA.collection("events").get
+    merged.merge()
+    merged.refresh()
+    merged.series("_").frame()
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q58_oracle: String =
+    """SELECT event_id, ts,
+      | CASE WHEN ts >= TIMESTAMP '2024-01-05'
+      |       AND ts < TIMESTAMP '2024-01-10'
+      |      THEN value * 3 ELSE value END AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** zero-copy clone with a column rename and an added default-valued
+    * column, read through the clone's registry mapping */
+  def q59_series_clone(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    val target = sr.collection.cloneTo("events_clone",
+      rename = Map("value" -> "val2"),
+      additions = Seq((graft.core.ColDef("src", graft.core.GType.StrT,
+        idx = false), "cloned")))
+    target.series("_").frame()
+      .select(col("event_id"), col("ts"), col("val2"), col("src"))
+      .orderBy(col("event_id"))
+  }
+
+  val q59_oracle: String =
+    """SELECT event_id, ts, value AS val2, 'cloned' AS src
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_series_inline" -> q48_series_inline _,
+    "q56_series_paginate" -> q56_series_paginate _,
+    "q57_series_epoch" -> q57_series_epoch _,
+    "q58_series_merge" -> q58_series_merge _,
+    "q59_series_clone" -> q59_series_clone _,
     "q30_series_roundtrip" -> q30_series_roundtrip _,
     "q31_series_overlay" -> q31_series_overlay _,
     "q32_series_timetravel" -> q32_series_timetravel _,
@@ -173,6 +264,10 @@ object QueriesSeries {
 
   val oracles: Map[String, String] = Map(
     "q48_series_inline" -> q48_oracle,
+    "q56_series_paginate" -> q56_oracle,
+    "q57_series_epoch" -> q57_oracle,
+    "q58_series_merge" -> q58_oracle,
+    "q59_series_clone" -> q59_oracle,
     "q30_series_roundtrip" -> q30_oracle,
     "q31_series_overlay" -> q31_oracle,
     "q32_series_timetravel" -> q32_oracle,
