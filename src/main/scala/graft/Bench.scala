@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // opt-in stage-level profiling: parse the JSON event log offline
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

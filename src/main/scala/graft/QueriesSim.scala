@@ -52,16 +52,19 @@ object QueriesSim {
   private def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
     val sid = System.identityHashCode(s)
-    // evict (and unpersist) stale entries for the same view on another
-    // dir — cached blocks for data no longer queried must not pin
-    // executor memory for the process lifetime
+    // evict stale entries for the same view on another dir — their
+    // checkpoint blocks are reclaimed by the ContextCleaner once the
+    // DataFrame is unreferenced
     matCache.keys.filter(k => k._1 == sid && k._2 == view && k._3 != dir)
-      .foreach(k => matCache.remove(k).foreach(_.unpersist()))
+      .foreach(k => matCache.remove(k))
     val df = matCache.getOrElseUpdate((sid, view, dir), {
-      val d = s.sql(sql)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count() // force one computation; all branches reuse it
-      d
+      // EAGER localCheckpoint, not persist+view: a view over a cached
+      // plan must re-match the cache at every use site, and inside a
+      // multi-branch SQL (the 4-band union self-join) Spark re-derived
+      // the aggregate from source per branch — profiled as 4 full
+      // shingle-table passes. A checkpoint pins the computed blocks as
+      // a LogicalRDD: every branch scans rows, nothing recomputes.
+      s.sql(sql).localCheckpoint()
     })
     df.createOrReplaceTempView(view)
   }
