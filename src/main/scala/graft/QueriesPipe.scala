@@ -214,7 +214,94 @@ object QueriesPipe {
        |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** TF-IDF top terms per language: tf over (lang, term), global
+    * document frequency, score = tf * ln(N/df) rounded BEFORE ranking
+    * so the rank order is bit-identical across engines. Two shuffles
+    * (term stats, lang window) — both on low-cardinality keys.
+    */
+  def q60_tfidf_terms(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH w AS (
+        |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        |    explode(split(text, ' ', -1)) AS term FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w
+        |  GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT lang, term,
+        |    round(tf * ln(cast(n AS double) / df), 4) + 0 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT lang, term, score, row_number() OVER (
+        |    PARTITION BY lang ORDER BY score DESC, term) AS rk
+        |  FROM sc)
+        |SELECT lang, cast(rk AS bigint) AS rk, term, score
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+  }
+
+  val q60_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT lang, term,
+      |    round(tf * ln(n::DOUBLE / df), 4) + 0 AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT lang, term, score, row_number() OVER (
+      |    PARTITION BY lang ORDER BY score DESC, term) AS rk
+      |  FROM sc)
+      |SELECT lang, rk::BIGINT AS rk, term, score
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
+  /** Benchmark decontamination: 3-gram shingle overlap of every corpus
+    * document against an "eval set" (doc_id < 20 stands in for the
+    * held-out benchmark). The eval shingle set is broadcast-sized, the
+    * corpus side streams through a semi-join on the shingle — the
+    * shape that decontaminates 100 TB against a fixed benchmark
+    * without shuffling the corpus. Shares the materialized sim_tok.
+    */
+  def q61_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    QueriesSim.tokView(s, dir)
+    s.sql(
+      """WITH bench AS (
+        |  SELECT DISTINCT s FROM sim_tok WHERE doc_id < 20),
+        |ov AS (
+        |  SELECT t.doc_id, count(*) AS n_overlap
+        |  FROM sim_tok t JOIN bench b ON t.s = b.s
+        |  WHERE t.doc_id >= 20 GROUP BY t.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sim_tok
+        |  WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT o.doc_id, n_overlap,
+        |  round(n_overlap / cast(n AS double), 4) + 0 AS overlap
+        |FROM ov o JOIN sz USING (doc_id)
+        |WHERE n_overlap / cast(n AS double) >= 0.02
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val q61_oracle: String =
+    s"""WITH ${QueriesSim.duckShingleTok},
+       |bench AS (SELECT DISTINCT s FROM tok WHERE doc_id < 20),
+       |ov AS (
+       |  SELECT t.doc_id, count(*) AS n_overlap
+       |  FROM tok t JOIN bench b ON t.s = b.s
+       |  WHERE t.doc_id >= 20 GROUP BY t.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tok
+       |  WHERE doc_id >= 20 GROUP BY doc_id)
+       |SELECT o.doc_id, n_overlap::BIGINT AS n_overlap,
+       |  round(n_overlap / n::DOUBLE, 4) + 0 AS overlap
+       |FROM ov o JOIN sz USING (doc_id)
+       |WHERE n_overlap / n::DOUBLE >= 0.02
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_tfidf_terms" -> q60_tfidf_terms _,
+    "q61_decontaminate" -> q61_decontaminate _,
     "q49_stratified_sample" -> q49_stratified_sample _,
     "q50_train_split" -> q50_train_split _,
     "q51_quality_topk" -> q51_quality_topk _,
@@ -222,6 +309,8 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q60_tfidf_terms" -> q60_oracle,
+    "q61_decontaminate" -> q61_oracle,
     "q49_stratified_sample" -> q49_oracle,
     "q50_train_split" -> q50_oracle,
     "q51_quality_topk" -> q51_oracle,

@@ -69,6 +69,13 @@ object QueriesSim {
     df.createOrReplaceTempView(view)
   }
 
+  /** register the shared materialized shingle table as `sim_tok`
+    * (used by q22-q24 here and the decontamination query) */
+  private[graft] def tokView(s: SparkSession, dir: String): Unit = {
+    Tables.registerAll(s, dir)
+    materialize(s, dir, sparkShingleSelect, "sim_tok")
+  }
+
   // ---- dialect snippets -------------------------------------------------
 
   /** doc_id + DISTINCT 3-gram shingles + their hash, Spark dialect.
