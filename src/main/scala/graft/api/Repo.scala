@@ -217,6 +217,17 @@ class Repo(val rootUri: String, val spark: SparkSession,
         else if (now - ts > timeoutMs) store.rm(f)
       }
     }
+    // staging sweep: a writer that dies between staging and commit
+    // leaves its tmp/<hextime>-<uuid> dir forever — age it out (the
+    // hextime prefix is the staging dir's creation time; anything past
+    // the timeout cannot belong to an in-flight write)
+    store.ls("tmp").foreach { d =>
+      val hex = d.takeWhile(_ != '-')
+      val ts = try java.lang.Long.parseLong(hex, 16) catch {
+        case _: NumberFormatException => 0L // pre-hextime layout: stale
+      }
+      if (now - ts > timeoutMs) store.rm(s"tmp/$d", recursive = true)
+    }
     buried.get
   }
 }

@@ -94,7 +94,7 @@ class Series(val collection: Collection, val label: String) {
     val sorted = data.repartitionByRange(idxCols: _*)
       .sortWithinPartitions(idxCols: _*)
 
-    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
+    val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
     sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", pageLen)
       .parquet(store.uri(tmpRel))
@@ -234,7 +234,7 @@ class Series(val collection: Collection, val label: String) {
     // observe() piggybacks the digest aggregate on the write job itself
     // — one Spark job total for hash + file
     val obs = new org.apache.spark.sql.Observation()
-    val tmpRel = s"tmp/${java.util.UUID.randomUUID().toString.take(16)}"
+    val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
     df.observe(obs,
         sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("h"))
       .coalesce(1).write.mode("overwrite").parquet(store.uri(tmpRel))

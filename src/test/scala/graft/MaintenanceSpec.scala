@@ -102,6 +102,22 @@ class MaintenanceSpec extends AnyFunSuite {
       r.start.values(0) == 7L && r.stop.values(0) == 9L))
   }
 
+  test("gc sweeps orphaned staging dirs, keeps fresh ones") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "c")
+    clct.series("_").write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    // a writer that died an hour ago vs one possibly still in flight
+    val old = Hash.hextime(System.currentTimeMillis() - 3600000L)
+    repo.store.write(s"tmp/$old-dead/part-0.parquet", Array[Byte](1))
+    repo.store.write(s"tmp/${Hash.hextime()}-live/part-0.parquet",
+      Array[Byte](1))
+    repo.gc(timeoutMs = 600000L)
+    val left = repo.store.ls("tmp")
+    assert(!left.exists(_.endsWith("-dead")), left)
+    assert(left.exists(_.endsWith("-live")), left)
+    assert(rows(clct.series("_").frame()) == Seq((1L, 1.0)))
+  }
+
   test("squash collapses history to one root revision") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
