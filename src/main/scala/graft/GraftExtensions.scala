@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, TopKLong}
 
 /** SparkSessionExtensions entry point: enable the engine's native
   * Catalyst expressions in any session by configuration —
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKLong].getName, "graft_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => TopKLong.fromExprs(exprs).toAggregateExpression()))
   }
 }

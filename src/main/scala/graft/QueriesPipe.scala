@@ -299,7 +299,27 @@ object QueriesPipe {
        |WHERE n_overlap / n::DOUBLE >= 0.02
        |ORDER BY doc_id""".stripMargin
 
+  /** top-k per group via the native bounded-heap aggregate
+    * (graft.functions.TopKLong): partial aggregation keeps at most k
+    * candidates per group per partition — no per-group full sort, no
+    * full-row shuffle. Compare q51, the window formulation. */
+  def q62_topk_native(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      """SELECT source, graft_topk(n_chars, 5) AS top_chars
+        |FROM (SELECT /*+ REPARTITION(32) */ source, n_chars
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q62_oracle: String =
+    """SELECT source,
+      |  (list(n_chars ORDER BY n_chars DESC))[1:5] AS top_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_topk_native" -> q62_topk_native _,
     "q60_tfidf_terms" -> q60_tfidf_terms _,
     "q61_decontaminate" -> q61_decontaminate _,
     "q49_stratified_sample" -> q49_stratified_sample _,
@@ -309,6 +329,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q62_topk_native" -> q62_oracle,
     "q60_tfidf_terms" -> q60_oracle,
     "q61_decontaminate" -> q61_oracle,
     "q49_stratified_sample" -> q49_oracle,

@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.
+  TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Exact top-k aggregate over a long column: `graft_topk(x, k)` →
+  * the k largest values, descending.
+  *
+  * The buffer is a bounded min-heap, so partial (map-side) aggregation
+  * keeps at most k candidates per group per partition and merges are
+  * exact — the scale shape for "best k per group" over 100 TB, where
+  * the window-function formulation (`row_number() OVER … <= k`) must
+  * shuffle and sort EVERY row of every group. The guide's
+  * TypedImperativeAggregate surface (mutable buffer + serialize/merge)
+  * exists for exactly this kind of operator.
+  */
+case class TopKLong(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "graft_topk needs k > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk expects an integral column, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer()
+      : java.util.PriorityQueue[java.lang.Long] =
+    new java.util.PriorityQueue[java.lang.Long](k)
+
+  private def offer(buf: java.util.PriorityQueue[java.lang.Long],
+      v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (buf.peek() < v) { buf.poll(); buf.add(v); () }
+  }
+
+  override def update(buf: java.util.PriorityQueue[java.lang.Long],
+      input: InternalRow): java.util.PriorityQueue[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Number].longValue)
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[java.lang.Long],
+      b2: java.util.PriorityQueue[java.lang.Long])
+      : java.util.PriorityQueue[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) offer(b1, it.next().longValue)
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next().longValue; i += 1 }
+    java.util.Arrays.sort(arr)
+    // descending
+    var l = 0; var r = arr.length - 1
+    while (l < r) { val t = arr(l); arr(l) = arr(r); arr(r) = t
+      l += 1; r -= 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[java.lang.Long])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.PriorityQueue[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(java.lang.Long.valueOf(bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKLong =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKLong =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): TopKLong =
+    copy(child = c)
+}
+
+object TopKLong {
+  /** SQL builder: second argument must be a foldable int literal. */
+  def fromExprs(exprs: Seq[Expression]): TopKLong = {
+    require(exprs.length == 2, "graft_topk(col, k) takes two arguments")
+    require(exprs(1).foldable, "graft_topk k must be a literal")
+    TopKLong(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue)
+  }
+}

@@ -131,11 +131,14 @@ object VectorFunctions {
     GraftBridge.column(DotProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** register for SQL use: graft_cosine(a, b), graft_dot(a, b) */
+  /** register for SQL use: graft_cosine(a, b), graft_dot(a, b),
+    * graft_topk(x, k) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     GraftBridge.registerFunction(spark, "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)))
+    GraftBridge.registerFunction(spark, "graft_topk",
+      exprs => TopKLong.fromExprs(exprs).toAggregateExpression())
   }
 }

@@ -58,6 +58,25 @@ class VectorExprSpec extends AnyFunSuite {
     assert(out(0).isNullAt(0))
   }
 
+  test("graft_topk is exact under any partitioning (heap merge)") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val vals = scala.util.Random.shuffle((1L to 1000L).toList)
+    val expect = (1L to 1000L).sorted.reverse.take(7)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = vals.toDF("x").repartition(parts)
+      df.createOrReplaceTempView("tk")
+      val got = spark.sql("SELECT graft_topk(x, 7) AS t FROM tk")
+        .collect()(0).getSeq[Long](0)
+      assert(got == expect, s"parts=$parts got=$got")
+    }
+    // smaller group than k: returns what exists, descending
+    val small = spark.sql(
+      "SELECT graft_topk(x, 7) AS t FROM (SELECT explode(array(3L,9L)) x)")
+      .collect()(0).getSeq[Long](0)
+    assert(small == Seq(9L, 3L))
+  }
+
   test("GraftExtensions injects functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     val shared = spark // keep the shared session alive (same context)
