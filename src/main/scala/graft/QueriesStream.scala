@@ -102,11 +102,39 @@ object QueriesStream {
       |  WHERE s2.user_id = se.user_id)
       |ORDER BY user_id, sess_start""".stripMargin
 
+  /** The stream→engine sink under the oracle gate: events stream into
+    * a versioned series via writeToSeries (each micro-batch commits
+    * one revision), then the ENGINE read — manifest prune, segment
+    * scan — must reproduce the batch view exactly. */
+  def q63_stream_sink(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-qs").toString
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    val sr = new Repo(root, s).createCollection(schema, "events")
+      .series("_")
+    val src = rawEvents(s, dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("event_id"), col("value"), col("event_type"))
+    val q = StreamOps.writeToSeries(src, sr)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sr.frame().select(col("event_id"), col("ts"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q63_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_stream_window" -> q52_stream_window _,
-    "q53_stream_sessions" -> q53_stream_sessions _)
+    "q53_stream_sessions" -> q53_stream_sessions _,
+    "q63_stream_sink" -> q63_stream_sink _)
 
   val oracles: Map[String, String] = Map(
     "q52_stream_window" -> q52_oracle,
-    "q53_stream_sessions" -> q53_oracle)
+    "q53_stream_sessions" -> q53_oracle,
+    "q63_stream_sink" -> q63_oracle)
 }
