@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
 class Repo(val rootUri: String, val spark: SparkSession,
     storeOverride: Store = null) {
 
+  // memory:// roots (reference MemPOD, the default `Repo()` backend):
+  // register the in-memory FileSystem with the session so Spark's own
+  // parquet scans and writes resolve the scheme too
+  if (rootUri.startsWith("memory://"))
+    MemFileSystem.install(spark.sparkContext.hadoopConfiguration)
+
   val store: Store =
     if (storeOverride != null) storeOverride else new HadoopStore(rootUri)
   val registry = new Changelog(store, "registry/changelog")
@@ -234,8 +240,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
 
 object Repo {
   /** `http(s)://` roots open as HTTP-POD clients (a repo served by
-    * [[graft.core.StoreServer]]); everything else goes through the
-    * Hadoop FS connectors (file://, hdfs://, s3a://). */
+    * [[graft.core.StoreServer]]); `memory://` roots run fully
+    * in-memory ([[graft.core.MemFileSystem]], reference MemPOD);
+    * everything else goes through the Hadoop FS connectors (file://,
+    * hdfs://, s3a://). */
   def apply(rootUri: String, spark: SparkSession): Repo =
     if (rootUri.startsWith("http://") || rootUri.startsWith("https://"))
       new Repo(rootUri, spark, new HttpStore(rootUri))

@@ -32,7 +32,10 @@ final class HadoopStore(val root: String) extends Store {
   @transient private var confCache: Configuration = _
 
   private def conf: Configuration = {
-    if (confCache == null) confCache = new Configuration()
+    if (confCache == null) {
+      confCache = new Configuration()
+      MemFileSystem.install(confCache) // memory:// scheme always known
+    }
     confCache
   }
   private def fs: FileSystem = {

@@ -102,6 +102,24 @@ class MaintenanceSpec extends AnyFunSuite {
       r.start.values(0) == 7L && r.stop.values(0) == 9L))
   }
 
+  test("memory:// repo runs the whole engine in-memory (MemPOD parity)") {
+    val repo = Repo(s"memory://m${System.nanoTime()}", spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // force parquet segments THROUGH the mem fs
+    val s = clct.series("_")
+    s.write(TestSpark.frame(1L to 50L, (1 to 50).map(_ * 1.0)))
+    s.write(TestSpark.frame(10L to 19L, (10 to 19).map(_ => -1.0)))
+    assert(s.frame().count() == 50)
+    val got = rows(s.frame(10L, 19L, closed = Closed.Both))
+    assert(got == (10L to 19L).map(_ -> -1.0))
+    // overlay + delete + gc all through the in-memory store
+    s.delete(40L, 50L)
+    assert(s.frame().count() == 39)
+    assert(repo.gc(timeoutMs = 0L) >= 0)
+    assert(rows(s.frame(1L, 5L, closed = Closed.Both)) ==
+      (1L to 5L).map(i => i -> i.toDouble))
+  }
+
   test("gc sweeps orphaned staging dirs, keeps fresh ones") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
