@@ -318,7 +318,46 @@ object QueriesPipe {
       |  (list(n_chars ORDER BY n_chars DESC))[1:5] AS top_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quality scoring by unigram LM cross-entropy: train per-language
+    * unigram probabilities on the corpus itself, score every document
+    * by its mean negative log-likelihood under its own language's LM.
+    * High scores flag unusual/low-quality text — the classic
+    * perplexity-based quality filter. One aggregation to build the LM,
+    * one broadcast-sized join to score (the LM is vocabulary-sized,
+    * tiny next to the corpus).
+    */
+  def q64_lm_xent(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH w AS (
+        |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        |    explode(split(text, ' ', -1)) AS term FROM documents),
+        |lm AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT w.doc_id,
+        |    -ln(cast(lm.cnt AS double) / tot.n) AS nll
+        |  FROM w JOIN lm ON w.lang = lm.lang AND w.term = lm.term
+        |  JOIN tot ON w.lang = tot.lang)
+        |SELECT doc_id, round(avg(nll), 4) + 0 AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val q64_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |lm AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+      |sc AS (
+      |  SELECT w.doc_id, -ln(lm.cnt::DOUBLE / tot.n) AS nll
+      |  FROM w JOIN lm ON w.lang = lm.lang AND w.term = lm.term
+      |  JOIN tot ON w.lang = tot.lang)
+      |SELECT doc_id, round(avg(nll), 4) + 0 AS xent
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_lm_xent" -> q64_lm_xent _,
     "q62_topk_native" -> q62_topk_native _,
     "q60_tfidf_terms" -> q60_tfidf_terms _,
     "q61_decontaminate" -> q61_decontaminate _,
@@ -329,6 +368,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q64_lm_xent" -> q64_oracle,
     "q62_topk_native" -> q62_oracle,
     "q60_tfidf_terms" -> q60_oracle,
     "q61_decontaminate" -> q61_oracle,
