@@ -24,8 +24,13 @@ object Bench {
       // opt-in stage-level profiling: parse the JSON event log offline
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
-      .config("spark.eventLog.dir",
-        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events"))
+      .config("spark.eventLog.dir", {
+        // Spark refuses to start if the log dir is missing
+        val d = sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR",
+          "/tmp/spark-events")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        d
+      })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -170,7 +170,8 @@ object QueriesSeries {
     val sr = freshSeries(s)
     sr.write(eventsDf(s, dir))
     sr.paginate(step = 300L).slice(1, 3)
-      .reduce(_ union _)
+      .reduceOption(_ union _)
+      .getOrElse(sr.emptyDf) // <= 1 page: same empty result as LIMIT 0
       .select(out.map(col): _*).orderBy(col("event_id"))
   }
 

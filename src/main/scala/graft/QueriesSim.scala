@@ -52,11 +52,12 @@ object QueriesSim {
   private def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
     val sid = System.identityHashCode(s)
-    // evict stale entries for the same view on another dir — their
-    // checkpoint blocks are reclaimed by the ContextCleaner once the
-    // DataFrame is unreferenced
+    // evict stale entries for the same view on another dir — free the
+    // checkpoint blocks eagerly; stale shingle tables must not pin
+    // executor memory until a driver GC cycle notices
     matCache.keys.filter(k => k._1 == sid && k._2 == view && k._3 != dir)
-      .foreach(k => matCache.remove(k))
+      .foreach(k => matCache.remove(k).foreach(
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint))
     val df = matCache.getOrElseUpdate((sid, view, dir), {
       // EAGER localCheckpoint, not persist+view: a view over a cached
       // plan must re-match the cache at every use site, and inside a

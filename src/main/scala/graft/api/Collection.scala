@@ -55,21 +55,34 @@ class Collection(val repo: Repo, val label: String, val path: String,
     } finally batch = null
   }
 
-  /** Either defer a write's rows to the open batch or commit direct. */
+  // THREAD-LOCAL capture for merge's read+rewrite: unlike the shared
+  // multi() batch, a capture must divert only the capturing thread's
+  // own writes — a concurrent writer on another thread keeps its
+  // normal commit path
+  private val capture =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Seq[SegmentMeta]]]
+
+  /** Defer a write's rows to this thread's open capture, the open
+    * multi() batch, or commit direct. */
   private[api] def batchOr(direct: () => Unit)(rows: Seq[SegmentMeta])
-      : Unit = synchronized {
-    if (batch != null) batch += rows else direct()
+      : Unit = {
+    val cap = capture.get()
+    if (cap != null) { cap += rows; () }
+    else synchronized {
+      if (batch != null) batch += rows else direct()
+    }
   }
 
-  /** Run `body` capturing any series writes as segment rows WITHOUT
-    * committing them — the reference's `batch = True` trick its merge
-    * uses to collect rewrite rows (lakota/collection.py:265-291). */
-  private[api] def captureRows(body: => Unit): Seq[Seq[SegmentMeta]] =
-    synchronized {
-      require(batch == null, "captureRows inside multi() not supported")
-      batch = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
-      try { body; batch.toSeq } finally batch = null
-    }
+  /** Run `body` capturing any series writes ON THIS THREAD as segment
+    * rows WITHOUT committing them — the reference's `batch = True`
+    * trick its merge uses to collect rewrite rows
+    * (lakota/collection.py:265-291). */
+  private[api] def captureRows(body: => Unit): Seq[Seq[SegmentMeta]] = {
+    require(capture.get() == null, "nested captureRows not supported")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[SegmentMeta]]
+    capture.set(buf)
+    try { body; buf.toSeq } finally capture.remove()
+  }
 
   private def commitBatch(writes: Seq[Seq[SegmentMeta]]): Unit = {
     val leaf = changelog.leaf()
@@ -215,12 +228,17 @@ class Collection(val repo: Repo, val label: String, val path: String,
           if (r.closed == Closed.Both || !r.hasData) m = m.update(r)
           else {
             val s = new Series(this, r.label)
+            // one persisted computation serves the emptiness probe AND
+            // the rewrite's own evaluation
             val frm = s.frame(r.start, r.stop, closed = r.closed,
-              from = Some(headM))
-            if (!frm.isEmpty) {
-              val written = captureRows { s.write(frm) }
-              written.flatten.foreach(w => m = m.update(w))
-            }
+              from = Some(headM)).persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (!frm.isEmpty) {
+                val written = captureRows { s.write(frm) }
+                written.flatten.foreach(w => m = m.update(w))
+              }
+            } finally { frm.unpersist(); () }
           }
         }
       }

@@ -31,14 +31,17 @@ final class HadoopStore(val root: String) extends Store {
   @transient private var fsCache: FileSystem = _
   @transient private var confCache: Configuration = _
 
-  private def conf: Configuration = {
+  // synchronized: gc/pull drive store ops from parallel-stream worker
+  // threads, so the lazy init must not publish a half-built conf/fs
+  private def conf: Configuration = synchronized {
     if (confCache == null) {
-      confCache = new Configuration()
-      MemFileSystem.install(confCache) // memory:// scheme always known
+      val c = new Configuration()
+      MemFileSystem.install(c) // memory:// scheme always known
+      confCache = c
     }
     confCache
   }
-  private def fs: FileSystem = {
+  private def fs: FileSystem = synchronized {
     if (fsCache == null)
       fsCache = new Path(root).getFileSystem(conf)
     fsCache

@@ -111,7 +111,9 @@ object TopKLong {
   def fromExprs(exprs: Seq[Expression]): TopKLong = {
     require(exprs.length == 2, "graft_topk(col, k) takes two arguments")
     require(exprs(1).foldable, "graft_topk k must be a literal")
-    TopKLong(exprs(0),
-      exprs(1).eval().asInstanceOf[Number].intValue)
+    val kv = exprs(1).eval()
+    require(kv != null && kv.isInstanceOf[Number],
+      s"graft_topk k must be a non-null integer literal, got $kv")
+    TopKLong(exprs(0), kv.asInstanceOf[Number].intValue)
   }
 }

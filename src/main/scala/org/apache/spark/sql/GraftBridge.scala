@@ -19,4 +19,13 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** Free the blocks of an eagerly localCheckpoint()'d Dataset NOW
+    * instead of waiting for a driver GC + ContextCleaner cycle. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 }
