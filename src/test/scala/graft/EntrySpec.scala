@@ -16,6 +16,6 @@ class EntrySpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"mismatch: only-queries=${q -- o} only-oracles=${o -- q}")
-    assert(q.size >= 43)
+    assert(q.size >= 64)
   }
 }
