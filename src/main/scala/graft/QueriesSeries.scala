@@ -251,8 +251,47 @@ object QueriesSeries {
     """SELECT event_id, ts, value AS val2, 'cloned' AS src
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** history maintenance under the oracle gate: trim past revisions,
+    * squash to a single root — the visible frame must be unchanged */
+  def q65_series_squash(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    sr.write(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
+      "2020-01-01 00:00:00", "2024-01-15 00:00:00", Closed.Left)
+    Thread.sleep(10)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(10)
+    sr.write(ev.filter(col("ts") >= lit("2024-01-15").cast("timestamp")),
+      "2024-01-15 00:00:00", "2025-01-01 00:00:00", Closed.Left)
+    sr.collection.trim(cut)
+    sr.collection.refresh()
+    sr.collection.squash()
+    sr.collection.refresh()
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q65_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
+  /** bulk parquet export → import into a second repo, read back */
+  def q66_series_export(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft-exp").toString + "/dump"
+    sr.exportParquet(dump)
+    val sr2 = freshSeries(s)
+    sr2.importParquet(dump)
+    sr2.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q66_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_series_inline" -> q48_series_inline _,
+    "q65_series_squash" -> q65_series_squash _,
+    "q66_series_export" -> q66_series_export _,
     "q56_series_paginate" -> q56_series_paginate _,
     "q57_series_epoch" -> q57_series_epoch _,
     "q58_series_merge" -> q58_series_merge _,
@@ -265,6 +304,8 @@ object QueriesSeries {
 
   val oracles: Map[String, String] = Map(
     "q48_series_inline" -> q48_oracle,
+    "q65_series_squash" -> q65_oracle,
+    "q66_series_export" -> q66_oracle,
     "q56_series_paginate" -> q56_oracle,
     "q57_series_epoch" -> q57_oracle,
     "q58_series_merge" -> q58_oracle,
