@@ -48,9 +48,9 @@ object Bench {
       """SELECT o_orderpriority, count(*) c FROM orders
         |WHERE o_orderkey < 100 GROUP BY 1""".stripMargin).collect()
     spark.sql(
-      """SELECT n_name, rank() OVER (ORDER BY c) r FROM (
-        |  SELECT n_name, count(*) c FROM nation
-        |  JOIN region ON n_regionkey = r_regionkey GROUP BY 1)"""
+      """SELECT n_name, rank() OVER (PARTITION BY r_name ORDER BY c) r FROM (
+        |  SELECT n_name, r_name, count(*) c FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2)"""
         .stripMargin).collect()
 
     def time(body: => Unit): Double = {

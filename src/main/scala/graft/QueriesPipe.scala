@@ -328,17 +328,26 @@ object QueriesPipe {
   def q62_topk_native(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
+    // the array result is exploded to rows: the driver's pandas-based
+    // compare cannot sort/hash array cells (round-2 q62 err). Only the
+    // (source, rank, value) rows are compared; ties at the k-boundary
+    // are value-identical whichever tied row the heap keeps.
     s.sql(
-      """SELECT source, graft_topk(n_chars, 5) AS top_chars
-        |FROM (SELECT /*+ REPARTITION(32) */ source, n_chars
-        |      FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin)
+      """SELECT source, CAST(pos + 1 AS BIGINT) AS rank, val AS n_chars
+        |FROM (SELECT source, graft_topk(n_chars, 5) AS top
+        |      FROM (SELECT /*+ REPARTITION(32) */ source, n_chars
+        |            FROM documents)
+        |      GROUP BY source)
+        |LATERAL VIEW posexplode(top) AS pos, val
+        |ORDER BY source, rank""".stripMargin)
   }
 
   val q62_oracle: String =
-    """SELECT source,
-      |  (list(n_chars ORDER BY n_chars DESC))[1:5] AS top_chars
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    """SELECT source, rank, n_chars FROM (
+      |  SELECT source, n_chars, row_number() OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC) AS rank
+      |  FROM documents)
+      |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
   /** Quality scoring by unigram LM cross-entropy: train per-language
     * unigram probabilities on the corpus itself, score every document
