@@ -387,7 +387,188 @@ object QueriesPipe {
       |SELECT doc_id, round(avg(nll), 4) + 0 AS xent
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing: regex redaction of emails and phone numbers, plus
+    * per-kind hit counts. The synthetic corpus contains no PII, so a
+    * dirty column is derived deterministically from (doc_id, lang) in
+    * BOTH dialects and the redacted text is compared char-exact. Pure
+    * per-row string expressions — narrow, codegen'd, no shuffle; at
+    * 100 TB this runs at scan speed. Regexes avoid backslash escapes
+    * (char classes only) so Java regex and DuckDB's RE2 agree.
+    */
+  def q67_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH d AS (
+        |  SELECT /*+ REPARTITION(32) */ doc_id,
+        |    concat(text, ' contact user', cast(doc_id AS string),
+        |      '@mail-', lang, '.com or +1-555-',
+        |      lpad(cast(doc_id % 10000 AS string), 4, '0')) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(regexp_count(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+') AS BIGINT)
+        |    AS n_email,
+        |  cast(regexp_count(dirty,
+        |    '[+][0-9]+-[0-9]{3}-[0-9]{4}') AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(dirty,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>'),
+        |    '[+][0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin)
+  }
+
+  val q67_oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id::VARCHAR ||
+      |      '@mail-' || lang || '.com or +1-555-' ||
+      |      lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(regexp_extract_all(dirty,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+'))::BIGINT
+      |    AS n_email,
+      |  length(regexp_extract_all(dirty,
+      |    '[+][0-9]+-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+      |  regexp_replace(regexp_replace(dirty,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+      |    '[+][0-9]+-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Gopher/C4-style repetition quality filter: per-document word
+    * counts, distinct-word fraction and top-word mass, folded into a
+    * keep/drop verdict. Two map-side-combined aggregations over the
+    * exploded terms — shuffle keyed on (doc_id[, term]), never on
+    * text bytes, so the plan is skew-safe at corpus scale.
+    */
+  def q68_repetition(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH w AS (
+        |  SELECT doc_id, explode(split(text, ' ', -1)) AS term
+        |  FROM (SELECT /*+ REPARTITION(32) */ doc_id, text
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |        max(c) AS top_c
+        |      FROM tf GROUP BY doc_id)
+        |SELECT doc_id, cast(n_words AS BIGINT) AS n_words, n_distinct,
+        |  cast(top_c AS BIGINT) AS top_c,
+        |  round(1 - n_distinct / cast(n_words AS double), 4) + 0
+        |    AS dup_frac,
+        |  CASE WHEN n_distinct / cast(n_words AS double) >= 0.3
+        |        AND top_c / cast(n_words AS double) <= 0.1
+        |       THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM a ORDER BY doc_id""".stripMargin)
+  }
+
+  val q68_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+      |a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+      |        max(c) AS top_c
+      |      FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_words::BIGINT AS n_words, n_distinct,
+      |  top_c::BIGINT AS top_c,
+      |  round(1 - n_distinct / n_words::DOUBLE, 4) + 0 AS dup_frac,
+      |  CASE WHEN n_distinct / n_words::DOUBLE >= 0.3
+      |        AND top_c / n_words::DOUBLE <= 0.1
+      |       THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing for LM training: documents are laid out
+    * contiguously per language (ordered by doc_id) and assigned to
+    * fixed 512-token bins by their starting offset — the standard
+    * "pack then split at bin boundaries" approximation. The running
+    * offset is a window partitioned BY LANGUAGE, so each shard packs
+    * independently — no global single-partition window; at 100 TB
+    * repartition the window key to (lang, shard) for more parallelism.
+    */
+  def q69_seq_pack(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH t AS (
+        |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        |    size(split(text, ' ', -1)) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |      AS off
+        |  FROM t)
+        |SELECT lang, cast(floor(off / 512.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin)
+  }
+
+  val q69_oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |      - n_tok AS off
+      |  FROM t)
+      |SELECT lang, floor(off / 512.0)::BIGINT AS seq_id,
+      |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY lang, seq_id
+      |ORDER BY lang, seq_id""".stripMargin
+
+  /** Temperature-based language rebalancing: acceptance rate
+    * sqrt(n_min/n_lang) per language (T=2 flattening of the language
+    * distribution), applied via the same deterministic md5 gate as
+    * q49. The rate table is languages-sized — broadcast — so the
+    * sample is a scan-side filter plus one tiny join: no shuffle of
+    * the corpus at any scale.
+    */
+  def q70_temp_sample(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents
+         |  GROUP BY lang),
+         |m AS (SELECT min(n_l) AS n_min FROM n),
+         |r AS (SELECT lang, n_l,
+         |    round(sqrt(n_min / cast(n_l AS double)), 4) AS rate
+         |  FROM n CROSS JOIN m),
+         |s AS (
+         |  SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE cast(conv(substr(md5(cast(d.doc_id AS string)), 1, 8),
+         |          16, 10) AS bigint) % 10000 < r.rate * 10000.0),
+         |sc AS (SELECT lang, count(*) AS n_sampled FROM s GROUP BY lang)
+         |SELECT r.lang, n_l AS n_docs, rate, n_sampled
+         |FROM r JOIN sc ON r.lang = sc.lang
+         |ORDER BY lang""".stripMargin)
+  }
+
+  val q70_oracle: String =
+    s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents
+       |  GROUP BY lang),
+       |m AS (SELECT min(n_l) AS n_min FROM n),
+       |r AS (SELECT lang, n_l,
+       |    round(sqrt(n_min / n_l::DOUBLE), 4) AS rate
+       |  FROM n CROSS JOIN m),
+       |s AS (
+       |  SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+       |  WHERE ('0x'||substr(md5(d.doc_id::VARCHAR),1,8))::BIGINT
+       |          % 10000 < r.rate * 10000.0),
+       |sc AS (SELECT lang, count(*) AS n_sampled FROM s GROUP BY lang)
+       |SELECT r.lang, n_l::BIGINT AS n_docs, rate,
+       |  n_sampled::BIGINT AS n_sampled
+       |FROM r JOIN sc ON r.lang = sc.lang
+       |ORDER BY r.lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_pii_redact" -> q67_pii_redact _,
+    "q68_repetition" -> q68_repetition _,
+    "q69_seq_pack" -> q69_seq_pack _,
+    "q70_temp_sample" -> q70_temp_sample _,
     "q64_lm_xent" -> q64_lm_xent _,
     "q62_topk_native" -> q62_topk_native _,
     "q60_tfidf_terms" -> q60_tfidf_terms _,
@@ -399,6 +580,10 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q67_pii_redact" -> q67_oracle,
+    "q68_repetition" -> q68_oracle,
+    "q69_seq_pack" -> q69_oracle,
+    "q70_temp_sample" -> q70_oracle,
     "q64_lm_xent" -> q64_oracle,
     "q62_topk_native" -> q62_oracle,
     "q60_tfidf_terms" -> q60_oracle,

@@ -128,13 +128,34 @@ object QueriesStream {
   val q63_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** Streaming exact deduplication: documents arrive as a stream,
+    * `dropDuplicates` on the content hash keeps the first occurrence
+    * of each distinct text (state = one compact hash per distinct doc,
+    * the standard streaming-dedup shape; add a watermark to bound
+    * state when arrival time correlates with content age). Only the
+    * hash set is emitted — which physical row survives a duplicate
+    * group is arrival-order-dependent, the set of hashes is not.
+    */
+  def q71_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.init(s)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = StreamOps.eventStream(s, s"$dir/documents*.parquet", schema)
+    val dd = src.select(md5(col("text")).as("h")).dropDuplicates("h")
+    drain(s, dd, "graft_q71_sink", "append").orderBy(col("h"))
+  }
+
+  val q71_oracle: String =
+    """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_stream_window" -> q52_stream_window _,
     "q53_stream_sessions" -> q53_stream_sessions _,
-    "q63_stream_sink" -> q63_stream_sink _)
+    "q63_stream_sink" -> q63_stream_sink _,
+    "q71_stream_dedup" -> q71_stream_dedup _)
 
   val oracles: Map[String, String] = Map(
     "q52_stream_window" -> q52_oracle,
     "q53_stream_sessions" -> q53_oracle,
-    "q63_stream_sink" -> q63_oracle)
+    "q63_stream_sink" -> q63_oracle,
+    "q71_stream_dedup" -> q71_oracle)
 }

@@ -40,6 +40,67 @@ class PipeSpec extends AnyFunSuite {
     assert(train > total * 6 / 10, "train bucket should hold ~80%")
   }
 
+  test("PII redaction scrubs every derived email and phone") {
+    val rows = QueriesPipe.q67_pii_redact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "each dirty doc carries >=1 email")
+      assert(r.getLong(2) >= 1, "each dirty doc carries >=1 phone")
+      val clean = r.getString(3)
+      assert(!clean.contains("@mail-"), s"unredacted email in: $clean")
+      assert(!clean.contains("+1-555-"), s"unredacted phone in: $clean")
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+    }
+  }
+
+  test("repetition filter fractions are consistent and verdicts match the rule") {
+    val rows = QueriesPipe.q68_repetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nDistinct, topC) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDistinct <= nWords && topC <= nWords && topC >= 1)
+      val keep = nDistinct.toDouble / nWords >= 0.3 &&
+        topC.toDouble / nWords <= 0.1
+      assert(r.getString(5) == (if (keep) "keep" else "drop"))
+    }
+    assert(rows.map(_.getString(5)).distinct.length == 2,
+      "corpus should contain both keeps and drops")
+  }
+
+  test("sequence packing covers every doc once, bins are contiguous per lang") {
+    val rows = QueriesPipe.q69_seq_pack(spark, dir).collect()
+    val total = Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "every doc packed once")
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // bin ids strictly increase and doc ranges never overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(1), s"$lang bins out of order")
+          assert(a.getLong(5) < b.getLong(4),
+            s"$lang doc ranges overlap across bins")
+        case _ =>
+      }
+    }
+  }
+
+  test("temperature sampling flattens the language distribution") {
+    val rows = QueriesPipe.q70_temp_sample(spark, dir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val (nDocs, rate, nSampled) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(rate > 0 && rate <= 1.0)
+      assert(nSampled <= nDocs)
+      // binomial tolerance: sampled fraction within ±0.25 of the rate
+      assert(math.abs(nSampled.toDouble / nDocs - rate) < 0.25,
+        s"${r.getString(0)}: sampled ${nSampled}/${nDocs} vs rate $rate")
+    }
+    // the rarest language is kept at rate 1.0
+    assert(rows.map(_.getDouble(2)).max == 1.0)
+  }
+
   test("quality top-k keeps at most 5 best-scored docs per source") {
     val rows = QueriesPipe.q51_quality_topk(spark, dir).collect()
     val bySource = rows.groupBy(_.getString(0))

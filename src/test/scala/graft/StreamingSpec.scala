@@ -173,4 +173,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally sq.stop()
     val _ = out
   }
+
+  test("streaming dedup emits exactly the batch-distinct hash set") {
+    val dir = "/root/testdata/sf0.001"
+    val got = QueriesStream.q71_stream_dedup(spark, dir)
+      .collect().map(_.getString(0))
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("md5(text) AS h").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(got.length == want.length)
+    assert(got.sameElements(want))
+  }
 }
