@@ -66,7 +66,9 @@ object Bench {
       "q14_window", "q15_join_revenue", "q16_topk_suppliers",
       "q17_dedup_exact", "q22_minhash_sig", "q23_lsh_pairs",
       "q25_ann_cosine", "q26_simhash", "q37_ann_native",
-      "q38_asof_join", "q39_sessions")
+      "q38_asof_join", "q39_sessions", "q49_stratified_sample",
+      "q54_neardup_components", "q60_tfidf_terms", "q64_lm_xent",
+      "q68_repetition", "q69_seq_pack")
     val qs = SparkEntry.queries
     headline.foreach { name =>
       results(name) = time { qs(name)(spark, sfDir).count(); () }

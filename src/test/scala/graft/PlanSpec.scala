@@ -119,4 +119,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
+
+  test("temperature sample joins the rate table by broadcast") {
+    val plan = QueriesPipe
+      .q70_temp_sample(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the languages-sized rate table must broadcast — a shuffle join
+    // here would repartition the whole corpus at scale
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("sequence packing window is partitioned, never global") {
+    val df = QueriesPipe.q69_seq_pack(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // every Window operator must carry a partition spec (a global
+    // window single-partitions the corpus)
+    "Window \\[".r.findAllIn(plan).foreach { _ => () }
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+
+  test("PII redaction is a pure scan-side projection") {
+    val plan = QueriesPipe
+      .q67_pii_redact(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // no aggregation, no join: only the presentation sort may exchange
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
 }
