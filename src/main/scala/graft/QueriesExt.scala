@@ -193,7 +193,76 @@ object QueriesExt {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** IVF ANN with a trained coarse quantizer: 8 sampled vectors act as
+    * cell centroids, every vector is assigned to its nearest centroid
+    * (cosine, deterministic tie-break on centroid id), and the query
+    * probes only its nprobe=2 nearest cells before the exact cosine
+    * top-k. Complements q35's sign-bit buckets with the
+    * data-dependent cell shape real IVF indexes use: the centroid
+    * table is broadcast (8 rows), assignment is a narrow map over the
+    * corpus, and the probe join prunes ~3/4 of the corpus — ratios
+    * that hold at any scale (k and nprobe grow with sqrt(n)).
+    * Similarities are rounded to 6 decimals BEFORE the argmax/probe
+    * ordering on both engines so cell assignment never hinges on a
+    * final-ulp accumulation difference.
+    */
+  def q72_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH v AS (SELECT /*+ REPARTITION(32) */ vec_id, label,
+        |    cast(embedding AS array<double>) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  WHERE vec_id BETWEEN 1 AND 8),
+        |s AS (SELECT v.vec_id, v.label, v.e, c.cid,
+        |    round(aggregate(zip_with(v.e, c.ce, (x,y) -> x*y),
+        |        cast(0 AS double), (a,x) -> a+x) /
+        |      (sqrt(aggregate(v.e, cast(0 AS double), (a,x) -> a+x*x)) *
+        |       sqrt(aggregate(c.ce, cast(0 AS double), (a,x) -> a+x*x))),
+        |      6) AS sim
+        |  FROM v CROSS JOIN c),
+        |a AS (SELECT vec_id, label, e, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cid) AS rn FROM s)
+        |  WHERE rn = 1),
+        |qp AS (SELECT cid FROM s WHERE vec_id = 0
+        |  ORDER BY sim DESC, cid LIMIT 2),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        |d AS (SELECT a.vec_id, a.label,
+        |    aggregate(zip_with(a.e, q.qe, (x,y) -> x*y),
+        |      cast(0 AS double), (acc,x) -> acc+x) /
+        |    (sqrt(aggregate(a.e, cast(0 AS double), (acc,x) -> acc+x*x)) *
+        |     sqrt(aggregate(q.qe, cast(0 AS double), (acc,x) -> acc+x*x)))
+        |      AS cos
+        |  FROM a JOIN qp ON a.cid = qp.cid CROSS JOIN q
+        |  WHERE a.vec_id != 0)
+        |SELECT vec_id, label, round(cos, 4) + 0 AS cos
+        |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  val q72_oracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |s AS (SELECT v.vec_id, v.label, v.e, c.cid,
+      |    round(list_cosine_similarity(v.e, c.ce), 6) AS sim
+      |  FROM v CROSS JOIN c),
+      |a AS (SELECT vec_id, label, e, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, cid) AS rn FROM s)
+      |  WHERE rn = 1),
+      |qp AS (SELECT cid FROM s WHERE vec_id = 0
+      |  ORDER BY sim DESC, cid LIMIT 2),
+      |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+      |d AS (SELECT a.vec_id, a.label,
+      |    list_cosine_similarity(a.e, q.qe) AS cos
+      |  FROM a JOIN qp ON a.cid = qp.cid CROSS JOIN q
+      |  WHERE a.vec_id != 0)
+      |SELECT vec_id, label, round(cos, 4) + 0 AS cos
+      |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_ann_ivf" -> q72_ann_ivf _,
     "q44_embedding_neardup" -> q44_embedding_neardup _,
     "q28_multimodal" -> q28_multimodal _,
     "q29_bpe_tokens" -> q29_bpe_tokens _,
@@ -202,6 +271,7 @@ object QueriesExt {
     "q37_ann_native" -> q37_ann_native _)
 
   val oracles: Map[String, String] = Map(
+    "q72_ann_ivf" -> q72_oracle,
     "q44_embedding_neardup" -> q44_oracle,
     "q28_multimodal" -> q28_oracle,
     "q29_bpe_tokens" -> q29_oracle,

@@ -564,7 +564,42 @@ object QueriesPipe {
        |FROM r JOIN sc ON r.lang = sc.lang
        |ORDER BY r.lang""".stripMargin
 
+  /** Document chunking for LM training: split each document into
+    * 50-word windows with a 25-word stride (half-overlap). The chunk
+    * starts are generated per row (`sequence`/`range`), so the whole
+    * operator is one narrow explode — chunk count scales with corpus
+    * size, never with a shuffle; downstream ops key on
+    * (doc_id, chunk_id).
+    */
+  def q73_chunking(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id,
+        |    split(text, ' ', -1) AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
+        |  FROM t)
+        |SELECT doc_id, cast((st - 1) div 25 AS BIGINT) AS chunk_id,
+        |  cast(st AS BIGINT) AS start_tok,
+        |  cast(size(slice(w, st, 50)) AS BIGINT) AS n_tok,
+        |  array_join(slice(w, st, 50), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  val q73_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w,
+      |    unnest(range(1, greatest(1, len(w) - 25) + 1, 25)) AS st
+      |  FROM t)
+      |SELECT doc_id, ((st - 1) // 25)::BIGINT AS chunk_id,
+      |  st::BIGINT AS start_tok,
+      |  len(w[st:st+49])::BIGINT AS n_tok,
+      |  array_to_string(w[st:st+49], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
     "q68_repetition" -> q68_repetition _,
     "q69_seq_pack" -> q69_seq_pack _,
@@ -580,6 +615,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
     "q68_repetition" -> q68_oracle,
     "q69_seq_pack" -> q69_oracle,

@@ -101,6 +101,39 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(2)).max == 1.0)
   }
 
+  test("chunking covers every word, half-overlapping windows in order") {
+    val rows = QueriesPipe.q73_chunking(spark, dir).collect()
+    val nTok = Tables.table(spark, dir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ', -1)) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(2) == 1L, s"doc $doc first chunk at 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) - a.getLong(2) == 25L,
+            s"doc $doc stride must be 25")
+        case _ =>
+      }
+      val last = sorted.last
+      // the final window reaches the end of the document
+      assert(last.getLong(2) + last.getLong(3) - 1 == nTok(doc),
+        s"doc $doc tail words uncovered")
+      assert(sorted.forall(_.getLong(3) <= 50))
+    }
+  }
+
+  test("IVF ANN returns a descending top-10 drawn from probed cells") {
+    val rows = QueriesExt.q72_ann_ivf(spark, dir).collect()
+    assert(rows.length == 10)
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      s"not descending: ${cs.mkString(",")}")
+    assert(!rows.map(_.getLong(0)).contains(0L), "query vec excluded")
+    val again = QueriesExt.q72_ann_ivf(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "IVF search must be deterministic")
+  }
+
   test("quality top-k keeps at most 5 best-scored docs per source") {
     val rows = QueriesPipe.q51_quality_topk(spark, dir).collect()
     val bySource = rows.groupBy(_.getString(0))
