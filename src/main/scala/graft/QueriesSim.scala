@@ -119,14 +119,31 @@ object QueriesSim {
        |  $minhashCols
        |FROM $tokRef GROUP BY doc_id)""".stripMargin
 
+  /** Signatures as a NARROW in-row array pipeline: shingle, distinct,
+    * hash and take the 8 mins entirely inside one projection —
+    * documents are never exploded and nothing shuffles. This is the
+    * 100 TB shape for signature extraction (scan-speed, embarrassingly
+    * parallel); the exploded `sim_tok` inverted index exists only for
+    * the operators that genuinely need cross-document joins (q23/q24
+    * banding and jaccard verification). Identical integer math to the
+    * oracle's exploded formulation.
+    */
   def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    materialize(s, dir, sparkShingleSelect, "sim_tok")
-    // materialize the signature table itself: q23 reuses it, so the
-    // 8-way minhash aggregate runs once per session, not twice
-    materialize(s, dir,
-      s"WITH ${sigBody("sim_tok")} SELECT * FROM sig", "sim_sig")
-    s.sql("SELECT * FROM sim_sig ORDER BY doc_id")
+    val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(sh, h -> ($a*h+$b)%$P)) AS mh${i + 1}"
+    }.mkString(",\n  ")
+    s.sql(
+      s"""SELECT doc_id, $minCols FROM (
+         |  SELECT doc_id, transform(array_distinct(
+         |      transform(sequence(1, size(t)-2),
+         |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+         |                    element_at(t,i+2)))),
+         |    s -> ${sparkHex("s")}) AS sh
+         |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+         |          split(text,' ', -1) AS t FROM documents)
+         |  WHERE size(t) >= 3)
+         |ORDER BY doc_id""".stripMargin)
   }
 
   val q22_oracle: String =
@@ -176,7 +193,11 @@ object QueriesSim {
     // sig is referenced by all four band branches — materialize once
     materialize(s, dir,
       s"WITH ${sigBody("sim_tok")} SELECT * FROM sig", "sim_sig")
-    s.sql(s"WITH ${lshTail("sim_sig", "sim_tok")}")
+    // the verified pair set is itself reused (q54 components, q55
+    // dedup) — pin it so the band join + jaccard verify run once
+    materialize(s, dir,
+      s"WITH ${lshTail("sim_sig", "sim_tok")}", "sim_pairs")
+    s.sql("SELECT * FROM sim_pairs ORDER BY doc_a, doc_b")
   }
 
   val q23_oracle: String =
