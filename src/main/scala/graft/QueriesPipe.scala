@@ -598,7 +598,67 @@ object QueriesPipe {
       |  array_to_string(w[st:st+49], ' ') AS chunk
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Dataset profiling ("ANALYZE TABLE" for the corpus): per-column
+    * row/distinct/null counts and mean rendered length in one pass
+    * per column over the same scan. Distinctness of the wide text
+    * column is counted over md5 digests so the distinct shuffle
+    * carries 16 bytes per row, not documents — the profiling plan a
+    * 100 TB table needs.
+    */
+  def q74_profile(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH src AS (SELECT /*+ REPARTITION(32) */ * FROM documents)
+        |SELECT 'doc_id' AS col, count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
+        |  round(avg(length(cast(doc_id AS string))), 4) + 0 AS avg_len
+        |FROM src
+        |UNION ALL
+        |SELECT 'text', count(*), count(DISTINCT md5(text)),
+        |  count(CASE WHEN text IS NULL THEN 1 END),
+        |  round(avg(length(text)), 4) + 0 FROM src
+        |UNION ALL
+        |SELECT 'lang', count(*), count(DISTINCT lang),
+        |  count(CASE WHEN lang IS NULL THEN 1 END),
+        |  round(avg(length(lang)), 4) + 0 FROM src
+        |UNION ALL
+        |SELECT 'source', count(*), count(DISTINCT source),
+        |  count(CASE WHEN source IS NULL THEN 1 END),
+        |  round(avg(length(source)), 4) + 0 FROM src
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(DISTINCT n_chars),
+        |  count(CASE WHEN n_chars IS NULL THEN 1 END),
+        |  round(avg(length(cast(n_chars AS string))), 4) + 0 FROM src
+        |ORDER BY col""".stripMargin)
+  }
+
+  val q74_oracle: String =
+    """SELECT 'doc_id' AS col, count(*)::BIGINT AS n_rows,
+      |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+      |  count(CASE WHEN doc_id IS NULL THEN 1 END)::BIGINT AS n_null,
+      |  round(avg(length(doc_id::VARCHAR)), 4) + 0 AS avg_len
+      |FROM documents
+      |UNION ALL
+      |SELECT 'text', count(*)::BIGINT, count(DISTINCT md5(text))::BIGINT,
+      |  count(CASE WHEN text IS NULL THEN 1 END)::BIGINT,
+      |  round(avg(length(text)), 4) + 0 FROM documents
+      |UNION ALL
+      |SELECT 'lang', count(*)::BIGINT, count(DISTINCT lang)::BIGINT,
+      |  count(CASE WHEN lang IS NULL THEN 1 END)::BIGINT,
+      |  round(avg(length(lang)), 4) + 0 FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*)::BIGINT, count(DISTINCT source)::BIGINT,
+      |  count(CASE WHEN source IS NULL THEN 1 END)::BIGINT,
+      |  round(avg(length(source)), 4) + 0 FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', count(*)::BIGINT, count(DISTINCT n_chars)::BIGINT,
+      |  count(CASE WHEN n_chars IS NULL THEN 1 END)::BIGINT,
+      |  round(avg(length(n_chars::VARCHAR)), 4) + 0 FROM documents
+      |ORDER BY col""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
     "q68_repetition" -> q68_repetition _,
@@ -615,6 +675,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
     "q68_repetition" -> q68_oracle,
