@@ -68,7 +68,8 @@ object Bench {
       "q25_ann_cosine", "q26_simhash", "q37_ann_native",
       "q38_asof_join", "q39_sessions", "q49_stratified_sample",
       "q54_neardup_components", "q60_tfidf_terms", "q64_lm_xent",
-      "q68_repetition", "q69_seq_pack")
+      "q68_repetition", "q69_seq_pack", "q72_ann_ivf", "q73_chunking",
+      "q74_profile")
     val qs = SparkEntry.queries
     headline.foreach { name =>
       results(name) = time { qs(name)(spark, sfDir).count(); () }

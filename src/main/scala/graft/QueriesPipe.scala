@@ -359,18 +359,25 @@ object QueriesPipe {
     */
   def q64_lm_xent(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    // the scoring join carries one row per DISTINCT (doc, term) with
+    // its count, not one per token occurrence — at corpus scale the
+    // shuffle shrinks by the mean within-doc term multiplicity; the
+    // weighted mean sum(k*nll)/sum(k) is the same cross-entropy
     s.sql(
       """WITH w AS (
         |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
         |    explode(split(text, ' ', -1)) AS term FROM documents),
-        |lm AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY 1, 2),
-        |tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+        |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+        |       FROM w GROUP BY 1, 2, 3),
+        |lm AS (SELECT lang, term, sum(cnt) AS cnt FROM wf GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(cnt) AS n FROM lm GROUP BY 1),
         |sc AS (
-        |  SELECT w.doc_id,
+        |  SELECT wf.doc_id, wf.cnt AS k,
         |    -ln(cast(lm.cnt AS double) / tot.n) AS nll
-        |  FROM w JOIN lm ON w.lang = lm.lang AND w.term = lm.term
-        |  JOIN tot ON w.lang = tot.lang)
-        |SELECT doc_id, round(avg(nll), 4) + 0 AS xent
+        |  FROM wf JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
+        |  JOIN tot ON wf.lang = tot.lang)
+        |SELECT doc_id,
+        |  round(sum(k * nll) / sum(k), 4) + 0 AS xent
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
@@ -378,13 +385,17 @@ object QueriesPipe {
     """WITH w AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
-      |lm AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY 1, 2),
-      |tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |lm AS (SELECT lang, term, sum(cnt)::BIGINT AS cnt
+      |       FROM wf GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(cnt)::BIGINT AS n FROM lm GROUP BY 1),
       |sc AS (
-      |  SELECT w.doc_id, -ln(lm.cnt::DOUBLE / tot.n) AS nll
-      |  FROM w JOIN lm ON w.lang = lm.lang AND w.term = lm.term
-      |  JOIN tot ON w.lang = tot.lang)
-      |SELECT doc_id, round(avg(nll), 4) + 0 AS xent
+      |  SELECT wf.doc_id, wf.cnt AS k, -ln(lm.cnt::DOUBLE / tot.n) AS nll
+      |  FROM wf JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
+      |  JOIN tot ON wf.lang = tot.lang)
+      |SELECT doc_id,
+      |  round(sum(k * nll) / sum(k)::DOUBLE, 4) + 0 AS xent
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** PII scrubbing: regex redaction of emails and phone numbers, plus

@@ -292,11 +292,32 @@ object QueriesSim {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
-  def q26_simhash(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, simhashSql(sparkHex,
-      "explode(split(text,' ', -1))",
-      "(SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents)",
-      (e, b) => s"shiftright($e, $b)"))
+  /** Spark side computes the simhash as a NARROW in-row fold: distinct
+    * word tokens are hashed and their ±1 bit votes accumulated into a
+    * 32-slot array by `aggregate`+`zip_with` — no explode, no
+    * distinct/groupBy shuffle, scan-speed at any corpus size. The
+    * integer math is identical to the oracle's exploded formulation.
+    */
+  def q26_simhash(s: SparkSession, dir: String): DataFrame = {
+    val recombine = (0 until 32).map(b =>
+      s"(CASE WHEN element_at(bits, ${b + 1}) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    run(s, dir,
+      s"""SELECT doc_id, $recombine AS simhash FROM (
+         |  SELECT doc_id, aggregate(
+         |      transform(array_distinct(split(text,' ', -1)),
+         |        tk -> ${sparkHex("tk")}),
+         |      array_repeat(cast(0 AS BIGINT), 32),
+         |      (acc, hv) -> zip_with(acc,
+         |        transform(sequence(0, 31),
+         |          b -> CASE WHEN (shiftright(hv, b) & 1) = 1
+         |               THEN cast(1 AS BIGINT)
+         |               ELSE cast(-1 AS BIGINT) END),
+         |        (a, x) -> a + x)) AS bits
+         |  FROM (SELECT /*+ REPARTITION(32) */ doc_id, text
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin)
+  }
 
   val q26_oracle: String = simhashSql(duckHex,
     "unnest(string_split(text,' '))", "documents",
