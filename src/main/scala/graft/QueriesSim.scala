@@ -128,22 +128,27 @@ object QueriesSim {
     * banding and jaccard verification). Identical integer math to the
     * oracle's exploded formulation.
     */
-  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+  /** the narrow in-row signature SQL (see q22 Scaladoc) — also used to
+    * materialize `sim_sig` for the LSH pipeline, replacing an 8-way
+    * min aggregation over the exploded shingle table */
+  private[graft] def sparkSigInline: String = {
     val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       s"array_min(transform(sh, h -> ($a*h+$b)%$P)) AS mh${i + 1}"
     }.mkString(",\n  ")
-    s.sql(
-      s"""SELECT doc_id, $minCols FROM (
-         |  SELECT doc_id, transform(array_distinct(
-         |      transform(sequence(1, size(t)-2),
-         |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
-         |                    element_at(t,i+2)))),
-         |    s -> ${sparkHex("s")}) AS sh
-         |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
-         |          split(text,' ', -1) AS t FROM documents)
-         |  WHERE size(t) >= 3)
-         |ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id, $minCols FROM (
+       |  SELECT doc_id, transform(array_distinct(
+       |      transform(sequence(1, size(t)-2),
+       |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+       |                    element_at(t,i+2)))),
+       |    s -> ${sparkHex("s")}) AS sh
+       |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+       |          split(text,' ', -1) AS t FROM documents)
+       |  WHERE size(t) >= 3)""".stripMargin
+  }
+
+  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s"$sparkSigInline\nORDER BY doc_id")
   }
 
   val q22_oracle: String =
@@ -190,9 +195,9 @@ object QueriesSim {
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     materialize(s, dir, sparkShingleSelect, "sim_tok")
-    // sig is referenced by all four band branches — materialize once
-    materialize(s, dir,
-      s"WITH ${sigBody("sim_tok")} SELECT * FROM sig", "sim_sig")
+    // sig is referenced by all four band branches — materialize once,
+    // via the narrow in-row pipeline (no aggregation over sim_tok)
+    materialize(s, dir, sparkSigInline, "sim_sig")
     // the verified pair set is itself reused (q54 components, q55
     // dedup) — pin it so the band join + jaccard verify run once
     materialize(s, dir,
