@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, DotProduct, TopKLong}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig,
+  TopKLong}
 
 /** SparkSessionExtensions entry point: enable the engine's native
   * Catalyst expressions in any session by configuration —
@@ -34,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKLong].getName, "graft_topk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => TopKLong.fromExprs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => MinHashSig(exprs(0))))
   }
 }

@@ -21,11 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueriesSim {
 
-  val P = 2147483647L
-  val A = Seq(999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
-    999917L, 999907L)
-  val B = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L,
-    104395301L, 122949823L, 141650939L)
+  // hash constants shared with the native kernel (single source of
+  // truth: graft.functions.MinHashImpl)
+  val P: Long = graft.functions.MinHashImpl.P
+  val A: Seq[Long] = graft.functions.MinHashImpl.A.toSeq
+  val B: Seq[Long] = graft.functions.MinHashImpl.B.toSeq
 
   private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -128,26 +128,25 @@ object QueriesSim {
     * banding and jaccard verification). Identical integer math to the
     * oracle's exploded formulation.
     */
-  /** the narrow in-row signature SQL (see q22 Scaladoc) — also used to
-    * materialize `sim_sig` for the LSH pipeline, replacing an 8-way
-    * min aggregation over the exploded shingle table */
+  /** The narrow in-row signature SELECT (see q22 Scaladoc) — also used
+    * to materialize `sim_sig` for the LSH pipeline, replacing an 8-way
+    * min aggregation over the exploded shingle table. Backed by the
+    * native whole-stage-codegen kernel `graft_minhash`
+    * (functions.MinHashSig): one fused walk over the document's UTF-8
+    * bytes computes all 8 minima — no token array, no shingle strings,
+    * no lambda interpretation. */
   private[graft] def sparkSigInline: String = {
-    val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform(sh, h -> ($a*h+$b)%$P)) AS mh${i + 1}"
-    }.mkString(",\n  ")
-    s"""SELECT doc_id, $minCols FROM (
-       |  SELECT doc_id, transform(array_distinct(
-       |      transform(sequence(1, size(t)-2),
-       |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
-       |                    element_at(t,i+2)))),
-       |    s -> ${sparkHex("s")}) AS sh
-       |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
-       |          split(text,' ', -1) AS t FROM documents)
-       |  WHERE size(t) >= 3)""".stripMargin
+    val cols = (1 to 8)
+      .map(i => s"element_at(sig, $i) AS mh$i").mkString(",\n  ")
+    s"""SELECT doc_id, $cols FROM (
+       |  SELECT /*+ REPARTITION(32) */ doc_id,
+       |    graft_minhash(text) AS sig FROM documents)
+       |WHERE sig IS NOT NULL""".stripMargin
   }
 
   def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
     s.sql(s"$sparkSigInline\nORDER BY doc_id")
   }
 
@@ -194,6 +193,7 @@ object QueriesSim {
 
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
     materialize(s, dir, sparkShingleSelect, "sim_tok")
     // sig is referenced by all four band branches — materialize once,
     // via the narrow in-row pipeline (no aggregation over sim_tok)

@@ -140,5 +140,7 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)))
     GraftBridge.registerFunction(spark, "graft_topk",
       exprs => TopKLong.fromExprs(exprs).toAggregateExpression())
+    GraftBridge.registerFunction(spark, "graft_minhash",
+      exprs => MinHashSig(exprs(0)))
   }
 }

@@ -48,6 +48,60 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native minhash kernel equals the SQL lambda formulation") {
+    VectorFunctions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val hexExpr = "cast(conv(substr(md5(s),1,8),16,10) as bigint)"
+    val lambdaCols = QueriesSim.A.zip(QueriesSim.B).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"array_min(transform(sh, h -> ($a*h+$b)%${QueriesSim.P})) AS mh${i + 1}"
+      }.mkString(", ")
+    val lambda = spark.sql(
+      s"""SELECT doc_id, $lambdaCols FROM (
+         |  SELECT doc_id, transform(array_distinct(
+         |      transform(sequence(1, size(t)-2),
+         |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+         |                    element_at(t,i+2)))),
+         |    s -> $hexExpr) AS sh
+         |  FROM (SELECT doc_id, split(text,' ', -1) AS t FROM documents)
+         |  WHERE size(t) >= 3)""".stripMargin).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val native = spark.sql(
+      """SELECT doc_id, graft_minhash(text) AS sig FROM documents
+        |WHERE graft_minhash(text) IS NOT NULL""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(native.keySet == lambda.keySet)
+    native.foreach { case (doc, sig) =>
+      assert(sig == lambda(doc), s"doc $doc: $sig vs ${lambda(doc)}")
+    }
+  }
+
+  test("minhash kernel edge cases: short texts and multi-spaces") {
+    VectorFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq("", "one", "one two", "a b c", "a  b c", "a b c d")
+      .toDF("text")
+    df.createOrReplaceTempView("mh_edge")
+    val out = spark.sql(
+      "SELECT text, graft_minhash(text) FROM mh_edge").collect()
+    out.foreach { r =>
+      val t = r.getString(0)
+      val nTok = t.split(" ", -1).length
+      if (nTok < 3) assert(r.isNullAt(1), s"'$t' should be null")
+      else {
+        assert(!r.isNullAt(1), s"'$t' should produce a signature")
+        assert(r.getSeq[Long](1).length == 8)
+      }
+    }
+    // "a  b c" (double space) tokenizes to [a, '', b, c]: 2 shingles
+    val sigs = out.filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.contains("a  b c"))
+    assert(sigs("a b c") != sigs("a  b c"),
+      "empty token must change the shingle set")
+  }
+
   test("null inputs yield null") {
     val s = spark
     import s.implicits._
