@@ -147,13 +147,46 @@ object QueriesStream {
   val q71_oracle: String =
     """SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h"""
 
+  /** Stateless streaming feature extraction: the native
+    * `graft_minhash` kernel runs inside the stream's projection, so
+    * signatures are computed at arrival time with zero state — the
+    * shape of an ingest-time enrichment pipeline (the whole-stage
+    * codegen'd Expression is reused verbatim between batch and
+    * streaming plans). Oracle = the batch signature table (q22).
+    */
+  def q75_stream_minhash(s: SparkSession, dir: String): DataFrame = {
+    Tables.init(s)
+    graft.functions.VectorFunctions.register(s)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = StreamOps.eventStream(s, s"$dir/documents*.parquet", schema)
+    val sigCols = (1 to 8).map(i =>
+      expr(s"element_at(sig, $i)").as(s"mh$i"))
+    val sigs = src.select(col("doc_id"),
+        expr("graft_minhash(text)").as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: sigCols: _*)
+    drain(s, sigs, "graft_q75_sink", "append").orderBy(col("doc_id"))
+  }
+
+  val q75_oracle: String = {
+    val minhashCols = QueriesSim.A.zip(QueriesSim.B).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min(($a*hv+$b)%${QueriesSim.P}) AS mh${i + 1}"
+      }.mkString(", ")
+    s"""WITH ${QueriesSim.duckShingleTok}
+       |SELECT doc_id, $minhashCols
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stream_minhash" -> q75_stream_minhash _,
     "q52_stream_window" -> q52_stream_window _,
     "q53_stream_sessions" -> q53_stream_sessions _,
     "q63_stream_sink" -> q63_stream_sink _,
     "q71_stream_dedup" -> q71_stream_dedup _)
 
   val oracles: Map[String, String] = Map(
+    "q75_stream_minhash" -> q75_oracle,
     "q52_stream_window" -> q52_oracle,
     "q53_stream_sessions" -> q53_oracle,
     "q63_stream_sink" -> q63_oracle,
