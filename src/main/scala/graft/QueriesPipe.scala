@@ -238,8 +238,12 @@ object QueriesPipe {
 
   /** TF-IDF top terms per language: tf over (lang, term), global
     * document frequency, score = tf * ln(N/df) rounded BEFORE ranking
-    * so the rank order is bit-identical across engines. Two shuffles
-    * (term stats, lang window) — both on low-cardinality keys.
+    * so the rank order is bit-identical across engines. The exploded
+    * tokens collapse to distinct (doc, term) rows with counts first,
+    * so tf and df both derive from the compact table (df is a plain
+    * count: lang is functionally dependent on doc_id, making wf rows
+    * unique on (doc_id, term)) — downstream shuffles carry distinct
+    * terms, never token occurrences.
     */
   def q60_tfidf_terms(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -247,9 +251,10 @@ object QueriesPipe {
       """WITH w AS (
         |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
         |    explode(split(text, ' ', -1)) AS term FROM documents),
-        |tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w
-        |  GROUP BY 1),
+        |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+        |       FROM w GROUP BY 1, 2, 3),
+        |tf AS (SELECT lang, term, sum(cnt) AS tf FROM wf GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM wf GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
         |sc AS (
         |  SELECT lang, term,
@@ -267,8 +272,10 @@ object QueriesPipe {
     """WITH w AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
-      |tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
-      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |tf AS (SELECT lang, term, sum(cnt) AS tf FROM wf GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM wf GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM documents),
       |sc AS (
       |  SELECT lang, term,
