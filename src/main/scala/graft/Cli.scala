@@ -27,6 +27,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli <repoRoot> defrag <collection>
   *   graft.Cli <repoRoot> trim <collection> <epochMs>
   *   graft.Cli <repoRoot> squash <collection>
+  *   graft.Cli <repoRoot> sql "<query>"   SQL over <collection>_<series> views
   *   graft.Cli <repoRoot> gc
   *   graft.Cli <repoRoot> serve <port>                HTTP POD server
   * }}}
@@ -141,6 +142,15 @@ object Cli {
       case "import-repo" =>
         repo.importFrom(args(2))
         println(s"imported repo from ${args(2)}")
+      case "sql" =>
+        // every series is a view named <collection>_<series>; the
+        // query runs on the engine's pruned scans
+        repo.registerViews()
+        val df = spark.sql(args(2))
+        println(df.columns.mkString(","))
+        df.collect().foreach(r => println(
+          r.toSeq.map(v => if (v == null) "" else v.toString)
+            .mkString(",")))
       case "gc" =>
         println(s"buried ${repo.gc()} segments")
       case "serve" =>

@@ -114,6 +114,29 @@ class Repo(val rootUri: String, val spark: SparkSession,
   def search(prefix: String): Seq[String] =
     ls().filter(_.startsWith(prefix))
 
+  /** Register every series of every collection as a Spark temp view
+    * named `<collection>_<series>` (non-identifier characters mapped
+    * to `_`), so the whole versioned repo is queryable from plain
+    * SQL. Views are LAZY plans over `Series.frame()` — each carries
+    * the manifest-pruned, filter-pushed scan, so SQL over a view
+    * inherits every read-path optimization. Returns the view names.
+    */
+  def registerViews(prefix: String = ""): Seq[String] = {
+    def clean(s: String): String = s.map {
+      case c if c.isLetterOrDigit => c
+      case _ => '_'
+    }.mkString
+    for {
+      cl <- ls()
+      c = collection(cl).get
+      sl <- c.ls()
+    } yield {
+      val name = clean(s"$prefix$cl" + "_" + sl)
+      c.series(sl).frame().createOrReplaceTempView(name)
+      name
+    }
+  }
+
   def deleteCollection(label: String): Unit = {
     val state = regState()
     state.get(label).foreach { e =>

@@ -72,4 +72,19 @@ class CliSpec extends AnyFunSuite {
     assert(lines.head == "timestamp,value")
     assert(lines.tail == Seq("1,1.5", "2,2.5"))
   }
+
+  test("sql subcommand queries series views on the pruned read path") {
+    val a = Files.createTempDirectory("graft-cli-sql").toString
+    cli(a, "create", "t", "timestamp:int*", "value:float")
+    api.Repo(a, spark).collection("t").get.series("s")
+      .write(TestSpark.frame(Seq(1L, 2L, 3L), Seq(1.5, 2.5, 3.5)))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      cli(a, "sql",
+        "SELECT count(*) AS n, sum(value) AS s FROM t_s WHERE timestamp >= 2")
+    }
+    val lines = buf.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines.head == "n,s")
+    assert(lines.tail == Seq("2,6.0"))
+  }
 }
