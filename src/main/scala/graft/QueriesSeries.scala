@@ -288,7 +288,31 @@ object QueriesSeries {
   val q66_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** the SQL facade under the gate: write through the engine, register
+    * repo-wide views, aggregate over the view in plain SQL — the view
+    * carries the manifest-pruned frame() plan, so this proves SQL
+    * users get the same read path (and results) as the API. */
+  def q76_sql_facade(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    val Seq(view) = sr.collection.repo.registerViews("gq76_")
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  round(sum(value), 2) + 0 AS total
+         |FROM $view
+         |WHERE ts >= '2024-01-05 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q76_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  round(sum(value), 2) + 0 AS total
+      |FROM events
+      |WHERE ts >= '2024-01-05 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_sql_facade" -> q76_sql_facade _,
     "q48_series_inline" -> q48_series_inline _,
     "q65_series_squash" -> q65_series_squash _,
     "q66_series_export" -> q66_series_export _,
@@ -303,6 +327,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q76_sql_facade" -> q76_oracle,
     "q48_series_inline" -> q48_oracle,
     "q65_series_squash" -> q65_oracle,
     "q66_series_export" -> q66_oracle,
