@@ -250,6 +250,67 @@ class MaintenanceSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("series delete propagates through push and pull (sync_test parity)") {
+    val a = freshRepo()
+    val b = freshRepo()
+    val ca = a.createCollection(schema, "c")
+    Seq("a", "b", "c", "d").foreach { l =>
+      ca.series(l).write(
+        TestSpark.frame(Seq(1L, 2L, 3L), Seq(1.0, 2.0, 3.0)))
+      Thread.sleep(2)
+    }
+    a.push(b)
+    val cb = b.collection("c").get
+    assert(cb.ls() == Seq("a", "b", "c", "d"))
+    // delete one label locally, push: remote must see the deletion
+    Thread.sleep(3)
+    ca.deleteSeries("c")
+    ca.refresh()
+    a.push(b)
+    cb.refresh()
+    assert(ca.ls() == Seq("a", "b", "d"))
+    assert(cb.ls() == Seq("a", "b", "d"))
+    // delete one label remotely, pull: local must see the deletion
+    Thread.sleep(3)
+    cb.deleteSeries("d")
+    cb.refresh()
+    a.pull(b)
+    ca.refresh()
+    assert(cb.ls() == Seq("a", "b"))
+    assert(ca.ls() == Seq("a", "b"))
+    // surviving series still read correctly on both sides
+    assert(rows(ca.series("a").frame()) ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(rows(cb.series("b").frame()) ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("defrag on synced repos yields identical live digests (stability)") {
+    val a = freshRepo()
+    val b = freshRepo()
+    val ca = a.createCollection(schema, "c")
+    ca.embedMaxSize = 0L
+    ca.pageLen = 100L
+    val s = ca.series("_")
+    (0 until 10).foreach { i =>
+      s.write(TestSpark.frame(Seq(10L * i, 10L * i + 1),
+        Seq(i * 1.0, i + 0.5)))
+      Thread.sleep(2)
+    }
+    a.push(b)
+    val cb = b.collection("c").get
+    cb.embedMaxSize = 0L
+    cb.pageLen = 100L
+    ca.defrag()
+    cb.defrag()
+    ca.refresh()
+    cb.refresh()
+    // content-addressed rewrites: both sides must converge to the
+    // SAME live segment set (reference test_series_defrag_stability)
+    assert(ca.digests() == cb.digests())
+    assert(rows(ca.series("_").frame()) == rows(cb.series("_").frame()))
+  }
+
   test("series rename and delete") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")
