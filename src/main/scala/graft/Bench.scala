@@ -100,6 +100,18 @@ object Bench {
         "total" -> "(sum self.value)",
         "cnt" -> "(count self.event_id)")).count(); ()
     }
+
+    // fragmentation: 40 tiny 25-row writes (reference
+    // bench_fragmentation.py's worst case) — each lands on the
+    // manifest-inline fast path: a metadata-only commit, no Spark job,
+    // no segment file. Then one read over the fragmented series.
+    val fragSeries = repo.createCollection(schema, "frag").series("_")
+    val local = ev.limit(1000).collect().grouped(25).map { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk: _*), ev.schema)
+    }.toSeq // materialized before the timed region
+    results("frag_write") = time { local.foreach(fragSeries.write(_)) }
+    results("frag_read") = time { fragSeries.frame().count(); () }
     val _ = nRows
 
     val qJson = results.map { case (k, v) =>
