@@ -40,5 +40,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => MinHashSig(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => (exprs match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(c)
+          case Seq(c, n) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(c, n)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_agg(xxhash64_col[, est_items])")
+        }).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

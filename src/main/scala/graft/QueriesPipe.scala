@@ -675,7 +675,133 @@ object QueriesPipe {
       |  round(avg(length(n_chars::VARCHAR)), 4) + 0 FROM documents
       |ORDER BY col""".stripMargin
 
+  /** Incremental dedup of a new batch against an existing corpus via a
+    * bloom-filter sketch — Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (the runtime-row-group-filter machinery)
+    * surfaced as `graft_bloom_agg` / `graft_might_contain`.
+    *
+    * Shape for 100 TB: the corpus side collapses to a few-MB binary
+    * sketch (partial-aggregated, no shuffle of keys), the probe is a
+    * scan-side scalar on the new batch, and only the sketch-positive
+    * sliver — corpus-hit rate + false-positive rate of the pair space —
+    * reaches the exact anti-join verifier. Rows the sketch clears never
+    * join at all; bloom false negatives are impossible, so the result
+    * is exactly the anti-join the oracle runs. Dedup key: the 8-word
+    * document prefix (a cheap near-dup fingerprint).
+    */
+  def q77_bloom_dedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      """WITH corpus AS (
+        |  SELECT array_join(slice(split(text, ' '), 1, 8), ' ') AS k
+        |  FROM documents WHERE length(source) = 4),
+        |nb AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    array_join(slice(split(text, ' '), 1, 8), ' ') AS k
+        |  FROM documents WHERE length(source) = 5),
+        |flagged AS (
+        |  SELECT nb.*, graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(k), 10000L) FROM corpus),
+        |    xxhash64(k)) AS maybe
+        |  FROM nb)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM flagged WHERE NOT maybe
+        |UNION ALL
+        |SELECT f.doc_id, f.lang, f.source, f.n_chars
+        |FROM (SELECT * FROM flagged WHERE maybe) f
+        |LEFT ANTI JOIN corpus c ON f.k = c.k
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val q77_oracle: String =
+    """WITH corpus AS (
+      |  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+      |  FROM documents WHERE length(source) = 4),
+      |nb AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+      |  FROM documents WHERE length(source) = 5)
+      |SELECT doc_id, lang, source, n_chars FROM nb
+      |WHERE k NOT IN (SELECT k FROM corpus)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Bigram LM training counts over the English corpus: adjacent word
+    * pairs from a single `posexplode` (in-row neighbor lookup — no
+    * positional self-join), bigram and unigram counts from two
+    * map-side-combined aggregations, add-½-smoothed conditional
+    * probability, top 30 collocations under a total tie-break. The
+    * n-gram count tables ARE the training artifact of a count-based
+    * LM; at corpus scale the only shuffle is on the (w1,w2) pairs
+    * themselves.
+    */
+  def q78_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH w AS (SELECT split(text, ' ') AS ws FROM documents
+        |  WHERE lang = 'en'),
+        |b AS (
+        |  SELECT element_at(ws, p + 1) AS w1, element_at(ws, p + 2) AS w2
+        |  FROM w LATERAL VIEW posexplode(ws) AS p, x
+        |  WHERE p < size(ws) - 1),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2),
+        |u AS (SELECT w1, sum(cnt) AS n1 FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, c.cnt,
+        |  round((c.cnt + 0.5D) / (u.n1 + 0.5D * (SELECT count(DISTINCT w2)
+        |    FROM c)), 4) + 0 AS p_cond
+        |FROM c JOIN u ON c.w1 = u.w1
+        |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin)
+  }
+
+  val q78_oracle: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE lang = 'en'),
+      |b AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+      |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM b GROUP BY w1, w2),
+      |u AS (SELECT w1, sum(cnt) AS n1 FROM c GROUP BY w1)
+      |SELECT c.w1, c.w2, c.cnt,
+      |  round((c.cnt + 0.5) / (n1 + 0.5 * (SELECT count(DISTINCT w2)
+      |    FROM c)), 4) + 0 AS p_cond
+      |FROM c JOIN u ON c.w1 = u.w1
+      |ORDER BY cnt DESC, c.w1, c.w2 LIMIT 30""".stripMargin
+
+  /** Deterministic global training shuffle: every document is assigned
+    * a shard by content hash and a position within its shard by hash
+    * order — a reproducible corpus-wide permutation materialized as
+    * (doc_id, shard, pos). One hash-partitioned window per shard; no
+    * global sort, no RNG state, stable under retries and cluster
+    * resizes — the property a 100 TB training-data shuffle must have.
+    */
+  def q79_shard_assign(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
+        |      AS bigint) AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 16 AS shard,
+        |  cast(row_number() OVER (
+        |    PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)
+  }
+
+  val q79_oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM documents)
+      |SELECT doc_id, hv % 16 AS shard,
+      |  row_number() OVER (
+      |    PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_bloom_dedup" -> q77_bloom_dedup _,
+    "q78_bigram_lm" -> q78_bigram_lm _,
+    "q79_shard_assign" -> q79_shard_assign _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -693,6 +819,9 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q77_bloom_dedup" -> q77_oracle,
+    "q78_bigram_lm" -> q78_oracle,
+    "q79_shard_assign" -> q79_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{
-  BinaryExpression, Expression}
+  BinaryExpression, BloomFilterMightContain, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
@@ -142,5 +143,21 @@ object VectorFunctions {
       exprs => TopKLong.fromExprs(exprs).toAggregateExpression())
     GraftBridge.registerFunction(spark, "graft_minhash",
       exprs => MinHashSig(exprs(0)))
+    // Spark's own bloom-filter sketch expressions (the machinery behind
+    // runtime row-group filters), surfaced as SQL functions so queries
+    // can build a set-membership sketch over one relation and probe it
+    // from another without a shuffle join: the aggregate emits a binary
+    // sketch, the probe is a scan-side scalar — the classic "dedup the
+    // new batch against a 100 TB corpus" shape.
+    GraftBridge.registerFunction(spark, "graft_bloom_agg", {
+      case Seq(child) =>
+        new aggregate.BloomFilterAggregate(child).toAggregateExpression()
+      case Seq(child, n) =>
+        new aggregate.BloomFilterAggregate(child, n).toAggregateExpression()
+      case exprs => throw new IllegalArgumentException(
+        s"graft_bloom_agg(xxhash64_col[, est_items]): got ${exprs.length} args")
+    })
+    GraftBridge.registerFunction(spark, "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }

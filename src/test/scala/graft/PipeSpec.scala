@@ -147,4 +147,49 @@ class PipeSpec extends AnyFunSuite {
         s"$src scores not descending: ${scores.mkString(",")}")
     }
   }
+
+  test("bloom dedup equals the exact anti-join (no false negatives)") {
+    import spark.implicits._
+    val kept = QueriesPipe.q77_bloom_dedup(spark, dir).collect()
+    // exact reference computed with plain DataFrame ops
+    val docs = Tables.table(spark, dir, "documents")
+    val key = org.apache.spark.sql.functions.array_join(
+      org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.split($"text", " "), 1, 8), " ")
+    val corpus = docs.filter(org.apache.spark.sql.functions
+      .length($"source") === 4).select(key.as("k"))
+    val nb = docs.filter(org.apache.spark.sql.functions
+      .length($"source") === 5).select($"doc_id", key.as("k"))
+    val exact = nb.join(corpus, Seq("k"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.map(_.getLong(0)).sorted.sameElements(exact),
+      "bloom-prefiltered dedup must equal the exact anti-join")
+    assert(exact.length < nb.count(),
+      "the corpus split must actually drop some near-dup prefixes")
+  }
+
+  test("bigram LM counts: probabilities in (0,1], counts descending") {
+    val rows = QueriesPipe.q78_bigram_lm(spark, dir).collect()
+    assert(rows.length == 30)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "rows must come out in count order")
+    assert(rows.forall { r =>
+      val p = r.getDouble(3); p > 0.0 && p <= 1.0 })
+  }
+
+  test("shard assignment is a permutation: contiguous positions per shard") {
+    val rows = QueriesPipe.q79_shard_assign(spark, dir).collect()
+    val n = Tables.table(spark, dir, "documents").count()
+    assert(rows.length.toLong == n, "every document assigned exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == n)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16)
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.sameElements(1L to pos.length),
+        s"shard $shard positions not contiguous")
+    }
+    val again = QueriesPipe.q79_shard_assign(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "assignment must be deterministic")
+  }
 }
