@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g thrashed GC once the bench accumulated pinned checkpoint blocks
+  // (sim_* tables, component labels) next to per-query shuffle data:
+  // isolated-query times doubled in the full run. 24g keeps the whole
+  // working set resident on the 128 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

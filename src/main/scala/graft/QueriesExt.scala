@@ -208,31 +208,28 @@ object QueriesExt {
     */
   def q72_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    // cell assignment runs the N×8 broadcast cross join ONCE through
+    // the fused native cosine (identical sequential IEEE accumulation
+    // to the oracle's list_cosine_similarity); the query's own 1×8
+    // probe is a separate trivial join rather than a second pass over
+    // the full assignment table
     s.sql(
       """WITH v AS (SELECT /*+ REPARTITION(32) */ vec_id, label,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v
         |  WHERE vec_id BETWEEN 1 AND 8),
-        |s AS (SELECT v.vec_id, v.label, v.e, c.cid,
-        |    round(aggregate(zip_with(v.e, c.ce, (x,y) -> x*y),
-        |        cast(0 AS double), (a,x) -> a+x) /
-        |      (sqrt(aggregate(v.e, cast(0 AS double), (a,x) -> a+x*x)) *
-        |       sqrt(aggregate(c.ce, cast(0 AS double), (a,x) -> a+x*x))),
-        |      6) AS sim
-        |  FROM v CROSS JOIN c),
         |a AS (SELECT vec_id, label, e, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, cid) AS rn FROM s)
+        |    SELECT v.vec_id, v.label, v.e, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
+        |        AS rn
+        |    FROM v CROSS JOIN c)
         |  WHERE rn = 1),
-        |qp AS (SELECT cid FROM s WHERE vec_id = 0
-        |  ORDER BY sim DESC, cid LIMIT 2),
+        |qp AS (SELECT cid FROM v CROSS JOIN c WHERE v.vec_id = 0
+        |  ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, cid LIMIT 2),
         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-        |d AS (SELECT a.vec_id, a.label,
-        |    aggregate(zip_with(a.e, q.qe, (x,y) -> x*y),
-        |      cast(0 AS double), (acc,x) -> acc+x) /
-        |    (sqrt(aggregate(a.e, cast(0 AS double), (acc,x) -> acc+x*x)) *
-        |     sqrt(aggregate(q.qe, cast(0 AS double), (acc,x) -> acc+x*x)))
-        |      AS cos
+        |d AS (SELECT a.vec_id, a.label, graft_cosine(a.e, q.qe) AS cos
         |  FROM a JOIN qp ON a.cid = qp.cid CROSS JOIN q
         |  WHERE a.vec_id != 0)
         |SELECT vec_id, label, round(cos, 4) + 0 AS cos

@@ -135,12 +135,52 @@ object QueriesPipe {
 
   def q54_neardup_components(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cached = compCache.getOrElseUpdate(
       (System.identityHashCode(s), dir), {
         val pairs = QueriesSim.q23_lsh_pairs(s, dir)
           .filter(col("jaccard") >= 0.3)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val edgeCount = pairs.count()
+        if (edgeCount <= MaxDriverEdges) {
+          // The LSH pair graph is orders of magnitude smaller than the
+          // corpus (it IS the point of banding); when it fits on the
+          // driver, union-find beats O(diameter) distributed rounds —
+          // the same small-side cutoff reasoning as a broadcast join.
+          // Past the cutoff (billions of edges) the distributed
+          // propagation loop below is the design.
+          val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent(c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          es.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val labels = parent.keys.toArray.map(id => (id, find(id)))
+          import s.implicits._
+          labels.toSeq.toDF("id", "comp")
+        } else distributedComponents(pairs)
+      })
+    cached.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Graph-diameter-bounded min-label propagation — the >`MaxDriverEdges`
+    * path of q54. */
+  private val MaxDriverEdges = 2000000L
+
+  private def distributedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    locally {
         val edges = pairs
           .union(pairs.select(col("b").as("a"), col("a").as("b")))
           .persist(lvl)
@@ -177,9 +217,7 @@ object QueriesPipe {
           s"component propagation did not converge within $rounds rounds")
         edges.unpersist()
         labels
-      })
-    cached.select(col("id").as("doc_id"), col("comp").as("component"))
-      .orderBy(col("doc_id"))
+    }
   }
 
   /** shared oracle prefix: the q23 LSH pair set closed into components
@@ -253,13 +291,13 @@ object QueriesPipe {
         |    explode(split(text, ' ', -1)) AS term FROM documents),
         |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
         |       FROM w GROUP BY 1, 2, 3),
-        |tf AS (SELECT lang, term, sum(cnt) AS tf FROM wf GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM wf GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
+        |lt AS (SELECT lang, term, sum(cnt) AS tf, count(*) AS dfl
+        |       FROM wf GROUP BY 1, 2),
         |sc AS (
         |  SELECT lang, term,
-        |    round(tf * ln(cast(n AS double) / df), 4) + 0 AS score
-        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |    round(tf * ln(cast((SELECT count(*) FROM documents) AS double)
+        |      / sum(dfl) OVER (PARTITION BY term)), 4) + 0 AS score
+        |  FROM lt),
         |r AS (
         |  SELECT lang, term, score, row_number() OVER (
         |    PARTITION BY lang ORDER BY score DESC, term) AS rk
@@ -366,23 +404,26 @@ object QueriesPipe {
     */
   def q64_lm_xent(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    // the scoring join carries one row per DISTINCT (doc, term) with
-    // its count, not one per token occurrence — at corpus scale the
-    // shuffle shrinks by the mean within-doc term multiplicity; the
-    // weighted mean sum(k*nll)/sum(k) is the same cross-entropy
+    // the scoring pipeline carries one row per DISTINCT (doc, term)
+    // with its count, not one per token occurrence — at corpus scale
+    // the shuffle shrinks by the mean within-doc term multiplicity;
+    // the weighted mean sum(k*nll)/sum(k) is the same cross-entropy.
+    // Single-pass: the LM count is a window over (lang, term) on the
+    // SAME doc-term table (no second explode), and per-language token
+    // totals come from a narrow in-row size() — a 5-row broadcast.
     s.sql(
       """WITH w AS (
         |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
         |    explode(split(text, ' ', -1)) AS term FROM documents),
         |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
         |       FROM w GROUP BY 1, 2, 3),
-        |lm AS (SELECT lang, term, sum(cnt) AS cnt FROM wf GROUP BY 1, 2),
-        |tot AS (SELECT lang, sum(cnt) AS n FROM lm GROUP BY 1),
+        |tot AS (SELECT lang, sum(size(split(text, ' ', -1))) AS n
+        |        FROM documents GROUP BY lang),
         |sc AS (
         |  SELECT wf.doc_id, wf.cnt AS k,
-        |    -ln(cast(lm.cnt AS double) / tot.n) AS nll
-        |  FROM wf JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
-        |  JOIN tot ON wf.lang = tot.lang)
+        |    -ln(cast(sum(wf.cnt) OVER (PARTITION BY wf.lang, wf.term)
+        |      AS double) / tot.n) AS nll
+        |  FROM wf JOIN tot ON wf.lang = tot.lang)
         |SELECT doc_id,
         |  round(sum(k * nll) / sum(k), 4) + 0 AS xent
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)

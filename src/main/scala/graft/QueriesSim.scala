@@ -191,17 +191,59 @@ object QueriesSim {
        |JOIN sizes sb ON c.db = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** In-row distinct-shingle arrays straight off the document text — a
+    * narrow projection, NO explode and NO shuffle. The exact-jaccard
+    * verify joins the (tiny) candidate pair set against this table and
+    * intersects arrays in-row, replacing the exploded double join +
+    * groupBy over the full shingle table: at corpus scale only
+    * candidate documents' arrays ever move. */
+  private[graft] def sparkShingleArr: String =
+    s"""SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
+       |    i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+       |                element_at(t,i+2)))) AS ss
+       |FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+       |        split(text,' ', -1) AS t FROM documents)
+       |WHERE size(t) >= 3""".stripMargin
+
+  /** Spark-side banding + in-row array verify (same semantics as
+    * `lshTail`, which remains the engine-neutral/oracle formulation):
+    * candidates from the band equi-join, exact jaccard from
+    * `array_intersect` on per-doc shingle arrays. `cnt > 0` mirrors
+    * lshTail's inner join against `inter` (a band collision with no
+    * shared shingle yields no pair). */
+  private def lshTailArr(sigRef: String, arrRef: String): String =
+    s"""bands AS (
+       |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
+       |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL
+       |  SELECT doc_id, 3, mh5, mh6 FROM $sigRef UNION ALL
+       |  SELECT doc_id, 4, mh7, mh8 FROM $sigRef),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |   AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.da, c.db, size(array_intersect(a.ss, b.ss)) AS cnt,
+       |    size(a.ss) AS na, size(b.ss) AS nb
+       |  FROM cand c
+       |  JOIN $arrRef a ON c.da = a.doc_id
+       |  JOIN $arrRef b ON c.db = b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  round(cnt/(na + nb - cnt), 4) AS jaccard
+       |FROM j WHERE cnt > 0
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
-    materialize(s, dir, sparkShingleSelect, "sim_tok")
     // sig is referenced by all four band branches — materialize once,
-    // via the narrow in-row pipeline (no aggregation over sim_tok)
+    // via the narrow in-row pipeline (no aggregation, no explode)
     materialize(s, dir, sparkSigInline, "sim_sig")
+    materialize(s, dir, sparkShingleArr, "sim_arr")
     // the verified pair set is itself reused (q54 components, q55
     // dedup) — pin it so the band join + jaccard verify run once
     materialize(s, dir,
-      s"WITH ${lshTail("sim_sig", "sim_tok")}", "sim_pairs")
+      s"WITH ${lshTailArr("sim_sig", "sim_arr")}", "sim_pairs")
     s.sql("SELECT * FROM sim_pairs ORDER BY doc_a, doc_b")
   }
 

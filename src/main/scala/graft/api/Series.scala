@@ -365,10 +365,10 @@ class Series(val collection: Collection, val label: String) {
   /** manifest-embedded rows -> local DataFrame (no store access).
     * Inline vectors are positional over the SOURCE columns (clones may
     * add default-valued columns, which are synthesized here). */
-  private def inlineDf(s: SegmentRead): DataFrame = {
+  private def inlineRows(s: SegmentRead): Seq[Row] = {
     val srcCols = schema.cols.filterNot(c =>
       collection.defaults.contains(c.name))
-    val data = s.meta.inline.get.map { v =>
+    s.meta.inline.get.map { v =>
       val bySrc = srcCols.map(_.name).zip(
         v.zip(srcCols).map { case (x, c) =>
           if (x == null) null else SparkVals.fromKernel(c.dtype, x) }).toMap
@@ -379,9 +379,16 @@ class Series(val collection: Collection, val label: String) {
         }
       })
     }
-    val jlist = new java.util.ArrayList[Row](data.length)
-    data.foreach(jlist.add)
-    val df = spark.createDataFrame(jlist, schema.sparkSchema)
+  }
+
+  private def localDf(rows: Seq[Row]): DataFrame = {
+    val jlist = new java.util.ArrayList[Row](rows.length)
+    rows.foreach(jlist.add)
+    spark.createDataFrame(jlist, schema.sparkSchema)
+  }
+
+  private def inlineDf(s: SegmentRead): DataFrame = {
+    val df = localDf(inlineRows(s))
     if (coversData(s)) df
     else df.filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
       s.stop, s.closed))
@@ -456,7 +463,16 @@ class Series(val collection: Collection, val label: String) {
     val grouped =
       if (unclipped.isEmpty) Nil
       else Seq(scanFiles(unclipped.flatMap(_.meta.files)))
-    val parts = grouped ++ clipped.map(segDf) ++ inlineSegs.map(inlineDf)
+    // fully-visible inline segments concatenate into ONE local
+    // relation: a heavily fragmented series (the reference's
+    // bench_fragmentation case, hundreds of manifest-embedded
+    // micro-writes) must not become a hundred-way union plan
+    val (coveredInl, clippedInl) = inlineSegs.partition(coversData)
+    val inlParts =
+      (if (coveredInl.isEmpty) Nil
+       else Seq(localDf(coveredInl.flatMap(inlineRows)))) ++
+        clippedInl.map(inlineDf)
+    val parts = grouped ++ clipped.map(segDf) ++ inlParts
     var df = parts.reduceOption(_ union _).getOrElse(emptyDf)
     if (offset.isDefined || limit.isDefined) {
       df = df.orderBy(idxCols: _*)

@@ -28,15 +28,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val dbl = isDouble
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (dbl) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -47,13 +53,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
+    val get = if (isDouble) "getDouble" else "getFloat"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
+         |  double xv = (double) $a.$get(i);
+         |  double yv = (double) $b.$get(i);
          |  dot += xv * yv; na += xv * xv; nb += yv * yv;
          |}
          |if (na == 0.0 || nb == 0.0) {
@@ -80,30 +87,39 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val dbl = isDouble
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      dot += (if (dbl) x.getDouble(i) else x.getFloat(i).toDouble) *
+        (if (dbl) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
     }
     java.lang.Double.valueOf(dot)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
-      : ExprCode =
+      : ExprCode = {
+    val get = if (isDouble) "getDouble" else "getFloat"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0;
          |for (int i = 0; i < n; i++) {
-         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  dot += (double) $a.$get(i) * (double) $b.$get(i);
          |}
          |${ev.value} = dot;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct =
@@ -112,15 +128,20 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
 
+  /** both args must be float arrays, or both double arrays (float is
+    * the storage dtype; double feeds oracle-exact IEEE comparisons) */
   private[functions] def checkFloatArrays(name: String,
       exprs: Expression*): TypeCheckResult = {
     val ok = exprs.forall(_.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
+    }) || exprs.forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$name expects array<float> arguments, got " +
+      s"$name expects array<float> (or array<double>) arguments, got " +
         exprs.map(_.dataType.simpleString).mkString(", "))
   }
 
