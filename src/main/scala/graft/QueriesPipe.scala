@@ -839,7 +839,38 @@ object QueriesPipe {
       |    PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Semi-structured payload extraction: typed JSON field pulled out
+    * of the events `props` column at scan time (`get_json_object` is a
+    * codegen'd projection — no UDF, no intermediate table), then a
+    * plain map-side-combined aggregate per event type. The pattern for
+    * any "JSON blob column at 100 TB": extract exactly the fields the
+    * query needs inside the scan projection, never materialize the
+    * parsed object.
+    */
+  def q80_json_extract(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    cast(get_json_object(props, '$.k') AS bigint) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        |  round(avg(k), 4) + 0 AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q80_oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+      |  round(avg(k), 4) + 0 AS avg_k,
+      |  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_json_extract" -> q80_json_extract _,
     "q77_bloom_dedup" -> q77_bloom_dedup _,
     "q78_bigram_lm" -> q78_bigram_lm _,
     "q79_shard_assign" -> q79_shard_assign _,
@@ -860,6 +891,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q80_json_extract" -> q80_oracle,
     "q77_bloom_dedup" -> q77_oracle,
     "q78_bigram_lm" -> q78_oracle,
     "q79_shard_assign" -> q79_oracle,

@@ -178,7 +178,43 @@ object QueriesStream {
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Stream-stream event-time join ON THE STREAMING PATH: click →
+    * purchase attribution within 30 minutes per user. Both sides carry
+    * a watermark and the join has the time-range predicate Spark needs
+    * to bound state (each side's buffered rows expire once the other
+    * side's watermark passes the window) — the canonical shape for
+    * joining two unbounded streams. With AvailableNow over the finite
+    * events file the inner join emits exactly the batch-join pairs,
+    * which is what the oracle checks. */
+  def q81_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val src = rawEvents(s, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+      """c_user = p_user AND p_ts > c_ts AND
+        |p_ts <= c_ts + interval 30 minutes""".stripMargin))
+    drain(s, joined, "graft_q81_sink", "append")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q81_oracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_stream_join" -> q81_stream_join _,
     "q75_stream_minhash" -> q75_stream_minhash _,
     "q52_stream_window" -> q52_stream_window _,
     "q53_stream_sessions" -> q53_stream_sessions _,
@@ -186,6 +222,7 @@ object QueriesStream {
     "q71_stream_dedup" -> q71_stream_dedup _)
 
   val oracles: Map[String, String] = Map(
+    "q81_stream_join" -> q81_oracle,
     "q75_stream_minhash" -> q75_oracle,
     "q52_stream_window" -> q52_oracle,
     "q53_stream_sessions" -> q53_oracle,

@@ -178,6 +178,19 @@ class PipeSpec extends AnyFunSuite {
       val p = r.getDouble(3); p > 0.0 && p <= 1.0 })
   }
 
+  test("json extraction covers every event exactly once per type") {
+    val rows = QueriesPipe.q80_json_extract(spark, dir).collect()
+    val total = Tables.table(spark, dir, "events").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "per-type counts must partition the events table")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "min_k <= max_k")
+      val avg = r.getDouble(3)
+      assert(avg >= r.getLong(4) && avg <= r.getLong(5),
+        s"avg $avg outside [min,max]")
+    }
+  }
+
   test("shard assignment is a permutation: contiguous positions per shard") {
     val rows = QueriesPipe.q79_shard_assign(spark, dir).collect()
     val n = Tables.table(spark, dir, "documents").count()

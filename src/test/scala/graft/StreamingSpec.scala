@@ -184,4 +184,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == want.length)
     assert(got.sameElements(want))
   }
+
+  test("stream-stream join emits exactly the batch attribution pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = QueriesStream.q81_stream_join(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "attribution window must catch some pairs")
+    assert(got.distinct.length == got.length, "no duplicate pairs")
+    Tables.registerAll(spark, dir)
+    val want = spark.sql(
+      """SELECT c.user_id, c.event_id, p.event_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + interval 30 minutes
+        |ORDER BY 1, 2, 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want),
+      "streaming inner join must equal the batch join on finite input")
+  }
 }
