@@ -146,4 +146,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
     assert(!plan.contains("Join"), plan.take(1500))
   }
+
+  test("bloom dedup probes a scalar subquery sketch, no corpus cartesian") {
+    val df = QueriesPipe.q77_bloom_dedup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch is built once via the aggregate and probed as a
+    // scalar — never a nested-loop over corpus keys
+    assert(plan.contains("bloom_filter_agg") ||
+      plan.contains("BloomFilterAggregate") || plan.contains("Subquery"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
+  test("shard assignment windows are hash-partitioned, never global") {
+    val plan = QueriesPipe
+      .q79_shard_assign(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+
+  test("json extraction aggregates partially before its shuffle") {
+    val plan = QueriesPipe
+      .q80_json_extract(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // partial aggregation must run map-side (two HashAggregates around
+    // one exchange) and the json field must be a plain projection
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(2000))
+    assert(!plan.contains("BatchEvalPython"), plan.take(2000))
+  }
+
+  test("IVF ANN centroid join broadcasts the 8-cell side") {
+    val plan = QueriesExt
+      .q72_ann_ivf(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // N x 8 assignment must be a broadcast nested loop over the tiny
+    // centroid table (8 rows), never a shuffle of the vector corpus
+    assert(plan.contains("Broadcast"), plan.take(2000))
+  }
 }
