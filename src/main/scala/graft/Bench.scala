@@ -75,7 +75,14 @@ object Bench {
     // timed queries (engine metrics still run; grep the JSON line)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     headline.filter(n => only.forall(_.contains(n))).foreach { name =>
-      results(name) = time { qs(name)(spark, sfDir).count(); () }
+      // one failing query must not cost the whole round's bench line:
+      // record it as -1 and keep going
+      try results(name) = time { qs(name)(spark, sfDir).count(); () }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
+      }
     }
 
     // engine throughput: bulk write / full read / range read / agg

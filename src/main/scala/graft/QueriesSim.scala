@@ -49,7 +49,7 @@ object QueriesSim {
   private val matCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String), DataFrame]
 
-  private def materialize(s: SparkSession, dir: String, sql: String,
+  private[graft] def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
     val sid = System.identityHashCode(s)
     // evict stale entries for the same view on another dir — free the
