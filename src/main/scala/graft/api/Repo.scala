@@ -33,6 +33,22 @@ class Repo(val rootUri: String, val spark: SparkSession,
   final case class RegEntry(path: String, schema: GSchema,
       colMap: Map[String, String], defaults: Map[String, Any])
 
+  /** Registry keys carry a namespace (reference repo.py keeps one
+    * registry series per namespace — "collection" for live data,
+    * "archive" for [[archive]]d snapshots). Encoded as `ns:label`;
+    * bare legacy keys parse as the default namespace. */
+  val DefaultNs = "collection"
+  private val NsToken = "[A-Za-z0-9_-]+".r
+  private def mkKey(ns: String, label: String): String = {
+    require(NsToken.matches(ns), s"invalid namespace: $ns")
+    s"$ns:$label"
+  }
+  private def parseKey(k: String): (String, String) = {
+    val i = k.indexOf(':')
+    if (i > 0 && NsToken.matches(k.take(i))) (k.take(i), k.drop(i + 1))
+    else (DefaultNs, k)
+  }
+
   private def regState(): Map[String, RegEntry] = {
     // concurrent creates produce sibling registry revisions; a plain
     // last-leaf-wins read could drop a collection. Union all leaves
@@ -52,7 +68,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
   private def decodeReg(payload: Array[Byte]): Map[String, RegEntry] = {
         val m = Json.parse(new String(payload, "UTF-8"))
           .asInstanceOf[Map[String, Any]]
-        m.map { case (label, v) =>
+        m.map { case (label0, v) =>
           val vm = v.asInstanceOf[Map[String, Any]]
           val schema = GSchema.fromJson(vm("schema").asInstanceOf[String])
           val colMap = vm.getOrElse("colmap", Map.empty[String, Any])
@@ -62,8 +78,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
             .asInstanceOf[Map[String, Any]]
             .map { case (k, s) =>
               k -> Manifest.kernelValue(schema(k).dtype, s) }
-          label -> RegEntry(vm("path").asInstanceOf[String], schema,
-            colMap, defaults)
+          // normalize to the canonical ns:label key (migrates bare
+          // legacy keys on the next registry write)
+          val (ns, lbl) = parseKey(label0)
+          mkKey(ns, lbl) -> RegEntry(vm("path").asInstanceOf[String],
+            schema, colMap, defaults)
         }
     }
 
@@ -88,26 +107,44 @@ class Repo(val rootUri: String, val spark: SparkSession,
 
   def createCollection(schema: GSchema, label: String,
       colMap: Map[String, String] = Map.empty,
-      defaults: Map[String, Any] = Map.empty): Collection = {
+      defaults: Map[String, Any] = Map.empty,
+      namespace: String = DefaultNs): Collection = {
     val state = regState()
-    state.get(label) match {
+    state.get(mkKey(namespace, label)) match {
       case Some(e) =>
         require(e.schema == schema,
           s"collection $label exists with different schema")
         new Collection(this, label, e.path, e.schema, e.colMap, e.defaults)
       case None =>
-        val path = "c-" + Hash.sha1(label.getBytes("UTF-8")).take(16)
-        writeReg(state + (label -> RegEntry(path, schema, colMap,
-          defaults)))
+        val path = "c-" + Hash.sha1(
+          mkKey(namespace, label).getBytes("UTF-8")).take(16)
+        writeReg(state + (mkKey(namespace, label) -> RegEntry(path,
+          schema, colMap, defaults)))
         new Collection(this, label, path, schema, colMap, defaults)
     }
   }
 
-  def collection(label: String): Option[Collection] =
-    regState().get(label).map { e =>
+  def collection(label: String,
+      namespace: String = DefaultNs): Option[Collection] =
+    regState().get(mkKey(namespace, label)).map { e =>
       new Collection(this, label, e.path, e.schema, e.colMap, e.defaults) }
 
-  def ls(): Seq[String] = regState().keys.toSeq.sorted
+  def ls(namespace: String = DefaultNs): Seq[String] =
+    regState().keys.toSeq.map(parseKey)
+      .collect { case (ns, l) if ns == namespace => l }.sorted
+
+  /** every namespace present in the registry */
+  def namespaces(): Seq[String] =
+    (regState().keys.toSeq.map(k => parseKey(k)._1) :+ DefaultNs)
+      .distinct.sorted
+
+  /** Same-schema sibling of `c` under the `archive` namespace
+    * (reference Repo.archive, lakota/repo.py:227-232): a parking slot
+    * for cold snapshots — invisible to default ls()/pull/merge, but
+    * its segments stay live for [[gc]]. */
+  def archive(c: Collection): Collection =
+    collection(c.label, "archive")
+      .getOrElse(createCollection(c.schema, c.label, namespace = "archive"))
 
   /** collections whose label starts with `prefix` (reference
     * Repo.search / CLI prefix match, lakota/repo.py:138-161). */
@@ -137,19 +174,23 @@ class Repo(val rootUri: String, val spark: SparkSession,
     }
   }
 
-  def deleteCollection(label: String): Unit = {
+  def deleteCollection(label: String,
+      namespace: String = DefaultNs): Unit = {
     val state = regState()
-    state.get(label).foreach { e =>
-      writeReg(state - label)
+    val key = mkKey(namespace, label)
+    state.get(key).foreach { e =>
+      writeReg(state - key)
       store.rm(e.path, recursive = true)
     }
   }
 
-  def renameCollection(from: String, to: String): Unit = {
+  def renameCollection(from: String, to: String,
+      namespace: String = DefaultNs): Unit = {
     val state = regState()
-    state.get(from).foreach { e =>
-      require(!state.contains(to), s"collection $to already exists")
-      writeReg(state - from + (to -> e))
+    val (fromK, toK) = (mkKey(namespace, from), mkKey(namespace, to))
+    state.get(fromK).foreach { e =>
+      require(!state.contains(toK), s"collection $to already exists")
+      writeReg(state - fromK + (toK -> e))
     }
   }
 
@@ -163,7 +204,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
       .flatMap(l => remote.collection(l).map(l -> _)).toMap
     // merge registry
     val merged = state ++ remoteState.map { case (l, c) =>
-      l -> RegEntry(c.path, c.schema, c.colMap, c.defaults) }
+      mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
+        c.defaults) }
     if (merged != state) writeReg(merged)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))
@@ -222,8 +264,12 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * buried files are resurrected.
     */
   def gc(timeoutMs: Long = 600000L): Int = {
-    val live: Set[String] =
-      ls().flatMap(collection(_)).flatMap(_.digests()).toSet
+    // live set spans EVERY namespace — an archived collection's
+    // segments are as reachable as a live one's (reference gc walks
+    // all registry namespaces, lakota/repo.py:356-363)
+    val live: Set[String] = namespaces()
+      .flatMap(ns => ls(ns).flatMap(collection(_, ns)))
+      .flatMap(_.digests()).toSet
     val now = System.currentTimeMillis()
     val buried = new java.util.concurrent.atomic.AtomicInteger(0)
     // each segment's bury/resurrect decision is independent — fan the

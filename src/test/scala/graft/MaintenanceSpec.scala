@@ -418,4 +418,28 @@ class MaintenanceSpec extends AnyFunSuite {
     repo.deleteCollection("b")
     assert(repo.ls() == Seq("c"))
   }
+
+  test("archive namespace: invisible to default ls, survives gc") {
+    val repo = freshRepo()
+    val c = repo.createCollection(schema, "metrics")
+    c.series("_").write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+
+    // park a snapshot under the archive namespace
+    val arc = repo.archive(c)
+    arc.series("_").write(c.series("_").frame())
+    assert(repo.archive(c).path == arc.path, "archive() is idempotent")
+
+    assert(repo.ls() == Seq("metrics"), "default ls hides archives")
+    assert(repo.ls("archive") == Seq("metrics"))
+    assert(repo.namespaces() == Seq("archive", "collection"))
+
+    // deleting the live collection must not take the archive's
+    // segments with it: the gc live set spans every namespace
+    repo.deleteCollection("metrics")
+    assert(repo.ls().isEmpty)
+    repo.gc(timeoutMs = 0L)
+    val back = repo.collection("metrics", "archive").get
+    assert(rows(back.series("_").frame()) == Seq((1L, 1.0), (2L, 2.0)),
+      "archived snapshot must read back intact after delete + gc")
+  }
 }
