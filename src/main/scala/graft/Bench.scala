@@ -69,7 +69,9 @@ object Bench {
       "q38_asof_join", "q39_sessions", "q49_stratified_sample",
       "q54_neardup_components", "q60_tfidf_terms", "q64_lm_xent",
       "q68_repetition", "q69_seq_pack", "q72_ann_ivf", "q73_chunking",
-      "q74_profile")
+      "q74_profile", "q77_bloom_dedup", "q78_bigram_lm",
+      "q79_shard_assign", "q80_json_extract", "q82_funnel",
+      "q83_retention")
     val qs = SparkEntry.queries
     // debug: SPARK_GRAFT_BENCH_ONLY=q23_lsh_pairs,q54_… restricts the
     // timed queries (engine metrics still run; grep the JSON line)

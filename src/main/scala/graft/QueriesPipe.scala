@@ -873,7 +873,102 @@ object QueriesPipe {
       |  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase per user: each
+    * step's timestamp is the user's FIRST qualifying event after the
+    * previous step (conditional min aggregates — the whole funnel is
+    * ONE hash aggregation per step over a single scan, no self-joins).
+    * Counts per step are what a 100 TB event store answers daily; the
+    * per-user intermediate is one row per user, so the only shuffle
+    * carries user-grain data.
+    */
+  def q82_funnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id, v.t_view),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT 'step1_view' AS step, count(*) AS n_users
+        |FROM v WHERE t_view IS NOT NULL
+        |UNION ALL SELECT 'step2_click', count(*) FROM c
+        |UNION ALL SELECT 'step3_purchase', count(*) FROM p
+        |ORDER BY step""".stripMargin)
+  }
+
+  val q82_oracle: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id, v.t_view),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT 'step1_view' AS step, count(*)::BIGINT AS n_users
+      |FROM v WHERE t_view IS NOT NULL
+      |UNION ALL SELECT 'step2_click', count(*)::BIGINT FROM c
+      |UNION ALL SELECT 'step3_purchase', count(*)::BIGINT FROM p
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention: users grouped by first-active day, retention =
+    * distinct users active exactly `offset` days later. Two
+    * aggregations (first-seen per user, then per (cohort, offset)) and
+    * one user-grain join — the cohort table is user-sized, never
+    * event-sized, which is what makes this runnable on a 100 TB
+    * event log.
+    */
+  def q83_retention(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH f AS (
+        |  SELECT user_id, min(to_date(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, to_date(ts) AS day FROM events),
+        |r AS (
+        |  SELECT f.cohort_day, datediff(a.day, f.cohort_day) AS day_offset,
+        |    count(*) AS n_users
+        |  FROM a JOIN f ON a.user_id = f.user_id
+        |  WHERE datediff(a.day, f.cohort_day) IN (0, 1, 3, 7)
+        |  GROUP BY 1, 2)
+        |SELECT cast(cohort_day AS string) AS cohort_day,
+        |  cast(day_offset AS bigint) AS day_offset, n_users
+        |FROM r ORDER BY cohort_day, day_offset""".stripMargin)
+  }
+
+  val q83_oracle: String =
+    """WITH f AS (
+      |  SELECT user_id, min(ts::DATE) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      |r AS (
+      |  SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day)
+      |    AS day_offset, count(*)::BIGINT AS n_users
+      |  FROM a JOIN f ON a.user_id = f.user_id
+      |  WHERE date_diff('day', f.cohort_day, a.day) IN (0, 1, 3, 7)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_day::VARCHAR AS cohort_day, day_offset::BIGINT AS day_offset,
+      |  n_users
+      |FROM r ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_funnel" -> q82_funnel _,
+    "q83_retention" -> q83_retention _,
     "q80_json_extract" -> q80_json_extract _,
     "q77_bloom_dedup" -> q77_bloom_dedup _,
     "q78_bigram_lm" -> q78_bigram_lm _,
@@ -895,6 +990,8 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q82_funnel" -> q82_oracle,
+    "q83_retention" -> q83_oracle,
     "q80_json_extract" -> q80_oracle,
     "q77_bloom_dedup" -> q77_oracle,
     "q78_bigram_lm" -> q78_oracle,

@@ -178,6 +178,33 @@ class PipeSpec extends AnyFunSuite {
       val p = r.getDouble(3); p > 0.0 && p <= 1.0 })
   }
 
+  test("funnel steps are monotonically shrinking") {
+    val rows = QueriesPipe.q82_funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("step1_view", "step2_click",
+      "step3_purchase"))
+    assert(rows("step1_view") >= rows("step2_click"),
+      "click-after-view users cannot exceed viewers")
+    assert(rows("step2_click") >= rows("step3_purchase"),
+      "purchasers cannot exceed clickers")
+    assert(rows("step3_purchase") > 0, "sf0.001 funnel should convert")
+  }
+
+  test("retention offsets are subsets of the day-0 cohort") {
+    val rows = QueriesPipe.q83_retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byCohort = rows.groupBy(_._1)
+    assert(byCohort.nonEmpty)
+    byCohort.foreach { case (day, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      val d0 = m.getOrElse(0L, 0L)
+      assert(d0 > 0, s"cohort $day has no day-0 actives")
+      (m - 0L).foreach { case (off, n) =>
+        assert(n <= d0, s"cohort $day offset $off retains $n > $d0")
+      }
+    }
+  }
+
   test("json extraction covers every event exactly once per type") {
     val rows = QueriesPipe.q80_json_extract(spark, dir).collect()
     val total = Tables.table(spark, dir, "events").count()
