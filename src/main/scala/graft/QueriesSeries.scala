@@ -311,7 +311,35 @@ object QueriesSeries {
       |WHERE ts >= '2024-01-05 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bulk multi-series ingest (Collection.ingestGrouped): one series
+    * per event type from a single partitioned write + batched commit,
+    * then an engine read of two of the series unioned back — checked
+    * against plain SQL over the original parquet. */
+  def q84_grouped_ingest(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float")
+    val c = repo.createCollection(schema, "by_type")
+    c.ingestGrouped(eventsDf(s, dir), "event_type")
+    val click = c.series("click").frame()
+      .withColumn("event_type", lit("click"))
+    val purchase = c.series("purchase").frame()
+      .withColumn("event_type", lit("purchase"))
+    click.unionAll(purchase)
+      .select(col("event_id"), col("ts"), col("value"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val q84_oracle: String =
+    """SELECT event_id, ts, value, event_type FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_grouped_ingest" -> q84_grouped_ingest _,
     "q76_sql_facade" -> q76_sql_facade _,
     "q48_series_inline" -> q48_series_inline _,
     "q65_series_squash" -> q65_series_squash _,
@@ -327,6 +355,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q84_grouped_ingest" -> q84_oracle,
     "q76_sql_facade" -> q76_oracle,
     "q48_series_inline" -> q48_oracle,
     "q65_series_squash" -> q65_oracle,

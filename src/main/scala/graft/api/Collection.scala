@@ -31,6 +31,73 @@ class Collection(val repo: Repo, val label: String, val path: String,
   def series(name: String): Series =
     if (schema.kv) new KVSeries(this, name) else new Series(this, name)
 
+  /** Bulk multi-series ingest — one series per distinct value of
+    * `byCol` (the reference's who_covid workflow, one series per
+    * country, examples/who_covid.md). Scale shape: ONE range-sorted
+    * `partitionBy` write job stages every group's segment files, ONE
+    * read-back aggregate computes all per-file stats, and every
+    * series' manifest rows land in a SINGLE batched changelog commit —
+    * the driver loop touches only metadata, so "split this dataframe
+    * into 10^5 series" never becomes 10^5 Spark jobs.
+    *
+    * Labels are the group values rendered as strings; values that are
+    * not plain path characters go through Spark's partition-dir
+    * escaping. Returns the ingested labels in sorted order.
+    */
+  def ingestGrouped(df: org.apache.spark.sql.DataFrame,
+      byCol: String): Seq[String] = {
+    require(!schema.kv, "ingestGrouped targets plain series schemas")
+    val spark = repo.spark
+    val store = repo.store
+    val idxCols = schema.idxNames.map(col)
+    val data = df.select(col(byCol).cast("string").as("_graft_label") +:
+      schema.cols.map(c =>
+        col(c.name).cast(c.dtype.sparkType).as(c.name)): _*)
+    val sortCols = col("_graft_label") +: idxCols
+    val sorted = data.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+
+    val tmpRel = s"tmp/${Hash.hextime()}-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", pageLen)
+      .partitionBy("_graft_label")
+      .parquet(store.uri(tmpRel))
+
+    val allCols = schema.names.map(col)
+    val readSchema = org.apache.spark.sql.types.StructType(
+      schema.sparkSchema.fields :+ org.apache.spark.sql.types
+        .StructField("_graft_label",
+          org.apache.spark.sql.types.StringType))
+    val statRows = spark.read.schema(readSchema)
+      .option("basePath", store.uri(tmpRel))
+      .parquet(store.uri(tmpRel))
+      .groupBy(col("_graft_label").as("_lbl"),
+        input_file_name().as("_file"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(idxCols: _*)).as("_min"),
+        max(struct(idxCols: _*)).as("_max"),
+        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
+      .collect()
+
+    def relOf(uri: String): String = {
+      val i = uri.indexOf(tmpRel)
+      require(i >= 0, s"staged file outside staging dir: $uri")
+      uri.substring(i)
+    }
+    val byLabel = statRows.groupBy(_.getAs[String]("_lbl"))
+    val labels = byLabel.keys.toSeq.sorted
+    val writes = labels.map { lbl =>
+      new Series(this, lbl).sealSegments(byLabel(lbl).toSeq, relOf,
+        null, null, Closed.Both)
+    }
+    store.rm(tmpRel, recursive = true)
+    synchronized {
+      if (batch != null) batch ++= writes else commitBatch(writes)
+    }
+    labels
+  }
+
   def kvSeries(name: String): KVSeries = new KVSeries(this, name)
 
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =

@@ -129,11 +129,26 @@ class Series(val collection: Collection, val label: String) {
       return
     }
 
-    final case class FileStat(name: String, cnt: Long, min: IndexKey,
+    val rows = sealSegments(statRows.toSeq,
+      uri => s"$tmpRel/${uri.split('/').last}", startK, stopK, closed)
+    store.rm(tmpRel, recursive = true)
+    commitRows(rows, root)
+  }
+
+  /** Stats rows (`_file,_cnt,_min,_max,_hash` from the one read-back
+    * aggregate) → sorted, content-addressed segment rows for THIS
+    * series: each staged file is moved (or deduplicated) into the
+    * segment store and covered by a contiguous manifest row.
+    * `tmpPathOf` maps a stat row's file URI to its store-relative
+    * staging path. Shared by the single-series write and
+    * [[Collection.ingestGrouped]]'s one-pass multi-series ingest. */
+  private[api] def sealSegments(statRows: Seq[Row],
+      tmpPathOf: String => String, startK: IndexKey, stopK: IndexKey,
+      closed: Closed): Seq[SegmentMeta] = {
+    final case class FileStat(tmp: String, cnt: Long, min: IndexKey,
       max: IndexKey, hash: Long)
     val stats = statRows.map { r =>
-      val name = r.getAs[String]("_file").split('/').last
-      FileStat(name, r.getAs[Long]("_cnt"),
+      FileStat(tmpPathOf(r.getAs[String]("_file")), r.getAs[Long]("_cnt"),
         keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")),
         r.getAs[Long]("_hash"))
     }.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
@@ -144,13 +159,11 @@ class Series(val collection: Collection, val label: String) {
       val digest = Hash.sha1(
         s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}"
           .getBytes("UTF-8"))
-      val tmpFile = s"$tmpRel/${st.name}"
       val target = s"seg/${Hash.hashedPath(digest)}.parquet"
-      if (store.exists(target)) store.rm(tmpFile)
-      else store.mv(tmpFile, target)
+      if (store.exists(target)) store.rm(st.tmp)
+      else store.mv(st.tmp, target)
       target
     }
-    store.rm(tmpRel, recursive = true)
 
     // segment rows: contiguous cover of [start|min, stop|max]. Interior
     // boundaries sit at the next file's min key, right-open — except
@@ -158,7 +171,7 @@ class Series(val collection: Collection, val label: String) {
     // sides must stay closed on the shared point (each file only
     // returns its own rows, so no double-read).
     val k = stats.length
-    val rows = (0 until k).map { i =>
+    (0 until k).map { i =>
       val rowStart =
         if (i == 0) Option(startK).getOrElse(stats(0).min)
         else stats(i).min
@@ -173,7 +186,6 @@ class Series(val collection: Collection, val label: String) {
       SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
         Vector(files(i)), Some(stats(i).min), Some(stats(i).max))
     }
-    commitRows(rows, root)
   }
 
   /** Embed a collected tiny frame in the manifest if it fits under

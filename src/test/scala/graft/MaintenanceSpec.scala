@@ -419,6 +419,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(repo.ls() == Seq("c"))
   }
 
+  test("ingestGrouped: one commit, one series per group, faithful reads") {
+    val repo = freshRepo()
+    val gschema = GSchema("timestamp" -> "int*", "value" -> "float")
+    val c = repo.createCollection(gschema, "grp")
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"),
+      (4L, 4.0, "b"), (5L, 5.0, "c"))
+      .toDF("timestamp", "value", "grp")
+    val labels = c.ingestGrouped(df, "grp")
+    assert(labels == Seq("a", "b", "c"))
+    assert(c.ls() == Seq("a", "b", "c"))
+    assert(c.changelog.log().length == 1,
+      "the whole ingest must be ONE batched changelog commit")
+    assert(rows(c.series("a").frame()) == Seq((1L, 1.0), (2L, 2.0)))
+    assert(rows(c.series("b").frame()) == Seq((3L, 3.0), (4L, 4.0)))
+    assert(rows(c.series("c").frame()) == Seq((5L, 5.0)))
+    // ingest composes with overlay semantics like any other write
+    c.series("a").write(TestSpark.frame(Seq(2L), Seq(20.0)))
+    assert(rows(c.series("a").frame()) == Seq((1L, 1.0), (2L, 20.0)))
+  }
+
   test("archive namespace: invisible to default ls, survives gc") {
     val repo = freshRepo()
     val c = repo.createCollection(schema, "metrics")
