@@ -966,7 +966,28 @@ object QueriesPipe {
       |  n_users
       |FROM r ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Sketch-based approximate profiling: per-language exact distinct
+    * document count next to the HyperLogLog estimate
+    * (`hll_sketch_agg`/`hll_sketch_estimate`, Spark's DataSketches
+    * HLL) and the total row count. At 100 TB the exact-distinct column
+    * is the one you drop: the sketch is fixed-size, mergeable across
+    * partitions (one map-side sketch per partition, tiny shuffle), and
+    * deterministic. No DuckDB oracle — its HLL implementation differs,
+    * so the driver records the weaker rows-only check; the ±5 %
+    * accuracy contract is asserted by PipeSpec against the exact
+    * count.
+    */
+  def q85_sketch_profile(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT lang, count(*) AS n_rows,
+        |  count(DISTINCT doc_id) AS exact_docs,
+        |  hll_sketch_estimate(hll_sketch_agg(doc_id)) AS approx_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_sketch_profile" -> q85_sketch_profile _,
     "q82_funnel" -> q82_funnel _,
     "q83_retention" -> q83_retention _,
     "q80_json_extract" -> q80_json_extract _,

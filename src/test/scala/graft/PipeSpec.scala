@@ -178,6 +178,19 @@ class PipeSpec extends AnyFunSuite {
       val p = r.getDouble(3); p > 0.0 && p <= 1.0 })
   }
 
+  test("hll sketch estimate lands within 5% of the exact distinct count") {
+    val rows = QueriesPipe.q85_sketch_profile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(2).toDouble
+      val approx = r.getLong(3).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"lang ${r.getString(0)}: hll $approx vs exact $exact")
+    }
+    val again = QueriesPipe.q85_sketch_profile(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
+  }
+
   test("funnel steps are monotonically shrinking") {
     val rows = QueriesPipe.q82_funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
