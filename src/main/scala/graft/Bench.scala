@@ -128,7 +128,9 @@ object Bench {
 
     val qJson = results.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // -1 failure sentinels must not SHRINK the total — a broken query
+    // may never improve the headline number
+    val total = results.values.filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
     println(line)

@@ -80,19 +80,30 @@ class Collection(val repo: Repo, val label: String, val path: String,
         sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
       .collect()
 
+    // input_file_name() returns URL-encoded URIs; the file ON DISK has
+    // the decoded name (e.g. a label with a space stages under a dir
+    // with a literal space, reported as %20). Decode via URI.getPath —
+    // otherwise the rename would silently miss and the manifest would
+    // reference segments that were never created.
     def relOf(uri: String): String = {
-      val i = uri.indexOf(tmpRel)
+      val p = new java.net.URI(uri).getPath
+      val i = p.indexOf(tmpRel)
       require(i >= 0, s"staged file outside staging dir: $uri")
-      uri.substring(i)
+      p.substring(i)
     }
     val byLabel = statRows.groupBy(_.getAs[String]("_lbl"))
+    if (byLabel.contains(null)) { // fail loudly, never a null-labeled series
+      store.rm(tmpRel, recursive = true)
+      throw new IllegalArgumentException(
+        s"null values in group column '$byCol' — filter them first")
+    }
     val labels = byLabel.keys.toSeq.sorted
     val writes = labels.map { lbl =>
       new Series(this, lbl).sealSegments(byLabel(lbl).toSeq, relOf,
         null, null, Closed.Both)
     }
     store.rm(tmpRel, recursive = true)
-    synchronized {
+    if (writes.nonEmpty) synchronized {
       if (batch != null) batch ++= writes else commitBatch(writes)
     }
     labels

@@ -35,17 +35,21 @@ class Repo(val rootUri: String, val spark: SparkSession,
 
   /** Registry keys carry a namespace (reference repo.py keeps one
     * registry series per namespace — "collection" for live data,
-    * "archive" for [[archive]]d snapshots). Encoded as `ns:label`;
-    * bare legacy keys parse as the default namespace. */
+    * "archive" for [[archive]]d snapshots). Encoded `ns<NUL>label`:
+    * NUL cannot appear in a user label, so a bare legacy key (even one
+    * containing ':') always parses as the default namespace — no
+    * legacy collection can be misread into a bogus namespace. */
   val DefaultNs = "collection"
+  private val NsSep = '\u0000'
   private val NsToken = "[A-Za-z0-9_-]+".r
   private def mkKey(ns: String, label: String): String = {
     require(NsToken.matches(ns), s"invalid namespace: $ns")
-    s"$ns:$label"
+    require(!label.contains(NsSep), "label may not contain NUL")
+    s"$ns$NsSep$label"
   }
   private def parseKey(k: String): (String, String) = {
-    val i = k.indexOf(':')
-    if (i > 0 && NsToken.matches(k.take(i))) (k.take(i), k.drop(i + 1))
+    val i = k.indexOf(NsSep.toInt)
+    if (i > 0) (k.take(i), k.drop(i + 1))
     else (DefaultNs, k)
   }
 
@@ -163,12 +167,19 @@ class Repo(val rootUri: String, val spark: SparkSession,
       case c if c.isLetterOrDigit => c
       case _ => '_'
     }.mkString
+    // distinct (collection, series) pairs can clean() to the same
+    // identifier ("a_b"/"c" vs "a"/"b_c") — suffix collisions instead
+    // of letting createOrReplaceTempView silently shadow a series
+    val taken = scala.collection.mutable.Set.empty[String]
     for {
       cl <- ls()
       c = collection(cl).get
       sl <- c.ls()
     } yield {
-      val name = clean(s"$prefix$cl" + "_" + sl)
+      val base = clean(s"$prefix$cl" + "_" + sl)
+      val name = Iterator.from(1)
+        .map(i => if (i == 1) base else s"${base}_$i")
+        .find(taken.add(_)).get
       c.series(sl).frame().createOrReplaceTempView(name)
       name
     }

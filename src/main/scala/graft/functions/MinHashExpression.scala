@@ -32,6 +32,15 @@ object MinHashImpl {
   val B: Array[Long] = Array(15485863L, 32452843L, 49979687L,
     67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
 
+  // one digest instance per executor thread: getInstance("MD5") is a
+  // synchronized provider lookup + allocation — per ROW that would be
+  // the kernel's dominant cost; reset() makes an instance reusable
+  private val localMd =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** null when the text has fewer than 3 tokens (mirrors the SQL
     * `WHERE size(t) >= 3` gate) */
   def sig(text: UTF8String): ArrayData = {
@@ -53,7 +62,7 @@ object MinHashImpl {
       i += 1
     }
     val mins = Array.fill(8)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     var s = 0
     while (s + 2 < nTok) {
       // shingle = tokens s..s+2 == bytes[starts(s), end of token s+2)

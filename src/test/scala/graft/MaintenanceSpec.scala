@@ -441,6 +441,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows(c.series("a").frame()) == Seq((1L, 1.0), (2L, 20.0)))
   }
 
+  test("ingestGrouped handles labels needing partition-dir escaping") {
+    val repo = freshRepo()
+    val gschema = GSchema("timestamp" -> "int*", "value" -> "float")
+    val c = repo.createCollection(gschema, "grp2")
+    import spark.implicits._
+    // a space survives as a literal dir char but is %-encoded in the
+    // file URI; ':' is Hive-escaped in the dir name itself — both
+    // once silently lost the staged files (regression)
+    val df = Seq((1L, 1.0, "United States"), (2L, 2.0, "a:b"))
+      .toDF("timestamp", "value", "grp")
+    assert(c.ingestGrouped(df, "grp") == Seq("United States", "a:b").sorted)
+    assert(rows(c.series("United States").frame()) == Seq((1L, 1.0)))
+    assert(rows(c.series("a:b").frame()) == Seq((2L, 2.0)))
+    val nulls = Seq((3L, 3.0, null.asInstanceOf[String]))
+      .toDF("timestamp", "value", "grp")
+    intercept[IllegalArgumentException] { c.ingestGrouped(nulls, "grp") }
+  }
+
   test("archive namespace: invisible to default ls, survives gc") {
     val repo = freshRepo()
     val c = repo.createCollection(schema, "metrics")

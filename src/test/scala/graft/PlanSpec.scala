@@ -132,9 +132,9 @@ class PlanSpec extends AnyFunSuite {
   test("sequence packing window is partitioned, never global") {
     val df = QueriesPipe.q69_seq_pack(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    // every Window operator must carry a partition spec (a global
-    // window single-partitions the corpus)
-    "Window \\[".r.findAllIn(plan).foreach { _ => () }
+    // the plan must contain Window operators and none may run on a
+    // single partition (a global window single-partitions the corpus)
+    assert(plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan.take(2000))
   }
 
