@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // isolated-query times doubled in the full run. 24g keeps the whole
   // working set resident on the 128 GiB box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of distinct whole-stage-codegen classes accumulate over a
+  // bench run; the default 240m code cache fills and late queries fall
+  // back to the interpreter (tail queries measured 2-3x slower on
+  // identical plans)
+  "-XX:ReservedCodeCacheSize=1g",
 )

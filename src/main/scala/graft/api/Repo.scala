@@ -109,10 +109,13 @@ class Repo(val rootUri: String, val spark: SparkSession,
     ()
   }
 
-  def createCollection(schema: GSchema, label: String,
+  def createCollection(schema: GSchema, label0: String,
       colMap: Map[String, String] = Map.empty,
       defaults: Map[String, Any] = Map.empty,
       namespace: String = DefaultNs): Collection = {
+    // reference repo.py:189-191: labels are stripped, empty is invalid
+    val label = label0.trim
+    require(label.nonEmpty, s"invalid label: '$label0'")
     val state = regState()
     state.get(mkKey(namespace, label)) match {
       case Some(e) =>
@@ -120,8 +123,19 @@ class Repo(val rootUri: String, val spark: SparkSession,
           s"collection $label exists with different schema")
         new Collection(this, label, e.path, e.schema, e.colMap, e.defaults)
       case None =>
-        val path = "c-" + Hash.sha1(
+        // Path is DERIVED from the key (not random like the reference)
+        // so two processes racing to create the same label converge on
+        // one changelog dir and the registry union-merge heals the
+        // fork. A rename keeps its path, so a later re-create of the
+        // old label must probe past paths other entries still hold —
+        // the probe order is deterministic, preserving the
+        // concurrent-create convergence.
+        val base = "c-" + Hash.sha1(
           mkKey(namespace, label).getBytes("UTF-8")).take(16)
+        val taken = state.values.map(_.path).toSet
+        val path = Iterator.from(1)
+          .map(i => if (i == 1) base else s"$base-$i")
+          .find(p => !taken.contains(p)).get
         writeReg(state + (mkKey(namespace, label) -> RegEntry(path,
           schema, colMap, defaults)))
         new Collection(this, label, path, schema, colMap, defaults)

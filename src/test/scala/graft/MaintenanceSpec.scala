@@ -441,6 +441,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows(c.series("a").frame()) == Seq((1L, 1.0), (2L, 20.0)))
   }
 
+  test("recreate after rename gets a fresh path (no shared changelog)") {
+    val repo = freshRepo()
+    val a1 = repo.createCollection(schema, "a")
+    a1.series("_").write(TestSpark.frame(Seq(1L), Seq(1.0)))
+    repo.renameCollection("a", "b")
+    // re-creating "a" must NOT land on the directory "b" still owns
+    val a2 = repo.createCollection(schema, "a")
+    assert(a2.path != repo.collection("b").get.path)
+    a2.series("_").write(TestSpark.frame(Seq(9L), Seq(9.0)))
+    assert(rows(repo.collection("b").get.series("_").frame()) ==
+      Seq((1L, 1.0)), "renamed collection keeps only its own data")
+    assert(rows(repo.collection("a").get.series("_").frame()) ==
+      Seq((9L, 9.0)))
+    // reference label hygiene: strip + reject empty
+    assert(repo.createCollection(schema, "  c  ").label == "c")
+    intercept[IllegalArgumentException] {
+      repo.createCollection(schema, "   ")
+    }
+  }
+
   test("ingestGrouped handles labels needing partition-dir escaping") {
     val repo = freshRepo()
     val gschema = GSchema("timestamp" -> "int*", "value" -> "float")
