@@ -986,7 +986,42 @@ object QueriesPipe {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Count-min-sketch heavy hitters: ONE pass over all token
+    * occurrences folds them into a fixed-size sketch
+    * (`count_min_sketch`, mergeable map-side partials — the shuffle
+    * carries a few KB however large the corpus); the exact top-20
+    * terms are then probed against the sketch. Deterministic (fixed
+    * seed). At 100 TB you keep the sketch and drop the exact count —
+    * the CMS guarantee (estimate ≥ true count, within εN with
+    * confidence δ) is asserted by PipeSpec. Rows-only driver check:
+    * DuckDB has no count-min sketch.
+    */
+  def q86_cms_heavyhitters(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val sketchBytes = s.sql(
+      """SELECT count_min_sketch(term, 0.001d, 0.99d, 42)
+        |FROM (SELECT explode(split(text, ' ', -1)) AS term
+        |      FROM documents)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = s.sql(
+      """SELECT term, count(*) AS exact_cnt
+        |FROM (SELECT explode(split(text, ' ', -1)) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import s.implicits._
+    top.toSeq.map { case (t, exact) =>
+      // the agg added UTF-8 bytes; a String probe hashes identically
+      (t, exact, cms.estimateCount(t))
+    }.toDF("term", "exact_cnt", "cms_cnt")
+      .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc,
+        org.apache.spark.sql.functions.col("term"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_cms_heavyhitters" -> q86_cms_heavyhitters _,
     "q85_sketch_profile" -> q85_sketch_profile _,
     "q82_funnel" -> q82_funnel _,
     "q83_retention" -> q83_retention _,

@@ -18,7 +18,7 @@ class EntrySpec extends AnyFunSuite {
     // queries without an oracle fall back to the driver's rows-only
     // check — allowed ONLY for results DuckDB cannot reproduce
     // (sketch estimates); everything else must be oracle-gated
-    val rowsOnly = Set("q85_sketch_profile")
+    val rowsOnly = Set("q85_sketch_profile", "q86_cms_heavyhitters")
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
     assert(q -- o == rowsOnly,
       s"un-oracled queries beyond the sketch allowlist: ${q -- o -- rowsOnly}")

@@ -191,6 +191,20 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
   }
 
+  test("cms estimates never undercount and respect the epsilon bound") {
+    val rows = QueriesPipe.q86_cms_heavyhitters(spark, dir).collect()
+    assert(rows.length == 20)
+    val totalTokens = Tables.table(spark, dir, "documents")
+      .selectExpr("sum(size(split(text, ' ', -1)))").head().getLong(0)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact,
+        s"CMS undercounted '${r.getString(0)}': $est < $exact")
+      assert(est <= exact + (0.001 * 2.718 * totalTokens).toLong + 1,
+        s"'${r.getString(0)}' overcount beyond eps*N: $est vs $exact")
+    }
+  }
+
   test("funnel steps are monotonically shrinking") {
     val rows = QueriesPipe.q82_funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
