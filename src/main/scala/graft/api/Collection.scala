@@ -28,6 +28,12 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private var batch: scala.collection.mutable.ArrayBuffer[Seq[SegmentMeta]] =
     null
 
+  /** Physical (stored) name of a schema column: clones keep renamed
+    * columns under their SOURCE name in every segment file — Delta
+    * column-mapping style — so pre-clone and post-clone segments stay
+    * uniform and resolve with one read-time projection. */
+  private[api] def physOf(n: String): String = colMap.getOrElse(n, n)
+
   def series(name: String): Series =
     if (schema.kv) new KVSeries(this, name) else new Series(this, name)
 
@@ -47,6 +53,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
   def ingestGrouped(df: org.apache.spark.sql.DataFrame,
       byCol: String): Seq[String] = {
     require(!schema.kv, "ingestGrouped targets plain series schemas")
+    require(colMap.isEmpty && defaults.isEmpty,
+      "ingestGrouped targets non-cloned collections (bulk ingest " +
+        "belongs in the source collection; clones share its segments)")
     val spark = repo.spark
     val store = repo.store
     val idxCols = schema.idxNames.map(col)
@@ -341,12 +350,21 @@ class Collection(val repo: Repo, val label: String, val path: String,
       c.copy(name = rename.getOrElse(c.name, c.name)) }
     val targetSchema = GSchema(renamedCols ++ additions.map(_._1),
       schema.kv)
-    // target->source name mapping for renamed columns
-    val colMap = rename.map { case (src, tgt) => tgt -> src }
-    val defaults = additions.map { case (cd, v) =>
-      cd.name -> graft.engine.SparkVals.parseBound(cd.dtype, v) }.toMap
+    // target -> PHYSICAL name, composed THROUGH this collection's own
+    // mapping: cloning a clone must keep resolving to the names the
+    // shared segment files actually store, and must carry the earlier
+    // clone's added-column defaults forward (under their new names)
+    val tgtColMap = schema.cols.flatMap { c =>
+      val tgt = rename.getOrElse(c.name, c.name)
+      val phys = physOf(c.name)
+      if (tgt == phys) None else Some(tgt -> phys)
+    }.toMap
+    val tgtDefaults =
+      defaults.map { case (n, v) => rename.getOrElse(n, n) -> v } ++
+        additions.map { case (cd, v) =>
+          cd.name -> graft.engine.SparkVals.parseBound(cd.dtype, v) }.toMap
     val target = repo.createCollection(targetSchema, targetLabel,
-      colMap, defaults)
+      tgtColMap, tgtDefaults)
     manifest().foreach { m =>
       val tm = Manifest(targetSchema, m.rows)
       target.changelog.commit(tm.encode, parents = Seq(Changelog.Phi))

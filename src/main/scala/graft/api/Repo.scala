@@ -318,9 +318,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
       }
     }
     // staging sweep: a writer that dies between staging and commit
-    // leaves its tmp/<hextime>-<uuid> dir forever — age it out (the
-    // hextime prefix is the staging dir's creation time; anything past
-    // the timeout cannot belong to an in-flight write)
+    // leaves its tmp/<hextime>-<uuid> dir forever — age it out. The
+    // hextime prefix is the staging dir's CREATION time, so the
+    // timeout is an operational contract (reference settings.timeout,
+    // lakota/utils.py:42): don't run gc with a timeout shorter than
+    // the longest in-flight write job
     store.ls("tmp").foreach { d =>
       val hex = d.takeWhile(_ != '-')
       val ts = try java.lang.Long.parseLong(hex, 16) catch {

@@ -73,7 +73,11 @@ class Series(val collection: Collection, val label: String) {
       val probeLimit = collection.embedProbeRows + 1
       val probe = data.limit(probeLimit).collect()
       if (probe.length < probeLimit) {
-        if (collection.embedMaxSize > 0 &&
+        // inline vectors carry only non-default source columns, so a
+        // write's explicit values for clone-added columns would be
+        // silently replaced by the default at read — collections with
+        // additions take the (value-preserving) small-file path instead
+        if (collection.embedMaxSize > 0 && collection.defaults.isEmpty &&
             writeInline(probe, startK, stopK, closed, root)) return
         if (probe.nonEmpty) {
           writeSmallFile(probe, startK, stopK, closed, root)
@@ -90,9 +94,13 @@ class Series(val collection: Collection, val label: String) {
 
     // Global sort via range partitioning; AQE coalesces the default
     // shuffle partition count for small inputs, maxRecordsPerFile caps
-    // segment size at pageLen. No driver-side count needed.
+    // segment size at pageLen. No driver-side count needed. Columns
+    // are stored under their PHYSICAL names (see Collection.physOf) so
+    // post-clone writes stay uniform with shared pre-clone segments.
     val sorted = data.repartitionByRange(idxCols: _*)
       .sortWithinPartitions(idxCols: _*)
+      .select(schema.cols.map(c =>
+        col(c.name).as(collection.physOf(c.name))): _*)
 
     val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
     sorted.write.mode("overwrite")
@@ -106,19 +114,23 @@ class Series(val collection: Collection, val label: String) {
     // bytes: parquet encoding metadata is not byte-deterministic across
     // JVMs, and logical hashing also avoids pulling file bytes to the
     // driver at scale.
-    val allCols = schema.names.map(col)
+    val physCols = schema.names.map(n => col(collection.physOf(n)))
+    val physIdxCols = schema.idxNames.map(n => col(collection.physOf(n)))
+    val physStruct = org.apache.spark.sql.types.StructType(
+      schema.sparkSchema.fields.map(f =>
+        f.copy(name = collection.physOf(f.name))))
     val anyFile = store.walk(tmpRel).exists(_.endsWith(".parquet"))
     val statRows =
       if (!anyFile) Array.empty[Row]
-      else spark.read.schema(schema.sparkSchema)
+      else spark.read.schema(physStruct)
         .parquet(store.uri(tmpRel))
         .groupBy(input_file_name().as("_file"))
         .agg(count(lit(1)).as("_cnt"),
-          min(struct(idxCols: _*)).as("_min"),
-          max(struct(idxCols: _*)).as("_max"),
+          min(struct(physIdxCols: _*)).as("_min"),
+          max(struct(physIdxCols: _*)).as("_max"),
           // modular reduction keeps the (order-insensitive) sum within
           // 2^52 even at page_len rows — no ANSI overflow
-          sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
+          sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
         .collect()
     if (statRows.isEmpty) {
       store.rm(tmpRel, recursive = true)
@@ -241,8 +253,11 @@ class Series(val collection: Collection, val label: String) {
       schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0)
     val jlist = new java.util.ArrayList[Row](sorted.length)
     sorted.foreach(jlist.add)
-    val df = spark.createDataFrame(jlist, schema.sparkSchema)
-    val allCols = schema.names.map(col)
+    // physical column names, like the big-write path
+    val df = spark.createDataFrame(jlist,
+      org.apache.spark.sql.types.StructType(schema.sparkSchema.fields
+        .map(f => f.copy(name = collection.physOf(f.name)))))
+    val allCols = schema.names.map(n => col(collection.physOf(n)))
     // observe() piggybacks the digest aggregate on the write job itself
     // — one Spark job total for hash + file
     val obs = new org.apache.spark.sql.Observation()
@@ -316,25 +331,26 @@ class Series(val collection: Collection, val label: String) {
     * global sort is imposed — add `.orderBy` downstream where total
     * order matters. limit/offset imply a sort.
     */
-  // clone support: stored files may use source column names (colMap)
-  // and may lack added columns (defaults) — resolve at scan time
-  private def readSchemaStruct: org.apache.spark.sql.types.StructType = {
-    val srcOf: String => String = n => collection.colMap.getOrElse(n, n)
+  // clone support: every segment file stores PHYSICAL column names
+  // (renamed columns under their source name, clone-added columns
+  // under their own); pre-clone files simply lack the added columns.
+  // One read-time projection resolves both: rename physical → target,
+  // and added columns fall back to their default where a file has no
+  // stored value (post-clone writes' stored values win).
+  private def readSchemaStruct: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      schema.cols.filterNot(c => collection.defaults.contains(c.name))
-        .map(c => org.apache.spark.sql.types.StructField(
-          srcOf(c.name), c.dtype.sparkType, nullable = !c.idx)))
-  }
+      schema.cols.map(c => org.apache.spark.sql.types.StructField(
+        collection.physOf(c.name), c.dtype.sparkType,
+        nullable = !c.idx || collection.defaults.contains(c.name))))
 
-  private def readProjection: Seq[Column] = {
-    val srcOf: String => String = n => collection.colMap.getOrElse(n, n)
+  private def readProjection: Seq[Column] =
     schema.cols.map { c =>
       collection.defaults.get(c.name) match {
-        case Some(v) => SparkVals.toLiteral(c.dtype, v).as(c.name)
-        case None => col(srcOf(c.name)).as(c.name)
+        case Some(v) => coalesce(col(collection.physOf(c.name)),
+          SparkVals.toLiteral(c.dtype, v)).as(c.name)
+        case None => col(collection.physOf(c.name)).as(c.name)
       }
     }
-  }
 
   private def scanFiles(files: Seq[String]): DataFrame =
     try spark.read.schema(readSchemaStruct)
@@ -566,6 +582,7 @@ class Series(val collection: Collection, val label: String) {
     val stopK = keyOf(bounds.getAs[Row]("mx"))
 
     val db = frame(startK, stopK, closed = Closed.Both).cache()
+    try {
     val dbBounds = db.agg(min(struct(idxCols: _*)).as("mn"),
       max(struct(idxCols: _*)).as("mx")).collect()(0)
 
@@ -608,7 +625,10 @@ class Series(val collection: Collection, val label: String) {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try write(pinned, startK, stopK, Closed.Both)
     finally pinned.unpersist()
-    db.unpersist()
+    // closes the try opened right after db.cache(): a misalignment
+    // throw must not leave db pinned for the life of the session
+    } finally db.unpersist()
+    ()
   }
 
   /** Row count from the manifest: per-segment lengths are metadata for

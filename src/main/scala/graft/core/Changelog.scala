@@ -68,7 +68,11 @@ final class Changelog(val store: Store, val dir: String) {
       case None => logCache
       case Some(ms) =>
         val cut = Hash.hextime(ms)
-        logCache.takeWhile(_.epochHex < cut)
+        // filter, not takeWhile: on a forked history the DFS
+        // linearization interleaves branches, and a single late
+        // revision on an EARLIER branch must not hide every later
+        // branch's older revisions from time travel
+        logCache.filter(_.epochHex < cut)
     }
   }
 
@@ -99,7 +103,12 @@ final class Changelog(val store: Store, val dir: String) {
         else children.getOrElse(rev.child, Vector.empty)
       yielded += rev.child
       queue = kids.reverse.toList ::: queue
-      out += rev.copy(isLeaf = kids.isEmpty)
+      // leaf-ness is a property of the GRAPH, not the traversal: a
+      // merge node reached again via its second parent edge must not
+      // masquerade as a leaf once a commit sits on top of it —
+      // leafs() would then report a permanent fake fork and every
+      // reader would commit a fresh heal revision
+      out += rev.copy(isLeaf = !children.contains(rev.child))
     }
     out.result()
   }

@@ -37,7 +37,8 @@ object GType {
     def sparkType: DataType = TimestampType
     def zero: Any = 0L
     def parseValue(s: String): Any = {
-      // Accept epoch seconds/micros as digits, else ISO-8601.
+      // Digit strings are epoch SECONDS (never micros — a micros
+      // string would silently multiply again); else ISO-8601.
       if (s.forall(c => c.isDigit || c == '-') && s.nonEmpty &&
           s.drop(1).forall(_.isDigit)) s.toLong * 1000000L
       else {

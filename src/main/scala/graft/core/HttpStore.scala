@@ -54,8 +54,14 @@ final class HttpStore(baseUrl: String,
 
   def ls(dir: String): Seq[String] = {
     val r = request("ls", Seq("dir" -> dir))
-    if (r.statusCode() != 200) Seq.empty
-    else new String(r.body(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    // the server answers 200 with an empty body for a missing dir, so
+    // any other status is a REAL error. Returning Seq.empty for a 503
+    // would make the changelog read as empty and the next commit
+    // silently fork a new root — losing sight of all prior data.
+    if (r.statusCode() != 200)
+      throw new java.io.IOException(
+        s"ls $base/$dir failed: HTTP ${r.statusCode()}")
+    new String(r.body(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
   }
 
   def read(path: String): Array[Byte] =
@@ -128,8 +134,10 @@ final class HttpStore(baseUrl: String,
       }
     } else {
       val r = request("walk", Seq("prefix" -> prefix))
-      if (r.statusCode() != 200) Seq.empty
-      else new String(r.body(), "UTF-8").split("\n")
+      if (r.statusCode() != 200) // see ls(): non-200 is never "empty"
+        throw new java.io.IOException(
+          s"walk $base/$prefix failed: HTTP ${r.statusCode()}")
+      new String(r.body(), "UTF-8").split("\n")
         .filter(_.nonEmpty).toSeq
     }
 

@@ -242,10 +242,17 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     Manifest(schema, rows.filterNot(r => rm.contains(r.label)))
 
   def renameLabel(from: String, to: String): Manifest = {
+    // verbatim relabel: the extracted rows already form a disjoint
+    // sorted cover. Re-splicing them through update() would re-derive
+    // neighbor closedness and flip the both-closed straddle boundary
+    // two tiles share at a duplicated index key to right-open —
+    // silently hiding that key's rows after a rename.
+    require(!rows.exists(_.label == to),
+      s"series $to already exists") // two covers must never interleave
     val extract = rows.filter(_.label == from).map(_.copy(label = to))
-    var base = deleteLabels(Set(from))
-    extract.foreach { r => base = base.update(r) }
-    base
+    val base = deleteLabels(Set(from))
+    Manifest(schema, (base.rows ++ extract).sortWith((a, b) =>
+      cmpLK(a.label, a.start, b.label, b.start) < 0))
   }
 
   def allFiles: Set[String] = rows.iterator.flatMap(_.files).toSet
@@ -308,21 +315,6 @@ object Manifest {
 
   /** Concat non-overlapping manifests in key order
     * (reference lakota/commit.py:377-407). */
-  def concat(parts: Seq[Manifest]): Manifest = {
-    val nonEmpty = parts.filter(_.rows.nonEmpty)
-    if (nonEmpty.isEmpty) return parts.head
-    val schema = nonEmpty.head.schema
-    nonEmpty.sliding(2).foreach {
-      case Seq(a, b) =>
-        val pt = a.rows.last; val nh = b.rows.head
-        val c = { val lc = pt.label.compareTo(nh.label)
-          if (lc != 0) lc else schema.cmpKey(pt.stop, nh.start) }
-        require(c <= 0, s"manifest concat overlap: $pt vs $nh")
-      case _ =>
-    }
-    Manifest(schema, nonEmpty.flatMap(_.rows).toVector)
-  }
-
   /** parsed-JSON value -> kernel scalar for a dtype */
   def kernelValue(dt: GType, v: Any): Any = toKernel(dt, v)
 

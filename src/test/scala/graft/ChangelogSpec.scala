@@ -71,4 +71,27 @@ class ChangelogSpec extends AnyFunSuite {
     // second pull is a no-op
     assert(b.pull(a).isEmpty)
   }
+
+  test("a merged-over node never reappears as a leaf (regression)") {
+    val log = freshLog()
+    log.commit("root".getBytes)
+    val root = log.leaf().get.child
+    // fork: two children of root
+    log.commit("x".getBytes, parents = Seq(root)); Thread.sleep(2)
+    log.commit("y".getBytes, parents = Seq(root))
+    val forks = log.leafs().map(_.child)
+    assert(forks.length == 2, s"expected a fork, got $forks")
+    // heal with a two-parent merge, then commit ON TOP of the merge
+    log.commit("merged".getBytes, parents = forks); Thread.sleep(2)
+    val m = log.leafs()
+    assert(m.length == 1, s"merge must leave one leaf, got $m")
+    log.commit("after".getBytes, parents = Seq(m.head.child))
+    // the merge node is reached twice by the DFS (once per parent
+    // edge); its second visit must NOT mark it as a leaf — that fake
+    // fork made every reader commit a fresh heal revision forever
+    val leaves = log.leafs()
+    assert(leaves.length == 1,
+      s"merged-over node resurfaced as a leaf: $leaves")
+    assert(new String(log.payload(leaves.head)) == "after")
+  }
 }

@@ -50,6 +50,48 @@ class CloneCsvSpec extends AnyFunSuite {
     assert(reopened.series("_").frame().count() == 2)
   }
 
+  test("post-clone writes store real values under renamed + added columns") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "src3")
+    clct.embedMaxSize = 0L
+    clct.series("_").write(
+      TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    val target = clct.cloneTo("dst3",
+      rename = Map("value" -> "temp"),
+      additions = Seq((ColDef("tag", GType.StrT, idx = false), "d")))
+    // write THROUGH the clone: renamed column carries data, added
+    // column carries an explicit (non-default) value
+    import spark.implicits._
+    target.series("_").write(
+      Seq((5L, 50.0, "x"), (6L, 60.0, "y"))
+        .toDF("timestamp", "temp", "tag"))
+    val out = target.series("_").frame()
+      .select("timestamp", "temp", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sorted.toSeq
+    assert(out == Seq((1L, 1.0, "d"), (2L, 2.0, "d"),
+      (5L, 50.0, "x"), (6L, 60.0, "y")),
+      "renamed column must read back written values (not null) and " +
+        "the added column must keep explicit values over the default")
+  }
+
+  test("clone of a clone composes the column mapping and defaults") {
+    val repo = freshRepo()
+    val clct = repo.createCollection(schema, "src4")
+    clct.embedMaxSize = 0L
+    clct.series("_").write(TestSpark.frame(Seq(1L), Seq(1.5)))
+    val c2 = clct.cloneTo("mid4",
+      rename = Map("value" -> "temp"),
+      additions = Seq((ColDef("tag", GType.StrT, idx = false), "d")))
+    val c3 = c2.cloneTo("dst4", rename = Map("temp" -> "celsius"))
+    val out = c3.series("_").frame()
+      .select("timestamp", "celsius", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 1.5, "d")),
+      "second-level rename must resolve to the ORIGINAL stored name " +
+        "and the first clone's default must survive the second clone")
+  }
+
   test("csv round-trip") {
     val repo = freshRepo()
     val clct = repo.createCollection(schema, "c")

@@ -291,13 +291,16 @@ abstract class SeriesSpecBase(embedOn: Boolean) extends AnyFunSuite {
     val target = clct.cloneTo("dst",
       additions = Seq((ColDef("flag", GType.IntT, idx = false), 7L)))
     tuned(target)
-    // write AFTER the clone: added column synthesizes its default on
-    // read in both storage modes (same contract as the file path)
+    // write AFTER the clone: an explicit value for the added column is
+    // STORED and wins over the default; pre-clone rows (whose shared
+    // files lack the column) still synthesize the default — the
+    // reference materializes real arrays at clone time, so written
+    // values surviving is its contract too
     target.series("_").write(TestSpark.frame(Seq(2L), Seq(2.0))
       .withColumn("flag", org.apache.spark.sql.functions.lit(9L)))
     val got = target.series("_").frame().orderBy("timestamp").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    assert(got == Seq((1L, 1.0, 7L), (2L, 2.0, 7L)))
+    assert(got == Seq((1L, 1.0, 7L), (2L, 2.0, 9L)))
   }
 
   test("epoch dtype output style") {
