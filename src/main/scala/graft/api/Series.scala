@@ -472,6 +472,12 @@ class Series(val collection: Collection, val label: String) {
       throw new IllegalArgumentException(s"unknown dtype style: $other")
   }
 
+  /** [[frame]] wrapped in the reference Frame verb surface. */
+  def gframe(start: Any = null, stop: Any = null,
+      beforeMs: Option[Long] = None,
+      closed: Closed = Closed.Left): GFrame =
+    GFrame(frame(start, stop, beforeMs, closed), schema)
+
   def frame(start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       limit: Option[Long] = None, offset: Option[Long] = None,
