@@ -62,4 +62,49 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(got == (nWriters * rowsPer).toLong,
       s"expected ${nWriters * rowsPer} rows, got $got")
   }
+
+  test("concurrent grouped ingests fork and merge without losing groups") {
+    val root = Files.createTempDirectory("graft-conc2").toString
+    val repo = new Repo(root, spark)
+    repo.createCollection(schema, "g")
+    import spark.implicits._
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two ingests with disjoint group sets racing on one collection:
+    // each lands as ONE batched commit; racing commits become sibling
+    // revisions that merge() heals
+    Seq(Seq(("a", 1L), ("b", 2L)), Seq(("c", 3L), ("d", 4L)))
+      .zipWithIndex.foreach { case (groups, i) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try {
+              start.await()
+              val c = new Repo(root, spark).collection("g").get
+              val df = groups.map { case (g, t) => (t, t.toDouble, g) }
+                .toDF("timestamp", "value", "grp")
+              c.ingestGrouped(df, "grp")
+              ()
+            } catch { case t: Throwable => errors.add(t); () }
+            finally done.countDown()
+          }
+        })
+        val _ = i
+      }
+    start.countDown()
+    done.await()
+    pool.shutdown()
+    assert(errors.isEmpty, s"ingest failed: ${errors.peek()}")
+    val c = repo.collection("g").get
+    c.merge()
+    assert(c.ls().sorted == Seq("a", "b", "c", "d"),
+      s"lost groups: ${c.ls()}")
+    Seq("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L).foreach {
+      case (g, t) =>
+        val rows = c.series(g).frame().collect()
+        assert(rows.length == 1 && rows(0).getLong(0) == t,
+          s"series $g corrupt")
+    }
+  }
 }
