@@ -1020,7 +1020,36 @@ object QueriesPipe {
         org.apache.spark.sql.functions.col("term"))
   }
 
+  /** Exact-quota per-group sampling: exactly 40 documents per
+    * language, chosen by content-hash order — deterministic across
+    * runs, engines and cluster sizes (q49's rate gate gives binomial
+    * counts; quotas give exact ones). One hash-partitioned window per
+    * group, never a global sort; the classic "fixed eval-set per
+    * stratum" selection.
+    */
+  def q87_quota_sample(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hash100("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 40
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  val q87_oracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${duckHash100("doc_id")}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 40
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_quota_sample" -> q87_quota_sample _,
     "q86_cms_heavyhitters" -> q86_cms_heavyhitters _,
     "q85_sketch_profile" -> q85_sketch_profile _,
     "q82_funnel" -> q82_funnel _,
@@ -1046,6 +1075,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q87_quota_sample" -> q87_oracle,
     "q82_funnel" -> q82_oracle,
     "q83_retention" -> q83_oracle,
     "q80_json_extract" -> q80_oracle,

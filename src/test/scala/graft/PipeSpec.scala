@@ -191,6 +191,21 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
   }
 
+  test("quota sample takes exactly min(40, group size) per language") {
+    val rows = QueriesPipe.q87_quota_sample(spark, dir).collect()
+    val totals = Tables.table(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_.getString(1)).view
+      .mapValues(_.length.toLong).toMap
+    totals.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(40L, n),
+        s"$lang: quota ${got.get(lang)} of $n")
+    }
+    val again = QueriesPipe.q87_quota_sample(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "quota pick must be deterministic")
+  }
+
   test("cms estimates never undercount and respect the epsilon bound") {
     val rows = QueriesPipe.q86_cms_heavyhitters(spark, dir).collect()
     assert(rows.length == 20)
