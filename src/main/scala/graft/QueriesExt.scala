@@ -258,7 +258,94 @@ object QueriesExt {
       |SELECT vec_id, label, round(cos, 4) + 0 AS cos
       |FROM d ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** K-means refinement of the IVF coarse quantizer (q72's sampled
+    * centroids) as TWO Lloyd iterations in pure declarative SQL:
+    * assign every vector to its nearest centroid (fused native cosine,
+    * deterministic tie-break), recompute per-dimension means, repeat,
+    * emit the refined centroids. At corpus scale each iteration is one
+    * broadcast cross join (centroid table is k rows) + one
+    * map-side-combined aggregate over (cluster, dim) — the exact shape
+    * a distributed k-means uses, with no driver loop for a fixed
+    * iteration count. Centroid means sum QUANTIZED integers (exact,
+    * order-independent) so both engines compute bit-identical
+    * centroids regardless of partitioning.
+    */
+  def q88_kmeans_refine(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    def assign(vRef: String, cRef: String, out: String): String =
+      s"""$out AS (SELECT vec_id, e, cid FROM (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
+         |      AS rn
+         |  FROM $vRef v CROSS JOIN $cRef c) WHERE rn = 1)""".stripMargin
+    // order-independent mean: each addend quantizes to an integer
+    // (round(v*1e6)), the sum is EXACT whatever the partition order,
+    // and one identical division yields bit-identical doubles in both
+    // engines — a plain float avg() differs in the last ulp with
+    // summation order and occasionally flips the final rounding
+    def means(aRef: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, p + 1 AS dim,
+         |    sum(cast(round(val * 1000000, 0) AS bigint)) /
+         |      (1000000.0D * count(*)) AS val
+         |  FROM $aRef LATERAL VIEW posexplode(e) AS p, val
+         |  GROUP BY cid, p + 1)""".stripMargin
+    def rebuild(mRef: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, transform(sort_array(collect_list(
+         |    struct(dim, val))), x -> x.val) AS ce
+         |  FROM $mRef GROUP BY cid)""".stripMargin
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(32) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+         |  WHERE vec_id BETWEEN 1 AND 8),
+         |${assign("v", "c0", "a1")},
+         |${means("a1", "m1")},
+         |${rebuild("m1", "c1")},
+         |${assign("v", "c1", "a2")},
+         |${means("a2", "m2")}
+         |SELECT cid, cast(dim AS bigint) AS dim,
+         |  round(val, 4) + 0 AS centroid
+         |FROM m2 ORDER BY cid, dim""".stripMargin)
+  }
+
+  val q88_oracle: String = {
+    def assign(vRef: String, cRef: String, out: String): String =
+      s"""$out AS (SELECT vec_id, e, cid FROM (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(list_cosine_similarity(v.e, c.ce), 6)
+         |        DESC, c.cid) AS rn
+         |  FROM $vRef v CROSS JOIN $cRef c) WHERE rn = 1)""".stripMargin
+    def means(aRef: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, i AS dim,
+         |    sum(round(e[i] * 1000000)::BIGINT) /
+         |      (1000000.0 * count(*)) AS val
+         |  FROM $aRef, unnest(range(1, len(e) + 1)) AS t(i)
+         |  GROUP BY cid, i)""".stripMargin
+    def rebuild(mRef: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, list(val ORDER BY dim) AS ce
+         |  FROM $mRef GROUP BY cid)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+       |  WHERE vec_id BETWEEN 1 AND 8),
+       |${assign("v", "c0", "a1")},
+       |${means("a1", "m1")},
+       |${rebuild("m1", "c1")},
+       |${assign("v", "c1", "a2")},
+       |${means("a2", "m2")}
+       |SELECT cid, dim::BIGINT AS dim, round(val, 4) + 0 AS centroid
+       |FROM m2 ORDER BY cid, dim""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
     "q44_embedding_neardup" -> q44_embedding_neardup _,
     "q28_multimodal" -> q28_multimodal _,
@@ -268,6 +355,7 @@ object QueriesExt {
     "q37_ann_native" -> q37_ann_native _)
 
   val oracles: Map[String, String] = Map(
+    "q88_kmeans_refine" -> q88_oracle,
     "q72_ann_ivf" -> q72_oracle,
     "q44_embedding_neardup" -> q44_oracle,
     "q28_multimodal" -> q28_oracle,

@@ -191,6 +191,29 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
   }
 
+  test("k-means refinement emits 8x64 deterministic centroids that moved") {
+    val rows = QueriesExt.q88_kmeans_refine(spark, dir).collect()
+    assert(rows.length == 8 * 64)
+    val byCid = rows.groupBy(_.getLong(0))
+    assert(byCid.keySet == (1L to 8L).toSet)
+    byCid.values.foreach(cs => assert(cs.length == 64))
+    // Lloyd steps must actually move the centroids off the sampled
+    // seed vectors (a no-op refinement would mean broken assignment)
+    import spark.implicits._
+    val seeds = Tables.table(spark, dir, "embeddings")
+      .filter($"vec_id".between(1, 8))
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(v => math.rint(v * 10000) / 10000)).toMap
+    val moved = byCid.count { case (cid, cs) =>
+      val cvals = cs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      cvals != seeds(cid)
+    }
+    assert(moved >= 6, s"only $moved/8 centroids moved off their seeds")
+    val again = QueriesExt.q88_kmeans_refine(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "refinement must be deterministic")
+  }
+
   test("quota sample takes exactly min(40, group size) per language") {
     val rows = QueriesPipe.q87_quota_sample(spark, dir).collect()
     val totals = Tables.table(spark, dir, "documents")
