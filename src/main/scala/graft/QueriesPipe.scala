@@ -1048,7 +1048,49 @@ object QueriesPipe {
        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 40
        |ORDER BY doc_id""".stripMargin
 
+  /** Contamination SPAN localization: for every corpus document
+    * sharing a 3-gram shingle with the eval set (q61's doc-level
+    * gate), emit the exact token positions of each matching shingle —
+    * the spans a masking decontaminator blanks instead of dropping
+    * the whole document. The eval shingle set is benchmark-sized →
+    * broadcast semi-side; the corpus side is one positional explode,
+    * never a shuffle of documents.
+    */
+  def q89_contam_spans(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH ptok AS (
+        |  SELECT doc_id, p AS pos,
+        |    concat(element_at(t, p + 1), ' ', element_at(t, p + 2),
+        |      ' ', element_at(t, p + 3)) AS sh
+        |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+        |          split(text, ' ', -1) AS t FROM documents)
+        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 2, 0)))
+        |    AS p, x),
+        |bench AS (SELECT DISTINCT sh FROM ptok WHERE doc_id < 20)
+        |SELECT doc_id, cast(pos AS bigint) AS tok_start,
+        |  cast(pos + 3 AS bigint) AS tok_end, sh AS shingle
+        |FROM ptok JOIN bench USING (sh)
+        |WHERE doc_id >= 20
+        |ORDER BY doc_id, tok_start, shingle""".stripMargin)
+  }
+
+  val q89_oracle: String =
+    """WITH ptok AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents),
+      |    unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+      |bench AS (SELECT DISTINCT sh FROM ptok WHERE doc_id < 20)
+      |SELECT doc_id, pos::BIGINT AS tok_start,
+      |  (pos + 3)::BIGINT AS tok_end, sh AS shingle
+      |FROM ptok JOIN bench USING (sh)
+      |WHERE doc_id >= 20
+      |ORDER BY doc_id, tok_start, shingle""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_contam_spans" -> q89_contam_spans _,
     "q87_quota_sample" -> q87_quota_sample _,
     "q86_cms_heavyhitters" -> q86_cms_heavyhitters _,
     "q85_sketch_profile" -> q85_sketch_profile _,
@@ -1075,6 +1117,7 @@ object QueriesPipe {
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
   val oracles: Map[String, String] = Map(
+    "q89_contam_spans" -> q89_oracle,
     "q87_quota_sample" -> q87_oracle,
     "q82_funnel" -> q82_oracle,
     "q83_retention" -> q83_oracle,

@@ -191,6 +191,23 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
   }
 
+  test("contamination spans are 3 tokens wide and match the doc text") {
+    val rows = QueriesPipe.q89_contam_spans(spark, dir).collect()
+    assert(rows.nonEmpty, "eval overlap must localize some spans")
+    val texts = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    rows.foreach { r =>
+      val (doc, s, e, sh) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(e - s == 3, "span must cover exactly one 3-gram")
+      assert(doc >= 20, "eval docs themselves are not flagged")
+      val toks = texts(doc)
+      assert(toks.slice(s.toInt, e.toInt).mkString(" ") == sh,
+        s"span [$s,$e) of doc $doc does not reproduce the shingle")
+    }
+  }
+
   test("k-means refinement emits 8x64 deterministic centroids that moved") {
     val rows = QueriesExt.q88_kmeans_refine(spark, dir).collect()
     assert(rows.length == 8 * 64)
