@@ -101,11 +101,19 @@ object SExpr {
     case _ =>
       if (a.nonEmpty && (a(0).isDigit ||
           (a.length > 1 && (a(0) == '-' || a(0) == '+') && a(1).isDigit))) {
-        if (a.contains('.') || a.contains('e') || a.contains('E'))
-          SFloat(a.toDouble)
-        else
-          try SInt(a.toLong) catch { case _: NumberFormatException =>
-            SFloat(a.toDouble) }
+        // digit-leading but non-numeric atoms (e.g. an unquoted
+        // 2020-01-01) must fail with the parser's own error contract,
+        // not a raw NumberFormatException
+        try {
+          if (a.contains('.') || a.contains('e') || a.contains('E'))
+            SFloat(a.toDouble)
+          else
+            try SInt(a.toLong) catch { case _: NumberFormatException =>
+              SFloat(a.toDouble) }
+        } catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"invalid numeric atom: '$a' (quote strings: '$a')")
+        }
       } else SRef(a)
   }
 

@@ -27,8 +27,12 @@ object Ops {
     // ordering for first/last: caller-provided index columns, or every
     // frame column as a deterministic fallback (the index is a prefix
     // of the column order, so this matches index order with full-row
-    // tiebreak among duplicate keys)
-    val ordCols = (if (orderKeys.nonEmpty) orderKeys
+    // tiebreak among duplicate keys). A chained reduce may have
+    // projected the index away — keep only the order keys that still
+    // exist so the fallback kicks in instead of an unresolved-column
+    // error
+    val present = orderKeys.filter(df.columns.contains)
+    val ordCols = (if (present.nonEmpty) present
       else df.columns.toSeq).map(col)
     def comp(src: String): Column =
       SExprCompiler.withOrdering(ordCols)(SExprCompiler.compile(src))

@@ -69,7 +69,10 @@ object SExprCompiler {
   private def num(args: List[SExpr]): List[Column] = args.map(compile)
 
   private def variadic(args: List[SExpr], f: (Column, Column) => Column)
-      : Column = num(args).reduceLeft(f)
+      : Column = {
+    require(args.nonEmpty, "variadic operator needs at least one arg")
+    num(args).reduceLeft(f)
+  }
 
   private def call(op: String, args: List[SExpr]): Column = op match {
     // arithmetic (variadic reduce, reference sexpr.py:264-268)
@@ -97,8 +100,9 @@ object SExprCompiler {
         case SCall("list", items) => items
         case a => List(a)
       }
+      // empty candidate set: nothing matches (not a crash)
       cands.map(a => target === compile(a))
-        .reduceLeft[Column](_ || _)
+        .reduceLeftOption[Column](_ || _).getOrElse(lit(false))
     // container literals (reference sexpr.py:279-282)
     case "list" => array(num(args): _*)
     case "dict" =>
@@ -113,10 +117,13 @@ object SExprCompiler {
       case List(e, SRef(name)) => compile(e).as(name)
       case _ => throw new IllegalArgumentException("(as expr 'name')")
     }
-    // datetime (reference utils.py:232-270)
+    // datetime (reference utils.py:232-270); one-arg form is plain
+    // numeric floor, the companion of the supported (ceil x)
     case "floor" => args match {
       case List(e, SStr(unit)) => date_trunc(truncUnit(unit), compile(e))
-      case _ => throw new IllegalArgumentException("(floor ts 'unit')")
+      case List(e) => floor(compile(e))
+      case _ => throw new IllegalArgumentException(
+        "(floor ts 'unit') or (floor x)")
     }
     case "as-tz" | "as_tz" => args match {
       case List(e, SStr(zone)) => from_utc_timestamp(compile(e), zone)
@@ -248,7 +255,9 @@ object SExprCompiler {
     interp match {
       case "lower"   => element_at(arr, lo)
       case "higher"  => element_at(arr, hi)
-      case "nearest" => element_at(arr, round(pos).cast("int") + lit(1))
+      // bround = round-half-even, matching numpy's np.around at exact
+      // .5 positions (Spark round() is HALF_UP and diverges there)
+      case "nearest" => element_at(arr, bround(pos).cast("int") + lit(1))
       case "midpoint" =>
         (element_at(arr, lo) + element_at(arr, hi)) / lit(2.0)
       case other => throw new IllegalArgumentException(

@@ -78,8 +78,16 @@ object SparkVals {
         d.getNano / 1000L
     case l: Long if dt == GType.TimestampT => l * 1000000L
     case l: Long => toKernel(dt, l)
-    case i: Int => toKernel(dt, i.toLong)
-    case d: Double => d
+    // an Int bound must mean the same thing as the equal-valued Long
+    // bound (epoch SECONDS for timestamps) — routing it through
+    // toKernel treated it as micros, a silent 10^6 scale error
+    case i: Int => parseBound(dt, i.toLong)
+    case d: Double if dt == GType.FloatT => d
+    case d: Double if d.isWhole =>
+      // whole-valued Double on an integral index: same as the Long
+      parseBound(dt, d.toLong)
+    case d: Double => throw new IllegalArgumentException(
+      s"fractional bound $d invalid for ${dt.name} index")
     case other => toKernel(dt, other)
   }
 

@@ -57,7 +57,10 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // one bad row (null id / null payload) must not kill a 100 TB job
+    // — drop it before the typed decode
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init point for a real codec (expensive state
@@ -70,9 +73,12 @@ object Multimodal {
     * the payload as its own row (binary slicing stays distributed). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       chunkBytes: Int, everyK: Int): DataFrame = {
+    require(chunkBytes > 0 && everyK > 0, // fail on the driver, not mid-job
+      s"chunkBytes ($chunkBytes) and everyK ($everyK) must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         bytes.grouped(chunkBytes).zipWithIndex

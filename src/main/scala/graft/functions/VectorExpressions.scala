@@ -41,6 +41,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the whole similarity — never an NPE, and
+      // never a silently-wrong 0.0 contribution
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
       val yv = if (dbl) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -58,12 +61,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0, na = 0.0, nb = 0.0;
+         |boolean anyNull = false;
          |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
          |  double xv = (double) $a.$get(i);
          |  double yv = (double) $b.$get(i);
          |  dot += xv * yv; na += xv * xv; nb += yv * yv;
          |}
-         |if (na == 0.0 || nb == 0.0) {
+         |if (anyNull || na == 0.0 || nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = dot /
@@ -92,6 +97,8 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -100,6 +107,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // see CosineSimilarity
       dot += (if (dbl) x.getDouble(i) else x.getFloat(i).toDouble) *
         (if (dbl) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
@@ -114,10 +122,12 @@ case class DotProduct(left: Expression, right: Expression)
       s"""
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0;
+         |boolean anyNull = false;
          |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
          |  dot += (double) $a.$get(i) * (double) $b.$get(i);
          |}
-         |${ev.value} = dot;
+         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = dot; }
        """.stripMargin)
   }
 
