@@ -290,23 +290,33 @@ object QueriesPipe {
     * build-the-index-once shape a 100 TB corpus pipeline uses. */
   private def termView(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
+    // hash repartition on doc_id, not round-robin: round-robin inserts
+    // a binary row sort before the exchange (sortBeforeRepartition) —
+    // pure overhead here, and the hash spread is just as even
     QueriesSim.materialize(s, dir,
       """SELECT doc_id, lang, term, count(*) AS cnt FROM (
-        |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        |  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lang,
         |    explode(split(text, ' ', -1)) AS term FROM documents)
         |GROUP BY 1, 2, 3""".stripMargin, "doc_terms")
   }
 
   def q60_tfidf_terms(s: SparkSession, dir: String): DataFrame = {
     termView(s, dir)
+    // df as an aggregate + equi-join, not `sum() OVER (PARTITION BY
+    // term)`: the window shuffles AND sorts the whole (lang, term)
+    // table by term; the aggregate gets map-side partial combine and
+    // the vocabulary-sized df table broadcast-joins back (AQE picks
+    // broadcast when df fits, shuffle join past that). The rank window
+    // runs over the vocabulary-sized score table, never the corpus.
     s.sql(
       """WITH lt AS (SELECT lang, term, sum(cnt) AS tf, count(*) AS dfl
         |       FROM doc_terms GROUP BY 1, 2),
+        |df AS (SELECT term, sum(dfl) AS df FROM lt GROUP BY term),
         |sc AS (
-        |  SELECT lang, term,
+        |  SELECT lang, lt.term AS term,
         |    round(tf * ln(cast((SELECT count(*) FROM documents) AS double)
-        |      / sum(dfl) OVER (PARTITION BY term)), 4) + 0 AS score
-        |  FROM lt),
+        |      / df.df), 4) + 0 AS score
+        |  FROM lt JOIN df ON lt.term = df.term),
         |r AS (
         |  SELECT lang, term, score, row_number() OVER (
         |    PARTITION BY lang ORDER BY score DESC, term) AS rk
@@ -417,17 +427,23 @@ object QueriesPipe {
     // with its count, not one per token occurrence — at corpus scale
     // the shuffle shrinks by the mean within-doc term multiplicity;
     // the weighted mean sum(k*nll)/sum(k) is the same cross-entropy.
-    // Single-pass over the shared doc_terms table: the LM count is a
-    // window over (lang, term), and per-language token totals come
-    // from a narrow in-row size() — a 5-row broadcast.
+    // The LM is AGGREGATED once from the shared doc_terms table and
+    // equi-joined back (vocabulary-sized — AQE broadcasts it while it
+    // fits, shuffle-joins past that); an earlier `sum() OVER
+    // (PARTITION BY lang, term)` window formulation shuffled AND
+    // sorted the full doc_terms table instead. Per-language token
+    // totals fold out of the LM itself (sum of its counts), so the
+    // raw text is never re-scanned.
     s.sql(
-      """WITH tot AS (SELECT lang, sum(size(split(text, ' ', -1))) AS n
-        |        FROM documents GROUP BY lang),
+      """WITH lm AS (SELECT lang, term, sum(cnt) AS c
+        |       FROM doc_terms GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS n FROM lm GROUP BY lang),
         |sc AS (
         |  SELECT wf.doc_id, wf.cnt AS k,
-        |    -ln(cast(sum(wf.cnt) OVER (PARTITION BY wf.lang, wf.term)
-        |      AS double) / tot.n) AS nll
-        |  FROM doc_terms wf JOIN tot ON wf.lang = tot.lang)
+        |    -ln(cast(lm.c AS double) / tot.n) AS nll
+        |  FROM doc_terms wf
+        |  JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
+        |  JOIN tot ON wf.lang = tot.lang)
         |SELECT doc_id,
         |  round(sum(k * nll) / sum(k), 4) + 0 AS xent
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
@@ -541,48 +557,57 @@ object QueriesPipe {
       |FROM a ORDER BY doc_id""".stripMargin
 
   /** Sequence packing for LM training: documents are laid out
-    * contiguously per language (ordered by doc_id) and assigned to
-    * fixed 512-token bins by their starting offset — the standard
-    * "pack then split at bin boundaries" approximation. The running
-    * offset is a window partitioned BY LANGUAGE, so each shard packs
-    * independently — no global single-partition window; at 100 TB
-    * repartition the window key to (lang, shard) for more parallelism.
+    * contiguously per (language, shard) — shard is the same
+    * deterministic md5 gate q79 uses, `hash(doc_id) % 16` — and
+    * assigned to fixed 512-token bins by their starting offset: the
+    * standard "pack then split at bin boundaries" approximation. The
+    * running-offset window is partitioned by (lang, shard), NOT bare
+    * lang: a handful of languages would otherwise serialize the whole
+    * corpus through a handful of tasks; 16 shards per language keeps
+    * every core busy and the shard count is a free dial (16 → 4096 at
+    * 100 TB). Each (lang, shard) packs an independent contiguous
+    * stream, which is exactly how a multi-host tokenizer shards work.
     */
   def q69_seq_pack(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
       """WITH t AS (
-        |  SELECT /*+ REPARTITION(32) */ doc_id, lang,
+        |  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lang,
+        |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
+        |      AS bigint) % 16 AS shard,
         |    size(split(text, ' ', -1)) AS n_tok
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, lang, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |  SELECT doc_id, lang, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
         |      AS off
         |  FROM t)
-        |SELECT lang, cast(floor(off / 512.0) AS BIGINT) AS seq_id,
+        |SELECT lang, shard, cast(floor(off / 512.0) AS BIGINT) AS seq_id,
         |  count(*) AS n_docs, cast(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY lang, seq_id
-        |ORDER BY lang, seq_id""".stripMargin)
+        |FROM c GROUP BY lang, shard, seq_id
+        |ORDER BY lang, shard, seq_id""".stripMargin)
   }
 
   val q69_oracle: String =
     """WITH t AS (
-      |  SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tok
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+      |      AS shard,
+      |    length(string_split(text, ' ')) AS n_tok
       |  FROM documents),
       |c AS (
-      |  SELECT doc_id, lang, n_tok,
-      |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |  SELECT doc_id, lang, shard, n_tok,
+      |    (sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
       |      - n_tok AS off
       |  FROM t)
-      |SELECT lang, floor(off / 512.0)::BIGINT AS seq_id,
+      |SELECT lang, shard, floor(off / 512.0)::BIGINT AS seq_id,
       |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM c GROUP BY lang, seq_id
-      |ORDER BY lang, seq_id""".stripMargin
+      |FROM c GROUP BY lang, shard, seq_id
+      |ORDER BY lang, shard, seq_id""".stripMargin
 
   /** Temperature-based language rebalancing: acceptance rate
     * sqrt(n_min/n_lang) per language (T=2 flattening of the language
@@ -972,10 +997,11 @@ object QueriesPipe {
     * HLL) and the total row count. At 100 TB the exact-distinct column
     * is the one you drop: the sketch is fixed-size, mergeable across
     * partitions (one map-side sketch per partition, tiny shuffle), and
-    * deterministic. No DuckDB oracle — its HLL implementation differs,
-    * so the driver records the weaker rows-only check; the ±5 %
-    * accuracy contract is asserted by PipeSpec against the exact
-    * count.
+    * deterministic. The driver oracle compares lang / n_rows /
+    * exact_docs and the schema; the approx_docs VALUES are hash-exempt
+    * (DuckDB's approx_count_distinct is a different HLL
+    * implementation) — the ±5 % accuracy contract is asserted by
+    * PipeSpec against the exact count.
     */
   def q85_sketch_profile(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -989,15 +1015,20 @@ object QueriesPipe {
   /** Count-min-sketch heavy hitters: ONE pass over all token
     * occurrences folds them into a fixed-size sketch
     * (`count_min_sketch`, mergeable map-side partials — the shuffle
-    * carries a few KB however large the corpus); the exact top-20
-    * terms are then probed against the sketch. Deterministic (fixed
-    * seed). At 100 TB you keep the sketch and drop the exact count —
-    * the CMS guarantee (estimate ≥ true count, within εN with
-    * confidence δ) is asserted by PipeSpec. Rows-only driver check:
-    * DuckDB has no count-min sketch.
+    * carries a few KB however large the corpus); the candidate top-20
+    * terms and their exact counts come from the shared `doc_terms`
+    * index (sum of within-doc counts — already materialized, no
+    * second explode over the corpus) and are probed against the
+    * sketch. Deterministic (fixed seed). At 100 TB you keep the
+    * sketch and drop the exact count — the CMS guarantee (estimate ≥
+    * true count, within εN with confidence δ) is asserted by
+    * PipeSpec. The driver oracle compares term + exact_cnt and the
+    * schema; the cms_cnt VALUES are hash-exempt (DuckDB has no
+    * count-min sketch — the oracle substitutes the exact count, which
+    * the εN overcount bound makes usually-but-not-always equal).
     */
   def q86_cms_heavyhitters(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    termView(s, dir)
     val sketchBytes = s.sql(
       """SELECT count_min_sketch(term, 0.001d, 0.99d, 42)
         |FROM (SELECT explode(split(text, ' ', -1)) AS term
@@ -1006,9 +1037,7 @@ object QueriesPipe {
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val top = s.sql(
-      """SELECT term, count(*) AS exact_cnt
-        |FROM (SELECT explode(split(text, ' ', -1)) AS term
-        |      FROM documents)
+      """SELECT term, sum(cnt) AS exact_cnt FROM doc_terms
         |GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     import s.implicits._
@@ -1116,7 +1145,29 @@ object QueriesPipe {
     "q54_neardup_components" -> q54_neardup_components _,
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
+  /** Partial oracles for the two sketch queries: rows, schema, and the
+    * exact columns are genuinely comparable; the sketch VALUE columns
+    * are approximated in the oracle (DuckDB's own HLL for q85, the
+    * exact count for q86) so the hash column is expected to disagree —
+    * the driver still verifies row count + schema, and PipeSpec pins
+    * the sketch-accuracy contracts (±5 %; never-undercount + εN). */
+  val q85_oracle: String =
+    """SELECT lang, count(*)::BIGINT AS n_rows,
+      |  count(DISTINCT doc_id)::BIGINT AS exact_docs,
+      |  approx_count_distinct(doc_id)::BIGINT AS approx_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val q86_oracle: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |c AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM w
+      |  GROUP BY term)
+      |SELECT term, exact_cnt, exact_cnt AS cms_cnt
+      |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q85_sketch_profile" -> q85_oracle,
+    "q86_cms_heavyhitters" -> q86_oracle,
     "q89_contam_spans" -> q89_oracle,
     "q87_quota_sample" -> q87_oracle,
     "q82_funnel" -> q82_oracle,

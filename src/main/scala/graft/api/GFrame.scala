@@ -51,10 +51,15 @@ final case class GFrame(df: DataFrame, schema: GSchema) {
       SparkVals.rangePredicate(schema.idx, idxCols, s, e, closed)))
   }
 
-  /** Frame.slice: positional [start, stop) over index order. */
-  def slice(start: Long, stop: Long): GFrame =
+  /** Frame.slice: positional [start, stop) over index order. Spark's
+    * offset/limit are Int-bounded, so out-of-range slices fail loudly
+    * instead of silently wrapping past 2^31 rows. */
+  def slice(start: Long, stop: Long): GFrame = {
+    require(start >= 0 && stop >= start && stop <= Int.MaxValue,
+      s"slice [$start, $stop) out of supported range [0, 2^31)")
     copy(df = df.orderBy(idxCols: _*)
       .offset(start.toInt).limit((stop - start).toInt))
+  }
 
   /** Frame.sorted: total order by the index. */
   def sorted: GFrame = copy(df = df.orderBy(idxCols: _*))

@@ -227,10 +227,17 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val state = regState()
     val remoteState = remote.ls().filter(want.contains)
       .flatMap(l => remote.collection(l).map(l -> _)).toMap
-    // merge registry
-    val merged = state ++ remoteState.map { case (l, c) =>
-      mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
-        c.defaults) }
+    // merge registry: a label already known locally KEEPS its local
+    // RegEntry (in particular its path) — with probe-suffixed path
+    // allocation the same label can resolve to different physical
+    // paths after divergent rename/recreate histories, and adopting
+    // the remote path would orphan every local-only commit/segment
+    // (which gc would then delete). The remote changelog is pulled
+    // into the local path below instead.
+    val merged = state ++ remoteState.collect {
+      case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
+        mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
+          c.defaults) }
     if (merged != state) writeReg(merged)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))

@@ -83,6 +83,11 @@ object SparkVals {
     // toKernel treated it as micros, a silent 10^6 scale error
     case i: Int => parseBound(dt, i.toLong)
     case d: Double if dt == GType.FloatT => d
+    case d: Double if dt == GType.TimestampT =>
+      // fractional epoch SECONDS are meaningful on a timestamp index
+      // (sub-second bounds): convert to micros; whole doubles take
+      // the same path (d * 1e6 is exact for any realistic epoch)
+      math.round(d * 1e6)
     case d: Double if d.isWhole =>
       // whole-valued Double on an integral index: same as the Long
       parseBound(dt, d.toLong)

@@ -69,4 +69,29 @@ class GFrameSpec extends AnyFunSuite {
     val renamed = f.rename("value" -> "v").select("v")
     assert(renamed.df.columns.toSeq == Seq("v"))
   }
+
+  test("positional slice rejects out-of-range bounds instead of wrapping") {
+    val f = fixture()
+    // Spark offset/limit are Int-bounded: past 2^31 a silent .toInt
+    // wrap would mangle exactly the huge series this API targets
+    intercept[IllegalArgumentException] { f.slice(-1, 2) }
+    intercept[IllegalArgumentException] { f.slice(5, 2) }
+    intercept[IllegalArgumentException] {
+      f.slice(0, Int.MaxValue.toLong + 1)
+    }
+  }
+
+  test("fractional double bounds are sub-second on timestamp indexes") {
+    import graft.core.GType
+    import graft.engine.SparkVals
+    // epoch seconds 1.5 → 1_500_000 µs; whole doubles stay aligned
+    // with the Long path (seconds → micros)
+    assert(SparkVals.parseBound(GType.TimestampT, 1.5) == 1500000L)
+    assert(SparkVals.parseBound(GType.TimestampT, 2.0) ==
+      SparkVals.parseBound(GType.TimestampT, 2L))
+    // integral indexes still reject fractional bounds loudly
+    intercept[IllegalArgumentException] {
+      SparkVals.parseBound(GType.IntT, 1.5)
+    }
+  }
 }

@@ -461,6 +461,37 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("pull keeps the local path when label paths diverged") {
+    // rename/recreate histories can leave the SAME label on DIFFERENT
+    // physical paths in two repos; pull must keep the local RegEntry
+    // path (adopting the remote one would orphan local-only commits,
+    // which gc would then delete) and land the remote changelog in it
+    val a = freshRepo()
+    val b = freshRepo()
+    val ca0 = a.createCollection(schema, "old")
+    ca0.series("_").write(TestSpark.frame(Seq(1L, 2L), Seq(1.0, 2.0)))
+    a.renameCollection("old", "c") // label c keeps old's path in A
+    val cb = b.createCollection(schema, "c") // fresh base path in B
+    cb.series("_").write(TestSpark.frame(Seq(10L), Seq(10.0)))
+    val pathB = cb.path
+    assert(a.collection("c").get.path != pathB, "paths must diverge")
+
+    b.pull(a)
+    val cb2 = b.collection("c").get
+    assert(cb2.path == pathB,
+      "pull must not repoint the local label to the remote path")
+    cb2.merge()
+    cb2.refresh()
+    assert(rows(cb2.series("_").frame()) ==
+      Seq((1L, 1.0), (2L, 2.0), (10L, 10.0)),
+      "local and pulled histories both survive in the local path")
+    // gc must not sweep the pulled segments (they live in the local
+    // changelog even though their file keys carry the remote prefix)
+    b.gc(timeoutMs = 0L)
+    assert(rows(b.collection("c").get.series("_").frame()) ==
+      Seq((1L, 1.0), (2L, 2.0), (10L, 10.0)))
+  }
+
   test("ingestGrouped handles labels needing partition-dir escaping") {
     val repo = freshRepo()
     val gschema = GSchema("timestamp" -> "int*", "value" -> "float")

@@ -68,20 +68,24 @@ class PipeSpec extends AnyFunSuite {
       "corpus should contain both keeps and drops")
   }
 
-  test("sequence packing covers every doc once, bins are contiguous per lang") {
+  test("sequence packing covers every doc once, bins contiguous per (lang, shard)") {
     val rows = QueriesPipe.q69_seq_pack(spark, dir).collect()
     val total = Tables.table(spark, dir, "documents").count()
-    assert(rows.map(_.getLong(2)).sum == total, "every doc packed once")
-    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
-      val sorted = rs.sortBy(_.getLong(1))
-      // bin ids strictly increase and doc ranges never overlap
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(a.getLong(1) < b.getLong(1), s"$lang bins out of order")
-          assert(a.getLong(5) < b.getLong(4),
-            s"$lang doc ranges overlap across bins")
-        case _ =>
-      }
+    assert(rows.map(_.getLong(3)).sum == total, "every doc packed once")
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "sub-sharding must spread each language over multiple shards")
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case ((lang, shard), rs) =>
+        val sorted = rs.sortBy(_.getLong(2))
+        // bin ids strictly increase and doc ranges never overlap
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getLong(2) < b.getLong(2),
+              s"$lang/$shard bins out of order")
+            assert(a.getLong(6) < b.getLong(5),
+              s"$lang/$shard doc ranges overlap across bins")
+          case _ =>
+        }
     }
   }
 

@@ -129,13 +129,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
-  test("sequence packing window is partitioned, never global") {
+  test("sequence packing window is partitioned on (lang, shard), never global") {
     val df = QueriesPipe.q69_seq_pack(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
     // the plan must contain Window operators and none may run on a
     // single partition (a global window single-partitions the corpus)
     assert(plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan.take(2000))
+    // the running-offset window must key on the sub-shard too: bare
+    // `lang` (≈5 values) would serialize the corpus through 5 tasks.
+    // AdaptiveSparkPlanExec is a leaf to collect(), so unwrap it first
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windowSpecs = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach { spec =>
+      assert(spec.size >= 2, s"window keyed on a single column: $spec")
+      assert(spec.exists(_.contains("shard")),
+        s"window lacks the sub-shard key: $spec")
+    }
   }
 
   test("PII redaction is a pure scan-side projection") {
