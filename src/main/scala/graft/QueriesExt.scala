@@ -12,25 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExt {
 
-  /** binary payload plumbing: text bytes stand in for media payloads;
-    * features flow through Dataset.mapPartitions (see
-    * [[graft.functions.Multimodal]]) */
+  /** REAL image decode end-to-end: synthesize one PNG per document
+    * (this container ships no media fixtures — dimensions and solid
+    * RGB are pure functions of doc_id), then decode the actual bytes
+    * with the JDK's `javax.imageio` in the Dataset.mapPartitions batch
+    * shape (see [[graft.functions.Multimodal]]). The oracle recomputes
+    * the deterministic dimensions/means in SQL, so a broken decoder —
+    * wrong raster size, channel order, or mean math — fails the hash. */
   def q28_multimodal(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(s, dir, "documents")
-      .withColumn("payload", col("text").cast("binary"))
-    Multimodal.extractFeatures(docs, "doc_id", "payload")
+    import s.implicits._
+    val payloads = Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.MediaCodec.encodePng(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeImages(payloads, "doc_id", "payload")
       .toDF().orderBy(col("doc_id"))
   }
 
   val q28_oracle: String =
     """SELECT doc_id,
-      | length(text)::BIGINT AS n_bytes,
-      | substr(text, 1, 4) AS magic,
-      | (length(text) % 64 + 16)::INT AS width,
-      | (length(text) % 48 + 16)::INT AS height,
-      | (length(text) % 7 + 1)::INT AS frames,
-      | list_sum(list_transform(range(1, least(length(text), 16) + 1),
-      |    i -> ascii(text[i])))::BIGINT AS checksum
+      | (doc_id % 13 + 4)::INT AS width,
+      | (doc_id % 7 + 3)::INT AS height,
+      | (doc_id % 256)::INT AS mean_r,
+      | (doc_id * 7 % 256)::INT AS mean_g,
+      | (doc_id * 13 % 256)::INT AS mean_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** BPE-ish regex tokenizer vs whitespace tokenizer, per doc */

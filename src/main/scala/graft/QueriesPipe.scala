@@ -174,8 +174,15 @@ object QueriesPipe {
   }
 
   /** Graph-diameter-bounded min-label propagation — the >`MaxDriverEdges`
-    * path of q54. */
-  private val MaxDriverEdges = 2000000L
+    * path of q54. Overridable via system property so tests can force
+    * the distributed branch on a small graph. */
+  private def MaxDriverEdges: Long =
+    sys.props.get("graft.maxDriverEdges").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** test hook: drop memoized component fixpoints (e.g. after flipping
+    * `graft.maxDriverEdges`) so q54 recomputes through the other branch */
+  private[graft] def clearComponentCache(): Unit = compCache.clear()
 
   private def distributedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

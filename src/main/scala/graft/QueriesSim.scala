@@ -144,10 +144,19 @@ object QueriesSim {
        |WHERE sig IS NOT NULL""".stripMargin
   }
 
-  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
+  /** Register the in-row minhash signature table as `sim_sig` (pinned
+    * once per session+dir): q22 returns it directly and q23's banding
+    * derives from the same blocks, so the signature pass over the
+    * corpus runs ONCE however many similarity operators follow. */
+  private[graft] def sigView(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
-    s.sql(s"$sparkSigInline\nORDER BY doc_id")
+    materialize(s, dir, sparkSigInline, "sim_sig")
+  }
+
+  def q22_minhash_sig(s: SparkSession, dir: String): DataFrame = {
+    sigView(s, dir)
+    s.sql("SELECT * FROM sim_sig ORDER BY doc_id")
   }
 
   val q22_oracle: String =
@@ -205,13 +214,10 @@ object QueriesSim {
        |        split(text,' ', -1) AS t FROM documents)
        |WHERE size(t) >= 3""".stripMargin
 
-  /** Spark-side banding + in-row array verify (same semantics as
-    * `lshTail`, which remains the engine-neutral/oracle formulation):
-    * candidates from the band equi-join, exact jaccard from
-    * `array_intersect` on per-doc shingle arrays. `cnt > 0` mirrors
-    * lshTail's inner join against `inter` (a band collision with no
-    * shared shingle yields no pair). */
-  private def lshTailArr(sigRef: String, arrRef: String): String =
+  /** banding + DISTINCT candidate pairs over an existing sig table —
+    * cheap to evaluate repeatedly once `sigRef` is pinned (the band
+    * rows are 4 narrow projections of the 9-column signature table) */
+  private def bandsCand(sigRef: String): String =
     s"""bands AS (
        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
        |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL
@@ -221,33 +227,44 @@ object QueriesSim {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
-       |   AND a.doc_id < b.doc_id),
-       |j AS (
-       |  SELECT c.da, c.db, size(array_intersect(a.ss, b.ss)) AS cnt,
-       |    size(a.ss) AS na, size(b.ss) AS nb
-       |  FROM cand c
-       |  JOIN $arrRef a ON c.da = a.doc_id
-       |  JOIN $arrRef b ON c.db = b.doc_id)
-       |SELECT da AS doc_a, db AS doc_b,
-       |  round(cnt/(na + nb - cnt), 4) AS jaccard
-       |FROM j WHERE cnt > 0
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |   AND a.doc_id < b.doc_id)""".stripMargin
 
   def q23_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
-    graft.functions.VectorFunctions.register(s)
-    // sig is referenced by all four band branches — materialize once,
-    // via the narrow in-row pipeline (no aggregation, no explode)
-    materialize(s, dir, sparkSigInline, "sim_sig")
-    // the shingle-array side is NOT pinned: it is a pure narrow
-    // projection (split+transform at scan speed), so evaluating it
-    // once per join side is cheaper than a checkpoint write+read of
-    // the array blobs — and at corpus scale you'd never persist a
-    // table wider than the documents themselves just to join it twice
-    // the verified pair set is itself reused (q54 components, q55
-    // dedup) — pin it so the band join + jaccard verify run once
+    // signatures come from the shared pinned `sim_sig` (free when q22
+    // already ran in this session)
+    sigView(s, dir)
+    // band-collision candidate pairs, pinned: the 4-way band union +
+    // self-join runs ONCE (it is re-read below and by the arr subset)
     materialize(s, dir,
-      s"WITH arrs AS ($sparkShingleArr),\n${lshTailArr("sim_sig", "arrs")}",
+      s"""WITH ${bandsCand("sim_sig")}
+         |SELECT da, db FROM cand""".stripMargin,
+      "sim_cand")
+    // Exact-verify needs candidate documents' shingle sets. Shingle
+    // the corpus ONCE (narrow in-row projection, no explode) and keep
+    // only candidate docs via a semi-join against the band-collision
+    // set — at corpus scale candidates are sparse, so the pinned table
+    // is tiny while the expensive shingling pass stays single.
+    materialize(s, dir,
+      s"""WITH cd AS (SELECT da AS doc_id FROM sim_cand
+         |       UNION SELECT db FROM sim_cand),
+         |arrs AS ($sparkShingleArr)
+         |SELECT arrs.doc_id, arrs.ss
+         |FROM arrs JOIN cd ON arrs.doc_id = cd.doc_id""".stripMargin,
+      "sim_cand_arrs")
+    // the verified pair set is itself reused (q54 components, q55
+    // dedup) — pin it so the jaccard verify runs once. `cnt > 0`
+    // mirrors lshTail's inner join against `inter` (a band collision
+    // with no shared shingle yields no pair).
+    materialize(s, dir,
+      s"""WITH j AS (
+         |  SELECT c.da, c.db, size(array_intersect(a.ss, b.ss)) AS cnt,
+         |    size(a.ss) AS na, size(b.ss) AS nb
+         |  FROM sim_cand c
+         |  JOIN sim_cand_arrs a ON c.da = a.doc_id
+         |  JOIN sim_cand_arrs b ON c.db = b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  round(cnt/(na + nb - cnt), 4) AS jaccard
+         |FROM j WHERE cnt > 0""".stripMargin,
       "sim_pairs")
     s.sql("SELECT * FROM sim_pairs ORDER BY doc_a, doc_b")
   }

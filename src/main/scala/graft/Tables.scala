@@ -27,11 +27,23 @@ object Tables {
     else df
   }
 
+  /** memo key: registering 10 parquet views costs a schema-inference
+    * job (a driver round-trip) per table — ~0.3-0.5 s per CALL, and
+    * every query entry point calls registerAll. Idempotent per
+    * (session, dir): re-registration only matters when the dir
+    * changes. */
+  private val registered = scala.collection.concurrent.TrieMap
+    .empty[Int, String]
+
   /** Register all tables as temp views named like the files. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { n =>
-      table(spark, dir, n).createOrReplaceTempView(n)
+    val sid = System.identityHashCode(spark)
+    if (!registered.get(sid).contains(dir)) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { n =>
+        table(spark, dir, n).createOrReplaceTempView(n)
+      }
+      registered(sid) = dir
     }
   }
 }

@@ -9,52 +9,112 @@ import org.apache.spark.sql.functions._
   * equivalent of a pandas/Arrow batch UDF: one iterator per partition,
   * codec state initialized once per partition, rows streamed through).
   *
-  * The actual media decode is a STUB — this container has no
-  * image/audio codecs. [[MediaDecoder.decodeStub]] derives
-  * deterministic fake metadata from the raw bytes so the Spark-side
-  * plumbing (schema, batching, partitioning, typed output) is real and
-  * testable end-to-end; swap `decodeStub` for a real codec binding in
-  * production.
+  * The image path is REAL: PNG payloads are decoded with the JDK's
+  * `javax.imageio` (no external codec needed) into width / height /
+  * per-channel means. Containers the JDK cannot parse (JPEG-XL, MP4,
+  * WAV…) would plug into the same [[decodeImages]] batch seam with an
+  * external codec binding; [[byteStats]] covers the codec-agnostic
+  * byte-level metadata either way.
   */
 object Multimodal {
 
-  /** typed metadata extracted from one media payload */
-  final case class MediaFeatures(
+  /** codec-agnostic byte-level metadata for one media payload */
+  final case class ByteStats(
       doc_id: Long,
       n_bytes: Long,
       magic: String,
-      width: Int,
-      height: Int,
-      frames: Int,
       checksum: Long)
 
-  object MediaDecoder {
-    /** STUB: a real implementation would parse the container format
-      * (JPEG/PNG/WAV/MP4) here. The fake is a pure deterministic
-      * function of the bytes — ??? marks the seam for a real codec. */
-    def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-      // real codec goes here:  val img = ImageIO.read(...)   (???)
-      val n = bytes.length
-      val width = (n % 64) + 16
-      val height = (n % 48) + 16
-      val frames = (n % 7) + 1
-      (width, height, frames)
+  /** decoded raster features for one image payload */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Int,
+      mean_g: Int,
+      mean_b: Int)
+
+  object MediaCodec {
+    /** Deterministic solid-RGB PNG for a document id — the fixture
+      * generator (this container ships no media files, so the tests
+      * synthesize real PNG bytes and round-trip them through the real
+      * decoder). Dimensions and channel values are pure functions of
+      * the id, which is what lets a SQL oracle verify the decode. */
+    def encodePng(docId: Long): Array[Byte] = {
+      val w = (docId % 13).toInt + 4
+      val h = (docId % 7).toInt + 3
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (((docId % 256).toInt) << 16) |
+        ((((docId * 7) % 256).toInt) << 8) | ((docId * 13) % 256).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
-    def features(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-      val (w, h, f) = decodeStub(bytes)
+    /** REAL image decode via the JDK's ImageIO (PNG/BMP/GIF): raster
+      * dimensions + integer mean of each RGB channel. None for bytes
+      * no installed reader understands — a poisoned payload must not
+      * kill a 100 TB job. */
+    def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(docId, w, h,
+          (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+      }
+    }
+
+    def stats(docId: Long, bytes: Array[Byte]): ByteStats = {
       val magic = new String(bytes.take(4), "UTF-8")
       val checksum = bytes.take(16).foldLeft(0L)((a, b) => a + (b & 0xff))
-      MediaFeatures(docId, bytes.length.toLong, magic, w, h, f, checksum)
+      ByteStats(docId, bytes.length.toLong, magic, checksum)
     }
   }
 
-  /** Extract typed metadata from a binary payload column. Batch-shaped
+  /** Decode an image payload column into raster features. Batch-shaped
     * like a vectorized UDF: one decoder pass per partition iterator,
-    * no per-row driver involvement, output is a typed Dataset.
-    */
-  def extractFeatures(df: DataFrame, idCol: String, binCol: String)
-      : Dataset[MediaFeatures] = {
+    * no per-row driver involvement, output a typed Dataset. Undecodable
+    * payloads are dropped, not fatal. */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point for an expensive external codec;
+        // ImageIO readers are looked up per call, nothing to hoist
+        it.flatMap { case (id, bytes) => MediaCodec.decodeImage(id, bytes) }
+      }
+  }
+
+  /** Codec-agnostic byte-level metadata from a binary payload column
+    * (works for payloads no decoder understands). */
+  def byteStats(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[ByteStats] = {
     val spark = df.sparkSession
     import spark.implicits._
     // one bad row (null id / null payload) must not kill a 100 TB job
@@ -62,11 +122,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .na.drop()
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition init point for a real codec (expensive state
-        // is created once here, not per row)
-        it.map { case (id, bytes) => MediaDecoder.features(id, bytes) }
-      }
+      .mapPartitions(_.map { case (id, bytes) => MediaCodec.stats(id, bytes) })
   }
 
   /** Frame sampling for video-like payloads: emit every k-th chunk of

@@ -40,6 +40,26 @@ class PipeSpec extends AnyFunSuite {
     assert(train > total * 6 / 10, "train bucket should hold ~80%")
   }
 
+  test("distributed component propagation equals driver union-find") {
+    // force the >MaxDriverEdges branch on the small graph, then the
+    // driver branch, and require identical canonical labelings — the
+    // scale path must not exist only in theory
+    def labels(): Map[Long, Long] =
+      QueriesPipe.q54_neardup_components(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    QueriesPipe.clearComponentCache()
+    sys.props("graft.maxDriverEdges") = "0"
+    val dist =
+      try labels()
+      finally sys.props.remove("graft.maxDriverEdges")
+    QueriesPipe.clearComponentCache()
+    val uf = labels()
+    QueriesPipe.clearComponentCache()
+    assert(dist.nonEmpty, "fixture graph must have edges")
+    assert(dist == uf,
+      "distributed min-label propagation and union-find disagree")
+  }
+
   test("PII redaction scrubs every derived email and phone") {
     val rows = QueriesPipe.q67_pii_redact(spark, dir).collect()
     assert(rows.nonEmpty)
