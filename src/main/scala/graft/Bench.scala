@@ -109,6 +109,17 @@ object Bench {
       .cache()
     val nRows = ev.count() // materialize cache outside timed region
 
+    // JIT-warm the engine write path (range-partition sampler, parquet
+    // writer, stats read-back aggregate) on a THROWAWAY collection:
+    // steady-state is what BASELINE.md's reference numbers measure, and
+    // a long-running cluster ingests continuously. 2000 rows > the
+    // 256-row embed probe, so this exercises the full parquet path.
+    locally {
+      val warm = repo.createCollection(schema, "jit_warm").series("_")
+      warm.write(ev.limit(2000))
+      repo.deleteCollection("jit_warm")
+    }
+
     results("bulk_write") = time { series.write(ev) }
     results("full_read") = time { series.frame().count(); () }
     results("range_read") = time {

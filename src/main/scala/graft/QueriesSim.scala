@@ -59,13 +59,32 @@ object QueriesSim {
       .foreach(k => matCache.remove(k).foreach(
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint))
     val df = matCache.getOrElseUpdate((sid, view, dir), {
-      // EAGER localCheckpoint, not persist+view: a view over a cached
+      // EAGER checkpoint, not persist+view: a view over a cached
       // plan must re-match the cache at every use site, and inside a
       // multi-branch SQL (the 4-band union self-join) Spark re-derived
       // the aggregate from source per branch — profiled as 4 full
       // shingle-table passes. A checkpoint pins the computed blocks as
       // a LogicalRDD: every branch scans rows, nothing recomputes.
-      s.sql(sql).localCheckpoint()
+      //
+      // Durability is a deployment choice (spark.graft.materialize):
+      //  - "local" (default): localCheckpoint — fastest, but blocks
+      //    live only in executor storage; an executor lost to dynamic
+      //    allocation or preemption kills the query (lineage is cut).
+      //    Right for local[] and static-allocation clusters.
+      //  - "reliable": Dataset.checkpoint to the configured
+      //    spark.graft.checkpoint.dir (an HDFS/object-store path on a
+      //    real cluster) — survives executor loss at the cost of one
+      //    distributed write+read. Right under dynamic allocation.
+      s.conf.get("spark.graft.materialize", "local") match {
+        case "reliable" =>
+          if (s.sparkContext.getCheckpointDir.isEmpty)
+            s.sparkContext.setCheckpointDir(s.conf.get(
+              "spark.graft.checkpoint.dir",
+              java.nio.file.Files.createTempDirectory("graft-ckpt")
+                .toString))
+          s.sql(sql).checkpoint()
+        case _ => s.sql(sql).localCheckpoint()
+      }
     })
     df.createOrReplaceTempView(view)
   }

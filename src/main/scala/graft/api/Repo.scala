@@ -19,10 +19,10 @@ import org.apache.spark.sql.SparkSession
 class Repo(val rootUri: String, val spark: SparkSession,
     storeOverride: Store = null) {
 
-  // memory:// roots (reference MemPOD, the default `Repo()` backend):
-  // register the in-memory FileSystem with the session so Spark's own
-  // parquet scans and writes resolve the scheme too
-  if (rootUri.startsWith("memory://"))
+  // memory:// / s3ish:// roots (reference MemPOD and the moto-S3
+  // analogue): register the in-JVM FileSystems with the session so
+  // Spark's own parquet scans and writes resolve the schemes too
+  if (rootUri.startsWith("memory://") || rootUri.startsWith("s3ish://"))
     MemFileSystem.install(spark.sparkContext.hadoopConfiguration)
 
   val store: Store =

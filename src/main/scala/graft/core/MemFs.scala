@@ -24,21 +24,26 @@ import org.apache.hadoop.util.Progressable
 class MemFileSystem extends FileSystem {
   import MemFileSystem._
 
+  /** subclasses present the same blob map under another scheme with
+    * different mutation semantics (see ObjectFileSystem) */
+  protected def schemeName: String = Scheme
+
   private var fsUri: URI = _
   private var cwd: Path = new Path("/")
 
   override def initialize(uri: URI, conf: Configuration): Unit = {
     super.initialize(uri, conf)
-    fsUri = URI.create(s"$Scheme://${uri.getAuthority}")
+    fsUri = URI.create(s"$schemeName://${uri.getAuthority}")
     setConf(conf)
   }
 
-  override def getScheme: String = Scheme
+  override def getScheme: String = schemeName
   override def getUri: URI = fsUri
   override def getWorkingDirectory: Path = cwd
   override def setWorkingDirectory(dir: Path): Unit = { cwd = dir }
 
-  private def bucket: Blobs = blobsFor(fsUri.getAuthority)
+  protected def bucket: Blobs =
+    blobsFor(s"$schemeName://${fsUri.getAuthority}")
 
   /** normalized absolute key, no trailing slash */
   private def key(f: Path): String = {
@@ -72,6 +77,9 @@ class MemFileSystem extends FileSystem {
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream =
     throw new UnsupportedOperationException("append")
+
+  /** normalized absolute key, exposed to ObjectFileSystem's rename */
+  protected def keyOf(f: Path): String = key(f)
 
   override def rename(src: Path, dst: Path): Boolean = {
     val sk = key(src); val dk = key(dst)
@@ -160,10 +168,14 @@ object MemFileSystem {
     buckets.getOrElseUpdate(if (bucket == null) "" else bucket,
       new Blobs)
 
-  /** register the scheme on a Spark session's Hadoop conf (idempotent) */
+  /** register the in-JVM schemes (memory://, s3ish://) on a Spark
+    * session's Hadoop conf (idempotent) */
   def install(conf: Configuration): Unit = {
     conf.set(s"fs.$Scheme.impl", classOf[MemFileSystem].getName)
     conf.set(s"fs.$Scheme.impl.disable.cache", "false")
+    conf.set(s"fs.${ObjectFileSystem.Scheme}.impl",
+      classOf[ObjectFileSystem].getName)
+    conf.set(s"fs.${ObjectFileSystem.Scheme}.impl.disable.cache", "false")
   }
 
   /** seekable byte-array input for FSDataInputStream */

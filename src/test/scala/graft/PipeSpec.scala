@@ -40,6 +40,25 @@ class PipeSpec extends AnyFunSuite {
     assert(train > total * 6 / 10, "train bucket should hold ~80%")
   }
 
+  test("reliable materialize checkpoints to the cluster-durable store") {
+    Tables.registerAll(spark, dir)
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try {
+      QueriesSim.materialize(spark, dir,
+        "SELECT doc_id, lang FROM documents", "mm_reliable_probe")
+      val n = spark.table("mm_reliable_probe").count()
+      assert(n == Tables.table(spark, dir, "documents").count())
+      // blocks must live under the reliable checkpoint dir (the form
+      // that survives executor loss), not only in executor storage
+      val ckptDir = spark.sparkContext.getCheckpointDir
+      assert(ckptDir.isDefined, "reliable mode must set a checkpoint dir")
+      val files = new java.io.File(new java.net.URI(ckptDir.get))
+        .listFiles()
+      assert(files != null && files.nonEmpty,
+        "checkpoint dir should contain persisted RDD blocks")
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+
   test("distributed component propagation equals driver union-find") {
     // force the >MaxDriverEdges branch on the small graph, then the
     // driver branch, and require identical canonical labelings — the
