@@ -103,33 +103,64 @@ class Series(val collection: Collection, val label: String) {
         col(c.name).as(collection.physOf(c.name))): _*)
 
     val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
-    sorted.write.mode("overwrite")
+    val physCols = schema.names.map(n => col(collection.physOf(n)))
+    val physIdxCols = schema.idxNames.map(n => col(collection.physOf(n)))
+    // observe() rides the write job itself: global row count + index
+    // bounds + logical content hash come back with the write, for free
+    val obs = org.apache.spark.sql.Observation()
+    sorted.observe(obs,
+        count(lit(1)).as("_cnt"),
+        min(struct(physIdxCols: _*)).as("_min"),
+        max(struct(physIdxCols: _*)).as("_max"),
+        // modular reduction keeps the (order-insensitive) sum within
+        // 2^52 even at page_len rows — no ANSI overflow
+        sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
+      .write.mode("overwrite")
       .option("maxRecordsPerFile", pageLen)
       .parquet(store.uri(tmpRel))
 
-    // per-file row count + index bounds + logical content hash, ONE
-    // read-back job (emptiness falls out of it: zero stat rows = empty
-    // write — no separate isEmpty probe). The digest is computed from
-    // the DATA (order-insensitive xxhash64 aggregate), not the file
-    // bytes: parquet encoding metadata is not byte-deterministic across
-    // JVMs, and logical hashing also avoids pulling file bytes to the
-    // driver at scale.
-    val physCols = schema.names.map(n => col(collection.physOf(n)))
-    val physIdxCols = schema.idxNames.map(n => col(collection.physOf(n)))
+    // Per-FILE row count + index bounds + logical content hash. When
+    // the write landed a single file (AQE coalesces small batches to
+    // one partition), the global observed metrics ARE that file's
+    // stats — no second pass over the data at all. Multi-file writes
+    // take the ONE read-back aggregate (emptiness falls out of it:
+    // zero stat rows = empty write — no separate isEmpty probe). The
+    // digest is computed from the DATA (order-insensitive xxhash64
+    // aggregate), not the file bytes: parquet encoding metadata is not
+    // byte-deterministic across JVMs, and logical hashing also avoids
+    // pulling file bytes to the driver at scale.
     val physStruct = org.apache.spark.sql.types.StructType(
       schema.sparkSchema.fields.map(f =>
         f.copy(name = collection.physOf(f.name))))
-    val anyFile = store.walk(tmpRel).exists(_.endsWith(".parquet"))
+    val parquetFiles = store.walk(tmpRel).filter(_.endsWith(".parquet"))
     val statRows =
-      if (!anyFile) Array.empty[Row]
+      if (parquetFiles.isEmpty) Array.empty[Row]
+      else if (parquetFiles.length == 1) {
+        val m = obs.get
+        if (m("_cnt").asInstanceOf[Long] == 0L) Array.empty[Row]
+        else Array(new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(
+            Array[Any](store.uri(s"$tmpRel/${parquetFiles.head
+              .split('/').last}"), m("_cnt"), m("_min"), m("_max"),
+              m("_hash")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("_cnt",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("_min",
+                org.apache.spark.sql.types.StructType(Seq())),
+              org.apache.spark.sql.types.StructField("_max",
+                org.apache.spark.sql.types.StructType(Seq())),
+              org.apache.spark.sql.types.StructField("_hash",
+                org.apache.spark.sql.types.LongType)))))
+      }
       else spark.read.schema(physStruct)
         .parquet(store.uri(tmpRel))
         .groupBy(input_file_name().as("_file"))
         .agg(count(lit(1)).as("_cnt"),
           min(struct(physIdxCols: _*)).as("_min"),
           max(struct(physIdxCols: _*)).as("_max"),
-          // modular reduction keeps the (order-insensitive) sum within
-          // 2^52 even at page_len rows — no ANSI overflow
           sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
         .collect()
     if (statRows.isEmpty) {
