@@ -351,6 +351,32 @@ object QueriesExt {
        |FROM m2 ORDER BY cid, dim""".stripMargin
   }
 
+  /** Audio modality, same end-to-end shape as q28: one deterministic
+    * constant-amplitude 16-bit mono PCM WAV per document, decoded back
+    * through the JDK's `javax.sound.sampled` in the mapPartitions
+    * batch shape. Frame count and peak amplitude are pure functions of
+    * doc_id, so the oracle verifies the real container parse + PCM
+    * math. */
+  def q90_audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.MediaCodec.encodeWav(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeAudioCol(payloads, "doc_id", "payload")
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  val q90_oracle: String =
+    """SELECT doc_id,
+      | 8000::INT AS sample_rate,
+      | 1::INT AS channels,
+      | (doc_id % 50 + 20)::BIGINT AS n_samples,
+      | (doc_id % 1000 * 16)::INT AS peak
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -359,7 +385,8 @@ object QueriesExt {
     "q29_bpe_tokens" -> q29_bpe_tokens _,
     "q35_ann_bucketed" -> q35_ann_bucketed _,
     "q36_rolling_fp" -> q36_rolling_fp _,
-    "q37_ann_native" -> q37_ann_native _)
+    "q37_ann_native" -> q37_ann_native _,
+    "q90_audio" -> q90_audio _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -369,5 +396,6 @@ object QueriesExt {
     "q29_bpe_tokens" -> q29_oracle,
     "q35_ann_bucketed" -> q35_oracle,
     "q36_rolling_fp" -> q36_oracle,
-    "q37_ann_native" -> q37_oracle)
+    "q37_ann_native" -> q37_oracle,
+    "q90_audio" -> q90_oracle)
 }

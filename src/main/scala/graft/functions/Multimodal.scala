@@ -34,6 +34,14 @@ object Multimodal {
       mean_g: Int,
       mean_b: Int)
 
+  /** decoded waveform features for one audio payload */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      peak: Int)
+
   object MediaCodec {
     /** Deterministic solid-RGB PNG for a document id — the fixture
       * generator (this container ships no media files, so the tests
@@ -91,6 +99,56 @@ object Multimodal {
       val checksum = bytes.take(16).foldLeft(0L)((a, b) => a + (b & 0xff))
       ByteStats(docId, bytes.length.toLong, magic, checksum)
     }
+
+    /** Deterministic 16-bit mono PCM WAV for a document id — constant
+      * amplitude, so the decoded peak is an exact function of the id
+      * and a SQL oracle can verify the decode. */
+    def encodeWav(docId: Long): Array[Byte] = {
+      val nSamples = (docId % 50).toInt + 20
+      val amp = ((docId % 1000) * 16).toInt // within 16-bit range
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) { // little-endian 16-bit signed
+        pcm(2 * i) = (amp & 0xff).toByte
+        pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF):
+      * container-parsed format + frame count + peak amplitude from the
+      * PCM samples. None for payloads no installed reader parses. */
+    def decodeAudio(docId: Long, bytes: Array[Byte]): Option[AudioFeatures] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val data = ais.readAllBytes()
+        ais.close()
+        var peak = 0
+        if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff))
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 2
+          }
+        }
+        Some(AudioFeatures(docId, fmt.getSampleRate.toInt,
+          fmt.getChannels, n, peak))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 
   /** Decode an image payload column into raster features. Batch-shaped
@@ -109,6 +167,19 @@ object Multimodal {
         // ImageIO readers are looked up per call, nothing to hoist
         it.flatMap { case (id, bytes) => MediaCodec.decodeImage(id, bytes) }
       }
+  }
+
+  /** Decode an audio payload column into waveform features — same
+    * batch shape as [[decodeImages]]; undecodable payloads dropped. */
+  def decodeAudioCol(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decodeAudio(id, bytes) })
   }
 
   /** Codec-agnostic byte-level metadata from a binary payload column

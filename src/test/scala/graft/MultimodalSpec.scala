@@ -62,6 +62,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV encode/decode round-trips format, frames and peak") {
+    for (id <- Seq(0L, 1L, 49L, 999L, 1000L, 4321L)) {
+      val bytes = MediaCodec.encodeWav(id)
+      assert(new String(bytes.take(4), "UTF-8") == "RIFF")
+      val f = MediaCodec.decodeAudio(id, bytes).get
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.n_samples == (id % 50) + 20)
+      assert(f.peak == (id % 1000).toInt * 16)
+    }
+    // garbage is dropped, not fatal
+    assert(MediaCodec.decodeAudio(7L, Array[Byte](9, 9, 9, 9)).isEmpty)
+  }
+
+  test("q90 decodes every document's WAV distributed") {
+    val rows = QueriesExt.q90_audio(spark, dir).collect()
+    val n = Tables.table(spark, dir, "documents").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) == (id % 50) + 20)
+      assert(r.getInt(4) == (id % 1000).toInt * 16)
+    }
+  }
+
   test("byte stats survive payloads no decoder understands") {
     import spark.implicits._
     val df = Seq((9L, "RIFFxxxx-not-an-image".getBytes("UTF-8")))
