@@ -67,7 +67,7 @@ object QueriesExt {
     s.sql(
       s"""WITH tk AS (
          |  SELECT doc_id, pos, tok FROM (
-         |    SELECT /*+ REPARTITION(32) */ doc_id,
+         |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
          |      split(text, ' ', -1) AS toks FROM documents)
          |  LATERAL VIEW posexplode(toks) t AS pos, tok),
          |h AS (SELECT doc_id, pos,
@@ -222,7 +222,7 @@ object QueriesExt {
     // probe is a separate trivial join rather than a second pass over
     // the full assignment table
     s.sql(
-      """WITH v AS (SELECT /*+ REPARTITION(32) */ vec_id, label,
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, label,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v
         |  WHERE vec_id BETWEEN 1 AND 8),
@@ -305,7 +305,7 @@ object QueriesExt {
          |    struct(dim, val))), x -> x.val) AS ce
          |  FROM $mRef GROUP BY cid)""".stripMargin
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(32) */ vec_id,
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, e AS ce FROM v
          |  WHERE vec_id BETWEEN 1 AND 8),

@@ -88,8 +88,8 @@ object QueriesPipe {
   def q51_quality_topk(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH q AS (
-        |  SELECT /*+ REPARTITION(32) */ doc_id, source,
+      s"""WITH q AS (
+        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, source,
         |    n_chars - 2 * (length(text) -
         |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) AS score
         |  FROM documents),
@@ -301,8 +301,8 @@ object QueriesPipe {
     // a binary row sort before the exchange (sortBeforeRepartition) —
     // pure overhead here, and the hash spread is just as even
     QueriesSim.materialize(s, dir,
-      """SELECT doc_id, lang, term, count(*) AS cnt FROM (
-        |  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lang,
+      s"""SELECT doc_id, lang, term, count(*) AS cnt FROM (
+        |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id, lang,
         |    explode(split(text, ' ', -1)) AS term FROM documents)
         |GROUP BY 1, 2, 3""".stripMargin, "doc_terms")
   }
@@ -404,9 +404,9 @@ object QueriesPipe {
     // (source, rank, value) rows are compared; ties at the k-boundary
     // are value-identical whichever tied row the heap keeps.
     s.sql(
-      """SELECT source, CAST(pos + 1 AS BIGINT) AS rank, val AS n_chars
+      s"""SELECT source, CAST(pos + 1 AS BIGINT) AS rank, val AS n_chars
         |FROM (SELECT source, graft_topk(n_chars, 5) AS top
-        |      FROM (SELECT /*+ REPARTITION(32) */ source, n_chars
+        |      FROM (SELECT /*+ REPARTITION(${Tables.np}) */ source, n_chars
         |            FROM documents)
         |      GROUP BY source)
         |LATERAL VIEW posexplode(top) AS pos, val
@@ -484,8 +484,8 @@ object QueriesPipe {
   def q67_pii_redact(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH d AS (
-        |  SELECT /*+ REPARTITION(32) */ doc_id,
+      s"""WITH d AS (
+        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
         |    concat(text, ' contact user', cast(doc_id AS string),
         |      '@mail-', lang, '.com or +1-555-',
         |      lpad(cast(doc_id % 10000 AS string), 4, '0')) AS dirty
@@ -529,9 +529,9 @@ object QueriesPipe {
   def q68_repetition(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, explode(split(text, ' ', -1)) AS term
-        |  FROM (SELECT /*+ REPARTITION(32) */ doc_id, text
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
         |        FROM documents)),
         |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
         |a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
@@ -578,8 +578,8 @@ object QueriesPipe {
   def q69_seq_pack(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH t AS (
-        |  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lang,
+      s"""WITH t AS (
+        |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id, lang,
         |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
         |      AS bigint) % 16 AS shard,
         |    size(split(text, ' ', -1)) AS n_tok
@@ -669,7 +669,7 @@ object QueriesPipe {
   def q73_chunking(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id,
+      s"""WITH t AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
         |    split(text, ' ', -1) AS w FROM documents),
         |c AS (SELECT doc_id, w,
         |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
@@ -703,7 +703,7 @@ object QueriesPipe {
   def q74_profile(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH src AS (SELECT /*+ REPARTITION(32) */ * FROM documents)
+      s"""WITH src AS (SELECT /*+ REPARTITION(${Tables.np}) */ * FROM documents)
         |SELECT 'doc_id' AS col, count(*) AS n_rows,
         |  count(DISTINCT doc_id) AS n_distinct,
         |  count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
@@ -1095,11 +1095,11 @@ object QueriesPipe {
   def q89_contam_spans(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH ptok AS (
+      s"""WITH ptok AS (
         |  SELECT doc_id, p AS pos,
         |    concat(element_at(t, p + 1), ' ', element_at(t, p + 2),
         |      ' ', element_at(t, p + 3)) AS sh
-        |  FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
         |          split(text, ' ', -1) AS t FROM documents)
         |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 2, 0)))
         |    AS p, x),

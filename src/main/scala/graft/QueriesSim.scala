@@ -104,11 +104,11 @@ object QueriesSim {
     * partition and serialize the CPU-heavy hashing). */
   private[graft] def sparkShingleSelect =
     s"""SELECT doc_id, s, ${sparkHex("s")} AS hv FROM (
-      |  SELECT /*+ REPARTITION(32, doc_id) */ DISTINCT doc_id, s FROM (
+      |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ DISTINCT doc_id, s FROM (
       |    SELECT doc_id, explode(transform(sequence(1, size(t)-2),
       |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
       |                  element_at(t,i+2)))) AS s
-      |    FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+      |    FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
       |            split(text,' ', -1) AS t FROM documents)
       |    WHERE size(t) >= 3))""".stripMargin
 
@@ -158,7 +158,7 @@ object QueriesSim {
     val cols = (1 to 8)
       .map(i => s"element_at(sig, $i) AS mh$i").mkString(",\n  ")
     s"""SELECT doc_id, $cols FROM (
-       |  SELECT /*+ REPARTITION(32) */ doc_id,
+       |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
        |    graft_minhash(text) AS sig FROM documents)
        |WHERE sig IS NOT NULL""".stripMargin
   }
@@ -229,7 +229,7 @@ object QueriesSim {
     s"""SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
        |    i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
        |                element_at(t,i+2)))) AS ss
-       |FROM (SELECT /*+ REPARTITION(32) */ doc_id,
+       |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
        |        split(text,' ', -1) AS t FROM documents)
        |WHERE size(t) >= 3""".stripMargin
 
@@ -402,7 +402,7 @@ object QueriesSim {
          |               THEN cast(1 AS BIGINT)
          |               ELSE cast(-1 AS BIGINT) END),
          |        (a, x) -> a + x)) AS bits
-         |  FROM (SELECT /*+ REPARTITION(32) */ doc_id, text
+         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
          |        FROM documents))
          |ORDER BY doc_id""".stripMargin)
   }

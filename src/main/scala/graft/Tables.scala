@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Explicit-parallelism width for REPARTITION hints: the session's
+    * shuffle-partition setting, so CPU-spread hints scale with the
+    * cluster configuration instead of hard-coding local[32]'s width.
+    * Read at query-construction time (an active session always exists
+    * there). */
+  private[graft] def np: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+
   def init(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
