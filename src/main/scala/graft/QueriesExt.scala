@@ -377,6 +377,157 @@ object QueriesExt {
       | (doc_id % 1000 * 16)::INT AS peak
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Video modality end-to-end, completing the image (q28) / audio
+    * (q90) / video triple: one deterministic GVID container per
+    * document (length-prefixed REAL PNG frames), every 2nd frame
+    * SAMPLED off the container index and decoded through the real
+    * `javax.imageio` path in the mapPartitions batch shape. Frame
+    * count, dimensions, and channel means are pure functions of
+    * (doc_id, frame_no), so the oracle verifies the container walk,
+    * the sampling arithmetic, AND the per-frame decode. */
+  def q94_video_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.MediaCodec.encodeVideo(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeVideoCol(payloads, "doc_id", "payload", everyK = 2)
+      .toDF().orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val q94_oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_no, doc_id * 31 + i AS fid
+      |  FROM documents, unnest(range(0, doc_id % 4 + 2)) AS t(i)
+      |  WHERE i % 2 = 0)
+      |SELECT doc_id, frame_no::INT AS frame_no,
+      |  (fid % 13 + 4)::INT AS width,
+      |  (fid % 7 + 3)::INT AS height,
+      |  (fid % 256)::INT AS mean_r,
+      |  (fid * 7 % 256)::INT AS mean_g,
+      |  (fid * 13 % 256)::INT AS mean_b
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely, then drop any vector that sits within
+    * cosine τ of a lower-id vector IN THE SAME CLUSTER — near-dup
+    * comparison never crosses cluster boundaries, so the pair join is
+    * an EQUI-join on the cluster id and the pair space shrinks by ~k×.
+    * At 100 TB the cluster count grows with sqrt(n) (the q72/q88
+    * k-means quantizer trains it), keeping per-cluster pair blocks
+    * bounded; here the 8 sampled centroids from q72 serve as the
+    * clustering. The paper keeps the member FARTHEST from the
+    * centroid; we keep the lowest vec_id — deterministic under any
+    * partitioning, which is what lets a SQL oracle pin the result.
+    * Similarities are rounded to 6 decimals before every comparison so
+    * neither assignment nor the τ threshold hinges on a final-ulp
+    * accumulation difference. */
+  def q91_semdedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS ce FROM v
+         |  WHERE vec_id BETWEEN 1 AND 8),
+         |a AS (SELECT vec_id, e, cid FROM (
+         |    SELECT v.vec_id, v.e, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
+         |        AS rn
+         |    FROM v CROSS JOIN c) WHERE rn = 1),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+         |  WHERE round(graft_cosine(x.e, b.e), 6) >= 0.3)
+         |SELECT a.vec_id, cast(a.cid AS bigint) AS cid,
+         |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END
+         |    AS verdict
+         |FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
+  }
+
+  val q91_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |a AS (SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(v.e, c.ce), 6)
+      |          DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c) WHERE rn = 1),
+      |drops AS (SELECT DISTINCT b.vec_id
+      |  FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(x.e, b.e), 6) >= 0.3)
+      |SELECT a.vec_id, a.cid::BIGINT AS cid,
+      |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END
+      |    AS verdict
+      |FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  /** Scalar (int8) embedding quantization — the compression step every
+    * 100 TB ANN index applies before storage: per-dimension min/max
+    * over the corpus (one map-side-combined aggregate, 64 rows out),
+    * each coordinate quantized to a 0..255 code against its
+    * dimension's range, and the per-vector reconstruction error
+    * reported. The range table is broadcast back (dimension-sized —
+    * trivially small at any corpus scale). Per-element absolute errors
+    * are quantized to integers (round(err·1e9)) BEFORE the per-vector
+    * sum/max, so the reduction is exact integer math — identical in
+    * both engines regardless of partitioning or order. */
+  def q92_vec_quant(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |d AS (SELECT vec_id, p + 1 AS dim, val
+         |  FROM v LATERAL VIEW posexplode(e) AS p, val),
+         |r AS (SELECT dim, min(val) AS mn, max(val) AS mx
+         |  FROM d GROUP BY dim),
+         |q AS (SELECT vec_id,
+         |    cast(round((val - mn) / (mx - mn) * 255, 0) AS int)
+         |      AS code,
+         |    val, mn, mx
+         |  FROM d JOIN r ON d.dim = r.dim),
+         |err AS (SELECT vec_id,
+         |    cast(round(abs(val - (mn + code * (mx - mn) / 255))
+         |      * 1000000000, 0) AS bigint) AS qe,
+         |    code
+         |  FROM q)
+         |SELECT vec_id, count(*) AS n_dims,
+         |  round(sum(qe) / (1000000000.0D * count(*)), 6) + 0
+         |    AS mean_abs_err,
+         |  round(max(qe) / 1000000000.0D, 6) + 0 AS max_abs_err,
+         |  sum(code) AS code_sum
+         |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+  }
+
+  val q92_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |d AS (SELECT vec_id, i AS dim, e[i] AS val
+      |  FROM v, unnest(range(1, len(e) + 1)) AS t(i)),
+      |r AS (SELECT dim, min(val) AS mn, max(val) AS mx
+      |  FROM d GROUP BY dim),
+      |q AS (SELECT vec_id,
+      |    round((val - mn) / (mx - mn) * 255)::INT AS code,
+      |    val, mn, mx
+      |  FROM d JOIN r ON d.dim = r.dim),
+      |err AS (SELECT vec_id,
+      |    round(abs(val - (mn + code * (mx - mn) / 255))
+      |      * 1000000000)::BIGINT AS qe,
+      |    code
+      |  FROM q)
+      |SELECT vec_id, count(*) AS n_dims,
+      |  round(sum(qe) / (1000000000.0 * count(*)), 6) + 0
+      |    AS mean_abs_err,
+      |  round(max(qe) / 1000000000.0, 6) + 0 AS max_abs_err,
+      |  sum(code)::BIGINT AS code_sum
+      |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -386,7 +537,10 @@ object QueriesExt {
     "q35_ann_bucketed" -> q35_ann_bucketed _,
     "q36_rolling_fp" -> q36_rolling_fp _,
     "q37_ann_native" -> q37_ann_native _,
-    "q90_audio" -> q90_audio _)
+    "q90_audio" -> q90_audio _,
+    "q91_semdedup" -> q91_semdedup _,
+    "q92_vec_quant" -> q92_vec_quant _,
+    "q94_video_frames" -> q94_video_frames _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -397,5 +551,8 @@ object QueriesExt {
     "q35_ann_bucketed" -> q35_oracle,
     "q36_rolling_fp" -> q36_oracle,
     "q37_ann_native" -> q37_oracle,
-    "q90_audio" -> q90_oracle)
+    "q90_audio" -> q90_oracle,
+    "q91_semdedup" -> q91_oracle,
+    "q92_vec_quant" -> q92_oracle,
+    "q94_video_frames" -> q94_oracle)
 }

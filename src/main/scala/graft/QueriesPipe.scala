@@ -1125,7 +1125,55 @@ object QueriesPipe {
       |WHERE doc_id >= 20
       |ORDER BY doc_id, tok_start, shingle""".stripMargin
 
+  /** Cross-document duplicate SPAN detection (the n-gram approximation
+    * of Lee et al. 2022's exact-substring dedup): emit the token
+    * positions of every 5-gram that also appears in ANOTHER document —
+    * the spans a substring-level deduplicator masks or cuts, where
+    * doc-level dedup (q17/q23) would keep both copies of boilerplate.
+    * Unlike q89 there is no fixed eval side: the corpus is matched
+    * against itself, so the only corpus-scale shuffle is the GROUP BY
+    * gram (hash-partitioned, map-side combined); the gram table that
+    * joins back carries only grams seen in ≥2 documents — at corpus
+    * scale a small fraction of the gram space (suffix-array engines
+    * exploit exactly this sparsity). Gram construction is in-row array
+    * slicing, shuffle-free. */
+  def q93_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH g AS (
+        |  SELECT doc_id, p AS pos,
+        |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
+        |      element_at(t, p + 3), element_at(t, p + 4),
+        |      element_at(t, p + 5)) AS gram
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |          split(text, ' ', -1) AS t FROM documents)
+        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
+        |    AS p, x),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, cast(pos AS bigint) AS tok_start,
+        |  cast(pos + 5 AS bigint) AS tok_end, gram
+        |FROM g JOIN dup USING (gram)
+        |ORDER BY doc_id, tok_start, gram""".stripMargin)
+  }
+
+  val q93_oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+      |      t[i + 3] || ' ' || t[i + 4] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents),
+      |    unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id, pos::BIGINT AS tok_start,
+      |  (pos + 5)::BIGINT AS tok_end, gram
+      |FROM g JOIN dup USING (gram)
+      |ORDER BY doc_id, tok_start, gram""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_span_dedup" -> q93_span_dedup _,
     "q89_contam_spans" -> q89_contam_spans _,
     "q87_quota_sample" -> q87_quota_sample _,
     "q86_cms_heavyhitters" -> q86_cms_heavyhitters _,
@@ -1173,6 +1221,7 @@ object QueriesPipe {
       |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q93_span_dedup" -> q93_oracle,
     "q85_sketch_profile" -> q85_oracle,
     "q86_cms_heavyhitters" -> q86_oracle,
     "q89_contam_spans" -> q89_oracle,

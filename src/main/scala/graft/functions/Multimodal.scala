@@ -34,6 +34,16 @@ object Multimodal {
       mean_g: Int,
       mean_b: Int)
 
+  /** decoded + sampled frame features for one video payload */
+  final case class VideoFrameFeatures(
+      doc_id: Long,
+      frame_no: Int,
+      width: Int,
+      height: Int,
+      mean_r: Int,
+      mean_g: Int,
+      mean_b: Int)
+
   /** decoded waveform features for one audio payload */
   final case class AudioFeatures(
       doc_id: Long,
@@ -123,6 +133,62 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Deterministic "video" container for a document id: a `GVID`
+      * magic + frame count header followed by length-prefixed REAL PNG
+      * frames (each encoded by [[encodePng]] with a per-frame id, so
+      * every frame's dimensions and color are pure functions of
+      * (doc_id, frame_no) — SQL-oracle-verifiable through the real
+      * image decoder). Container-with-keyframe-index is the shape real
+      * video formats share; a production codec binding would replace
+      * the per-frame PNG decode, not the container walk. */
+    def encodeVideo(docId: Long): Array[Byte] = {
+      val nFrames = (docId % 4).toInt + 2
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      dos.writeBytes("GVID")
+      dos.writeInt(nFrames)
+      var i = 0
+      while (i < nFrames) {
+        val png = encodePng(docId * 31 + i)
+        dos.writeInt(png.length)
+        dos.write(png)
+        i += 1
+      }
+      dos.flush()
+      bos.toByteArray
+    }
+
+    /** Walk a GVID container and decode every `everyK`-th frame with
+      * the real image decoder — frame SAMPLING happens on the
+      * container index (undecoded frames are skipped, not parsed),
+      * which is what makes sampling cheap on real containers too.
+      * Unparseable containers yield no rows, never an exception. */
+    def decodeVideoFrames(docId: Long, bytes: Array[Byte], everyK: Int)
+        : Seq[VideoFrameFeatures] =
+      try {
+        val dis = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        dis.readFully(magic)
+        if (new String(magic, "UTF-8") != "GVID") Nil
+        else {
+          val n = dis.readInt()
+          if (n < 0 || n > (1 << 20)) Nil // poisoned header, not fatal
+          else (0 until n).flatMap { i =>
+            val len = dis.readInt()
+            if (len < 0 || len > bytes.length) return Nil
+            val frame = new Array[Byte](len)
+            dis.readFully(frame)
+            if (i % everyK == 0)
+              decodeImage(docId, frame).map(f => VideoFrameFeatures(
+                docId, i, f.width, f.height, f.mean_r, f.mean_g, f.mean_b))
+            else None
+          }
+        }
+      } catch {
+        case _: java.io.IOException => Nil
+      }
+
     /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF):
       * container-parsed format + frame count + peak amplitude from the
       * PCM samples. None for payloads no installed reader parses. */
@@ -180,6 +246,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         MediaCodec.decodeAudio(id, bytes) })
+  }
+
+  /** Decode a video payload column into sampled frame features — one
+    * row per sampled frame, same mapPartitions batch shape as
+    * [[decodeImages]]; unparseable containers dropped. */
+  def decodeVideoCol(df: DataFrame, idCol: String, binCol: String,
+      everyK: Int): Dataset[VideoFrameFeatures] = {
+    require(everyK > 0, s"everyK ($everyK) must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.decodeVideoFrames(id, bytes, everyK) })
   }
 
   /** Codec-agnostic byte-level metadata from a binary payload column

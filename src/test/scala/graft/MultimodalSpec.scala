@@ -86,6 +86,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GVID encode/decode walks the container and samples frames") {
+    for (id <- Seq(0L, 1L, 3L, 255L, 1234L)) {
+      val bytes = MediaCodec.encodeVideo(id)
+      assert(new String(bytes.take(4), "UTF-8") == "GVID")
+      val nFrames = (id % 4).toInt + 2
+      // everyK=1 decodes every frame; each is the PNG of id*31+frame
+      val all = MediaCodec.decodeVideoFrames(id, bytes, 1)
+      assert(all.map(_.frame_no) == (0 until nFrames))
+      all.foreach { f =>
+        val fid = id * 31 + f.frame_no
+        assert(f.width == (fid % 13).toInt + 4)
+        assert(f.height == (fid % 7).toInt + 3)
+        assert(f.mean_r == (fid % 256).toInt)
+      }
+      // everyK=2 samples the even frames only
+      val sampled = MediaCodec.decodeVideoFrames(id, bytes, 2)
+      assert(sampled.map(_.frame_no) == (0 until nFrames by 2))
+    }
+    // garbage containers yield no rows, never an exception
+    assert(MediaCodec.decodeVideoFrames(7L, Array[Byte](9, 9), 1).isEmpty)
+    assert(MediaCodec.decodeVideoFrames(7L,
+      "GVIDgarbage-after-magic".getBytes("UTF-8"), 1).isEmpty)
+    // truncated mid-frame: header says 2 frames, payload cut short
+    val good = MediaCodec.encodeVideo(5L)
+    assert(MediaCodec.decodeVideoFrames(5L, good.take(20), 1).isEmpty)
+  }
+
+  test("q94 samples and decodes every document's video distributed") {
+    val rows = QueriesExt.q94_video_frames(spark, dir).collect()
+    val expected = Tables.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => ((id % 4) + 2 + 1) / 2).sum // ceil(nFrames/2) sampled
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      val fid = r.getLong(0) * 31 + r.getInt(1)
+      assert(r.getInt(1) % 2 == 0, "only even frames are sampled")
+      assert(r.getInt(2) == (fid % 13).toInt + 4)
+      assert(r.getInt(5) == ((fid * 7) % 256).toInt)
+    }
+  }
+
   test("byte stats survive payloads no decoder understands") {
     import spark.implicits._
     val df = Seq((9L, "RIFFxxxx-not-an-image".getBytes("UTF-8")))

@@ -251,6 +251,59 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate spans reproduce doc text and occur in at least 2 docs") {
+    val rows = QueriesPipe.q93_span_dedup(spark, dir).collect()
+    assert(rows.nonEmpty, "the corpus must contain cross-doc 5-grams")
+    val texts = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    rows.foreach { r =>
+      val (doc, s, e, g) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(e - s == 5, "span must cover exactly one 5-gram")
+      assert(texts(doc).slice(s.toInt, e.toInt).mkString(" ") == g,
+        s"span [$s,$e) of doc $doc does not reproduce the gram")
+    }
+    // every emitted gram really is cross-document
+    rows.groupBy(_.getString(3)).foreach { case (g, rs) =>
+      assert(rs.map(_.getLong(0)).distinct.length >= 2,
+        s"gram '$g' flagged but seen in only one doc")
+    }
+  }
+
+  test("semdedup verdicts cover every vector; drops stay in-cluster") {
+    val rows = QueriesExt.q91_semdedup(spark, dir).collect()
+    val n = Tables.table(spark, dir, "embeddings").count()
+    assert(rows.length == n, "one verdict per vector")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    val verdicts = rows.map(_.getString(2)).toSet
+    assert(verdicts.subsetOf(Set("keep", "drop")))
+    assert(rows.count(_.getString(2) == "drop") > 0,
+      "threshold 0.3 must drop some near-dups on this data")
+    // the lowest vec_id in every cluster can never be dropped (no
+    // lower-id neighbor exists to subsume it)
+    rows.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val first = members.minBy(_.getLong(0))
+      assert(first.getString(2) == "keep")
+    }
+  }
+
+  test("scalar quantization bounds the reconstruction error") {
+    val rows = QueriesExt.q92_vec_quant(spark, dir).collect()
+    val n = Tables.table(spark, dir, "embeddings").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 64, "all embeddings are 64-dimensional")
+      val (mean, max) = (r.getDouble(2), r.getDouble(3))
+      assert(mean >= 0 && max >= mean,
+        s"vec ${r.getLong(0)}: mean $mean / max $max inconsistent")
+      // int8 quantization against per-dim ranges keeps the worst
+      // per-coordinate error under half a quantization step; the
+      // embedding ranges here are O(1), so half-step << 0.05
+      assert(max < 0.05, s"vec ${r.getLong(0)}: max error $max")
+    }
+  }
+
   test("k-means refinement emits 8x64 deterministic centroids that moved") {
     val rows = QueriesExt.q88_kmeans_refine(spark, dir).collect()
     assert(rows.length == 8 * 64)
