@@ -89,6 +89,7 @@ object Bench {
     headline.filter(n => only.forall(_.contains(n))).foreach { name =>
       // one failing query must not cost the whole round's bench line:
       // record it as -1 and keep going
+      spark.sparkContext.setJobDescription(name) // event-log attribution
       try results(name) = time { qs(name)(spark, sfDir).count(); () }
       catch {
         case e: Throwable =>
@@ -120,6 +121,7 @@ object Bench {
       repo.deleteCollection("jit_warm")
     }
 
+    spark.sparkContext.setJobDescription("engine_metrics")
     results("bulk_write") = time { series.write(ev) }
     results("full_read") = time { series.frame().count(); () }
     results("range_read") = time {

@@ -263,24 +263,44 @@ object QueriesSim {
     // only candidate docs via a semi-join against the band-collision
     // set — at corpus scale candidates are sparse, so the pinned table
     // is tiny while the expensive shingling pass stays single.
+    // BROADCAST(cd) keeps the expensive shingling side's partitioning
+    // (the candidate-id set is always the small side); the REPARTITION
+    // pins the checkpoint blocks at full width so no later consumer
+    // inherits an AQE-coalesced single partition — these intermediates
+    // are byte-small but CPU-heavy, exactly the case AQE's size-based
+    // coalescing serializes.
     materialize(s, dir,
       s"""WITH cd AS (SELECT da AS doc_id FROM sim_cand
          |       UNION SELECT db FROM sim_cand),
          |arrs AS ($sparkShingleArr)
-         |SELECT arrs.doc_id, arrs.ss
+         |SELECT /*+ REPARTITION(${Tables.np}, doc_id) BROADCAST(cd) */
+         |  arrs.doc_id, arrs.ss
          |FROM arrs JOIN cd ON arrs.doc_id = cd.doc_id""".stripMargin,
       "sim_cand_arrs")
     // the verified pair set is itself reused (q54 components, q55
     // dedup) — pin it so the jaccard verify runs once. `cnt > 0`
     // mirrors lshTail's inner join against `inter` (a band collision
     // with no shared shingle yields no pair).
+    // Join shape for the exact verify: the narrow pair list broadcasts
+    // into the first array lookup (array side keeps its pinned
+    // spread), then an EXPLICIT-width exchange on db feeds the second
+    // lookup — explicit REPARTITION widths are exempt from AQE
+    // coalescing, so the per-pair array_intersect (the actual CPU)
+    // runs at full width. Without it AQE sees a few MB of shuffle
+    // bytes and folds the verify onto one core (profiled 11 s
+    // single-task at sf0.1). No array table is ever broadcast, so the
+    // shape survives a candidate set too big for one executor.
     materialize(s, dir,
-      s"""WITH j AS (
-         |  SELECT c.da, c.db, size(array_intersect(a.ss, b.ss)) AS cnt,
-         |    size(a.ss) AS na, size(b.ss) AS nb
+      s"""WITH j1 AS (
+         |  SELECT /*+ BROADCAST(c) */ c.da, c.db, a.ss AS sa
          |  FROM sim_cand c
-         |  JOIN sim_cand_arrs a ON c.da = a.doc_id
-         |  JOIN sim_cand_arrs b ON c.db = b.doc_id)
+         |  JOIN sim_cand_arrs a ON c.da = a.doc_id),
+         |j1r AS (SELECT /*+ REPARTITION(${Tables.np}, db) */ * FROM j1),
+         |j AS (
+         |  SELECT j1r.da, j1r.db,
+         |    size(array_intersect(j1r.sa, b.ss)) AS cnt,
+         |    size(j1r.sa) AS na, size(b.ss) AS nb
+         |  FROM j1r JOIN sim_cand_arrs b ON j1r.db = b.doc_id)
          |SELECT da AS doc_a, db AS doc_b,
          |  round(cnt/(na + nb - cnt), 4) AS jaccard
          |FROM j WHERE cnt > 0""".stripMargin,
