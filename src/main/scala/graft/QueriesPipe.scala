@@ -1133,6 +1133,119 @@ object QueriesPipe {
       |WHERE doc_id >= 20
       |ORDER BY doc_id, tok_start, shingle""".stripMargin
 
+  /** One BPE vocabulary-learning step: count adjacent character pairs
+    * over every word occurrence in the corpus and surface the top
+    * merges — the inner loop of byte-pair-encoding tokenizer training
+    * (Sennrich et al. 2016). Pair construction is in-row array math
+    * over each word; the only corpus-scale shuffle is the
+    * map-side-combined GROUP BY pair, whose output is
+    * alphabet²-bounded — the exact shape that lets a 100 TB corpus
+    * vote on merges with one aggregate per iteration. */
+  def q95_bpe_merge(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH w AS (
+        |  SELECT explode(toks) AS word FROM (
+        |    SELECT /*+ REPARTITION(${Tables.np}) */
+        |      split(text, ' ', -1) AS toks FROM documents)),
+        |p AS (
+        |  SELECT explode(transform(sequence(1, length(word) - 1),
+        |    i -> concat(substr(word, i, 1), substr(word, i + 1, 1))))
+        |    AS pair
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)
+  }
+
+  val q95_oracle: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |    i -> substr(word, i, 1) || substr(word, i + 1, 1))) AS pair
+      |  FROM w WHERE length(word) >= 2)
+      |SELECT pair, count(*)::BIGINT AS cnt FROM p
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Perplexity-bucketed mixing: bucket every document into per-shard
+    * quartiles of its q64 LM cross-entropy and keep a bucket-dependent
+    * fraction (1.0 / 0.7 / 0.4 / 0.1 — favoring low-perplexity text),
+    * the standard quality-mix step after LM scoring. Quartiles are
+    * rank-based WITHIN (lang, shard) — each md5 shard is a uniform
+    * sample of its language, so per-shard quartiles estimate the
+    * language's quartiles the same way reservoir-sampled boundaries
+    * do at 100 TB, and the window key's cardinality (languages × 16)
+    * keeps every core busy (q69's sharding rationale). The keep gate
+    * is the q70 deterministic md5 gate. Derives from the shared
+    * doc_terms index — the corpus text is never re-scanned. */
+  def q96_quality_mix(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      s"""WITH lm AS (SELECT lang, term, sum(cnt) AS c
+        |       FROM doc_terms GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS n FROM lm GROUP BY lang),
+        |sc AS (
+        |  SELECT wf.doc_id, wf.lang, wf.cnt AS k,
+        |    -ln(cast(lm.c AS double) / tot.n) AS nll
+        |  FROM doc_terms wf
+        |  JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
+        |  JOIN tot ON wf.lang = tot.lang),
+        |x AS (SELECT doc_id, lang,
+        |    round(sum(k * nll) / sum(k), 6) AS xent,
+        |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
+        |      AS bigint) AS hv
+        |  FROM sc GROUP BY doc_id, lang),
+        |b AS (SELECT doc_id, lang, hv,
+        |    ntile(4) OVER (PARTITION BY lang, hv % 16
+        |      ORDER BY xent, doc_id) AS bucket
+        |  FROM x),
+        |k AS (SELECT lang, bucket,
+        |    CASE bucket WHEN 1 THEN 1.0D WHEN 2 THEN 0.7D
+        |      WHEN 3 THEN 0.4D ELSE 0.1D END AS rate,
+        |    hv % 10000 AS gate
+        |  FROM b)
+        |SELECT lang, cast(bucket AS bigint) AS bucket,
+        |  count(*) AS n_docs,
+        |  cast(sum(CASE WHEN gate < rate * 10000.0 THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_kept
+        |FROM k GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin)
+  }
+
+  val q96_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |lm AS (SELECT lang, term, sum(cnt) AS c FROM wf GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(c) AS n FROM lm GROUP BY lang),
+      |sc AS (
+      |  SELECT wf.doc_id, wf.lang, wf.cnt AS k,
+      |    -ln(lm.c / tot.n::DOUBLE) AS nll
+      |  FROM wf
+      |  JOIN lm ON wf.lang = lm.lang AND wf.term = lm.term
+      |  JOIN tot ON wf.lang = tot.lang),
+      |x AS (SELECT doc_id, lang,
+      |    round(sum(k * nll) / sum(k), 6) AS xent,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM sc GROUP BY doc_id, lang),
+      |b AS (SELECT doc_id, lang, hv,
+      |    ntile(4) OVER (PARTITION BY lang, hv % 16
+      |      ORDER BY xent, doc_id) AS bucket
+      |  FROM x),
+      |k AS (SELECT lang, bucket,
+      |    CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.7
+      |      WHEN 3 THEN 0.4 ELSE 0.1 END AS rate,
+      |    hv % 10000 AS gate
+      |  FROM b)
+      |SELECT lang, bucket::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN gate < rate * 10000.0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_kept
+      |FROM k GROUP BY lang, bucket
+      |ORDER BY lang, bucket""".stripMargin
+
   /** Cross-document duplicate SPAN detection (the n-gram approximation
     * of Lee et al. 2022's exact-substring dedup): emit the token
     * positions of every 5-gram that also appears in ANOTHER document —
@@ -1181,6 +1294,8 @@ object QueriesPipe {
       |ORDER BY doc_id, tok_start, gram""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_bpe_merge" -> q95_bpe_merge _,
+    "q96_quality_mix" -> q96_quality_mix _,
     "q93_span_dedup" -> q93_span_dedup _,
     "q89_contam_spans" -> q89_contam_spans _,
     "q87_quota_sample" -> q87_quota_sample _,
@@ -1229,6 +1344,8 @@ object QueriesPipe {
       |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q95_bpe_merge" -> q95_oracle,
+    "q96_quality_mix" -> q96_oracle,
     "q93_span_dedup" -> q93_oracle,
     "q85_sketch_profile" -> q85_oracle,
     "q86_cms_heavyhitters" -> q86_oracle,

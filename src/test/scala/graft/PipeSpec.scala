@@ -271,6 +271,35 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merge step ranks two-char pairs by descending frequency") {
+    val rows = QueriesPipe.q95_bpe_merge(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "merge candidates must be ordered by count")
+    assert(counts.head > counts.last, "the corpus must prefer some pair")
+  }
+
+  test("quality mix keeps all of bucket 1 and thins the tail buckets") {
+    val rows = QueriesPipe.q96_quality_mix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getLong(1))
+    assert(byBucket.keySet == Set(1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (docs, kept) = (r.getLong(2), r.getLong(3))
+      assert(kept <= docs)
+      if (r.getLong(1) == 1L)
+        assert(kept == docs, "rate 1.0 must keep the whole bucket")
+    }
+    def keptFrac(b: Long) = {
+      val rs = byBucket(b)
+      rs.map(_.getLong(3)).sum.toDouble / rs.map(_.getLong(2)).sum
+    }
+    assert(keptFrac(4L) < keptFrac(1L),
+      "the high-perplexity bucket must be thinned hardest")
+  }
+
   test("semdedup verdicts cover every vector; drops stay in-cluster") {
     val rows = QueriesExt.q91_semdedup(spark, dir).collect()
     val n = Tables.table(spark, dir, "embeddings").count()
