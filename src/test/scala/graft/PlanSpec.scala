@@ -156,6 +156,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-mix quartile window is sharded, never per-language") {
+    val df = QueriesPipe.q96_quality_mix(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windowSpecs = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(windowSpecs.nonEmpty)
+    windowSpecs.foreach(spec =>
+      assert(spec.size >= 2, s"ntile keyed on a single column: $spec"))
+  }
+
+  test("pinned similarity/LM intermediates keep a multi-partition spread") {
+    // regression gate for the AQE size-based coalescing trap: these
+    // checkpointed tables are byte-small but feed CPU-heavy consumers;
+    // a single-block checkpoint serializes every downstream stage
+    val dir = "/root/testdata/sf0.001"
+    QueriesPipe.q60_tfidf_terms(spark, dir).count()
+    QueriesSim.q23_lsh_pairs(spark, dir).count()
+    for (view <- Seq("doc_terms", "sim_cand_arrs", "sim_pairs")) {
+      val n = spark.table(view).rdd.getNumPartitions
+      assert(n >= 2, s"$view checkpointed as $n partition(s)")
+    }
+  }
+
   test("PII redaction is a pure scan-side projection") {
     val plan = QueriesPipe
       .q67_pii_redact(spark, "/root/testdata/sf0.001")
