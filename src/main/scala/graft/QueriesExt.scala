@@ -528,6 +528,59 @@ object QueriesExt {
       |  sum(code)::BIGINT AS code_sum
       |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Product quantization encode (Jégou et al. 2011) — the codebook
+    * compression behind billion-scale ANN indexes: the 64-dim space
+    * splits into 8 orthogonal 8-dim subspaces, each with its own tiny
+    * codebook (here the 4 deterministic sample vectors 1-4, the same
+    * sampled-codebook convention as q72's coarse centroids), and every
+    * vector stores one code per subspace — 8 bytes instead of 256.
+    * The codebook is trivially broadcast-sized at any corpus scale and
+    * the per-vector argmin is in-row math, so encoding is scan-speed
+    * and embarrassingly parallel. Per-element differences are
+    * quantized to integers BEFORE the squared-distance sum, making the
+    * argmin exact integer arithmetic — bit-identical across engines
+    * and partitionings (q88's determinism trick). */
+  def q97_pq_codes(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |sub AS (SELECT vec_id, sp, slice(e, sp * 8 + 1, 8) AS sv
+         |  FROM v LATERAL VIEW explode(sequence(0, 7)) AS sp),
+         |cb AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND 4),
+         |d AS (SELECT s.vec_id, s.sp, c.cid,
+         |    aggregate(zip_with(s.sv, c.cv, (x, y) ->
+         |        cast(round((x - y) * 1000000, 0) AS bigint)),
+         |      cast(0 AS bigint), (a, x) -> a + x * x) AS dq
+         |  FROM sub s JOIN cb c ON s.sp = c.sp),
+         |a AS (SELECT vec_id, sp, cid, dq, row_number() OVER (
+         |    PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+         |  FROM d)
+         |SELECT vec_id, cast(sp AS bigint) AS subspace, cid AS code,
+         |  round(dq / 1000000000000.0D, 6) + 0 AS dist_sq
+         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin)
+  }
+
+  val q97_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, sp, e[sp * 8 + 1 : sp * 8 + 8] AS sv
+      |  FROM v, unnest(range(0, 8)) AS t(sp)),
+      |cb AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub
+      |  WHERE vec_id BETWEEN 1 AND 4),
+      |d AS (SELECT s.vec_id, s.sp, c.cid,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      round((s.sv[i] - c.cv[i]) * 1000000)::BIGINT *
+      |      round((s.sv[i] - c.cv[i]) * 1000000)::BIGINT)) AS dq
+      |  FROM sub s JOIN cb c ON s.sp = c.sp),
+      |a AS (SELECT vec_id, sp, cid, dq, row_number() OVER (
+      |    PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+      |  FROM d)
+      |SELECT vec_id, sp::BIGINT AS subspace, cid AS code,
+      |  round(dq / 1000000000000.0, 6) + 0 AS dist_sq
+      |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -540,7 +593,8 @@ object QueriesExt {
     "q90_audio" -> q90_audio _,
     "q91_semdedup" -> q91_semdedup _,
     "q92_vec_quant" -> q92_vec_quant _,
-    "q94_video_frames" -> q94_video_frames _)
+    "q94_video_frames" -> q94_video_frames _,
+    "q97_pq_codes" -> q97_pq_codes _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -554,5 +608,6 @@ object QueriesExt {
     "q90_audio" -> q90_oracle,
     "q91_semdedup" -> q91_oracle,
     "q92_vec_quant" -> q92_oracle,
-    "q94_video_frames" -> q94_oracle)
+    "q94_video_frames" -> q94_oracle,
+    "q97_pq_codes" -> q97_oracle)
 }

@@ -333,6 +333,22 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("pq encode: 8 codes per vector, codebook vectors self-code at dist 0") {
+    val rows = QueriesExt.q97_pq_codes(spark, dir).collect()
+    val n = Tables.table(spark, dir, "embeddings").count()
+    assert(rows.length == n * 8, "one code per (vector, subspace)")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 8)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 4, "code in codebook")
+      assert(r.getDouble(3) >= 0)
+    }
+    // a codebook vector's nearest centroid in every subspace is itself
+    rows.filter(r => r.getLong(0) >= 1 && r.getLong(0) <= 4).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) && r.getDouble(3) == 0.0,
+        s"codebook vec ${r.getLong(0)} mis-coded in subspace ${r.getLong(1)}")
+    }
+  }
+
   test("k-means refinement emits 8x64 deterministic centroids that moved") {
     val rows = QueriesExt.q88_kmeans_refine(spark, dir).collect()
     assert(rows.length == 8 * 64)
