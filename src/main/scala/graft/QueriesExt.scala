@@ -581,6 +581,73 @@ object QueriesExt {
       |  round(dq / 1000000000000.0, 6) + 0 AS dist_sq
       |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
 
+  /** PQ asymmetric-distance search (ADC): the query stays exact while
+    * the corpus is represented only by its q97 codes — per subspace a
+    * 4-entry lookup table of query-to-centroid distances is built
+    * once (32 numbers total, broadcast anywhere), and every corpus
+    * vector's approximate distance is the sum of 8 table lookups.
+    * This is how a PQ index scans billions of codes without touching
+    * a single float vector; the 8-byte codes are the only per-vector
+    * state. Distances reuse q97's integer quantization, so LUT build,
+    * code assignment, and the final ranking are all exact integer
+    * math. Top-10 by ADC distance, deterministic tie-break on vec_id. */
+  def q98_pq_adc(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |sub AS (SELECT vec_id, sp, slice(e, sp * 8 + 1, 8) AS sv
+         |  FROM v LATERAL VIEW explode(sequence(0, 7)) AS sp),
+         |cb AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND 4),
+         |d AS (SELECT s.vec_id, s.sp, c.cid,
+         |    aggregate(zip_with(s.sv, c.cv, (x, y) ->
+         |        cast(round((x - y) * 1000000, 0) AS bigint)),
+         |      cast(0 AS bigint), (a, x) -> a + x * x) AS dq
+         |  FROM sub s JOIN cb c ON s.sp = c.sp),
+         |codes AS (SELECT vec_id, sp, cid AS code FROM (
+         |    SELECT vec_id, sp, cid, row_number() OVER (
+         |      PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |lut AS (SELECT sp, cid, dq FROM d WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT codes.vec_id, sum(lut.dq) AS adist
+         |  FROM codes JOIN lut
+         |    ON codes.sp = lut.sp AND codes.code = lut.cid
+         |  WHERE codes.vec_id != 0
+         |  GROUP BY codes.vec_id)
+         |SELECT vec_id,
+         |  round(adist / 1000000000000.0D, 6) + 0 AS adc_dist
+         |FROM adc ORDER BY adist, vec_id LIMIT 10""".stripMargin)
+  }
+
+  val q98_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, sp, e[sp * 8 + 1 : sp * 8 + 8] AS sv
+      |  FROM v, unnest(range(0, 8)) AS t(sp)),
+      |cb AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub
+      |  WHERE vec_id BETWEEN 1 AND 4),
+      |d AS (SELECT s.vec_id, s.sp, c.cid,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      round((s.sv[i] - c.cv[i]) * 1000000)::BIGINT *
+      |      round((s.sv[i] - c.cv[i]) * 1000000)::BIGINT)) AS dq
+      |  FROM sub s JOIN cb c ON s.sp = c.sp),
+      |codes AS (SELECT vec_id, sp, cid AS code FROM (
+      |    SELECT vec_id, sp, cid, row_number() OVER (
+      |      PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+      |    FROM d) WHERE rn = 1),
+      |lut AS (SELECT sp, cid, dq FROM d WHERE vec_id = 0),
+      |adc AS (
+      |  SELECT codes.vec_id, sum(lut.dq) AS adist
+      |  FROM codes JOIN lut
+      |    ON codes.sp = lut.sp AND codes.code = lut.cid
+      |  WHERE codes.vec_id != 0
+      |  GROUP BY codes.vec_id)
+      |SELECT vec_id,
+      |  round(adist / 1000000000000.0, 6) + 0 AS adc_dist
+      |FROM adc ORDER BY adist, vec_id LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -594,7 +661,8 @@ object QueriesExt {
     "q91_semdedup" -> q91_semdedup _,
     "q92_vec_quant" -> q92_vec_quant _,
     "q94_video_frames" -> q94_video_frames _,
-    "q97_pq_codes" -> q97_pq_codes _)
+    "q97_pq_codes" -> q97_pq_codes _,
+    "q98_pq_adc" -> q98_pq_adc _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -609,5 +677,6 @@ object QueriesExt {
     "q91_semdedup" -> q91_oracle,
     "q92_vec_quant" -> q92_oracle,
     "q94_video_frames" -> q94_oracle,
-    "q97_pq_codes" -> q97_oracle)
+    "q97_pq_codes" -> q97_oracle,
+    "q98_pq_adc" -> q98_oracle)
 }

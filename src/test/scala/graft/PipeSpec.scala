@@ -349,6 +349,16 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("pq adc search returns an ascending top-10 excluding the query") {
+    val rows = QueriesExt.q98_pq_adc(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_.getLong(0) == 0L), "query vector not a result")
+    val ds = rows.map(_.getDouble(1))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+      "ADC distances must ascend")
+    assert(ds.forall(_ >= 0))
+  }
+
   test("k-means refinement emits 8x64 deterministic centroids that moved") {
     val rows = QueriesExt.q88_kmeans_refine(spark, dir).collect()
     assert(rows.length == 8 * 64)
