@@ -648,6 +648,94 @@ object QueriesExt {
       |  round(adist / 1000000000000.0, 6) + 0 AS adc_dist
       |FROM adc ORDER BY adist, vec_id LIMIT 10""".stripMargin
 
+  /** Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    * space-filling-curve sort key lakehouse compaction uses so that
+    * BOTH dimensions' min/max footer stats stay tight in every file —
+    * a range predicate on either column then prunes most files, where
+    * a single-column sort only ever prunes one. The report groups the
+    * curve into 64 coarse buckets and shows each bucket spans a
+    * bounded range of both keys (the property that makes the pruning
+    * work). Pure bit arithmetic — identical in both engines; sorting
+    * 100 TB by zval is one range-partitioned sort, the same cost as
+    * any compaction pass. */
+  private def zInterleave(x: String, y: String,
+      spark: Boolean): String =
+    (0 until 16).map { i =>
+      if (spark)
+        s"shiftleft(cast(shiftright($x, $i) & 1 AS bigint), ${2 * i}) + " +
+          s"shiftleft(cast(shiftright($y, $i) & 1 AS bigint), ${2 * i + 1})"
+      else
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("\n    + ")
+
+  def q99_zorder(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH z AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |    (${zInterleave("l_partkey", "l_suppkey", spark = true)})
+         |      AS zval
+         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */
+         |          l_partkey, l_suppkey FROM lineitem))
+         |SELECT shiftright(zval, 12) AS z_bucket, count(*) AS n,
+         |  min(pk) AS pk_min, max(pk) AS pk_max,
+         |  min(sk) AS sk_min, max(sk) AS sk_max
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin)
+  }
+
+  val q99_oracle: String =
+    s"""WITH z AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |    (${zInterleave("l_partkey", "l_suppkey", spark = false)})
+       |      AS zval
+       |  FROM lineitem)
+       |SELECT (zval >> 12)::BIGINT AS z_bucket, count(*)::BIGINT AS n,
+       |  min(pk) AS pk_min, max(pk) AS pk_max,
+       |  min(sk) AS sk_min, max(sk) AS sk_max
+       |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+
+  /** Skew-salted join: one synthetic hot key (a third of the events
+    * collapse onto user 0 — the power-law key every clickstream has)
+    * would hash every matching row to ONE reducer in a plain shuffle
+    * join. The probe side salts the key with `event_id % 8`, the
+    * user-stats build side replicates once per salt value (8 rows per
+    * user — still broadcast-sized math, but the shape holds when the
+    * dim is too big to broadcast and the join must shuffle), and the
+    * equi-join runs on (key, salt): the hot key spreads over 8
+    * reducers. The salt cancels out of the result, so the oracle is
+    * the plain unsalted join — equality IS the correctness proof. */
+  def q100_salted_join(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH e AS (
+         |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
+         |      AS k,
+         |    event_id % 8 AS salt, event_type
+         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */
+         |          event_id, user_id, event_type FROM events)),
+         |dim AS (SELECT user_id AS k, count(*) AS n_events
+         |  FROM events GROUP BY user_id),
+         |dim_s AS (SELECT k, n_events, salt
+         |  FROM dim LATERAL VIEW explode(sequence(0, 7)) AS salt),
+         |j AS (SELECT /*+ SHUFFLE_HASH(d) */ e.event_type, d.n_events
+         |  FROM e JOIN dim_s d ON e.k = d.k AND e.salt = d.salt)
+         |SELECT event_type, count(*) AS n_joined,
+         |  sum(n_events) AS dim_mass
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q100_oracle: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+      |    event_type
+      |  FROM events),
+      |dim AS (SELECT user_id AS k, count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT event_type, count(*)::BIGINT AS n_joined,
+      |  sum(n_events)::BIGINT AS dim_mass
+      |FROM e JOIN dim USING (k)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -662,7 +750,9 @@ object QueriesExt {
     "q92_vec_quant" -> q92_vec_quant _,
     "q94_video_frames" -> q94_video_frames _,
     "q97_pq_codes" -> q97_pq_codes _,
-    "q98_pq_adc" -> q98_pq_adc _)
+    "q98_pq_adc" -> q98_pq_adc _,
+    "q99_zorder" -> q99_zorder _,
+    "q100_salted_join" -> q100_salted_join _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -678,5 +768,7 @@ object QueriesExt {
     "q92_vec_quant" -> q92_oracle,
     "q94_video_frames" -> q94_oracle,
     "q97_pq_codes" -> q97_oracle,
-    "q98_pq_adc" -> q98_oracle)
+    "q98_pq_adc" -> q98_oracle,
+    "q99_zorder" -> q99_oracle,
+    "q100_salted_join" -> q100_oracle)
 }

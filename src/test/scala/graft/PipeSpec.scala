@@ -349,6 +349,44 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order buckets bound BOTH key ranges to their low 8 bits") {
+    val rows = QueriesExt.q99_zorder(spark, dir).collect()
+    assert(rows.length > 1, "the curve must spread over several buckets")
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 63,
+        s"bucket ${r.getLong(0)}: partkey range exceeds 6 bits")
+      assert(r.getLong(5) - r.getLong(4) <= 63,
+        s"bucket ${r.getLong(0)}: suppkey range exceeds 6 bits")
+    }
+    // total coverage: bucket counts sum to the table size
+    val n = Tables.table(spark, dir, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("salted join spreads the hot key and matches the plain join") {
+    val df = QueriesExt.q100_salted_join(spark, dir)
+    // the physical join must key on the salt too (hot key spread)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("% 8") || plan.contains("pmod"),
+      "join keys lack the salt component:\n" + plan.take(2000))
+    // and the salt must cancel out of the result: recompute unsalted
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    Tables.registerAll(spark, dir)
+    val plain = spark.sql(
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
+        |    AS k, event_type FROM events),
+        |dim AS (SELECT user_id AS k, count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n, sum(n_events) AS m
+        |FROM e JOIN dim USING (k)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == plain, "salting changed the join result")
+  }
+
   test("pq adc search returns an ascending top-10 excluding the query") {
     val rows = QueriesExt.q98_pq_adc(spark, dir).collect()
     assert(rows.length == 10)
