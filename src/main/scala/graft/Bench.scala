@@ -96,6 +96,18 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           results(name) = -1.0
       }
+      // debug: per-query storage footprint of pinned blocks
+      if (sys.env.contains("SPARK_GRAFT_BENCH_STORAGE")) {
+        val rdds = spark.sparkContext.getRDDStorageInfo
+        val mem = rdds.map(_.memSize).sum / 1e6
+        val dsk = rdds.map(_.diskSize).sum / 1e6
+        System.err.println(f"[storage] after $name: ${rdds.length} rdds, " +
+          f"$mem%.0f MB mem, $dsk%.0f MB disk" +
+          rdds.sortBy(-_.memSize).take(4).map(r =>
+            f"\n[storage]   ${r.name} ${r.memSize / 1e6}%.0f MB mem " +
+            f"${r.diskSize / 1e6}%.0f MB disk ${r.numCachedPartitions} parts")
+            .mkString)
+      }
     }
 
     // engine throughput: bulk write / full read / range read / agg
