@@ -51,6 +51,15 @@ object QueriesSim {
 
   private[graft] def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
+    val t0 = System.nanoTime()
+    materialize0(s, dir, sql, view)
+    if (sys.env.contains("SPARK_GRAFT_MAT_TIMING"))
+      System.err.println(f"[mat] $view ${(System.nanoTime()-t0)/1e9}%.3f s " +
+        s"${s.table(view).count()} rows")
+  }
+
+  private def materialize0(s: SparkSession, dir: String, sql: String,
+      view: String): Unit = {
     val sid = System.identityHashCode(s)
     // evict stale entries for the same view on another dir — free the
     // checkpoint blocks eagerly; stale shingle tables must not pin
@@ -219,29 +228,25 @@ object QueriesSim {
        |JOIN sizes sb ON c.db = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** In-row distinct-shingle arrays straight off the document text — a
-    * narrow projection, NO explode and NO shuffle. The exact-jaccard
-    * verify joins the (tiny) candidate pair set against this table and
-    * intersects arrays in-row, replacing the exploded double join +
-    * groupBy over the full shingle table: at corpus scale only
-    * candidate documents' arrays ever move. */
-  private[graft] def sparkShingleArr: String =
-    s"""SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
-       |    i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
-       |                element_at(t,i+2)))) AS ss
-       |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-       |        split(text,' ', -1) AS t FROM documents)
-       |WHERE size(t) >= 3""".stripMargin
-
   /** banding + DISTINCT candidate pairs over an existing sig table —
     * cheap to evaluate repeatedly once `sigRef` is pinned (the band
-    * rows are 4 narrow projections of the 9-column signature table) */
+    * rows are 4 narrow projections of the 9-column signature table).
+    *
+    * Self-join, not bucket-collect: both sides of the band join are
+    * the same single-pass posexplode of the pinned signature table
+    * (one scan emits all 4 band rows per doc), so the exchange is
+    * planned once and reused (ReusedExchange) — measured faster than
+    * the collect_list-bucket formulation, whose single aggregation
+    * shuffle carries the same doc_id volume without the reuse. A
+    * stop-bucket of B docs is B²/2 join rows in one task in either
+    * form (same skew profile). */
   private def bandsCand(sigRef: String): String =
     s"""bands AS (
-       |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
-       |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL
-       |  SELECT doc_id, 3, mh5, mh6 FROM $sigRef UNION ALL
-       |  SELECT doc_id, 4, mh7, mh8 FROM $sigRef),
+       |  SELECT doc_id, bpos AS band, bxy.x AS x, bxy.y AS y
+       |  FROM $sigRef LATERAL VIEW posexplode(array(
+       |    struct(mh1 AS x, mh2 AS y), struct(mh3 AS x, mh4 AS y),
+       |    struct(mh5 AS x, mh6 AS y), struct(mh7 AS x, mh8 AS y)))
+       |    b AS bpos, bxy),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
@@ -253,54 +258,58 @@ object QueriesSim {
     // already ran in this session)
     sigView(s, dir)
     // band-collision candidate pairs, pinned: the 4-way band union +
-    // self-join runs ONCE (it is re-read below and by the arr subset)
+    // self-join runs ONCE (the verify below reads it twice — once as
+    // the candidate-doc filter, once as the pair spine)
     materialize(s, dir,
       s"""WITH ${bandsCand("sim_sig")}
          |SELECT da, db FROM cand""".stripMargin,
       "sim_cand")
-    // Exact-verify needs candidate documents' shingle sets. Shingle
-    // the corpus ONCE (narrow in-row projection, no explode) and keep
-    // only candidate docs via a semi-join against the band-collision
-    // set — at corpus scale candidates are sparse, so the pinned table
-    // is tiny while the expensive shingling pass stays single.
-    // BROADCAST(cd) keeps the expensive shingling side's partitioning
-    // (the candidate-id set is always the small side); the REPARTITION
-    // pins the checkpoint blocks at full width so no later consumer
-    // inherits an AQE-coalesced single partition — these intermediates
-    // are byte-small but CPU-heavy, exactly the case AQE's size-based
-    // coalescing serializes.
+    // Exact verify, ONE fused stage and ONE corpus scan:
+    //  * Filter FIRST, shingle SECOND — the broadcast semi-join
+    //    against the band-collision id set runs on the raw documents
+    //    scan, so the expensive in-row shingle projection (split +
+    //    transform + array_distinct) only ever touches candidate
+    //    docs; at corpus scale candidates are sparse, so nearly all
+    //    shingling CPU is skipped. The REPARTITION pins full width so
+    //    AQE's size-based coalescing can't serialize the CPU-heavy
+    //    projection (profiled 11 s single-task at sf0.1 without it).
+    //  * The shingle-array CTE is referenced ONCE: each pair explodes
+    //    into its two doc slots, one join attaches the arrays, and a
+    //    (da, db) regroup reassembles both sides — vs the previous
+    //    two-join shape, this halves the array-table lookups and lets
+    //    the whole verify plan as a single stage over the arrs CTE
+    //    (no second checkpoint barrier, no double corpus scan).
+    //  * No array table is ever broadcast (only the narrow id/pair
+    //    sets), so the shape survives a candidate set too big for one
+    //    executor. `cnt > 0` mirrors lshTail's inner join against
+    //    `inter` (a band collision sharing no shingle yields no pair).
+    // The pinned result is reused by q54 components / q55 dedup.
     materialize(s, dir,
       s"""WITH cd AS (SELECT da AS doc_id FROM sim_cand
          |       UNION SELECT db FROM sim_cand),
-         |arrs AS ($sparkShingleArr)
-         |SELECT /*+ REPARTITION(${Tables.np}, doc_id) BROADCAST(cd) */
-         |  arrs.doc_id, arrs.ss
-         |FROM arrs JOIN cd ON arrs.doc_id = cd.doc_id""".stripMargin,
-      "sim_cand_arrs")
-    // the verified pair set is itself reused (q54 components, q55
-    // dedup) — pin it so the jaccard verify runs once. `cnt > 0`
-    // mirrors lshTail's inner join against `inter` (a band collision
-    // with no shared shingle yields no pair).
-    // Join shape for the exact verify: the narrow pair list broadcasts
-    // into the first array lookup (array side keeps its pinned
-    // spread), then an EXPLICIT-width exchange on db feeds the second
-    // lookup — explicit REPARTITION widths are exempt from AQE
-    // coalescing, so the per-pair array_intersect (the actual CPU)
-    // runs at full width. Without it AQE sees a few MB of shuffle
-    // bytes and folds the verify onto one core (profiled 11 s
-    // single-task at sf0.1). No array table is ever broadcast, so the
-    // shape survives a candidate set too big for one executor.
-    materialize(s, dir,
-      s"""WITH j1 AS (
-         |  SELECT /*+ BROADCAST(c) */ c.da, c.db, a.ss AS sa
-         |  FROM sim_cand c
-         |  JOIN sim_cand_arrs a ON c.da = a.doc_id),
-         |j1r AS (SELECT /*+ REPARTITION(${Tables.np}, db) */ * FROM j1),
+         |cdoc AS (
+         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) BROADCAST(cd) */
+         |    d.doc_id, split(d.text,' ', -1) AS t
+         |  FROM documents d JOIN cd ON d.doc_id = cd.doc_id),
+         |arrs AS (
+         |  SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
+         |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+         |                  element_at(t,i+2)))) AS ss
+         |  FROM cdoc WHERE size(t) >= 3),
+         |pe AS (
+         |  SELECT /*+ BROADCAST(pe0) */ pe0.da, pe0.db, pe0.slot, a.ss
+         |  FROM (SELECT da, db, posexplode(array(da, db)) AS (slot, doc_id)
+         |        FROM sim_cand) pe0
+         |  JOIN arrs a ON pe0.doc_id = a.doc_id),
+         |g AS (
+         |  SELECT da, db,
+         |    first(if(slot = 0, ss, null), true) AS sa,
+         |    first(if(slot = 1, ss, null), true) AS sb
+         |  FROM (SELECT /*+ REPARTITION(${Tables.np}, da, db) */ * FROM pe)
+         |  GROUP BY da, db),
          |j AS (
-         |  SELECT j1r.da, j1r.db,
-         |    size(array_intersect(j1r.sa, b.ss)) AS cnt,
-         |    size(j1r.sa) AS na, size(b.ss) AS nb
-         |  FROM j1r JOIN sim_cand_arrs b ON j1r.db = b.doc_id)
+         |  SELECT da, db, size(array_intersect(sa, sb)) AS cnt,
+         |    size(sa) AS na, size(sb) AS nb FROM g)
          |SELECT da AS doc_a, db AS doc_b,
          |  round(cnt/(na + nb - cnt), 4) AS jaccard
          |FROM j WHERE cnt > 0""".stripMargin,
