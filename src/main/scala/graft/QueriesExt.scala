@@ -736,6 +736,113 @@ object QueriesExt {
       |FROM e JOIN dim USING (k)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hard-negative mining for retrieval training: for each probe
+    * vector, the top-5 most-similar corpus vectors carrying a
+    * DIFFERENT label — the "looks relevant but isn't" examples a
+    * contrastive trainer wants. The probe set is broadcast (16 rows —
+    * probe sets are always tiny next to the corpus), similarity is
+    * in-row math over the corpus scan, and top-k per probe is the
+    * two-stage shard pattern: rank inside (probe, shard) first —
+    * 16x16 window keys, never a per-probe serialized window over the
+    * whole corpus — then a final rank over the surviving 80 rows per
+    * probe. Scores are rounded to 6 dp with vec_id tie-breaks, so
+    * both engines pick identical rows. */
+  def q101_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    label, cast(embedding AS array<double>) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+         |  WHERE vec_id BETWEEN 1 AND 16),
+         |sc AS (SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id, v.label,
+         |    round(graft_cosine(v.e, p.pe), 6) AS sim,
+         |    pmod(hash(v.vec_id), 16) AS shard
+         |  FROM v JOIN p
+         |    ON v.label != p.plabel AND v.vec_id != p.pid),
+         |t1 AS (SELECT pid, vec_id, label, sim FROM (
+         |    SELECT pid, vec_id, label, sim, row_number() OVER (
+         |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 5)
+         |SELECT pid, vec_id AS neg_id, label AS neg_label,
+         |  sim + 0 AS sim, cast(rank AS bigint) AS rank
+         |FROM (SELECT pid, vec_id, label, sim, row_number() OVER (
+         |    PARTITION BY pid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM t1)
+         |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin)
+  }
+
+  val q101_oracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+      |  WHERE vec_id BETWEEN 1 AND 16),
+      |sc AS (SELECT p.pid, v.vec_id, v.label,
+      |    round(list_cosine_similarity(v.e, p.pe), 6) AS sim
+      |  FROM v JOIN p
+      |    ON v.label != p.plabel AND v.vec_id != p.pid)
+      |SELECT pid, vec_id AS neg_id, label AS neg_label,
+      |  sim + 0 AS sim, rank
+      |FROM (SELECT pid, vec_id, label, sim, row_number() OVER (
+      |    PARTITION BY pid ORDER BY sim DESC, vec_id) AS rank
+      |  FROM sc)
+      |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin
+
+  /** Embedding-table hygiene audit — the sanity pass a pipeline runs
+    * before spending GPU-hours on a corpus: per-label vector counts,
+    * L2-norm distribution, near-zero-norm and NaN detection, and
+    * dimension consistency. All per-vector math is in-row over the
+    * scan (norms, NaN scan, dims) and the reduction is one map-side
+    * combined groupBy on label. Norms are quantized to integer
+    * micro-units BEFORE the sum so the aggregate is exact integer
+    * math — identical across engines and partitionings (in-row
+    * double summation order is fixed in both engines, so the
+    * quantized norm itself is bit-stable too). */
+  def q102_embed_hygiene(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    label, cast(embedding AS array<double>) AS e
+         |  FROM embeddings),
+         |n AS (SELECT label,
+         |    cast(round(sqrt(aggregate(e, 0.0D,
+         |      (acc, x) -> acc + x * x)) * 1000000, 0) AS bigint) AS qn,
+         |    CASE WHEN exists(e, x -> isnan(x)) THEN 1 ELSE 0 END
+         |      AS has_nan,
+         |    cast(size(e) AS bigint) AS dims
+         |  FROM v)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(sum(qn) / (1000000.0D * count(*)), 6) + 0
+         |    AS mean_norm,
+         |  round(min(qn) / 1000000.0D, 6) + 0 AS min_norm,
+         |  round(max(qn) / 1000000.0D, 6) + 0 AS max_norm,
+         |  sum(CASE WHEN qn < 500000 THEN 1 ELSE 0 END) AS n_low_norm,
+         |  sum(has_nan) AS n_nan,
+         |  min(dims) AS min_dims, max(dims) AS max_dims
+         |FROM n GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  val q102_oracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |n AS (SELECT label,
+      |    round(sqrt(list_aggregate(list_transform(e, x -> x * x),
+      |      'sum')) * 1000000)::BIGINT AS qn,
+      |    CASE WHEN len(list_filter(e, x -> isnan(x))) > 0
+      |      THEN 1 ELSE 0 END AS has_nan,
+      |    len(e) AS dims
+      |  FROM v)
+      |SELECT label, count(*)::BIGINT AS n_vecs,
+      |  round(sum(qn) / (1000000.0 * count(*)), 6) + 0 AS mean_norm,
+      |  round(min(qn) / 1000000.0, 6) + 0 AS min_norm,
+      |  round(max(qn) / 1000000.0, 6) + 0 AS max_norm,
+      |  sum(CASE WHEN qn < 500000 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_low_norm,
+      |  sum(has_nan)::BIGINT AS n_nan,
+      |  min(dims)::BIGINT AS min_dims, max(dims)::BIGINT AS max_dims
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
@@ -752,7 +859,9 @@ object QueriesExt {
     "q97_pq_codes" -> q97_pq_codes _,
     "q98_pq_adc" -> q98_pq_adc _,
     "q99_zorder" -> q99_zorder _,
-    "q100_salted_join" -> q100_salted_join _)
+    "q100_salted_join" -> q100_salted_join _,
+    "q101_hard_negatives" -> q101_hard_negatives _,
+    "q102_embed_hygiene" -> q102_embed_hygiene _)
 
   val oracles: Map[String, String] = Map(
     "q88_kmeans_refine" -> q88_oracle,
@@ -770,5 +879,7 @@ object QueriesExt {
     "q97_pq_codes" -> q97_oracle,
     "q98_pq_adc" -> q98_oracle,
     "q99_zorder" -> q99_oracle,
-    "q100_salted_join" -> q100_oracle)
+    "q100_salted_join" -> q100_oracle,
+    "q101_hard_negatives" -> q101_oracle,
+    "q102_embed_hygiene" -> q102_oracle)
 }

@@ -1293,9 +1293,79 @@ object QueriesPipe {
       |FROM g JOIN dup USING (gram)
       |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Vocabulary-coverage (OOV-rate) scoring — the tokenizer-fit check
+    * a pipeline runs before training: fix a vocabulary (the corpus's
+    * top-500 terms by document frequency) and report, per language,
+    * how much of the token mass falls outside it. High OOV languages
+    * flag tokenizer/vocab mismatch. Shapes: document frequency is one
+    * map-side-combined aggregate of the shared `doc_terms` index;
+    * vocabulary selection is the two-stage shard pattern (rank inside
+    * 16 hash shards, then rank the surviving 8000 — never a global
+    * sort of the term space); scoring joins the broadcast-sized vocab
+    * back with a semi-join. Per-doc OOV rates are quantized to
+    * integer micro-units before the per-language mean, so the
+    * reduction is exact integer math in both engines. */
+  def q103_vocab_oov(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      s"""WITH df AS (SELECT term, count(*) AS df
+        |       FROM doc_terms GROUP BY term),
+        |t1 AS (SELECT term, df FROM (
+        |    SELECT term, df, row_number() OVER (
+        |      PARTITION BY pmod(hash(term), 16)
+        |      ORDER BY df DESC, term) AS rn
+        |    FROM df) WHERE rn <= 500),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, row_number() OVER (
+        |      ORDER BY df DESC, term) AS rn FROM t1)
+        |  WHERE rn <= 500),
+        |tot AS (SELECT doc_id, lang, sum(cnt) AS n
+        |  FROM doc_terms GROUP BY doc_id, lang),
+        |inv AS (SELECT /*+ BROADCAST(v) */ dt.doc_id,
+        |    sum(dt.cnt) AS nv
+        |  FROM doc_terms dt JOIN vocab v ON dt.term = v.term
+        |  GROUP BY dt.doc_id),
+        |per AS (SELECT t.lang,
+        |    cast(round((t.n - coalesce(i.nv, 0)) * 1000000.0D / t.n, 0)
+        |      AS bigint) AS qr
+        |  FROM tot t LEFT JOIN inv i ON t.doc_id = i.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(sum(qr) / (1000000.0D * count(*)), 6) + 0
+        |    AS mean_oov,
+        |  sum(CASE WHEN qr > 200000 THEN 1 ELSE 0 END) AS n_high_oov
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q103_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM wf GROUP BY term),
+      |vocab AS (SELECT term FROM (
+      |    SELECT term, row_number() OVER (
+      |      ORDER BY df DESC, term) AS rn FROM df)
+      |  WHERE rn <= 500),
+      |tot AS (SELECT doc_id, lang, sum(cnt) AS n
+      |  FROM wf GROUP BY doc_id, lang),
+      |inv AS (SELECT wf.doc_id, sum(wf.cnt) AS nv
+      |  FROM wf JOIN vocab v ON wf.term = v.term
+      |  GROUP BY wf.doc_id),
+      |per AS (SELECT t.lang,
+      |    round((t.n - coalesce(i.nv, 0)) * 1000000.0 / t.n)::BIGINT
+      |      AS qr
+      |  FROM tot t LEFT JOIN inv i ON t.doc_id = i.doc_id)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  round(sum(qr) / (1000000.0 * count(*)), 6) + 0 AS mean_oov,
+      |  sum(CASE WHEN qr > 200000 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_high_oov
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
+    "q103_vocab_oov" -> q103_vocab_oov _,
     "q93_span_dedup" -> q93_span_dedup _,
     "q89_contam_spans" -> q89_contam_spans _,
     "q87_quota_sample" -> q87_quota_sample _,
@@ -1346,6 +1416,7 @@ object QueriesPipe {
   val oracles: Map[String, String] = Map(
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
+    "q103_vocab_oov" -> q103_oracle,
     "q93_span_dedup" -> q93_oracle,
     "q85_sketch_profile" -> q85_oracle,
     "q86_cms_heavyhitters" -> q86_oracle,

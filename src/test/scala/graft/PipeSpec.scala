@@ -503,4 +503,76 @@ class PipeSpec extends AnyFunSuite {
     val again = QueriesPipe.q79_shard_assign(spark, dir).collect()
     assert(rows.toSeq == again.toSeq, "assignment must be deterministic")
   }
+
+  test("hard negatives: 5 cross-label neighbors per probe, ranked") {
+    val df = QueriesExt.q101_hard_negatives(spark, dir)
+    // inspect the plan BEFORE collect(): executed AQE stages collapse
+    // into leaf QueryStageExecs that hide their window operators
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the corpus-scale ranking window must be sharded (pid, shard) —
+    // never one serialized partition per probe over the whole corpus
+    val specs = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(specs.exists(_.size >= 2),
+      s"no sharded first-stage window found: $specs")
+    val rows = df.collect()
+    val probeLabels = Tables.table(spark, dir, "embeddings")
+      .filter("vec_id BETWEEN 1 AND 16")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rows.length == probeLabels.size * 5)
+    rows.foreach { r =>
+      val (pid, negId, negLabel) =
+        (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(negId != pid, "a probe can never be its own negative")
+      assert(negLabel != probeLabels(pid),
+        s"probe $pid: negative $negId shares its label")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.sameElements(1L to 5L))
+      val sims = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"probe $pid: similarities not descending")
+    }
+  }
+
+  test("embedding hygiene: per-label norms partition the table") {
+    val rows = QueriesExt.q102_embed_hygiene(spark, dir).collect()
+    val n = Tables.table(spark, dir, "embeddings").count()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == n, "labels partition the table")
+    rows.foreach { r =>
+      val (mean, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean && mean <= mx,
+        s"label ${r.getInt(0)}: $mn <= $mean <= $mx violated")
+      assert(mn > 0, "synthetic embeddings never have zero norm")
+      assert(r.getLong(6) == 0, "synthetic embeddings contain no NaN")
+      assert(r.getLong(7) == 64 && r.getLong(8) == 64,
+        "all embeddings are 64-dimensional")
+    }
+  }
+
+  test("vocab OOV rates are valid fractions per language") {
+    val rows = QueriesPipe.q103_vocab_oov(spark, dir).collect()
+    val langs = Tables.table(spark, dir, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == langs,
+      "every language must be scored")
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val oov = r.getDouble(2)
+      assert(oov >= 0.0 && oov <= 1.0, s"${r.getString(0)}: oov $oov")
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+    // a top-500 vocab over a zipfian corpus must cover most mass
+    assert(rows.map(_.getDouble(2)).max < 0.9,
+      "OOV ~1.0 means the vocabulary join matched nothing")
+  }
 }
