@@ -40,4 +40,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // back to the interpreter (tail queries measured 2-3x slower on
   // identical plans)
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' '))

@@ -81,7 +81,11 @@ object Bench {
       "q68_repetition", "q69_seq_pack", "q72_ann_ivf", "q73_chunking",
       "q74_profile", "q77_bloom_dedup", "q78_bigram_lm",
       "q79_shard_assign", "q80_json_extract", "q82_funnel",
-      "q83_retention")
+      "q83_retention",
+      // round-4 additions: semantic dedup, PQ search, layout, skew,
+      // hard negatives, vocabulary coverage
+      "q91_semdedup", "q98_pq_adc", "q99_zorder", "q100_salted_join",
+      "q101_hard_negatives", "q103_vocab_oov")
     val qs = SparkEntry.queries
     // debug: SPARK_GRAFT_BENCH_ONLY=q23_lsh_pairs,q54_… restricts the
     // timed queries (engine metrics still run; grep the JSON line)
