@@ -1020,10 +1020,20 @@ object QueriesPipe {
     */
   def q85_sketch_profile(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    // the sketch column is an ACCURACY VERDICT, not the raw estimate:
+    // DataSketches (here) and DuckDB's HLL (oracle) are different
+    // estimators whose raw values legitimately diverge as cardinality
+    // grows, so comparing them is flaky by construction. Each engine
+    // instead asserts its own sketch against its own exact count —
+    // deterministic on both sides, hash-comparable, and still an
+    // end-to-end gate (a broken sketch flips the boolean). The raw
+    // ±5 % accuracy and determinism contracts live in PipeSpec.
     s.sql(
       """SELECT lang, count(*) AS n_rows,
         |  count(DISTINCT doc_id) AS exact_docs,
-        |  hll_sketch_estimate(hll_sketch_agg(doc_id)) AS approx_docs
+        |  abs(hll_sketch_estimate(hll_sketch_agg(doc_id))
+        |      - count(DISTINCT doc_id))
+        |    <= 0.05 * count(DISTINCT doc_id) AS approx_within_5pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
@@ -1035,12 +1045,14 @@ object QueriesPipe {
     * index (sum of within-doc counts — already materialized, no
     * second explode over the corpus) and are probed against the
     * sketch. Deterministic (fixed seed). At 100 TB you keep the
-    * sketch and drop the exact count — the CMS guarantee (estimate ≥
-    * true count, within εN with confidence δ) is asserted by
-    * PipeSpec. The driver oracle compares term + exact_cnt and the
-    * schema; the cms_cnt VALUES are hash-exempt (DuckDB has no
-    * count-min sketch — the oracle substitutes the exact count, which
-    * the εN overcount bound makes usually-but-not-always equal).
+    * sketch and drop the exact count. The compared sketch column is
+    * the CMS CONTRACT VERDICT (estimate ≥ true count AND estimate ≤
+    * true + εN), not the raw estimate: DuckDB has no count-min
+    * sketch, so a raw value has no honest oracle, but the contract
+    * boolean is deterministic on both sides — the oracle states it as
+    * TRUE and a sketch violating either bound flips the Spark side
+    * and fails the driver's hash compare. Exact estimate bounds and
+    * determinism are additionally asserted by PipeSpec.
     */
   def q86_cms_heavyhitters(s: SparkSession, dir: String): DataFrame = {
     termView(s, dir)
@@ -1055,11 +1067,15 @@ object QueriesPipe {
       """SELECT term, sum(cnt) AS exact_cnt FROM doc_terms
         |GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalTokens = s.sql("SELECT sum(cnt) FROM doc_terms")
+      .head().getLong(0)
+    val epsN = math.ceil(0.001 * totalTokens).toLong
     import s.implicits._
     top.toSeq.map { case (t, exact) =>
       // the agg added UTF-8 bytes; a String probe hashes identically
-      (t, exact, cms.estimateCount(t))
-    }.toDF("term", "exact_cnt", "cms_cnt")
+      val est = cms.estimateCount(t)
+      (t, exact, est >= exact && est <= exact + epsN)
+    }.toDF("term", "exact_cnt", "cms_ok")
       .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc,
         org.apache.spark.sql.functions.col("term"))
   }
@@ -1402,7 +1418,8 @@ object QueriesPipe {
   val q85_oracle: String =
     """SELECT lang, count(*)::BIGINT AS n_rows,
       |  count(DISTINCT doc_id)::BIGINT AS exact_docs,
-      |  approx_count_distinct(doc_id)::BIGINT AS approx_docs
+      |  abs(approx_count_distinct(doc_id) - count(DISTINCT doc_id))
+      |    <= 0.05 * count(DISTINCT doc_id) AS approx_within_5pct
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   val q86_oracle: String =
@@ -1410,7 +1427,7 @@ object QueriesPipe {
       |  FROM documents),
       |c AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM w
       |  GROUP BY term)
-      |SELECT term, exact_cnt, exact_cnt AS cms_cnt
+      |SELECT term, exact_cnt, TRUE AS cms_ok
       |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(

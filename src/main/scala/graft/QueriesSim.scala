@@ -46,8 +46,23 @@ object QueriesSim {
     * at creation, so later re-registration of the `documents` temp
     * view for a different dir cannot leak in — the dir is in the key.
     */
-  private val matCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String), DataFrame]
+  // weak session keys (same hazard as Tables.registered: identity
+  // hashes are reused after GC, and a cached DataFrame bound to a
+  // dead session must never be served to its hash-successor)
+  private val matCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]])
+
+  private def sessionCache(s: SparkSession) = {
+    val c = matCache.get(s)
+    if (c != null) c else {
+      val fresh = scala.collection.concurrent.TrieMap
+        .empty[(String, String), DataFrame]
+      val prev = matCache.putIfAbsent(s, fresh)
+      if (prev != null) prev else fresh
+    }
+  }
 
   private[graft] def materialize(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
@@ -60,14 +75,14 @@ object QueriesSim {
 
   private def materialize0(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
-    val sid = System.identityHashCode(s)
+    val cache = sessionCache(s)
     // evict stale entries for the same view on another dir — free the
     // checkpoint blocks eagerly; stale shingle tables must not pin
     // executor memory until a driver GC cycle notices
-    matCache.keys.filter(k => k._1 == sid && k._2 == view && k._3 != dir)
-      .foreach(k => matCache.remove(k).foreach(
+    cache.keys.filter(k => k._1 == view && k._2 != dir)
+      .foreach(k => cache.remove(k).foreach(
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint))
-    val df = matCache.getOrElseUpdate((sid, view, dir), {
+    val df = cache.getOrElseUpdate((view, dir), {
       // EAGER checkpoint, not persist+view: a view over a cached
       // plan must re-match the cache at every use site, and inside a
       // multi-branch SQL (the 4-band union self-join) Spark re-derived
@@ -86,11 +101,17 @@ object QueriesSim {
       //    distributed write+read. Right under dynamic allocation.
       s.conf.get("spark.graft.materialize", "local") match {
         case "reliable" =>
-          if (s.sparkContext.getCheckpointDir.isEmpty)
-            s.sparkContext.setCheckpointDir(s.conf.get(
-              "spark.graft.checkpoint.dir",
-              java.nio.file.Files.createTempDirectory("graft-ckpt")
-                .toString))
+          if (s.sparkContext.getCheckpointDir.isEmpty) {
+            // no silent local-tempdir fallback: a driver-local path
+            // is NOT durable to executor loss — the one scenario this
+            // mode exists for — so a missing dir is a config error
+            val dir = s.conf.getOption("spark.graft.checkpoint.dir")
+              .getOrElse(throw new IllegalArgumentException(
+                "spark.graft.materialize=reliable requires " +
+                "spark.graft.checkpoint.dir (a cluster-visible " +
+                "HDFS/object-store path)"))
+            s.sparkContext.setCheckpointDir(dir)
+          }
           s.sql(sql).checkpoint()
         case _ => s.sql(sql).localCheckpoint()
       }
@@ -265,30 +286,41 @@ object QueriesSim {
          |SELECT da, db FROM cand""".stripMargin,
       "sim_cand")
     // Exact verify, ONE fused stage and ONE corpus scan:
-    //  * Filter FIRST, shingle SECOND — the broadcast semi-join
-    //    against the band-collision id set runs on the raw documents
-    //    scan, so the expensive in-row shingle projection (split +
-    //    transform + array_distinct) only ever touches candidate
-    //    docs; at corpus scale candidates are sparse, so nearly all
-    //    shingling CPU is skipped. The REPARTITION pins full width so
-    //    AQE's size-based coalescing can't serialize the CPU-heavy
-    //    projection (profiled 11 s single-task at sf0.1 without it).
+    //  * Filter FIRST, shingle SECOND — the semi-join against the
+    //    band-collision id set runs on the raw documents scan, so the
+    //    expensive in-row shingle projection (split + transform +
+    //    array_distinct) only ever touches candidate docs; at corpus
+    //    scale candidates are sparse, so nearly all shingling CPU is
+    //    skipped. The REPARTITION pins full width so AQE's size-based
+    //    coalescing can't serialize the CPU-heavy projection
+    //    (profiled 11 s single-task at sf0.1 without it).
+    //  * Broadcasts are SIZE-GUARDED, not assumed: the candidate
+    //    id/pair sets are usually tiny but NOT bounded — a stop-band
+    //    bucket of B docs yields O(B²) pairs, and an unconditional
+    //    broadcast would OOM the driver exactly when the graceful
+    //    shuffle join is needed. The pair set is already pinned, so
+    //    its exact cardinality is one cheap count against checkpoint
+    //    blocks; under the cap the hints skip AQE's extra exchange
+    //    round-trip, over it the joins shuffle on doc_id (the arrs
+    //    side is pre-partitioned on doc_id at explicit width).
     //  * The shingle-array CTE is referenced ONCE: each pair explodes
     //    into its two doc slots, one join attaches the arrays, and a
     //    (da, db) regroup reassembles both sides — vs the previous
     //    two-join shape, this halves the array-table lookups and lets
     //    the whole verify plan as a single stage over the arrs CTE
     //    (no second checkpoint barrier, no double corpus scan).
-    //  * No array table is ever broadcast (only the narrow id/pair
-    //    sets), so the shape survives a candidate set too big for one
-    //    executor. `cnt > 0` mirrors lshTail's inner join against
-    //    `inter` (a band collision sharing no shingle yields no pair).
+    //  * `cnt > 0` mirrors lshTail's inner join against `inter` (a
+    //    band collision sharing no shingle yields no pair).
     // The pinned result is reused by q54 components / q55 dedup.
+    // ~16 bytes/pair row: 4M pairs ≈ a 64 MB broadcast, a safe cap.
+    val smallPairs = s.table("sim_cand").count() <= 4_000_000L
+    val bc = if (smallPairs) "BROADCAST(cd)" else ""
+    val bp = if (smallPairs) "/*+ BROADCAST(pe0) */" else ""
     materialize(s, dir,
       s"""WITH cd AS (SELECT da AS doc_id FROM sim_cand
          |       UNION SELECT db FROM sim_cand),
          |cdoc AS (
-         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) BROADCAST(cd) */
+         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) $bc */
          |    d.doc_id, split(d.text,' ', -1) AS t
          |  FROM documents d JOIN cd ON d.doc_id = cd.doc_id),
          |arrs AS (
@@ -297,7 +329,7 @@ object QueriesSim {
          |                  element_at(t,i+2)))) AS ss
          |  FROM cdoc WHERE size(t) >= 3),
          |pe AS (
-         |  SELECT /*+ BROADCAST(pe0) */ pe0.da, pe0.db, pe0.slot, a.ss
+         |  SELECT $bp pe0.da, pe0.db, pe0.slot, a.ss
          |  FROM (SELECT da, db, posexplode(array(da, db)) AS (slot, doc_id)
          |        FROM sim_cand) pe0
          |  JOIN arrs a ON pe0.doc_id = a.doc_id),

@@ -41,18 +41,22 @@ object Tables {
     * every query entry point calls registerAll. Idempotent per
     * (session, dir): re-registration only matters when the dir
     * changes. */
-  private val registered = scala.collection.concurrent.TrieMap
-    .empty[Int, String]
+  // weak keys: identity hashes are address-derived and REUSED after a
+  // session is GC'd — an Int-keyed memo could silently skip
+  // registration for a brand-new session that inherited a dead
+  // session's hash. The weak map drops entries with their session.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String])
 
   /** Register all tables as temp views named like the files. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val sid = System.identityHashCode(spark)
-    if (!registered.get(sid).contains(dir)) {
+    if (registered.get(spark) != dir) {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { n =>
         table(spark, dir, n).createOrReplaceTempView(n)
       }
-      registered(sid) = dir
+      registered.put(spark, dir)
     }
   }
 }

@@ -81,10 +81,13 @@ object Multimodal {
       * no installed reader understands — a poisoned payload must not
       * kill a 100 TB job. */
     def decodeImage(docId: Long, bytes: Array[Byte]): Option[ImageFeatures] = {
+      // NonFatal, not just IOException: the JDK codecs throw runtime
+      // exceptions (IllegalArgument, NegativeArraySize, …) on
+      // malformed headers — any of them escaping kills the whole job
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val (w, h) = (im.getWidth, im.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)
@@ -177,16 +180,26 @@ object Multimodal {
           else (0 until n).flatMap { i =>
             val len = dis.readInt()
             if (len < 0 || len > bytes.length) return Nil
-            val frame = new Array[Byte](len)
-            dis.readFully(frame)
-            if (i % everyK == 0)
+            if (i % everyK == 0) {
+              val frame = new Array[Byte](len)
+              dis.readFully(frame)
               decodeImage(docId, frame).map(f => VideoFrameFeatures(
                 docId, i, f.width, f.height, f.mean_r, f.mean_g, f.mean_b))
-            else None
+            } else {
+              // sampling must cost index-walk time, not container
+              // size: skipped frames are never copied out
+              var left = len
+              while (left > 0) {
+                val sk = dis.skipBytes(left)
+                if (sk <= 0) return Nil // truncated container
+                left -= sk
+              }
+              None
+            }
           }
         }
       } catch {
-        case _: java.io.IOException => Nil
+        case scala.util.control.NonFatal(_) => Nil
       }
 
     /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF):
@@ -212,8 +225,7 @@ object Multimodal {
         Some(AudioFeatures(docId, fmt.getSampleRate.toInt,
           fmt.getChannels, n, peak))
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        case scala.util.control.NonFatal(_) => None
       }
   }
 

