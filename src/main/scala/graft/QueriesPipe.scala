@@ -1012,11 +1012,13 @@ object QueriesPipe {
     * HLL) and the total row count. At 100 TB the exact-distinct column
     * is the one you drop: the sketch is fixed-size, mergeable across
     * partitions (one map-side sketch per partition, tiny shuffle), and
-    * deterministic. The driver oracle compares lang / n_rows /
-    * exact_docs and the schema; the approx_docs VALUES are hash-exempt
-    * (DuckDB's approx_count_distinct is a different HLL
-    * implementation) — the ±5 % accuracy contract is asserted by
-    * PipeSpec against the exact count.
+    * deterministic. The sketch column crossing the oracle is an
+    * accuracy VERDICT (each engine asserts its own HLL against its own
+    * exact count), so the full row hash-compares; raw estimates never
+    * cross engines. At the tested cardinalities (hundreds to thousands
+    * of ids per group) both DataSketches and DuckDB's HLL operate in
+    * their sparse/near-exact regimes, so the ±5 % band is ~3σ+ slack
+    * for both — the verdict is deterministic in practice, not flaky.
     */
   def q85_sketch_profile(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -1051,8 +1053,13 @@ object QueriesPipe {
     * sketch, so a raw value has no honest oracle, but the contract
     * boolean is deterministic on both sides — the oracle states it as
     * TRUE and a sketch violating either bound flips the Spark side
-    * and fails the driver's hash compare. Exact estimate bounds and
-    * determinism are additionally asserted by PipeSpec.
+    * and fails the driver's hash compare. The εN bound is formally
+    * probabilistic (depth 7 ⇒ ≥99 % per probe by the Markov analysis)
+    * but the worst case needs >εN of colliding mass in ALL 7 rows; on
+    * a Zipf token distribution against width 2000 that coincidence is
+    * ~1e-10 per probe — deterministic for any fixed dataset and seed.
+    * PipeSpec independently rebuilds the sketch and recounts from the
+    * raw corpus to probe the raw-estimate bounds and determinism.
     */
   def q86_cms_heavyhitters(s: SparkSession, dir: String): DataFrame = {
     termView(s, dir)
@@ -1409,12 +1416,13 @@ object QueriesPipe {
     "q54_neardup_components" -> q54_neardup_components _,
     "q55_dedup_corpus" -> q55_dedup_corpus _)
 
-  /** Partial oracles for the two sketch queries: rows, schema, and the
-    * exact columns are genuinely comparable; the sketch VALUE columns
-    * are approximated in the oracle (DuckDB's own HLL for q85, the
-    * exact count for q86) so the hash column is expected to disagree —
-    * the driver still verifies row count + schema, and PipeSpec pins
-    * the sketch-accuracy contracts (±5 %; never-undercount + εN). */
+  /** Oracles for the two sketch queries — FULLY hash-comparable: the
+    * sketch columns are accuracy-verdict booleans, so each engine
+    * asserts its own sketch against its own exact counts (q85: DuckDB
+    * runs its approx_count_distinct through the same ±5 % band; q86:
+    * DuckDB has no CMS, so the oracle states the contract as TRUE and
+    * a violating Spark sketch flips the boolean and fails the hash).
+    * PipeSpec additionally probes the RAW estimates independently. */
   val q85_oracle: String =
     """SELECT lang, count(*)::BIGINT AS n_rows,
       |  count(DISTINCT doc_id)::BIGINT AS exact_docs,

@@ -46,15 +46,26 @@ object QueriesSim {
     * at creation, so later re-registration of the `documents` temp
     * view for a different dir cannot leak in — the dir is in the key.
     */
-  // weak session keys (same hazard as Tables.registered: identity
-  // hashes are reused after GC, and a cached DataFrame bound to a
-  // dead session must never be served to its hash-successor)
+  // Weak keys alone CANNOT reclaim these entries: the cached
+  // DataFrames strongly reference their SparkSession, so the value
+  // pins the key (the WeakHashMap-javadoc value->key trap). Eviction
+  // is therefore explicit — every access sweeps entries whose
+  // SparkContext is stopped, so a driver that cycles sessions (bench
+  // rounds, notebook restarts) cannot accumulate dead plans. The
+  // identity-keyed map still guarantees a new session never inherits
+  // a dead session's cache.
   private val matCache =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
+      new java.util.IdentityHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[(String, String), DataFrame]])
 
   private def sessionCache(s: SparkSession) = {
+    matCache.synchronized {
+      val it = matCache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
+    }
     val c = matCache.get(s)
     if (c != null) c else {
       val fresh = scala.collection.concurrent.TrieMap
@@ -312,8 +323,11 @@ object QueriesSim {
     //  * `cnt > 0` mirrors lshTail's inner join against `inter` (a
     //    band collision sharing no shingle yields no pair).
     // The pinned result is reused by q54 components / q55 dedup.
-    // ~16 bytes/pair row: 4M pairs ≈ a 64 MB broadcast, a safe cap.
-    val smallPairs = s.table("sim_cand").count() <= 4_000_000L
+    // The cap is calibrated for the WIDEST broadcast operand, pe0 —
+    // the posexplode output at 2 rows/pair x 4 columns (~112 B/pair
+    // as a HashedRelation), not the 16 B/pair sim_cand rows: 500k
+    // pairs ~= 56 MB, safe under default driver/executor memory.
+    val smallPairs = s.table("sim_cand").count() <= 500_000L
     val bc = if (smallPairs) "BROADCAST(cd)" else ""
     val bp = if (smallPairs) "/*+ BROADCAST(pe0) */" else ""
     materialize(s, dir,

@@ -167,7 +167,11 @@ object Multimodal {
       * which is what makes sampling cheap on real containers too.
       * Unparseable containers yield no rows, never an exception. */
     def decodeVideoFrames(docId: Long, bytes: Array[Byte], everyK: Int)
-        : Seq[VideoFrameFeatures] =
+        : Seq[VideoFrameFeatures] = {
+      // caller bug, not poisoned data — must NOT be swallowed by the
+      // NonFatal net below (everyK=0 would otherwise silently yield
+      // zero frames for every container in the corpus)
+      require(everyK > 0, s"everyK ($everyK) must be positive")
       try {
         val dis = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -201,6 +205,7 @@ object Multimodal {
       } catch {
         case scala.util.control.NonFatal(_) => Nil
       }
+    }
 
     /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF):
       * container-parsed format + frame count + peak amplitude from the

@@ -475,6 +475,36 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq ==
       rows.map(_.getLong(1)).sortBy(-_).toSeq,
       "heavy hitters must come out in descending exact-count order")
+    // independent raw probe — NOT a re-read of cms_ok: rebuild the
+    // sketch and recompute exact counts + N straight from `documents`
+    // (the query derives them from doc_terms), so a wrong N source or
+    // an epsN overflow in the query cannot self-certify
+    Tables.registerAll(spark, dir)
+    val sketchBytes = spark.sql(
+      """SELECT count_min_sketch(term, 0.001d, 0.99d, 42)
+        |FROM (SELECT explode(split(text, ' ', -1)) AS term
+        |      FROM documents)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = spark.sql(
+      """SELECT term, count(*) AS c
+        |FROM (SELECT explode(split(text, ' ', -1)) AS term
+        |      FROM documents) GROUP BY term""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    val epsN = math.ceil(0.001 * n).toLong
+    val probes = exact.sortBy { case (t, c) => (-c, t) }.take(20)
+    probes.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"'$t': CMS undercounts ($est < $c)")
+      assert(est <= c + epsN, s"'$t': CMS overcount past epsN ($est > $c+$epsN)")
+    }
+    // the query's exact side must agree with the from-scratch counts
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      probes.toSeq, "doc_terms-derived top-20 diverges from raw recount")
+    val again = QueriesPipe.q86_cms_heavyhitters(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq, "sketch probe must be deterministic")
   }
 
   test("funnel steps are monotonically shrinking") {
