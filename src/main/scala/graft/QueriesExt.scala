@@ -843,7 +843,115 @@ object QueriesExt {
       |  min(dims)::BIGINT AS min_dims, max(dims)::BIGINT AS max_dims
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** ANN recall audit: recall@10 of the IVF search (q72's coarse
+    * cells, nprobe=2) against brute-force exact top-10 ground truth,
+    * for a panel of 8 probes — the measurement a pipeline runs to
+    * tune nprobe/cell count BEFORE trusting an index for corpus-scale
+    * retrieval. Shapes at 100 TB: the probe panel broadcasts into one
+    * scan of the corpus (the per-(probe, vector) cosine table is
+    * computed ONCE and feeds both the exact and the IVF ranking);
+    * both top-10s use the two-stage (probe, shard) rank so no
+    * per-probe partition ever serializes the corpus; cell assignment
+    * is the N×8 broadcast cross join q72 documents. Hit counting is
+    * an equi-join on (probe, vector) — integers end to end, so the
+    * oracle compare is exact. */
+  def q107_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+        |    cast(embedding AS array<double>) AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v
+        |  WHERE vec_id BETWEEN 1 AND 8),
+        |p AS (SELECT vec_id AS pid, e AS pe FROM v
+        |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
+        |sc AS (SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
+        |    round(graft_cosine(v.e, p.pe), 6) AS sim,
+        |    pmod(hash(v.vec_id), 16) AS shard
+        |  FROM v JOIN p ON v.vec_id != p.pid),
+        |x1 AS (SELECT pid, vec_id, sim FROM (
+        |    SELECT pid, vec_id, sim, row_number() OVER (
+        |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn
+        |    FROM sc) WHERE rn <= 10),
+        |exact AS (SELECT pid, vec_id FROM (
+        |    SELECT pid, vec_id, row_number() OVER (
+        |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+        |    FROM x1) WHERE rn <= 10),
+        |a AS (SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
+        |      AS rn
+        |    FROM v CROSS JOIN c) WHERE rn = 1),
+        |pq AS (SELECT pid, cid FROM (
+        |    SELECT p.pid, c.cid, row_number() OVER (PARTITION BY p.pid
+        |      ORDER BY round(graft_cosine(p.pe, c.ce), 6) DESC, c.cid)
+        |      AS rn
+        |    FROM p CROSS JOIN c) WHERE rn <= 2),
+        |i1 AS (SELECT sc.pid, sc.vec_id, sc.sim, sc.shard FROM sc
+        |  JOIN a ON sc.vec_id = a.vec_id
+        |  JOIN pq ON sc.pid = pq.pid AND a.cid = pq.cid),
+        |i2 AS (SELECT pid, vec_id, sim FROM (
+        |    SELECT pid, vec_id, sim, row_number() OVER (
+        |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn
+        |    FROM i1) WHERE rn <= 10),
+        |ivf AS (SELECT pid, vec_id FROM (
+        |    SELECT pid, vec_id, row_number() OVER (
+        |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+        |    FROM i2) WHERE rn <= 10),
+        |h AS (SELECT e.pid, count(*) AS n_hit
+        |  FROM exact e JOIN ivf i
+        |    ON e.pid = i.pid AND e.vec_id = i.vec_id
+        |  GROUP BY e.pid)
+        |SELECT p.pid, cast(10 AS bigint) AS k,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  round(coalesce(h.n_hit, 0) / 10.0D, 4) + 0 AS recall_at_10
+        |FROM p LEFT JOIN h ON p.pid = h.pid ORDER BY p.pid""".stripMargin)
+  }
+
+  val q107_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v
+      |  WHERE vec_id BETWEEN 1 AND 8),
+      |p AS (SELECT vec_id AS pid, e AS pe FROM v
+      |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
+      |sc AS (SELECT p.pid, v.vec_id,
+      |    round(list_cosine_similarity(v.e, p.pe), 6) AS sim
+      |  FROM v JOIN p ON v.vec_id != p.pid),
+      |exact AS (SELECT pid, vec_id FROM (
+      |    SELECT pid, vec_id, row_number() OVER (
+      |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+      |    FROM sc) WHERE rn <= 10),
+      |a AS (SELECT vec_id, cid FROM (
+      |    SELECT v.vec_id, c.cid, row_number() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY round(list_cosine_similarity(v.e, c.ce), 6)
+      |        DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c) WHERE rn = 1),
+      |pq AS (SELECT pid, cid FROM (
+      |    SELECT p.pid, c.cid, row_number() OVER (PARTITION BY p.pid
+      |      ORDER BY round(list_cosine_similarity(p.pe, c.ce), 6)
+      |        DESC, c.cid) AS rn
+      |    FROM p CROSS JOIN c) WHERE rn <= 2),
+      |ivf AS (SELECT pid, vec_id FROM (
+      |    SELECT sc.pid, sc.vec_id, row_number() OVER (
+      |      PARTITION BY sc.pid ORDER BY sc.sim DESC, sc.vec_id) AS rn
+      |    FROM sc
+      |    JOIN a ON sc.vec_id = a.vec_id
+      |    JOIN pq ON sc.pid = pq.pid AND a.cid = pq.cid)
+      |  WHERE rn <= 10),
+      |h AS (SELECT e.pid, count(*)::BIGINT AS n_hit
+      |  FROM exact e JOIN ivf i
+      |    ON e.pid = i.pid AND e.vec_id = i.vec_id
+      |  GROUP BY e.pid)
+      |SELECT p.pid, 10::BIGINT AS k,
+      |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+      |  round(coalesce(h.n_hit, 0) / 10.0, 4) + 0 AS recall_at_10
+      |FROM p LEFT JOIN h ON p.pid = h.pid ORDER BY p.pid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_ann_recall" -> q107_ann_recall _,
     "q88_kmeans_refine" -> q88_kmeans_refine _,
     "q72_ann_ivf" -> q72_ann_ivf _,
     "q44_embedding_neardup" -> q44_embedding_neardup _,
@@ -864,6 +972,7 @@ object QueriesExt {
     "q102_embed_hygiene" -> q102_embed_hygiene _)
 
   val oracles: Map[String, String] = Map(
+    "q107_ann_recall" -> q107_oracle,
     "q88_kmeans_refine" -> q88_oracle,
     "q72_ann_ivf" -> q72_oracle,
     "q44_embedding_neardup" -> q44_oracle,

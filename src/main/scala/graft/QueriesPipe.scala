@@ -1385,7 +1385,219 @@ object QueriesPipe {
       |    AS n_high_oov
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** DSIR importance-resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed-unigram bag is,
+    * then keep the top-30. The target set is the eval docs (doc_id <
+    * 20, q61's convention). Shapes for 100 TB: terms fold into 512
+    * hash buckets, so the target/raw feature distributions are two
+    * 512-row aggregates off the shared `doc_terms` index (map-side
+    * combined, broadcast back); per-doc scoring is one aggregate over
+    * doc_terms joined to the tiny log-ratio table; selection is the
+    * two-stage sharded rank — never a global sort of the corpus. The
+    * per-bucket log-ratio is quantized to integer 1e-4 units BEFORE
+    * the count-weighted sum, so the reduction is exact integer math
+    * in both engines (float summation order never matters). */
+  def q104_dsir_weights(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      s"""WITH b AS (
+        |  SELECT doc_id, lang,
+        |    cast(conv(substr(md5(term),1,8),16,10) AS bigint) % 512
+        |      AS bkt, cnt
+        |  FROM doc_terms),
+        |tgt AS (SELECT bkt, sum(cnt) AS c FROM b
+        |        WHERE doc_id < 20 GROUP BY bkt),
+        |raw AS (SELECT bkt, sum(cnt) AS c FROM b GROUP BY bkt),
+        |lr AS (
+        |  SELECT r.bkt,
+        |    cast(round(ln(
+        |      ((coalesce(t.c, 0) + 0.5D)
+        |         / ((SELECT sum(c) FROM tgt) + 256.0D))
+        |      / ((r.c + 0.5D)
+        |         / ((SELECT sum(c) FROM raw) + 256.0D))) * 10000.0D, 0)
+        |      AS bigint) AS qlr
+        |  FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt),
+        |doc AS (
+        |  SELECT /*+ BROADCAST(lr) */ b.doc_id, b.lang,
+        |    sum(b.cnt * lr.qlr) AS qw
+        |  FROM b JOIN lr ON b.bkt = lr.bkt
+        |  WHERE b.doc_id >= 20
+        |  GROUP BY b.doc_id, b.lang),
+        |t1 AS (SELECT doc_id, lang, qw FROM (
+        |    SELECT doc_id, lang, qw, row_number() OVER (
+        |      PARTITION BY pmod(hash(doc_id), 16)
+        |      ORDER BY qw DESC, doc_id) AS rn
+        |    FROM doc) WHERE rn <= 30)
+        |SELECT doc_id, lang, round(qw / 10000.0D, 4) + 0 AS dsir_logw
+        |FROM (SELECT doc_id, lang, qw, row_number() OVER (
+        |        ORDER BY qw DESC, doc_id) AS rn FROM t1)
+        |WHERE rn <= 30 ORDER BY doc_id""".stripMargin)
+  }
+
+  val q104_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |b AS (SELECT doc_id, lang,
+      |    ('0x'||substr(md5(term),1,8))::BIGINT % 512 AS bkt, cnt
+      |  FROM wf),
+      |tgt AS (SELECT bkt, sum(cnt) AS c FROM b
+      |        WHERE doc_id < 20 GROUP BY bkt),
+      |raw AS (SELECT bkt, sum(cnt) AS c FROM b GROUP BY bkt),
+      |lr AS (
+      |  SELECT r.bkt,
+      |    round(ln(
+      |      ((coalesce(t.c, 0) + 0.5)
+      |         / ((SELECT sum(c) FROM tgt) + 256.0))
+      |      / ((r.c + 0.5)
+      |         / ((SELECT sum(c) FROM raw) + 256.0))) * 10000.0)::BIGINT
+      |      AS qlr
+      |  FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt),
+      |doc AS (
+      |  SELECT b.doc_id, b.lang, sum(b.cnt * lr.qlr) AS qw
+      |  FROM b JOIN lr ON b.bkt = lr.bkt
+      |  WHERE b.doc_id >= 20
+      |  GROUP BY b.doc_id, b.lang)
+      |SELECT doc_id, lang, round(qw / 10000.0, 4) + 0 AS dsir_logw
+      |FROM (SELECT doc_id, lang, qw, row_number() OVER (
+      |        ORDER BY qw DESC, doc_id) AS rn FROM doc)
+      |WHERE rn <= 30 ORDER BY doc_id""".stripMargin
+
+  /** UniMax language sampling (Chung et al. 2023): allocate a token
+    * budget across languages with a per-language epoch cap, giving
+    * head languages at most `maxEpochs` passes and spreading the rest
+    * uniformly over the tail — the budget-constrained waterfill that
+    * replaces temperature sampling for massively multilingual
+    * training. The iterative "process languages smallest-first"
+    * algorithm has a closed form: sort by cap ascending, a language
+    * is capped iff its cap fits under the level implied by the budget
+    * left after all smaller caps (`cap_i * (n-i+1) <= B - P_{i-1}`,
+    * monotone in i), everyone else splits the remainder evenly. That
+    * is one window over the LANGUAGE table — per-language token
+    * counts are a map-side-combined aggregate of `doc_terms`, and the
+    * waterfill itself runs on ~100 rows however big the corpus is.
+    * All math is integer (budget = 40 % of total tokens, floor-div
+    * level), so both engines agree bit-for-bit. */
+  def q105_unimax_mix(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH avail AS (
+        |  SELECT lang, sum(cnt) AS n FROM doc_terms GROUP BY lang),
+        |tot AS (SELECT sum(n) AS total FROM avail),
+        |cap AS (
+        |  SELECT lang, n, n * 2 AS cap,
+        |    (SELECT (total * 2) DIV 5 FROM tot) AS budget,
+        |    row_number() OVER (ORDER BY n * 2, lang) AS i,
+        |    sum(n * 2) OVER (ORDER BY n * 2, lang
+        |      ROWS UNBOUNDED PRECEDING) AS p,
+        |    count(*) OVER () AS nl
+        |  FROM avail),
+        |k AS (
+        |  SELECT coalesce(sum(
+        |      CASE WHEN cap * (nl - i + 1) <= budget - (p - cap)
+        |        THEN 1 ELSE 0 END), 0) AS k,
+        |    coalesce(sum(CASE WHEN cap * (nl - i + 1)
+        |        <= budget - (p - cap) THEN cap ELSE 0 END), 0) AS pk
+        |  FROM cap)
+        |SELECT c.lang, c.n AS avail_tokens,
+        |  CASE WHEN c.i <= k.k THEN c.cap
+        |       ELSE (c.budget - k.pk) DIV (c.nl - k.k) END
+        |    AS alloc_tokens,
+        |  round(CASE WHEN c.i <= k.k THEN c.cap
+        |        ELSE (c.budget - k.pk) DIV (c.nl - k.k) END
+        |    / cast(c.n AS double), 4) + 0 AS epochs
+        |FROM cap c CROSS JOIN k ORDER BY c.lang""".stripMargin)
+  }
+
+  val q105_oracle: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |avail AS (SELECT lang, count(*)::BIGINT AS n FROM w GROUP BY lang),
+      |tot AS (SELECT sum(n) AS total FROM avail),
+      |cap AS (
+      |  SELECT lang, n, n * 2 AS cap,
+      |    (SELECT (total * 2) // 5 FROM tot) AS budget,
+      |    row_number() OVER (ORDER BY n * 2, lang) AS i,
+      |    sum(n * 2) OVER (ORDER BY n * 2, lang
+      |      ROWS UNBOUNDED PRECEDING) AS p,
+      |    count(*) OVER () AS nl
+      |  FROM avail),
+      |k AS (
+      |  SELECT coalesce(sum(
+      |      CASE WHEN cap * (nl - i + 1) <= budget - (p - cap)
+      |        THEN 1 ELSE 0 END), 0) AS k,
+      |    coalesce(sum(CASE WHEN cap * (nl - i + 1)
+      |        <= budget - (p - cap) THEN cap ELSE 0 END), 0) AS pk
+      |  FROM cap)
+      |SELECT c.lang, c.n AS avail_tokens,
+      |  (CASE WHEN c.i <= k.k THEN c.cap
+      |        ELSE (c.budget - k.pk) // (c.nl - k.k) END)::BIGINT
+      |    AS alloc_tokens,
+      |  round((CASE WHEN c.i <= k.k THEN c.cap
+      |         ELSE (c.budget - k.pk) // (c.nl - k.k) END)
+      |    / c.n::DOUBLE, 4) + 0 AS epochs
+      |FROM cap c CROSS JOIN k ORDER BY c.lang""".stripMargin
+
+  /** Per-language domain distance: KL(p_lang || p_corpus) over
+    * unigram distributions — the "how far is this slice from the
+    * mixture" measure data-mixing work optimizes against (e.g.
+    * DoReMi's excess-loss weighting starts from exactly these
+    * per-domain token distributions). Shapes: per-(lang, term) counts
+    * are one map-side-combined aggregate of `doc_terms`; the join to
+    * global term counts is term-keyed (high cardinality — shuffles
+    * spread, never a hot key); language totals are a 5-row broadcast.
+    * Per-term log-ratios are quantized to integer 1e-6 units BEFORE
+    * the count-weighted sum — exact integer reduction, then one
+    * divide per language at the end. */
+  def q106_lang_kl(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH lt AS (
+        |  SELECT lang, term, sum(cnt) AS c FROM doc_terms
+        |  GROUP BY lang, term),
+        |lt2 AS (SELECT lang, term, c,
+        |    sum(c) OVER (PARTITION BY lang) AS nl FROM lt),
+        |g AS (SELECT term, sum(c) AS ct FROM lt GROUP BY term),
+        |n AS (SELECT sum(ct) AS total FROM g),
+        |q AS (
+        |  SELECT l.lang, l.c, l.nl,
+        |    cast(round(ln((l.c * (SELECT total FROM n))
+        |      / (l.nl * cast(g.ct AS double))) * 1000000.0D, 0)
+        |      AS bigint) AS qlr
+        |  FROM lt2 l JOIN g ON l.term = g.term)
+        |SELECT lang, max(nl) AS n_tokens,
+        |  round(sum(c * qlr) / (1000000.0D * max(nl)), 4) + 0
+        |    AS kl_nats
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q106_oracle: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |lt AS (SELECT lang, term, count(*)::BIGINT AS c FROM w
+      |       GROUP BY lang, term),
+      |lt2 AS (SELECT lang, term, c,
+      |    sum(c) OVER (PARTITION BY lang) AS nl FROM lt),
+      |g AS (SELECT term, sum(c) AS ct FROM lt GROUP BY term),
+      |n AS (SELECT sum(ct) AS total FROM g),
+      |q AS (
+      |  SELECT l.lang, l.c, l.nl,
+      |    round(ln((l.c * (SELECT total FROM n))
+      |      / (l.nl * g.ct::DOUBLE)) * 1000000.0)::BIGINT AS qlr
+      |  FROM lt2 l JOIN g ON l.term = g.term)
+      |SELECT lang, max(nl)::BIGINT AS n_tokens,
+      |  round(sum(c * qlr) / (1000000.0 * max(nl)), 4) + 0 AS kl_nats
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_dsir_weights" -> q104_dsir_weights _,
+    "q105_unimax_mix" -> q105_unimax_mix _,
+    "q106_lang_kl" -> q106_lang_kl _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1439,6 +1651,9 @@ object QueriesPipe {
       |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q104_dsir_weights" -> q104_oracle,
+    "q105_unimax_mix" -> q105_oracle,
+    "q106_lang_kl" -> q106_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

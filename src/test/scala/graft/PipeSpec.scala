@@ -507,6 +507,116 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sketch probe must be deterministic")
   }
 
+  // shared tokenized corpus for the from-scratch recomputes below:
+  // (doc_id, lang, tokens) straight off the parquet, no query code
+  private lazy val rawDocs: Seq[(Long, String, Array[String])] =
+    Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1))).toSeq
+
+  private def md5Bucket(s: String, mod: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
+  test("dsir weights match a from-scratch driver recompute") {
+    val rows = QueriesPipe.q104_dsir_weights(spark, dir).collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getLong(0) >= 20), "eval docs must not self-select")
+    // independent path: recompute hashed-bucket target/raw stats and
+    // per-doc weights from the raw parquet in plain Scala
+    val bucketed = rawDocs.flatMap { case (id, _, toks) =>
+      toks.groupBy(identity).map { case (t, o) =>
+        (id, md5Bucket(t, 512), o.length.toLong) } }
+    val tgt = bucketed.filter(_._1 < 20)
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val raw = bucketed.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (nt, nr) = (tgt.values.sum, raw.values.sum)
+    // HALF_UP like SQL round(); math.round sends -x.5 toward +inf
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qlr = raw.map { case (b, c) =>
+      b -> r0(math.log(
+        ((tgt.getOrElse(b, 0L) + 0.5) / (nt + 256.0)) /
+          ((c + 0.5) / (nr + 256.0))) * 10000.0) }
+    val weights = bucketed.filter(_._1 >= 20)
+      .groupBy(_._1).view.mapValues(
+        _.map { case (_, b, c) => c * qlr(b) }.sum).toMap
+    val expect = weights.toSeq.sortBy { case (id, w) => (-w, id) }
+      .take(30).map(_._1).sorted
+    assert(rows.map(_.getLong(0)).toSeq == expect,
+      "query top-30 diverges from the driver recompute")
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(2) - weights(r.getLong(0)) / 10000.0) < 1e-9,
+      s"doc ${r.getLong(0)}: weight mismatch"))
+  }
+
+  test("unimax allocation matches the iterative waterfill and its bounds") {
+    val rows = QueriesPipe.q105_unimax_mix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // independent path: the PAPER's sequential greedy (smallest first),
+    // not the closed form the SQL uses
+    val avail = rawDocs.groupBy(_._2).view
+      .mapValues(_.map(_._3.length.toLong).sum).toMap
+    val budget = avail.values.sum * 2 / 5
+    var remaining = budget
+    var alloc = Map.empty[String, Long]
+    val asc = avail.toSeq.sortBy { case (l, n) => (n * 2, l) }
+    asc.zipWithIndex.foreach { case ((l, n), i) =>
+      val m = asc.length - i
+      val cap = n * 2
+      if (cap * m <= remaining) { alloc += l -> cap; remaining -= cap }
+      else if (!alloc.contains(l)) {
+        // uncapped tail: everyone left splits evenly (floor)
+        val share = remaining / m
+        asc.drop(i).foreach { case (l2, _) => alloc += l2 -> share }
+        remaining = 0
+      } }
+    rows.foreach { case (lang, n, a, ep) =>
+      assert(n == avail(lang), s"$lang: avail $n vs ${avail(lang)}")
+      assert(a == alloc(lang),
+        s"$lang: closed-form $a vs greedy ${alloc(lang)}")
+      assert(a <= 2 * n, s"$lang: exceeds the 2-epoch cap")
+      assert(math.abs(ep - a.toDouble / n) < 1e-4)
+    }
+    val spent = rows.map(_._3).sum
+    assert(spent <= budget && budget - spent < avail.size * 2L,
+      s"allocated $spent of $budget leaves more than rounding slack")
+  }
+
+  test("language KL matches a from-scratch recompute and is nonnegative") {
+    val rows = QueriesPipe.q106_lang_kl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent path: exact same integer quantization, plain Scala
+    val lt = rawDocs.flatMap { case (_, lang, toks) => toks.map((lang, _)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nl = lt.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val ct = lt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val total = ct.values.sum
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val kl = nl.map { case (lang, n) =>
+      val s = lt.collect { case ((l, t), c) if l == lang =>
+        c * r0(math.log(
+          c.toDouble * total / (n.toDouble * ct(t))) * 1e6) }.sum
+      lang -> BigDecimal(s / (1e6 * n)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble }
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == nl(lang), s"$lang token total")
+      assert(r.getDouble(2) >= 0.0, s"$lang: KL must be nonnegative")
+      assert(math.abs(r.getDouble(2) - kl(lang)) <= 1e-4,
+        s"$lang: kl ${r.getDouble(2)} vs recompute ${kl(lang)}")
+    }
+    val again = QueriesPipe.q106_lang_kl(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("funnel steps are monotonically shrinking") {
     val rows = QueriesPipe.q82_funnel(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -596,6 +706,50 @@ class PipeSpec extends AnyFunSuite {
       val sims = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
         s"probe $pid: similarities not descending")
+    }
+  }
+
+  test("ann recall audit matches a driver recompute of both rankings") {
+    val rows = QueriesExt.q107_ann_recall(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 10.0) < 1e-9)
+    }
+    // independent path: brute-force exact top-10, IVF assignment and
+    // the probed-cell top-10 all recomputed in plain Scala from the
+    // raw parquet (same sequential IEEE accumulation as the kernel)
+    val vs = Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cids = (1L to 8L).filter(vs.contains)
+    val pids = (Seq(0L) ++ (9L to 15L)).filter(vs.contains)
+    def top10(scored: Seq[(Long, Double)]): Set[Long] =
+      scored.sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    val assign = vs.keys.map { id =>
+      id -> cids.map(c => (c, r6(cos(vs(id), vs(c)))))
+        .sortBy { case (c, sc) => (-sc, c) }.head._1 }.toMap
+    pids.foreach { p =>
+      val corpus = (vs.keys.toSet - p).toSeq
+      val exact = top10(corpus.map(id => id -> r6(cos(vs(id), vs(p)))))
+      val cells = cids.map(c => (c, r6(cos(vs(p), vs(c)))))
+        .sortBy { case (c, sc) => (-sc, c) }.take(2).map(_._1).toSet
+      val cand = corpus.filter(id => cells.contains(assign(id)))
+      val ivf = top10(cand.map(id => id -> r6(cos(vs(id), vs(p)))))
+      val nHit = exact.intersect(ivf).size
+      val row = rows.find(_.getLong(0) == p).get
+      assert(row.getLong(2) == nHit,
+        s"probe $p: query n_hit ${row.getLong(2)} vs recompute $nHit")
     }
   }
 
