@@ -1316,6 +1316,77 @@ object QueriesPipe {
       |FROM g JOIN dup USING (gram)
       |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Maximal duplicated-run localization — the Lee et al. 2022 "long
+    * duplicated substring" form of q93: adjacent/overlapping
+    * duplicated 5-gram positions merge into maximal runs per document
+    * (gaps-and-islands), so a 60-token boilerplate block reports as
+    * ONE [start, end) run instead of 56 overlapping spans — the
+    * actionable unit for substring-level cutting. Shapes at 100 TB:
+    * gram dup detection is q93's map-side-combined GROUP BY gram; the
+    * merge windows key on doc_id (document grain — maximal
+    * cardinality, never a hot partition) and the islands trick needs
+    * only running max/sum frames, no self-join. */
+  def q108_dup_runs(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH g AS (
+        |  SELECT doc_id, p AS pos,
+        |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
+        |      element_at(t, p + 3), element_at(t, p + 4),
+        |      element_at(t, p + 5)) AS gram
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |          split(text, ' ', -1) AS t FROM documents)
+        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
+        |    AS p, x),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_end
+        |  FROM ps),
+        |i AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM m)
+        |SELECT doc_id, cast(min(pos) AS bigint) AS run_start,
+        |  cast(max(pos) + 5 AS bigint) AS run_end,
+        |  cast(max(pos) + 5 - min(pos) AS bigint) AS n_tokens
+        |FROM i GROUP BY doc_id, run_id
+        |ORDER BY doc_id, run_start""".stripMargin)
+  }
+
+  val q108_oracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+      |      t[i + 3] || ' ' || t[i + 4] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents),
+      |    unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) > 1),
+      |ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      |m AS (SELECT doc_id, pos,
+      |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_end
+      |  FROM ps),
+      |i AS (SELECT doc_id, pos,
+      |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m)
+      |SELECT doc_id, min(pos)::BIGINT AS run_start,
+      |  (max(pos) + 5)::BIGINT AS run_end,
+      |  (max(pos) + 5 - min(pos))::BIGINT AS n_tokens
+      |FROM i GROUP BY doc_id, run_id
+      |ORDER BY doc_id, run_start""".stripMargin
+
   /** Vocabulary-coverage (OOV-rate) scoring — the tokenizer-fit check
     * a pipeline runs before training: fix a vocabulary (the corpus's
     * top-500 terms by document frequency) and report, per language,
@@ -1598,6 +1669,7 @@ object QueriesPipe {
     "q104_dsir_weights" -> q104_dsir_weights _,
     "q105_unimax_mix" -> q105_unimax_mix _,
     "q106_lang_kl" -> q106_lang_kl _,
+    "q108_dup_runs" -> q108_dup_runs _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1654,6 +1726,7 @@ object QueriesPipe {
     "q104_dsir_weights" -> q104_oracle,
     "q105_unimax_mix" -> q105_oracle,
     "q106_lang_kl" -> q106_oracle,
+    "q108_dup_runs" -> q108_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

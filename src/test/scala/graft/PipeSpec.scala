@@ -709,6 +709,30 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicated runs are exactly the interval union of q93's spans") {
+    val spans = QueriesPipe.q93_span_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val runs = QueriesPipe.q108_dup_runs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(runs.nonEmpty)
+    runs.foreach { case (_, s, e, n) =>
+      assert(e - s == n, "n_tokens must equal the run extent")
+      assert(n >= 5, "a run covers at least one 5-gram") }
+    // independent path: merge q93's (oracle-verified) spans in Scala
+    val expect = spans.groupBy(_._1).flatMap { case (doc, ss) =>
+      val sorted = ss.map(s => (s._2, s._3)).distinct.sortBy(_._1)
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { case (a, b) =>
+        if (merged.nonEmpty && a <= merged.last._2) {
+          val (la, lb) = merged.last
+          merged(merged.length - 1) = (la, math.max(lb, b))
+        } else merged += ((a, b)) }
+      merged.map { case (a, b) => (doc, a, b, b - a) }
+    }.toSet
+    assert(runs.toSet == expect,
+      "runs diverge from the span interval-union recompute")
+  }
+
   test("ann recall audit matches a driver recompute of both rankings") {
     val rows = QueriesExt.q107_ann_recall(spark, dir).collect()
     assert(rows.length == 8)
