@@ -848,8 +848,10 @@ object QueriesExt {
     * for a panel of 8 probes — the measurement a pipeline runs to
     * tune nprobe/cell count BEFORE trusting an index for corpus-scale
     * retrieval. Shapes at 100 TB: the probe panel broadcasts into one
-    * scan of the corpus (the per-(probe, vector) cosine table is
-    * computed ONCE and feeds both the exact and the IVF ranking);
+    * scan of the corpus, and the per-(probe, vector) cosine table is
+    * PINNED once (executor-side checkpoint, the sim_sig pattern) so
+    * both the exact and the IVF ranking read the same blocks instead
+    * of re-running the corpus-wide cosine pass;
     * both top-10s use the two-stage (probe, shard) rank so no
     * per-probe partition ever serializes the corpus; cell assignment
     * is the N×8 broadcast cross join q72 documents. Hit counting is
@@ -858,6 +860,23 @@ object QueriesExt {
   def q107_ann_recall(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
+    // the (probe, vector) cosine table feeds BOTH rankings; as a
+    // plain CTE Spark inlines it into each consumer (their required
+    // distributions differ, so no exchange reuse applies) and the
+    // corpus-wide graft_cosine pass would run TWICE — pin it once
+    // (executor-side checkpoint, the sim_sig pattern) instead
+    QueriesSim.materialize(s, dir,
+      s"""SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
+        |  round(graft_cosine(v.e, p.pe), 6) AS sim,
+        |  pmod(hash(v.vec_id), 16) AS shard
+        |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+        |        cast(embedding AS array<double>) AS e
+        |      FROM embeddings) v
+        |JOIN (SELECT vec_id AS pid,
+        |        cast(embedding AS array<double>) AS pe
+        |      FROM embeddings
+        |      WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15) p
+        |  ON v.vec_id != p.pid""".stripMargin, "ann_sc")
     s.sql(
       s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
@@ -865,10 +884,7 @@ object QueriesExt {
         |  WHERE vec_id BETWEEN 1 AND 8),
         |p AS (SELECT vec_id AS pid, e AS pe FROM v
         |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
-        |sc AS (SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
-        |    round(graft_cosine(v.e, p.pe), 6) AS sim,
-        |    pmod(hash(v.vec_id), 16) AS shard
-        |  FROM v JOIN p ON v.vec_id != p.pid),
+        |sc AS (SELECT pid, vec_id, sim, shard FROM ann_sc),
         |x1 AS (SELECT pid, vec_id, sim FROM (
         |    SELECT pid, vec_id, sim, row_number() OVER (
         |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn

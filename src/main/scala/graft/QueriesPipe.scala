@@ -16,13 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueriesPipe {
 
-  /** Spark-side deterministic [0,100) hash of an int64 id. */
-  private def hash100(col: String): String =
-    s"cast(conv(substr(md5(cast($col as string)),1,8),16,10) as bigint) % 100"
+  /** Spark-side deterministic [0,m) md5 hash of any key expression;
+    * `duckHashMod` is the bit-identical DuckDB twin — the pair (and
+    * the PipeSpec md5Bucket recompute) must stay in sync for every
+    * oracle hash-compare that buckets on content. */
+  private def hashMod(col: String, m: Int): String =
+    s"cast(conv(substr(md5(cast($col as string)),1,8),16,10) as bigint) % $m"
+
+  private def hash100(col: String): String = hashMod(col, 100)
 
   /** DuckDB-side identical hash. */
-  private def duckHash100(col: String): String =
-    s"('0x'||substr(md5($col::VARCHAR),1,8))::BIGINT % 100"
+  private def duckHashMod(col: String, m: Int): String =
+    s"('0x'||substr(md5($col::VARCHAR),1,8))::BIGINT % $m"
+
+  private def duckHash100(col: String): String = duckHashMod(col, 100)
 
   /** Stratified sampling: per-language sampling rates (boost the rare
     * strata, downsample the dominant one) applied via a deterministic
@@ -1281,28 +1288,25 @@ object QueriesPipe {
     * scale a small fraction of the gram space (suffix-array engines
     * exploit exactly this sparsity). Gram construction is in-row array
     * slicing, shuffle-free. */
-  def q93_span_dedup(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
-    s.sql(
-      s"""WITH g AS (
-        |  SELECT doc_id, p AS pos,
-        |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
-        |      element_at(t, p + 3), element_at(t, p + 4),
-        |      element_at(t, p + 5)) AS gram
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-        |          split(text, ' ', -1) AS t FROM documents)
-        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
-        |    AS p, x),
-        |dup AS (SELECT gram FROM g GROUP BY gram
-        |  HAVING count(DISTINCT doc_id) > 1)
-        |SELECT doc_id, cast(pos AS bigint) AS tok_start,
-        |  cast(pos + 5 AS bigint) AS tok_end, gram
-        |FROM g JOIN dup USING (gram)
-        |ORDER BY doc_id, tok_start, gram""".stripMargin)
-  }
+  /** Shared 5-gram position table (`g`) + cross-doc dup set (`dup`)
+    * — q93 and q108 derive from the same detection CTEs; the
+    * `duckGramCtes` twin must stay semantically identical (q108's
+    * spec asserts its runs are the interval union of q93's spans). */
+  private def gramCtes: String =
+    s"""g AS (
+       |  SELECT doc_id, p AS pos,
+       |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
+       |      element_at(t, p + 3), element_at(t, p + 4),
+       |      element_at(t, p + 5)) AS gram
+       |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+       |          split(text, ' ', -1) AS t FROM documents)
+       |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
+       |    AS p, x),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) > 1)""".stripMargin
 
-  val q93_oracle: String =
-    """WITH g AS (
+  private val duckGramCtes: String =
+    """g AS (
       |  SELECT doc_id, i - 1 AS pos,
       |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
       |      t[i + 3] || ' ' || t[i + 4] AS gram
@@ -1310,11 +1314,23 @@ object QueriesPipe {
       |        FROM documents),
       |    unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
       |dup AS (SELECT gram FROM g GROUP BY gram
-      |  HAVING count(DISTINCT doc_id) > 1)
-      |SELECT doc_id, pos::BIGINT AS tok_start,
-      |  (pos + 5)::BIGINT AS tok_end, gram
-      |FROM g JOIN dup USING (gram)
-      |ORDER BY doc_id, tok_start, gram""".stripMargin
+      |  HAVING count(DISTINCT doc_id) > 1)""".stripMargin
+
+  def q93_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s"WITH $gramCtes\n" +
+      """SELECT doc_id, cast(pos AS bigint) AS tok_start,
+        |  cast(pos + 5 AS bigint) AS tok_end, gram
+        |FROM g JOIN dup USING (gram)
+        |ORDER BY doc_id, tok_start, gram""".stripMargin)
+  }
+
+  val q93_oracle: String =
+    s"WITH $duckGramCtes\n" +
+      """SELECT doc_id, pos::BIGINT AS tok_start,
+        |  (pos + 5)::BIGINT AS tok_end, gram
+        |FROM g JOIN dup USING (gram)
+        |ORDER BY doc_id, tok_start, gram""".stripMargin
 
   /** Maximal duplicated-run localization — the Lee et al. 2022 "long
     * duplicated substring" form of q93: adjacent/overlapping
@@ -1328,19 +1344,8 @@ object QueriesPipe {
     * only running max/sum frames, no self-join. */
   def q108_dup_runs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    s.sql(
-      s"""WITH g AS (
-        |  SELECT doc_id, p AS pos,
-        |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
-        |      element_at(t, p + 3), element_at(t, p + 4),
-        |      element_at(t, p + 5)) AS gram
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-        |          split(text, ' ', -1) AS t FROM documents)
-        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
-        |    AS p, x),
-        |dup AS (SELECT gram FROM g GROUP BY gram
-        |  HAVING count(DISTINCT doc_id) > 1),
-        |ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    s.sql(s"WITH $gramCtes,\n" +
+      """ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
         |m AS (SELECT doc_id, pos,
         |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1360,16 +1365,8 @@ object QueriesPipe {
   }
 
   val q108_oracle: String =
-    """WITH g AS (
-      |  SELECT doc_id, i - 1 AS pos,
-      |    t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
-      |      t[i + 3] || ' ' || t[i + 4] AS gram
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-      |        FROM documents),
-      |    unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
-      |dup AS (SELECT gram FROM g GROUP BY gram
-      |  HAVING count(DISTINCT doc_id) > 1),
-      |ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    s"WITH $duckGramCtes,\n" +
+    """ps AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
       |m AS (SELECT doc_id, pos,
       |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -1473,9 +1470,7 @@ object QueriesPipe {
     termView(s, dir)
     s.sql(
       s"""WITH b AS (
-        |  SELECT doc_id, lang,
-        |    cast(conv(substr(md5(term),1,8),16,10) AS bigint) % 512
-        |      AS bkt, cnt
+        |  SELECT doc_id, lang, ${hashMod("term", 512)} AS bkt, cnt
         |  FROM doc_terms),
         |tgt AS (SELECT bkt, sum(cnt) AS c FROM b
         |        WHERE doc_id < 20 GROUP BY bkt),
@@ -1507,13 +1502,13 @@ object QueriesPipe {
   }
 
   val q104_oracle: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
       |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
       |       FROM w GROUP BY 1, 2, 3),
       |b AS (SELECT doc_id, lang,
-      |    ('0x'||substr(md5(term),1,8))::BIGINT % 512 AS bkt, cnt
+      |    ${duckHashMod("term", 512)} AS bkt, cnt
       |  FROM wf),
       |tgt AS (SELECT bkt, sum(cnt) AS c FROM b
       |        WHERE doc_id < 20 GROUP BY bkt),

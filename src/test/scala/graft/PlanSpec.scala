@@ -182,11 +182,12 @@ class PlanSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     QueriesPipe.q60_tfidf_terms(spark, dir).count()
     QueriesSim.q23_lsh_pairs(spark, dir).count()
+    QueriesExt.q107_ann_recall(spark, dir).count()
     // sim_cand is exempt: under the size guard its consumers broadcast
     // it (candidate filter + pair spine); past the cap they shuffle on
     // doc_id / (da, db) against the pre-spread arrs side, so its own
     // partition count still never gates a CPU-heavy stage
-    for (view <- Seq("doc_terms", "sim_pairs")) {
+    for (view <- Seq("doc_terms", "sim_pairs", "ann_sc")) {
       val n = spark.table(view).rdd.getNumPartitions
       assert(n >= 2, s"$view checkpointed as $n partition(s)")
     }
