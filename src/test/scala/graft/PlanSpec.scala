@@ -239,4 +239,14 @@ class PlanSpec extends AnyFunSuite {
     // centroid table (8 rows), never a shuffle of the vector corpus
     assert(plan.contains("Broadcast"), plan.take(2000))
   }
+
+  test("dsir scoring broadcasts the 512-bucket log-ratio table") {
+    val plan = QueriesPipe
+      .q104_dsir_weights(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the doc-scoring join must ship the vocabulary-bounded lr table
+    // to the doc_terms side, never shuffle the corpus on bucket id
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
 }
