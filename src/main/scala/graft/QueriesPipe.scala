@@ -1332,6 +1332,92 @@ object QueriesPipe {
         |FROM g JOIN dup USING (gram)
         |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Gopher top-n-gram repetition filter (Rae et al. 2021,
+    * MassiveText rules): per document, the fraction of tokens claimed
+    * by the single most frequent 2-/3-/4-gram — the filter that
+    * catches looping boilerplate q68's distinct-token ratio misses
+    * (a page cycling one sentence has high distinct ratio but one
+    * dominant n-gram). Shapes at 100 TB: per-n gram counts are
+    * (doc, gram) map-side-combined aggregates folded to one row per
+    * doc (max count), equi-joined back on doc_id — document grain
+    * everywhere, no windows, no hot keys. Fractions are emitted as
+    * integer micro-units (bigint) and the keep verdict as a boolean,
+    * so every compared column is exact. Thresholds are MassiveText's
+    * (rep-2 ≤ 0.20, rep-3 ≤ 0.18, rep-4 ≤ 0.16). */
+  def q109_gopher_ngram(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    def sparkGramMax(n: Int): String = {
+      val parts = (1 to n).map(i => s"element_at(t, p + $i)")
+        .mkString(", ")
+      s"""(SELECT doc_id, max(c) AS m FROM (
+         |  SELECT doc_id, gram, count(*) AS c FROM (
+         |    SELECT doc_id, concat_ws(' ', $parts) AS gram
+         |    FROM toks
+         |    LATERAL VIEW posexplode(
+         |      slice(t, 1, greatest(size(t) - ${n - 1}, 0))) AS p, x)
+         |  GROUP BY doc_id, gram)
+         |GROUP BY doc_id)""".stripMargin
+    }
+    s.sql(
+      s"""WITH toks AS (
+        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |    split(text, ' ', -1) AS t FROM documents),
+        |d AS (SELECT doc_id, size(t) AS n_toks FROM toks),
+        |g2 AS ${sparkGramMax(2)},
+        |g3 AS ${sparkGramMax(3)},
+        |g4 AS ${sparkGramMax(4)},
+        |f AS (SELECT d.doc_id, d.n_toks,
+        |    cast(round(coalesce(g2.m, 0) * 2 * 1000000.0D / d.n_toks, 0)
+        |      AS bigint) AS qfrac2,
+        |    cast(round(coalesce(g3.m, 0) * 3 * 1000000.0D / d.n_toks, 0)
+        |      AS bigint) AS qfrac3,
+        |    cast(round(coalesce(g4.m, 0) * 4 * 1000000.0D / d.n_toks, 0)
+        |      AS bigint) AS qfrac4
+        |  FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
+        |         LEFT JOIN g3 ON d.doc_id = g3.doc_id
+        |         LEFT JOIN g4 ON d.doc_id = g4.doc_id)
+        |SELECT doc_id, cast(n_toks AS bigint) AS n_toks,
+        |  qfrac2, qfrac3, qfrac4,
+        |  qfrac2 <= 200000 AND qfrac3 <= 180000 AND qfrac4 <= 160000
+        |    AS keep
+        |FROM f ORDER BY doc_id""".stripMargin)
+  }
+
+  val q109_oracle: String = {
+    def duckGramMax(n: Int): String = {
+      val parts = (1 to n).map(i => s"t[i + ${i - 1}]")
+        .mkString(" || ' ' || ")
+      s"""(SELECT doc_id, max(c) AS m FROM (
+         |  SELECT doc_id, gram, count(*) AS c FROM (
+         |    SELECT doc_id, $parts AS gram
+         |    FROM toks, unnest(range(1, greatest(len(t) - ${n - 2}, 1)))
+         |      AS u(i))
+         |  GROUP BY doc_id, gram)
+         |GROUP BY doc_id)""".stripMargin
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |d AS (SELECT doc_id, len(t) AS n_toks FROM toks),
+      |g2 AS ${duckGramMax(2)},
+      |g3 AS ${duckGramMax(3)},
+      |g4 AS ${duckGramMax(4)},
+      |f AS (SELECT d.doc_id, d.n_toks,
+      |    round(coalesce(g2.m, 0) * 2 * 1000000.0 / d.n_toks)::BIGINT
+      |      AS qfrac2,
+      |    round(coalesce(g3.m, 0) * 3 * 1000000.0 / d.n_toks)::BIGINT
+      |      AS qfrac3,
+      |    round(coalesce(g4.m, 0) * 4 * 1000000.0 / d.n_toks)::BIGINT
+      |      AS qfrac4
+      |  FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
+      |         LEFT JOIN g3 ON d.doc_id = g3.doc_id
+      |         LEFT JOIN g4 ON d.doc_id = g4.doc_id)
+      |SELECT doc_id, n_toks::BIGINT AS n_toks,
+      |  qfrac2, qfrac3, qfrac4,
+      |  (qfrac2 <= 200000 AND qfrac3 <= 180000 AND qfrac4 <= 160000)
+      |    AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Maximal duplicated-run localization — the Lee et al. 2022 "long
     * duplicated substring" form of q93: adjacent/overlapping
     * duplicated 5-gram positions merge into maximal runs per document
@@ -1665,6 +1751,7 @@ object QueriesPipe {
     "q105_unimax_mix" -> q105_unimax_mix _,
     "q106_lang_kl" -> q106_lang_kl _,
     "q108_dup_runs" -> q108_dup_runs _,
+    "q109_gopher_ngram" -> q109_gopher_ngram _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1722,6 +1809,7 @@ object QueriesPipe {
     "q105_unimax_mix" -> q105_oracle,
     "q106_lang_kl" -> q106_oracle,
     "q108_dup_runs" -> q108_oracle,
+    "q109_gopher_ngram" -> q109_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

@@ -709,6 +709,34 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher n-gram fractions match a from-scratch recompute") {
+    val rows = QueriesPipe.q109_gopher_ngram(spark, dir).collect()
+    val docs = rawDocs.map { case (id, _, toks) => id -> toks }.toMap
+    assert(rows.length == docs.size, "one verdict row per document")
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def qfrac(toks: Array[String], n: Int): Long = {
+      if (toks.length < n) 0L
+      else {
+        val top = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max
+        r0(top.toLong * n * 1000000.0 / toks.length)
+      }
+    }
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getLong(1) == toks.length.toLong)
+      val (f2, f3, f4) =
+        (qfrac(toks, 2), qfrac(toks, 3), qfrac(toks, 4))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((f2, f3, f4)),
+        s"doc ${r.getLong(0)}: fractions diverge")
+      assert(r.getBoolean(5) ==
+        (f2 <= 200000L && f3 <= 180000L && f4 <= 160000L))
+    }
+    assert(rows.count(_.getBoolean(5)) > 0,
+      "natural text should mostly survive the MassiveText thresholds")
+  }
+
   test("duplicated runs are exactly the interval union of q93's spans") {
     val spans = QueriesPipe.q93_span_dedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
