@@ -1332,6 +1332,55 @@ object QueriesPipe {
         |FROM g JOIN dup USING (gram)
         |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Per-(source, language) data card — the "datasheets for datasets"
+    * summary (Gebru et al. 2021) a pipeline publishes with every
+    * corpus drop: document/token volumes, length distribution, and
+    * exact-duplicate exposure per slice. Shapes at 100 TB: one
+    * map-side-combined aggregate over an in-row projection (token
+    * count, md5 fingerprint at the scan); duplicate exposure is a
+    * fingerprint self-aggregate semi-joined back — the fingerprint
+    * GROUP BY is content-keyed, maximal cardinality, no hot keys.
+    * Every compared column is an exact integer (token sums, doc
+    * counts, dup counts, min/max lengths) except mean_toks, a single
+    * division of two exact integers. */
+  def q110_data_card(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH d AS (
+        |  SELECT /*+ REPARTITION(${Tables.np}) */ source, lang, doc_id,
+        |    size(split(text, ' ', -1)) AS n_toks, md5(text) AS fp
+        |  FROM documents),
+        |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+        |f AS (SELECT d.source, d.lang, d.doc_id, d.n_toks,
+        |    CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+        |  FROM d LEFT JOIN dup ON d.fp = dup.fp)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_toks) AS n_tokens,
+        |  cast(min(n_toks) AS bigint) AS min_toks,
+        |  cast(max(n_toks) AS bigint) AS max_toks,
+        |  round(sum(n_toks) / cast(count(*) AS double), 4) + 0
+        |    AS mean_toks,
+        |  sum(is_dup) AS n_exact_dup
+        |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+  }
+
+  val q110_oracle: String =
+    """WITH d AS (
+      |  SELECT source, lang, doc_id,
+      |    len(string_split(text, ' ')) AS n_toks, md5(text) AS fp
+      |  FROM documents),
+      |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+      |f AS (SELECT d.source, d.lang, d.doc_id, d.n_toks,
+      |    CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+      |  FROM d LEFT JOIN dup ON d.fp = dup.fp)
+      |SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |  sum(n_toks)::BIGINT AS n_tokens,
+      |  min(n_toks)::BIGINT AS min_toks,
+      |  max(n_toks)::BIGINT AS max_toks,
+      |  round(sum(n_toks) / count(*)::DOUBLE, 4) + 0 AS mean_toks,
+      |  sum(is_dup)::BIGINT AS n_exact_dup
+      |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** Gopher top-n-gram repetition filter (Rae et al. 2021,
     * MassiveText rules): per document, the fraction of tokens claimed
     * by the single most frequent 2-/3-/4-gram — the filter that
@@ -1752,6 +1801,7 @@ object QueriesPipe {
     "q106_lang_kl" -> q106_lang_kl _,
     "q108_dup_runs" -> q108_dup_runs _,
     "q109_gopher_ngram" -> q109_gopher_ngram _,
+    "q110_data_card" -> q110_data_card _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1810,6 +1860,7 @@ object QueriesPipe {
     "q106_lang_kl" -> q106_oracle,
     "q108_dup_runs" -> q108_oracle,
     "q109_gopher_ngram" -> q109_oracle,
+    "q110_data_card" -> q110_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

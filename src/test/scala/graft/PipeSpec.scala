@@ -709,6 +709,30 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("data card totals reconcile with the corpus and the dedup view") {
+    val rows = QueriesPipe.q110_data_card(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // slice totals must partition the corpus exactly
+    assert(rows.map(_.getLong(2)).sum == rawDocs.size.toLong)
+    assert(rows.map(_.getLong(3)).sum ==
+      rawDocs.map(_._3.length.toLong).sum)
+    // independent dup recompute: md5-free — group the raw TEXTS
+    val dupDocs = Tables.table(spark, dir, "documents")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val dupTexts = dupDocs.groupBy(_._3).filter(_._2.length > 1).keySet
+    val expDup = dupDocs.groupBy(d => (d._1, d._2)).view
+      .mapValues(_.count(d => dupTexts.contains(d._3)).toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(7) == expDup.getOrElse(key, 0L),
+        s"$key: dup count ${r.getLong(7)} vs ${expDup.get(key)}")
+      assert(r.getLong(4) <= r.getLong(5), "min > max")
+      val mean = r.getLong(3).toDouble / r.getLong(2)
+      assert(math.abs(r.getDouble(6) - mean) < 1e-3)
+    }
+  }
+
   test("gopher n-gram fractions match a from-scratch recompute") {
     val rows = QueriesPipe.q109_gopher_ngram(spark, dir).collect()
     val docs = rawDocs.map { case (id, _, toks) => id -> toks }.toMap
