@@ -144,7 +144,7 @@ object Oracles {
         | round(len(list_distinct(string_split(text, ' ')))::DOUBLE
         |   / len(string_split(text, ' ')), 4) AS uniq_ratio,
         | round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
-        |   / length(text), 4) AS punct_ratio,
+        |   / nullif(length(text), 0), 4) AS punct_ratio,
         | round(len(list_filter(string_split(text, ' '),
         |     x -> list_contains(['the','and','of','to','in','a','is','for'],
         |       lower(x))))::DOUBLE

@@ -226,8 +226,13 @@ object Queries {
         size($"toks").as("n_tokens"),
         round(size(array_distinct($"toks")).cast("double") /
           size($"toks"), 4).as("uniq_ratio"),
+        // nullif guard: an EMPTY doc must yield NULL, not abort the
+        // whole corpus job under ANSI division-by-zero (one poisoned
+        // row at 100 TB would kill the pipeline); the token-count
+        // denominators are safe (split('') is [''], size 1)
         round(length(regexp_replace($"text", "[^.!?,;:]", ""))
-          .cast("double") / length($"text"), 4).as("punct_ratio"),
+          .cast("double") / nullif(length($"text"), lit(0)), 4)
+          .as("punct_ratio"),
         round(size(filter($"toks", x =>
           array_contains(typedLit(stop), lower(x)))).cast("double") /
           size($"toks"), 4).as("stop_ratio"))
