@@ -51,7 +51,13 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q86_cms_heavyhitters", "q89_contam_spans", "q93_span_dedup",
       "q95_bpe_merge", "q96_quality_mix", "q103_vocab_oov",
       "q104_dsir_weights", "q105_unimax_mix", "q106_lang_kl",
-      "q108_dup_runs", "q109_gopher_ngram", "q110_data_card")
+      "q108_dup_runs", "q109_gopher_ngram", "q110_data_card",
+      // sampling / packing / sharding over the same corpus
+      "q49_stratified_sample", "q50_train_split", "q51_quality_topk",
+      "q62_topk_native", "q69_seq_pack", "q70_temp_sample",
+      "q79_shard_assign", "q87_quota_sample",
+      // multimodal payloads synthesized per doc_id
+      "q28_multimodal", "q90_audio", "q94_video_frames")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
