@@ -93,7 +93,12 @@ object QueriesSim {
     cache.keys.filter(k => k._1 == view && k._2 != dir)
       .foreach(k => cache.remove(k).foreach(
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint))
-    val df = cache.getOrElseUpdate((view, dir), {
+    // the per-session lock makes the builder run AT MOST ONCE:
+    // TrieMap.getOrElseUpdate alone may evaluate a racing builder and
+    // discard its result, which here would strand a whole checkpoint
+    // in executor storage with nothing left holding a handle to
+    // unpersist it
+    val df = cache.synchronized { cache.getOrElseUpdate((view, dir), {
       // EAGER checkpoint, not persist+view: a view over a cached
       // plan must re-match the cache at every use site, and inside a
       // multi-branch SQL (the 4-band union self-join) Spark re-derived
@@ -126,7 +131,7 @@ object QueriesSim {
           s.sql(sql).checkpoint()
         case _ => s.sql(sql).localCheckpoint()
       }
-    })
+    }) }
     df.createOrReplaceTempView(view)
   }
 
