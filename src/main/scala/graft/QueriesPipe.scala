@@ -1332,6 +1332,50 @@ object QueriesPipe {
         |FROM g JOIN dup USING (gram)
         |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Quantile-sketch profiling — completes the mergeable-sketch
+    * family (HLL cardinality q85, CMS frequency q86, Bloom membership
+    * q77): per-language length distribution via a FIXED-SIZE rank
+    * sketch (Spark's approx_percentile / Greenwald-Khanna) next to
+    * the exact percentiles. At 100 TB the exact column is the one
+    * you drop — the sketch merges across partitions with a bounded
+    * footprint. The compared sketch columns are RANK-BOUND verdicts
+    * in the q85/q86 style: the sketch's p50/p95 must land between the
+    * DISCRETE exact quantiles at q∓0.04 — discrete, because the
+    * sketch returns an actual data value (GK rank error ≤ N/100 at
+    * accuracy 100), and at small N an interpolated band can be
+    * narrower than one data gap, failing a perfectly correct sketch.
+    * Each engine judges its own sketch (DuckDB's approx_quantile is
+    * t-digest), so raw estimator values never cross engines and the
+    * hash compare is deterministic. */
+  def q111_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  round(percentile(n_chars, 0.5D), 6) + 0 AS exact_p50,
+        |  round(percentile(n_chars, 0.95D), 6) + 0 AS exact_p95,
+        |  approx_percentile(n_chars, 0.5D, 100)
+        |    BETWEEN percentile_disc(0.46D) WITHIN GROUP (ORDER BY n_chars)
+        |        AND percentile_disc(0.54D) WITHIN GROUP (ORDER BY n_chars)
+        |    AS p50_ok,
+        |  approx_percentile(n_chars, 0.95D, 100)
+        |    BETWEEN percentile_disc(0.91D) WITHIN GROUP (ORDER BY n_chars)
+        |        AND percentile_disc(0.99D) WITHIN GROUP (ORDER BY n_chars)
+        |    AS p95_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q111_oracle: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  round(quantile_cont(n_chars, 0.5), 6) + 0 AS exact_p50,
+      |  round(quantile_cont(n_chars, 0.95), 6) + 0 AS exact_p95,
+      |  approx_quantile(n_chars, 0.5)
+      |    BETWEEN quantile_disc(n_chars, 0.46)
+      |        AND quantile_disc(n_chars, 0.54) AS p50_ok,
+      |  approx_quantile(n_chars, 0.95)
+      |    BETWEEN quantile_disc(n_chars, 0.91)
+      |        AND quantile_disc(n_chars, 0.99) AS p95_ok
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-(source, language) data card — the "datasheets for datasets"
     * summary (Gebru et al. 2021) a pipeline publishes with every
     * corpus drop: document/token volumes, length distribution, and
@@ -1802,6 +1846,7 @@ object QueriesPipe {
     "q108_dup_runs" -> q108_dup_runs _,
     "q109_gopher_ngram" -> q109_gopher_ngram _,
     "q110_data_card" -> q110_data_card _,
+    "q111_quantile_sketch" -> q111_quantile_sketch _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1861,6 +1906,7 @@ object QueriesPipe {
     "q108_dup_runs" -> q108_oracle,
     "q109_gopher_ngram" -> q109_oracle,
     "q110_data_card" -> q110_oracle,
+    "q111_quantile_sketch" -> q111_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

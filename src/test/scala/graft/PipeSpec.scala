@@ -709,6 +709,39 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch verdicts hold and the raw sketch is rank-sound") {
+    val rows = QueriesPipe.q111_quantile_sketch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)}: p50 out of rank band")
+      assert(r.getBoolean(5), s"${r.getString(0)}: p95 out of rank band")
+      assert(r.getDouble(2) <= r.getDouble(3), "p50 must not exceed p95")
+    }
+    // independent raw probe: pull the sketch VALUES and bound their
+    // ranks against a driver-side sort of the actual data
+    Tables.registerAll(spark, dir)
+    val approx = spark.sql(
+      """SELECT lang, approx_percentile(n_chars, 0.5D, 100) AS a50,
+        |  approx_percentile(n_chars, 0.95D, 100) AS a95
+        |FROM documents GROUP BY lang""".stripMargin).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLang = Tables.table(spark, dir, "documents")
+      .select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (lang, (a50, a95)) =>
+      val xs = byLang(lang); val n = xs.length
+      def rankOk(v: Long, q: Double): Boolean = {
+        // value must sit within +/- (eps + 1) ranks of q*n for eps=n/100
+        val lo = math.max(0, (q * n - n / 100.0 - 2).floor.toInt)
+        val hi = math.min(n - 1, (q * n + n / 100.0 + 1).ceil.toInt)
+        v >= xs(lo) && v <= xs(hi)
+      }
+      assert(rankOk(a50, 0.5), s"$lang: p50 sketch $a50 rank-unsound")
+      assert(rankOk(a95, 0.95), s"$lang: p95 sketch $a95 rank-unsound")
+    }
+  }
+
   test("data card totals reconcile with the corpus and the dedup view") {
     val rows = QueriesPipe.q110_data_card(spark, dir).collect()
     assert(rows.nonEmpty)
