@@ -1332,6 +1332,35 @@ object QueriesPipe {
         |FROM g JOIN dup USING (gram)
         |ORDER BY doc_id, tok_start, gram""".stripMargin
 
+  /** Metadata k-anonymity audit — the privacy companion to q67's PII
+    * redaction: group documents by their quasi-identifier tuple
+    * (lang, source, length bucket) and flag equivalence classes
+    * smaller than k=5, whose members a release would expose to
+    * re-identification by metadata alone (Sweeney 2002). One
+    * map-side-combined aggregate over a scan-time projection; class
+    * keys are bounded (langs × sources × buckets), so the shuffle is
+    * tiny at any corpus size. Integer-only output. */
+  def q112_k_anonymity(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT lang, source,
+        |  cast(n_chars DIV 100 AS bigint) AS len_bucket,
+        |  count(*) AS class_size,
+        |  count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY lang, source, n_chars DIV 100
+        |ORDER BY lang, source, len_bucket""".stripMargin)
+  }
+
+  val q112_oracle: String =
+    """SELECT lang, source,
+      |  (n_chars // 100)::BIGINT AS len_bucket,
+      |  count(*)::BIGINT AS class_size,
+      |  count(*) < 5 AS at_risk
+      |FROM documents
+      |GROUP BY lang, source, n_chars // 100
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
   /** Quantile-sketch profiling — completes the mergeable-sketch
     * family (HLL cardinality q85, CMS frequency q86, Bloom membership
     * q77): per-language length distribution via a FIXED-SIZE rank
@@ -1847,6 +1876,7 @@ object QueriesPipe {
     "q109_gopher_ngram" -> q109_gopher_ngram _,
     "q110_data_card" -> q110_data_card _,
     "q111_quantile_sketch" -> q111_quantile_sketch _,
+    "q112_k_anonymity" -> q112_k_anonymity _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1907,6 +1937,7 @@ object QueriesPipe {
     "q109_gopher_ngram" -> q109_oracle,
     "q110_data_card" -> q110_oracle,
     "q111_quantile_sketch" -> q111_oracle,
+    "q112_k_anonymity" -> q112_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

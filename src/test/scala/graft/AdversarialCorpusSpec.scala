@@ -52,6 +52,7 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q95_bpe_merge", "q96_quality_mix", "q103_vocab_oov",
       "q104_dsir_weights", "q105_unimax_mix", "q106_lang_kl",
       "q108_dup_runs", "q109_gopher_ngram", "q110_data_card",
+      "q111_quantile_sketch", "q112_k_anonymity",
       // sampling / packing / sharding over the same corpus
       "q49_stratified_sample", "q50_train_split", "q51_quality_topk",
       "q62_topk_native", "q69_seq_pack", "q70_temp_sample",

@@ -709,6 +709,23 @@ class PipeSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity classes partition the corpus with correct flags") {
+    val rows = QueriesPipe.q112_k_anonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    val expect = Tables.table(spark, dir, "documents")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.keySet == expect.keySet, "class keys diverge")
+    rows.foreach { case (key, (size, atRisk)) =>
+      assert(size == expect(key), s"$key: size $size vs ${expect(key)}")
+      assert(atRisk == (size < 5), s"$key: flag wrong")
+    }
+    assert(rows.values.map(_._1).sum ==
+      expect.values.sum, "classes must partition the corpus")
+  }
+
   test("quantile sketch verdicts hold and the raw sketch is rank-sound") {
     val rows = QueriesPipe.q111_quantile_sketch(spark, dir).collect()
     assert(rows.nonEmpty)
