@@ -58,7 +58,9 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q62_topk_native", "q69_seq_pack", "q70_temp_sample",
       "q79_shard_assign", "q87_quota_sample",
       // multimodal payloads synthesized per doc_id
-      "q28_multimodal", "q90_audio", "q94_video_frames")
+      "q28_multimodal", "q90_audio", "q94_video_frames",
+      // documents-sourced streaming ops (exact dedup, in-row minhash)
+      "q71_stream_dedup", "q75_stream_minhash")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()

@@ -16,6 +16,35 @@ class ConcurrencySpec extends AnyFunSuite {
 
   val schema = GSchema("timestamp" -> "int*", "value" -> "float")
 
+  test("concurrent materialize across dirs never leaves a dead view") {
+    // regression for the evict-vs-rebind race: thread A pins a view
+    // for dir1 while thread B pins the SAME view for dir2 — the
+    // same-view eviction must not unpersist blocks another thread is
+    // about to bind, and whichever binding wins must stay readable
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (_ <- 1 to 5) {
+        val latch = new CountDownLatch(1)
+        val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        val fs = dirs.map { d =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              latch.await()
+              QueriesSim.materialize(spark, d,
+                s"SELECT doc_id, lang FROM parquet.`$d/documents.parquet`",
+                "conc_view")
+            }
+          })
+        }
+        latch.countDown()
+        fs.foreach(_.get(120, TimeUnit.SECONDS))
+        // the surviving binding must be fully readable (missing-block
+        // errors here mean eviction freed a just-built checkpoint)
+        assert(spark.table("conc_view").count() > 0)
+      }
+    } finally pool.shutdown()
+  }
+
   test("parallel writers on one series, then merge, then read all") {
     val root = Files.createTempDirectory("graft-conc").toString
     val repo = new Repo(root, spark)
