@@ -14,13 +14,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object QueriesStream {
 
-  /** raw streaming source over the events file: ts arrives as the
-    * parquet NANOS long (Tables.init sets nanosAsLong) */
+  /** raw streaming source over the events file, with ts already
+    * normalized to UTC TimestampType (the on-disk encoding has varied
+    * between NANOS-long and TIMESTAMP_NTZ across testdata drops —
+    * Tables.normalizeTs absorbs both, for the stream exactly as for
+    * the batch tables) */
   private def rawEvents(s: SparkSession, dir: String): DataFrame = {
     Tables.init(s)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // a glob (not a bare file path) so the source's basePath is the dir
-    StreamOps.eventStream(s, s"$dir/events*.parquet", schema)
+    Tables.normalizeTs(
+      StreamOps.eventStream(s, s"$dir/events*.parquet", schema), "ts")
   }
 
   /** drain `df` through a memory sink and return the sink table */
@@ -38,7 +42,6 @@ object QueriesStream {
     * complete mode), checked against the batch SQL equivalent. */
   def q52_stream_window(s: SparkSession, dir: String): DataFrame = {
     val src = rawEvents(s, dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = StreamOps.windowedStats(src, "ts", "1 hour", "1 hour",
       "1 hour")
     drain(s, agg, "graft_q52_sink", "complete")
@@ -65,7 +68,7 @@ object QueriesStream {
     import s.implicits._
     val src = rawEvents(s, dir)
       .select(col("user_id"),
-        expr("timestamp_millis(ts div 1000000)").as("ts"), col("value"))
+        date_trunc("millisecond", col("ts")).as("ts"), col("value"))
       .as[StreamOps.SessionEvent]
     val sess = StreamOps.gapSessions(src, gapMs = 1800000L)
     drain(s, sess.toDF(), "graft_q53_sink", "append")
@@ -116,8 +119,8 @@ object QueriesStream {
     val sr = new Repo(root, s).createCollection(schema, "events")
       .series("_")
     val src = rawEvents(s, dir)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
-        col("event_id"), col("value"), col("event_type"))
+      .select(col("ts"), col("event_id"), col("value"),
+        col("event_type"))
     val q = StreamOps.writeToSeries(src, sr)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -188,7 +191,6 @@ object QueriesStream {
     * which is what the oracle checks. */
   def q81_stream_join(s: SparkSession, dir: String): DataFrame = {
     val src = rawEvents(s, dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))

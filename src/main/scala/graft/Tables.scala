@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * /root/testdata/sf0.001 .. sf0.1, with the interop fixups needed for
   * DuckDB-oracle parity:
   *
-  * - events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-  *   default; we read it as Long (legacy conf) and integer-divide to
-  *   microseconds — exactly DuckDB's own µs truncation.
+  * - events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+  *   refuses by default — read as Long via the legacy conf and
+  *   integer-divided to µs) and as TIMESTAMP(MICROS) without UTC
+  *   adjustment (TIMESTAMP_NTZ to Spark). `normalizeTs` maps either
+  *   encoding to one canonical UTC TimestampType column, so queries
+  *   never see the on-disk flavor.
   * - session timezone forced to UTC so timestamp rendering matches.
   */
 object Tables {
@@ -28,12 +31,26 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
+  /** Normalize an event-time column to UTC TimestampType regardless of
+    * the parquet encoding it arrived in (NANOS-as-Long legacy read, or
+    * TIMESTAMP_NTZ from an unadjusted MICROS file — with the session
+    * pinned to UTC the NTZ cast is wall-clock-identical, matching
+    * DuckDB's naive read of the same file). */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     init(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df, "ts") else df
   }
 
   /** memo key: registering 10 parquet views costs a schema-inference
