@@ -670,13 +670,18 @@ object QueriesExt {
 
   def q99_zorder(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
+    // no REPARTITION before the aggregate: the interleave is cheap
+    // codegen arithmetic evaluated inside the scan's partial
+    // aggregate (64 output groups, map-side combined), so an extra
+    // full-width exchange of the two key columns only added a
+    // shuffle — scan parallelism comes from input splits here and
+    // from file count on a real corpus
     s.sql(
       s"""WITH z AS (
          |  SELECT l_partkey AS pk, l_suppkey AS sk,
          |    (${zInterleave("l_partkey", "l_suppkey", spark = true)})
          |      AS zval
-         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */
-         |          l_partkey, l_suppkey FROM lineitem))
+         |  FROM lineitem)
          |SELECT shiftright(zval, 12) AS z_bucket, count(*) AS n,
          |  min(pk) AS pk_min, max(pk) AS pk_max,
          |  min(sk) AS sk_min, max(sk) AS sk_max

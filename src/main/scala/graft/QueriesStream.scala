@@ -21,8 +21,12 @@ object QueriesStream {
     * the batch tables) */
   private def rawEvents(s: SparkSession, dir: String): DataFrame = {
     Tables.init(s)
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // a glob (not a bare file path) so the source's basePath is the dir
+    // schema inferred over the SAME glob the source streams, with
+    // mergeSchema on: a dir mixing ts encodings (NANOS-long vs
+    // NTZ-micros files) fails the merge loudly instead of silently
+    // decoding every file with one random footer's encoding
+    val schema = s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/events*.parquet").schema
     Tables.normalizeTs(
       StreamOps.eventStream(s, s"$dir/events*.parquet", schema), "ts")
   }

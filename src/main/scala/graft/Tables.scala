@@ -35,12 +35,27 @@ object Tables {
     * the parquet encoding it arrived in (NANOS-as-Long legacy read, or
     * TIMESTAMP_NTZ from an unadjusted MICROS file — with the session
     * pinned to UTC the NTZ cast is wall-clock-identical, matching
-    * DuckDB's naive read of the same file). */
+    * DuckDB's naive read of the same file).
+    *
+    * The Long branch div-1000s on the NANOS assumption; a plain INT64
+    * epoch-micros column (no parquet logical type) would be silently
+    * shifted 1000x, so the branch asserts the magnitude: nanos for any
+    * date after ~2001 are >= 1e18, micros are < 4e17 until ~14687 CE —
+    * the ranges cannot overlap for sane data, and an ambiguous drop
+    * fails loudly instead of producing year-1970 timestamps. */
   private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(c).dataType match {
       case LongType =>
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        df.withColumn(c, expr(
+          s"""timestamp_micros(CASE
+             |  WHEN $c >= 1000000000000000000L OR $c <= 0 THEN $c div 1000
+             |  ELSE raise_error(concat(
+             |    'normalizeTs: Long $c value ', cast($c AS string),
+             |    ' is too small for epoch-nanos; if the column is ',
+             |    'epoch-micros INT64, read it without the nanos ',
+             |    'legacy conf'))
+             |END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn(c, col(c).cast(TimestampType))
       case _ => df
