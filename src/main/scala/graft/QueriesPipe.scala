@@ -302,7 +302,7 @@ object QueriesPipe {
     * cross-entropy) both derive from it; materialized once per
     * (session, dir) so the explode+count pass runs once — the same
     * build-the-index-once shape a 100 TB corpus pipeline uses. */
-  private def termView(s: SparkSession, dir: String): Unit = {
+  private[graft] def termView(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
     // hash repartition on doc_id, not round-robin: round-robin inserts
     // a binary row sort before the exchange (sortBeforeRepartition) —

@@ -1,0 +1,395 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / RAG-curation operators over the corpus tables: BM25
+  * scoring off the shared inverted index, reciprocal-rank fusion of
+  * two retrievers, MMR diversification of a candidate list, perceptual
+  * image-hash dedup through the real JDK decoder, and tokenizer
+  * fertility. Reference scope: lakota itself stops at series/frame
+  * analytics — these are the retrieval-side operators a training-data
+  * pipeline layers on top (cited shapes: Robertson & Zaragoza 2009 for
+  * BM25, Cormack et al. 2009 for RRF, Carbonell & Goldstein 1998 for
+  * MMR).
+  *
+  * Cross-engine determinism follows the house rules: every ranking
+  * key is quantized to integer units BEFORE comparison/summation
+  * (float summation order can never flip a rank), ties break on ids,
+  * and the Spark and DuckDB texts compute double expressions with
+  * identically-ordered operations.
+  */
+object QueriesRag {
+
+  // ---- q113: BM25 "more-like-this" retrieval ---------------------------
+
+  /** BM25 (k1 = 1.2, b = 0.75) of every document against the query
+    * bag = doc 5's distinct terms, top-10. Derives entirely from the
+    * shared `doc_terms` inverted index: document lengths and query
+    * document frequencies are map-side-combined aggregates (the df
+    * aggregate only counts the query's own terms — a broadcast
+    * semi-join prunes the vocabulary before counting), scoring is one
+    * pass over the index joined to the tiny df/length tables, and the
+    * top-10 uses the two-stage sharded rank. At 100 TB the per-doc
+    * length table no longer broadcasts — AQE degrades that join to a
+    * doc_id-keyed shuffle, which is the natural shape. Per-term
+    * scores are quantized to integer 1e-6 units before the per-doc
+    * sum. */
+  def q113_bm25(s: SparkSession, dir: String): DataFrame = {
+    QueriesPipe.termView(s, dir)
+    s.sql(
+      s"""WITH dl AS (SELECT doc_id, sum(cnt) AS dl FROM doc_terms
+         |        GROUP BY doc_id),
+         |st AS (SELECT sum(dl) AS sdl, count(*) AS ndl FROM dl),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |qt AS (SELECT DISTINCT term FROM doc_terms WHERE doc_id = 5),
+         |df AS (SELECT /*+ BROADCAST(qt) */ t.term, count(*) AS df
+         |  FROM doc_terms t JOIN qt ON t.term = qt.term
+         |  GROUP BY t.term),
+         |sc AS (
+         |  SELECT t.doc_id, t.lang,
+         |    sum(cast(round(
+         |      ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D))
+         |      * ((t.cnt * 2.2D) / (t.cnt
+         |          + 1.2D * (0.25D + 0.75D * dl.dl * st.ndl / st.sdl)))
+         |      * 1000000.0D, 0) AS bigint)) AS qsc
+         |  FROM doc_terms t
+         |  JOIN df ON t.term = df.term
+         |  JOIN dl ON t.doc_id = dl.doc_id
+         |  CROSS JOIN st CROSS JOIN n
+         |  WHERE t.doc_id != 5
+         |  GROUP BY t.doc_id, t.lang),
+         |t1 AS (SELECT doc_id, lang, qsc FROM (
+         |    SELECT doc_id, lang, qsc, row_number() OVER (
+         |      PARTITION BY pmod(hash(doc_id), 16)
+         |      ORDER BY qsc DESC, doc_id) AS rn
+         |    FROM sc) WHERE rn <= 10)
+         |SELECT doc_id, lang, cast(rn AS bigint) AS rank,
+         |  round(qsc / 1000000.0D, 4) + 0 AS bm25
+         |FROM (SELECT doc_id, lang, qsc, row_number() OVER (
+         |        ORDER BY qsc DESC, doc_id) AS rn FROM t1)
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin)
+  }
+
+  val q113_oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |wf AS (SELECT doc_id, lang, term, count(*) AS cnt
+      |       FROM w GROUP BY 1, 2, 3),
+      |dl AS (SELECT doc_id, sum(cnt) AS dl FROM wf GROUP BY doc_id),
+      |st AS (SELECT sum(dl) AS sdl, count(*) AS ndl FROM dl),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |qt AS (SELECT DISTINCT term FROM wf WHERE doc_id = 5),
+      |df AS (SELECT t.term, count(*) AS df
+      |  FROM wf t JOIN qt ON t.term = qt.term GROUP BY t.term),
+      |sc AS (
+      |  SELECT t.doc_id, t.lang,
+      |    sum(round(
+      |      ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+      |      * ((t.cnt * 2.2) / (t.cnt
+      |          + 1.2 * (0.25 + 0.75 * dl.dl * st.ndl / st.sdl)))
+      |      * 1000000.0)::BIGINT) AS qsc
+      |  FROM wf t
+      |  JOIN df ON t.term = df.term
+      |  JOIN dl ON t.doc_id = dl.doc_id
+      |  CROSS JOIN st CROSS JOIN n
+      |  WHERE t.doc_id != 5
+      |  GROUP BY t.doc_id, t.lang)
+      |SELECT doc_id, lang, rn AS rank,
+      |  round(qsc / 1000000.0, 4) + 0 AS bm25
+      |FROM (SELECT doc_id, lang, qsc, row_number() OVER (
+      |        ORDER BY qsc DESC, doc_id) AS rn FROM sc)
+      |WHERE rn <= 10 ORDER BY rank""".stripMargin
+
+  // ---- q114: reciprocal-rank fusion ------------------------------------
+
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    * retrievers over the embedding corpus for probe vector 0: the
+    * cosine-similarity ranking and the euclidean-distance ranking
+    * disagree exactly where vector norms vary, and RRF's
+    * sum(1/(60+rank)) over each retriever's top-50 is the standard
+    * zero-tuning way to combine them. Each ranking is the two-stage
+    * sharded top-k; the fused score is pure integer math
+    * (1e6 div (60+rank)), so both engines agree bit-for-bit. */
+  def q114_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |sc AS (SELECT v.vec_id,
+         |    cast(round(graft_cosine(v.e, qe) * 1000000.0D, 0)
+         |      AS bigint) AS qcos,
+         |    cast(round(aggregate(zip_with(v.e, qe,
+         |        (x, y) -> (x - y) * (x - y)),
+         |      cast(0 AS double), (a, x) -> a + x) * 1000000.0D, 0)
+         |      AS bigint) AS qd2,
+         |    pmod(hash(v.vec_id), 16) AS shard
+         |  FROM v, q WHERE v.vec_id != 0),
+         |ca1 AS (SELECT vec_id, qcos FROM (
+         |    SELECT vec_id, qcos, row_number() OVER (
+         |      PARTITION BY shard ORDER BY qcos DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 50),
+         |ca AS (SELECT vec_id, ra FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY qcos DESC, vec_id) AS ra FROM ca1)
+         |  WHERE ra <= 50),
+         |cb1 AS (SELECT vec_id, qd2 FROM (
+         |    SELECT vec_id, qd2, row_number() OVER (
+         |      PARTITION BY shard ORDER BY qd2 ASC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 50),
+         |cb AS (SELECT vec_id, rb FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY qd2 ASC, vec_id) AS rb FROM cb1)
+         |  WHERE rb <= 50),
+         |f AS (SELECT coalesce(ca.vec_id, cb.vec_id) AS vec_id,
+         |    coalesce(1000000 DIV (60 + ca.ra), 0)
+         |      + coalesce(1000000 DIV (60 + cb.rb), 0) AS qrrf,
+         |    cast(ca.ra AS bigint) AS cos_rank,
+         |    cast(cb.rb AS bigint) AS dist_rank
+         |  FROM ca FULL OUTER JOIN cb ON ca.vec_id = cb.vec_id)
+         |SELECT vec_id, cast(rn AS bigint) AS rank,
+         |  round(qrrf / 1000000.0D, 6) + 0 AS rrf,
+         |  cos_rank, dist_rank
+         |FROM (SELECT *, row_number() OVER (
+         |        ORDER BY qrrf DESC, vec_id) AS rn FROM f)
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin)
+  }
+
+  val q114_oracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+      |sc AS (SELECT v.vec_id,
+      |    round(list_cosine_similarity(v.e, qe) * 1000000.0)::BIGINT
+      |      AS qcos,
+      |    round(list_sum(list_transform(range(1, len(v.e) + 1),
+      |        i -> (v.e[i] - qe[i]) * (v.e[i] - qe[i])))
+      |      * 1000000.0)::BIGINT AS qd2
+      |  FROM v, q WHERE v.vec_id != 0),
+      |ca AS (SELECT vec_id, ra FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY qcos DESC, vec_id) AS ra FROM sc)
+      |  WHERE ra <= 50),
+      |cb AS (SELECT vec_id, rb FROM (
+      |    SELECT vec_id, row_number() OVER (
+      |      ORDER BY qd2 ASC, vec_id) AS rb FROM sc)
+      |  WHERE rb <= 50),
+      |f AS (SELECT coalesce(ca.vec_id, cb.vec_id) AS vec_id,
+      |    coalesce(1000000 // (60 + ca.ra), 0)
+      |      + coalesce(1000000 // (60 + cb.rb), 0) AS qrrf,
+      |    ca.ra AS cos_rank, cb.rb AS dist_rank
+      |  FROM ca FULL OUTER JOIN cb ON ca.vec_id = cb.vec_id)
+      |SELECT vec_id, rn AS rank,
+      |  round(qrrf / 1000000.0, 6) + 0 AS rrf, cos_rank, dist_rank
+      |FROM (SELECT *, row_number() OVER (
+      |        ORDER BY qrrf DESC, vec_id) AS rn FROM f)
+      |WHERE rn <= 10 ORDER BY rank""".stripMargin
+
+  // ---- q115: MMR diversification ---------------------------------------
+
+  /** Shared CTE-chain generator for the 5-step MMR unroll, emitted in
+    * both dialects from ONE template so the arithmetic cannot drift.
+    * Scores are exact integers: qrel/qsim are cosines quantized to
+    * 1e-6 units, and the MMR objective (lambda=0.7) is kept as
+    * 7*qrel - 3*maxsim — the same ORDER as the divided form with no
+    * division, so truncate-vs-floor semantics never matter. */
+  private def mmrSteps: String = (2 to 5).map { k =>
+    s"""m$k AS (SELECT c.vec_id, 7 * c.qrel - 3 * max(s.qsim) AS qmmr
+       |  FROM cand c
+       |  JOIN sim s ON s.va = c.vec_id
+       |  JOIN sel${k - 1} x ON s.vb = x.vec_id
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+       |  GROUP BY c.vec_id, c.qrel),
+       |s$k AS (SELECT vec_id, qmmr FROM (
+       |    SELECT vec_id, qmmr, row_number() OVER (
+       |      ORDER BY qmmr DESC, vec_id) AS rn FROM m$k)
+       |  WHERE rn = 1),
+       |sel$k AS (SELECT vec_id FROM sel${k - 1}
+       |  UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+  }.mkString(",\n")
+
+  private def mmrFinal: String =
+    (1 to 5).map(k =>
+      s"SELECT cast($k AS bigint) AS step, vec_id, qmmr FROM s$k")
+      .mkString("\n  UNION ALL ")
+
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein 1998) of the cosine top-20 for probe vector 0: greedily
+    * pick 5 results maximizing 0.7*relevance - 0.3*max-similarity to
+    * the already-picked set — the standard de-redundancy pass on a
+    * RAG retriever's output. The greedy loop is unrolled as 5 CTE
+    * steps (each one window over the 20-row candidate table); the
+    * candidate list and its 20x20 similarity matrix are the only
+    * corpus-derived inputs, so corpus-side cost is one scan however
+    * big the table is. */
+  def q115_mmr_diversify(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    cast(embedding AS array<double>) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |sc AS (SELECT v.vec_id,
+         |    cast(round(graft_cosine(v.e, qe) * 1000000.0D, 0)
+         |      AS bigint) AS qrel,
+         |    pmod(hash(v.vec_id), 16) AS shard
+         |  FROM v, q WHERE v.vec_id != 0),
+         |t1 AS (SELECT vec_id, qrel FROM (
+         |    SELECT vec_id, qrel, row_number() OVER (
+         |      PARTITION BY shard ORDER BY qrel DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 20),
+         |cand AS (SELECT vec_id, qrel FROM (
+         |    SELECT vec_id, qrel, row_number() OVER (
+         |      ORDER BY qrel DESC, vec_id) AS rn FROM t1)
+         |  WHERE rn <= 20),
+         |cv AS (SELECT c.vec_id, v.e FROM cand c
+         |  JOIN v ON c.vec_id = v.vec_id),
+         |sim AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    cast(round(graft_cosine(a.e, b.e) * 1000000.0D, 0)
+         |      AS bigint) AS qsim
+         |  FROM cv a JOIN cv b ON a.vec_id != b.vec_id),
+         |s1 AS (SELECT vec_id, 7 * qrel AS qmmr FROM (
+         |    SELECT vec_id, qrel, row_number() OVER (
+         |      ORDER BY qrel DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT vec_id FROM s1),
+         |$mmrSteps
+         |SELECT step, vec_id,
+         |  round(qmmr / 10000000.0D, 4) + 0 AS mmr
+         |FROM ($mmrFinal)
+         |ORDER BY step""".stripMargin)
+  }
+
+  val q115_oracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |sc AS (SELECT v.vec_id,
+       |    round(list_cosine_similarity(v.e, qe) * 1000000.0)::BIGINT
+       |      AS qrel
+       |  FROM v, q WHERE v.vec_id != 0),
+       |cand AS (SELECT vec_id, qrel FROM (
+       |    SELECT vec_id, qrel, row_number() OVER (
+       |      ORDER BY qrel DESC, vec_id) AS rn FROM sc)
+       |  WHERE rn <= 20),
+       |cv AS (SELECT c.vec_id, v.e FROM cand c
+       |  JOIN v ON c.vec_id = v.vec_id),
+       |sim AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_cosine_similarity(a.e, b.e) * 1000000.0)::BIGINT
+       |      AS qsim
+       |  FROM cv a JOIN cv b ON a.vec_id != b.vec_id),
+       |s1 AS (SELECT vec_id, 7 * qrel AS qmmr FROM (
+       |    SELECT vec_id, qrel, row_number() OVER (
+       |      ORDER BY qrel DESC, vec_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$mmrSteps
+       |SELECT step, vec_id,
+       |  round(qmmr / 10000000.0, 4) + 0 AS mmr
+       |FROM ($mmrFinal)
+       |ORDER BY step""".stripMargin
+
+  // ---- q116: perceptual image-hash dedup -------------------------------
+
+  /** Perceptual near-duplicate image grouping through the REAL
+    * decoder: synthesize one 16x16 gradient PNG per document (pixel
+    * values are a pure function of doc_id mod 256, so ids congruent
+    * mod 256 yield byte-identical rasters), average-hash the decoded
+    * pixels (8x8 brighter-than-mean bits — integer math end to end),
+    * and group by hash. The oracle recomputes every pixel, cell sum
+    * and hash bit from doc_id in closed form: a decoder that dropped
+    * a row, mangled a channel or binned cells differently fails the
+    * hash compare. mapPartitions batch shape as the other multimodal
+    * decodes; the groupBy carries 8-byte hashes, never pixels. */
+  def q116_image_phash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.table(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.MediaCodec.encodeGradientPng(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.aHashImages(payloads, "doc_id", "payload")
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  val q116_oracle: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, x, y,
+      |    (d.doc_id + 16 * x + 7 * y) % 256 AS g
+      |  FROM documents d, range(0, 16) t1(x), range(0, 16) t2(y)),
+      |cell AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS b,
+      |    sum(g) AS cs, count(*) AS cn
+      |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+      |tot AS (SELECT doc_id, sum(g) AS ts, count(*) AS tn
+      |  FROM px GROUP BY doc_id),
+      |bits AS (SELECT c.doc_id, c.b,
+      |    CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+      |  FROM cell c JOIN tot t ON c.doc_id = t.doc_id),
+      |h AS (SELECT doc_id,
+      |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+      |        ELSE 0 END)::BIGINT AS ahash_hi,
+      |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+      |        ELSE 0 END)::BIGINT AS ahash_lo
+      |  FROM bits GROUP BY doc_id)
+      |SELECT ahash_hi, ahash_lo, count(*)::BIGINT AS n_dups,
+      |  min(doc_id) AS keep_id
+      |FROM h GROUP BY ahash_hi, ahash_lo ORDER BY keep_id""".stripMargin
+
+  // ---- q117: tokenizer fertility ---------------------------------------
+
+  /** Tokenizer fertility per language: BPE-ish regex tokens per
+    * whitespace word, and characters per regex token — the
+    * tokenizer-fit numbers (a fertility far above ~1.3 on a language
+    * flags a vocabulary that fragments it, inflating training cost).
+    * One in-row projection + one map-side-combined aggregate; the
+    * only division happens on the final 5-row table. */
+  def q117_tok_fertility(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT lang,
+        |  sum(bpe) AS total_bpe, sum(ws) AS total_ws,
+        |  round(sum(bpe) * 1.0D / sum(ws), 6) + 0 AS fertility,
+        |  round(sum(chars) * 1.0D / sum(bpe), 6) + 0 AS chars_per_tok
+        |FROM (SELECT lang,
+        |    size(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe,
+        |    size(split(text, ' ', -1)) AS ws,
+        |    length(text) AS chars
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q117_oracle: String =
+    """SELECT lang,
+      |  sum(bpe)::BIGINT AS total_bpe, sum(ws)::BIGINT AS total_ws,
+      |  round(sum(bpe) * 1.0 / sum(ws), 6) + 0 AS fertility,
+      |  round(sum(chars) * 1.0 / sum(bpe), 6) + 0 AS chars_per_tok
+      |FROM (SELECT lang,
+      |    len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe,
+      |    len(string_split(text, ' ')) AS ws,
+      |    len(text) AS chars
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bm25" -> q113_bm25 _,
+    "q114_rrf_fusion" -> q114_rrf_fusion _,
+    "q115_mmr_diversify" -> q115_mmr_diversify _,
+    "q116_image_phash" -> q116_image_phash _,
+    "q117_tok_fertility" -> q117_tok_fertility _)
+
+  val oracles: Map[String, String] = Map(
+    "q113_bm25" -> q113_oracle,
+    "q114_rrf_fusion" -> q114_oracle,
+    "q115_mmr_diversify" -> q115_oracle,
+    "q116_image_phash" -> q116_oracle,
+    "q117_tok_fertility" -> q117_oracle)
+}

@@ -12,12 +12,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesSim.all ++ QueriesSeries.all ++
       QueriesExt.all ++ QueriesWindow.all ++ QueriesPipe.all ++
-      QueriesStream.all
+      QueriesStream.all ++ QueriesRag.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.all ++ QueriesSim.oracles ++ QueriesSeries.oracles ++
       QueriesExt.oracles ++ QueriesWindow.oracles ++ QueriesPipe.oracles ++
-      QueriesStream.oracles
+      QueriesStream.oracles ++ QueriesRag.oracles
 }

@@ -52,6 +52,14 @@ object Multimodal {
       n_samples: Long,
       peak: Int)
 
+  /** 64-bit perceptual average-hash of one image payload, split into
+    * two non-negative 32-bit halves so SQL engines never shift into a
+    * BIGINT sign bit */
+  final case class PerceptualHash(
+      doc_id: Long,
+      ahash_hi: Long,
+      ahash_lo: Long)
+
   object MediaCodec {
     /** Deterministic solid-RGB PNG for a document id — the fixture
       * generator (this container ships no media files, so the tests
@@ -104,6 +112,78 @@ object Multimodal {
         val n = w.toLong * h
         ImageFeatures(docId, w, h,
           (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+      }
+    }
+
+    /** Deterministic 16x16 grayscale-gradient PNG for a document id:
+      * pixel (x, y) carries (docId + 16x + 7y) mod 256 in all three
+      * channels. Unlike the solid fixture, the gradient makes the
+      * average-hash non-degenerate, and because the value depends on
+      * docId only mod 256, ids congruent mod 256 produce IDENTICAL
+      * images — real perceptual-duplicate groups for the dedup
+      * operator, all derivable in closed form by a SQL oracle. */
+    def encodeGradientPng(docId: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val g = ((docId + 16L * x + 7L * y) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL perceptual average-hash (aHash) via the JDK decoder: the
+      * raster is binned into an 8x8 grid, each cell's mean gray is
+      * compared against the whole image's mean gray, and the 64
+      * brighter-than-average bits pack into a hash — near-identical
+      * images land at small Hamming distance. All comparisons are
+      * integer cross-multiplications (cellSum * totalPixels >=
+      * totalSum * cellPixels), so the bits are exact and
+      * oracle-reproducible. None for undecodable payloads. */
+    def aHash(docId: Long, bytes: Array[Byte]): Option[PerceptualHash] = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      Option(img).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) +
+              (p & 0xff)) / 3
+            val b = by * 8 + x * 8 / w
+            sums(b) += gray; cnts(b) += 1; total += gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          // cell mean >= image mean, in exact integer math; empty
+          // cells (images narrower than the 8x8 grid) stay 0
+          if (cnts(b) > 0 && sums(b) * n >= total * cnts(b)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PerceptualHash(docId, hi, lo)
       }
     }
 
@@ -250,6 +330,20 @@ object Multimodal {
         // ImageIO readers are looked up per call, nothing to hoist
         it.flatMap { case (id, bytes) => MediaCodec.decodeImage(id, bytes) }
       }
+  }
+
+  /** Perceptual average-hash over an image payload column — same
+    * mapPartitions batch shape as [[decodeImages]]; undecodable
+    * payloads dropped, not fatal. */
+  def aHashImages(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[PerceptualHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .na.drop()
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.aHash(id, bytes) })
   }
 
   /** Decode an audio payload column into waveform features — same

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch verification of the retrieval/RAG operators
+  * (QueriesRag): each test recomputes the expected answer in plain
+  * driver-side Scala from the raw parquet rows — independent of both
+  * the Spark SQL under test and the DuckDB oracle dialect.
+  */
+class RagSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[(Long, String, String)] =
+    Tables.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def vecs(): Seq[(Long, Array[Double])] =
+    Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q113 BM25 matches a from-scratch driver recompute") {
+    val d = docs()
+    val bags = d.map { case (id, text, _) =>
+      id -> text.split(" ", -1).toSeq }.toMap
+    val tf = bags.view.mapValues(
+      _.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val sdl = dl.values.sum.toDouble
+    val ndl = dl.size.toDouble
+    val n = d.size.toDouble
+    val qTerms = bags(5L).distinct
+    val df = qTerms.map(t =>
+      t -> tf.values.count(_.contains(t)).toLong).toMap
+    val scored = tf.keys.filter(_ != 5L).map { id =>
+      val qsc = qTerms.flatMap { t =>
+        tf(id).get(t).map { cnt =>
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val tfp = (cnt * 2.2) /
+            (cnt + 1.2 * (0.25 + 0.75 * dl(id) * ndl / sdl))
+          math.round(idf * tfp * 1e6)
+        }
+      }.sum
+      id -> qsc
+    }.toSeq
+    val expect = scored.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = QueriesRag.q113_bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(3) * 1e4)))
+    val want = expect.map { case (id, sc) =>
+      (id, math.round(sc / 1e6 * 1e4)) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q114 RRF fuses exactly the two top-50 lists") {
+    val v = vecs().toMap
+    val qe = v(0L)
+    val scored = v.toSeq.filter(_._1 != 0L).map { case (id, e) =>
+      val qcos = math.round(cos(e, qe) * 1e6)
+      var d2 = 0.0; var i = 0
+      while (i < e.length) {
+        d2 += (e(i) - qe(i)) * (e(i) - qe(i)); i += 1
+      }
+      (id, qcos, math.round(d2 * 1e6))
+    }
+    val ra = scored.sortBy(t => (-t._2, t._1)).take(50)
+      .zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rb = scored.sortBy(t => (t._3, t._1)).take(50)
+      .zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val fused = (ra.keySet ++ rb.keySet).toSeq.map { id =>
+      id -> (ra.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        + rb.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L))
+    }
+    val expect = fused.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = QueriesRag.q114_rrf_fusion(spark, dir).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(2) * 1e6)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q115 MMR equals a driver-side greedy replay") {
+    val v = vecs().toMap
+    val qe = v(0L)
+    val rel = v.toSeq.filter(_._1 != 0L).map { case (id, e) =>
+      id -> math.round(cos(e, qe) * 1e6) }
+    val cand = rel.sortBy { case (id, r) => (-r, id) }.take(20)
+    val relM = cand.toMap
+    val simM = (for {
+      (a, _) <- cand; (b, _) <- cand if a != b
+    } yield (a, b) -> math.round(cos(v(a), v(b)) * 1e6)).toMap
+    var selected = Vector.empty[(Long, Long)] // (vec_id, qmmr)
+    for (_ <- 1 to 5) {
+      val pick =
+        if (selected.isEmpty)
+          cand.map { case (id, r) => id -> 7 * r }
+            .maxBy { case (id, m) => (m, -id) }
+        else {
+          val rest = cand.filterNot(c =>
+            selected.exists(_._1 == c._1))
+          rest.map { case (id, r) =>
+            val ms = selected.map(s => simM((id, s._1))).max
+            id -> (7 * r - 3 * ms)
+          }.maxBy { case (id, m) => (m, -id) }
+        }
+      selected :+= pick
+    }
+    val got = QueriesRag.q115_mmr_diversify(spark, dir).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    val want = selected.map { case (id, m) =>
+      (id, math.round(m / 1e7 * 1e4)) }
+    assert(got.toSeq == want.toSeq)
+    // diversification must actually reorder: the MMR picks after the
+    // first must not simply be relevance ranks 2..5
+    val topRel = cand.take(5).map(_._1)
+    assert(got.map(_._1).toSeq != topRel,
+      "MMR output identical to plain relevance ranking — " +
+        "diversity term had no effect on this corpus (suspicious)")
+  }
+
+  test("q116 aHash matches the closed-form pixel recompute and drops garbage") {
+    import graft.functions.Multimodal.MediaCodec
+    // closed form for the 16x16 gradient fixture
+    def expectHash(docId: Long): (Long, Long) = {
+      val g = Array.tabulate(16, 16)((y, x) =>
+        ((docId + 16L * x + 7L * y) % 256).toInt)
+      val total = g.flatten.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val cs = (for {
+          y <- (2 * by) until (2 * by + 2)
+          x <- (2 * bx) until (2 * bx + 2)
+        } yield g(y)(x).toLong).sum
+        val b = by * 8 + bx
+        if (cs * 256 >= total * 4) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      (hi, lo)
+    }
+    for (id <- Seq(0L, 7L, 255L, 256L, 4999L)) {
+      val real = MediaCodec.aHash(id, MediaCodec.encodeGradientPng(id))
+      assert(real.isDefined, s"decode failed for $id")
+      assert((real.get.ahash_hi, real.get.ahash_lo) == expectHash(id),
+        s"hash mismatch for $id")
+    }
+    // ids congruent mod 256 must collide (byte-identical rasters)
+    assert(expectHash(3L) == expectHash(259L))
+    // garbage payloads are dropped, never fatal
+    assert(MediaCodec.aHash(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.aHash(1L, Array.empty[Byte]).isEmpty)
+    val rows = QueriesRag.q116_image_phash(spark, dir).collect()
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs,
+      "every document must land in exactly one hash group")
+  }
+
+  test("q117 fertility matches integer token sums") {
+    val d = docs()
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val agg = d.groupBy(_._3).view.mapValues { rows =>
+      val bpe = rows.map(r => re.findAllIn(r._2.toLowerCase).size.toLong).sum
+      val ws = rows.map(_._2.split(" ", -1).length.toLong).sum
+      val chars = rows.map(_._2.length.toLong).sum
+      (bpe, ws, chars)
+    }.toMap
+    val got = QueriesRag.q117_tok_fertility(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (bpe, ws, chars) = agg(r.getString(0))
+      assert(r.getLong(1) == bpe && r.getLong(2) == ws)
+      assert(math.abs(r.getDouble(3) - bpe.toDouble / ws) < 1e-6)
+      assert(math.abs(r.getDouble(4) - chars.toDouble / bpe) < 1e-6)
+    }
+  }
+}
