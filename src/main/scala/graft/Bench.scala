@@ -86,7 +86,10 @@ object Bench {
       // hard negatives, vocabulary coverage
       "q91_semdedup", "q98_pq_adc", "q99_zorder", "q100_salted_join",
       "q101_hard_negatives", "q103_vocab_oov", "q104_dsir_weights",
-      "q106_lang_kl", "q107_ann_recall", "q109_gopher_ngram")
+      "q106_lang_kl", "q107_ann_recall", "q109_gopher_ngram",
+      // round-6 additions: BM25 retrieval, perceptual image hashing
+      // (real decode), tokenizer fertility
+      "q113_bm25", "q116_image_phash", "q117_tok_fertility")
     val qs = SparkEntry.queries
     // debug: SPARK_GRAFT_BENCH_ONLY=q23_lsh_pairs,q54_… restricts the
     // timed queries (engine metrics still run; grep the JSON line)
