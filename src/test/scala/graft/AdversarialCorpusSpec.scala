@@ -60,7 +60,12 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       // multimodal payloads synthesized per doc_id
       "q28_multimodal", "q90_audio", "q94_video_frames",
       // documents-sourced streaming ops (exact dedup, in-row minhash)
-      "q71_stream_dedup", "q75_stream_minhash")
+      "q71_stream_dedup", "q75_stream_minhash",
+      // retrieval/RAG cluster (q113's query doc is #5; on this corpus
+      // its terms are unique to it, so the result is legitimately
+      // empty — the empty-result path is exactly what's exercised)
+      "q113_bm25", "q114_rrf_fusion", "q115_mmr_diversify",
+      "q116_image_phash", "q117_tok_fertility")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
