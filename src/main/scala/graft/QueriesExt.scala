@@ -590,7 +590,11 @@ object QueriesExt {
     * a single float vector; the 8-byte codes are the only per-vector
     * state. Distances reuse q97's integer quantization, so LUT build,
     * code assignment, and the final ranking are all exact integer
-    * math. Top-10 by ADC distance, deterministic tie-break on vec_id. */
+    * math. Top-10 by ADC distance, deterministic tie-break on vec_id.
+    * Code assignment is a min_by over the lexicographic (dq, cid)
+    * struct — the same argmin as the oracle's ranked window, but as a
+    * map-side-combined aggregate (4x reduced before the shuffle, no
+    * per-(vec, subspace) sort). */
   def q98_pq_adc(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
@@ -605,16 +609,15 @@ object QueriesExt {
          |        cast(round((x - y) * 1000000, 0) AS bigint)),
          |      cast(0 AS bigint), (a, x) -> a + x * x) AS dq
          |  FROM sub s JOIN cb c ON s.sp = c.sp),
-         |codes AS (SELECT vec_id, sp, cid AS code FROM (
-         |    SELECT vec_id, sp, cid, row_number() OVER (
-         |      PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
-         |    FROM d) WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id, sp,
+         |    min_by(cid, named_struct('d', dq, 'c', cid)) AS code
+         |  FROM d WHERE vec_id != 0 GROUP BY vec_id, sp),
          |lut AS (SELECT sp, cid, dq FROM d WHERE vec_id = 0),
          |adc AS (
          |  SELECT codes.vec_id, sum(lut.dq) AS adist
          |  FROM codes JOIN lut
          |    ON codes.sp = lut.sp AND codes.code = lut.cid
-         |  WHERE codes.vec_id != 0
          |  GROUP BY codes.vec_id)
          |SELECT vec_id,
          |  round(adist / 1000000000000.0D, 6) + 0 AS adc_dist
