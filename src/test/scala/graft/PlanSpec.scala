@@ -249,4 +249,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
+
+  test("BM25 corpus rank is sharded before the global top-k") {
+    val df = QueriesRag.q113_bm25(spark, "/root/testdata/sf0.001")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val specs = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    // the corpus-side rank must key on the hash shard (the final rank
+    // runs over <= 160 surviving rows, which is allowed to be global).
+    // The shard expression is pre-projected to a _w0 attribute, so the
+    // partitionSpec alone can't name it — assert a partitioned window
+    // exists AND some node computes the pmod shard key (expression-tree
+    // search: plan toString truncates wide Projects, hiding the pmod)
+    assert(specs.exists(_.nonEmpty), s"every q113 window is global: $specs")
+    val hasPmod = exec.collect { case n => n }.exists(_.expressions.exists(
+      _.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Pmod]).isDefined))
+    assert(hasPmod, "no pmod shard key in the q113 plan")
+  }
+
+  test("image-hash dedup shuffles hashes, never pixel payloads") {
+    val df = QueriesRag.q116_image_phash(spark, "/root/testdata/sf0.001")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty, "expected the hash groupBy exchange")
+    exchanges.foreach(out =>
+      assert(!out.exists(_.contains("payload")),
+        s"image bytes crossed a shuffle: $out"))
+  }
 }
