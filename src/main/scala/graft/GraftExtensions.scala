@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSig,
-  TopKLong}
+  ShingleHashes, SortedIntersectSize, TopKLong}
 
 /** SparkSessionExtensions entry point: enable the engine's native
   * Catalyst expressions in any session by configuration —
@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => MinHashSig(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        "graft_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => ShingleHashes(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_isect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => SortedIntersectSize(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

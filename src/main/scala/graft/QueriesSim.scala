@@ -245,7 +245,13 @@ object QueriesSim {
     s"""${sigBody(tokRef)},
        |${lshTail("sig", tokRef)}""".stripMargin
 
-  /** banding + candidate verification over existing sig/tok tables */
+  /** Banding + candidate verification over existing sig/tok tables.
+    * The verify jaccard is computed over shingle HASH sets (the same
+    * md5-top-32-bit `hv` the signatures use), not shingle strings —
+    * the standard at-scale form (8-byte set elements instead of
+    * ~25-byte strings). A hash collision merges the same two shingles
+    * in BOTH engines, so cross-engine equality is exact by
+    * construction. */
   private[graft] def lshTail(sigRef: String, tokRef: String): String =
     s"""bands AS (
        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
@@ -257,12 +263,13 @@ object QueriesSim {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
        |   AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM $tokRef GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(DISTINCT hv) AS n FROM $tokRef
+       |  GROUP BY doc_id),
        |inter AS (
-       |  SELECT c.da, c.db, count(*) AS cnt
+       |  SELECT c.da, c.db, count(DISTINCT a.hv) AS cnt
        |  FROM cand c
        |  JOIN $tokRef a ON a.doc_id = c.da
-       |  JOIN $tokRef b ON b.doc_id = c.db AND b.s = a.s
+       |  JOIN $tokRef b ON b.doc_id = c.db AND b.hv = a.hv
        |  GROUP BY c.da, c.db)
        |SELECT c.da AS doc_a, c.db AS doc_b,
        |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
@@ -312,12 +319,19 @@ object QueriesSim {
     //    shuffle is computed once even where the subplan repeats.
     //  * Filter FIRST, shingle SECOND — the semi-join against the
     //    band-collision id set runs on the raw documents scan, so the
-    //    expensive in-row shingle projection (split + transform +
-    //    array_distinct) only ever touches candidate docs; at corpus
-    //    scale candidates are sparse, so nearly all shingling CPU is
-    //    skipped. The REPARTITION pins full width so AQE's size-based
-    //    coalescing can't serialize the CPU-heavy projection
-    //    (profiled 11 s single-task at sf0.1 without it).
+    //    expensive shingling only ever touches candidate docs; at
+    //    corpus scale candidates are sparse, so nearly all shingling
+    //    CPU is skipped. The REPARTITION pins full width so AQE's
+    //    size-based coalescing can't serialize the CPU-heavy
+    //    projection (profiled 11 s single-task at sf0.1 without it).
+    //  * Shingle SETS are sorted hash arrays from the native
+    //    `graft_shingles` kernel (one fused byte-walk, 8-byte
+    //    elements), and the pair intersection is the native
+    //    `graft_isect` linear merge — vs string arrays +
+    //    array_intersect (hash-set build per pair, ~25-byte string
+    //    elements through the exchange). Collisions hit both engines
+    //    identically (same md5-top-32 hash), so the oracle stays an
+    //    exact hash compare.
     //  * Join strategies are left to AQE: the candidate id/pair sets
     //    are usually tiny but NOT bounded (a stop-band bucket of B
     //    docs is O(B²) pairs), and AQE sees the band shuffle's actual
@@ -338,15 +352,14 @@ object QueriesSim {
          |    AS slot, doc_id),
          |cdoc AS (
          |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */
-         |    d.doc_id, split(d.text,' ', -1) AS t
+         |    d.doc_id, d.text
          |  FROM documents d
          |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd
          |    ON d.doc_id = cd.doc_id),
          |arrs AS (
-         |  SELECT doc_id, array_distinct(transform(sequence(1, size(t)-2),
-         |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
-         |                  element_at(t,i+2)))) AS ss
-         |  FROM cdoc WHERE size(t) >= 3),
+         |  SELECT doc_id, ss FROM (
+         |    SELECT doc_id, graft_shingles(text) AS ss FROM cdoc)
+         |  WHERE ss IS NOT NULL),
          |pe AS (
          |  SELECT pe0.da, pe0.db, pe0.slot, a.ss
          |  FROM pe0 JOIN arrs a ON pe0.doc_id = a.doc_id),
@@ -357,7 +370,7 @@ object QueriesSim {
          |  FROM (SELECT /*+ REPARTITION(${Tables.np}, da, db) */ * FROM pe)
          |  GROUP BY da, db),
          |j AS (
-         |  SELECT da, db, size(array_intersect(sa, sb)) AS cnt,
+         |  SELECT da, db, graft_isect(sa, sb) AS cnt,
          |    size(sa) AS na, size(sb) AS nb FROM g)
          |SELECT da AS doc_a, db AS doc_b,
          |  round(cnt/(na + nb - cnt), 4) AS jaccard

@@ -41,6 +41,8 @@ object MinHashImpl {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  private[functions] def md5(): java.security.MessageDigest = localMd.get()
+
   /** null when the text has fewer than 3 tokens (mirrors the SQL
     * `WHERE size(t) >= 3` gate) */
   def sig(text: UTF8String): ArrayData = {
@@ -86,6 +88,73 @@ object MinHashImpl {
   }
 }
 
+/** Fused shingle-set kernel: the distinct 3-word shingle hashes of a
+  * document as a SORTED array<bigint>, in the same single byte-walk as
+  * [[MinHashImpl]] (same h = md5-top-32-bits formula, so the values
+  * are exactly the `hv` column of the exploded shingle table). Sorted
+  * + distinct output makes pairwise set intersection a linear merge —
+  * the LSH verify's inner loop at corpus scale. Null for texts of
+  * fewer than 3 tokens (mirrors the SQL `size(t) >= 3` gate).
+  */
+object ShingleImpl {
+  def hashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') nTok += 1
+      i += 1
+    }
+    if (nTok < 3) return null
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val hs = new Array[Long](nTok - 2)
+    val md = MinHashImpl.md5()
+    var s = 0
+    while (s + 2 < nTok) {
+      val from = starts(s)
+      val until =
+        if (s + 3 < nTok) starts(s + 3) - 1 else bytes.length
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      hs(s) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place (sorted)
+    var w = 0
+    i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |a ∩ b| for two SORTED long arrays, as a linear merge — no hash
+    * set, no result array (Spark's array_intersect builds both). */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 /** `graft_minhash(text)` -> array<bigint> of the 8 signature values,
   * or null for texts of fewer than 3 tokens. Whole-stage-codegen'd:
   * the scan emits signatures directly — the preferred 100 TB shape
@@ -125,4 +194,74 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : MinHashSig = copy(child = newChild)
+}
+
+/** `graft_shingles(text)` -> sorted distinct array<bigint> of 3-word
+  * shingle hashes (null below 3 tokens). See [[ShingleImpl]]. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleImpl.hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("shingles")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.ShingleImpl.hashes($c);
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleHashes = copy(child = newChild)
+}
+
+/** `graft_isect(a, b)` -> bigint |a ∩ b| over two SORTED long arrays
+  * (the [[ShingleHashes]] output contract) as a fused linear merge. */
+case class SortedIntersectSize(
+    left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> arguments, got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    left.nullable || right.nullable
+  override def prettyName: String = "graft_isect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleImpl.intersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ShingleImpl.intersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
 }

@@ -174,6 +174,10 @@ object VectorFunctions {
       exprs => TopKLong.fromExprs(exprs).toAggregateExpression())
     GraftBridge.registerFunction(spark, "graft_minhash",
       exprs => MinHashSig(exprs(0)))
+    GraftBridge.registerFunction(spark, "graft_shingles",
+      exprs => ShingleHashes(exprs(0)))
+    GraftBridge.registerFunction(spark, "graft_isect",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)))
     // Spark's own bloom-filter sketch expressions (the machinery behind
     // runtime row-group filters), surfaced as SQL functions so queries
     // can build a set-membership sketch over one relation and probe it

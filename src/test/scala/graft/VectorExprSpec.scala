@@ -102,6 +102,55 @@ class VectorExprSpec extends AnyFunSuite {
       "empty token must change the shingle set")
   }
 
+  test("shingle kernel equals the SQL hash formulation, sorted + distinct") {
+    VectorFunctions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val hexExpr = "cast(conv(substr(md5(s),1,8),16,10) as bigint)"
+    val sql = spark.sql(
+      s"""SELECT doc_id, array_sort(transform(array_distinct(
+         |      transform(sequence(1, size(t)-2),
+         |        i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
+         |                    element_at(t,i+2)))),
+         |    s -> $hexExpr)) AS sh
+         |  FROM (SELECT doc_id, split(text,' ', -1) AS t FROM documents)
+         |  WHERE size(t) >= 3""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val native = spark.sql(
+      """SELECT doc_id, graft_shingles(text) AS sh FROM documents
+        |WHERE graft_shingles(text) IS NOT NULL""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(native.keySet == sql.keySet)
+    native.foreach { case (doc, sh) =>
+      // SQL distinct keeps string-distinct shingles: two different
+      // strings hashing alike would appear twice — compare as sets of
+      // hashes via distinct on the SQL side too
+      assert(sh == sql(doc).distinct.sorted,
+        s"doc $doc: ${sh.take(5)} vs ${sql(doc).take(5)}")
+      assert(sh == sh.sorted && sh == sh.distinct,
+        s"doc $doc: kernel output must be sorted and distinct")
+    }
+  }
+
+  test("sorted-intersect kernel equals array_intersect cardinality") {
+    VectorFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT graft_isect(array(1L, 3L, 5L, 9L), array(3L, 4L, 9L)),
+        |  graft_isect(cast(array() AS array<bigint>), array(1L)),
+        |  graft_isect(array(2L), array(2L)),
+        |  graft_isect(graft_shingles('a b c d e'),
+        |              graft_shingles('b c d e f')),
+        |  size(array_intersect(graft_shingles('a b c d e'),
+        |                       graft_shingles('b c d e f')))""".stripMargin)
+      .collect()(0)
+    assert(out.getLong(0) == 2L)
+    assert(out.getLong(1) == 0L)
+    assert(out.getLong(2) == 1L)
+    assert(out.getLong(3) == out.getInt(4).toLong,
+      "kernel and array_intersect must agree on real shingle sets")
+    // 'a b c d e' vs 'b c d e f': shared shingles = 'b c d', 'c d e'
+    assert(out.getLong(3) == 2L)
+  }
+
   test("null inputs yield null") {
     val s = spark
     import s.implicits._
