@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSig,
-  ShingleHashes, SortedIntersectSize, TopKLong}
+  ShingleHashes, SortedIntersectSize, TermCounts, TopKLong}
 
 /** SparkSessionExtensions entry point: enable the engine's native
   * Catalyst expressions in any session by configuration —
@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_isect"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_termcounts"),
+      new ExpressionInfo(classOf[TermCounts].getName,
+        "graft_termcounts"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        => TermCounts(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

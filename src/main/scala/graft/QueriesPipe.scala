@@ -304,22 +304,26 @@ object QueriesPipe {
     * build-the-index-once shape a 100 TB corpus pipeline uses. */
   private[graft] def termView(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
     // hash repartition on doc_id, not round-robin: round-robin inserts
     // a binary row sort before the exchange (sortBeforeRepartition) —
-    // pure overhead here, and the hash spread is just as even
-    // the REPARTITION sits BELOW the explode: hinting the select that
-    // contains the explode applies to its OUTPUT, leaving the whole
-    // explode + partial-aggregate running inside the single-task scan
-    // stage (documents is one small parquet file) — profiled at 6 s
-    // single-threaded at sf0.1. Exchanging the (doc_id, lang, toks)
-    // rows first is cheap (one array per doc) and every core explodes
-    // its own slice.
+    // pure overhead here, and the hash spread is just as even.
+    // The REPARTITION sits BELOW the in-row counting so every core
+    // processes its own slice of documents (the documents table is one
+    // small parquet file here; on a real corpus scan parallelism comes
+    // from file count and the exchange disappears).
+    // Per-doc term counts come from the native `graft_termcounts`
+    // kernel — map-side combine at ROW grain: the explode emits one
+    // row per DISTINCT (doc, term) (~20x fewer rows than exploding
+    // every token occurrence) and the old explode -> GROUP BY
+    // (doc, lang, term) aggregate disappears entirely, shuffle and
+    // all. Tokenization is bit-identical to split(text, ' ', -1), so
+    // the DuckDB aggregate oracle is unchanged.
     QueriesSim.materialize(s, dir,
-      s"""SELECT doc_id, lang, term, count(*) AS cnt FROM (
-        |  SELECT doc_id, lang, explode(toks) AS term FROM (
-        |    SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
-        |      lang, split(text, ' ', -1) AS toks FROM documents))
-        |GROUP BY 1, 2, 3""".stripMargin, "doc_terms")
+      s"""SELECT doc_id, lang, tc.term AS term, tc.cnt AS cnt FROM (
+        |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+        |    lang, graft_termcounts(text) AS tcs FROM documents)
+        |LATERAL VIEW explode(tcs) t AS tc""".stripMargin, "doc_terms")
   }
 
   def q60_tfidf_terms(s: SparkSession, dir: String): DataFrame = {

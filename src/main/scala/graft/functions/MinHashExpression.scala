@@ -155,6 +155,74 @@ object ShingleImpl {
   }
 }
 
+/** In-row term-count kernel: the whitespace-token histogram of one
+  * document as array<struct<term, cnt>> — map-side combine taken to
+  * row grain. The inverted-index build (`doc_terms`) explodes this
+  * directly instead of exploding every token occurrence into an
+  * aggregate: the explode emits one row per DISTINCT term (~20x fewer
+  * at typical repetition), and no groupBy shuffle runs at all.
+  * Tokenization matches `split(text, ' ', -1)` exactly, including
+  * empty tokens (and the single empty token of an empty text), so the
+  * SQL-aggregate oracle stays bit-identical. First-occurrence output
+  * order (deterministic; every consumer aggregates).
+  */
+object TermCountsImpl {
+  def counts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        val c = m.get(tok)
+        if (c == null) m.put(tok, Array(1L)) else c(0) += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val rows = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `graft_termcounts(text)` -> array<struct<term string, cnt bigint>>
+  * (see [[TermCountsImpl]]). */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_termcounts"
+
+  override def nullSafeEval(input: Any): Any =
+    TermCountsImpl.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TermCountsImpl.counts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TermCounts = copy(child = newChild)
+}
+
 /** `graft_minhash(text)` -> array<bigint> of the 8 signature values,
   * or null for texts of fewer than 3 tokens. Whole-stage-codegen'd:
   * the scan emits signatures directly — the preferred 100 TB shape

@@ -151,6 +151,35 @@ class VectorExprSpec extends AnyFunSuite {
     assert(out.getLong(3) == 2L)
   }
 
+  test("termcounts kernel equals the explode + GROUP BY formulation") {
+    VectorFunctions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val sql = spark.sql(
+      """SELECT doc_id, term, count(*) AS cnt FROM (
+        |  SELECT doc_id, explode(split(text, ' ', -1)) AS term
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val native = spark.sql(
+      """SELECT doc_id, tc.term, tc.cnt
+        |FROM (SELECT doc_id, graft_termcounts(text) AS tcs
+        |      FROM documents)
+        |LATERAL VIEW explode(tcs) t AS tc""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(native == sql)
+    // split(' ', -1) edge semantics: empty text -> one empty token;
+    // double space -> an empty token between the words
+    val edge = spark.sql(
+      """SELECT graft_termcounts(''), graft_termcounts('a  a b')""")
+      .collect()(0)
+    val empty = edge.getSeq[org.apache.spark.sql.Row](0)
+    assert(empty.length == 1 && empty.head.getString(0) == "" &&
+      empty.head.getLong(1) == 1L)
+    val dbl = edge.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dbl == Map("a" -> 2L, "" -> 1L, "b" -> 1L))
+  }
+
   test("null inputs yield null") {
     val s = spark
     import s.implicits._
