@@ -379,17 +379,190 @@ object QueriesRag {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q118: incremental dedup against engine-stored signatures --------
+
+  /** Shared tail: flag each new-batch document as an exact duplicate
+    * (fingerprint match) or near duplicate (band-collision candidates
+    * verified at >= 6/8 minhash agreement) of the STORED corpus.
+    * Emitted for both dialects from one template; only the two input
+    * relation names differ. The band join is 4 equi-joins + UNION —
+    * never an OR-join (which plans as a nested loop). */
+  private def incTail(newT: String, storedT: String): String = {
+    val bands = Seq((1, 2), (3, 4), (5, 6), (7, 8)).map { case (x, y) =>
+      s"""SELECT n.doc_id AS nd, c.doc_id AS cd FROM $newT n
+         |    JOIN $storedT c ON n.mh$x = c.mh$x AND n.mh$y = c.mh$y"""
+        .stripMargin
+    }.mkString("\n    UNION ALL ")
+    val agree = (1 to 8).map(i =>
+      s"CASE WHEN n.mh$i = c.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""ex AS (
+       |  SELECT n.doc_id, min(c.doc_id) AS mid, count(*) AS nm
+       |  FROM $newT n JOIN $storedT c ON n.fp = c.fp
+       |  GROUP BY n.doc_id),
+       |cand AS (SELECT DISTINCT nd, cd FROM (
+       |    $bands)),
+       |nr AS (
+       |  SELECT ca.nd AS doc_id, min(ca.cd) AS mid, count(*) AS nm
+       |  FROM cand ca
+       |  JOIN $newT n ON n.doc_id = ca.nd
+       |  JOIN $storedT c ON c.doc_id = ca.cd
+       |  WHERE ($agree) >= 6
+       |  GROUP BY ca.nd)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact' ELSE 'near' END
+       |    AS kind,
+       |  coalesce(e.mid, r.mid) AS match_id,
+       |  coalesce(e.nm, r.nm) AS n_matches
+       |FROM $newT n
+       |LEFT JOIN ex e ON n.doc_id = e.doc_id
+       |LEFT JOIN nr r ON n.doc_id = r.doc_id
+       |WHERE e.doc_id IS NOT NULL OR r.doc_id IS NOT NULL
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
+  /** Incremental dedup with the signature index IN THE VERSIONED
+    * STORE: the even-id half of the corpus is the "already ingested"
+    * state — its md5 fingerprints and native-kernel minhash signatures
+    * are written through the graft series engine (doc_id-indexed) and
+    * read back through the manifest — and the odd-id half is the "new
+    * batch" deduped against that stored state. This is the
+    * engine+pipeline integration a growing 100 TB corpus runs on every
+    * ingest: signature state lives in the versioned store (time
+    * travel, overlays, GC all apply), the new batch never joins the
+    * raw old corpus, and the near-dup check is banding + >= 6/8
+    * signature agreement, never all-pairs. The DuckDB oracle
+    * recomputes both halves directly — a broken engine round trip
+    * (lost rows, mangled columns) fails the hash. */
+  def q118_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inc").toString
+    val schema = GSchema(Seq("doc_id" -> "int*", "fp" -> "str") ++
+      (1 to 8).map(i => s"mh$i" -> "int"): _*)
+    val sr = new Repo(root, s).createCollection(schema, "sigidx")
+      .series("_")
+    val sigs = s.sql(
+      """SELECT doc_id, md5(text) AS fp, graft_minhash(text) AS sig
+        |FROM documents""".stripMargin)
+      .selectExpr(Seq("doc_id", "fp") ++
+        (1 to 8).map(i => s"element_at(sig, $i) AS mh$i"): _*)
+    sr.write(sigs.filter("doc_id % 2 = 0"))
+    sr.frame().createOrReplaceTempView("graft_inc_stored")
+    sigs.filter("doc_id % 2 = 1")
+      .createOrReplaceTempView("graft_inc_new")
+    s.sql(s"WITH ${incTail("graft_inc_new", "graft_inc_stored")}")
+  }
+
+  val q118_oracle: String =
+    s"""WITH ${QueriesSim.duckShingleTok},
+       |${QueriesSim.sigBody("tok")},
+       |d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |stored AS (
+       |  SELECT d.doc_id, d.fp, s.mh1, s.mh2, s.mh3, s.mh4,
+       |    s.mh5, s.mh6, s.mh7, s.mh8
+       |  FROM d LEFT JOIN sig s ON d.doc_id = s.doc_id
+       |  WHERE d.doc_id % 2 = 0),
+       |nw AS (
+       |  SELECT d.doc_id, d.fp, s.mh1, s.mh2, s.mh3, s.mh4,
+       |    s.mh5, s.mh6, s.mh7, s.mh8
+       |  FROM d LEFT JOIN sig s ON d.doc_id = s.doc_id
+       |  WHERE d.doc_id % 2 = 1),
+       |${incTail("nw", "stored")}""".stripMargin
+
+  // ---- q119: RAG context assembly --------------------------------------
+
+  /** Retrieval-context assembly — the last mile of a RAG pipeline:
+    * score every 50-token chunk (q73's chunk grid) by its distinct
+    * overlap with the query bag (doc 5's terms), take the top-50
+    * candidates via the two-stage sharded rank, then pack chunks in
+    * rank order under a 256-token context budget (a running-sum
+    * window over the 50-row candidate list — bounded, never the
+    * corpus). Integer scores and token counts end to end. */
+  def q119_context_pack(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH t AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+         |    split(text, ' ', -1) AS w FROM documents
+         |  WHERE doc_id != 5),
+         |c AS (SELECT doc_id, w,
+         |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
+         |  FROM t),
+         |ch AS (SELECT doc_id,
+         |    cast((st - 1) div 25 AS bigint) AS chunk_id,
+         |    cast(size(slice(w, st, 50)) AS bigint) AS n_tok,
+         |    array_distinct(slice(w, st, 50)) AS toks
+         |  FROM c),
+         |qb AS (SELECT collect_set(term) AS qarr FROM (
+         |    SELECT DISTINCT explode(split(text, ' ', -1)) AS term
+         |    FROM documents WHERE doc_id = 5)),
+         |sc AS (SELECT doc_id, chunk_id, n_tok,
+         |    cast(size(array_intersect(toks, qb.qarr)) AS bigint)
+         |      AS score,
+         |    pmod(hash(doc_id, chunk_id), 16) AS shard
+         |  FROM ch, qb),
+         |t1 AS (SELECT doc_id, chunk_id, n_tok, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY shard
+         |      ORDER BY score DESC, doc_id, chunk_id) AS rn
+         |    FROM sc WHERE score > 0) WHERE rn <= 50),
+         |cand AS (SELECT doc_id, chunk_id, n_tok, score, rk FROM (
+         |    SELECT *, row_number() OVER (
+         |      ORDER BY score DESC, doc_id, chunk_id) AS rk FROM t1)
+         |  WHERE rk <= 50),
+         |asm AS (SELECT *, sum(n_tok) OVER (
+         |    ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM cand)
+         |SELECT cast(rk AS bigint) AS rank, doc_id, chunk_id, n_tok,
+         |  cast(cum AS bigint) AS cum_tok, score
+         |FROM asm WHERE cum <= 256 ORDER BY rank""".stripMargin)
+  }
+
+  val q119_oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id != 5),
+      |c AS (SELECT doc_id, w,
+      |    unnest(range(1, greatest(1, len(w) - 25) + 1, 25)) AS st
+      |  FROM t),
+      |ch AS (SELECT doc_id,
+      |    ((st - 1) // 25)::BIGINT AS chunk_id,
+      |    len(w[st:st+49])::BIGINT AS n_tok,
+      |    list_distinct(w[st:st+49]) AS toks
+      |  FROM c),
+      |qb AS (SELECT list(DISTINCT term) AS qarr FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE doc_id = 5)),
+      |sc AS (SELECT doc_id, chunk_id, n_tok,
+      |    len(list_intersect(toks, qb.qarr))::BIGINT AS score
+      |  FROM ch, qb),
+      |cand AS (SELECT doc_id, chunk_id, n_tok, score, rk FROM (
+      |    SELECT *, row_number() OVER (
+      |      ORDER BY score DESC, doc_id, chunk_id) AS rk
+      |    FROM sc WHERE score > 0)
+      |  WHERE rk <= 50),
+      |asm AS (SELECT *, sum(n_tok) OVER (
+      |    ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM cand)
+      |SELECT rk AS rank, doc_id, chunk_id, n_tok,
+      |  cum::BIGINT AS cum_tok, score
+      |FROM asm WHERE cum <= 256 ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25" -> q113_bm25 _,
     "q114_rrf_fusion" -> q114_rrf_fusion _,
     "q115_mmr_diversify" -> q115_mmr_diversify _,
     "q116_image_phash" -> q116_image_phash _,
-    "q117_tok_fertility" -> q117_tok_fertility _)
+    "q117_tok_fertility" -> q117_tok_fertility _,
+    "q118_incremental_dedup" -> q118_incremental_dedup _,
+    "q119_context_pack" -> q119_context_pack _)
 
   val oracles: Map[String, String] = Map(
     "q113_bm25" -> q113_oracle,
     "q114_rrf_fusion" -> q114_oracle,
     "q115_mmr_diversify" -> q115_oracle,
     "q116_image_phash" -> q116_oracle,
-    "q117_tok_fertility" -> q117_oracle)
+    "q117_tok_fertility" -> q117_oracle,
+    "q118_incremental_dedup" -> q118_oracle,
+    "q119_context_pack" -> q119_oracle)
 }

@@ -65,7 +65,8 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       // its terms are unique to it, so the result is legitimately
       // empty — the empty-result path is exactly what's exercised)
       "q113_bm25", "q114_rrf_fusion", "q115_mmr_diversify",
-      "q116_image_phash", "q117_tok_fertility")
+      "q116_image_phash", "q117_tok_fertility",
+      "q118_incremental_dedup", "q119_context_pack")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()

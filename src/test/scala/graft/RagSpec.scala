@@ -163,6 +163,61 @@ class RagSpec extends AnyFunSuite {
       "every document must land in exactly one hash group")
   }
 
+  test("q118 incremental dedup matches a driver recompute through the store") {
+    import graft.functions.MinHashImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = docs()
+    def md5hex(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val fp = d.map { case (id, t, _) => id -> md5hex(t) }.toMap
+    val sig = d.map { case (id, t, _) =>
+      id -> Option(MinHashImpl.sig(UTF8String.fromString(t)))
+        .map(a => (0 until 8).map(a.getLong).toVector)
+    }.toMap
+    val stored = d.map(_._1).filter(_ % 2 == 0)
+    val newb = d.map(_._1).filter(_ % 2 == 1)
+    val expect = newb.flatMap { n =>
+      val exact = stored.filter(c => fp(c) == fp(n))
+      val near = stored.filter { c =>
+        (sig(n), sig(c)) match {
+          case (Some(a), Some(b)) => a.zip(b).count(p => p._1 == p._2) >= 6
+          case _ => false
+        }
+      }
+      if (exact.nonEmpty) Some((n, "exact", exact.min, exact.size.toLong))
+      else if (near.nonEmpty) Some((n, "near", near.min, near.size.toLong))
+      else None
+    }.sortBy(_._1)
+    val got = QueriesRag.q118_incremental_dedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+    // the engine round trip must have preserved the stored half
+    assert(spark.table("graft_inc_stored").count() == stored.size)
+  }
+
+  test("q119 context pack fits the budget in rank order") {
+    val rows = QueriesRag.q119_context_pack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // ranks are the consecutive prefix 1..k of the candidate list
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    // cumulative token count is the running sum and respects the budget
+    var cum = 0L
+    rows.foreach { case (_, _, _, nTok, cumTok, score) =>
+      cum += nTok
+      assert(cumTok == cum)
+      assert(score > 0)
+    }
+    assert(cum <= 256)
+    // the query document itself must never be retrieved as context
+    assert(!rows.exists(_._2 == 5L))
+    // scores are non-increasing in rank order
+    assert(rows.map(_._6).toSeq == rows.map(_._6).sortBy(-_).toSeq)
+  }
+
   test("q117 fertility matches integer token sums") {
     val d = docs()
     val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
