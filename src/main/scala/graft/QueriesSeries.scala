@@ -338,7 +338,62 @@ object QueriesSeries {
       |WHERE event_type IN ('click', 'purchase')
       |ORDER BY event_id""".stripMargin
 
+  /** Snapshot diff — "what did that overlay change?": write the full
+    * series, overlay a patch (every 7th event's value tripled over
+    * [Jan10, Jan20)), then FULL-OUTER-join the time-travel read
+    * before the patch against the current read and report the changed
+    * rows per day. The audit query every versioned store owes its
+    * operators after a backfill: both sides come through the engine's
+    * manifest (one pruned scan each), the join keys on the series
+    * index, and the oracle derives the same diff in closed form from
+    * the raw events — a time-travel bug on either side fails the
+    * hash. */
+  def q121_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    sr.write(ev)
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    // overlay the whole range with every 7th event's value tripled
+    // (update() is the DENSE-aligned form — a sparse patch goes
+    // through a range overlay, exactly like a backfill job would)
+    val patch = ev
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") * 3)
+          .otherwise(col("value")))
+    sr.write(patch, "2024-01-10 00:00:00", "2024-01-20 00:00:00",
+      Closed.Left)
+    val before = sr.frame(beforeMs = Some(cut))
+      .select(col("event_id"), col("ts"), col("value").as("v_old"))
+    val after = sr.frame()
+      .select(col("event_id"), col("value").as("v_new"))
+    before.join(after, Seq("event_id"), "full_outer")
+      .filter(col("v_old") =!= col("v_new"))
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_changed"),
+        round(sum(col("v_old")), 2).as("sum_old"),
+        round(sum(col("v_new")), 2).as("sum_new"))
+      .orderBy(col("day"))
+  }
+
+  val q121_oracle: String =
+    """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+      |  count(*)::BIGINT AS n_changed,
+      |  round(sum(value), 2) AS sum_old,
+      |  -- the engine stores the patched value as FLOAT: quantize the
+      |  -- oracle's doubled value identically before summing
+      |  round(sum((value * 3)::FLOAT), 2) AS sum_new
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      |  AND event_id % 7 = 0
+      |  AND value <> value * 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_snapshot_diff" -> q121_snapshot_diff _,
     "q84_grouped_ingest" -> q84_grouped_ingest _,
     "q76_sql_facade" -> q76_sql_facade _,
     "q48_series_inline" -> q48_series_inline _,
@@ -368,5 +423,6 @@ object QueriesSeries {
     "q31_series_overlay" -> q31_oracle,
     "q32_series_timetravel" -> q32_oracle,
     "q33_series_delete" -> q33_oracle,
-    "q34_series_kv" -> q34_oracle)
+    "q34_series_kv" -> q34_oracle,
+    "q121_snapshot_diff" -> q121_oracle)
 }
