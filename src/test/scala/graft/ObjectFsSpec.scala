@@ -88,6 +88,42 @@ class ObjectFsSpec extends AnyFunSuite {
     assert(new String(buf, "UTF-8") == "BBB", "dst must be untouched")
   }
 
+  test("incremental dedup pipeline with the signature index on the object store") {
+    // the q118/q120 ingest shape with the versioned signature state
+    // living on object storage: write the ingested half's signatures
+    // through a s3ish:// repo (no atomic rename anywhere), read the
+    // index back via the manifest, and dedup the new batch against it
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val repo = freshRepo()
+    val gs = GSchema(Seq("doc_id" -> "int*", "fp" -> "str"): _*)
+    val clct = repo.createCollection(gs, "sigidx")
+    clct.embedMaxSize = 0L // parquet segments through the object fs
+    val sr = clct.series("_")
+    sr.write(spark.sql(
+      "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0"))
+    val stored = sr.frame()
+    assert(stored.count() ==
+      spark.sql("SELECT count(*) FROM documents WHERE doc_id % 2 = 0")
+        .collect()(0).getLong(0))
+    val dups = spark.sql(
+      "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1")
+      .join(stored.select(col("fp"),
+        col("doc_id").as("match_id")), "fp")
+      .collect()
+    // sf0.001 has no cross-parity exact dups — the assertion is that
+    // the round trip + join RUN clean over object semantics and agree
+    // with the direct computation
+    val direct = spark.sql(
+      """SELECT count(*) FROM documents a JOIN documents b
+        |ON md5(a.text) = md5(b.text)
+        | AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(dups.length.toLong == direct)
+  }
+
   test("push/pull between posix and object-store repos") {
     val local = new Repo(
       java.nio.file.Files.createTempDirectory("graft-ofs").toString, spark)

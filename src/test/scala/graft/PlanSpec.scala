@@ -274,6 +274,16 @@ class PlanSpec extends AnyFunSuite {
     assert(hasPmod, "no pmod shard key in the q113 plan")
   }
 
+  test("incremental dedup probes by band equi-joins, never a cartesian") {
+    val df = QueriesRag
+      .q118_incremental_dedup(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the near-dup candidate step must be the 4-band equi-join union —
+    // an OR-join would plan as a nested-loop over new x stored
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("image-hash dedup shuffles hashes, never pixel payloads") {
     val df = QueriesRag.q116_image_phash(spark, "/root/testdata/sf0.001")
     val exec = df.queryExecution.executedPlan match {
