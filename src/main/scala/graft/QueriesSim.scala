@@ -424,6 +424,72 @@ object QueriesSim {
   val q24_oracle: String =
     s"WITH $duckShingleTok,\n${jaccardBody("tok")}"
 
+  // ---- q122: LSH quality audit -----------------------------------------
+
+  /** shared audit tail over (hash-based) truth vs LSH pair sets —
+    * the truth side is the exhaustive frequency-capped candidate join
+    * (q24's shape), the LSH side is the banding pipeline's verified
+    * pairs; both use the same hash-set jaccard at the same 0.3
+    * threshold, so the gap measured is EXACTLY the banding's recall
+    * loss (pairs whose signatures collide in no band). */
+  private def auditTail(tokRef: String, lshRef: String): String =
+    s"""sizesT AS (SELECT doc_id, count(DISTINCT hv) AS n
+       |  FROM $tokRef GROUP BY doc_id),
+       |rare AS (
+       |  SELECT t.doc_id, t.hv FROM $tokRef t JOIN (
+       |    SELECT hv FROM $tokRef GROUP BY hv
+       |    HAVING count(*) <= $MaxShingleDf) f ON t.hv = f.hv),
+       |candT AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM rare a JOIN rare b
+       |    ON a.hv = b.hv AND a.doc_id < b.doc_id),
+       |interT AS (
+       |  SELECT c.da, c.db, count(DISTINCT a.hv) AS cnt
+       |  FROM candT c
+       |  JOIN $tokRef a ON a.doc_id = c.da
+       |  JOIN $tokRef b ON b.doc_id = c.db AND b.hv = a.hv
+       |  GROUP BY c.da, c.db),
+       |truth AS (
+       |  SELECT i.da, i.db FROM interT i
+       |  JOIN sizesT sa ON i.da = sa.doc_id
+       |  JOIN sizesT sb ON i.db = sb.doc_id
+       |  WHERE round(cnt/(sa.n + sb.n - cnt), 4) >= 0.3),
+       |hit AS (SELECT t.da FROM truth t
+       |  JOIN $lshRef l ON t.da = l.da AND t.db = l.db)
+       |SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM $lshRef) AS n_lsh,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  round(cast((SELECT count(*) FROM hit) AS double)
+       |    / nullif((SELECT count(*) FROM truth), 0), 4) + 0
+       |    AS recall""".stripMargin
+
+  /** LSH recall audit — the tuning measurement before trusting a
+    * banding scheme at corpus scale (the shingle-side analog of
+    * q107's ANN recall audit): exhaustive frequency-capped ground
+    * truth at jaccard >= 0.3 vs the 4x2 banding pipeline's verified
+    * pairs, recall = |hit| / |truth|. Both sides derive from pinned
+    * intermediates (sim_tok, sim_pairs), so the audit costs two
+    * bounded joins however often it reruns. */
+  def q122_lsh_audit(s: SparkSession, dir: String): DataFrame = {
+    q23_lsh_pairs(s, dir) // pins sim_sig + sim_pairs
+    materialize(s, dir, sparkShingleSelect, "sim_tok")
+    s.sql(
+      s"""WITH lshp AS (SELECT doc_a AS da, doc_b AS db FROM sim_pairs
+         |  WHERE jaccard >= 0.3),
+         |${auditTail("sim_tok", "lshp")}""".stripMargin)
+  }
+
+  val q122_oracle: String =
+    s"""WITH $duckShingleTok,
+       |${sigBody("tok")},
+       |${lshTail("sig", "tok").split("\nSELECT")(0)},
+       |lshp AS (
+       |  SELECT i.da, i.db FROM inter i
+       |  JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id
+       |  WHERE round(cnt/(sa.n + sb.n - cnt), 4) >= 0.3),
+       |${auditTail("tok", "lshp")}""".stripMargin
+
   // ---- q25: brute-force cosine ANN top-k -------------------------------
 
   def q25_ann_cosine(s: SparkSession, dir: String): DataFrame =
@@ -524,7 +590,8 @@ object QueriesSim {
     "q24_ngram_jaccard" -> q24_ngram_jaccard _,
     "q25_ann_cosine" -> q25_ann_cosine _,
     "q26_simhash" -> q26_simhash _,
-    "q27_centroids" -> q27_centroids _)
+    "q27_centroids" -> q27_centroids _,
+    "q122_lsh_audit" -> q122_lsh_audit _)
 
   val oracles: Map[String, String] = Map(
     "q22_minhash_sig" -> q22_oracle,
@@ -532,5 +599,6 @@ object QueriesSim {
     "q24_ngram_jaccard" -> q24_oracle,
     "q25_ann_cosine" -> q25_oracle,
     "q26_simhash" -> q26_oracle,
-    "q27_centroids" -> q27_oracle)
+    "q27_centroids" -> q27_oracle,
+    "q122_lsh_audit" -> q122_oracle)
 }
