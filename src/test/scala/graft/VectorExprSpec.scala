@@ -180,6 +180,65 @@ class VectorExprSpec extends AnyFunSuite {
     assert(dbl == Map("a" -> 2L, "" -> 1L, "b" -> 1L))
   }
 
+  test("kernels agree with reference recomputes on fuzzed unicode texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{MinHashImpl, ShingleImpl, TermCountsImpl}
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Seq("a", "bb", "ccc", "Ж", "東京", "🙂", "naïve",
+      "x1", "", "word", "WORD", "café")
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(12)
+      val toks = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val text = toks.mkString(" ")
+      val u = UTF8String.fromString(text)
+      // split semantics reference: split(' ', -1)
+      val ref = text.split(" ", -1).toSeq
+      // termcounts
+      val tc = TermCountsImpl.counts(u)
+      val got = (0 until tc.numElements()).map { i =>
+        val r = tc.getStruct(i, 2)
+        r.getUTF8String(0).toString -> r.getLong(1)
+      }.toMap
+      val want = ref.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"termcounts on '$text'")
+      // shingles
+      val sh = Option(ShingleImpl.hashes(u))
+        .map(a => (0 until a.numElements()).map(a.getLong))
+      val shWant =
+        if (ref.length < 3) None
+        else Some(ref.sliding(3).map(_.mkString(" ")).toSeq
+          .distinct.map(md5h).distinct.sorted)
+      assert(sh.map(_.toSeq) == shWant, s"shingles on '$text'")
+      // minhash folds the same hash stream
+      val mh = Option(MinHashImpl.sig(u))
+        .map(a => (0 until 8).map(a.getLong))
+      val mhWant = shWant.map { hs0 =>
+        val hs = ref.sliding(3).map(_.mkString(" ")).toSeq.map(md5h)
+        MinHashImpl.A.zip(MinHashImpl.B).map { case (a, b) =>
+          hs.map(h => (a * h + b) % MinHashImpl.P).min
+        }.toIndexedSeq
+      }
+      assert(mh == mhWant, s"minhash on '$text'")
+    }
+    // intersect against scala sets on random sorted arrays
+    for (_ <- 1 to 100) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val got = ShingleImpl.intersectSize(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray))
+      assert(got == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("null inputs yield null") {
     val s = spark
     import s.implicits._
