@@ -103,6 +103,12 @@ object Cli {
       case "export" =>
         repo.collection(args(2)).get.series(args(3)).exportCsv(args(4))
         println(s"exported to ${args(4)}")
+      case "export-jsonl" =>
+        repo.collection(args(2)).get.series(args(3)).exportJsonl(args(4))
+        println(s"exported to ${args(4)}")
+      case "import-jsonl" =>
+        repo.collection(args(2)).get.series(args(3)).importJsonl(args(4))
+        println("written")
       case "delete" =>
         repo.collection(args(2)).get.deleteSeries(args.drop(3).toSeq: _*)
         println(s"deleted ${args.drop(3).mkString(", ")}")

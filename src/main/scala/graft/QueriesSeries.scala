@@ -288,6 +288,27 @@ object QueriesSeries {
   val q66_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** JSONL export → import round trip through the engine: the
+    * one-object-per-line interchange format LLM training pipelines
+    * consume, written distributed, re-imported under the engine
+    * schema (JSON carries no types) into a second series. The read
+    * back through the manifest must equal the raw events — a lossy
+    * timestamp rendering, float mangling or dropped row fails the
+    * hash. */
+  def q123_jsonl_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString + "/dump"
+    sr.exportJsonl(dump)
+    val sr2 = freshSeries(s)
+    sr2.importJsonl(dump)
+    sr2.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q123_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   /** the SQL facade under the gate: write through the engine, register
     * repo-wide views, aggregate over the view in plain SQL — the view
     * carries the manifest-pruned frame() plan, so this proves SQL
@@ -394,6 +415,7 @@ object QueriesSeries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_snapshot_diff" -> q121_snapshot_diff _,
+    "q123_jsonl_roundtrip" -> q123_jsonl_roundtrip _,
     "q84_grouped_ingest" -> q84_grouped_ingest _,
     "q76_sql_facade" -> q76_sql_facade _,
     "q48_series_inline" -> q48_series_inline _,
@@ -424,5 +446,6 @@ object QueriesSeries {
     "q32_series_timetravel" -> q32_oracle,
     "q33_series_delete" -> q33_oracle,
     "q34_series_kv" -> q34_oracle,
-    "q121_snapshot_diff" -> q121_oracle)
+    "q121_snapshot_diff" -> q121_oracle,
+    "q123_jsonl_roundtrip" -> q123_oracle)
 }

@@ -692,6 +692,23 @@ class Series(val collection: Collection, val label: String) {
   def importParquet(path: String): Unit =
     write(spark.read.parquet(path))
 
+  /** JSONL (one JSON object per line) — the interchange format LLM
+    * training pipelines consume; distributed write, ISO-8601
+    * timestamps at FULL microsecond precision (Spark's default JSON
+    * timestampFormat silently truncates to milliseconds). Schema is
+    * re-imposed on import (JSON carries no types), so the round trip
+    * is loss-free for the engine dtypes. */
+  private val JsonlTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def exportJsonl(path: String): Unit =
+    frame().orderBy(idxCols: _*)
+      .write.mode("overwrite")
+      .option("timestampFormat", JsonlTsFormat).json(path)
+
+  def importJsonl(path: String): Unit =
+    write(spark.read.schema(schema.sparkSchema)
+      .option("timestampFormat", JsonlTsFormat).json(path))
+
   // ------------------------------------------------------------------
   // sampling-period helpers (reference Series.period/interval,
   // lakota/series.py:56-80)
