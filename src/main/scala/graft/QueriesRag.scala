@@ -548,6 +548,44 @@ object QueriesRag {
       |  cum::BIGINT AS cum_tok, score
       |FROM asm WHERE cum <= 256 ORDER BY rank""".stripMargin
 
+  // ---- q124: WebDataset tar sharding -----------------------------------
+
+  /** WebDataset-style shard delivery — pack every document into
+    * per-shard POSIX tar archives (the format large-scale training
+    * loaders stream), fully distributed: executors write their
+    * shards' deterministic tar bytes straight to the store, no sample
+    * touches the driver. The emitted manifest carries each shard's
+    * ACTUAL on-store byte size, and the oracle computes the expected
+    * size in closed form (512-byte header + payload padded to 512
+    * per sample + the 1024-byte trailer) — a writer that misplaces
+    * one header, pad block or sample fails the hash. */
+  def q124_webdataset_shards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WebDataset
+    Tables.registerAll(s, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-wds").toString
+    WebDataset.writeShards(s.sql(
+      """SELECT lpad(cast(doc_id AS string), 8, '0') AS key,
+        |  cast(text AS binary) AS payload,
+        |  cast(doc_id % 4 AS int) AS shard
+        |FROM documents""".stripMargin), out)
+    WebDataset.shardManifest(s, out)
+      .createOrReplaceTempView("graft_wds_manifest")
+    s.sql(
+      """SELECT m.shard, c.n_docs, m.tar_bytes
+        |FROM graft_wds_manifest m JOIN (
+        |  SELECT doc_id % 4 AS shard, count(*) AS n_docs
+        |  FROM documents GROUP BY 1) c
+        |ON m.shard = c.shard ORDER BY m.shard""".stripMargin)
+  }
+
+  val q124_oracle: String =
+    """SELECT (doc_id % 4)::BIGINT AS shard,
+      |  count(*)::BIGINT AS n_docs,
+      |  (sum(512 + ((octet_length(encode(text)) + 511) // 512) * 512)
+      |    + 1024)::BIGINT AS tar_bytes
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25" -> q113_bm25 _,
     "q114_rrf_fusion" -> q114_rrf_fusion _,
@@ -555,7 +593,8 @@ object QueriesRag {
     "q116_image_phash" -> q116_image_phash _,
     "q117_tok_fertility" -> q117_tok_fertility _,
     "q118_incremental_dedup" -> q118_incremental_dedup _,
-    "q119_context_pack" -> q119_context_pack _)
+    "q119_context_pack" -> q119_context_pack _,
+    "q124_webdataset_shards" -> q124_webdataset_shards _)
 
   val oracles: Map[String, String] = Map(
     "q113_bm25" -> q113_oracle,
@@ -564,5 +603,6 @@ object QueriesRag {
     "q116_image_phash" -> q116_oracle,
     "q117_tok_fertility" -> q117_oracle,
     "q118_incremental_dedup" -> q118_oracle,
-    "q119_context_pack" -> q119_oracle)
+    "q119_context_pack" -> q119_oracle,
+    "q124_webdataset_shards" -> q124_oracle)
 }

@@ -67,7 +67,8 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q113_bm25", "q114_rrf_fusion", "q115_mmr_diversify",
       "q116_image_phash", "q117_tok_fertility",
       "q118_incremental_dedup", "q119_context_pack",
-      "q120_stream_incdedup", "q122_lsh_audit")
+      "q120_stream_incdedup", "q122_lsh_audit",
+      "q124_webdataset_shards")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()

@@ -218,6 +218,47 @@ class RagSpec extends AnyFunSuite {
     assert(rows.map(_._6).toSeq == rows.map(_._6).sortBy(-_).toSeq)
   }
 
+  test("q124 tar shards round-trip and parse with the system tar") {
+    import graft.functions.WebDataset
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-wds-test").toString
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("00000001", "hello world"),
+      ("00000002", ""),                       // zero-length payload
+      ("00000003", "x" * 1000),               // multi-block payload
+      ("00000004", "exactly".padTo(512, '!')) // block-aligned payload
+    )
+    WebDataset.writeShards(
+      samples.map { case (k, v) => (k, v.getBytes("UTF-8"), 0) }
+        .toDF("key", "payload", "shard"), out)
+    val tarPath = s"$out/shard-00000.tar"
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tarPath))
+    // in-JVM round trip: names in key order, payloads byte-identical
+    val back = WebDataset.readTar(bytes)
+    assert(back.map(_._1) == samples.map(_._1 + ".txt"))
+    samples.zip(back).foreach { case ((_, v), (_, data)) =>
+      assert(new String(data, "UTF-8") == v)
+    }
+    // closed-form size (what the oracle computes)
+    val expect = samples.map { case (_, v) =>
+      512L + (v.getBytes("UTF-8").length + 511L) / 512L * 512L
+    }.sum + 1024L
+    assert(bytes.length.toLong == expect)
+    // external validation: GNU tar must list the same entries
+    val tarBin = new java.io.File("/usr/bin/tar")
+    assume(tarBin.exists())
+    val pb = new ProcessBuilder("/usr/bin/tar", "-tf", tarPath)
+    val p = pb.start()
+    val listed = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    assert(p.waitFor() == 0, "system tar rejected the archive")
+    assert(listed == samples.map(_._1 + ".txt"),
+      s"tar listed $listed")
+  }
+
   test("q117 fertility matches integer token sums") {
     val d = docs()
     val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
