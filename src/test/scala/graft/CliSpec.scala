@@ -57,6 +57,16 @@ class CliSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-cli-out").toString + "/x"
     cli(b, "export", "temp", "brussels", out)
     assert(Files.list(Paths.get(out)).toArray.nonEmpty)
+
+    // jsonl export -> import round trip into a fresh series
+    val jl = Files.createTempDirectory("graft-cli-jl").toString + "/dump"
+    cli(b, "export-jsonl", "temp", "brussels", jl)
+    cli(b, "import-jsonl", "temp", "jback", jl)
+    val back = api.Repo(b, spark).collection("temp").get
+      .series("jback").frame().collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(back.length == 9)
+    assert(back.take(3).toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
   }
 
   test("read-csv emits header + rows on stdout") {
