@@ -586,6 +586,81 @@ object QueriesRag {
       |    + 1024)::BIGINT AS tar_bytes
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q125: cross-modal consistency audit -----------------------------
+
+  /** Cross-modal consistency — for every verified TEXT near-dup pair,
+    * do the two documents' IMAGES also match? Disagreement ("same
+    * text, different image") is the curation flag for mispaired
+    * multimodal samples. Composes two existing pipelines: the pinned
+    * LSH pair set supplies the text side, and the perceptual hash of
+    * the REALLY-decoded gradient PNG supplies the image side — but
+    * only for documents that appear in a pair (the semi-join runs
+    * before any pixel is synthesized or decoded, so image work is
+    * bounded by the pair set however big the corpus is). */
+  def q125_crossmodal_audit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    QueriesSim.q23_lsh_pairs(s, dir) // pins sim_pairs
+    val pairDocs = s.sql(
+      """SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM sim_pairs
+        |  UNION ALL SELECT doc_b FROM sim_pairs)""".stripMargin)
+    val payloads = pairDocs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.MediaCodec.encodeGradientPng(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.aHashImages(payloads, "doc_id", "payload")
+      .toDF().createOrReplaceTempView("graft_pair_ahash")
+    s.sql(
+      """SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  (a.ahash_hi = b.ahash_hi AND a.ahash_lo = b.ahash_lo)
+        |    AS img_match
+        |FROM sim_pairs p
+        |JOIN graft_pair_ahash a ON p.doc_a = a.doc_id
+        |JOIN graft_pair_ahash b ON p.doc_b = b.doc_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin)
+  }
+
+  val q125_oracle: String = {
+    // closed-form image hash per doc (the q116 oracle's pixel math)
+    val hashCtes =
+      """px AS (
+        |  SELECT d.doc_id, x, y,
+        |    (d.doc_id + 16 * x + 7 * y) % 256 AS g
+        |  FROM documents d, range(0, 16) t1(x), range(0, 16) t2(y)),
+        |cell AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS b,
+        |    sum(g) AS cs, count(*) AS cn
+        |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+        |tot AS (SELECT doc_id, sum(g) AS ts, count(*) AS tn
+        |  FROM px GROUP BY doc_id),
+        |bits AS (SELECT c.doc_id, c.b,
+        |    CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+        |  FROM cell c JOIN tot t ON c.doc_id = t.doc_id),
+        |h AS (SELECT doc_id,
+        |    sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+        |        ELSE 0 END)::BIGINT AS hi,
+        |    sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+        |        ELSE 0 END)::BIGINT AS lo
+        |  FROM bits GROUP BY doc_id)""".stripMargin
+    s"""WITH ${QueriesSim.duckShingleTok},
+       |${QueriesSim.sigBody("tok")},
+       |${QueriesSim.lshTail("sig", "tok").split("\nSELECT")(0)},
+       |prs AS (
+       |  SELECT c.da AS doc_a, c.db AS doc_b,
+       |    round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
+       |  FROM cand c
+       |  JOIN inter i ON c.da = i.da AND c.db = i.db
+       |  JOIN sizes sa ON c.da = sa.doc_id
+       |  JOIN sizes sb ON c.db = sb.doc_id
+       |  WHERE cnt > 0),
+       |$hashCtes
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  (a.hi = b.hi AND a.lo = b.lo) AS img_match
+       |FROM prs p
+       |JOIN h a ON p.doc_a = a.doc_id
+       |JOIN h b ON p.doc_b = b.doc_id
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25" -> q113_bm25 _,
     "q114_rrf_fusion" -> q114_rrf_fusion _,
@@ -594,7 +669,8 @@ object QueriesRag {
     "q117_tok_fertility" -> q117_tok_fertility _,
     "q118_incremental_dedup" -> q118_incremental_dedup _,
     "q119_context_pack" -> q119_context_pack _,
-    "q124_webdataset_shards" -> q124_webdataset_shards _)
+    "q124_webdataset_shards" -> q124_webdataset_shards _,
+    "q125_crossmodal_audit" -> q125_crossmodal_audit _)
 
   val oracles: Map[String, String] = Map(
     "q113_bm25" -> q113_oracle,
@@ -604,5 +680,6 @@ object QueriesRag {
     "q117_tok_fertility" -> q117_oracle,
     "q118_incremental_dedup" -> q118_oracle,
     "q119_context_pack" -> q119_oracle,
-    "q124_webdataset_shards" -> q124_oracle)
+    "q124_webdataset_shards" -> q124_oracle,
+    "q125_crossmodal_audit" -> q125_oracle)
 }
