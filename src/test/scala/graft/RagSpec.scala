@@ -259,6 +259,37 @@ class RagSpec extends AnyFunSuite {
       s"tar listed $listed")
   }
 
+  test("q125 cross-modal audit agrees with closed-form hashes per pair") {
+    // closed form for the gradient fixture, mirrored from q116's test
+    def expectHash(docId: Long): (Long, Long) = {
+      val g = Array.tabulate(16, 16)((y, x) =>
+        ((docId + 16L * x + 7L * y) % 256).toInt)
+      val total = g.flatten.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val cs = (for {
+          y <- (2 * by) until (2 * by + 2)
+          x <- (2 * bx) until (2 * bx + 2)
+        } yield g(y)(x).toLong).sum
+        val b = by * 8 + bx
+        if (cs * 256 >= total * 4) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val rows = QueriesRag.q125_crossmodal_audit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.nonEmpty, "the sf0.001 corpus has near-dup pairs")
+    rows.foreach { case (a, b, m) =>
+      assert(m == (expectHash(a) == expectHash(b)),
+        s"pair ($a, $b): img_match should follow the pixel math")
+    }
+    // the audited pair set IS the pinned LSH pair set
+    val nPairs = spark.table("sim_pairs").count()
+    assert(rows.length.toLong == nPairs)
+  }
+
   test("q117 fertility matches integer token sums") {
     val d = docs()
     val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
