@@ -1891,6 +1891,63 @@ object QueriesPipe {
       |  round(sum(c * qlr) / (1000000.0 * max(nl)), 4) + 0 AS kl_nats
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Length-grouped batching — the dynamic-batching trick training
+    * loaders use: group SIMILAR-length documents into fixed-size
+    * batches so padding-to-max wastes as little compute as possible
+    * (vs random batching, where one long outlier pads the whole
+    * batch). Documents fall into 64-token length buckets; batching
+    * runs within (bucket, md5-shard-of-16) — a per-worker view, which
+    * is how a distributed loader actually batches, and what keeps the
+    * window keys at bucket x shard cardinality instead of serializing
+    * terabyte buckets through single tasks at corpus scale. Batches
+    * of 8 by descending length with doc_id tie-break; per batch the
+    * report carries max length and the padding waste
+    * (n_docs * max_len - sum_len) — all exact integers. */
+  def q126_length_batching(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH d AS (
+        |  SELECT doc_id, size(split(text, ' ', -1)) AS n_tok
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |        FROM documents)),
+        |b AS (SELECT doc_id, n_tok,
+        |    cast((n_tok + 63) div 64 AS bigint) AS bucket,
+        |    ${hashMod("doc_id", 16)} AS shard
+        |  FROM d),
+        |r AS (SELECT bucket, shard, n_tok,
+        |    row_number() OVER (PARTITION BY bucket, shard
+        |      ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM b)
+        |SELECT bucket, shard,
+        |  cast((rn - 1) div 8 AS bigint) AS batch_id,
+        |  count(*) AS n_docs, cast(max(n_tok) AS bigint) AS max_len,
+        |  cast(count(*) * max(n_tok) - sum(n_tok) AS bigint) AS waste
+        |FROM (SELECT bucket, shard, n_tok, cast(rn AS bigint) AS rn
+        |      FROM r)
+        |GROUP BY bucket, shard, (rn - 1) div 8
+        |ORDER BY bucket, shard, batch_id""".stripMargin)
+  }
+
+  val q126_oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tok,
+       |    ((n_tok + 63) // 64)::BIGINT AS bucket,
+       |    ${duckHashMod("doc_id", 16)} AS shard
+       |  FROM d),
+       |r AS (SELECT bucket, shard, n_tok,
+       |    row_number() OVER (PARTITION BY bucket, shard
+       |      ORDER BY n_tok DESC, doc_id) AS rn
+       |  FROM b)
+       |SELECT bucket, shard,
+       |  ((rn - 1) // 8)::BIGINT AS batch_id,
+       |  count(*)::BIGINT AS n_docs, max(n_tok)::BIGINT AS max_len,
+       |  (count(*) * max(n_tok) - sum(n_tok))::BIGINT AS waste
+       |FROM r
+       |GROUP BY bucket, shard, (rn - 1) // 8
+       |ORDER BY bucket, shard, batch_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_dsir_weights" -> q104_dsir_weights _,
     "q105_unimax_mix" -> q105_unimax_mix _,
@@ -1900,6 +1957,7 @@ object QueriesPipe {
     "q110_data_card" -> q110_data_card _,
     "q111_quantile_sketch" -> q111_quantile_sketch _,
     "q112_k_anonymity" -> q112_k_anonymity _,
+    "q126_length_batching" -> q126_length_batching _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -1961,6 +2019,7 @@ object QueriesPipe {
     "q110_data_card" -> q110_oracle,
     "q111_quantile_sketch" -> q111_oracle,
     "q112_k_anonymity" -> q112_oracle,
+    "q126_length_batching" -> q126_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

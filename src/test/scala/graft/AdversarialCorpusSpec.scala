@@ -68,7 +68,8 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q116_image_phash", "q117_tok_fertility",
       "q118_incremental_dedup", "q119_context_pack",
       "q120_stream_incdedup", "q122_lsh_audit",
-      "q124_webdataset_shards", "q125_crossmodal_audit")
+      "q124_webdataset_shards", "q125_crossmodal_audit",
+      "q126_length_batching")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()

@@ -913,4 +913,30 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(2)).max < 0.9,
       "OOV ~1.0 means the vocabulary join matched nothing")
   }
+
+  test("length batching partitions every doc with bounded waste") {
+    val rows = QueriesPipe.q126_length_batching(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    // every document lands in exactly one batch
+    assert(rows.map(_._4).sum == nDocs)
+    rows.foreach { case (bucket, shard, batch, n, maxLen, waste) =>
+      assert(n >= 1 && n <= 8, s"batch size $n")
+      assert(shard >= 0 && shard < 16)
+      assert(waste >= 0, s"negative waste $waste")
+      // same-bucket docs are within one 64-token band, so padding
+      // waste per batch is bounded by (n-1) * 63
+      assert(waste <= (n - 1) * 63,
+        s"bucket $bucket shard $shard batch $batch: waste $waste > ${(n - 1) * 63}")
+      assert(maxLen <= bucket * 64 && maxLen > (bucket - 1) * 64,
+        s"max_len $maxLen outside bucket $bucket band")
+    }
+    // within each (bucket, shard), only the LAST batch may be partial
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._3)
+      sorted.init.foreach(t => assert(t._4 == 8,
+        s"non-final batch of size ${t._4}"))
+    }
+  }
 }
