@@ -1891,6 +1891,42 @@ object QueriesPipe {
       |  round(sum(c * qlr) / (1000000.0 * max(nl)), 4) + 0 AS kl_nats
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Leakage-safe train/val/test split — q50's hash split applied at
+    * the NEAR-DUP-CLUSTER grain instead of the document grain: every
+    * document is keyed by its component canonical (its own id when
+    * unclustered) and the whole cluster hash-routes together, so two
+    * near-duplicates can never straddle train and test — the
+    * evaluation-leakage trap a per-document split walks straight
+    * into. Composes the pinned LSH component table with the same
+    * 80/10/10 md5 gate as q50; one broadcast-sized left join over the
+    * corpus scan. */
+  def q127_leakage_safe_split(s: SparkSession, dir: String): DataFrame = {
+    q54_neardup_components(s, dir)
+      .createOrReplaceTempView("graft_split_comp")
+    s.sql(
+      s"""WITH a AS (
+         |  SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS canon
+         |  FROM documents d
+         |  LEFT JOIN graft_split_comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, canon,
+         |  CASE WHEN ${hash100("canon")} < 80 THEN 'train'
+         |       WHEN ${hash100("canon")} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM a ORDER BY doc_id""".stripMargin)
+  }
+
+  val q127_oracle: String =
+    s"""$duckComponentCtes,
+       |a AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canon
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, canon,
+       |  CASE WHEN ${duckHash100("canon")} < 80 THEN 'train'
+       |       WHEN ${duckHash100("canon")} < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Length-grouped batching — the dynamic-batching trick training
     * loaders use: group SIMILAR-length documents into fixed-size
     * batches so padding-to-max wastes as little compute as possible
@@ -1958,6 +1994,7 @@ object QueriesPipe {
     "q111_quantile_sketch" -> q111_quantile_sketch _,
     "q112_k_anonymity" -> q112_k_anonymity _,
     "q126_length_batching" -> q126_length_batching _,
+    "q127_leakage_safe_split" -> q127_leakage_safe_split _,
     "q95_bpe_merge" -> q95_bpe_merge _,
     "q96_quality_mix" -> q96_quality_mix _,
     "q103_vocab_oov" -> q103_vocab_oov _,
@@ -2020,6 +2057,7 @@ object QueriesPipe {
     "q111_quantile_sketch" -> q111_oracle,
     "q112_k_anonymity" -> q112_oracle,
     "q126_length_batching" -> q126_oracle,
+    "q127_leakage_safe_split" -> q127_oracle,
     "q95_bpe_merge" -> q95_oracle,
     "q96_quality_mix" -> q96_oracle,
     "q103_vocab_oov" -> q103_oracle,

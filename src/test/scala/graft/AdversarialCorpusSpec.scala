@@ -69,7 +69,7 @@ class AdversarialCorpusSpec extends AnyFunSuite {
       "q118_incremental_dedup", "q119_context_pack",
       "q120_stream_incdedup", "q122_lsh_audit",
       "q124_webdataset_shards", "q125_crossmodal_audit",
-      "q126_length_batching")
+      "q126_length_batching", "q127_leakage_safe_split")
     battery.foreach { name =>
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()

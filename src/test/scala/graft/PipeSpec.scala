@@ -914,6 +914,34 @@ class PipeSpec extends AnyFunSuite {
       "OOV ~1.0 means the vocabulary join matched nothing")
   }
 
+  test("leakage-safe split never straddles a near-dup cluster") {
+    val rows = QueriesPipe.q127_leakage_safe_split(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = Tables.table(spark, dir, "documents").count()
+    assert(rows.length.toLong == nDocs, "every doc gets a split")
+    // the leakage property: one split per canonical cluster
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $canon straddles splits: ${members.map(_._3).distinct}")
+    }
+    // clustered docs really share their component's split (the join
+    // actually happened - a broken view would default everyone to
+    // their own id and the test above would pass vacuously)
+    val comp = QueriesPipe.q54_neardup_components(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    val byId = rows.map(t => t._1 -> t).toMap
+    comp.foreach { case (doc, component) =>
+      assert(byId(doc)._2 == component,
+        s"doc $doc should carry canon $component")
+      assert(byId(doc)._3 == byId(component)._3,
+        s"doc $doc split differs from its canonical $component")
+    }
+    // the split gate still lands near 80/10/10 at cluster grain
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+  }
+
   test("length batching partitions every doc with bounded waste") {
     val rows = QueriesPipe.q126_length_batching(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
