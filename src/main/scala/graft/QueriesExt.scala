@@ -220,19 +220,28 @@ object QueriesExt {
     // the fused native cosine (identical sequential IEEE accumulation
     // to the oracle's list_cosine_similarity); the query's own 1×8
     // probe is a separate trivial join rather than a second pass over
-    // the full assignment table
+    // the full assignment table.
+    //
+    // The argmax itself is a min_by over the lexicographic
+    // (-sim, cid) struct — the same selection as the oracle's ranked
+    // window, but as a MAP-SIDE-COMBINING aggregate: the 8 candidate
+    // rows per vector reduce to 1 before the shuffle and nothing is
+    // sort-shuffled N×8 wide (the q98 pattern). `0.0D - sim` instead
+    // of `-sim` so the key can never be -0.0 (struct ordering compares
+    // raw doubles, where -0.0 < 0.0 would break the tie math).
+    // any_value(label)/any_value(e) are deterministic: every row in a
+    // vec_id group carries the identical label/e.
     s.sql(
       s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, label,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v
         |  WHERE vec_id BETWEEN 1 AND 8),
-        |a AS (SELECT vec_id, label, e, cid FROM (
-        |    SELECT v.vec_id, v.label, v.e, c.cid,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
-        |        AS rn
-        |    FROM v CROSS JOIN c)
-        |  WHERE rn = 1),
+        |a AS (SELECT v.vec_id, any_value(v.label) AS label,
+        |    any_value(v.e) AS e,
+        |    min_by(c.cid, named_struct(
+        |      's', 0.0D - round(graft_cosine(v.e, c.ce), 6),
+        |      'c', c.cid)) AS cid
+        |  FROM v CROSS JOIN c GROUP BY v.vec_id),
         |qp AS (SELECT cid FROM v CROSS JOIN c WHERE v.vec_id = 0
         |  ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, cid LIMIT 2),
         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -280,13 +289,15 @@ object QueriesExt {
   def q88_kmeans_refine(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
+    // map-side-combining argmax (the q72/q98 min_by pattern): k
+    // candidate rows per vector reduce to 1 before the shuffle, no
+    // N×k sort. 0.0D - sim so the struct key can never be -0.0.
     def assign(vRef: String, cRef: String, out: String): String =
-      s"""$out AS (SELECT vec_id, e, cid FROM (
-         |  SELECT v.vec_id, v.e, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
-         |      AS rn
-         |  FROM $vRef v CROSS JOIN $cRef c) WHERE rn = 1)""".stripMargin
+      s"""$out AS (SELECT v.vec_id, any_value(v.e) AS e,
+         |  min_by(c.cid, named_struct(
+         |    's', 0.0D - round(graft_cosine(v.e, c.ce), 6),
+         |    'c', c.cid)) AS cid
+         |  FROM $vRef v CROSS JOIN $cRef c GROUP BY v.vec_id)""".stripMargin
     // order-independent mean: each addend quantizes to an integer
     // (round(v*1e6)), the sum is EXACT whatever the partition order,
     // and one identical division yields bit-identical doubles in both
@@ -432,12 +443,11 @@ object QueriesExt {
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |c AS (SELECT vec_id AS cid, e AS ce FROM v
          |  WHERE vec_id BETWEEN 1 AND 8),
-         |a AS (SELECT vec_id, e, cid FROM (
-         |    SELECT v.vec_id, v.e, c.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
-         |        AS rn
-         |    FROM v CROSS JOIN c) WHERE rn = 1),
+         |a AS (SELECT v.vec_id, any_value(v.e) AS e,
+         |    min_by(c.cid, named_struct(
+         |      's', 0.0D - round(graft_cosine(v.e, c.ce), 6),
+         |      'c', c.cid)) AS cid
+         |  FROM v CROSS JOIN c GROUP BY v.vec_id),
          |drops AS (SELECT DISTINCT b.vec_id
          |  FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
          |  WHERE round(graft_cosine(x.e, b.e), 6) >= 0.3)
@@ -554,12 +564,13 @@ object QueriesExt {
          |        cast(round((x - y) * 1000000, 0) AS bigint)),
          |      cast(0 AS bigint), (a, x) -> a + x * x) AS dq
          |  FROM sub s JOIN cb c ON s.sp = c.sp),
-         |a AS (SELECT vec_id, sp, cid, dq, row_number() OVER (
-         |    PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
-         |  FROM d)
-         |SELECT vec_id, cast(sp AS bigint) AS subspace, cid AS code,
+         |a AS (SELECT vec_id, sp,
+         |    min_by(cid, named_struct('d', dq, 'c', cid)) AS code,
+         |    min(dq) AS dq
+         |  FROM d GROUP BY vec_id, sp)
+         |SELECT vec_id, cast(sp AS bigint) AS subspace, code,
          |  round(dq / 1000000000000.0D, 6) + 0 AS dist_sq
-         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin)
+         |FROM a ORDER BY vec_id, subspace""".stripMargin)
   }
 
   val q97_oracle: String =
@@ -901,12 +912,11 @@ object QueriesExt {
         |    SELECT pid, vec_id, row_number() OVER (
         |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
         |    FROM x1) WHERE rn <= 10),
-        |a AS (SELECT vec_id, cid FROM (
-        |    SELECT v.vec_id, c.cid, row_number() OVER (
-        |      PARTITION BY v.vec_id
-        |      ORDER BY round(graft_cosine(v.e, c.ce), 6) DESC, c.cid)
-        |      AS rn
-        |    FROM v CROSS JOIN c) WHERE rn = 1),
+        |a AS (SELECT v.vec_id,
+        |    min_by(c.cid, named_struct(
+        |      's', 0.0D - round(graft_cosine(v.e, c.ce), 6),
+        |      'c', c.cid)) AS cid
+        |  FROM v CROSS JOIN c GROUP BY v.vec_id),
         |pq AS (SELECT pid, cid FROM (
         |    SELECT p.pid, c.cid, row_number() OVER (PARTITION BY p.pid
         |      ORDER BY round(graft_cosine(p.pe, c.ce), 6) DESC, c.cid)

@@ -240,7 +240,7 @@ object QueriesPipe {
   private def duckComponentCtes: String =
     s"""WITH RECURSIVE ${QueriesSim.duckShingleTok},
        |${QueriesSim.sigBody("tok")},
-       |${QueriesSim.lshTail("sig", "tok").split("\nSELECT")(0)},
+       |${QueriesSim.lshCtes("sig", "tok")},
        |prs AS (
        |  SELECT c.da AS a, c.db AS b
        |  FROM cand c

@@ -76,16 +76,24 @@ object QueriesSim {
   }
 
   private[graft] def materialize(s: SparkSession, dir: String, sql: String,
-      view: String): Unit = {
+      view: String): Unit =
+    materializeDf(s, dir, view)(s.sql(sql))
+
+  /** DataFrame-input variant of [[materialize]] for intermediates that
+    * SQL cannot express (codec mapPartitions fixtures). Same session
+    * cache, same checkpoint durability semantics. The builder is
+    * by-name: it only evaluates on a cache miss. */
+  private[graft] def materializeDf(s: SparkSession, dir: String,
+      view: String)(build: => DataFrame): Unit = {
     val t0 = System.nanoTime()
-    materialize0(s, dir, sql, view)
+    materialize0(s, dir, () => build, view)
     if (sys.env.contains("SPARK_GRAFT_MAT_TIMING"))
       System.err.println(f"[mat] $view ${(System.nanoTime()-t0)/1e9}%.3f s " +
         s"${s.table(view).count()} rows")
   }
 
-  private def materialize0(s: SparkSession, dir: String, sql: String,
-      view: String): Unit = {
+  private def materialize0(s: SparkSession, dir: String,
+      build: () => DataFrame, view: String): Unit = {
     val cache = sessionCache(s)
     // One per-session lock around evict + build + view-rebind:
     //  - TrieMap.getOrElseUpdate alone may evaluate a racing builder
@@ -134,8 +142,8 @@ object QueriesSim {
                 "HDFS/object-store path)"))
             s.sparkContext.setCheckpointDir(dir)
           }
-          s.sql(sql).checkpoint()
-        case _ => s.sql(sql).localCheckpoint()
+          build().checkpoint()
+        case _ => build().localCheckpoint()
       }
     })
     df.createOrReplaceTempView(view)
@@ -252,7 +260,13 @@ object QueriesSim {
     * ~25-byte strings). A hash collision merges the same two shingles
     * in BOTH engines, so cross-engine equality is exact by
     * construction. */
-  private[graft] def lshTail(sigRef: String, tokRef: String): String =
+  /** The LSH CTE chain alone (bands/cand/sizes/inter, no final
+    * SELECT) — the splice point for oracles that extend the pipeline
+    * past the raw pair list (components, audits, cross-modal checks).
+    * An explicit prefix means a future reformat of [[lshTail]]'s final
+    * SELECT can never silently truncate a consumer's CTE chain, which
+    * the old `.split("\nSELECT")(0)` surgery was vulnerable to. */
+  private[graft] def lshCtes(sigRef: String, tokRef: String): String =
     s"""bands AS (
        |  SELECT doc_id, 1 AS band, mh1 AS x, mh2 AS y FROM $sigRef UNION ALL
        |  SELECT doc_id, 2, mh3, mh4 FROM $sigRef UNION ALL
@@ -270,7 +284,10 @@ object QueriesSim {
        |  FROM cand c
        |  JOIN $tokRef a ON a.doc_id = c.da
        |  JOIN $tokRef b ON b.doc_id = c.db AND b.hv = a.hv
-       |  GROUP BY c.da, c.db)
+       |  GROUP BY c.da, c.db)""".stripMargin
+
+  private[graft] def lshTail(sigRef: String, tokRef: String): String =
+    s"""${lshCtes(sigRef, tokRef)}
        |SELECT c.da AS doc_a, c.db AS doc_b,
        |  round(cnt/(sa.n + sb.n - cnt), 4) AS jaccard
        |FROM cand c
@@ -482,7 +499,7 @@ object QueriesSim {
   val q122_oracle: String =
     s"""WITH $duckShingleTok,
        |${sigBody("tok")},
-       |${lshTail("sig", "tok").split("\nSELECT")(0)},
+       |${lshCtes("sig", "tok")},
        |lshp AS (
        |  SELECT i.da, i.db FROM inter i
        |  JOIN sizes sa ON i.da = sa.doc_id

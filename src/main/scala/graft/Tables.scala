@@ -52,9 +52,12 @@ object Tables {
              |  WHEN $c >= 1000000000000000000L OR $c <= 0 THEN $c div 1000
              |  ELSE raise_error(concat(
              |    'normalizeTs: Long $c value ', cast($c AS string),
-             |    ' is too small for epoch-nanos; if the column is ',
-             |    'epoch-micros INT64, read it without the nanos ',
-             |    'legacy conf'))
+             |    ' is ambiguous: below 1e18 it could be epoch-micros ',
+             |    'INT64 (read it without the nanos legacy conf), ',
+             |    'epoch-millis, or legitimate epoch-nanos before ',
+             |    '~2001-09. This loader assumes the driver corpus ',
+             |    '(2024 data, micros or nanos only); for older nanos ',
+             |    'data normalize the column explicitly before ingest'))
              |END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn(c, col(c).cast(TimestampType))

@@ -57,22 +57,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
     val get = if (isDouble) "getDouble" else "getFloat"
+    // every local is freshName'd: the same expression can be
+    // instantiated twice in ONE generated function (e.g. inside a
+    // min_by aggregate key and a projection), where fixed names are a
+    // janino "Redefinition of local variable" error that silently
+    // kicks the whole stage out of codegen
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val anyNull = ctx.freshName("anyNull"); val i = ctx.freshName("i")
+    val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |boolean anyNull = false;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |  double xv = (double) $a.$get(i);
-         |  double yv = (double) $b.$get(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  double $xv = (double) $a.$get($i);
+         |  double $yv = (double) $b.$get($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |if (anyNull || na == 0.0 || nb == 0.0) {
+         |if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot /
-         |    (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })
@@ -118,16 +127,19 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
     val get = if (isDouble) "getDouble" else "getFloat"
+    // freshName'd locals — see CosineSimilarity.doGenCode
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val anyNull = ctx.freshName("anyNull"); val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |boolean anyNull = false;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |  dot += (double) $a.$get(i) * (double) $b.$get(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $dot += (double) $a.$get($i) * (double) $b.$get($i);
          |}
-         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = dot; }
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
        """.stripMargin)
   }
 

@@ -27,9 +27,15 @@ object WebDataset {
       val b = s.getBytes("UTF-8")
       System.arraycopy(b, 0, h, off, b.length)
     }
-    def oct(off: Int, len: Int, v: Long): Unit =
-      // len-1 octal digits, NUL terminated (GNU/POSIX accept both)
+    def oct(off: Int, len: Int, v: Long): Unit = {
+      // len-1 octal digits, NUL terminated (GNU/POSIX accept both).
+      // A value needing more digits (size >= 8^11 ~ 8.5 GB for the
+      // 12-byte field) would silently overwrite the adjacent field —
+      // fail loudly instead, mirroring the name-length require.
+      require(v >= 0 && v < (1L << (3 * (len - 1))),
+        s"value $v does not fit ${len - 1} octal digits")
       put(off, ("%0" + (len - 1) + "o").format(v))
+    }
     put(0, name)
     oct(100, 8, 420L)      // mode 0644
     oct(108, 8, 0L)        // uid
@@ -65,26 +71,44 @@ object WebDataset {
         (it: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(conf.value)
+        // Poor-man's output commit: every shard streams to an
+        // ATTEMPT-UNIQUE temp path and is renamed into place only once
+        // its trailer is written. A speculative or zombie retry of the
+        // same partition writes its own temp file; whichever attempt
+        // renames last replaces the shard WHOLESALE — a reader can see
+        // an older complete archive, never interleaved bytes from two
+        // writers (the hazard of two attempts appending to one final
+        // path on s3a/HDFS-style stores).
+        val tc = org.apache.spark.TaskContext.get()
+        val attempt =
+          if (tc == null) "local"
+          else s"${tc.stageId}-${tc.partitionId}-${tc.taskAttemptId}"
         var cur = -1
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        def close(): Unit = if (out != null) {
+        def commit(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero trailer blocks
           out.close(); out = null
+          val fin = new org.apache.hadoop.fs.Path(
+            dir, f"shard-$cur%05d.tar")
+          val tmp = new org.apache.hadoop.fs.Path(
+            dir, f"_tmp-shard-$cur%05d.$attempt")
+          if (fs.exists(fin)) fs.delete(fin, false)
+          require(fs.rename(tmp, fin), s"commit rename failed: $tmp")
         }
         it.foreach { r =>
           val (key, payload, shard) =
             (r.getString(0), r.getAs[Array[Byte]](1), r.getInt(2))
           if (shard != cur) {
-            close()
+            commit()
             cur = shard
             out = fs.create(new org.apache.hadoop.fs.Path(
-              dir, f"shard-$shard%05d.tar"), true)
+              dir, f"_tmp-shard-$shard%05d.$attempt"), true)
           }
           out.write(tarHeader(s"$key.txt", payload.length.toLong))
           out.write(payload)
           out.write(new Array[Byte](pad(payload.length.toLong)))
         }
-        close()
+        commit()
       }
   }
 

@@ -274,6 +274,41 @@ class PlanSpec extends AnyFunSuite {
     assert(hasPmod, "no pmod shard key in the q113 plan")
   }
 
+  private def windowSpecsOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[Seq[String]] = {
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+  }
+
+  test("IVF cell assignment is a map-side argmin aggregate, never a ranked window") {
+    val dir = "/root/testdata/sf0.001"
+    // q72/q88/q91/q97: the nearest-centroid / nearest-codeword argmin
+    // must be the min_by aggregate (8 candidate rows combine to 1
+    // map-side) — a row_number window would sort-shuffle the N×k cross
+    // join. After the rewrite none of these plans contains ANY window.
+    for ((n, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "q72" -> (QueriesExt.q72_ann_ivf _),
+      "q88" -> (QueriesExt.q88_kmeans_refine _),
+      "q91" -> (QueriesExt.q91_semdedup _),
+      "q97" -> (QueriesExt.q97_pq_codes _))) {
+      val ws = windowSpecsOf(q(spark, dir))
+      assert(ws.isEmpty, s"$n still plans a window: $ws")
+    }
+    // q107 keeps its legitimate sharded top-k windows, but none may
+    // partition on the corpus-wide vec_id alone (the banned shape)
+    windowSpecsOf(QueriesExt.q107_ann_recall(spark, dir)).foreach(spec =>
+      assert(!(spec.size == 1 && spec.head.contains("vec_id")),
+        s"q107 windows on vec_id: $spec"))
+  }
+
   test("incremental dedup probes by band equi-joins, never a cartesian") {
     val df = QueriesRag
       .q118_incremental_dedup(spark, "/root/testdata/sf0.001")
