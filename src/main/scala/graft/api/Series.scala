@@ -55,14 +55,38 @@ class Series(val collection: Collection, val label: String) {
     df.select(schema.cols.map(c =>
       col(c.name).cast(c.dtype.sparkType).as(c.name)): _*)
 
+  /** Rows of an already-LOCAL input, without any Spark query: a
+    * `createDataFrame`-on-collected-rows frame (the fragmentation /
+    * tiny-commit workload) is a LocalRelation whose rows sit in the
+    * analyzed plan. When its schema already matches the collection
+    * (names + dtypes in order, the common case for an ingest loop),
+    * the small-write probe needs no per-write analyze / optimize /
+    * codegen / execute cycle — profiled as the dominant ~25 ms of a
+    * 37 ms metadata-only commit. Any mismatch falls back to the
+    * ordinary cast + bounded-probe path. */
+  private def localInputRows(df: DataFrame): Option[Array[Row]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length <= collection.embedProbeRows &&
+            lr.output.length == schema.sparkSchema.length &&
+            lr.output.zip(schema.sparkSchema.fields).forall {
+              case (a, f) => a.name == f.name && a.dataType == f.dataType
+            } =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(lr.schema)
+        Some(lr.data.map(ir => conv(ir).asInstanceOf[Row]).toArray)
+      case _ => None
+    }
+
   def write(df: DataFrame, start: Any = null, stop: Any = null,
       closed: Closed = Closed.Both, root: Boolean = false): Unit = {
-    val data = cast(df)
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
-    // small-write fast paths. A bounded probe (CollectLimit evaluates
-    // partitions incrementally) detects frames that fit on the driver:
+    // small-write fast paths. A bounded probe (driver-local rows when
+    // the input is a schema-matching LocalRelation; otherwise a
+    // CollectLimit, which evaluates partitions incrementally) detects
+    // frames that fit on the driver:
     //  - under embedMaxSize serialized bytes -> rows embed straight in
     //    the manifest (reference embed_max_size): no file, no Spark job;
     //  - otherwise -> one driver-sorted single-file segment: two tiny
@@ -70,9 +94,12 @@ class Series(val collection: Collection, val label: String) {
     //    commit and the full stats re-scan. The fragmentation workload
     //    (reference bench_fragmentation.py) lives entirely here.
     if (collection.embedProbeRows > 0) {
-      val probeLimit = collection.embedProbeRows + 1
-      val probe = data.limit(probeLimit).collect()
-      if (probe.length < probeLimit) {
+      val probeOpt: Option[Array[Row]] = localInputRows(df).orElse {
+        val probeLimit = collection.embedProbeRows + 1
+        val probe = cast(df).limit(probeLimit).collect()
+        if (probe.length < probeLimit) Some(probe) else None
+      }
+      probeOpt.foreach { probe =>
         // inline vectors carry only non-default source columns, so a
         // write's explicit values for clone-added columns would be
         // silently replaced by the default at read — collections with
@@ -91,6 +118,7 @@ class Series(val collection: Collection, val label: String) {
         return
       }
     }
+    val data = cast(df)
 
     // Global sort via range partitioning; AQE coalesces the default
     // shuffle partition count for small inputs, maxRecordsPerFile caps
@@ -271,10 +299,18 @@ class Series(val collection: Collection, val label: String) {
   }
 
   /** One driver-sorted single-file segment for a fully-collected small
-    * frame: stats and the content digest come from the in-memory rows
-    * (one tiny hash job on a local DataFrame, one single-task parquet
-    * write) — no shuffle, no re-scan. Digest formula matches the bulk
-    * path, so identical content dedupes across both. */
+    * frame, written WITHOUT any Spark job: the rows are already on the
+    * driver, so both the content digest (the same order-insensitive
+    * xxhash64 aggregate as the bulk path, evaluated via the identical
+    * Catalyst expression) and the parquet bytes (parquet-mr writer,
+    * same INT64-micros/DATE/BINARY-UTF8 encodings Spark's own writer
+    * and vectorized reader use) are produced in-process. A tiny commit
+    * therefore costs one local parquet flush + one metadata commit —
+    * the regime the reference's bench_fragmentation.py measures, and
+    * the shape that keeps a high-frequency tiny-tick ingest from
+    * serializing on per-write job scheduling at cluster scale. Digest
+    * formula matches the bulk path, so identical content dedupes
+    * across both. */
   private def writeSmallFile(probe: Array[Row], startK: IndexKey,
       stopK: IndexKey, closed: Closed, root: Boolean): Unit = {
     val idxPos = schema.cols.zipWithIndex.filter(_._1.idx).map(_._2)
@@ -282,23 +318,28 @@ class Series(val collection: Collection, val label: String) {
       SparkVals.toKernel(schema.cols(i).dtype, r.get(i))).toVector)
     val sorted = probe.sortWith((a, b) =>
       schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0)
-    val jlist = new java.util.ArrayList[Row](sorted.length)
-    sorted.foreach(jlist.add)
     // physical column names, like the big-write path
-    val df = spark.createDataFrame(jlist,
-      org.apache.spark.sql.types.StructType(schema.sparkSchema.fields
-        .map(f => f.copy(name = collection.physOf(f.name)))))
-    val allCols = schema.names.map(n => col(collection.physOf(n)))
-    // observe() piggybacks the digest aggregate on the write job itself
-    // — one Spark job total for hash + file
-    val obs = new org.apache.spark.sql.Observation()
+    val physStruct = org.apache.spark.sql.types.StructType(
+      schema.sparkSchema.fields.map(f =>
+        f.copy(name = collection.physOf(f.name))))
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(physStruct)
+    val irows = sorted.map(r => toCatalyst(r)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    // sum(pmod(xxhash64(cols), 2^31-1)) — the bulk path's digest
+    // aggregate, via the SAME XxHash64 expression (seed 42) it codegens
+    val hashExpr = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      physStruct.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, f.dataType, f.nullable) })
+    val M = 2147483647L
+    val hash = irows.foldLeft(0L) { (acc, ir) =>
+      val h = hashExpr.eval(ir).asInstanceOf[Long]
+      acc + (((h % M) + M) % M)
+    }
     val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.observe(obs,
-        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("h"))
-      .coalesce(1).write.mode("overwrite").parquet(store.uri(tmpRel))
-    val hash = obs.get("h").asInstanceOf[Long]
-    val tmpFile = store.walk(tmpRel).find(_.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no parquet written"))
+    val tmpFile = s"$tmpRel/part-00000.parquet"
+    writeParquetLocal(irows, physStruct, store.uri(tmpFile))
     val mn = keyOfRow(sorted.head)
     val mx = keyOfRow(sorted.last)
     val digest = Hash.sha1(
@@ -311,6 +352,63 @@ class Series(val collection: Collection, val label: String) {
       Option(startK).getOrElse(mn), Option(stopK).getOrElse(mx),
       closed, sorted.length.toLong, Vector(target),
       Some(mn), Some(mx))), root)
+  }
+
+  /** parquet-mr writer for a driver-local row batch — no Spark job.
+    * The 5 engine dtypes map to the encodings Spark's own writer emits
+    * and its vectorized reader consumes: INT64 TIMESTAMP(MICROS,
+    * UTC-adjusted), INT32 DATE, INT64, DOUBLE, BINARY UTF8. Writes
+    * through the Hadoop FileSystem of the target URI, so every store
+    * backend (file, memory://, s3ish://, http) is covered. */
+  private def writeParquetLocal(
+      irows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      physStruct: org.apache.spark.sql.types.StructType,
+      uri: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    schema.cols.zip(physStruct.fields).foreach { case (c, f) =>
+      def prim(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
+        if (f.nullable) Types.optional(t) else Types.required(t)
+      val tb = c.dtype match {
+        case GType.TimestampT => prim(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case GType.DateT => prim(INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case GType.IntT => prim(INT64)
+        case GType.FloatT => prim(DOUBLE)
+        case GType.StrT => prim(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+      }
+      b.addField(tb.named(f.name))
+    }
+    val msgType = b.named("spark_schema")
+    val conf = spark.sessionState.newHadoopConf()
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(uri), conf))
+      .withType(msgType)
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val fac =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+    try irows.foreach { ir =>
+      val g = fac.newGroup()
+      schema.cols.zipWithIndex.foreach { case (c, i) =>
+        if (!ir.isNullAt(i)) c.dtype match {
+          case GType.TimestampT | GType.IntT => g.add(i, ir.getLong(i))
+          case GType.DateT => g.add(i, ir.getInt(i))
+          case GType.FloatT => g.add(i, ir.getDouble(i))
+          case GType.StrT => g.add(i,
+            org.apache.parquet.io.api.Binary.fromString(
+              ir.getUTF8String(i).toString))
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
   }
 
   /** Splice one write's segment rows into the leaf manifest and append
