@@ -305,15 +305,17 @@ object QueriesRag {
     * a row, mangled a channel or binned cells differently fails the
     * hash compare. mapPartitions batch shape as the other multimodal
     * decodes; the groupBy carries 8-byte hashes, never pixels. */
-  def q116_image_phash(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-builds the PNG payload fixture table (`phash_payloads`). The
+    * payloads are TEST FIXTURES (this container ships no image corpus):
+    * synthesized once per (session, dir), spread over the cores, and
+    * PINNED via the shared materialize cache. In a real pipeline the
+    * bytes arrive pre-existing from the corpus store, so Bench calls
+    * this in its (untimed) warmup region — the q116 row then measures
+    * decode+hash+groupBy, not fixture synthesis (round-6 verdict #5).
+    * Verify and ad-hoc callers need no warmup: q116 itself calls this
+    * first and simply pays the synthesis on the miss. */
+  private[graft] def warmImageFixtures(s: SparkSession, dir: String): Unit = {
     import s.implicits._
-    // The PNG payloads are TEST FIXTURES (this container ships no image
-    // corpus): synthesized once per (session, dir), spread over the
-    // cores, and PINNED via the shared materialize cache — so the query
-    // itself measures decode+hash+groupBy, not fixture synthesis. In a
-    // real pipeline the bytes arrive pre-existing from the corpus
-    // store; paying their synthesis inside the operator's timed region
-    // misstated the operator's cost (round-6 verdict).
     QueriesSim.materializeDf(s, dir, "phash_payloads") {
       Tables.table(s, dir, "documents")
         .select(col("doc_id").cast("long"))
@@ -323,6 +325,10 @@ object QueriesRag {
           (id, Multimodal.MediaCodec.encodeGradientPng(id))))
         .toDF("doc_id", "payload")
     }
+  }
+
+  def q116_image_phash(s: SparkSession, dir: String): DataFrame = {
+    warmImageFixtures(s, dir)
     Multimodal.aHashImages(s.table("phash_payloads"), "doc_id", "payload")
       .groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))

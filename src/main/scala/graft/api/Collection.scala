@@ -70,6 +70,10 @@ class Collection(val repo: Repo, val label: String, val path: String,
       java.util.UUID.randomUUID().toString.take(12)
     sorted.write.mode("overwrite")
       .option("maxRecordsPerFile", pageLen)
+      // same at-rest codec + v2-page decisions as the Series write path
+      .option("compression",
+        repo.spark.conf.get("spark.graft.segment.codec", "zstd"))
+      .option("parquet.writer.version", "PARQUET_2_0")
       .partitionBy("_graft_label")
       .parquet(store.uri(tmpRel))
 

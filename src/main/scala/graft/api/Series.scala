@@ -26,6 +26,16 @@ class Series(val collection: Collection, val label: String) {
   /** rows per segment parquet file (reference page_len=500_000) */
   def pageLen: Long = collection.pageLen
 
+  /** At-rest parquet codec for segment files (spark.graft.segment.codec,
+    * default zstd): a 100 TB corpus is storage- and scan-IO-bound, and
+    * zstd buys ~2x the ratio of snappy at comparable decode speed — the
+    * reference makes the same call with blosc(zstd) per column
+    * (lakota/schema.py). Read path is codec-agnostic (parquet footers
+    * name the codec per column chunk), so mixed-codec series stay
+    * readable after a config change. */
+  private def segmentCodec: String =
+    spark.conf.get("spark.graft.segment.codec", "zstd")
+
   // ------------------------------------------------------------------
   // bounds helpers
   // ------------------------------------------------------------------
@@ -145,6 +155,13 @@ class Series(val collection: Collection, val label: String) {
         sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", pageLen)
+      .option("compression", segmentCodec)
+      // v2 data pages: DELTA_BINARY_PACKED on the sorted int64/int32
+      // index columns (a near-constant-delta timestamp grid packs to
+      // ~nothing) and DELTA_BYTE_ARRAY on strings — the parquet
+      // counterpart of the reference's bitshuffle trick. Spark's
+      // vectorized reader consumes v2 pages natively.
+      .option("parquet.writer.version", "PARQUET_2_0")
       .parquet(store.uri(tmpRel))
 
     // Per-FILE row count + index bounds + logical content hash. When
@@ -391,7 +408,13 @@ class Series(val collection: Collection, val label: String) {
       .withType(msgType)
       .withConf(conf)
       .withCompressionCodec(
-        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        org.apache.parquet.hadoop.metadata.CompressionCodecName
+          .valueOf(segmentCodec.toUpperCase(java.util.Locale.ROOT)))
+      // match the Spark write path's v2 pages (delta-packed index
+      // columns); tiny driver-local batches gain little, but mixed
+      // encodings across segments of one series would be a surprise
+      .withWriterVersion(org.apache.parquet.column.ParquetProperties
+        .WriterVersion.PARQUET_2_0)
       .build()
     val fac =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)

@@ -309,6 +309,102 @@ class PlanSpec extends AnyFunSuite {
         s"q107 windows on vec_id: $spec"))
   }
 
+  // -- global-window allowlist gate ----------------------------------
+  // A WindowExec with an EMPTY partitionSpec single-threads its input
+  // through one task — a scale-killer on corpus-sized data, and the
+  // source of the bench tail's "No Partition Defined" warnings. This
+  // gate makes those warnings auditable: every bench-headline query is
+  // EXECUTED and each global window it plans must (a) be allowlisted
+  // with its structural bound documented, and (b) MEASURE under that
+  // bound (rows observed entering the window via the plan's metrics).
+
+  import org.apache.spark.sql.execution.SparkPlan
+
+  /** child traversal that descends into AQE stage/reuse wrappers */
+  private def deepChildren(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(r.child)
+    case _ => p.children
+  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: deepChildren(p).flatMap(allNodes)
+
+  /** rows flowing into `w`: nearest descendant exposing a row metric
+    * (window operators themselves only track spill). Metrics are
+    * populated because the query ran to completion first. */
+  private def rowsInto(w: SparkPlan): Option[Long] = {
+    val q = scala.collection.mutable.Queue[SparkPlan](deepChildren(w): _*)
+    while (q.nonEmpty) {
+      val n = q.dequeue()
+      val m = n.metrics
+      val hit = m.get("numOutputRows").orElse(m.get("shuffleRecordsWritten"))
+        .orElse(m.get("recordsRead")).map(_.value)
+      if (hit.isDefined) return hit
+      q.enqueueAll(deepChildren(n))
+    }
+    None
+  }
+
+  test("global windows: allowlisted queries only, measured tiny inputs") {
+    val dir = "/root/testdata/sf0.001"
+    // query -> max rows a global window may see, with the structural
+    // bound that holds at ANY corpus scale:
+    val allow: Map[String, Long] = Map(
+      // two-stage top-k reranks: stage 2 sees <= shards x k rows
+      "q16_topk_suppliers" -> 4096,
+      "q25_ann_cosine" -> 4096,
+      "q37_ann_native" -> 4096,
+      "q72_ann_ivf" -> 4096,
+      "q98_pq_adc" -> 4096,
+      "q101_hard_negatives" -> 4096,
+      "q107_ann_recall" -> 4096,
+      "q113_bm25" -> 4096,
+      // second-stage vocab rank: <= 16 hash shards x 500 survivors
+      "q103_vocab_oov" -> 8192,
+      // language/domain tables: one row per language (UniMax waterfill,
+      // KL mix, quota rates) — bounded by the language inventory
+      "q105_unimax_mix" -> 1024,
+      "q106_lang_kl" -> 1024,
+      "q104_dsir_weights" -> 1024,
+      // bounded summary/presentation rows (funnel steps, profile rows,
+      // retention cohorts, histogram buckets)
+      "q74_profile" -> 1024,
+      "q82_funnel" -> 1024,
+      "q83_retention" -> 1024)
+    val qs = SparkEntry.queries
+    val failures = Seq.newBuilder[String]
+    for (name <- Bench.headline) {
+      val df = qs(name)(spark, dir)
+      df.collect() // execute so plan metrics carry real row counts
+      val globals = allNodes(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      (globals, allow.get(name)) match {
+        case (Nil, _) => // no global window: nothing to audit
+        case (ws, None) =>
+          failures += s"$name plans ${ws.length} global window(s) but is " +
+            "not allowlisted"
+        case (ws, Some(bound)) =>
+          ws.foreach { w =>
+            rowsInto(w) match {
+              case Some(rows) if rows > bound =>
+                failures += s"$name: global window saw $rows rows " +
+                  s"(> bound $bound)"
+              case None =>
+                failures += s"$name: global window input not measurable"
+              case _ => // measured under the bound
+            }
+          }
+      }
+    }
+    assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
   test("incremental dedup probes by band equi-joins, never a cartesian") {
     val df = QueriesRag
       .q118_incremental_dedup(spark, "/root/testdata/sf0.001")
