@@ -24,6 +24,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
   // Spark's own parquet scans and writes resolve the schemes too
   if (rootUri.startsWith("memory://") || rootUri.startsWith("s3ish://"))
     MemFileSystem.install(spark.sparkContext.hadoopConfiguration)
+  // s3net:// roots: the S3-REST-over-HTTP FileSystem (endpoint from
+  // fs.s3net.endpoint or the JVM default set when the server started)
+  if (rootUri.startsWith("s3net://"))
+    S3NetFileSystem.install(spark.sparkContext.hadoopConfiguration)
 
   val store: Store =
     if (storeOverride != null) storeOverride else new HadoopStore(rootUri)

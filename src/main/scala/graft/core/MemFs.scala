@@ -110,7 +110,9 @@ class MemFileSystem extends FileSystem {
     if (children.nonEmpty && !recursive && !hadFile)
       throw new IOException(s"directory not empty: $k")
     children.foreach(bucket.remove)
-    hadFile || children.nonEmpty
+    val hadMarker = bucket.hasDirMarker(k)
+    bucket.removeDirMarkers(k)
+    hadFile || children.nonEmpty || hadMarker
   }
 
   private def fileStatus(k: String): FileStatus = {
@@ -122,7 +124,8 @@ class MemFileSystem extends FileSystem {
           bucket.mtime(k), qualified)
       case None =>
         val pfx = if (k.isEmpty) "" else k + "/"
-        if (k.isEmpty || bucket.keys.exists(_.startsWith(pfx)))
+        if (k.isEmpty || bucket.keys.exists(_.startsWith(pfx)) ||
+            bucket.hasDirMarker(k))
           new FileStatus(0L, true, 1, 0L, 0L, qualified)
         else throw new FileNotFoundException(k)
     }
@@ -141,7 +144,13 @@ class MemFileSystem extends FileSystem {
       if (k.isEmpty) "/" + n else k + "/" + n))
   }
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+  // S3A-style zero-byte directory marker: an explicitly mkdirs'd empty
+  // directory must stat as existing (SparkContext.setCheckpointDir does
+  // mkdirs-then-getFileStatus) even though object stores have no real
+  // directories. Keys under the prefix still define existence otherwise.
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    bucket.putDirMarker(key(f)); true
+  }
 }
 
 object MemFileSystem {
@@ -159,6 +168,13 @@ object MemFileSystem {
     def contains(k: String): Boolean = m.contains(k)
     def keys: Iterable[String] = m.keys
     def mtime(k: String): Long = m.get(k).map(_._2).getOrElse(0L)
+    private val dirMarkers = scala.collection.concurrent.TrieMap
+      .empty[String, Unit]
+    def putDirMarker(k: String): Unit = { dirMarkers.put(k, ()); () }
+    def hasDirMarker(k: String): Boolean = dirMarkers.contains(k)
+    def removeDirMarkers(pfx: String): Unit =
+      dirMarkers.keys.filter(d => d == pfx || d.startsWith(pfx + "/"))
+        .foreach(dirMarkers.remove)
   }
 
   private val buckets = scala.collection.concurrent.TrieMap

@@ -33,6 +33,12 @@ final class S3Server(maxKeysCap: Int = 1000) {
   private def bucket(b: String) =
     buckets.getOrElseUpdate(b, scala.collection.concurrent.TrieMap.empty)
 
+  /** observability for tests: which protocol paths actually ran */
+  val multipartCompletions = new java.util.concurrent.atomic.AtomicInteger()
+  val listPagesServed = new java.util.concurrent.atomic.AtomicInteger()
+  val rangedGets = new java.util.concurrent.atomic.AtomicInteger()
+  val copyRequests = new java.util.concurrent.atomic.AtomicInteger()
+
   private var server: HttpServer = _
 
   /** start on an ephemeral port; returns the endpoint URL */
@@ -77,6 +83,7 @@ final class S3Server(maxKeysCap: Int = 1000) {
             val ss = src.stripPrefix("/").split("/", 2)
             bucket(ss(0)).get(ss(1)) match {
               case Some(o) =>
+                copyRequests.incrementAndGet()
                 bucket(b).put(key, Obj(o.data, System.currentTimeMillis()))
                 respond(ex, 200,
                   "<CopyObjectResult></CopyObjectResult>".getBytes(UTF_8))
@@ -102,6 +109,7 @@ final class S3Server(maxKeysCap: Int = 1000) {
             val whole = parts.toSeq.sortBy(_._1).map(_._2)
               .foldLeft(new java.io.ByteArrayOutputStream()) {
                 (o, p) => o.write(p); o }.toByteArray
+            multipartCompletions.incrementAndGet()
             bucket(b).put(key, Obj(whole, System.currentTimeMillis()))
             respond(ex, 200,
               s"""<CompleteMultipartUploadResult><Key>$key</Key>
@@ -129,6 +137,7 @@ final class S3Server(maxKeysCap: Int = 1000) {
           case Some(o) =>
             Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(r) =>
+                rangedGets.incrementAndGet()
                 val Array(a0, b0) = r.stripPrefix("bytes=").split("-", 2)
                 val from = a0.toLong.toInt
                 val to = math.min(
@@ -152,6 +161,7 @@ final class S3Server(maxKeysCap: Int = 1000) {
     * pagination path S3A exercises on any large prefix. */
   private def listObjectsV2(ex: HttpExchange, b: String,
       q: Map[String, String]): Unit = {
+    listPagesServed.incrementAndGet()
     val prefix = q.getOrElse("prefix", "")
     val delim = q.get("delimiter").filter(_.nonEmpty)
     val maxKeys = math.min(

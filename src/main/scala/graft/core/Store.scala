@@ -37,6 +37,7 @@ final class HadoopStore(val root: String) extends Store {
     if (confCache == null) {
       val c = new Configuration()
       MemFileSystem.install(c) // memory:// scheme always known
+      S3NetFileSystem.install(c) // s3net:// (endpoint via JVM default)
       confCache = c
     }
     confCache

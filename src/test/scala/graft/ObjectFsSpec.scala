@@ -124,6 +124,41 @@ class ObjectFsSpec extends AnyFunSuite {
     assert(dups.length.toLong == direct)
   }
 
+  test("reliable materialize checkpoints onto the object store") {
+    // the likely 100 TB deployment: dynamic-allocation executors with
+    // spark.graft.materialize=reliable pointing the checkpoint dir at
+    // object storage — the pinned intermediates must survive executor
+    // loss by living on the store, written through s3ish semantics
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    val bucket = s"s3ish://ckpt${System.nanoTime()}"
+    sc.setCheckpointDir(s"$bucket/ck")
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try {
+      QueriesSim.materializeDf(spark, "objfs-rel", "mm_reliable_objfs") {
+        spark.range(0, 5000, 1, 4)
+          .selectExpr("id", "pmod(id, 7) AS g")
+      }
+      assert(spark.table("mm_reliable_objfs").count() == 5000)
+      assert(spark.table("mm_reliable_objfs")
+        .where("g = 3").count() == (0 until 5000).count(_ % 7 == 3))
+      // the checkpoint blocks must be real objects in the bucket
+      val fs = new org.apache.hadoop.fs.Path(bucket)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$bucket/ck"),
+        true)
+      var files = 0
+      while (it.hasNext) { it.next(); files += 1 }
+      assert(files > 0, "reliable blocks should be objects in the bucket")
+    } finally {
+      spark.conf.unset("spark.graft.materialize")
+      // restore the context-global checkpoint dir (None by default) so
+      // later suites' assume(getCheckpointDir.isEmpty) still holds
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, prevDir)
+    }
+  }
+
   test("push/pull between posix and object-store repos") {
     val local = new Repo(
       java.nio.file.Files.createTempDirectory("graft-ofs").toString, spark)
