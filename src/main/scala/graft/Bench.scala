@@ -47,7 +47,11 @@ object Bench {
     "q113_bm25", "q116_image_phash", "q117_tok_fertility",
     // round-4/6 additions with no bench row of their own but global
     // windows the allowlist gate must cover
-    "q105_unimax_mix")
+    "q105_unimax_mix",
+    // round-7: incremental inverted-index maintenance — the timed row
+    // includes the engine write of the stored half's postings, i.e.
+    // the per-batch index-maintenance cost
+    "q128_incremental_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

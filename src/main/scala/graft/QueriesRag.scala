@@ -36,40 +36,46 @@ object QueriesRag {
     * doc_id-keyed shuffle, which is the natural shape. Per-term
     * scores are quantized to integer 1e-6 units before the per-doc
     * sum. */
+  /** the whole q113 BM25 body over an arbitrary postings relation
+    * (doc_id, lang, term, cnt) — q128 runs the SAME text over the
+    * engine-stored + fresh posting union, so the incremental index
+    * must reproduce the full rebuild bit-for-bit */
+  private def bm25Sql(rel: String): String =
+    s"""WITH dl AS (SELECT doc_id, sum(cnt) AS dl FROM $rel
+       |        GROUP BY doc_id),
+       |st AS (SELECT sum(dl) AS sdl, count(*) AS ndl FROM dl),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |qt AS (SELECT DISTINCT term FROM $rel WHERE doc_id = 5),
+       |df AS (SELECT /*+ BROADCAST(qt) */ t.term, count(*) AS df
+       |  FROM $rel t JOIN qt ON t.term = qt.term
+       |  GROUP BY t.term),
+       |sc AS (
+       |  SELECT t.doc_id, t.lang,
+       |    sum(cast(round(
+       |      ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D))
+       |      * ((t.cnt * 2.2D) / (t.cnt
+       |          + 1.2D * (0.25D + 0.75D * dl.dl * st.ndl / st.sdl)))
+       |      * 1000000.0D, 0) AS bigint)) AS qsc
+       |  FROM $rel t
+       |  JOIN df ON t.term = df.term
+       |  JOIN dl ON t.doc_id = dl.doc_id
+       |  CROSS JOIN st CROSS JOIN n
+       |  WHERE t.doc_id != 5
+       |  GROUP BY t.doc_id, t.lang),
+       |t1 AS (SELECT doc_id, lang, qsc FROM (
+       |    SELECT doc_id, lang, qsc, row_number() OVER (
+       |      PARTITION BY pmod(hash(doc_id), 16)
+       |      ORDER BY qsc DESC, doc_id) AS rn
+       |    FROM sc) WHERE rn <= 10)
+       |SELECT doc_id, lang, cast(rn AS bigint) AS rank,
+       |  round(qsc / 1000000.0D, 4) + 0 AS bm25
+       |FROM (SELECT doc_id, lang, qsc, row_number() OVER (
+       |        ORDER BY qsc DESC, doc_id) AS rn FROM t1)
+       |WHERE rn <= 10 ORDER BY rank""".stripMargin
+
   def q113_bm25(s: SparkSession, dir: String): DataFrame = {
     QueriesPipe.termView(s, dir)
-    s.sql(
-      s"""WITH dl AS (SELECT doc_id, sum(cnt) AS dl FROM doc_terms
-         |        GROUP BY doc_id),
-         |st AS (SELECT sum(dl) AS sdl, count(*) AS ndl FROM dl),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |qt AS (SELECT DISTINCT term FROM doc_terms WHERE doc_id = 5),
-         |df AS (SELECT /*+ BROADCAST(qt) */ t.term, count(*) AS df
-         |  FROM doc_terms t JOIN qt ON t.term = qt.term
-         |  GROUP BY t.term),
-         |sc AS (
-         |  SELECT t.doc_id, t.lang,
-         |    sum(cast(round(
-         |      ln(1.0D + (n.n - df.df + 0.5D) / (df.df + 0.5D))
-         |      * ((t.cnt * 2.2D) / (t.cnt
-         |          + 1.2D * (0.25D + 0.75D * dl.dl * st.ndl / st.sdl)))
-         |      * 1000000.0D, 0) AS bigint)) AS qsc
-         |  FROM doc_terms t
-         |  JOIN df ON t.term = df.term
-         |  JOIN dl ON t.doc_id = dl.doc_id
-         |  CROSS JOIN st CROSS JOIN n
-         |  WHERE t.doc_id != 5
-         |  GROUP BY t.doc_id, t.lang),
-         |t1 AS (SELECT doc_id, lang, qsc FROM (
-         |    SELECT doc_id, lang, qsc, row_number() OVER (
-         |      PARTITION BY pmod(hash(doc_id), 16)
-         |      ORDER BY qsc DESC, doc_id) AS rn
-         |    FROM sc) WHERE rn <= 10)
-         |SELECT doc_id, lang, cast(rn AS bigint) AS rank,
-         |  round(qsc / 1000000.0D, 4) + 0 AS bm25
-         |FROM (SELECT doc_id, lang, qsc, row_number() OVER (
-         |        ORDER BY qsc DESC, doc_id) AS rn FROM t1)
-         |WHERE rn <= 10 ORDER BY rank""".stripMargin)
+    s.sql(bm25Sql("doc_terms"))
   }
 
   val q113_oracle: String =
@@ -677,6 +683,50 @@ object QueriesRag {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  // ---- q128: incremental inverted-index maintenance --------------------
+
+  /** The retrieval index as VERSIONED ENGINE STATE: the even-id half's
+    * postings (term-indexed: term*, doc_id*, lang, cnt) are written
+    * through the graft series engine — sorted by term, so the manifest
+    * prunes term-range lookups, and overlays/time-travel/GC all apply
+    * to the index itself — and a new batch (the odd half) is indexed
+    * at arrival by the native `graft_termcounts` kernel. BM25 then
+    * runs over stored-postings UNION fresh-postings using the EXACT
+    * q113 scoring text ([[bm25Sql]]): the oracle is q113's full
+    * rebuild, so an incremental index that dropped a posting, mangled
+    * a count in the engine round trip, or double-counted df fails the
+    * hash. This is how a growing corpus keeps retrieval live without
+    * re-tokenizing history — the stored half is never re-read as text,
+    * only as its index. */
+  def q128_incremental_index(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    QueriesPipe.termView(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-idx").toString
+    val schema = GSchema("term" -> "str*", "doc_id" -> "int*",
+      "lang" -> "str", "cnt" -> "int")
+    val sr = new Repo(root, s).createCollection(schema, "postings")
+      .series("_")
+    sr.write(s.table("doc_terms").filter("doc_id % 2 = 0")
+      .selectExpr("term", "doc_id", "lang", "cnt"))
+    sr.frame().createOrReplaceTempView("graft_idx_stored")
+    s.sql(
+      """SELECT term, cast(doc_id AS bigint) AS doc_id, lang,
+        |  cast(cnt AS bigint) AS cnt
+        |FROM doc_terms WHERE doc_id % 2 = 1""".stripMargin)
+      .createOrReplaceTempView("graft_idx_new")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW graft_idx_all AS
+        |SELECT doc_id, lang, term, cnt FROM graft_idx_stored
+        |UNION ALL
+        |SELECT doc_id, lang, term, cnt FROM graft_idx_new""".stripMargin)
+    s.sql(bm25Sql("graft_idx_all"))
+  }
+
+  /** the full-rebuild oracle IS q113's: incremental == rebuild */
+  val q128_oracle: String = q113_oracle
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_bm25" -> q113_bm25 _,
     "q114_rrf_fusion" -> q114_rrf_fusion _,
@@ -686,6 +736,7 @@ object QueriesRag {
     "q118_incremental_dedup" -> q118_incremental_dedup _,
     "q119_context_pack" -> q119_context_pack _,
     "q124_webdataset_shards" -> q124_webdataset_shards _,
+    "q128_incremental_index" -> q128_incremental_index _,
     "q125_crossmodal_audit" -> q125_crossmodal_audit _)
 
   val oracles: Map[String, String] = Map(
@@ -697,5 +748,6 @@ object QueriesRag {
     "q118_incremental_dedup" -> q118_oracle,
     "q119_context_pack" -> q119_oracle,
     "q124_webdataset_shards" -> q124_oracle,
-    "q125_crossmodal_audit" -> q125_oracle)
+    "q125_crossmodal_audit" -> q125_oracle,
+    "q128_incremental_index" -> q128_oracle)
 }

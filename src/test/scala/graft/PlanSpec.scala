@@ -363,6 +363,7 @@ class PlanSpec extends AnyFunSuite {
       "q101_hard_negatives" -> 4096,
       "q107_ann_recall" -> 4096,
       "q113_bm25" -> 4096,
+      "q128_incremental_index" -> 4096, // q113's rerank over <= 16x10
       // second-stage vocab rank: <= 16 hash shards x 500 survivors
       "q103_vocab_oov" -> 8192,
       // language/domain tables: one row per language (UniMax waterfill,

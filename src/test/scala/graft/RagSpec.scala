@@ -290,6 +290,25 @@ class RagSpec extends AnyFunSuite {
     assert(rows.length.toLong == nPairs)
   }
 
+  test("q128 incremental index reproduces the q113 full rebuild exactly") {
+    // the strongest invariant an incremental index can offer: scoring
+    // over engine-stored postings + fresh postings is BIT-IDENTICAL to
+    // scoring over a from-scratch index of the whole corpus
+    val full = QueriesRag.q113_bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val inc = QueriesRag.q128_incremental_index(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(inc.toSeq == full.toSeq)
+    // the stored half really came back through the engine: the view
+    // bound by q128 holds exactly the even-doc postings
+    val stored = spark.table("graft_idx_stored")
+    assert(stored.where("doc_id % 2 = 1").count() == 0)
+    assert(stored.count() ==
+      spark.table("doc_terms").where("doc_id % 2 = 0").count())
+  }
+
   test("q117 fertility matches integer token sums") {
     val d = docs()
     val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
