@@ -263,6 +263,23 @@ object Bench {
     }
     val series5m = repo.collection("ts5m_0").get.series("_")
     bench("full_read_5m") { _ => series5m.frame().count(); () }
+    // 1M-row x 8-col wide series — the reference bench_parallel.py
+    // frame (key int* + 7 float64 sin columns; lakota 0.79-3.64 s
+    // depending on IO lag/threading). One range-partitioned write job
+    // regardless of width; column count only affects encode volume.
+    val schemaW = graft.core.GSchema(("key" -> "int*") +:
+      "abcdefg".map(c => s"$c" -> "float"): _*)
+    val w1m = spark.range(0, 1000000, 1, cpus.toInt)
+      .select(col("id").as("key") +:
+        "abcdefg".map(c => sin(col("id").cast("double")).as(s"$c")): _*)
+      .cache()
+    w1m.count() // materialize input outside the timed region
+    bench("wide_write_1m") { i =>
+      repo.createCollection(schemaW, s"wide_$i").series("_").write(w1m)
+    }
+    val seriesW = repo.collection("wide_0").get.series("_")
+    bench("wide_read_1m") { _ => seriesW.frame().count(); () }
+
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the
     // segment files its manifest references — BASELINE.md's size
     // comparable (lakota 2.0 MB blosc vs PostgreSQL 382 MB). The rep
