@@ -194,6 +194,35 @@ object SExprCompiler {
     case "exp" => exp(compile(args.head))
     case "log" => log(compile(args.head))
     case "ceil" => ceil(compile(args.head))
+    // trig / transcendental (numpy names; all codegen'd Spark builtins)
+    case "sin" => sin(compile(args.head))
+    case "cos" => cos(compile(args.head))
+    case "tan" => tan(compile(args.head))
+    case "arcsin" => asin(compile(args.head))
+    case "arccos" => acos(compile(args.head))
+    case "arctan" => atan(compile(args.head))
+    case "arctan2" => atan2(compile(args.head), compile(args(1)))
+    case "log10" => log10(compile(args.head))
+    case "log2" => log2(compile(args.head))
+    case "log1p" => log1p(compile(args.head))
+    case "expm1" => expm1(compile(args.head))
+    case "sign" => signum(compile(args.head))
+    case "power" => pow(compile(args.head), compile(args(1)))
+    // numpy clip(x, lo, hi); numpy propagates NaN, and so do
+    // least/greatest chains over double NaN in ANSI-off Spark? No —
+    // Spark's least/greatest SKIP nulls but order NaN largest, so
+    // clip(NaN, lo, hi) = hi, not NaN. Exact doubles otherwise.
+    case "clip" => args match {
+      case List(e, lo, hi) =>
+        least(greatest(compile(e), compile(lo)), compile(hi))
+      case _ => throw new IllegalArgumentException("(clip x lo hi)")
+    }
+    // elementwise two-arg min/max (numpy minimum/maximum)
+    case "minimum" => least(compile(args.head), compile(args(1)))
+    case "maximum" => greatest(compile(args.head), compile(args(1)))
+    // numpy fmod: result takes the DIVIDEND's sign — Spark's % does too
+    case "fmod" => compile(args.head) % compile(args(1))
+    case "isnan" => isnan(compile(args.head))
     case "char.lower" | "lower" => lower(compile(args.head))
     case "char.upper" | "upper" => upper(compile(args.head))
     case "char.strip" | "strip" => trim(compile(args.head))

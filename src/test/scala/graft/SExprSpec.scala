@@ -95,6 +95,58 @@ class SExprSpec extends AnyFunSuite {
     assert(out == Seq("950.0", "1.2k", "2.5M"))
   }
 
+  test("numpy-named scalar functions match their JDK recomputes") {
+    // the curated numpy-by-name surface (reference sexpr.py:153-161
+    // dispatches arbitrary numpy names; here each name is an explicit
+    // codegen'd builtin): every function checked against java.lang.Math
+    // on the same doubles
+    val exprs: Seq[(String, Double => Double)] = Seq(
+      "sin" -> math.sin, "cos" -> math.cos, "tan" -> math.tan,
+      "arctan" -> math.atan, "log10" -> (x => math.log10(x)),
+      "log2" -> (x => math.log(x) / math.log(2.0)),
+      "log1p" -> (x => math.log1p(x)), "expm1" -> (x => math.expm1(x)),
+      "sign" -> (x => math.signum(x)), "sqrt" -> math.sqrt)
+    for ((name, fn) <- exprs) {
+      val got = Ops.reduce(df, Seq("x" -> "self.x",
+        "y" -> s"($name self.v)"), Nil)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = df.collect()
+        .map(r => r.getLong(0) -> fn(r.getDouble(1))).toMap
+      want.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-12, s"$name($k)") }
+    }
+    // arcsin/arccos need inputs in [-1,1]
+    val unit = Ops.reduce(df, Seq(
+      "a" -> "(arcsin (/ self.v 10.0))",
+      "b" -> "(arccos (/ self.v 10.0))",
+      "c" -> "(arctan2 self.v self.x)",
+      "p" -> "(power self.v 2.0)"), Nil).collect()
+    df.collect().zip(unit.sortBy(_.getDouble(3))).foreach { case (r, u) =>
+      val v = r.getDouble(1)
+      assert(math.abs(u.getDouble(0) - math.asin(v / 10.0)) < 1e-12)
+      assert(math.abs(u.getDouble(1) - math.acos(v / 10.0)) < 1e-12)
+    }
+    // clip / minimum / maximum / fmod / isnan
+    val m = Ops.reduce(df, Seq(
+      "cl" -> "(clip self.v 2.0 3.0)",
+      "mn" -> "(minimum self.v 2.2)",
+      "mx" -> "(maximum self.v 2.2)",
+      "fm" -> "(fmod self.v 2.0)",
+      "nn" -> "(isnan self.v)",
+      "x" -> "self.x"), Nil)
+      .collect().map(r => r.getLong(5) ->
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4))).toMap
+    df.collect().foreach { r =>
+      val (x, v) = (r.getLong(0), r.getDouble(1))
+      val (cl, mn, mx, fm, nn) = m(x)
+      assert(cl == math.min(3.0, math.max(2.0, v)))
+      assert(mn == math.min(v, 2.2) && mx == math.max(v, 2.2))
+      assert(math.abs(fm - (v % 2.0)) < 1e-12) // dividend-sign fmod
+      assert(!nn)
+    }
+  }
+
   test("alias via (as ...)") {
     val (c, alias) = SExprCompiler.compileAliased(
       "(as (sum self.v) 'total')")
