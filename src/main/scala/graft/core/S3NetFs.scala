@@ -91,34 +91,75 @@ class S3NetFileSystem extends FileSystem {
     out.toByteArray
   }
 
+  /** One request with S3A-style transient-failure retries: 5xx (503
+    * SlowDown throttling above all) and connection-level IOExceptions
+    * retry with linear backoff up to fs.s3net.retries times. Every
+    * call here is idempotent at the server (whole-object PUT, part-N
+    * PUT, GET/HEAD/LIST, DELETE); the one at-most-once edge is a
+    * multipart COMPLETE whose success response is lost — the retry
+    * then sees NoSuchUpload, surfacing as an error rather than silent
+    * corruption (S3A shares this completion ambiguity). */
   private def request(method: String, path: String, query: String = "",
       body: Array[Byte] = null,
       headers: Map[String, String] = Map.empty): (Int, Array[Byte]) = {
-    val c = conn(method, path, query, headers)
-    if (body != null) {
-      c.setDoOutput(true)
-      c.setFixedLengthStreamingMode(body.length)
-      val o = c.getOutputStream
-      o.write(body); o.close()
+    val retries = getConf.getInt(s"fs.$Scheme.retries", 3)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val c = conn(method, path, query, headers)
+        if (body != null) {
+          c.setDoOutput(true)
+          c.setFixedLengthStreamingMode(body.length)
+          val o = c.getOutputStream
+          o.write(body); o.close()
+        }
+        val code = c.getResponseCode
+        if (code >= 500 && attempt <= retries) {
+          Option(c.getErrorStream).foreach(drain)
+          Thread.sleep(50L * attempt)
+        } else {
+          val data =
+            if (code >= 400) {
+              Option(c.getErrorStream).foreach(drain); Array.emptyByteArray
+            }
+            else if (method == "HEAD") Array.emptyByteArray
+            else drain(c.getInputStream)
+          return (code, data)
+        }
+      } catch {
+        case _: java.io.IOException if attempt <= retries =>
+          Thread.sleep(50L * attempt)
+      }
     }
-    val code = c.getResponseCode
-    val data =
-      if (code >= 400) { Option(c.getErrorStream).foreach(drain); Array.emptyByteArray }
-      else if (method == "HEAD") Array.emptyByteArray
-      else drain(c.getInputStream)
-    (code, data)
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- metadata ------------------------------------------------------
 
   private def headObject(k: String): Option[(Long, Long)] = {
-    val c = conn("HEAD", k)
-    val code = c.getResponseCode
-    if (code == 200)
-      Some((c.getHeaderFieldLong("Content-Length", 0L),
-        Option(c.getHeaderField("Last-Modified")).map(_.toLong)
-          .getOrElse(0L)))
-    else None
+    // same transient-retry policy as request(); separate because the
+    // metadata lives in response headers, not the body
+    val retries = getConf.getInt(s"fs.$Scheme.retries", 3)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val c = conn("HEAD", k)
+        val code = c.getResponseCode
+        if (code == 200)
+          return Some((c.getHeaderFieldLong("Content-Length", 0L),
+            Option(c.getHeaderField("Last-Modified")).map(_.toLong)
+              .getOrElse(0L)))
+        else if (code >= 500 && attempt <= retries)
+          Thread.sleep(50L * attempt)
+        else return None
+      } catch {
+        case _: java.io.IOException if attempt <= retries =>
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** one ListObjectsV2 page */

@@ -38,6 +38,9 @@ final class S3Server(maxKeysCap: Int = 1000) {
   val listPagesServed = new java.util.concurrent.atomic.AtomicInteger()
   val rangedGets = new java.util.concurrent.atomic.AtomicInteger()
   val copyRequests = new java.util.concurrent.atomic.AtomicInteger()
+  /** fault injection: the next N requests answer 503 SlowDown (the
+    * S3 throttle response clients must retry) */
+  val failNextRequests = new java.util.concurrent.atomic.AtomicInteger()
 
   private var server: HttpServer = _
 
@@ -62,6 +65,9 @@ final class S3Server(maxKeysCap: Int = 1000) {
   }
 
   private def handle(ex: HttpExchange): Unit = {
+    if (failNextRequests.get() > 0 &&
+        failNextRequests.getAndDecrement() > 0)
+      return respond(ex, 503, err("SlowDown"))
     val raw = ex.getRequestURI
     val segs = raw.getPath.stripPrefix("/").split("/", 2)
     val (b, key) = (segs(0), if (segs.length > 1) segs(1) else "")

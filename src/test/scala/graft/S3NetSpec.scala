@@ -124,6 +124,23 @@ class S3NetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path("s3net://sem/a")))
   }
 
+  test("transient 503 SlowDown responses are retried, not fatal") {
+    val fs = new org.apache.hadoop.fs.Path("s3net://retry/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      "s3net://retry/obj"), true)
+    out.write("payload".getBytes("UTF-8")); out.close()
+    // the next two requests throttle — a HEAD+GET read path must
+    // absorb them via backoff like S3A's throttle retry policy
+    server.failNextRequests.set(2)
+    val in = fs.open(new org.apache.hadoop.fs.Path("s3net://retry/obj"),
+      4096)
+    val b = new Array[Byte](7)
+    in.readFully(0L, b); in.close()
+    assert(new String(b, "UTF-8") == "payload")
+    assert(server.failNextRequests.get() <= 0)
+  }
+
   test("ranged GETs return exact parquet footer slices") {
     // byte-level protocol check: write a known payload, read slices
     val fs = new org.apache.hadoop.fs.Path("s3net://bytes/")
