@@ -90,8 +90,8 @@ object SExprCompiler {
     case ">=" => variadic(args, _ >= _)
     case ">"  => variadic(args, _ > _)
     // boolean
-    case "and" => variadic(args, _ && _)
-    case "or"  => variadic(args, _ || _)
+    case "and" | "logical_and" => variadic(args, _ && _)
+    case "or" | "logical_or" => variadic(args, _ || _)
     case "~" | "not" | "logical_not" => !compile(args.head)
     case "in" | "isin" =>
       val target = compile(args.head)
@@ -103,6 +103,17 @@ object SExprCompiler {
       // empty candidate set: nothing matches (not a crash)
       cands.map(a => target === compile(a))
         .reduceLeftOption[Column](_ || _).getOrElse(lit(false))
+    // numpy array constructors the reference tests exercise
+    // (tests/sexpr_test.py:43, 51-55): columns ARE arrays here, so
+    // asarray is identity; unique's return_index/return_counts kwarg
+    // forms return numpy tuples (not columns) and stay scoped out
+    case "asarray" => compile(args.head)
+    case "unique" => args match {
+      case List(e) => array_distinct(compile(e))
+      case _ => throw new IllegalArgumentException(
+        "(unique arr) — the return_index/return_counts forms return " +
+        "numpy tuples, not columns; use reduce aggregates instead")
+    }
     // container literals (reference sexpr.py:279-282)
     case "list" => array(num(args): _*)
     case "dict" =>

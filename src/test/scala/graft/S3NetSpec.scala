@@ -124,6 +124,46 @@ class S3NetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path("s3net://sem/a")))
   }
 
+  test("concurrent writers race over the wire, merge heals, no rows lost") {
+    // the ConcurrencySpec race on an object store with NO atomic
+    // rename and every byte over HTTP: racing commits fork the
+    // changelog, merge converges it, and all rows survive
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val repo = Repo("s3net://race/repo", spark)
+    val clct = repo.createCollection(schema, "c")
+    val nWriters = 4
+    val rowsPer = 15
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(nWriters)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until nWriters).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            start.await()
+            val s = Repo("s3net://race/repo", spark)
+              .collection("c").get.series("_")
+            val ts = (0 until rowsPer).map(i => (w * 1000 + i).toLong)
+            s.write(TestSpark.frame(ts, ts.map(_ * 1.0)))
+          } catch { case t: Throwable => errors.add(t) }
+          finally done.countDown()
+        }
+      })
+    }
+    start.countDown()
+    assert(done.await(600, TimeUnit.SECONDS), "writers timed out")
+    pool.shutdown()
+    assert(errors.isEmpty, s"writer errors: ${errors.peek()}")
+    clct.refresh()
+    var guard = 0
+    while (clct.changelog.leafs().length > 1 && guard < 6) {
+      clct.merge(); clct.refresh(); guard += 1
+    }
+    assert(clct.series("_").frame().count() ==
+      (nWriters * rowsPer).toLong)
+  }
+
   test("transient 503 SlowDown responses are retried, not fatal") {
     val fs = new org.apache.hadoop.fs.Path("s3net://retry/")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

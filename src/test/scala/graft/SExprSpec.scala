@@ -147,6 +147,29 @@ class SExprSpec extends AnyFunSuite {
     }
   }
 
+  test("asarray/unique/logical_* forms from the reference sexpr tests") {
+    val s = spark
+    import s.implicits._
+    // (asarray (list 1 2 3)) — tests/sexpr_test.py:43
+    val arr = Ops.reduce(df, Seq("a" -> "(asarray (list 1 2 3))"), Nil)
+      .collect().head.getSeq[Long](0)
+    assert(arr == Seq(1L, 2L, 3L))
+    // (unique arr) over an array column — tests/sexpr_test.py:51
+    val u = Seq((Seq(1L, 2L, 1L, 2L), 1L)).toDF("arr", "k")
+    val uq = Ops.reduce(u, Seq("u" -> "(unique self.arr)"), Nil)
+      .collect().head.getSeq[Long](0).sorted
+    assert(uq == Seq(1L, 2L))
+    // kwarg forms return numpy tuples in the reference — scoped out
+    intercept[IllegalArgumentException] {
+      Ops.reduce(u, Seq("u" -> "(unique self.arr true)"), Nil).collect()
+    }
+    // logical_and/or aliases
+    val la = Ops.mask(df,
+      "(logical_and (> self.v 1.5) (logical_not (= self.x 4)))")
+      .select("x").collect().map(_.getLong(0)).sorted.toSeq
+    assert(la == Seq(2L, 3L))
+  }
+
   test("alias via (as ...)") {
     val (c, alias) = SExprCompiler.compileAliased(
       "(as (sum self.v) 'total')")
