@@ -413,7 +413,204 @@ object QueriesSeries {
       |  AND value <> value * 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** fragmentation maintenance under the oracle gate: ten disjoint
+    * file-segment writes (inline embedding disabled so every write
+    * lands a real parquet segment), then defrag coalesces the
+    * fragment runs — the visible frame must be byte-identical to the
+    * raw table. MaintenanceSpec asserts the segment count shrinks;
+    * this proves the REWRITE preserves every row/value. */
+  def q129_series_defrag(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val clct = new Repo(root, s).createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    val ev = eventsDf(s, dir)
+    // ten DISJOINT ts windows (the index's leading column) — disjoint
+    // coverage means the writes fragment without overlaying each other
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+    val step = (hi - lo) / 10 + 1
+    (0 until 10).foreach { i =>
+      val a = new java.sql.Timestamp(lo + i * step)
+      val z = new java.sql.Timestamp(math.min(lo + (i + 1) * step, hi + 1))
+      sr.write(ev.filter(col("ts") >= lit(a) && col("ts") < lit(z)))
+    }
+    clct.defrag()
+    clct.refresh()
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q129_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
+  /** garbage collection under the oracle gate: overlay + squash
+    * orphan the original segments, gc deletes them — and the read
+    * after gc must still produce the exact overlay state (gc must
+    * never touch a LIVE segment). */
+  def q130_series_gc(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    val ev = eventsDf(s, dir)
+    sr.write(ev)
+    sr.write(ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+        .withColumn("value", col("value") + 100),
+      "2024-01-20 00:00:00", "2025-01-01 00:00:00", Closed.Left)
+    clct.squash()
+    clct.refresh()
+    require(repo.gc(timeoutMs = 0L) >= 0)
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q130_oracle: String =
+    """SELECT event_id, ts,
+      | CASE WHEN ts >= TIMESTAMP '2024-01-20'
+      |      THEN value + 100 ELSE value END AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** registry prefix search under the oracle gate: one collection per
+    * nation name, then `repo.search` per first letter — the registry
+    * listing must equal the relational answer. */
+  def q131_registry_search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val names = Tables.table(s, dir, "nation")
+      .select(col("n_name")).collect().map(_.getString(0))
+    val tiny = GSchema("k" -> "int*", "v" -> "float")
+    names.foreach(n => repo.createCollection(tiny, n))
+    // the driver tables name nations NATION_0..24: prefix NATION_1
+    // matches NATION_1 and NATION_10..19 via the registry's search
+    repo.search("NATION_1").toDF("label").orderBy(col("label"))
+  }
+
+  val q131_oracle: String =
+    """SELECT n_name AS label FROM nation
+      |WHERE substr(n_name, 1, 8) = 'NATION_1' ORDER BY label""".stripMargin
+
+  /** the HTTP POD under the oracle gate: a StoreServer fronts a local
+    * store, a second repo opens the served `http://` root, engine
+    * writes+reads run through the wire — the frame must equal plain
+    * SQL over the raw table. */
+  def q132_http_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val served = java.nio.file.Files
+      .createTempDirectory("graft-http").toString
+    val server = new graft.core.StoreServer(
+      new graft.core.HadoopStore(served)).start()
+    val repo = Repo(s"http://127.0.0.1:${server.boundPort}", s)
+    val clct = repo.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L // segments travel over the wire
+    val sr = clct.series("_")
+    sr.write(eventsDf(s, dir)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp")))
+    // eagerly pin the read (all segment bytes travel the wire NOW),
+    // then stop the server — the returned frame must not depend on a
+    // fixture server outliving this call
+    val got = sr.frame().select(out.map(col): _*)
+      .orderBy(col("event_id")).localCheckpoint(true)
+    server.stop()
+    got
+  }
+
+  val q132_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts < TIMESTAMP '2024-01-08' ORDER BY event_id""".stripMargin
+
+  /** repo-level bulk export → import into a fresh repo (the reference
+    * CLI's whole-repo dump/restore): two collections travel, the read
+    * back must equal plain SQL. */
+  def q133_repo_export(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val ev = eventsDf(s, dir)
+    val c1 = repo.createCollection(eventsSchema, "events")
+    c1.series("_").write(ev)
+    val tiny = GSchema("k" -> "int*", "v" -> "float")
+    repo.createCollection(tiny, "other").series("_")
+      .write(s.range(0, 10).selectExpr("id AS k", "id * 1.0 AS v"))
+    val dump = java.nio.file.Files
+      .createTempDirectory("graft-dump").toString
+    repo.exportTo(dump)
+    val repo2 = new Repo(java.nio.file.Files
+      .createTempDirectory("graft-q2").toString, s)
+    repo2.importFrom(dump)
+    repo2.collection("events").get.series("_").frame()
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q133_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
+  /** two-tier CacheStore under the oracle gate: writes land on the
+    * back tier, reads populate the front; the read-through frame must
+    * equal plain SQL — and must still be correct when served from the
+    * warmed cache on the second scan. */
+  def q134_cache_store(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{CacheStore, HadoopStore}
+    val front = new HadoopStore(java.nio.file.Files
+      .createTempDirectory("graft-front").toString)
+    val back = new HadoopStore(java.nio.file.Files
+      .createTempDirectory("graft-back").toString)
+    val repo = new Repo(back.root, s, new CacheStore(front, back))
+    val clct = repo.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L // segments must travel through the tiers
+    val sr = clct.series("_")
+    sr.write(eventsDf(s, dir))
+    sr.frame().count() // warm the front tier
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q134_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
+  /** memory:// repo root (the reference's default MemPOD) under the
+    * oracle gate: the whole engine lifecycle in the in-JVM store,
+    * including Spark's parquet segment scans. */
+  def q135_memory_root(s: SparkSession, dir: String): DataFrame = {
+    val repo = Repo(s"memory://q135-${System.nanoTime()}/repo", s)
+    val clct = repo.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    sr.write(eventsDf(s, dir))
+    sr.frame().select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q135_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
+  /** rename collection + series under the oracle gate: data written
+    * under the old names reads back under the new (physical paths are
+    * stable; only registry/changelog labels move). */
+  def q136_series_rename(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(eventsSchema, "ev_old")
+    clct.series("old").write(eventsDf(s, dir))
+    clct.renameSeries("old", "new")
+    repo.renameCollection("ev_old", "ev_new")
+    repo.collection("ev_new").get.series("new").frame()
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q136_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_repo_export" -> q133_repo_export _,
+    "q134_cache_store" -> q134_cache_store _,
+    "q135_memory_root" -> q135_memory_root _,
+    "q136_series_rename" -> q136_series_rename _,
+    "q129_series_defrag" -> q129_series_defrag _,
+    "q130_series_gc" -> q130_series_gc _,
+    "q131_registry_search" -> q131_registry_search _,
+    "q132_http_roundtrip" -> q132_http_roundtrip _,
     "q121_snapshot_diff" -> q121_snapshot_diff _,
     "q123_jsonl_roundtrip" -> q123_jsonl_roundtrip _,
     "q84_grouped_ingest" -> q84_grouped_ingest _,
@@ -432,6 +629,14 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q133_repo_export" -> q133_oracle,
+    "q134_cache_store" -> q134_oracle,
+    "q135_memory_root" -> q135_oracle,
+    "q136_series_rename" -> q136_oracle,
+    "q129_series_defrag" -> q129_oracle,
+    "q130_series_gc" -> q130_oracle,
+    "q131_registry_search" -> q131_oracle,
+    "q132_http_roundtrip" -> q132_oracle,
     "q84_grouped_ingest" -> q84_oracle,
     "q76_sql_facade" -> q76_oracle,
     "q48_series_inline" -> q48_oracle,

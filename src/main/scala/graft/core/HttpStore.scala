@@ -214,7 +214,16 @@ final class StoreServer(store: Store, port: Int = 0) {
     }
   })
 
-  def start(): StoreServer = { server.start(); this }
+  def start(): StoreServer = {
+    // daemon workers: an embedded store server must never pin the JVM
+    // open after the owning process (Verify, a test runner) is done
+    server.setExecutor(java.util.concurrent.Executors
+      .newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-store-server")
+        t.setDaemon(true); t
+      }))
+    server.start(); this
+  }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
 }

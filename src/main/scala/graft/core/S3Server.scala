@@ -55,7 +55,11 @@ final class S3Server(maxKeysCap: Int = 1000) {
             .getBytes(UTF_8))
       } finally ex.close())
     server.setExecutor(java.util.concurrent.Executors
-      .newFixedThreadPool(8))
+      .newFixedThreadPool(8, r => {
+        // daemon: the embedded test double must never pin the JVM open
+        val t = new Thread(r, "graft-s3-server")
+        t.setDaemon(true); t
+      }))
     server.start()
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
