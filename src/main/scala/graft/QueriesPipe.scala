@@ -894,6 +894,45 @@ object QueriesPipe {
       |    PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Deterministic per-epoch corpus shuffle — the training-loader
+    * order operator: epoch e's permutation sorts on
+    * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
+    * reproducible order, any worker can recompute its slice with no
+    * coordination, and a resumable cursor is just the last (hv,
+    * doc_id) pair — resumption is a scan-time `hv > cursor` filter,
+    * never a re-shuffle. Top-8 of each of 3 epochs via the two-stage
+    * sharded rank (stage 2 sees <= 16x8 rows per epoch). */
+  def q137_epoch_shuffle(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (
+        |  SELECT doc_id, e.epoch,
+        |    cast(conv(substr(md5(concat(cast(e.epoch AS string), ':',
+        |      cast(doc_id AS string))), 1, 12), 16, 10) AS bigint) AS hv
+        |  FROM documents
+        |  CROSS JOIN (SELECT explode(sequence(0, 2)) AS epoch) e),
+        |t1 AS (SELECT epoch, doc_id, hv FROM (
+        |    SELECT epoch, doc_id, hv, row_number() OVER (
+        |      PARTITION BY epoch, pmod(hash(doc_id), 16)
+        |      ORDER BY hv, doc_id) AS rn FROM h) WHERE rn <= 8)
+        |SELECT epoch, cast(rn AS bigint) AS pos, doc_id, hv
+        |FROM (SELECT epoch, doc_id, hv, row_number() OVER (
+        |    PARTITION BY epoch ORDER BY hv, doc_id) AS rn FROM t1)
+        |WHERE rn <= 8 ORDER BY epoch, pos""".stripMargin)
+  }
+
+  val q137_oracle: String =
+    """WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+      |h AS (
+      |  SELECT doc_id, e.epoch,
+      |    ('0x' || substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+      |      1, 12))::BIGINT AS hv
+      |  FROM documents CROSS JOIN e)
+      |SELECT epoch, pos, doc_id, hv FROM (
+      |  SELECT epoch, doc_id, hv, row_number() OVER (
+      |    PARTITION BY epoch ORDER BY hv, doc_id) AS pos FROM h)
+      |WHERE pos <= 8 ORDER BY epoch, pos""".stripMargin
+
   /** Semi-structured payload extraction: typed JSON field pulled out
     * of the events `props` column at scan time (`get_json_object` is a
     * codegen'd projection — no UDF, no intermediate table), then a
@@ -2009,6 +2048,7 @@ object QueriesPipe {
     "q77_bloom_dedup" -> q77_bloom_dedup _,
     "q78_bigram_lm" -> q78_bigram_lm _,
     "q79_shard_assign" -> q79_shard_assign _,
+    "q137_epoch_shuffle" -> q137_epoch_shuffle _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2072,6 +2112,7 @@ object QueriesPipe {
     "q77_bloom_dedup" -> q77_oracle,
     "q78_bigram_lm" -> q78_oracle,
     "q79_shard_assign" -> q79_oracle,
+    "q137_epoch_shuffle" -> q137_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
