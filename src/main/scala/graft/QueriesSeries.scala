@@ -602,7 +602,29 @@ object QueriesSeries {
   val q136_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** archive namespace under the oracle gate: park a snapshot, delete
+    * the live collection, gc — the archived copy must read back
+    * intact (the gc live set spans every namespace). */
+  def q138_archive_gc(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L
+    clct.series("_").write(eventsDf(s, dir))
+    val arc = repo.archive(clct)
+    arc.series("_").write(clct.series("_").frame())
+    repo.deleteCollection("events")
+    require(repo.gc(timeoutMs = 0L) >= 0)
+    repo.collection("events", "archive").get.series("_").frame()
+      .select(out.map(col): _*).orderBy(col("event_id"))
+  }
+
+  val q138_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_archive_gc" -> q138_archive_gc _,
     "q133_repo_export" -> q133_repo_export _,
     "q134_cache_store" -> q134_cache_store _,
     "q135_memory_root" -> q135_memory_root _,
@@ -629,6 +651,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q138_archive_gc" -> q138_oracle,
     "q133_repo_export" -> q133_oracle,
     "q134_cache_store" -> q134_oracle,
     "q135_memory_root" -> q135_oracle,
