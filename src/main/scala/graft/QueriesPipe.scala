@@ -894,6 +894,108 @@ object QueriesPipe {
       |    PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Distribution-drift monitoring — the production data-quality op a
+    * continuous ingest runs between corpus snapshots: PSI (population
+    * stability index) of the value distribution per event type,
+    * reference window (ts < Jan 15) vs current (ts >= Jan 15), over
+    * 10 fixed buckets spanning the REFERENCE window's [min, max]
+    * (ids 0/11 catch out-of-range drift; the bucket-id arithmetic is the
+    * SAME IEEE expression in both dialects), Laplace
+    * +1-smoothed so empty buckets never ln(0). Per-bucket terms are
+    * quantized to integer 1e-9 units before the sum (float summation
+    * order can never flip the verdict); the bucket grid is event_type
+    * x 12 — constant-size, so every join here broadcasts. At 100 TB
+    * both windows are one map-side-combined aggregate each. */
+  def q139_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH ref AS (SELECT value, event_type FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        |cur AS (SELECT value, event_type FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+        |rb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM ref CROSS JOIN b GROUP BY 1, 2),
+        |cb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM cur CROSS JOIN b GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
+        |grid AS (SELECT rt.event_type, g.bk
+        |  FROM rt CROSS JOIN (
+        |    SELECT explode(sequence(0, 11)) AS bk) g),
+        |terms AS (SELECT g.event_type,
+        |    cast(round(
+        |      ((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D)
+        |        - (coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D))
+        |      * ln(((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D))
+        |         / ((coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D)))
+        |      * 1000000000.0D, 0) AS bigint) AS term
+        |  FROM grid g
+        |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bk = rb.bk
+        |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bk = cb.bk
+        |  JOIN rt ON g.event_type = rt.event_type
+        |  JOIN ct ON g.event_type = ct.event_type)
+        |SELECT t.event_type, round(sum(t.term) / 1000000000.0D, 6) + 0
+        |    AS psi,
+        |  rt.t AS n_ref, ct.t AS n_cur
+        |FROM terms t
+        |JOIN rt ON t.event_type = rt.event_type
+        |JOIN ct ON t.event_type = ct.event_type
+        |GROUP BY t.event_type, rt.t, ct.t
+        |ORDER BY t.event_type""".stripMargin)
+  }
+
+  val q139_oracle: String =
+    """WITH ref AS (SELECT value, event_type FROM events
+      |    WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+      |cur AS (SELECT value, event_type FROM events
+      |    WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+      |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+      |rb AS (SELECT event_type,
+      |    CASE WHEN value < b.lo THEN 0
+      |      WHEN value >= b.hi THEN 11
+      |      ELSE cast(floor((value - b.lo) * 10.0 / (b.hi - b.lo))
+      |        AS int) + 1 END AS bk, count(*) AS c
+      |  FROM ref CROSS JOIN b GROUP BY 1, 2),
+      |cb AS (SELECT event_type,
+      |    CASE WHEN value < b.lo THEN 0
+      |      WHEN value >= b.hi THEN 11
+      |      ELSE cast(floor((value - b.lo) * 10.0 / (b.hi - b.lo))
+      |        AS int) + 1 END AS bk, count(*) AS c
+      |  FROM cur CROSS JOIN b GROUP BY 1, 2),
+      |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
+      |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
+      |grid AS (SELECT rt.event_type, g.bk
+      |  FROM rt CROSS JOIN (SELECT unnest(range(0, 12)) AS bk) g),
+      |terms AS (SELECT g.event_type,
+      |    round(
+      |      ((coalesce(rb.c, 0) + 1.0) / (rt.t + 12.0)
+      |        - (coalesce(cb.c, 0) + 1.0) / (ct.t + 12.0))
+      |      * ln(((coalesce(rb.c, 0) + 1.0) / (rt.t + 12.0))
+      |         / ((coalesce(cb.c, 0) + 1.0) / (ct.t + 12.0)))
+      |      * 1000000000.0)::BIGINT AS term
+      |  FROM grid g
+      |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bk = rb.bk
+      |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bk = cb.bk
+      |  JOIN rt ON g.event_type = rt.event_type
+      |  JOIN ct ON g.event_type = ct.event_type)
+      |SELECT t.event_type, round(sum(t.term) / 1000000000.0, 6) + 0
+      |    AS psi,
+      |  rt.t AS n_ref, ct.t AS n_cur
+      |FROM terms t
+      |JOIN rt ON t.event_type = rt.event_type
+      |JOIN ct ON t.event_type = ct.event_type
+      |GROUP BY t.event_type, rt.t, ct.t
+      |ORDER BY t.event_type""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2049,6 +2151,7 @@ object QueriesPipe {
     "q78_bigram_lm" -> q78_bigram_lm _,
     "q79_shard_assign" -> q79_shard_assign _,
     "q137_epoch_shuffle" -> q137_epoch_shuffle _,
+    "q139_psi_drift" -> q139_psi_drift _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2113,6 +2216,7 @@ object QueriesPipe {
     "q78_bigram_lm" -> q78_oracle,
     "q79_shard_assign" -> q79_oracle,
     "q137_epoch_shuffle" -> q137_oracle,
+    "q139_psi_drift" -> q139_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,

@@ -24,6 +24,6 @@ class EntrySpec extends AnyFunSuite {
     // contracts additionally live in PipeSpec.
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
     assert((q -- o).isEmpty, s"un-oracled queries: ${q -- o}")
-    assert(q.size >= 138)
+    assert(q.size >= 139)
   }
 }
