@@ -996,6 +996,89 @@ object QueriesPipe {
       |GROUP BY t.event_type, rt.t, ct.t
       |ORDER BY t.event_type""".stripMargin
 
+  /** Dedup canonicalization by QUALITY, not id: within each near-dup
+    * cluster keep the LONGEST document (ties → smallest doc_id) — the
+    * production keep-best-representative policy, vs q55's keep-min-id.
+    * The component table is cluster-sized (orders of magnitude smaller
+    * than the corpus — that is the point of banding), so the documents
+    * join broadcasts it and the argmax is one map-side-combined
+    * `max_by(struct)` aggregate; the corpus itself never shuffles. */
+  def q141_cluster_canonical(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val comp = q54_neardup_components(s, dir)
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    comp.join(docs, "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid")))
+          .as("kept_doc_id"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("chars_total"))
+      .orderBy(col("component"))
+  }
+
+  val q141_oracle: String =
+    s"""$duckComponentCtes,
+       |m AS (SELECT c.component, c.id AS doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY d.n_chars DESC, c.id) AS rn
+       |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+       |SELECT component,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       |  count(*)::BIGINT AS n_members,
+       |  sum(n_chars)::BIGINT AS chars_total
+       |FROM m GROUP BY component ORDER BY component""".stripMargin
+
+  /** Hashed-linear-model quality scoring — fastText-style classifier
+    * INFERENCE at corpus scale: each term's weight is a deterministic
+    * hash-derived integer in [-1e6, 1e6] (the hashing trick — no
+    * vocabulary table to join or broadcast, the "model" travels as an
+    * expression), a document's score is its count-weighted mean term
+    * weight in EXACT integer arithmetic end to end (each contribution
+    * is an integer before the sum, and the per-token mean is rounded
+    * to ppm by integer half-away-from-zero division — no float ever
+    * touches the score, so no engine's rounding can flip a verdict or
+    * a digit), thresholded at 0. One pass over the shared `doc_terms`
+    * index + one map-side-combined aggregate: model inference priced
+    * like a count(*). */
+  def q142_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH w AS (SELECT doc_id, cnt,
+        |    cast(conv(substr(md5(term), 1, 12), 16, 10) AS bigint)
+        |      % 2000001 - 1000000 AS wint
+        |  FROM doc_terms),
+        |sc AS (SELECT doc_id, sum(cnt * wint) AS raw,
+        |    sum(cnt) AS ntok
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id,
+        |  (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+        |    * ((abs(raw) * 2 + ntok) div (2 * ntok)) AS score_ppm,
+        |  ntok, raw >= 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)
+  }
+
+  val q142_oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (SELECT doc_id, term, count(*) AS cnt
+      |  FROM tok GROUP BY 1, 2),
+      |w AS (SELECT doc_id, cnt,
+      |    ('0x' || substr(md5(term), 1, 12))::BIGINT
+      |      % 2000001 - 1000000 AS wint
+      |  FROM tc),
+      |sc AS (SELECT doc_id, sum(cnt * wint) AS raw,
+      |    sum(cnt) AS ntok
+      |  FROM w GROUP BY doc_id)
+      |SELECT doc_id,
+      |  (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+      |    * ((abs(raw) * 2 + ntok) // (2 * ntok)) AS score_ppm,
+      |  ntok, raw >= 0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2152,6 +2235,8 @@ object QueriesPipe {
     "q79_shard_assign" -> q79_shard_assign _,
     "q137_epoch_shuffle" -> q137_epoch_shuffle _,
     "q139_psi_drift" -> q139_psi_drift _,
+    "q141_cluster_canonical" -> q141_cluster_canonical _,
+    "q142_quality_classifier" -> q142_quality_classifier _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2217,6 +2302,8 @@ object QueriesPipe {
     "q79_shard_assign" -> q79_oracle,
     "q137_epoch_shuffle" -> q137_oracle,
     "q139_psi_drift" -> q139_oracle,
+    "q141_cluster_canonical" -> q141_oracle,
+    "q142_quality_classifier" -> q142_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,

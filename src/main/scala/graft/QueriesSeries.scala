@@ -623,7 +623,119 @@ object QueriesSeries {
   val q138_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** distribution-drift monitoring against ENGINE-STORED reference
+    * state: the reference window's per-(event_type, bucket) histogram
+    * — plus the bucket grid's [lo, hi] — is written through the
+    * series engine once, and the current window computes PSI against
+    * the STORED aggregate; the reference window's raw events are
+    * never re-read. The oracle is q139's full two-window recompute,
+    * so a count mangled in the engine round trip (or a bucket id
+    * shifted by a lost ulp of lo/hi) fails the hash. This is the
+    * production monitoring shape at 100 TB: every ingest snapshot
+    * stores its fixed-size histogram (overlay/time-travel/GC apply to
+    * the monitoring state itself) and each drift check reads ~k rows
+    * of state + one map-side-combined aggregate over the new window
+    * only. */
+  def q140_stored_drift(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val hist = s.sql(
+      """WITH ref AS (SELECT value, event_type FROM events
+        |    WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref)
+        |SELECT event_type,
+        |  cast(CASE WHEN value < b.lo THEN 0
+        |    WHEN value >= b.hi THEN 11
+        |    ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |      AS int) + 1 END AS bigint) AS bk, count(*) AS c,
+        |  min(b.lo) AS lo, min(b.hi) AS hi
+        |FROM ref CROSS JOIN b GROUP BY 1, 2""".stripMargin)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val sr = new Repo(root, s)
+      .createCollection(GSchema("event_type" -> "str*", "bk" -> "int*",
+        "c" -> "int", "lo" -> "float", "hi" -> "float"), "drift")
+      .series("ref")
+    sr.write(hist)
+    sr.frame().createOrReplaceTempView("graft_ref_hist")
+    s.sql(
+      """WITH cur AS (SELECT value, event_type FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        |b AS (SELECT min(lo) AS lo, min(hi) AS hi FROM graft_ref_hist),
+        |rb AS (SELECT event_type, cast(bk AS int) AS bk, c
+        |  FROM graft_ref_hist),
+        |cb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM cur CROSS JOIN b GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
+        |grid AS (SELECT rt.event_type, g.bk
+        |  FROM rt CROSS JOIN (
+        |    SELECT explode(sequence(0, 11)) AS bk) g),
+        |terms AS (SELECT g.event_type,
+        |    cast(round(
+        |      ((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D)
+        |        - (coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D))
+        |      * ln(((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D))
+        |         / ((coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D)))
+        |      * 1000000000.0D, 0) AS bigint) AS term
+        |  FROM grid g
+        |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bk = rb.bk
+        |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bk = cb.bk
+        |  JOIN rt ON g.event_type = rt.event_type
+        |  JOIN ct ON g.event_type = ct.event_type)
+        |SELECT t.event_type, round(sum(t.term) / 1000000000.0D, 6) + 0
+        |    AS psi,
+        |  rt.t AS n_ref, ct.t AS n_cur
+        |FROM terms t
+        |JOIN rt ON t.event_type = rt.event_type
+        |JOIN ct ON t.event_type = ct.event_type
+        |GROUP BY t.event_type, rt.t, ct.t
+        |ORDER BY t.event_type""".stripMargin)
+  }
+
+  /** incremental-against-stored-state must equal the full recompute */
+  val q140_oracle: String = QueriesPipe.q139_oracle
+
+  /** the CLI's TEXT output under the oracle gate: the rows printed by
+    * the `read-csv` subcommand are captured from stdout, parsed back
+    * into typed columns, and compared against plain SQL — closing the
+    * one §2 surface (CLI text output) that rested on ScalaTest alone.
+    * The printed frame is a driver-side display of an engine read, so
+    * the collect is the operator's own semantics, not a scale
+    * shortcut. */
+  def q143_cli_read(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    repo.createCollection(eventsSchema, "events").series("_")
+      .write(eventsDf(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp")))
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Cli.run(s, Array(root, "read-csv", "events", "_"))
+    }
+    val lines = bos.toString("UTF-8").linesIterator.toSeq
+    require(lines.head == "ts,event_id,value,event_type",
+      s"unexpected CLI header: ${lines.head}")
+    import s.implicits._
+    s.createDataset(lines.tail.filter(_.nonEmpty)).toDF("line")
+      .selectExpr(
+        "cast(split(line, ',')[1] AS bigint) AS event_id",
+        "cast(split(line, ',')[0] AS timestamp) AS ts",
+        "cast(nullif(split(line, ',')[2], '') AS double) AS value")
+      .orderBy(col("event_id"))
+  }
+
+  val q143_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts < TIMESTAMP '2024-01-08' ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_stored_drift" -> q140_stored_drift _,
+    "q143_cli_read" -> q143_cli_read _,
     "q138_archive_gc" -> q138_archive_gc _,
     "q133_repo_export" -> q133_repo_export _,
     "q134_cache_store" -> q134_cache_store _,
@@ -651,6 +763,8 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q140_stored_drift" -> q140_oracle,
+    "q143_cli_read" -> q143_oracle,
     "q138_archive_gc" -> q138_oracle,
     "q133_repo_export" -> q133_oracle,
     "q134_cache_store" -> q134_oracle,
