@@ -636,7 +636,10 @@ object QueriesSeries {
     * the monitoring state itself) and each drift check reads ~k rows
     * of state + one map-side-combined aggregate over the new window
     * only. */
-  def q140_stored_drift(s: SparkSession, dir: String): DataFrame = {
+  /** build the reference-window histogram, write it THROUGH the
+    * engine, and register the stored read-back as `graft_ref_hist`
+    * (shared by q140's batch drift check and q144's streaming one) */
+  private[graft] def refHistView(s: SparkSession, dir: String): Unit = {
     Tables.registerAll(s, dir)
     val hist = s.sql(
       """WITH ref AS (SELECT value, event_type FROM events
@@ -657,18 +660,18 @@ object QueriesSeries {
       .series("ref")
     sr.write(hist)
     sr.frame().createOrReplaceTempView("graft_ref_hist")
+  }
+
+  /** PSI of a caller-supplied current-window bucket-count CTE (`cb`:
+    * event_type, bk, c) against the ENGINE-STORED reference histogram
+    * view — q139's exact smoothing/quantization math, shared by the
+    * batch (q140) and streaming (q144) drift checks */
+  private[graft] def psiAgainstStored(s: SparkSession,
+      cbCtes: String): DataFrame =
     s.sql(
-      """WITH cur AS (SELECT value, event_type FROM events
-        |    WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
-        |b AS (SELECT min(lo) AS lo, min(hi) AS hi FROM graft_ref_hist),
+      s"""WITH $cbCtes,
         |rb AS (SELECT event_type, cast(bk AS int) AS bk, c
         |  FROM graft_ref_hist),
-        |cb AS (SELECT event_type,
-        |    CASE WHEN value < b.lo THEN 0
-        |      WHEN value >= b.hi THEN 11
-        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
-        |        AS int) + 1 END AS bk, count(*) AS c
-        |  FROM cur CROSS JOIN b GROUP BY 1, 2),
         |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
         |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
         |grid AS (SELECT rt.event_type, g.bk
@@ -694,6 +697,19 @@ object QueriesSeries {
         |JOIN ct ON t.event_type = ct.event_type
         |GROUP BY t.event_type, rt.t, ct.t
         |ORDER BY t.event_type""".stripMargin)
+
+  def q140_stored_drift(s: SparkSession, dir: String): DataFrame = {
+    refHistView(s, dir)
+    psiAgainstStored(s,
+      """cur AS (SELECT value, event_type FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
+        |b AS (SELECT min(lo) AS lo, min(hi) AS hi FROM graft_ref_hist),
+        |cb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM cur CROSS JOIN b GROUP BY 1, 2)""".stripMargin)
   }
 
   /** incremental-against-stored-state must equal the full recompute */

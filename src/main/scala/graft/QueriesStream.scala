@@ -289,7 +289,45 @@ object QueriesStream {
        |FROM p GROUP BY nd ORDER BY doc_id""".stripMargin
   }
 
+  /** Streaming distribution-drift monitor probing ENGINE-STORED
+    * reference state: the reference window's histogram lives in the
+    * versioned series store (written once, via [[QueriesSeries
+    * .refHistView]]), the current window ARRIVES AS A STREAM, and
+    * each micro-batch folds into a complete-mode (event_type, bucket)
+    * count aggregate — constant-size state, the streaming analogue of
+    * a map-side-combined aggregate. PSI against the stored histogram
+    * is computed over the drained sink with q139's exact math, so the
+    * oracle is the full two-window batch recompute: a bucket shifted
+    * by the stream path (or a stored count mangled in the engine
+    * round trip) fails the hash. The bucket bounds are read from the
+    * STORE and injected as literals — exactly how a 100 TB deployment
+    * ships its fixed reference grid to every executor. */
+  def q144_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    QueriesSeries.refHistView(s, dir)
+    val b = s.sql(
+      "SELECT min(lo) AS lo, min(hi) AS hi FROM graft_ref_hist").head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val src = rawEvents(s, dir)
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("value").isNotNull)
+    val bucketed = src
+      .withColumn("bk",
+        when(col("value") < lit(lo), lit(0))
+          .when(col("value") >= lit(hi), lit(11))
+          .otherwise(floor((col("value") - lit(lo)) * lit(10.0) /
+            (lit(hi) - lit(lo))).cast("int") + lit(1)))
+      .groupBy(col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("c"))
+    drain(s, bucketed, "graft_q144_sink", "complete")
+    QueriesSeries.psiAgainstStored(s,
+      "cb AS (SELECT event_type, bk, c FROM graft_q144_sink)")
+  }
+
+  /** stream-against-stored-state must equal the batch recompute */
+  val q144_oracle: String = QueriesPipe.q139_oracle
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_stream_drift" -> q144_stream_drift _,
     "q81_stream_join" -> q81_stream_join _,
     "q75_stream_minhash" -> q75_stream_minhash _,
     "q52_stream_window" -> q52_stream_window _,
@@ -299,6 +337,7 @@ object QueriesStream {
     "q120_stream_incdedup" -> q120_stream_incdedup _)
 
   val oracles: Map[String, String] = Map(
+    "q144_stream_drift" -> q144_oracle,
     "q81_stream_join" -> q81_oracle,
     "q75_stream_minhash" -> q75_oracle,
     "q52_stream_window" -> q52_oracle,
