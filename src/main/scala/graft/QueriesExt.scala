@@ -538,6 +538,59 @@ object QueriesExt {
       |  sum(code)::BIGINT AS code_sum
       |FROM err GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Johnson-Lindenstrauss random sign projection (Achlioptas 2003)
+    * — 64-dim embeddings sketched to 8 dims for cheap pre-filtering
+    * before exact rerank: the ±1 projection matrix derives from
+    * md5(k:j), so the "matrix" is an expression every executor
+    * recomputes — nothing to broadcast, nothing to version. Inputs
+    * quantize to micro-units BEFORE the sum, so each projected
+    * coordinate is an exact bigint — no float summation order
+    * anywhere. The 512-row sign table broadcast-joins the exploded
+    * coordinates and the per-vector aggregate map-side combines; at
+    * 100 TB the only shuffle carries (vec_id, 8 sums). */
+  def q145_random_projection(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    val pcols = (0 to 7).map(j =>
+      s"max(CASE WHEN j = $j THEN pj END) AS p$j").mkString(",\n  ")
+    s.sql(
+      s"""WITH sj AS (SELECT k.k, j.j,
+         |    CASE WHEN cast(conv(substr(md5(concat(
+         |        cast(k.k AS string), ':', cast(j.j AS string))),
+         |        1, 8), 16, 10) AS bigint) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT explode(sequence(0, 63)) AS k) k
+         |  CROSS JOIN (SELECT explode(sequence(0, 7)) AS j) j),
+         |d AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, p AS k,
+         |    cast(round(cast(val AS double) * 1000000, 0) AS bigint)
+         |      AS qv
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) AS p, val),
+         |p AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
+         |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)
+         |SELECT vec_id,
+         |  $pcols
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+  }
+
+  val q145_oracle: String = {
+    val pcols = (0 to 7).map(j =>
+      s"max(CASE WHEN j = $j THEN pj END) AS p$j").mkString(",\n  ")
+    s"""WITH sj AS (SELECT t1.k, t2.j,
+       |    CASE WHEN ('0x' || substr(md5(
+       |        t1.k::VARCHAR || ':' || t2.j::VARCHAR), 1, 8))::BIGINT
+       |        % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM range(0, 64) t1(k), range(0, 8) t2(j)),
+       |d AS (SELECT vec_id, i - 1 AS k,
+       |    round(e[i]::DOUBLE * 1000000)::BIGINT AS qv
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |    unnest(range(1, len(e) + 1)) AS t(i)),
+       |p AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
+       |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  $pcols
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** Product quantization encode (Jégou et al. 2011) — the codebook
     * compression behind billion-scale ANN indexes: the 64-dim space
     * splits into 8 orthogonal 8-dim subspaces, each with its own tiny
@@ -997,6 +1050,7 @@ object QueriesExt {
     "q90_audio" -> q90_audio _,
     "q91_semdedup" -> q91_semdedup _,
     "q92_vec_quant" -> q92_vec_quant _,
+    "q145_random_projection" -> q145_random_projection _,
     "q94_video_frames" -> q94_video_frames _,
     "q97_pq_codes" -> q97_pq_codes _,
     "q98_pq_adc" -> q98_pq_adc _,
@@ -1018,6 +1072,7 @@ object QueriesExt {
     "q90_audio" -> q90_oracle,
     "q91_semdedup" -> q91_oracle,
     "q92_vec_quant" -> q92_oracle,
+    "q145_random_projection" -> q145_oracle,
     "q94_video_frames" -> q94_oracle,
     "q97_pq_codes" -> q97_oracle,
     "q98_pq_adc" -> q98_oracle,
