@@ -548,48 +548,172 @@ object QueriesExt {
     * anywhere. The 512-row sign table broadcast-joins the exploded
     * coordinates and the per-vector aggregate map-side combines; at
     * 100 TB the only shuffle carries (vec_id, 8 sums). */
+  /** shared JL-sketch CTE chain (Spark dialect): sign matrix `sj`,
+    * micro-quantized coordinates `d`, long-form sketch `pl`
+    * (vec_id, j, pj) — pj is an EXACT bigint */
+  private def jlSparkCtes(nj: Int = 8): String =
+    s"""sj AS (SELECT k.k, j.j,
+       |    CASE WHEN cast(conv(substr(md5(concat(
+       |        cast(k.k AS string), ':', cast(j.j AS string))),
+       |        1, 8), 16, 10) AS bigint) % 2 = 0
+       |      THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT explode(sequence(0, 63)) AS k) k
+       |  CROSS JOIN (SELECT explode(sequence(0, ${nj - 1})) AS j) j),
+       |d AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, p AS k,
+       |    cast(round(cast(val AS double) * 1000000, 0) AS bigint)
+       |      AS qv
+       |  FROM embeddings LATERAL VIEW posexplode(embedding) AS p, val),
+       |pl AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
+       |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)""".stripMargin
+
+  /** the same chain in the DuckDB dialect */
+  private def jlDuckCtes(nj: Int = 8): String =
+    s"""sj AS (SELECT t1.k, t2.j,
+      |    CASE WHEN ('0x' || substr(md5(
+      |        t1.k::VARCHAR || ':' || t2.j::VARCHAR), 1, 8))::BIGINT
+      |        % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM range(0, 64) t1(k), range(0, $nj) t2(j)),
+      |d AS (SELECT vec_id, i - 1 AS k,
+      |    round(e[i]::DOUBLE * 1000000)::BIGINT AS qv
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |    unnest(range(1, len(e) + 1)) AS t(i)),
+      |pl AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
+      |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)""".stripMargin
+
   def q145_random_projection(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     val pcols = (0 to 7).map(j =>
       s"max(CASE WHEN j = $j THEN pj END) AS p$j").mkString(",\n  ")
     s.sql(
-      s"""WITH sj AS (SELECT k.k, j.j,
-         |    CASE WHEN cast(conv(substr(md5(concat(
-         |        cast(k.k AS string), ':', cast(j.j AS string))),
-         |        1, 8), 16, 10) AS bigint) % 2 = 0
-         |      THEN 1 ELSE -1 END AS sgn
-         |  FROM (SELECT explode(sequence(0, 63)) AS k) k
-         |  CROSS JOIN (SELECT explode(sequence(0, 7)) AS j) j),
-         |d AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, p AS k,
-         |    cast(round(cast(val AS double) * 1000000, 0) AS bigint)
-         |      AS qv
-         |  FROM embeddings LATERAL VIEW posexplode(embedding) AS p, val),
-         |p AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
-         |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)
+      s"""WITH ${jlSparkCtes()}
          |SELECT vec_id,
          |  $pcols
-         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+         |FROM pl GROUP BY vec_id ORDER BY vec_id""".stripMargin)
   }
 
   val q145_oracle: String = {
     val pcols = (0 to 7).map(j =>
       s"max(CASE WHEN j = $j THEN pj END) AS p$j").mkString(",\n  ")
-    s"""WITH sj AS (SELECT t1.k, t2.j,
-       |    CASE WHEN ('0x' || substr(md5(
-       |        t1.k::VARCHAR || ':' || t2.j::VARCHAR), 1, 8))::BIGINT
-       |        % 2 = 0
-       |      THEN 1 ELSE -1 END AS sgn
-       |  FROM range(0, 64) t1(k), range(0, 8) t2(j)),
-       |d AS (SELECT vec_id, i - 1 AS k,
-       |    round(e[i]::DOUBLE * 1000000)::BIGINT AS qv
-       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |    unnest(range(1, len(e) + 1)) AS t(i)),
-       |p AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
-       |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)
+    s"""WITH ${jlDuckCtes()}
        |SELECT vec_id,
        |  $pcols
-       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+       |FROM pl GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
+
+  /** The JL sketch doing its job — ANN with sketch PREFILTER + exact
+    * rerank, recall-audited: candidate generation ranks by L2² on
+    * 16-dim integer sketches (EXACT bigint arithmetic — 16 integer
+    * multiplies per pair vs 64 float ops for true cosine, and in a
+    * real deployment the sketch would further bucket via its sign
+    * bits), keeps top-128 per probe through the two-stage sharded
+    * rank, then reranks ONLY those 128 (6% of this corpus) by exact
+    * cosine and reports recall@10 against the brute-force truth —
+    * the AUDIT is the product: on these near-random synthetic
+    * vectors it measures ~0.39, exactly the number a team needs
+    * before trusting a sketch index (compare q122's LSH recall
+    * audit). The probe sketch table is 128 rows — broadcast;
+    * per-probe rerank windows run over ≤ 128 rows. Shares the pinned
+    * `ann_sc` cosine table with q107, so the exact baseline is
+    * computed once per session. */
+  def q146_ann_jl_prefilter(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    QueriesSim.materialize(s, dir,
+      s"""SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
+        |  round(graft_cosine(v.e, p.pe), 6) AS sim,
+        |  pmod(hash(v.vec_id), 16) AS shard
+        |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+        |        cast(embedding AS array<double>) AS e
+        |      FROM embeddings) v
+        |JOIN (SELECT vec_id AS pid,
+        |        cast(embedding AS array<double>) AS pe
+        |      FROM embeddings
+        |      WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15) p
+        |  ON v.vec_id != p.pid""".stripMargin, "ann_sc")
+    s.sql(
+      s"""WITH ${jlSparkCtes(16)},
+         |pp AS (SELECT vec_id AS pid, j, pj FROM pl
+         |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
+         |sd AS (SELECT /*+ BROADCAST(pp) */ pp.pid, pl.vec_id,
+         |    sum((pl.pj - pp.pj) * (pl.pj - pp.pj)) AS d2
+         |  FROM pl JOIN pp ON pl.j = pp.j AND pl.vec_id != pp.pid
+         |  GROUP BY 1, 2),
+         |sd2 AS (SELECT pid, vec_id, d2,
+         |    pmod(hash(vec_id), 16) AS shard FROM sd),
+         |c1 AS (SELECT pid, vec_id, d2 FROM (
+         |    SELECT pid, vec_id, d2, row_number() OVER (
+         |      PARTITION BY pid, shard ORDER BY d2, vec_id) AS rn
+         |    FROM sd2) WHERE rn <= 128),
+         |cand AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id, row_number() OVER (
+         |      PARTITION BY pid ORDER BY d2, vec_id) AS rn
+         |    FROM c1) WHERE rn <= 128),
+         |rr AS (SELECT pid, vec_id FROM (
+         |    SELECT sc.pid, sc.vec_id, row_number() OVER (
+         |      PARTITION BY sc.pid ORDER BY sc.sim DESC, sc.vec_id)
+         |      AS rn
+         |    FROM ann_sc sc JOIN cand
+         |      ON sc.pid = cand.pid AND sc.vec_id = cand.vec_id)
+         |  WHERE rn <= 10),
+         |x1 AS (SELECT pid, vec_id, sim FROM (
+         |    SELECT pid, vec_id, sim, row_number() OVER (
+         |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn
+         |    FROM ann_sc) WHERE rn <= 10),
+         |exact AS (SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id, row_number() OVER (
+         |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+         |    FROM x1) WHERE rn <= 10),
+         |h AS (SELECT e.pid, count(*) AS n_hit
+         |  FROM exact e JOIN rr i
+         |    ON e.pid = i.pid AND e.vec_id = i.vec_id
+         |  GROUP BY e.pid)
+         |SELECT pr.pid, cast(10 AS bigint) AS k,
+         |  cast(128 AS bigint) AS n_cand,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 10.0D, 4) + 0 AS recall_at_10
+         |FROM (SELECT DISTINCT pid FROM pp) pr
+         |LEFT JOIN h ON pr.pid = h.pid ORDER BY pr.pid""".stripMargin)
+  }
+
+  val q146_oracle: String =
+    s"""WITH ${jlDuckCtes(16)},
+       |pp AS (SELECT vec_id AS pid, j, pj FROM pl
+       |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
+       |sd AS (SELECT pp.pid, pl.vec_id,
+       |    sum((pl.pj - pp.pj) * (pl.pj - pp.pj)) AS d2
+       |  FROM pl JOIN pp ON pl.j = pp.j AND pl.vec_id != pp.pid
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT pid, vec_id FROM (
+       |    SELECT pid, vec_id, row_number() OVER (
+       |      PARTITION BY pid ORDER BY d2, vec_id) AS rn
+       |    FROM sd) WHERE rn <= 128),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS pid, e AS pe FROM v
+       |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
+       |sc AS (SELECT p.pid, v.vec_id,
+       |    round(list_cosine_similarity(v.e, p.pe), 6) AS sim
+       |  FROM v JOIN p ON v.vec_id != p.pid),
+       |rr AS (SELECT pid, vec_id FROM (
+       |    SELECT sc.pid, sc.vec_id, row_number() OVER (
+       |      PARTITION BY sc.pid ORDER BY sc.sim DESC, sc.vec_id)
+       |      AS rn
+       |    FROM sc JOIN cand
+       |      ON sc.pid = cand.pid AND sc.vec_id = cand.vec_id)
+       |  WHERE rn <= 10),
+       |exact AS (SELECT pid, vec_id FROM (
+       |    SELECT pid, vec_id, row_number() OVER (
+       |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= 10),
+       |h AS (SELECT e.pid, count(*) AS n_hit
+       |  FROM exact e JOIN rr i
+       |    ON e.pid = i.pid AND e.vec_id = i.vec_id
+       |  GROUP BY e.pid)
+       |SELECT pr.pid, 10::BIGINT AS k, 128::BIGINT AS n_cand,
+       |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  round(coalesce(h.n_hit, 0) / 10.0, 4) + 0 AS recall_at_10
+       |FROM (SELECT DISTINCT pid FROM pp) pr
+       |LEFT JOIN h ON pr.pid = h.pid ORDER BY pr.pid""".stripMargin
 
   /** Product quantization encode (Jégou et al. 2011) — the codebook
     * compression behind billion-scale ANN indexes: the 64-dim space
@@ -1051,6 +1175,7 @@ object QueriesExt {
     "q91_semdedup" -> q91_semdedup _,
     "q92_vec_quant" -> q92_vec_quant _,
     "q145_random_projection" -> q145_random_projection _,
+    "q146_ann_jl_prefilter" -> q146_ann_jl_prefilter _,
     "q94_video_frames" -> q94_video_frames _,
     "q97_pq_codes" -> q97_pq_codes _,
     "q98_pq_adc" -> q98_pq_adc _,
@@ -1073,6 +1198,7 @@ object QueriesExt {
     "q91_semdedup" -> q91_oracle,
     "q92_vec_quant" -> q92_oracle,
     "q145_random_projection" -> q145_oracle,
+    "q146_ann_jl_prefilter" -> q146_oracle,
     "q94_video_frames" -> q94_oracle,
     "q97_pq_codes" -> q97_oracle,
     "q98_pq_adc" -> q98_oracle,
