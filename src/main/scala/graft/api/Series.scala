@@ -164,19 +164,17 @@ class Series(val collection: Collection, val label: String) {
       .option("parquet.writer.version", "PARQUET_2_0")
       .parquet(store.uri(tmpRel))
 
-    // Per-FILE row count + index bounds + logical content hash. When
-    // the write landed a single file (AQE coalesces small batches to
-    // one partition), the global observed metrics ARE that file's
-    // stats — no second pass over the data at all. Multi-file writes
-    // take the ONE read-back aggregate (emptiness falls out of it:
-    // zero stat rows = empty write — no separate isEmpty probe). The
-    // digest is computed from the DATA (order-insensitive xxhash64
-    // aggregate), not the file bytes: parquet encoding metadata is not
-    // byte-deterministic across JVMs, and logical hashing also avoids
-    // pulling file bytes to the driver at scale.
-    val physStruct = org.apache.spark.sql.types.StructType(
-      schema.sparkSchema.fields.map(f =>
-        f.copy(name = collection.physOf(f.name))))
+    // Per-FILE row count + index bounds. When the write landed a
+    // single file (AQE coalesces small batches to one partition), the
+    // global observed metrics ARE that file's stats — no second pass
+    // over the data at all. Multi-file writes take ONE index-only
+    // read-back aggregate (emptiness falls out of it: zero stat rows
+    // = empty write — no separate isEmpty probe). The digest is
+    // computed from the DATA (order-insensitive xxhash64 aggregate
+    // observed on the write job itself), not the file bytes: parquet
+    // encoding metadata is not byte-deterministic across JVMs, and
+    // logical hashing also avoids pulling file bytes to the driver
+    // at scale.
     val parquetFiles = store.walk(tmpRel).filter(_.endsWith(".parquet"))
     val statRows =
       if (parquetFiles.isEmpty) Array.empty[Row]
@@ -200,14 +198,28 @@ class Series(val collection: Collection, val label: String) {
               org.apache.spark.sql.types.StructField("_hash",
                 org.apache.spark.sql.types.LongType)))))
       }
-      else spark.read.schema(physStruct)
-        .parquet(store.uri(tmpRel))
-        .groupBy(input_file_name().as("_file"))
-        .agg(count(lit(1)).as("_cnt"),
-          min(struct(physIdxCols: _*)).as("_min"),
-          max(struct(physIdxCols: _*)).as("_max"),
-          sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
-        .collect()
+      else {
+        // multi-file stats read-back scans ONLY the index columns
+        // (parquet pruning: for a 2-col timeseries that's the
+        // delta-packed ts column, a fraction of the data); the
+        // content digest reuses the OBSERVED global hash — per-file
+        // interiors are disambiguated by the file's ordinal in
+        // sealSegments, so no second full-data pass exists anywhere
+        // in the write path
+        val physIdxStruct = org.apache.spark.sql.types.StructType(
+          schema.sparkSchema.fields
+            .filter(f => schema.idxNames.contains(f.name))
+            .map(f => f.copy(name = collection.physOf(f.name))))
+        val globalHash = obs.get("_hash").asInstanceOf[Long]
+        spark.read.schema(physIdxStruct)
+          .parquet(store.uri(tmpRel))
+          .groupBy(input_file_name().as("_file"))
+          .agg(count(lit(1)).as("_cnt"),
+            min(struct(physIdxCols: _*)).as("_min"),
+            max(struct(physIdxCols: _*)).as("_max"))
+          .withColumn("_hash", lit(globalHash))
+          .collect()
+      }
     if (statRows.isEmpty) {
       store.rm(tmpRel, recursive = true)
       require(startK != null && stopK != null,
@@ -242,10 +254,17 @@ class Series(val collection: Collection, val label: String) {
     }.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
       schema.cmpKey(a, b) < 0))
 
-    // content-address each part file into the segment store
-    val files = stats.map { st =>
+    // content-address each part file into the segment store. A
+    // single-file write keeps the historical digest format (identical
+    // to the driver-local small-file path, so the two paths dedupe
+    // against each other); multi-file writes append the file's
+    // ordinal — their _hash may be the write's GLOBAL content hash,
+    // and the ordinal keeps two same-shaped files of one write from
+    // colliding (duplicate index keys can make cnt/min/max equal).
+    val files = stats.zipWithIndex.map { case (st, i) =>
+      val ord = if (stats.length > 1) s"|$i" else ""
       val digest = Hash.sha1(
-        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}"
+        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}$ord"
           .getBytes("UTF-8"))
       val target = s"seg/${Hash.hashedPath(digest)}.parquet"
       if (store.exists(target)) store.rm(st.tmp)
