@@ -601,7 +601,51 @@ object QueriesSim {
       |  FROM embeddings)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---- q147: n-gram novelty of an arriving batch -----------------------
+
+  /** N-gram novelty scoring — the ingest-time curation gate a
+    * continuously-growing corpus runs on every arriving batch: for
+    * each new document (odd ids) the share of its distinct 3-gram
+    * shingles NEVER seen in the existing corpus (even ids), in exact
+    * integer permille (truncating division — no float path, so no
+    * engine's rounding can flip a digit). Near-duplicates score ~0,
+    * templated boilerplate scores low, genuinely new text scores
+    * high; selection by novelty is the cheap complement to full
+    * near-dup clustering. Derives from the SAME pinned `sim_tok`
+    * shingle table as q22-q24 (the pass over text runs once per
+    * session); the corpus side collapses to DISTINCT hv before the
+    * equi-join — at 100 TB both sides shuffle once on hv (the
+    * standard inverted-index join) and the per-doc aggregate
+    * map-side combines. */
+  def q147_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    tokView(s, dir)
+    s.sql(
+      """WITH newd AS (SELECT doc_id, hv FROM sim_tok
+        |  WHERE doc_id % 2 = 1),
+        |corp AS (SELECT DISTINCT hv FROM sim_tok WHERE doc_id % 2 = 0),
+        |m AS (SELECT n.doc_id, count(*) AS total,
+        |    count(c.hv) AS matched
+        |  FROM newd n LEFT JOIN corp c ON n.hv = c.hv
+        |  GROUP BY n.doc_id)
+        |SELECT doc_id, total, matched,
+        |  ((total - matched) * 1000) div total AS novelty_permille
+        |FROM m ORDER BY doc_id""".stripMargin)
+  }
+
+  val q147_oracle: String =
+    s"""WITH $duckShingleTok,
+       |newd AS (SELECT doc_id, hv FROM tok WHERE doc_id % 2 = 1),
+       |corp AS (SELECT DISTINCT hv FROM tok WHERE doc_id % 2 = 0),
+       |m AS (SELECT n.doc_id, count(*) AS total,
+       |    count(c.hv) AS matched
+       |  FROM newd n LEFT JOIN corp c ON n.hv = c.hv
+       |  GROUP BY n.doc_id)
+       |SELECT doc_id, total::BIGINT AS total, matched::BIGINT AS matched,
+       |  ((total - matched) * 1000) // total AS novelty_permille
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_ngram_novelty" -> q147_ngram_novelty _,
     "q22_minhash_sig" -> q22_minhash_sig _,
     "q23_lsh_pairs" -> q23_lsh_pairs _,
     "q24_ngram_jaccard" -> q24_ngram_jaccard _,
@@ -611,6 +655,7 @@ object QueriesSim {
     "q122_lsh_audit" -> q122_lsh_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q147_ngram_novelty" -> q147_oracle,
     "q22_minhash_sig" -> q22_oracle,
     "q23_lsh_pairs" -> q23_oracle,
     "q24_ngram_jaccard" -> q24_oracle,
