@@ -1079,6 +1079,79 @@ object QueriesPipe {
       |  ntok, raw >= 0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer vocabulary coverage curve — "what vocab size covers
+    * what share of the token stream", the table every tokenizer
+    * design starts from. Computed ENTIRELY from the frequency
+    * HISTOGRAM: terms are never ranked individually — all terms in a
+    * frequency group contribute identical mass, so coverage at
+    * cutoff K is a closed form over the group containing rank K
+    * (mass_before + (K - terms_before) * freq). The only window runs
+    * over distinct frequency VALUES (O(sqrt(total tokens)) rows under
+    * Zipf — a histogram, not a vocabulary), so there is no
+    * vocab-sized sort anywhere; all arithmetic is exact bigint and
+    * the final share is truncating-ppm. */
+  def q148_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH vocab AS (SELECT term, sum(cnt) AS freq FROM doc_terms
+        |  GROUP BY term),
+        |g AS (SELECT freq, count(*) AS nterms,
+        |    freq * count(*) AS mass FROM vocab GROUP BY freq),
+        |c AS (SELECT freq, nterms, mass,
+        |    coalesce(sum(nterms) OVER (ORDER BY freq DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS terms_before,
+        |    coalesce(sum(mass) OVER (ORDER BY freq DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS mass_before
+        |  FROM g),
+        |t AS (SELECT sum(mass) AS total, sum(nterms) AS vocab_n FROM g),
+        |ks AS (SELECT explode(array(100, 500, 1000, 5000, 20000)) AS k),
+        |hit AS (SELECT ks.k,
+        |    c.mass_before + (ks.k - c.terms_before) * c.freq AS covered
+        |  FROM ks JOIN c ON c.terms_before < ks.k
+        |    AND ks.k <= c.terms_before + c.nterms)
+        |SELECT ks.k, least(cast(ks.k AS bigint), t.vocab_n) AS n_terms,
+        |  coalesce(h.covered, t.total) AS covered_mass,
+        |  t.total AS total_mass,
+        |  (coalesce(h.covered, t.total) * 1000000) div t.total
+        |    AS coverage_ppm
+        |FROM ks CROSS JOIN t LEFT JOIN hit h ON ks.k = h.k
+        |ORDER BY ks.k""".stripMargin)
+  }
+
+  val q148_oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term, count(*)::BIGINT AS freq FROM tok
+      |  GROUP BY term),
+      |g AS (SELECT freq, count(*)::BIGINT AS nterms,
+      |    freq * count(*)::BIGINT AS mass FROM vocab GROUP BY freq),
+      |c AS (SELECT freq, nterms, mass,
+      |    coalesce(sum(nterms) OVER (ORDER BY freq DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS terms_before,
+      |    coalesce(sum(mass) OVER (ORDER BY freq DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS mass_before
+      |  FROM g),
+      |t AS (SELECT sum(mass)::BIGINT AS total,
+      |    sum(nterms)::BIGINT AS vocab_n FROM g),
+      |ks AS (SELECT unnest([100, 500, 1000, 5000, 20000]) AS k),
+      |hit AS (SELECT ks.k,
+      |    c.mass_before + (ks.k - c.terms_before) * c.freq AS covered
+      |  FROM ks JOIN c ON c.terms_before < ks.k
+      |    AND ks.k <= c.terms_before + c.nterms)
+      |SELECT ks.k::INT AS k,
+      |  least(ks.k::BIGINT, t.vocab_n) AS n_terms,
+      |  coalesce(h.covered, t.total)::BIGINT AS covered_mass,
+      |  t.total AS total_mass,
+      |  (coalesce(h.covered, t.total) * 1000000) // t.total
+      |    AS coverage_ppm
+      |FROM ks CROSS JOIN t LEFT JOIN hit h ON ks.k = h.k
+      |ORDER BY ks.k""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2237,6 +2310,7 @@ object QueriesPipe {
     "q139_psi_drift" -> q139_psi_drift _,
     "q141_cluster_canonical" -> q141_cluster_canonical _,
     "q142_quality_classifier" -> q142_quality_classifier _,
+    "q148_vocab_coverage" -> q148_vocab_coverage _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2304,6 +2378,7 @@ object QueriesPipe {
     "q139_psi_drift" -> q139_oracle,
     "q141_cluster_canonical" -> q141_oracle,
     "q142_quality_classifier" -> q142_oracle,
+    "q148_vocab_coverage" -> q148_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,

@@ -644,7 +644,55 @@ object QueriesSim {
        |  ((total - matched) * 1000) // total AS novelty_permille
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- q149: cross-source near-duplication matrix ----------------------
+
+  /** Cross-source near-duplication matrix — the curation question
+    * behind source weighting: how much of each source near-duplicates
+    * each other source. The confirmed LSH pair set (same ≥ 0.3 gate
+    * as the dedup pipeline) joins the corpus twice for source labels,
+    * orientation-normalized with least/greatest so (A,B) and (B,A)
+    * land in one cell. The pair table is orders of magnitude smaller
+    * than the corpus and the source-label join broadcasts off the
+    * pair side's distinct doc ids; the matrix itself is
+    * sources² — constant-size. Derives from the pinned `sim_pairs`
+    * table, so the LSH pipeline runs once per session. */
+  def q149_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    q23_lsh_pairs(s, dir) // pins sim_pairs
+    s.sql(
+      """WITH p AS (SELECT doc_a, doc_b FROM sim_pairs
+        |  WHERE jaccard >= 0.3),
+        |lab AS (SELECT doc_id, source FROM documents),
+        |m AS (SELECT least(sa.source, sb.source) AS src1,
+        |    greatest(sa.source, sb.source) AS src2
+        |  FROM p
+        |  JOIN lab sa ON p.doc_a = sa.doc_id
+        |  JOIN lab sb ON p.doc_b = sb.doc_id)
+        |SELECT src1, src2, count(*) AS n_pairs
+        |FROM m GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin)
+  }
+
+  val q149_oracle: String =
+    s"""WITH $duckShingleTok,
+       |${sigBody("tok")},
+       |${lshCtes("sig", "tok")},
+       |p AS (
+       |  SELECT c.da AS doc_a, c.db AS doc_b
+       |  FROM cand c
+       |  JOIN inter i ON c.da = i.da AND c.db = i.db
+       |  JOIN sizes sa ON c.da = sa.doc_id
+       |  JOIN sizes sb ON c.db = sb.doc_id
+       |  WHERE cnt > 0
+       |    AND round(cnt/(sa.n + sb.n - cnt), 4) >= 0.3),
+       |m AS (SELECT least(da.source, db.source) AS src1,
+       |    greatest(da.source, db.source) AS src2
+       |  FROM p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT src1, src2, count(*)::BIGINT AS n_pairs
+       |FROM m GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_source_overlap" -> q149_source_overlap _,
     "q147_ngram_novelty" -> q147_ngram_novelty _,
     "q22_minhash_sig" -> q22_minhash_sig _,
     "q23_lsh_pairs" -> q23_lsh_pairs _,
@@ -655,6 +703,7 @@ object QueriesSim {
     "q122_lsh_audit" -> q122_lsh_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q149_source_overlap" -> q149_oracle,
     "q147_ngram_novelty" -> q147_oracle,
     "q22_minhash_sig" -> q22_oracle,
     "q23_lsh_pairs" -> q23_oracle,
