@@ -309,6 +309,47 @@ class PlanSpec extends AnyFunSuite {
         s"q107 windows on vec_id: $spec"))
   }
 
+  test("round-7 additions keep their scale shapes") {
+    val dir = "/root/testdata/sf0.001"
+    // q142 hashed-linear scoring: one pass + aggregate — no window,
+    // no cartesian (the "model" is an expression, not a joined table)
+    val p142 = QueriesPipe.q142_quality_classifier(spark, dir)
+    assert(windowSpecsOf(p142).isEmpty, "q142 plans a window")
+    assert(!p142.queryExecution.sparkPlan.toString
+      .contains("CartesianProduct"), "q142 cartesian")
+    // q141 cluster canonical: the quality argmax must be the max_by
+    // aggregate (map-side combine), never a ranked window
+    assert(windowSpecsOf(
+      QueriesPipe.q141_cluster_canonical(spark, dir)).isEmpty,
+      "q141 argmax plans a window")
+    // q146 sketch-prefilter ANN / q147 novelty: every nested-loop
+    // join must be constant-sized (the 64x16 sign-matrix cross join);
+    // none may have a file scan — i.e. the corpus — in its subtree
+    def noDataNestedLoop(name: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.sparkPlan
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$name: ${plan.toString.take(1500)}")
+      plan.foreach {
+        case j: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec =>
+          assert(!j.toString.contains("FileScan"),
+            s"$name nested-loops over a data scan: ${j.toString.take(1500)}")
+        case _ =>
+      }
+    }
+    noDataNestedLoop("q146", QueriesExt.q146_ann_jl_prefilter(spark, dir))
+    noDataNestedLoop("q147", QueriesSim.q147_ngram_novelty(spark, dir))
+    // q148 coverage curve: every window input is the distinct-frequency
+    // HISTOGRAM (O(sqrt tokens) rows), never the vocabulary — the plan
+    // may window, but only over `g`-derived frames (both specs empty,
+    // both fed by the freq GROUP BY — assert no window partitions on
+    // term, the vocab-sized column)
+    windowSpecsOf(QueriesPipe.q148_vocab_coverage(spark, dir))
+      .foreach(spec => assert(!spec.exists(_.contains("term")),
+        s"q148 windows on the vocabulary: $spec"))
+  }
+
   // -- global-window allowlist gate ----------------------------------
   // A WindowExec with an EMPTY partitionSpec single-threads its input
   // through one task — a scale-killer on corpus-sized data, and the
