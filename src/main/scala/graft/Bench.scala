@@ -116,6 +116,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-steal calibration: a FIXED single-thread integer loop (an
+    // LCG — unoptimizable, allocation-free) timed at suite start,
+    // mid-run and end. Identical work every time, so wall-clock
+    // spread across the three probes IS the hypervisor-steal factor
+    // during the run — the artifact carries its own noise floor and a
+    // reader can see whether a slow row was the query or the host
+    // (this VM shows guest load >5 with zero guest processes when
+    // neighbors are loud).
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrate(): Unit = calibSamples += time {
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elim
+    }
+    calibrate()
+
     // per-row rep vectors, insertion-ordered
     val samples =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
@@ -186,6 +202,7 @@ object Bench {
         }
     }
     QueriesPipe.clearComponentCache() // leave no dist-branch memo behind
+    calibrate() // mid-run steal probe (between queries and engine rows)
 
     // engine throughput: bulk write / full read / range read / agg
     val root = java.nio.file.Files.createTempDirectory("graft-bench")
@@ -301,9 +318,12 @@ object Bench {
       if (meds.values.exists(_ < 0)) -1.0 else meds.values.sum
     val totalFirst =
       if (meds.values.exists(_ < 0)) -1.0 else samples.values.map(_.head).sum
+    calibrate() // end-of-run steal probe
+    val calibJson = calibSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
+      s""""calib_s":$calibJson,""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""queries_max":${jmap(_.max)},"queries_first":${jmap(_.head)},""" +
       s""""sf":"$sfDir"}"""
