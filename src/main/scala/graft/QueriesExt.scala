@@ -676,6 +676,65 @@ object QueriesExt {
          |LEFT JOIN h ON pr.pid = h.pid ORDER BY pr.pid""".stripMargin)
   }
 
+  /** Embedding-quality audit via kNN label purity — the standard
+    * representation-quality probe before trusting embeddings for
+    * retrieval or dedup: on a deterministic probe sample (vec_id %
+    * 37), the share of each probe's exact top-10 cosine neighbors
+    * that carry the probe's own label, aggregated per label in exact
+    * ppm. The probe set broadcasts (it is 1/37th of the corpus and
+    * would be a fixed eval set in production); neighbor ranking is
+    * the two-stage sharded top-k, so no per-probe window ever sees
+    * more than shards x 10 rows. */
+  def q150_label_purity(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    label, cast(embedding AS array<double>) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+         |  WHERE vec_id % 37 = 0),
+         |sc AS (SELECT /*+ BROADCAST(p) */ p.pid, p.plabel, v.vec_id,
+         |    v.label, round(graft_cosine(v.e, p.pe), 6) AS sim,
+         |    pmod(hash(v.vec_id), 16) AS shard
+         |  FROM v JOIN p ON v.vec_id != p.pid),
+         |x1 AS (SELECT pid, plabel, vec_id, label, sim FROM (
+         |    SELECT pid, plabel, vec_id, label, sim, row_number() OVER (
+         |      PARTITION BY pid, shard ORDER BY sim DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |top AS (SELECT pid, plabel, label FROM (
+         |    SELECT pid, plabel, label, row_number() OVER (
+         |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+         |    FROM x1) WHERE rn <= 10),
+         |per AS (SELECT pid, plabel,
+         |    sum(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS hits
+         |  FROM top GROUP BY pid, plabel)
+         |SELECT plabel AS label, count(*) AS n_probes,
+         |  sum(hits) AS n_hits,
+         |  (sum(hits) * 1000000) div (count(*) * 10) AS purity_ppm
+         |FROM per GROUP BY plabel ORDER BY label""".stripMargin)
+  }
+
+  val q150_oracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+      |  WHERE vec_id % 37 = 0),
+      |sc AS (SELECT p.pid, p.plabel, v.vec_id, v.label,
+      |    round(list_cosine_similarity(v.e, p.pe), 6) AS sim
+      |  FROM v JOIN p ON v.vec_id != p.pid),
+      |top AS (SELECT pid, plabel, label FROM (
+      |    SELECT pid, plabel, label, row_number() OVER (
+      |      PARTITION BY pid ORDER BY sim DESC, vec_id) AS rn
+      |    FROM sc) WHERE rn <= 10),
+      |per AS (SELECT pid, plabel,
+      |    sum(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS hits
+      |  FROM top GROUP BY pid, plabel)
+      |SELECT plabel AS label, count(*)::BIGINT AS n_probes,
+      |  sum(hits)::BIGINT AS n_hits,
+      |  (sum(hits) * 1000000) // (count(*) * 10) AS purity_ppm
+      |FROM per GROUP BY plabel ORDER BY label""".stripMargin
+
   val q146_oracle: String =
     s"""WITH ${jlDuckCtes(16)},
        |pp AS (SELECT vec_id AS pid, j, pj FROM pl
@@ -1176,6 +1235,7 @@ object QueriesExt {
     "q92_vec_quant" -> q92_vec_quant _,
     "q145_random_projection" -> q145_random_projection _,
     "q146_ann_jl_prefilter" -> q146_ann_jl_prefilter _,
+    "q150_label_purity" -> q150_label_purity _,
     "q94_video_frames" -> q94_video_frames _,
     "q97_pq_codes" -> q97_pq_codes _,
     "q98_pq_adc" -> q98_pq_adc _,
@@ -1199,6 +1259,7 @@ object QueriesExt {
     "q92_vec_quant" -> q92_oracle,
     "q145_random_projection" -> q145_oracle,
     "q146_ann_jl_prefilter" -> q146_oracle,
+    "q150_label_purity" -> q150_oracle,
     "q94_video_frames" -> q94_oracle,
     "q97_pq_codes" -> q97_oracle,
     "q98_pq_adc" -> q98_oracle,

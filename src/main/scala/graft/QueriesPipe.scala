@@ -1152,6 +1152,61 @@ object QueriesPipe {
       |FROM ks CROSS JOIN t LEFT JOIN hit h ON ks.k = h.k
       |ORDER BY ks.k""".stripMargin
 
+  /** Robust anomaly audit per event type — median/MAD outlier
+    * detection, the data-quality monitor that survives heavy tails
+    * where mean/stddev break: a value is anomalous when its absolute
+    * deviation from the type's median exceeds 3.5x the median
+    * absolute deviation. Both stats are EXACT interpolated
+    * percentiles (the q13 parity convention); the threshold compare
+    * happens on micro-quantized integers so a last-ulp difference in
+    * either engine's interpolation cannot flip a verdict at the
+    * boundary. Two grouped percentile passes + two broadcast joins of
+    * the types-sized stat tables; the GK-sketch variant (q111) is the
+    * one-pass approximation this exact audit calibrates. */
+  def q151_robust_anomaly(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH m AS (SELECT event_type, percentile(value, 0.5D) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med FROM events e
+        |  JOIN m ON e.event_type = m.event_type
+        |  WHERE e.value IS NOT NULL),
+        |md AS (SELECT event_type,
+        |    percentile(abs(value - med), 0.5D) AS mad
+        |  FROM d GROUP BY 1),
+        |o AS (SELECT d.event_type, md.mad, d.med,
+        |    CASE WHEN cast(round(abs(d.value - d.med) * 1000000.0D, 0)
+        |        AS bigint)
+        |      > cast(round(3.5D * md.mad * 1000000.0D, 0) AS bigint)
+        |      THEN 1 ELSE 0 END AS isout
+        |  FROM d JOIN md ON d.event_type = md.event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(min(med), 6) + 0 AS med, round(min(mad), 6) + 0 AS mad,
+        |  sum(isout) AS n_outliers,
+        |  (sum(isout) * 1000000) div count(*) AS outlier_ppm
+        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q151_oracle: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |d AS (SELECT e.event_type, e.value, m.med FROM events e
+      |  JOIN m ON e.event_type = m.event_type
+      |  WHERE e.value IS NOT NULL),
+      |md AS (SELECT event_type,
+      |    quantile_cont(abs(value - med), 0.5) AS mad
+      |  FROM d GROUP BY 1),
+      |o AS (SELECT d.event_type, md.mad, d.med,
+      |    CASE WHEN round(abs(d.value - d.med) * 1000000.0)::BIGINT
+      |      > round(3.5 * md.mad * 1000000.0)::BIGINT
+      |      THEN 1 ELSE 0 END AS isout
+      |  FROM d JOIN md ON d.event_type = md.event_type)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  round(min(med), 6) + 0 AS med, round(min(mad), 6) + 0 AS mad,
+      |  sum(isout)::BIGINT AS n_outliers,
+      |  (sum(isout) * 1000000) // count(*) AS outlier_ppm
+      |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2311,6 +2366,7 @@ object QueriesPipe {
     "q141_cluster_canonical" -> q141_cluster_canonical _,
     "q142_quality_classifier" -> q142_quality_classifier _,
     "q148_vocab_coverage" -> q148_vocab_coverage _,
+    "q151_robust_anomaly" -> q151_robust_anomaly _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2379,6 +2435,7 @@ object QueriesPipe {
     "q141_cluster_canonical" -> q141_oracle,
     "q142_quality_classifier" -> q142_oracle,
     "q148_vocab_coverage" -> q148_oracle,
+    "q151_robust_anomaly" -> q151_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
