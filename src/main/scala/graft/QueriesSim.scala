@@ -537,22 +537,30 @@ object QueriesSim {
 
   // ---- q26: simhash fingerprints ---------------------------------------
 
-  private def simhashSql(hex: String => String, tokSplit: String,
+  /** the exploded simhash formulation as a CTE chain ending in
+    * `sh(doc_id, simhash)` — shared by q26's oracle and q152's
+    * banding-join oracle */
+  private def simhashCtes(hex: String => String, tokSplit: String,
       docsFrom: String, shr: (String, Int) => String): String = {
     val bitSums = (0 until 32).map(b =>
       s"sum(CASE WHEN (${shr("hv", b)} & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n  ")
     val recombine = (0 until 32).map(b =>
       s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tok AS (SELECT DISTINCT doc_id, tk FROM
+    s"""tok AS (SELECT DISTINCT doc_id, tk FROM
        |  (SELECT doc_id, $tokSplit AS tk FROM $docsFrom)),
        |h AS (SELECT doc_id, ${hex("tk")} AS hv FROM tok),
        |bits AS (SELECT doc_id,
        |  $bitSums
-       |FROM h GROUP BY doc_id)
-       |SELECT doc_id, $recombine AS simhash
-       |FROM bits ORDER BY doc_id""".stripMargin
+       |FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $recombine AS simhash FROM bits)"""
+      .stripMargin
   }
+
+  private def simhashSql(hex: String => String, tokSplit: String,
+      docsFrom: String, shr: (String, Int) => String): String =
+    s"""WITH ${simhashCtes(hex, tokSplit, docsFrom, shr)}
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
   /** Spark side computes the simhash as a NARROW in-row fold: distinct
     * word tokens are hashed and their ±1 bit votes accumulated into a
@@ -584,6 +592,76 @@ object QueriesSim {
   val q26_oracle: String = simhashSql(duckHex,
     "unnest(string_split(text,' '))", "documents",
     (e, b) => s"($e >> $b)")
+
+  // ---- q152: simhash hamming-radius pair join --------------------------
+
+  /** Simhash DEDUP JOIN — the operator q26's signatures exist for:
+    * all document pairs within hamming distance 3 of each other,
+    * found by pigeonhole byte-banding. The 32-bit simhash splits into
+    * 4 byte bands; ≤ 3 differing bits can touch at most 3 bands, so
+    * two docs within radius 3 ALWAYS agree on at least one band —
+    * banding is EXACT at this radius, not approximate. Candidates
+    * come from 4 band equi-joins (never an all-pairs product), with
+    * the q24-style hot-bucket cutoff (a band value shared by > 64
+    * docs generates no candidates — deterministic in both engines,
+    * and the skipped buckets are degenerate near-collisions banding
+    * exists to avoid); verification is one in-row popcount. The
+    * signature is the in-row fold (no explode); only (doc, band)
+    * rows shuffle. */
+  def q152_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val recombine = (0 until 32).map(b =>
+      s"(CASE WHEN element_at(bits, ${b + 1}) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH sh AS (SELECT doc_id, $recombine AS simhash FROM (
+         |  SELECT doc_id, aggregate(
+         |      transform(array_distinct(split(text,' ', -1)),
+         |        tk -> ${sparkHex("tk")}),
+         |      array_repeat(cast(0 AS BIGINT), 32),
+         |      (acc, hv) -> zip_with(acc,
+         |        transform(sequence(0, 31),
+         |          b -> CASE WHEN (shiftright(hv, b) & 1) = 1
+         |               THEN cast(1 AS BIGINT)
+         |               ELSE cast(-1 AS BIGINT) END),
+         |        (a, x) -> a + x)) AS bits
+         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |        FROM documents))),
+         |b AS (SELECT doc_id, simhash, i,
+         |    shiftright(simhash, 8 * i) & 255 AS bv
+         |  FROM sh LATERAL VIEW explode(array(0, 1, 2, 3)) t AS i),
+         |bc AS (SELECT i, bv FROM b GROUP BY i, bv
+         |  HAVING count(*) <= 64),
+         |bb AS (SELECT b.doc_id, b.simhash, b.i, b.bv FROM b
+         |  JOIN bc ON b.i = bc.i AND b.bv = bc.bv),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+         |    x.simhash AS sa, y.simhash AS sb
+         |  FROM bb x JOIN bb y ON x.i = y.i AND x.bv = y.bv
+         |    AND x.doc_id < y.doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  cast(bit_count(sa ^ sb) AS int) AS hamming
+         |FROM cand WHERE bit_count(sa ^ sb) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val q152_oracle: String =
+    s"""WITH ${simhashCtes(duckHex, "unnest(string_split(text,' '))",
+         "documents", (e, b) => s"($e >> $b)")},
+       |b AS (SELECT doc_id, simhash, i,
+       |    (simhash >> (8 * i)) & 255 AS bv
+       |  FROM sh, unnest([0, 1, 2, 3]) t(i)),
+       |bc AS (SELECT i, bv FROM b GROUP BY i, bv
+       |  HAVING count(*) <= 64),
+       |bb AS (SELECT b.doc_id, b.simhash, b.i, b.bv FROM b
+       |  JOIN bc ON b.i = bc.i AND b.bv = bc.bv),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM bb x JOIN bb y ON x.i = y.i AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  bit_count(xor(sa, sb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- q27: per-label embedding centroids ------------------------------
 
@@ -693,6 +771,7 @@ object QueriesSim {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_source_overlap" -> q149_source_overlap _,
+    "q152_simhash_pairs" -> q152_simhash_pairs _,
     "q147_ngram_novelty" -> q147_ngram_novelty _,
     "q22_minhash_sig" -> q22_minhash_sig _,
     "q23_lsh_pairs" -> q23_lsh_pairs _,
@@ -704,6 +783,7 @@ object QueriesSim {
 
   val oracles: Map[String, String] = Map(
     "q149_source_overlap" -> q149_oracle,
+    "q152_simhash_pairs" -> q152_oracle,
     "q147_ngram_novelty" -> q147_oracle,
     "q22_minhash_sig" -> q22_oracle,
     "q23_lsh_pairs" -> q23_oracle,
