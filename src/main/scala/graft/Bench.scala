@@ -51,7 +51,10 @@ object Bench {
     // round-7: incremental inverted-index maintenance — the timed row
     // includes the engine write of the stored half's postings, i.e.
     // the per-batch index-maintenance cost
-    "q128_incremental_index")
+    "q128_incremental_index",
+    // round-7 additions: JL-sketch-prefiltered ANN with recall audit,
+    // batch novelty scoring, simhash hamming-radius pair join
+    "q146_ann_jl_prefilter", "q147_ngram_novelty", "q152_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -613,8 +613,11 @@ object QueriesSim {
       s"(CASE WHEN element_at(bits, ${b + 1}) > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     Tables.registerAll(s, dir)
-    s.sql(
-      s"""WITH sh AS (SELECT doc_id, $recombine AS simhash FROM (
+    // pin the signature table: a CTE would be INLINED into both sides
+    // of the band self-join, running the in-row fold over the corpus
+    // twice (profiled 2.4 s -> the fold is the whole cost)
+    materialize(s, dir,
+      s"""SELECT doc_id, $recombine AS simhash FROM (
          |  SELECT doc_id, aggregate(
          |      transform(array_distinct(split(text,' ', -1)),
          |        tk -> ${sparkHex("tk")}),
@@ -626,7 +629,9 @@ object QueriesSim {
          |               ELSE cast(-1 AS BIGINT) END),
          |        (a, x) -> a + x)) AS bits
          |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
-         |        FROM documents))),
+         |        FROM documents))""".stripMargin, "sim_simhash")
+    s.sql(
+      s"""WITH sh AS (SELECT doc_id, simhash FROM sim_simhash),
          |b AS (SELECT doc_id, simhash, i,
          |    shiftright(simhash, 8 * i) & 255 AS bv
          |  FROM sh LATERAL VIEW explode(array(0, 1, 2, 3)) t AS i),
