@@ -749,7 +749,61 @@ object QueriesSeries {
     """SELECT event_id, ts, value FROM events
       |WHERE ts < TIMESTAMP '2024-01-08' ORDER BY event_id""".stripMargin
 
+  /** wraps a store, corrupting the FIRST read of every changelog
+    * blob (first byte flipped) — the torn/concurrent-read condition
+    * the revision sha1+retry loop exists for */
+  private final class FlakyStore(inner: graft.core.Store)
+      extends graft.core.Store {
+    private val seen =
+      scala.collection.concurrent.TrieMap.empty[String, Unit]
+    @volatile var corrupted = 0
+    def read(path: String): Array[Byte] = {
+      val d = inner.read(path)
+      if (path.contains("changelog") &&
+          seen.putIfAbsent(path, ()).isEmpty && d.nonEmpty) {
+        corrupted += 1
+        val c = d.clone(); c(0) = (c(0) ^ 0x7).toByte; c
+      } else d
+    }
+    def ls(dir: String): Seq[String] = inner.ls(dir)
+    def write(path: String, data: Array[Byte]): Boolean =
+      inner.write(path, data)
+    def rm(path: String, recursive: Boolean): Unit =
+      inner.rm(path, recursive)
+    def mv(from: String, to: String): Unit = inner.mv(from, to)
+    def exists(path: String): Boolean = inner.exists(path)
+    def walk(prefix: String): Seq[String] = inner.walk(prefix)
+    def uri(path: String): String = inner.uri(path)
+  }
+
+  /** revision-integrity retry under the oracle gate — the LAST §2
+    * surface that rested on ScalaTest alone: a second repo opens the
+    * store through a fault-injecting wrapper that corrupts the first
+    * read of every changelog blob; the sha1-verified retry loop must
+    * re-read clean bytes, and the frame must still equal plain SQL.
+    * The require proves the faults actually fired (a vacuous pass is
+    * impossible). */
+  def q153_retry_read(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val w = new Repo(root, s)
+    val clct = w.createCollection(eventsSchema, "events")
+    clct.embedMaxSize = 0L
+    clct.series("_").write(eventsDf(s, dir))
+    val flaky = new FlakyStore(new graft.core.HadoopStore(root))
+    val r = new Repo(root, s, flaky)
+    val f = r.collection("events").get.series("_").frame()
+      .select(out.map(col): _*).orderBy(col("event_id"))
+    f.count() // force changelog + manifest reads through the faults
+    require(flaky.corrupted > 0, "fault injection never fired")
+    f
+  }
+
+  val q153_oracle: String =
+    """SELECT event_id, ts, value FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_retry_read" -> q153_retry_read _,
     "q140_stored_drift" -> q140_stored_drift _,
     "q143_cli_read" -> q143_cli_read _,
     "q138_archive_gc" -> q138_archive_gc _,
@@ -779,6 +833,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q153_retry_read" -> q153_oracle,
     "q140_stored_drift" -> q140_oracle,
     "q143_cli_read" -> q143_oracle,
     "q138_archive_gc" -> q138_oracle,
