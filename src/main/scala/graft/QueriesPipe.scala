@@ -1207,6 +1207,79 @@ object QueriesPipe {
       |  (sum(isout) * 1000000) // count(*) AS outlier_ppm
       |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Token-budget mixture materializer — "take the first B tokens of
+    * each source, in a reproducible shuffle order": the recipe step
+    * that turns per-source token QUOTAS (not doc counts — docs vary
+    * 100x in length) into a concrete document selection. Selection
+    * order is md5(doc_id) — reproducible, coordination-free — and the
+    * running token total is a TRUE distributed prefix sum: per-(source,
+    * shard) local cumsums (windows bounded to a shard each), shard
+    * totals, then shard OFFSETS via a window over the 16-row offset
+    * table; global position = offset + local cumsum. No source-wide
+    * window ever exists, so a source with a trillion tokens still
+    * shards. All integer arithmetic; fill ratio in truncating ppm. */
+  def q154_token_budget(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH d AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |    source, size(split(text, ' ', -1)) AS ntok,
+        |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 12),
+        |      16, 10) AS bigint) AS hv
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, source, ntok, hv, pmod(hv, 16) AS shard
+        |  FROM d),
+        |l AS (SELECT doc_id, source, ntok, hv, shard,
+        |    sum(ntok) OVER (PARTITION BY source, shard
+        |      ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |  FROM d2),
+        |st AS (SELECT source, shard, sum(ntok) AS t FROM d2
+        |  GROUP BY 1, 2),
+        |off AS (SELECT source, shard,
+        |    coalesce(sum(t) OVER (PARTITION BY source ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS o
+        |  FROM st),
+        |c AS (SELECT l.doc_id, l.source, l.ntok, off.o + l.lc AS cum
+        |  FROM l JOIN off
+        |    ON l.source = off.source AND l.shard = off.shard),
+        |k AS (SELECT source, doc_id, ntok, cum FROM c
+        |  WHERE cum <= 3000)
+        |SELECT source, count(*) AS n_docs, sum(ntok) AS tokens_kept,
+        |  max(cum) AS last_cum,
+        |  (sum(ntok) * 1000000) div 3000 AS fill_ppm
+        |FROM k GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q154_oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    len(string_split(text, ' '))::BIGINT AS ntok,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS hv
+      |  FROM documents),
+      |d2 AS (SELECT doc_id, source, ntok, hv, hv % 16 AS shard FROM d),
+      |l AS (SELECT doc_id, source, ntok, hv, shard,
+      |    sum(ntok) OVER (PARTITION BY source, shard
+      |      ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |  FROM d2),
+      |st AS (SELECT source, shard, sum(ntok) AS t FROM d2
+      |  GROUP BY 1, 2),
+      |off AS (SELECT source, shard,
+      |    coalesce(sum(t) OVER (PARTITION BY source ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS o
+      |  FROM st),
+      |c AS (SELECT l.doc_id, l.source, l.ntok, off.o + l.lc AS cum
+      |  FROM l JOIN off
+      |    ON l.source = off.source AND l.shard = off.shard),
+      |k AS (SELECT source, doc_id, ntok, cum FROM c
+      |  WHERE cum <= 3000)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(ntok)::BIGINT AS tokens_kept,
+      |  max(cum)::BIGINT AS last_cum,
+      |  (sum(ntok) * 1000000) // 3000 AS fill_ppm
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2367,6 +2440,7 @@ object QueriesPipe {
     "q142_quality_classifier" -> q142_quality_classifier _,
     "q148_vocab_coverage" -> q148_vocab_coverage _,
     "q151_robust_anomaly" -> q151_robust_anomaly _,
+    "q154_token_budget" -> q154_token_budget _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2436,6 +2510,7 @@ object QueriesPipe {
     "q142_quality_classifier" -> q142_oracle,
     "q148_vocab_coverage" -> q148_oracle,
     "q151_robust_anomaly" -> q151_oracle,
+    "q154_token_budget" -> q154_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
