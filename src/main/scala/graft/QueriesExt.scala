@@ -735,6 +735,46 @@ object QueriesExt {
       |  (sum(hits) * 1000000) // (count(*) * 10) AS purity_ppm
       |FROM per GROUP BY plabel ORDER BY label""".stripMargin
 
+  /** Embedding dimension-collapse audit — the representation-health
+    * check run before spending compute on an embedding corpus: per
+    * dimension, mean and variance on MILLI-QUANTIZED integers
+    * (round(v*1e3)), two-pass — integer mean first, then the exact
+    * integer sum of squared deviations — so magnitudes stay within
+    * bigint at any corpus size (the one-pass n·Σx²-(Σx)² form
+    * overflows past ~1e9 rows) and both engines agree bit-for-bit.
+    * A dimension whose variance falls under 1e-3 is flagged
+    * collapsed (dead feature). One explode + two map-side-combined
+    * aggregates; output is embedding-width rows. */
+  def q156_dim_collapse(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH d AS (SELECT /*+ REPARTITION(${Tables.np}) */ pos AS dim,
+         |    cast(round(cast(v AS double) * 1000, 0) AS bigint) AS q
+         |  FROM embeddings
+         |  LATERAL VIEW posexplode(embedding) t AS pos, v),
+         |m AS (SELECT dim, count(*) AS n,
+         |    sum(q) div count(*) AS mq FROM d GROUP BY dim),
+         |vr AS (SELECT d.dim, m.n, m.mq,
+         |    sum((d.q - m.mq) * (d.q - m.mq)) AS ss
+         |  FROM d JOIN m ON d.dim = m.dim GROUP BY d.dim, m.n, m.mq)
+         |SELECT dim, n, mq AS mean_milli, ss div n AS var_milli2,
+         |  (ss div n) < 1000 AS collapsed
+         |FROM vr ORDER BY dim""".stripMargin)
+  }
+
+  val q156_oracle: String =
+    """WITH d AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q
+      |  FROM embeddings),
+      |m AS (SELECT dim, count(*)::BIGINT AS n,
+      |    sum(q) // count(*) AS mq FROM d GROUP BY dim),
+      |vr AS (SELECT d.dim, m.n, m.mq,
+      |    sum((d.q - m.mq) * (d.q - m.mq))::BIGINT AS ss
+      |  FROM d JOIN m ON d.dim = m.dim GROUP BY d.dim, m.n, m.mq)
+      |SELECT dim, n, mq AS mean_milli, ss // n AS var_milli2,
+      |  (ss // n) < 1000 AS collapsed
+      |FROM vr ORDER BY dim""".stripMargin
+
   val q146_oracle: String =
     s"""WITH ${jlDuckCtes(16)},
        |pp AS (SELECT vec_id AS pid, j, pj FROM pl
@@ -1236,6 +1276,7 @@ object QueriesExt {
     "q145_random_projection" -> q145_random_projection _,
     "q146_ann_jl_prefilter" -> q146_ann_jl_prefilter _,
     "q150_label_purity" -> q150_label_purity _,
+    "q156_dim_collapse" -> q156_dim_collapse _,
     "q94_video_frames" -> q94_video_frames _,
     "q97_pq_codes" -> q97_pq_codes _,
     "q98_pq_adc" -> q98_pq_adc _,
@@ -1260,6 +1301,7 @@ object QueriesExt {
     "q145_random_projection" -> q145_oracle,
     "q146_ann_jl_prefilter" -> q146_oracle,
     "q150_label_purity" -> q150_oracle,
+    "q156_dim_collapse" -> q156_oracle,
     "q94_video_frames" -> q94_oracle,
     "q97_pq_codes" -> q97_oracle,
     "q98_pq_adc" -> q98_oracle,

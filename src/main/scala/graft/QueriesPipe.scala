@@ -1280,6 +1280,61 @@ object QueriesPipe {
       |  (sum(ntok) * 1000000) // 3000 AS fill_ppm
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Trend monitor — the Mann-Kendall S statistic over daily event
+    * counts per type: S = Σ_{i<j} sign(n_j - n_i) across day pairs,
+    * the nonparametric "is this metric drifting" test that needs no
+    * distribution assumption and is EXACT integer arithmetic end to
+    * end. The day×day pair join is bounded by the window length
+    * (~31×31 per type — constant), fed by one map-side-combined
+    * daily aggregate over the corpus; the monitor costs one scan
+    * regardless of event volume. Verdict thresholds at |S| >
+    * n(n-1)/4 (half the maximum possible S). */
+  def q155_trend_monitor(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH d AS (SELECT event_type,
+        |    cast(date_trunc('DAY', ts) AS date) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CASE WHEN b.n > a.n THEN 1
+        |         WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |t AS (SELECT event_type, count(*) AS n_pairs,
+        |    sum(sg) AS s_stat,
+        |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS concordant,
+        |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS discordant
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n_pairs, concordant, discordant, s_stat,
+        |  CASE WHEN s_stat * 2 > n_pairs THEN 'rising'
+        |       WHEN s_stat * -2 > n_pairs THEN 'falling'
+        |       ELSE 'stable' END AS verdict
+        |FROM t ORDER BY event_type""".stripMargin)
+  }
+
+  val q155_oracle: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |    CASE WHEN b.n > a.n THEN 1
+      |         WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+      |  FROM d a JOIN d b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |t AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+      |    sum(sg)::BIGINT AS s_stat,
+      |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT
+      |      AS concordant,
+      |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT
+      |      AS discordant
+      |  FROM p GROUP BY event_type)
+      |SELECT event_type, n_pairs, concordant, discordant, s_stat,
+      |  CASE WHEN s_stat * 2 > n_pairs THEN 'rising'
+      |       WHEN s_stat * -2 > n_pairs THEN 'falling'
+      |       ELSE 'stable' END AS verdict
+      |FROM t ORDER BY event_type""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2441,6 +2496,7 @@ object QueriesPipe {
     "q148_vocab_coverage" -> q148_vocab_coverage _,
     "q151_robust_anomaly" -> q151_robust_anomaly _,
     "q154_token_budget" -> q154_token_budget _,
+    "q155_trend_monitor" -> q155_trend_monitor _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2511,6 +2567,7 @@ object QueriesPipe {
     "q148_vocab_coverage" -> q148_oracle,
     "q151_robust_anomaly" -> q151_oracle,
     "q154_token_budget" -> q154_oracle,
+    "q155_trend_monitor" -> q155_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
