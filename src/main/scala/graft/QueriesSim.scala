@@ -668,6 +668,54 @@ object QueriesSim {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q157: asymmetric containment scoring ----------------------------
+
+  /** Asymmetric CONTAINMENT scoring of the candidate pairs — the
+    * quote-detection metric symmetric jaccard misses: C = |A∩B| /
+    * min(|A|,|B|) is high when a small document is quoted nearly
+    * whole inside a large one even though jaccard stays low (the
+    * union is dominated by the big doc). Scored over the same LSH
+    * candidate set as q23 (never all-pairs), from the pinned
+    * `sim_tok` shingle table deduped to hash grain (count(DISTINCT
+    * hv) — the oracle's `sizes`/`inter` semantics exactly);
+    * containment is exact integer permille. On THIS synthetic corpus
+    * no pair is contained-but-not-similar (the audit's finding); the
+    * metric is the operator. */
+  def q157_containment(s: SparkSession, dir: String): DataFrame = {
+    q23_lsh_pairs(s, dir) // pins sim_pairs (candidate pairs + jaccard)
+    tokView(s, dir)
+    s.sql(
+      """WITH ta AS (SELECT DISTINCT doc_id, hv FROM sim_tok),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ta GROUP BY doc_id),
+        |i AS (SELECT p.doc_a, p.doc_b, p.jaccard, count(*) AS cnt
+        |  FROM (SELECT doc_a, doc_b, jaccard FROM sim_pairs) p
+        |  JOIN ta a ON a.doc_id = p.doc_a
+        |  JOIN ta b ON b.doc_id = p.doc_b AND b.hv = a.hv
+        |  GROUP BY 1, 2, 3)
+        |SELECT i.doc_a, i.doc_b, i.jaccard,
+        |  (i.cnt * 1000) div least(sa.n, sb.n) AS containment_permille,
+        |  (i.cnt * 1000) div least(sa.n, sb.n) >= 800 AS contained
+        |FROM i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  val q157_oracle: String =
+    s"""WITH $duckShingleTok,
+       |${sigBody("tok")},
+       |${lshCtes("sig", "tok")},
+       |prs AS (SELECT c.da, c.db, i.cnt, sa.n AS na, sb.n AS nb,
+       |    round(i.cnt/(sa.n + sb.n - i.cnt), 4) AS jaccard
+       |  FROM cand c JOIN inter i ON c.da = i.da AND c.db = i.db
+       |  JOIN sizes sa ON c.da = sa.doc_id
+       |  JOIN sizes sb ON c.db = sb.doc_id
+       |  WHERE i.cnt > 0)
+       |SELECT da AS doc_a, db AS doc_b, jaccard,
+       |  (cnt * 1000) // least(na, nb) AS containment_permille,
+       |  (cnt * 1000) // least(na, nb) >= 800 AS contained
+       |FROM prs ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q27: per-label embedding centroids ------------------------------
 
   def q27_centroids(s: SparkSession, dir: String): DataFrame =
@@ -777,6 +825,7 @@ object QueriesSim {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_source_overlap" -> q149_source_overlap _,
     "q152_simhash_pairs" -> q152_simhash_pairs _,
+    "q157_containment" -> q157_containment _,
     "q147_ngram_novelty" -> q147_ngram_novelty _,
     "q22_minhash_sig" -> q22_minhash_sig _,
     "q23_lsh_pairs" -> q23_lsh_pairs _,
@@ -789,6 +838,7 @@ object QueriesSim {
   val oracles: Map[String, String] = Map(
     "q149_source_overlap" -> q149_oracle,
     "q152_simhash_pairs" -> q152_oracle,
+    "q157_containment" -> q157_oracle,
     "q147_ngram_novelty" -> q147_oracle,
     "q22_minhash_sig" -> q22_oracle,
     "q23_lsh_pairs" -> q23_oracle,
