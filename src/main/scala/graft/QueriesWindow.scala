@@ -194,7 +194,103 @@ object QueriesWindow {
       | round(sum(value),2) + 0 AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Regular-grid resample with FORWARD FILL — the timeseries-store
+    * op behind "give me this metric on an hourly grid": per event
+    * type, the last observation in each hour (latest (ts, event_id)
+    * wins — fully deterministic), re-laid on the complete hourly grid
+    * spanning the data, gaps carrying the previous hour's value
+    * forward. The per-hour `last` is one map-side-combined max_by;
+    * the fill window runs over GRID rows (hours × types — bounded by
+    * the time span, never by event volume), so a billion-event hour
+    * costs the same as an empty one. Values pass through by
+    * SELECTION only — no float arithmetic, so cross-engine equality
+    * is exact. */
+  def q158_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('HOUR', ts) AS hr,
+        |    max_by(value, struct(ts, event_id)) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+        |grid AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN (SELECT explode(sequence(b.h0, b.h1,
+        |      interval 1 hour)) AS hr FROM b) g),
+        |f AS (SELECT grid.event_type, grid.hr, h.v,
+        |    last(h.v, true) OVER (PARTITION BY grid.event_type
+        |      ORDER BY grid.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS filled
+        |  FROM grid LEFT JOIN h
+        |    ON grid.event_type = h.event_type AND grid.hr = h.hr)
+        |SELECT event_type, hr, filled AS value,
+        |  v IS NULL AND filled IS NOT NULL AS was_gap
+        |FROM f ORDER BY event_type, hr""".stripMargin)
+  }
+
+  val q158_oracle: String =
+    """WITH e AS (SELECT event_type, ts, event_id, value FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, date_trunc('hour', ts) AS hr, value,
+      |    row_number() OVER (PARTITION BY event_type,
+      |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+      |      AS rn
+      |  FROM e),
+      |h AS (SELECT event_type, hr, value AS v FROM r WHERE rn = 1),
+      |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+      |grid AS (SELECT t.event_type, g.hr
+      |  FROM (SELECT DISTINCT event_type FROM h) t
+      |  CROSS JOIN (SELECT unnest(generate_series(b.h0, b.h1,
+      |      INTERVAL 1 HOUR)) AS hr FROM b) g),
+      |f AS (SELECT grid.event_type, grid.hr, h.v,
+      |    last_value(h.v IGNORE NULLS) OVER (
+      |      PARTITION BY grid.event_type ORDER BY grid.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS filled
+      |  FROM grid LEFT JOIN h
+      |    ON grid.event_type = h.event_type AND grid.hr = h.hr)
+      |SELECT event_type, hr, filled AS value,
+      |  v IS NULL AND filled IS NOT NULL AS was_gap
+      |FROM f ORDER BY event_type, hr""".stripMargin
+
+  /** OHLC downsample — the canonical timeseries compaction: per
+    * (event type, hour) the opening value (earliest (ts, event_id)),
+    * high, low, close (latest), and tick count. All four are
+    * SELECTIONS (min_by/max_by/min/max — no float arithmetic), each
+    * map-side combined: one scan, one bounded aggregate, exact
+    * cross-engine equality. */
+  def q159_ohlc(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_type, date_trunc('HOUR', ts) AS hr,
+        |  min_by(value, struct(ts, event_id)) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max_by(value, struct(ts, event_id)) AS close,
+        |  count(*) AS n_ticks
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin)
+  }
+
+  val q159_oracle: String =
+    """WITH r AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    value,
+      |    row_number() OVER (PARTITION BY event_type,
+      |      date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type,
+      |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+      |      AS rn_z
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, hr,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_z = 1 THEN value END) AS close,
+      |  count(*)::BIGINT AS n_ticks
+      |FROM r GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_gap_fill" -> q158_gap_fill _,
+    "q159_ohlc" -> q159_ohlc _,
     "q46_kv_delete" -> q46_kv_delete _,
     "q47_day_of_week" -> q47_day_of_week _,
     "q43_twostage_distinct" -> q43_twostage_distinct _,
@@ -205,6 +301,8 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q158_gap_fill" -> q158_oracle,
+    "q159_ohlc" -> q159_oracle,
     "q46_kv_delete" -> q46_oracle,
     "q47_day_of_week" -> q47_oracle,
     "q43_twostage_distinct" -> q43_oracle,
