@@ -288,9 +288,100 @@ object QueriesWindow {
       |  count(*)::BIGINT AS n_ticks
       |FROM r GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
 
+  /** Rolling statistics over the hourly series — 24-observed-hour
+    * trailing mean per event type, computed on MILLI-QUANTIZED
+    * integer sums so the rolling aggregate is exact bigint (a raw
+    * double rolling sum would depend on each engine's window
+    * summation order — Spark's running buffer vs a segment tree —
+    * and diverge in the last ulp). The window runs over HOURLY rows
+    * (bounded by the time span), fed by one map-side-combined
+    * per-hour aggregate over the events. */
+  def q160_rolling(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (SELECT event_type, date_trunc('HOUR', ts) AS hr,
+        |    count(*) AS n,
+        |    sum(cast(round(value * 1000.0D, 0) AS bigint)) AS sv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, n,
+        |    sum(n) OVER w AS n_24h, sum(sv) OVER w AS sv_24h
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hr, n, n_24h,
+        |  sv_24h div n_24h AS mean_milli_24h
+        |FROM r ORDER BY event_type, hr""".stripMargin)
+  }
+
+  val q160_oracle: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    count(*)::BIGINT AS n,
+      |    sum(round(value * 1000.0)::BIGINT) AS sv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT event_type, hr, n,
+      |    sum(n) OVER w AS n_24h, sum(sv) OVER w AS sv_24h
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, hr, n, n_24h::BIGINT AS n_24h,
+      |  (sv_24h // n_24h)::BIGINT AS mean_milli_24h
+      |FROM r ORDER BY event_type, hr""".stripMargin
+
+  /** CUSUM drift localization — where did this metric's level
+    * change: per event type, the running sum of hourly-mean
+    * deviations from the type's overall mean; the hour where |CUSUM|
+    * peaks is the classic change-point estimate. All integer
+    * milli-unit arithmetic (hourly means and the global mean are
+    * truncating integer divisions, identical in both engines); the
+    * running window is span-bounded. */
+  def q161_cusum(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (SELECT event_type, date_trunc('HOUR', ts) AS hr,
+        |    count(*) AS n,
+        |    sum(cast(round(value * 1000.0D, 0) AS bigint)) AS sv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT event_type, sum(sv) div sum(n) AS gm FROM h
+        |  GROUP BY event_type),
+        |c AS (SELECT h.event_type, h.hr,
+        |    sum(h.sv div h.n - g.gm) OVER (
+        |      PARTITION BY h.event_type ORDER BY h.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cusum
+        |  FROM h JOIN g ON h.event_type = g.event_type)
+        |SELECT event_type, count(*) AS n_hours,
+        |  max(abs(cusum)) AS max_abs_cusum,
+        |  max_by(hr, struct(abs(cusum) AS a, hr)) AS peak_hr
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q161_oracle: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    count(*)::BIGINT AS n,
+      |    sum(round(value * 1000.0)::BIGINT) AS sv
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |g AS (SELECT event_type, sum(sv) // sum(n) AS gm FROM h
+      |  GROUP BY event_type),
+      |c AS (SELECT h.event_type, h.hr,
+      |    sum(h.sv // h.n - g.gm) OVER (
+      |      PARTITION BY h.event_type ORDER BY h.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cusum
+      |  FROM h JOIN g ON h.event_type = g.event_type),
+      |rk AS (SELECT event_type, hr, cusum,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cusum) DESC, hr DESC) AS rn
+      |  FROM c)
+      |SELECT event_type, count(*)::BIGINT AS n_hours,
+      |  max(abs(cusum))::BIGINT AS max_abs_cusum,
+      |  max(CASE WHEN rn = 1 THEN hr END) AS peak_hr
+      |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_gap_fill" -> q158_gap_fill _,
     "q159_ohlc" -> q159_ohlc _,
+    "q160_rolling" -> q160_rolling _,
+    "q161_cusum" -> q161_cusum _,
     "q46_kv_delete" -> q46_kv_delete _,
     "q47_day_of_week" -> q47_day_of_week _,
     "q43_twostage_distinct" -> q43_twostage_distinct _,
@@ -303,6 +394,8 @@ object QueriesWindow {
   val oracles: Map[String, String] = Map(
     "q158_gap_fill" -> q158_oracle,
     "q159_ohlc" -> q159_oracle,
+    "q160_rolling" -> q160_oracle,
+    "q161_cusum" -> q161_oracle,
     "q46_kv_delete" -> q46_oracle,
     "q47_day_of_week" -> q47_oracle,
     "q43_twostage_distinct" -> q43_oracle,
