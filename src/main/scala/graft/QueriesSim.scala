@@ -562,31 +562,19 @@ object QueriesSim {
     s"""WITH ${simhashCtes(hex, tokSplit, docsFrom, shr)}
        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
-  /** Spark side computes the simhash as a NARROW in-row fold: distinct
-    * word tokens are hashed and their ±1 bit votes accumulated into a
-    * 32-slot array by `aggregate`+`zip_with` — no explode, no
-    * distinct/groupBy shuffle, scan-speed at any corpus size. The
-    * integer math is identical to the oracle's exploded formulation.
-    */
+  /** Spark side computes the simhash with the native `graft_simhash`
+    * kernel (functions.SimHashImpl): one fused walk over the raw
+    * UTF-8 bytes hashes each distinct token and folds the 32 ±1 bit
+    * votes — no explode, no distinct/groupBy shuffle, no interpreted
+    * lambda chain; scan-speed at any corpus size. The integer math is
+    * identical to the oracle's exploded formulation. */
   def q26_simhash(s: SparkSession, dir: String): DataFrame = {
-    val recombine = (0 until 32).map(b =>
-      s"(CASE WHEN element_at(bits, ${b + 1}) > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
     run(s, dir,
-      s"""SELECT doc_id, $recombine AS simhash FROM (
-         |  SELECT doc_id, aggregate(
-         |      transform(array_distinct(split(text,' ', -1)),
-         |        tk -> ${sparkHex("tk")}),
-         |      array_repeat(cast(0 AS BIGINT), 32),
-         |      (acc, hv) -> zip_with(acc,
-         |        transform(sequence(0, 31),
-         |          b -> CASE WHEN (shiftright(hv, b) & 1) = 1
-         |               THEN cast(1 AS BIGINT)
-         |               ELSE cast(-1 AS BIGINT) END),
-         |        (a, x) -> a + x)) AS bits
-         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
-         |        FROM documents))
-         |ORDER BY doc_id""".stripMargin)
+      s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+         |  graft_simhash(text) AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
   val q26_oracle: String = simhashSql(duckHex,
@@ -609,27 +597,15 @@ object QueriesSim {
     * signature is the in-row fold (no explode); only (doc, band)
     * rows shuffle. */
   def q152_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
-    val recombine = (0 until 32).map(b =>
-      s"(CASE WHEN element_at(bits, ${b + 1}) > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
     Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
     // pin the signature table: a CTE would be INLINED into both sides
-    // of the band self-join, running the in-row fold over the corpus
-    // twice (profiled 2.4 s -> the fold is the whole cost)
+    // of the band self-join, running the signature pass over the
+    // corpus twice (profiled 2.4 s with the pre-kernel lambda fold)
     materialize(s, dir,
-      s"""SELECT doc_id, $recombine AS simhash FROM (
-         |  SELECT doc_id, aggregate(
-         |      transform(array_distinct(split(text,' ', -1)),
-         |        tk -> ${sparkHex("tk")}),
-         |      array_repeat(cast(0 AS BIGINT), 32),
-         |      (acc, hv) -> zip_with(acc,
-         |        transform(sequence(0, 31),
-         |          b -> CASE WHEN (shiftright(hv, b) & 1) = 1
-         |               THEN cast(1 AS BIGINT)
-         |               ELSE cast(-1 AS BIGINT) END),
-         |        (a, x) -> a + x)) AS bits
-         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
-         |        FROM documents))""".stripMargin, "sim_simhash")
+      s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+         |  graft_simhash(text) AS simhash
+         |FROM documents""".stripMargin, "sim_simhash")
     s.sql(
       s"""WITH sh AS (SELECT doc_id, simhash FROM sim_simhash),
          |b AS (SELECT doc_id, simhash, i,

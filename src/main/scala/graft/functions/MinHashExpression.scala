@@ -194,6 +194,79 @@ object TermCountsImpl {
   }
 }
 
+/** Fused simhash kernel: one walk over the raw UTF-8 bytes hashes
+  * each DISTINCT word token (dedup on token content — two distinct
+  * tokens colliding to one hash still vote twice, exactly like the
+  * SQL `array_distinct` formulation), accumulates the 32 ±1 bit
+  * votes, and recombines the sign vector into the 32-bit simhash.
+  * Token split on a single 0x20 byte with empty tokens KEPT, the
+  * `split(text, ' ', -1)` contract; hash = first 8 md5 hex chars as
+  * unsigned int (the corpus-wide convention). */
+object SimHashImpl {
+  def simhash(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](32)
+    val md = MinHashImpl.md5()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val tok = new String(bytes, start, i - start,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (seen.add(tok)) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val d = md.digest()
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var b = 0
+          while (b < 32) {
+            if (((h >> b) & 1L) == 1L) counts(b) += 1
+            else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+}
+
+/** `graft_simhash(text)` -> the 32-bit simhash as bigint (see
+  * [[SimHashImpl]]). Whole-stage-codegen'd; replaces the
+  * `aggregate`/`zip_with` lambda chain (interpreted higher-order
+  * functions, a 32-slot array allocation per token) on the q26/q152
+  * hot path. */
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashImpl.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash = copy(child = newChild)
+}
+
 /** `graft_termcounts(text)` -> array<struct<term string, cnt bigint>>
   * (see [[TermCountsImpl]]). */
 case class TermCounts(child: Expression) extends UnaryExpression {

@@ -192,6 +192,8 @@ object VectorFunctions {
       exprs => SortedIntersectSize(exprs(0), exprs(1)))
     GraftBridge.registerFunction(spark, "graft_termcounts",
       exprs => TermCounts(exprs(0)))
+    GraftBridge.registerFunction(spark, "graft_simhash",
+      exprs => SimHash(exprs(0)))
     // Spark's own bloom-filter sketch expressions (the machinery behind
     // runtime row-group filters), surfaced as SQL functions so queries
     // can build a set-membership sketch over one relation and probe it

@@ -225,6 +225,17 @@ class VectorExprSpec extends AnyFunSuite {
         }.toIndexedSeq
       }
       assert(mh == mhWant, s"minhash on '$text'")
+      // simhash: distinct tokens vote ±1 per bit, sign recombines
+      val sim = graft.functions.SimHashImpl.simhash(u)
+      val votes = new Array[Int](32)
+      ref.distinct.foreach { tk =>
+        val h = md5h(tk)
+        (0 until 32).foreach(b =>
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val simWant = (0 until 32)
+        .map(b => if (votes(b) > 0) 1L << b else 0L).sum
+      assert(sim == simWant, s"simhash on '$text'")
     }
     // intersect against scala sets on random sorted arrays
     for (_ <- 1 to 100) {
