@@ -1335,6 +1335,51 @@ object QueriesPipe {
       |       ELSE 'stable' END AS verdict
       |FROM t ORDER BY event_type""".stripMargin
 
+  /** Per-document length-percentile feature — rank normalization as
+    * a TRANSFORM (the feature-engineering step before length-aware
+    * sampling or curriculum pacing), computed with the histogram
+    * closed form: the length-value histogram (distinct n_chars
+    * values) carries cumulative counts, and each document's
+    * percentile is terms-below + half its tie group, in exact ppm —
+    * no corpus-wide rank window exists; the only window runs over
+    * DISTINCT length values and the join back is a broadcast-sized
+    * histogram lookup. (Midpoint-of-ties is the standard percentile
+    * convention that keeps the feature mean-centered.) */
+  def q162_length_percentile(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH g AS (SELECT n_chars, count(*) AS c FROM documents
+        |  GROUP BY n_chars),
+        |t AS (SELECT sum(c) AS n FROM g),
+        |h AS (SELECT n_chars, c,
+        |    coalesce(sum(c) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM g)
+        |SELECT d.doc_id, d.n_chars,
+        |  (h.below * 2 + h.c) * 500000 div t.n AS pct_ppm
+        |FROM documents d
+        |JOIN h ON d.n_chars = h.n_chars
+        |CROSS JOIN t
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  val q162_oracle: String =
+    """WITH g AS (SELECT n_chars, count(*)::BIGINT AS c FROM documents
+      |  GROUP BY n_chars),
+      |t AS (SELECT sum(c)::BIGINT AS n FROM g),
+      |h AS (SELECT n_chars, c,
+      |    coalesce(sum(c) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM g)
+      |SELECT d.doc_id, d.n_chars,
+      |  ((h.below * 2 + h.c) * 500000 // t.n)::BIGINT AS pct_ppm
+      |FROM documents d
+      |JOIN h ON d.n_chars = h.n_chars
+      |CROSS JOIN t
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2497,6 +2542,7 @@ object QueriesPipe {
     "q151_robust_anomaly" -> q151_robust_anomaly _,
     "q154_token_budget" -> q154_token_budget _,
     "q155_trend_monitor" -> q155_trend_monitor _,
+    "q162_length_percentile" -> q162_length_percentile _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2568,6 +2614,7 @@ object QueriesPipe {
     "q151_robust_anomaly" -> q151_oracle,
     "q154_token_budget" -> q154_oracle,
     "q155_trend_monitor" -> q155_oracle,
+    "q162_length_percentile" -> q162_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
