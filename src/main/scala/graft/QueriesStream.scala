@@ -326,7 +326,38 @@ object QueriesStream {
   /** stream-against-stored-state must equal the batch recompute */
   val q144_oracle: String = QueriesPipe.q139_oracle
 
+  /** Streaming OHLC — q159's hourly open/high/low/close downsample
+    * ON THE STREAMING PATH: watermarked hourly windows, all four
+    * prices as SELECTION aggregates (min_by/max_by on (ts, event_id)
+    * — deterministic under any arrival order, which is the whole
+    * point: a late or reordered tick cannot change the answer). The
+    * oracle is the batch q159 SQL, so stream and batch must agree
+    * bit-for-bit. */
+  def q163_stream_ohlc(s: SparkSession, dir: String): DataFrame = {
+    val src = rawEvents(s, dir).filter(col("value").isNotNull)
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_ticks"))
+    drain(s, agg, "graft_q163_sink", "complete")
+      .select(col("event_type"), col("window.start").as("hr"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** the stream must reproduce the batch OHLC exactly */
+  val q163_oracle: String = QueriesWindow.q159_oracle
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_stream_ohlc" -> q163_stream_ohlc _,
     "q144_stream_drift" -> q144_stream_drift _,
     "q81_stream_join" -> q81_stream_join _,
     "q75_stream_minhash" -> q75_stream_minhash _,
@@ -337,6 +368,7 @@ object QueriesStream {
     "q120_stream_incdedup" -> q120_stream_incdedup _)
 
   val oracles: Map[String, String] = Map(
+    "q163_stream_ohlc" -> q163_oracle,
     "q144_stream_drift" -> q144_oracle,
     "q81_stream_join" -> q81_oracle,
     "q75_stream_minhash" -> q75_oracle,
