@@ -19,6 +19,9 @@ import graft.functions.{CosineSimilarity, DotProduct, MinHashSig,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // keep-one-per-group: row_number()=1 filters rewrite to a
+    // map-side-combining min_by aggregate (graft.plans.RankToArgMin)
+    ext.injectOptimizerRule(_ => graft.plans.RankToArgMin)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,

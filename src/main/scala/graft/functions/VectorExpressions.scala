@@ -178,6 +178,12 @@ object VectorFunctions {
   /** register for SQL use: graft_cosine(a, b), graft_dot(a, b),
     * graft_topk(x, k) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // keep-one-per-group rewrite (window -> map-side argmin); see
+    // graft.plans.RankToArgMin. Idempotent add.
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RankToArgMin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RankToArgMin
     GraftBridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     GraftBridge.registerFunction(spark, "graft_dot",

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the keep-one-row-per-group idiom
+  *
+  * {{{
+  *   SELECT * FROM (
+  *     SELECT *, row_number() OVER (PARTITION BY k ORDER BY o) AS rn
+  *     FROM t) WHERE rn = 1
+  * }}}
+  *
+  * into a `min_by(struct(*), o)` aggregate. Spark's own
+  * WindowGroupLimit already prunes rank-1 windows to one row per key
+  * map-side, but the window form still SORTS twice (a full local
+  * sort before the partial limit, another before the final window)
+  * and evaluates the window machinery; the aggregate form is pure
+  * hash aggregation — O(n) local work, no sort anywhere, one row per
+  * (mapper, key) through the exchange. It is the same rewrite this
+  * repo applied by hand to its IVF cell assignments (q72/q88/q91/
+  * q97/q98), productized so a user's naive SQL gets it for free.
+  *
+  * Conservative by construction — fires only when:
+  *  - the Window computes EXACTLY ONE expression, a row_number();
+  *  - the filter directly above it keeps `rn = 1` / `rn <= 1`;
+  *  - every ORDER BY key is ascending, NULLS FIRST (the default)
+  *    and deterministic. The ordering keys are wrapped in ONE struct
+  *    even when there is a single key: a struct value is never null
+  *    (so `min_by` can never skip a null-keyed row the way it would
+  *    with a bare nullable key), and struct field comparison ranks
+  *    null fields first — exactly row_number's NULLS FIRST;
+  *  - ties: row_number over a non-total order picks an arbitrary
+  *    tied row, and so does min_by — the same nondeterminism class,
+  *    no new behavior introduced.
+  *
+  * Output attribute ids are preserved (each restored column is
+  * re-aliased under its original exprId), so parent operators are
+  * untouched; `rn` itself is restored as the literal 1 it must be.
+  */
+object RankToArgMin extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+        parts, order, child, _))
+        if isRankOne(cond, alias.toAttribute) &&
+          order.nonEmpty &&
+          order.forall(o => o.direction == Ascending &&
+            o.nullOrdering == NullsFirst && o.child.deterministic) &&
+          parts.forall(_.deterministic) &&
+          child.output.nonEmpty =>
+      val ordKey = CreateStruct(order.map(_.child))
+      val argmin = Alias(
+        MinBy(CreateStruct(child.output), ordKey).toAggregateExpression(),
+        "_graft_argmin")()
+      val agg = Aggregate(parts, Seq(argmin), child)
+      val restored: Seq[NamedExpression] =
+        child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(argmin.toAttribute, i, Some(a.name)),
+            a.name)(exprId = a.exprId)
+        } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId)
+      Project(restored, agg)
+  }
+
+  private def isRankOne(cond: Expression, rn: Attribute): Boolean =
+    cond match {
+      case EqualTo(a: Attribute, Literal(1, IntegerType)) =>
+        a.semanticEquals(rn)
+      case EqualTo(Literal(1, IntegerType), a: Attribute) =>
+        a.semanticEquals(rn)
+      case LessThanOrEqual(a: Attribute, Literal(1, IntegerType)) =>
+        a.semanticEquals(rn)
+      case _ => false
+    }
+}

@@ -350,6 +350,52 @@ class PlanSpec extends AnyFunSuite {
         s"q148 windows on the vocabulary: $spec"))
   }
 
+  test("RankToArgMin rewrites rank-one filters to map-side argmin") {
+    graft.functions.VectorFunctions.register(spark) // installs the rule
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // naive keep-first-event-per-user SQL — the window formulation
+    val naive = spark.sql(
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"rank-one window not rewritten:\n${plan.take(1500)}")
+    assert(plan.contains("min_by"), plan.take(1500))
+    // results must equal the explicit argmin formulation
+    val manual = spark.sql(
+      """SELECT user_id,
+        |  min_by(event_id, struct(ts, event_id)) AS event_id,
+        |  min_by(value, struct(ts, event_id)) AS value
+        |FROM events GROUP BY user_id""".stripMargin)
+    assert(naive.exceptAll(manual).isEmpty && manual.exceptAll(naive).isEmpty)
+    // nullable ORDER BY key: null-keyed rows must win (NULLS FIRST),
+    // not be skipped — the struct wrap guarantees it
+    import spark.implicits._
+    val t = Seq((1, Option.empty[Int], "null-key"), (1, Some(5), "five"),
+      (2, Some(7), "seven")).toDF("k", "o", "tag")
+    t.createOrReplaceTempView("rta_null_probe")
+    val got = spark.sql(
+      """SELECT k, tag FROM (
+        |  SELECT k, tag, row_number() OVER (
+        |    PARTITION BY k ORDER BY o) AS rn
+        |  FROM rta_null_probe) WHERE rn = 1""".stripMargin)
+    val gotPlan = got.queryExecution.executedPlan.toString
+    assert(!gotPlan.contains("WindowExec"), gotPlan.take(1000))
+    assert(got.orderBy("k").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "null-key"), (2, "seven")))
+    // descending order keeps its window (out of the rule's scope)
+    val desc = spark.sql(
+      """SELECT user_id FROM (
+        |  SELECT user_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)
+    assert(desc.queryExecution.executedPlan.toString
+      .contains("row_number() windowspecdefinition"))
+  }
+
   // -- global-window allowlist gate ----------------------------------
   // A WindowExec with an EMPTY partitionSpec single-threads its input
   // through one task — a scale-killer on corpus-sized data, and the
