@@ -1380,6 +1380,37 @@ object QueriesPipe {
       |CROSS JOIN t
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sliding-window distinct cardinality — trailing-7-day distinct
+    * users per day, EXACT: the corpus collapses once to distinct
+    * (day, user) pairs (the only corpus-sized shuffle), then each
+    * report day counts its window by a bounded range join against
+    * the ~31-row day spine — sliding distinct cannot be windowed
+    * (distinct doesn't decompose over frames), so the
+    * dedup-then-range-join is the exact formulation; the q85 HLL
+    * sketch is its approximate one-pass cousin. */
+  def q164_sliding_distinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH du AS (SELECT DISTINCT cast(date_trunc('DAY', ts) AS date)
+        |    AS day, user_id FROM events),
+        |spine AS (SELECT DISTINCT day FROM du),
+        |w AS (SELECT sp.day, du.user_id
+        |  FROM spine sp JOIN du
+        |    ON du.day BETWEEN date_sub(sp.day, 6) AND sp.day)
+        |SELECT day, count(DISTINCT user_id) AS users_7d
+        |FROM w GROUP BY day ORDER BY day""".stripMargin)
+  }
+
+  val q164_oracle: String =
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day,
+      |    user_id FROM events),
+      |spine AS (SELECT DISTINCT day FROM du),
+      |w AS (SELECT sp.day, du.user_id
+      |  FROM spine sp JOIN du
+      |    ON du.day BETWEEN sp.day - INTERVAL 6 DAY AND sp.day)
+      |SELECT day, count(DISTINCT user_id)::BIGINT AS users_7d
+      |FROM w GROUP BY day ORDER BY day""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2543,6 +2574,7 @@ object QueriesPipe {
     "q154_token_budget" -> q154_token_budget _,
     "q155_trend_monitor" -> q155_trend_monitor _,
     "q162_length_percentile" -> q162_length_percentile _,
+    "q164_sliding_distinct" -> q164_sliding_distinct _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2615,6 +2647,7 @@ object QueriesPipe {
     "q154_token_budget" -> q154_oracle,
     "q155_trend_monitor" -> q155_oracle,
     "q162_length_percentile" -> q162_oracle,
+    "q164_sliding_distinct" -> q164_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
