@@ -1411,6 +1411,57 @@ object QueriesPipe {
       |SELECT day, count(DISTINCT user_id)::BIGINT AS users_7d
       |FROM w GROUP BY day ORDER BY day""".stripMargin
 
+  /** Classifier evaluation as an operator — the confusion matrix of
+    * the stopword-lexicon language identifier (q21) against the
+    * corpus's ground-truth labels, with per-language accuracy in
+    * exact ppm: the eval every production filter model ships with.
+    * Derives from q21's per-document scoring (one pass), then two
+    * languages²-sized aggregates; the totals join broadcasts. */
+  def q165_langid_confusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val per = Queries.q21_lang_id(s, dir)
+    val m = per.groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+    val t = m.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_lang"))
+    m.join(broadcast(t), "lang")
+      .select(col("lang"), col("guess"), col("n"), col("n_lang"),
+        expr("(n * 1000000) div n_lang").as("cell_ppm"),
+        (col("lang") === col("guess")).as("correct"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  val q165_oracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |   len(list_filter(string_split(lower(text),' '),
+      |     x -> list_contains(['the','and','of','to','in','is'], x))) AS sc_en,
+      |   len(list_filter(string_split(lower(text),' '),
+      |     x -> list_contains(['der','die','und','das','ist','nicht'], x))) AS sc_de,
+      |   len(list_filter(string_split(lower(text),' '),
+      |     x -> list_contains(['le','la','les','et','des','est'], x))) AS sc_fr,
+      |   len(list_filter(string_split(lower(text),' '),
+      |     x -> list_contains(['el','los','las','que','es','y'], x))) AS sc_es,
+      |   len(list_filter(string_split(lower(text),' '),
+      |     x -> list_contains(['的','是','了','在','和','有'], x))) AS sc_zh
+      |  FROM documents),
+      |g AS (SELECT lang,
+      | CASE WHEN sc_en = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'en'
+      |      WHEN sc_de = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'de'
+      |      WHEN sc_fr = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'fr'
+      |      WHEN sc_es = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'es'
+      |      WHEN sc_zh = greatest(sc_en, sc_de, sc_fr, sc_es, sc_zh) THEN 'zh'
+      |      ELSE '??' END AS guess
+      | FROM scored),
+      |m AS (SELECT lang, guess, count(*)::BIGINT AS n FROM g
+      |  GROUP BY 1, 2),
+      |t AS (SELECT lang, sum(n)::BIGINT AS n_lang FROM m GROUP BY lang)
+      |SELECT m.lang, m.guess, m.n, t.n_lang,
+      |  ((m.n * 1000000) // t.n_lang)::BIGINT AS cell_ppm,
+      |  m.lang = m.guess AS correct
+      |FROM m JOIN t ON m.lang = t.lang
+      |ORDER BY m.lang, m.guess""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2575,6 +2626,7 @@ object QueriesPipe {
     "q155_trend_monitor" -> q155_trend_monitor _,
     "q162_length_percentile" -> q162_length_percentile _,
     "q164_sliding_distinct" -> q164_sliding_distinct _,
+    "q165_langid_confusion" -> q165_langid_confusion _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2648,6 +2700,7 @@ object QueriesPipe {
     "q155_trend_monitor" -> q155_oracle,
     "q162_length_percentile" -> q162_oracle,
     "q164_sliding_distinct" -> q164_oracle,
+    "q165_langid_confusion" -> q165_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
