@@ -377,7 +377,79 @@ object QueriesWindow {
       |  max(CASE WHEN rn = 1 THEN hr END) AS peak_hr
       |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Interval-to-calendar alignment — how session TIME distributes
+    * across the hourly grid: gap-sessionized user intervals (30-min
+    * silence, the q39/q53 convention) are exploded onto the hours
+    * they overlap (an in-row `sequence` — no join, no grid table)
+    * and each hour accumulates its exact overlap in integer epoch
+    * milliseconds. Zero-length boundary slivers are excluded except
+    * the degenerate single-event session, which counts where it
+    * happened. Windows partition per user (the sessionization
+    * shape); the final aggregate is hours-sized. */
+  def q166_session_hours(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN unix_millis(ts) - lag(unix_millis(ts), 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |      OR lag(ts, 1) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS brk,
+        |    event_id
+        |  FROM events),
+        |si AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess_id
+        |  FROM g),
+        |sess AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+        |  FROM si GROUP BY 1, 2),
+        |hx AS (SELECT st, en,
+        |    explode(sequence(date_trunc('HOUR', st),
+        |      date_trunc('HOUR', en), interval 1 hour)) AS hr
+        |  FROM sess),
+        |ov AS (SELECT hr,
+        |    unix_millis(least(en, hr + interval 1 hour))
+        |      - unix_millis(greatest(st, hr)) AS ms,
+        |    st, en
+        |  FROM hx)
+        |SELECT hr, count(*) AS n_sessions, sum(ms) AS session_ms
+        |FROM ov WHERE ms > 0 OR st = en
+        |GROUP BY hr ORDER BY hr""".stripMargin)
+  }
+
+  val q166_oracle: String =
+    """WITH g AS (SELECT user_id, ts,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |      OR lag(ts, 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS brk,
+      |    event_id
+      |  FROM events),
+      |si AS (SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS sess_id
+      |  FROM g),
+      |sess AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+      |  FROM si GROUP BY 1, 2),
+      |hx AS (SELECT st, en, unnest(generate_series(
+      |      date_trunc('hour', st), date_trunc('hour', en),
+      |      INTERVAL 1 HOUR)) AS hr
+      |  FROM sess),
+      |ov AS (SELECT hr,
+      |    epoch_ms(least(en, hr + INTERVAL 1 HOUR))
+      |      - epoch_ms(greatest(st, hr)) AS ms,
+      |    st, en
+      |  FROM hx)
+      |SELECT hr, count(*)::BIGINT AS n_sessions,
+      |  sum(ms)::BIGINT AS session_ms
+      |FROM ov WHERE ms > 0 OR st = en
+      |GROUP BY hr ORDER BY hr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_session_hours" -> q166_session_hours _,
     "q158_gap_fill" -> q158_gap_fill _,
     "q159_ohlc" -> q159_ohlc _,
     "q160_rolling" -> q160_rolling _,
@@ -392,6 +464,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q166_session_hours" -> q166_oracle,
     "q158_gap_fill" -> q158_oracle,
     "q159_ohlc" -> q159_oracle,
     "q160_rolling" -> q160_oracle,
