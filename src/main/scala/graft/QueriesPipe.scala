@@ -1462,6 +1462,83 @@ object QueriesPipe {
       |FROM m JOIN t ON m.lang = t.lang
       |ORDER BY m.lang, m.guess""".stripMargin
 
+  /** PMI collocation mining — pointwise mutual information of term
+    * PAIRS co-occurring in documents, the corpus-linguistics op
+    * behind phrase detection and tokenizer merge candidates. The
+    * pair space is bounded by restricting to the top-64 terms by
+    * document frequency (two-stage sharded rank over the vocabulary)
+    * — so the per-document pair explosion is ≤ 64²/2 however long
+    * the corpus, and the co-occurrence aggregate map-side combines.
+    * PMI = ln(N·c_ab / (c_a·c_b)) is computed on exact integer
+    * counts and quantized to nano units BEFORE the final rank (the
+    * q139/q64 convention: both engines take ln of the SAME rational,
+    * so the rounded value can only differ if ln itself differs by
+    * > 1e-9 relative — it does not for these magnitudes). Top-40
+    * pairs by (pmi, pair) through a final rank over the 64²-bounded
+    * pair table. */
+  def q167_pmi_pairs(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH df AS (SELECT term, count(*) AS dcnt FROM doc_terms
+        |  GROUP BY term),
+        |t1 AS (SELECT term, dcnt FROM (
+        |    SELECT term, dcnt, row_number() OVER (
+        |      PARTITION BY pmod(hash(term), 16)
+        |      ORDER BY dcnt DESC, term) AS rn FROM df) WHERE rn <= 64),
+        |top AS (SELECT term, dcnt FROM (
+        |    SELECT term, dcnt, row_number() OVER (
+        |      ORDER BY dcnt DESC, term) AS rn FROM t1) WHERE rn <= 64),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM doc_terms),
+        |dt AS (SELECT d.doc_id, d.term FROM doc_terms d
+        |  JOIN top ON d.term = top.term),
+        |co AS (SELECT a.term AS ta, b.term AS tb, count(*) AS cab
+        |  FROM dt a JOIN dt b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2),
+        |p AS (SELECT co.ta, co.tb, co.cab, da.dcnt AS ca,
+        |    db.dcnt AS cb,
+        |    cast(round(ln(cast(n.nd AS double) * co.cab
+        |      / (cast(da.dcnt AS double) * db.dcnt))
+        |      * 1000000000.0D, 0) AS bigint) AS pmi_nano
+        |  FROM co
+        |  JOIN top da ON co.ta = da.term
+        |  JOIN top db ON co.tb = db.term
+        |  CROSS JOIN n)
+        |SELECT ta, tb, cab, ca, cb, pmi_nano FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY pmi_nano DESC, ta, tb) AS rn FROM p)
+        |WHERE rn <= 40 ORDER BY pmi_nano DESC, ta, tb""".stripMargin)
+  }
+
+  val q167_oracle: String =
+    """WITH tok AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |df AS (SELECT term, count(*)::BIGINT AS dcnt FROM tok
+      |  GROUP BY term),
+      |top AS (SELECT term, dcnt FROM (
+      |    SELECT term, dcnt, row_number() OVER (
+      |      ORDER BY dcnt DESC, term) AS rn FROM df) WHERE rn <= 64),
+      |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM tok),
+      |dt AS (SELECT t.doc_id, t.term FROM tok t
+      |  JOIN top ON t.term = top.term),
+      |co AS (SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS cab
+      |  FROM dt a JOIN dt b
+      |    ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2),
+      |p AS (SELECT co.ta, co.tb, co.cab, da.dcnt AS ca,
+      |    db.dcnt AS cb,
+      |    round(ln(n.nd::DOUBLE * co.cab
+      |      / (da.dcnt::DOUBLE * db.dcnt))
+      |      * 1000000000.0)::BIGINT AS pmi_nano
+      |  FROM co
+      |  JOIN top da ON co.ta = da.term
+      |  JOIN top db ON co.tb = db.term
+      |  CROSS JOIN n)
+      |SELECT ta, tb, cab, ca, cb, pmi_nano FROM (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY pmi_nano DESC, ta, tb) AS rn FROM p)
+      |WHERE rn <= 40 ORDER BY pmi_nano DESC, ta, tb""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2627,6 +2704,7 @@ object QueriesPipe {
     "q162_length_percentile" -> q162_length_percentile _,
     "q164_sliding_distinct" -> q164_sliding_distinct _,
     "q165_langid_confusion" -> q165_langid_confusion _,
+    "q167_pmi_pairs" -> q167_pmi_pairs _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2701,6 +2779,7 @@ object QueriesPipe {
     "q162_length_percentile" -> q162_oracle,
     "q164_sliding_distinct" -> q164_oracle,
     "q165_langid_confusion" -> q165_oracle,
+    "q167_pmi_pairs" -> q167_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
