@@ -1539,6 +1539,73 @@ object QueriesPipe {
       |    ORDER BY pmi_nano DESC, ta, tb) AS rn FROM p)
       |WHERE rn <= 40 ORDER BY pmi_nano DESC, ta, tb""".stripMargin
 
+  /** The curation decision table — the production filter funnel that
+    * every corpus release ships with: each document is judged by an
+    * ORDERED rule chain (too_short → too_long → repetitive →
+    * low_quality → keep), the first failing rule is its reason code,
+    * and the report counts documents and token mass per reason. All
+    * signals are exact integers from ONE pass over `doc_terms`
+    * (token count, max term share in permille, the q142 hashed
+    * classifier score in exact ppm), so the verdict chain is
+    * bit-reproducible; the final report is reasons-sized. */
+  def q168_filter_funnel(s: SparkSession, dir: String): DataFrame = {
+    termView(s, dir)
+    s.sql(
+      """WITH w AS (SELECT doc_id, cnt,
+        |    cast(conv(substr(md5(term), 1, 12), 16, 10) AS bigint)
+        |      % 2000001 - 1000000 AS wint
+        |  FROM doc_terms),
+        |sc AS (SELECT doc_id, sum(cnt * wint) AS raw,
+        |    sum(cnt) AS ntok, max(cnt) AS maxcnt
+        |  FROM w GROUP BY doc_id),
+        |v AS (SELECT doc_id, ntok,
+        |    CASE WHEN ntok < 10 THEN 'a_too_short'
+        |      WHEN ntok > 2000 THEN 'b_too_long'
+        |      WHEN maxcnt * 1000 > ntok * 200 THEN 'c_repetitive'
+        |      WHEN (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+        |        * ((abs(raw) * 2 + ntok) div (2 * ntok)) < -200000
+        |        THEN 'd_low_quality'
+        |      ELSE 'e_keep' END AS reason
+        |  FROM sc),
+        |t AS (SELECT count(*) AS nd, sum(ntok) AS nt FROM v)
+        |SELECT v.reason, count(*) AS n_docs, sum(v.ntok) AS n_tokens,
+        |  (count(*) * 1000000) div t.nd AS doc_share_ppm,
+        |  (sum(v.ntok) * 1000000) div t.nt AS token_share_ppm
+        |FROM v CROSS JOIN t
+        |GROUP BY v.reason, t.nd, t.nt ORDER BY v.reason""".stripMargin)
+  }
+
+  val q168_oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+      |  GROUP BY 1, 2),
+      |w AS (SELECT doc_id, cnt,
+      |    ('0x' || substr(md5(term), 1, 12))::BIGINT
+      |      % 2000001 - 1000000 AS wint
+      |  FROM tc),
+      |sc AS (SELECT doc_id, sum(cnt * wint) AS raw,
+      |    sum(cnt) AS ntok, max(cnt) AS maxcnt
+      |  FROM w GROUP BY doc_id),
+      |v AS (SELECT doc_id, ntok,
+      |    CASE WHEN ntok < 10 THEN 'a_too_short'
+      |      WHEN ntok > 2000 THEN 'b_too_long'
+      |      WHEN maxcnt * 1000 > ntok * 200 THEN 'c_repetitive'
+      |      WHEN (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+      |        * ((abs(raw) * 2 + ntok) // (2 * ntok)) < -200000
+      |        THEN 'd_low_quality'
+      |      ELSE 'e_keep' END AS reason
+      |  FROM sc),
+      |t AS (SELECT count(*)::BIGINT AS nd, sum(ntok)::BIGINT AS nt
+      |  FROM v)
+      |SELECT v.reason, count(*)::BIGINT AS n_docs,
+      |  sum(v.ntok)::BIGINT AS n_tokens,
+      |  ((count(*) * 1000000) // t.nd)::BIGINT AS doc_share_ppm,
+      |  ((sum(v.ntok) * 1000000) // t.nt)::BIGINT AS token_share_ppm
+      |FROM v CROSS JOIN t
+      |GROUP BY v.reason, t.nd, t.nt ORDER BY v.reason""".stripMargin
+
   /** Deterministic per-epoch corpus shuffle — the training-loader
     * order operator: epoch e's permutation sorts on
     * md5(epoch ':' doc_id), so every epoch is a DIFFERENT but fully
@@ -2705,6 +2772,7 @@ object QueriesPipe {
     "q164_sliding_distinct" -> q164_sliding_distinct _,
     "q165_langid_confusion" -> q165_langid_confusion _,
     "q167_pmi_pairs" -> q167_pmi_pairs _,
+    "q168_filter_funnel" -> q168_filter_funnel _,
     "q74_profile" -> q74_profile _,
     "q73_chunking" -> q73_chunking _,
     "q67_pii_redact" -> q67_pii_redact _,
@@ -2780,6 +2848,7 @@ object QueriesPipe {
     "q164_sliding_distinct" -> q164_oracle,
     "q165_langid_confusion" -> q165_oracle,
     "q167_pmi_pairs" -> q167_oracle,
+    "q168_filter_funnel" -> q168_oracle,
     "q74_profile" -> q74_oracle,
     "q73_chunking" -> q73_oracle,
     "q67_pii_redact" -> q67_oracle,
