@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.MinBy
+import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -27,12 +27,16 @@ import org.apache.spark.sql.types.IntegerType
   * Conservative by construction — fires only when:
   *  - the Window computes EXACTLY ONE expression, a row_number();
   *  - the filter directly above it keeps `rn = 1` / `rn <= 1`;
-  *  - every ORDER BY key is ascending, NULLS FIRST (the default)
-  *    and deterministic. The ordering keys are wrapped in ONE struct
-  *    even when there is a single key: a struct value is never null
-  *    (so `min_by` can never skip a null-keyed row the way it would
-  *    with a bare nullable key), and struct field comparison ranks
-  *    null fields first — exactly row_number's NULLS FIRST;
+  *  - every ORDER BY key is deterministic and the keys are EITHER
+  *    all ascending NULLS FIRST (→ `min_by`) or all descending
+  *    NULLS LAST (→ `max_by`) — the two default sort shapes, which
+  *    cover keep-first-per-key and keep-latest-per-key. The ordering
+  *    keys are wrapped in ONE struct even when there is a single
+  *    key: a struct value is never null (so min_by/max_by can never
+  *    skip a null-keyed row the way they would with a bare nullable
+  *    key), and struct field comparison ranks null fields SMALLEST —
+  *    under min that is NULLS FIRST, under max NULLS LAST, exactly
+  *    row_number's defaults for each direction;
   *  - ties: row_number over a non-total order picks an arbitrary
   *    tied row, and so does min_by — the same nondeterminism class,
   *    no new behavior introduced.
@@ -49,13 +53,18 @@ object RankToArgMin extends Rule[LogicalPlan] {
         parts, order, child, _))
         if isRankOne(cond, alias.toAttribute) &&
           order.nonEmpty &&
-          order.forall(o => o.direction == Ascending &&
-            o.nullOrdering == NullsFirst && o.child.deterministic) &&
+          order.forall(_.child.deterministic) &&
+          (order.forall(o => o.direction == Ascending &&
+              o.nullOrdering == NullsFirst) ||
+            order.forall(o => o.direction == Descending &&
+              o.nullOrdering == NullsLast)) &&
           parts.forall(_.deterministic) &&
           child.output.nonEmpty =>
       val ordKey = CreateStruct(order.map(_.child))
+      val value = CreateStruct(child.output)
       val argmin = Alias(
-        MinBy(CreateStruct(child.output), ordKey).toAggregateExpression(),
+        (if (order.head.direction == Ascending) MinBy(value, ordKey)
+         else MaxBy(value, ordKey)).toAggregateExpression(),
         "_graft_argmin")()
       val agg = Aggregate(parts, Seq(argmin), child)
       val restored: Seq[NamedExpression] =

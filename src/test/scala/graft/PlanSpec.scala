@@ -386,13 +386,26 @@ class PlanSpec extends AnyFunSuite {
     assert(got.orderBy("k").collect().map(r =>
       (r.getInt(0), r.getString(1))).toSeq ==
       Seq((1, "null-key"), (2, "seven")))
-    // descending order keeps its window (out of the rule's scope)
+    // descending (keep-LATEST-per-key) rewrites to max_by, with
+    // NULLS LAST semantics preserved: the null-keyed row must lose
     val desc = spark.sql(
+      """SELECT k, tag FROM (
+        |  SELECT k, tag, row_number() OVER (
+        |    PARTITION BY k ORDER BY o DESC) AS rn
+        |  FROM rta_null_probe) WHERE rn = 1""".stripMargin)
+    val descPlan = desc.queryExecution.executedPlan.toString
+    assert(!descPlan.contains("row_number() windowspecdefinition") &&
+      descPlan.contains("max_by"), descPlan.take(1200))
+    assert(desc.orderBy("k").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "five"), (2, "seven")))
+    // mixed directions keep their window (out of the rule's scope)
+    val mixed = spark.sql(
       """SELECT user_id FROM (
         |  SELECT user_id, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin)
-    assert(desc.queryExecution.executedPlan.toString
+    assert(mixed.queryExecution.executedPlan.toString
       .contains("row_number() windowspecdefinition"))
   }
 
