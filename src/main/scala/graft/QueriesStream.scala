@@ -356,7 +356,57 @@ object QueriesStream {
   /** the stream must reproduce the batch OHLC exactly */
   val q163_oracle: String = QueriesWindow.q159_oracle
 
+  /** The curation decision table ON THE STREAMING PATH — q168's
+    * ordered reason-coded filter funnel evaluated per document AS IT
+    * ARRIVES: the native `graft_termcounts` kernel runs inside the
+    * stream's projection, the three signals (token count, max term
+    * count, hashed classifier score) fold in-row over its output —
+    * no per-doc state, so the streaming aggregate carries only the
+    * reasons-sized count table in complete mode. The oracle is the
+    * batch q168 SQL: arrival order cannot change a single verdict
+    * or share. This is the deploy shape of an ingest-time filter at
+    * 100 TB/day. */
+  def q169_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.init(s)
+    graft.functions.VectorFunctions.register(s)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = StreamOps.eventStream(s, s"$dir/documents*.parquet",
+      schema)
+    val scored = src.selectExpr("doc_id",
+        "graft_termcounts(text) AS tcs")
+      .selectExpr("doc_id",
+        "aggregate(tcs, 0L, (a, x) -> a + x.cnt) AS ntok",
+        "aggregate(tcs, 0L, (a, x) -> if(x.cnt > a, x.cnt, a)) AS maxcnt",
+        """aggregate(tcs, 0L, (a, x) -> a + x.cnt *
+          |  (cast(conv(substr(md5(x.term), 1, 12), 16, 10) AS bigint)
+          |    % 2000001 - 1000000)) AS raw""".stripMargin)
+    val verdict = scored.selectExpr(
+      """CASE WHEN ntok < 10 THEN 'a_too_short'
+        |  WHEN ntok > 2000 THEN 'b_too_long'
+        |  WHEN maxcnt * 1000 > ntok * 200 THEN 'c_repetitive'
+        |  WHEN (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+        |    * ((abs(raw) * 2 + ntok) div (2 * ntok)) < -200000
+        |    THEN 'd_low_quality'
+        |  ELSE 'e_keep' END AS reason""".stripMargin, "ntok")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    drain(s, verdict, "graft_q169_sink", "complete")
+    s.sql(
+      """WITH v AS (SELECT reason, n_docs, n_tokens
+        |  FROM graft_q169_sink),
+        |t AS (SELECT sum(n_docs) AS nd, sum(n_tokens) AS nt FROM v)
+        |SELECT v.reason, v.n_docs, v.n_tokens,
+        |  (v.n_docs * 1000000) div t.nd AS doc_share_ppm,
+        |  (v.n_tokens * 1000000) div t.nt AS token_share_ppm
+        |FROM v CROSS JOIN t ORDER BY v.reason""".stripMargin)
+  }
+
+  /** arrival order cannot change a verdict: the batch table is the
+    * oracle */
+  val q169_oracle: String = QueriesPipe.q168_oracle
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_stream_funnel" -> q169_stream_funnel _,
     "q163_stream_ohlc" -> q163_stream_ohlc _,
     "q144_stream_drift" -> q144_stream_drift _,
     "q81_stream_join" -> q81_stream_join _,
@@ -368,6 +418,7 @@ object QueriesStream {
     "q120_stream_incdedup" -> q120_stream_incdedup _)
 
   val oracles: Map[String, String] = Map(
+    "q169_stream_funnel" -> q169_oracle,
     "q163_stream_ohlc" -> q163_oracle,
     "q144_stream_drift" -> q144_oracle,
     "q81_stream_join" -> q81_oracle,
