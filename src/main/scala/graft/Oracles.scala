@@ -7,6 +7,7 @@ package graft
 object Oracles {
 
   val all: Map[String, String] = Map(
+    "q170_integrity_audit" -> Queries.q170_oracle,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -276,9 +276,72 @@ object Queries {
       orderKeys = Seq("ts", "event_id"))
       .orderBy($"user_id")
 
+  /** Referential-integrity and reconciliation audit — the relational
+    * data-ops report run before trusting a warehouse drop: FK orphan
+    * counts in both directions (lineitems without orders, orders
+    * without lineitems, orders with dangling customers) and a
+    * CENTS-EXACT totalprice reconciliation (each line's
+    * price·(1-disc)·(1+tax) is rounded to integer cents BEFORE the
+    * per-order sum, so float summation order cannot create phantom
+    * mismatches; an order mismatches when its reconstructed total
+    * differs from o_totalprice by more than one cent). Every check
+    * is an aggregate or anti-join on its natural key — the shapes
+    * AQE broadcasts when a side is small and shuffles past that. */
+  def q170_integrity_audit(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH lc AS (SELECT l_orderkey,
+        |    sum(cast(round(l_extendedprice * (1.0D - l_discount)
+        |      * (1.0D + l_tax) * 100.0D, 0) AS bigint)) AS calc_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |oc AS (SELECT o_orderkey, o_custkey,
+        |    cast(round(o_totalprice * 100.0D, 0) AS bigint) AS tp_cents
+        |  FROM orders)
+        |SELECT 'childless_orders' AS metric, count(*) AS n
+        |FROM oc LEFT ANTI JOIN lc ON oc.o_orderkey = lc.l_orderkey
+        |UNION ALL
+        |SELECT 'customer_dangling', count(*)
+        |FROM oc LEFT ANTI JOIN customer ON oc.o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'lineitem_orphans', count(*)
+        |FROM lineitem LEFT ANTI JOIN oc ON l_orderkey = oc.o_orderkey
+        |UNION ALL
+        |SELECT 'orders_total', count(*) FROM oc
+        |UNION ALL
+        |SELECT 'totalprice_mismatch', count(*)
+        |FROM oc JOIN lc ON oc.o_orderkey = lc.l_orderkey
+        |WHERE abs(lc.calc_cents - oc.tp_cents) > 1
+        |ORDER BY metric""".stripMargin)
+  }
+
+  val q170_oracle: String =
+    """WITH lc AS (SELECT l_orderkey,
+      |    sum(round(l_extendedprice * (1.0 - l_discount)
+      |      * (1.0 + l_tax) * 100.0)::BIGINT) AS calc_cents
+      |  FROM lineitem GROUP BY l_orderkey),
+      |oc AS (SELECT o_orderkey, o_custkey,
+      |    round(o_totalprice * 100.0)::BIGINT AS tp_cents
+      |  FROM orders)
+      |SELECT 'childless_orders' AS metric, count(*)::BIGINT AS n
+      |FROM oc ANTI JOIN lc ON oc.o_orderkey = lc.l_orderkey
+      |UNION ALL
+      |SELECT 'customer_dangling', count(*)::BIGINT
+      |FROM oc ANTI JOIN customer ON oc.o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'lineitem_orphans', count(*)::BIGINT
+      |FROM lineitem ANTI JOIN oc ON l_orderkey = oc.o_orderkey
+      |UNION ALL
+      |SELECT 'orders_total', count(*)::BIGINT FROM oc
+      |UNION ALL
+      |SELECT 'totalprice_mismatch', count(*)::BIGINT
+      |FROM oc JOIN lc ON oc.o_orderkey = lc.l_orderkey
+      |WHERE abs(lc.calc_cents - oc.tp_cents) > 1
+      |ORDER BY metric""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_integrity_audit" -> q170_integrity_audit _,
     "q01_agg" -> q01_agg _,
     "q02_range" -> q02_range _,
     "q03_select" -> q03_select _,
