@@ -802,7 +802,122 @@ object QueriesSeries {
   val q153_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** Snapshot-to-snapshot distribution drift — "did that overlay
+    * change the data's shape": the series is overlaid (values × 1.5
+    * from Jan 15), then PSI runs between the TIME-TRAVEL read of the
+    * pre-overlay revision and the current read — the reference
+    * window is a version, not a time filter, which is what a
+    * versioned store makes possible (compare q121's row-level
+    * snapshot diff: this is its distributional summary). Exact q139
+    * math; the oracle reconstructs both windows in closed form from
+    * the raw table, so a wrong snapshot boundary or a mangled
+    * overlay value fails the hash. */
+  def q171_snapshot_drift(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    sr.write(ev)
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    val patch = ev
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .withColumn("value", col("value") * 1.5)
+    sr.write(patch, "2024-01-15 00:00:00", "2025-01-01 00:00:00",
+      Closed.Left)
+    sr.frame(beforeMs = Some(cut))
+      .createOrReplaceTempView("graft_snap_ref")
+    sr.frame().createOrReplaceTempView("graft_snap_cur")
+    s.sql(
+      """WITH ref AS (SELECT value, event_type FROM graft_snap_ref
+        |    WHERE value IS NOT NULL),
+        |cur AS (SELECT value, event_type FROM graft_snap_cur
+        |    WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+        |rb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM ref CROSS JOIN b GROUP BY 1, 2),
+        |cb AS (SELECT event_type,
+        |    CASE WHEN value < b.lo THEN 0
+        |      WHEN value >= b.hi THEN 11
+        |      ELSE cast(floor((value - b.lo) * 10.0D / (b.hi - b.lo))
+        |        AS int) + 1 END AS bk, count(*) AS c
+        |  FROM cur CROSS JOIN b GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
+        |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
+        |grid AS (SELECT rt.event_type, g.bk
+        |  FROM rt CROSS JOIN (
+        |    SELECT explode(sequence(0, 11)) AS bk) g),
+        |terms AS (SELECT g.event_type,
+        |    cast(round(
+        |      ((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D)
+        |        - (coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D))
+        |      * ln(((coalesce(rb.c, 0) + 1.0D) / (rt.t + 12.0D))
+        |         / ((coalesce(cb.c, 0) + 1.0D) / (ct.t + 12.0D)))
+        |      * 1000000000.0D, 0) AS bigint) AS term
+        |  FROM grid g
+        |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bk = rb.bk
+        |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bk = cb.bk
+        |  JOIN rt ON g.event_type = rt.event_type
+        |  JOIN ct ON g.event_type = ct.event_type)
+        |SELECT t.event_type, round(sum(t.term) / 1000000000.0D, 6) + 0
+        |    AS psi,
+        |  rt.t AS n_ref, ct.t AS n_cur
+        |FROM terms t
+        |JOIN rt ON t.event_type = rt.event_type
+        |JOIN ct ON t.event_type = ct.event_type
+        |GROUP BY t.event_type, rt.t, ct.t
+        |ORDER BY t.event_type""".stripMargin)
+  }
+
+  val q171_oracle: String =
+    """WITH ref AS (SELECT value, event_type FROM events
+      |    WHERE value IS NOT NULL),
+      |cur AS (SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15'
+      |      THEN value * 1.5 ELSE value END AS value, event_type
+      |    FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+      |rb AS (SELECT event_type,
+      |    CASE WHEN value < b.lo THEN 0
+      |      WHEN value >= b.hi THEN 11
+      |      ELSE cast(floor((value - b.lo) * 10.0 / (b.hi - b.lo))
+      |        AS int) + 1 END AS bk, count(*) AS c
+      |  FROM ref CROSS JOIN b GROUP BY 1, 2),
+      |cb AS (SELECT event_type,
+      |    CASE WHEN value < b.lo THEN 0
+      |      WHEN value >= b.hi THEN 11
+      |      ELSE cast(floor((value - b.lo) * 10.0 / (b.hi - b.lo))
+      |        AS int) + 1 END AS bk, count(*) AS c
+      |  FROM cur CROSS JOIN b GROUP BY 1, 2),
+      |rt AS (SELECT event_type, sum(c) AS t FROM rb GROUP BY 1),
+      |ct AS (SELECT event_type, sum(c) AS t FROM cb GROUP BY 1),
+      |grid AS (SELECT rt.event_type, g.bk
+      |  FROM rt CROSS JOIN (SELECT unnest(range(0, 12)) AS bk) g),
+      |terms AS (SELECT g.event_type,
+      |    round(
+      |      ((coalesce(rb.c, 0) + 1.0) / (rt.t + 12.0)
+      |        - (coalesce(cb.c, 0) + 1.0) / (ct.t + 12.0))
+      |      * ln(((coalesce(rb.c, 0) + 1.0) / (rt.t + 12.0))
+      |         / ((coalesce(cb.c, 0) + 1.0) / (ct.t + 12.0)))
+      |      * 1000000000.0)::BIGINT AS term
+      |  FROM grid g
+      |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bk = rb.bk
+      |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bk = cb.bk
+      |  JOIN rt ON g.event_type = rt.event_type
+      |  JOIN ct ON g.event_type = ct.event_type)
+      |SELECT t.event_type, round(sum(t.term) / 1000000000.0, 6) + 0
+      |    AS psi,
+      |  rt.t AS n_ref, ct.t AS n_cur
+      |FROM terms t
+      |JOIN rt ON t.event_type = rt.event_type
+      |JOIN ct ON t.event_type = ct.event_type
+      |GROUP BY t.event_type, rt.t, ct.t
+      |ORDER BY t.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_snapshot_drift" -> q171_snapshot_drift _,
     "q153_retry_read" -> q153_retry_read _,
     "q140_stored_drift" -> q140_stored_drift _,
     "q143_cli_read" -> q143_cli_read _,
@@ -833,6 +948,7 @@ object QueriesSeries {
     "q34_series_kv" -> q34_series_kv _)
 
   val oracles: Map[String, String] = Map(
+    "q171_snapshot_drift" -> q171_oracle,
     "q153_retry_read" -> q153_oracle,
     "q140_stored_drift" -> q140_oracle,
     "q143_cli_read" -> q143_oracle,
