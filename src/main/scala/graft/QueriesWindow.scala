@@ -448,7 +448,47 @@ object QueriesWindow {
       |FROM ov WHERE ms > 0 OR st = en
       |GROUP BY hr ORDER BY hr""".stripMargin
 
+  /** First-order Markov transition matrix over event sequences —
+    * P(next event type | current), the sequence-model summary behind
+    * behavioral segmentation and next-action prediction baselines:
+    * `lead()` per user (the sessionization-family window — partition
+    * per user, never global), transition counts, probabilities in
+    * exact truncating ppm. The matrix is event-types² — constant
+    * size; the row-total join broadcasts. */
+  def q172_transition_matrix(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS row_n FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.n, t.row_n,
+        |  (m.n * 1000000) div t.row_n AS p_ppm
+        |FROM m JOIN t ON m.from_type = t.from_type
+        |ORDER BY m.from_type, m.to_type""".stripMargin)
+  }
+
+  val q172_oracle: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |m AS (SELECT event_type AS from_type, next_type AS to_type,
+      |    count(*)::BIGINT AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM m
+      |  GROUP BY 1)
+      |SELECT m.from_type, m.to_type, m.n, t.row_n,
+      |  ((m.n * 1000000) // t.row_n)::BIGINT AS p_ppm
+      |FROM m JOIN t ON m.from_type = t.from_type
+      |ORDER BY m.from_type, m.to_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_transition_matrix" -> q172_transition_matrix _,
     "q166_session_hours" -> q166_session_hours _,
     "q158_gap_fill" -> q158_gap_fill _,
     "q159_ohlc" -> q159_ohlc _,
@@ -464,6 +504,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q172_transition_matrix" -> q172_oracle,
     "q166_session_hours" -> q166_oracle,
     "q158_gap_fill" -> q158_oracle,
     "q159_ohlc" -> q159_oracle,
