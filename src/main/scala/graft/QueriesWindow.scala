@@ -487,7 +487,44 @@ object QueriesWindow {
       |FROM m JOIN t ON m.from_type = t.from_type
       |ORDER BY m.from_type, m.to_type""".stripMargin
 
+  /** Inter-arrival time distribution per event type — p50/p90/p99 of
+    * the gap between consecutive events of a type, in integer
+    * milliseconds: the ops metric behind rate alerting and capacity
+    * planning. Gaps via `lag()` on epoch-millis (type-partitioned
+    * windows); percentiles under the q13 parity convention, rounded
+    * to 3 dp on an integer-valued input so both engines agree
+    * (interpolation midpoints are .0 or .5 exactly). */
+  def q173_interarrival(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH g AS (SELECT event_type,
+        |    unix_millis(ts) - lag(unix_millis(ts), 1) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(percentile(gap_ms, 0.5D), 3) + 0 AS p50_ms,
+        |  round(percentile(gap_ms, 0.9D), 3) + 0 AS p90_ms,
+        |  round(percentile(gap_ms, 0.99D), 3) + 0 AS p99_ms,
+        |  max(gap_ms) AS max_ms
+        |FROM g WHERE gap_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q173_oracle: String =
+    """WITH g AS (SELECT event_type,
+      |    epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+      |  FROM events)
+      |SELECT event_type, count(*)::BIGINT AS n_gaps,
+      |  round(quantile_cont(gap_ms, 0.5), 3) + 0 AS p50_ms,
+      |  round(quantile_cont(gap_ms, 0.9), 3) + 0 AS p90_ms,
+      |  round(quantile_cont(gap_ms, 0.99), 3) + 0 AS p99_ms,
+      |  max(gap_ms)::BIGINT AS max_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_interarrival" -> q173_interarrival _,
     "q172_transition_matrix" -> q172_transition_matrix _,
     "q166_session_hours" -> q166_session_hours _,
     "q158_gap_fill" -> q158_gap_fill _,
@@ -504,6 +541,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q173_interarrival" -> q173_oracle,
     "q172_transition_matrix" -> q172_oracle,
     "q166_session_hours" -> q166_oracle,
     "q158_gap_fill" -> q158_oracle,
