@@ -44,6 +44,18 @@ def main():
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         got_cols = [d[0] for d in con.description]
         try:
+            # Type gate first: the driver's hash normalization
+            # distinguishes HUGEINT/DECIMAL from BIGINT even when the
+            # Python-stringified values match, so any oracle emitting
+            # them is a latent driver hash-mismatch. DESCRIBE is free.
+            desc = con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()
+            bad = [(c, t) for c, t, *_ in desc
+                   if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+            if bad:
+                print(f"BADTYPE  {name}: un-cast oracle output "
+                      f"columns {bad} (add ::BIGINT)")
+                fail += 1; continue
             want = con.execute(oracles[name]).fetchall()
             want_cols = [d[0] for d in con.description]
         except Exception as e:

@@ -67,6 +67,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // benched plans run with the same extension set users get
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // opt-in stage-level profiling: parse the JSON event log offline
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
@@ -330,7 +332,22 @@ object Bench {
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""queries_max":${jmap(_.max)},"queries_first":${jmap(_.head)},""" +
       s""""sf":"$sfDir"}"""
-    println(line)
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the final JSON line: the full 4-map line above (~4 KB)
+    // overflows that window, so stdout gets a COMPACT line (contract
+    // fields + medians at 2 dp — ~1.7 KB for 59 queries) and the full
+    // min/max/first maps live only in BENCH.json on disk.
+    val medsCompact = samples.map { case (k, v) =>
+      "\"" + k + "\":" + f"${median(v)}%.2f" }.mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
+      f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
+      s""""calib_s":$calibJson,"queries":$medsCompact,"sf":"$sfDir"}"""
+    println(compact)
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact stdout line is " +
+        s"${compact.length} chars — nearing the driver's 2000-char " +
+        "tail capture; trim query count or precision")
     // sbt prefixes stdout with "[info] ", which breaks driver-side JSON
     // parsing — always leave a clean copy on disk as well.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

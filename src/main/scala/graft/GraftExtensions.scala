@@ -17,6 +17,21 @@ import graft.functions.{CosineSimilarity, DotProduct, MinHashSig,
   * use, so `graft_cosine`/`graft_dot` are available in pure SQL
   * without any imperative registration call.
   */
+/** Explicit opt-in for the engine's optimizer rules on an ALREADY
+  * RUNNING session (the configuration path above only applies at
+  * session build time). Deliberately separate from
+  * `VectorFunctions.register`: installing a rewrite rule changes
+  * query plans session-wide, which a caller asking for SQL functions
+  * did not sign up for.
+  */
+object GraftOptimizations {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RankToArgMin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RankToArgMin
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // keep-one-per-group: row_number()=1 filters rewrite to a

@@ -578,7 +578,7 @@ object QueriesExt {
       |    round(e[i]::DOUBLE * 1000000)::BIGINT AS qv
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |    unnest(range(1, len(e) + 1)) AS t(i)),
-      |pl AS (SELECT d.vec_id, s.j, sum(qv * sgn) AS pj
+      |pl AS (SELECT d.vec_id, s.j, sum(qv * sgn)::BIGINT AS pj
       |  FROM d JOIN sj s ON d.k = s.k GROUP BY 1, 2)""".stripMargin
 
   def q145_random_projection(s: SparkSession, dir: String): DataFrame = {
@@ -732,7 +732,8 @@ object QueriesExt {
       |  FROM top GROUP BY pid, plabel)
       |SELECT plabel AS label, count(*)::BIGINT AS n_probes,
       |  sum(hits)::BIGINT AS n_hits,
-      |  (sum(hits) * 1000000) // (count(*) * 10) AS purity_ppm
+      |  ((sum(hits) * 1000000) // (count(*) * 10))::BIGINT
+      |    AS purity_ppm
       |FROM per GROUP BY plabel ORDER BY label""".stripMargin
 
   /** Embedding dimension-collapse audit — the representation-health
@@ -767,7 +768,7 @@ object QueriesExt {
       |    round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS q
       |  FROM embeddings),
       |m AS (SELECT dim, count(*)::BIGINT AS n,
-      |    sum(q) // count(*) AS mq FROM d GROUP BY dim),
+      |    (sum(q) // count(*))::BIGINT AS mq FROM d GROUP BY dim),
       |vr AS (SELECT d.dim, m.n, m.mq,
       |    sum((d.q - m.mq) * (d.q - m.mq))::BIGINT AS ss
       |  FROM d JOIN m ON d.dim = m.dim GROUP BY d.dim, m.n, m.mq)

@@ -989,7 +989,7 @@ object QueriesPipe {
       |  JOIN ct ON g.event_type = ct.event_type)
       |SELECT t.event_type, round(sum(t.term) / 1000000000.0, 6) + 0
       |    AS psi,
-      |  rt.t AS n_ref, ct.t AS n_cur
+      |  rt.t::BIGINT AS n_ref, ct.t::BIGINT AS n_cur
       |FROM terms t
       |JOIN rt ON t.event_type = rt.event_type
       |JOIN ct ON t.event_type = ct.event_type
@@ -1070,8 +1070,8 @@ object QueriesPipe {
       |    ('0x' || substr(md5(term), 1, 12))::BIGINT
       |      % 2000001 - 1000000 AS wint
       |  FROM tc),
-      |sc AS (SELECT doc_id, sum(cnt * wint) AS raw,
-      |    sum(cnt) AS ntok
+      |sc AS (SELECT doc_id, sum(cnt * wint)::BIGINT AS raw,
+      |    sum(cnt)::BIGINT AS ntok
       |  FROM w GROUP BY doc_id)
       |SELECT doc_id,
       |  (CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
@@ -1147,7 +1147,7 @@ object QueriesPipe {
       |  least(ks.k::BIGINT, t.vocab_n) AS n_terms,
       |  coalesce(h.covered, t.total)::BIGINT AS covered_mass,
       |  t.total AS total_mass,
-      |  (coalesce(h.covered, t.total) * 1000000) // t.total
+      |  ((coalesce(h.covered, t.total) * 1000000) // t.total)::BIGINT
       |    AS coverage_ppm
       |FROM ks CROSS JOIN t LEFT JOIN hit h ON ks.k = h.k
       |ORDER BY ks.k""".stripMargin
@@ -1204,7 +1204,7 @@ object QueriesPipe {
       |SELECT event_type, count(*)::BIGINT AS n,
       |  round(min(med), 6) + 0 AS med, round(min(mad), 6) + 0 AS mad,
       |  sum(isout)::BIGINT AS n_outliers,
-      |  (sum(isout) * 1000000) // count(*) AS outlier_ppm
+      |  ((sum(isout) * 1000000) // count(*))::BIGINT AS outlier_ppm
       |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Token-budget mixture materializer — "take the first B tokens of
@@ -1277,7 +1277,7 @@ object QueriesPipe {
       |SELECT source, count(*)::BIGINT AS n_docs,
       |  sum(ntok)::BIGINT AS tokens_kept,
       |  max(cum)::BIGINT AS last_cum,
-      |  (sum(ntok) * 1000000) // 3000 AS fill_ppm
+      |  ((sum(ntok) * 1000000) // 3000)::BIGINT AS fill_ppm
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
   /** Trend monitor — the Mann-Kendall S statistic over daily event

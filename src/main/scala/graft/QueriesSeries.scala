@@ -909,7 +909,7 @@ object QueriesSeries {
       |  JOIN ct ON g.event_type = ct.event_type)
       |SELECT t.event_type, round(sum(t.term) / 1000000000.0, 6) + 0
       |    AS psi,
-      |  rt.t AS n_ref, ct.t AS n_cur
+      |  rt.t::BIGINT AS n_ref, ct.t::BIGINT AS n_cur
       |FROM terms t
       |JOIN rt ON t.event_type = rt.event_type
       |JOIN ct ON t.event_type = ct.event_type

@@ -257,14 +257,21 @@ class Series(val collection: Collection, val label: String) {
     // content-address each part file into the segment store. A
     // single-file write keeps the historical digest format (identical
     // to the driver-local small-file path, so the two paths dedupe
-    // against each other); multi-file writes append the file's
-    // ordinal — their _hash may be the write's GLOBAL content hash,
-    // and the ordinal keeps two same-shaped files of one write from
-    // colliding (duplicate index keys can make cnt/min/max equal).
-    val files = stats.zipWithIndex.map { case (st, i) =>
-      val ord = if (stats.length > 1) s"|$i" else ""
+    // against each other — sound, because there _hash IS the file's
+    // full content hash). Multi-file writes carry the write's GLOBAL
+    // content hash, which does NOT identify one file's interior:
+    // (cnt,min,max,ordinal,globalHash) can collide across two writes
+    // of identical content with DIFFERENT file splits when duplicate
+    // index keys straddle a boundary — and store-global dedupe would
+    // then silently substitute a file holding different rows. So
+    // multi-file digests are salted with the staging path (tmpRel is
+    // UUID-unique per write): no cross-write dedupe is attempted for
+    // them, which forfeits nothing real — split boundaries differ
+    // between runs anyway — and can never alias two different files.
+    val files = stats.map { st =>
+      val salt = if (stats.length > 1) s"|${st.tmp}" else ""
       val digest = Hash.sha1(
-        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}$ord"
+        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}$salt"
           .getBytes("UTF-8"))
       val target = s"seg/${Hash.hashedPath(digest)}.parquet"
       if (store.exists(target)) store.rm(st.tmp)

@@ -178,12 +178,11 @@ object VectorFunctions {
   /** register for SQL use: graft_cosine(a, b), graft_dot(a, b),
     * graft_topk(x, k) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    // keep-one-per-group rewrite (window -> map-side argmin); see
-    // graft.plans.RankToArgMin. Idempotent add.
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.RankToArgMin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RankToArgMin
+    // NOTE: registers FUNCTIONS only. The RankToArgMin optimizer rule
+    // is a query-semantics-level extension — activate it explicitly
+    // via `spark.sql.extensions=graft.GraftExtensions` or
+    // `graft.GraftOptimizations.install(spark)`, never as a side
+    // effect of function registration.
     GraftBridge.registerFunction(spark, "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     GraftBridge.registerFunction(spark, "graft_dot",

@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Conservative by construction — fires only when:
   *  - the Window computes EXACTLY ONE expression, a row_number();
+  *  - the window HAS a PARTITION BY (`parts.nonEmpty`): an
+  *    unpartitioned rank-one window yields ZERO rows on empty input,
+  *    but a global (grouping-less) Aggregate yields ONE all-null
+  *    row — rewriting it would invent a row on runtime-empty input;
   *  - the filter directly above it keeps `rn = 1` / `rn <= 1`;
   *  - every ORDER BY key is deterministic and the keys are EITHER
   *    all ascending NULLS FIRST (→ `min_by`) or all descending
@@ -52,6 +56,7 @@ object RankToArgMin extends Rule[LogicalPlan] {
         Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
         parts, order, child, _))
         if isRankOne(cond, alias.toAttribute) &&
+          parts.nonEmpty &&
           order.nonEmpty &&
           order.forall(_.child.deterministic) &&
           (order.forall(o => o.direction == Ascending &&

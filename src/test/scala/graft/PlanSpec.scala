@@ -351,7 +351,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("RankToArgMin rewrites rank-one filters to map-side argmin") {
-    graft.functions.VectorFunctions.register(spark) // installs the rule
+    graft.GraftOptimizations.install(spark) // explicit opt-in
+    graft.functions.VectorFunctions.register(spark)
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     // naive keep-first-event-per-user SQL — the window formulation
     val naive = spark.sql(
