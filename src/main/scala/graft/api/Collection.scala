@@ -32,7 +32,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * columns under their SOURCE name in every segment file — Delta
     * column-mapping style — so pre-clone and post-clone segments stay
     * uniform and resolve with one read-time projection. */
-  private[api] def physOf(n: String): String = colMap.getOrElse(n, n)
+  private[graft] def physOf(n: String): String = colMap.getOrElse(n, n)
 
   def series(name: String): Series =
     if (schema.kv) new KVSeries(this, name) else new Series(this, name)
@@ -112,7 +112,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     }
     val labels = byLabel.keys.toSeq.sorted
     val writes = labels.map { lbl =>
-      new Series(this, lbl).sealSegments(byLabel(lbl).toSeq, relOf,
+      new Series(this, lbl).sealSegmentRows(byLabel(lbl).toSeq, relOf,
         null, null, Closed.Both)
     }
     store.rm(tmpRel, recursive = true)

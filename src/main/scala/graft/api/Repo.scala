@@ -180,7 +180,16 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * the manifest-pruned, filter-pushed scan, so SQL over a view
     * inherits every read-path optimization. Returns the view names.
     */
-  def registerViews(prefix: String = ""): Seq[String] = {
+  /** Register one SQL temp view per series, backed by the
+    * `spark.read.format("graft")` CONNECTOR — not a pre-resolved
+    * frame snapshot — so a plain `WHERE ts < X` over the view pushes
+    * its index predicates into [[graft.sources.GraftScanBuilder]]
+    * and prunes MANIFEST segments exactly like the
+    * `Series.frame(start, stop)` API. Views are live (each query
+    * re-reads the current leaf); pass `before` for time-travel
+    * views pinned at that changelog revision. */
+  def registerViews(prefix: String = "",
+      before: Option[Long] = None): Seq[String] = {
     def clean(s: String): String = s.map {
       case c if c.isLetterOrDigit => c
       case _ => '_'
@@ -198,7 +207,12 @@ class Repo(val rootUri: String, val spark: SparkSession,
       val name = Iterator.from(1)
         .map(i => if (i == 1) base else s"${base}_$i")
         .find(taken.add(_)).get
-      c.series(sl).frame().createOrReplaceTempView(name)
+      val rd = spark.read.format("graft")
+        .option("path", rootUri)
+        .option("collection", cl)
+        .option("series", sl)
+      before.foreach(ms => rd.option("before", ms.toString))
+      rd.load().createOrReplaceTempView(name)
       name
     }
   }

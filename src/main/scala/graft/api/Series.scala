@@ -88,8 +88,20 @@ class Series(val collection: Collection, val label: String) {
       case _ => None
     }
 
+  /** `presorted = true` declares the input already globally sorted on
+    * the index: partitions hold disjoint key ranges, each internally
+    * sorted — the reference's own write PREcondition (lakota raises
+    * on unsorted frames; this engine's default path auto-sorts as a
+    * superset). The declaration is trusted but VERIFIED: every task
+    * checks row order as it writes and [[sealSegments]] rejects
+    * overlapping file ranges, so a wrong declaration aborts before
+    * anything commits. What it buys at scale: no range-sample pass,
+    * no shuffle, no sort — an ingest that is already bucketed/sorted
+    * upstream (Kafka by time, an upstream sorted export) streams
+    * straight from its partitions into segment files. */
   def write(df: DataFrame, start: Any = null, stop: Any = null,
-      closed: Closed = Closed.Both, root: Boolean = false): Unit = {
+      closed: Closed = Closed.Both, root: Boolean = false,
+      presorted: Boolean = false): Unit = {
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
@@ -131,96 +143,29 @@ class Series(val collection: Collection, val label: String) {
     val data = cast(df)
 
     // Global sort via range partitioning; AQE coalesces the default
-    // shuffle partition count for small inputs, maxRecordsPerFile caps
-    // segment size at pageLen. No driver-side count needed. Columns
-    // are stored under their PHYSICAL names (see Collection.physOf) so
-    // post-clone writes stay uniform with shared pre-clone segments.
-    val sorted = data.repartitionByRange(idxCols: _*)
-      .sortWithinPartitions(idxCols: _*)
-      .select(schema.cols.map(c =>
-        col(c.name).as(collection.physOf(c.name))): _*)
+    // shuffle partition count for small inputs; SegmentWriter.writeJob
+    // rolls files at pageLen rows. No driver-side count needed.
+    // Columns are stored under their PHYSICAL names (see
+    // Collection.physOf) so post-clone writes stay uniform with
+    // shared pre-clone segments.
+    val sorted =
+      (if (presorted) data
+       else data.repartitionByRange(idxCols: _*)
+         .sortWithinPartitions(idxCols: _*))
+        .select(schema.cols.map(c =>
+          col(c.name).as(collection.physOf(c.name))): _*)
 
     val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
-    val physCols = schema.names.map(n => col(collection.physOf(n)))
-    val physIdxCols = schema.idxNames.map(n => col(collection.physOf(n)))
-    // observe() rides the write job itself: global row count + index
-    // bounds + logical content hash come back with the write, for free
-    val obs = org.apache.spark.sql.Observation()
-    sorted.observe(obs,
-        count(lit(1)).as("_cnt"),
-        min(struct(physIdxCols: _*)).as("_min"),
-        max(struct(physIdxCols: _*)).as("_max"),
-        // modular reduction keeps the (order-insensitive) sum within
-        // 2^52 even at page_len rows — no ANSI overflow
-        sum(pmod(xxhash64(physCols: _*), lit(2147483647L))).as("_hash"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", pageLen)
-      .option("compression", segmentCodec)
-      // v2 data pages: DELTA_BINARY_PACKED on the sorted int64/int32
-      // index columns (a near-constant-delta timestamp grid packs to
-      // ~nothing) and DELTA_BYTE_ARRAY on strings — the parquet
-      // counterpart of the reference's bitshuffle trick. Spark's
-      // vectorized reader consumes v2 pages natively.
-      .option("parquet.writer.version", "PARQUET_2_0")
-      .parquet(store.uri(tmpRel))
-
-    // Per-FILE row count + index bounds. When the write landed a
-    // single file (AQE coalesces small batches to one partition), the
-    // global observed metrics ARE that file's stats — no second pass
-    // over the data at all. Multi-file writes take ONE index-only
-    // read-back aggregate (emptiness falls out of it: zero stat rows
-    // = empty write — no separate isEmpty probe). The digest is
-    // computed from the DATA (order-insensitive xxhash64 aggregate
-    // observed on the write job itself), not the file bytes: parquet
-    // encoding metadata is not byte-deterministic across JVMs, and
-    // logical hashing also avoids pulling file bytes to the driver
-    // at scale.
-    val parquetFiles = store.walk(tmpRel).filter(_.endsWith(".parquet"))
-    val statRows =
-      if (parquetFiles.isEmpty) Array.empty[Row]
-      else if (parquetFiles.length == 1) {
-        val m = obs.get
-        if (m("_cnt").asInstanceOf[Long] == 0L) Array.empty[Row]
-        else Array(new org.apache.spark.sql.catalyst.expressions
-          .GenericRowWithSchema(
-            Array[Any](store.uri(s"$tmpRel/${parquetFiles.head
-              .split('/').last}"), m("_cnt"), m("_min"), m("_max"),
-              m("_hash")),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("_file",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("_cnt",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("_min",
-                org.apache.spark.sql.types.StructType(Seq())),
-              org.apache.spark.sql.types.StructField("_max",
-                org.apache.spark.sql.types.StructType(Seq())),
-              org.apache.spark.sql.types.StructField("_hash",
-                org.apache.spark.sql.types.LongType)))))
-      }
-      else {
-        // multi-file stats read-back scans ONLY the index columns
-        // (parquet pruning: for a 2-col timeseries that's the
-        // delta-packed ts column, a fraction of the data); the
-        // content digest reuses the OBSERVED global hash — per-file
-        // interiors are disambiguated by the file's ordinal in
-        // sealSegments, so no second full-data pass exists anywhere
-        // in the write path
-        val physIdxStruct = org.apache.spark.sql.types.StructType(
-          schema.sparkSchema.fields
-            .filter(f => schema.idxNames.contains(f.name))
-            .map(f => f.copy(name = collection.physOf(f.name))))
-        val globalHash = obs.get("_hash").asInstanceOf[Long]
-        spark.read.schema(physIdxStruct)
-          .parquet(store.uri(tmpRel))
-          .groupBy(input_file_name().as("_file"))
-          .agg(count(lit(1)).as("_cnt"),
-            min(struct(physIdxCols: _*)).as("_min"),
-            max(struct(physIdxCols: _*)).as("_max"))
-          .withColumn("_hash", lit(globalHash))
-          .collect()
-      }
-    if (statRows.isEmpty) {
+    // ONE distributed job: every task writes its ~pageLen-row files
+    // (engine parquet format: INT64-micros timestamps, v2 pages —
+    // see graft.core.SegmentWriter) and returns that file's
+    // (cnt, min, max, content hash) inline, so the write needs no
+    // read-back scan, no footer probe, and no global Observation.
+    // Emptiness falls out of it: zero stat rows = empty write.
+    val stats = graft.core.SegmentWriter.writeJob(sorted, schema,
+      schema.names.map(collection.physOf), tmpRel, store.uri(tmpRel),
+      pageLen, segmentCodec, verifySorted = presorted)
+    if (stats.isEmpty) {
       store.rm(tmpRel, recursive = true)
       require(startK != null && stopK != null,
         "empty write needs explicit start/stop bounds")
@@ -229,49 +174,57 @@ class Series(val collection: Collection, val label: String) {
       return
     }
 
-    val rows = sealSegments(statRows.toSeq,
-      uri => s"$tmpRel/${uri.split('/').last}", startK, stopK, closed)
+    val rows = sealSegments(stats, startK, stopK, closed)
     store.rm(tmpRel, recursive = true)
     commitRows(rows, root)
   }
 
-  /** Stats rows (`_file,_cnt,_min,_max,_hash` from the one read-back
-    * aggregate) → sorted, content-addressed segment rows for THIS
-    * series: each staged file is moved (or deduplicated) into the
-    * segment store and covered by a contiguous manifest row.
-    * `tmpPathOf` maps a stat row's file URI to its store-relative
-    * staging path. Shared by the single-series write and
-    * [[Collection.ingestGrouped]]'s one-pass multi-series ingest. */
-  private[api] def sealSegments(statRows: Seq[Row],
+  /** Stat-row adapter for [[Collection.ingestGrouped]]'s read-back
+    * aggregate (`_file,_cnt,_min,_max,_hash` rows; `tmpPathOf` maps a
+    * file URI to its store-relative staging path). */
+  private[api] def sealSegmentRows(statRows: Seq[Row],
       tmpPathOf: String => String, startK: IndexKey, stopK: IndexKey,
-      closed: Closed): Seq[SegmentMeta] = {
-    final case class FileStat(tmp: String, cnt: Long, min: IndexKey,
-      max: IndexKey, hash: Long)
-    val stats = statRows.map { r =>
-      FileStat(tmpPathOf(r.getAs[String]("_file")), r.getAs[Long]("_cnt"),
+      closed: Closed): Seq[SegmentMeta] =
+    sealSegments(statRows.map { r =>
+      graft.core.SegmentWriter.FileStat(
+        tmpPathOf(r.getAs[String]("_file")), r.getAs[Long]("_cnt"),
         keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")),
         r.getAs[Long]("_hash"))
-    }.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
-      schema.cmpKey(a, b) < 0))
+    }, startK, stopK, closed)
 
-    // content-address each part file into the segment store. A
-    // single-file write keeps the historical digest format (identical
-    // to the driver-local small-file path, so the two paths dedupe
-    // against each other — sound, because there _hash IS the file's
-    // full content hash). Multi-file writes carry the write's GLOBAL
-    // content hash, which does NOT identify one file's interior:
-    // (cnt,min,max,ordinal,globalHash) can collide across two writes
-    // of identical content with DIFFERENT file splits when duplicate
-    // index keys straddle a boundary — and store-global dedupe would
-    // then silently substitute a file holding different rows. So
-    // multi-file digests are salted with the staging path (tmpRel is
-    // UUID-unique per write): no cross-write dedupe is attempted for
-    // them, which forfeits nothing real — split boundaries differ
-    // between runs anyway — and can never alias two different files.
+  /** Per-file write stats → sorted, content-addressed segment rows
+    * for THIS series: each staged file is moved (or deduplicated)
+    * into the segment store and covered by a contiguous manifest row.
+    * Shared by the single-series write and
+    * [[Collection.ingestGrouped]]'s one-pass multi-series ingest. */
+  private[api] def sealSegments(
+      stats0: Seq[graft.core.SegmentWriter.FileStat], startK: IndexKey,
+      stopK: IndexKey, closed: Closed): Seq[SegmentMeta] = {
+    val stats = stats0.sortBy(s => s.min)(Ordering.fromLessThan((a, b) =>
+      schema.cmpKey(a, b) < 0))
+    // files must cover DISJOINT key ranges (a shared boundary key is
+    // fine — the straddle logic below closes both sides on it). The
+    // auto-sort path guarantees this by construction; a presorted
+    // write's declaration is verified here, before anything commits.
+    stats.sliding(2).foreach {
+      case Seq(a, b) => require(schema.cmpKey(a.max, b.min) <= 0,
+        s"overlapping staged files: [${a.min},${a.max}] vs " +
+          s"[${b.min},${b.max}] — input was not globally sorted")
+      case _ => ()
+    }
+
+    // content-address each part file into the segment store. Every
+    // path (inline probe, driver-local small file, bulk job,
+    // ingestGrouped read-back) computes `hash` as the SAME
+    // order-insensitive sum(pmod(xxhash64(cols), 2^31-1)) over THAT
+    // FILE's rows, so the digest identifies the file's actual
+    // interior — identical content dedupes across paths and writes,
+    // and two files whose index stats tie but whose rows differ
+    // (duplicate index keys straddling a split boundary) can never
+    // alias in the store.
     val files = stats.map { st =>
-      val salt = if (stats.length > 1) s"|${st.tmp}" else ""
       val digest = Hash.sha1(
-        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}$salt"
+        s"${schema.serialize}|${st.cnt}|${st.hash}|${st.min}|${st.max}"
           .getBytes("UTF-8"))
       val target = s"seg/${Hash.hashedPath(digest)}.parquet"
       if (store.exists(target)) store.rm(st.tmp)
@@ -397,68 +350,19 @@ class Series(val collection: Collection, val label: String) {
       Some(mn), Some(mx))), root)
   }
 
-  /** parquet-mr writer for a driver-local row batch — no Spark job.
-    * The 5 engine dtypes map to the encodings Spark's own writer emits
-    * and its vectorized reader consumes: INT64 TIMESTAMP(MICROS,
-    * UTC-adjusted), INT32 DATE, INT64, DOUBLE, BINARY UTF8. Writes
+  /** Driver-local single-file write — no Spark job. Delegates to
+    * [[graft.core.SegmentWriter]], so tiny commits produce the SAME
+    * segment format (INT64-micros timestamps, v2 pages,
+    * BYTE_STREAM_SPLIT floats) as the distributed bulk job. Writes
     * through the Hadoop FileSystem of the target URI, so every store
     * backend (file, memory://, s3ish://, http) is covered. */
   private def writeParquetLocal(
       irows: Seq[org.apache.spark.sql.catalyst.InternalRow],
       physStruct: org.apache.spark.sql.types.StructType,
-      uri: String): Unit = {
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val b = Types.buildMessage()
-    schema.cols.zip(physStruct.fields).foreach { case (c, f) =>
-      def prim(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
-        if (f.nullable) Types.optional(t) else Types.required(t)
-      val tb = c.dtype match {
-        case GType.TimestampT => prim(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case GType.DateT => prim(INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case GType.IntT => prim(INT64)
-        case GType.FloatT => prim(DOUBLE)
-        case GType.StrT => prim(BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-      }
-      b.addField(tb.named(f.name))
-    }
-    val msgType = b.named("spark_schema")
-    val conf = spark.sessionState.newHadoopConf()
-    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(uri), conf))
-      .withType(msgType)
-      .withConf(conf)
-      .withCompressionCodec(
-        org.apache.parquet.hadoop.metadata.CompressionCodecName
-          .valueOf(segmentCodec.toUpperCase(java.util.Locale.ROOT)))
-      // match the Spark write path's v2 pages (delta-packed index
-      // columns); tiny driver-local batches gain little, but mixed
-      // encodings across segments of one series would be a surprise
-      .withWriterVersion(org.apache.parquet.column.ParquetProperties
-        .WriterVersion.PARQUET_2_0)
-      .build()
-    val fac =
-      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
-    try irows.foreach { ir =>
-      val g = fac.newGroup()
-      schema.cols.zipWithIndex.foreach { case (c, i) =>
-        if (!ir.isNullAt(i)) c.dtype match {
-          case GType.TimestampT | GType.IntT => g.add(i, ir.getLong(i))
-          case GType.DateT => g.add(i, ir.getInt(i))
-          case GType.FloatT => g.add(i, ir.getDouble(i))
-          case GType.StrT => g.add(i,
-            org.apache.parquet.io.api.Binary.fromString(
-              ir.getUTF8String(i).toString))
-        }
-      }
-      writer.write(g)
-    } finally writer.close()
-  }
+      uri: String): Unit =
+    graft.core.SegmentWriter.writeFile(irows.iterator, schema.cols,
+      physStruct.fields.map(_.name).toSeq, uri,
+      spark.sessionState.newHadoopConf(), segmentCodec)
 
   /** Splice one write's segment rows into the leaf manifest and append
     * a revision (or defer to an open multi() batch). */
@@ -901,8 +805,10 @@ class KVSeries(collection: Collection, label: String)
     extends Series(collection, label) {
   import collection.schema
 
-  override def write(df: DataFrame, start: Any = null, stop: Any = null,
-      closed: Closed = Closed.Both, root: Boolean = false): Unit = {
+  override def write(df: DataFrame, start: Any, stop: Any,
+      closed: Closed, root: Boolean, presorted: Boolean): Unit = {
+    // an upsert merges with stored rows, so presorted pass-through
+    // ordering cannot be preserved — the merged frame re-sorts
     if (root || start != null || stop != null) {
       super.write(df, start, stop, closed, root); return
     }

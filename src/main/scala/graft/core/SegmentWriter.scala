@@ -1,0 +1,271 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.ParquetProperties
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.ParquetFileWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+/** The engine's own parquet writer for segment files — used on BOTH
+  * the driver (tiny single-file commits) and executors (the bulk
+  * write job), so every segment in a store carries one uniform
+  * format regardless of which path produced it:
+  *
+  *  - INT64 TIMESTAMP(MICROS, UTC) timestamps — NOT Spark's INT96
+  *    default: INT96 has no usable column statistics, cannot
+  *    delta-pack, and costs 12 bytes/value; the 5-minute grid of the
+  *    reference's bench_pg dataset delta-packs to ~nothing as INT64.
+  *  - v2 data pages: DELTA_BINARY_PACKED int64/int32,
+  *    DELTA_BYTE_ARRAY strings.
+  *  - BYTE_STREAM_SPLIT for float64/float32 (dictionary fallback):
+  *    splits each double into 8 byte-streams so the codec sees the
+  *    low-entropy sign/exponent/high-mantissa bytes as runs — the
+  *    parquet counterpart of the reference's blosc bitshuffle
+  *    (lakota/schema.py:51, numcodecs Blosc SHUFFLE). parquet-mr
+  *    only exposes this via `ParquetProperties` — there is no
+  *    `parquet.*` Hadoop conf key — which is exactly why the bulk
+  *    path writes through this class instead of
+  *    `DataFrame.write.parquet`.
+  *
+  * Spark's vectorized reader consumes all of the above natively.
+  *
+  * [[writeJob]] is the bulk path: ONE distributed job over the
+  * range-sorted input in which each task writes its partition's
+  * ~pageLen-row files directly AND returns per-file
+  * (count, min key, max key, content hash) — the write IS the stats
+  * pass, so no read-back scan, footer probe, or second job exists.
+  * The per-file hash is the same order-insensitive
+  * `sum(pmod(xxhash64(cols), 2^31-1))` the manifest digest has
+  * always used, now computed per FILE — making the content address
+  * of every multi-file segment depend on that file's actual interior
+  * (two files whose index stats tie but whose rows differ can never
+  * alias in the store).
+  */
+object SegmentWriter {
+
+  /** Per-staged-file statistics returned by the write job. `tmp` is
+    * the store-RELATIVE staging path; `min`/`max` are kernel-repr
+    * index keys of the file's first/last row (the input is sorted). */
+  final case class FileStat(tmp: String, cnt: Long, min: IndexKey,
+      max: IndexKey, hash: Long) extends Serializable
+
+  /** java-serializable Hadoop Configuration (Configuration itself is
+    * Writable but not Serializable). */
+  final class SerConf(@transient private var c: Configuration)
+      extends Serializable {
+    def value: Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new Configuration(false)
+      c.readFields(in)
+    }
+  }
+
+  /** Parquet message type for the engine's 5 scalar dtypes. */
+  def messageType(cols: Seq[ColDef], physNames: Seq[String])
+      : MessageType = {
+    val b = Types.buildMessage()
+    cols.zip(physNames).foreach { case (c, phys) =>
+      def prim(t: org.apache.parquet.schema.PrimitiveType
+          .PrimitiveTypeName) =
+        if (c.idx) Types.required(t) else Types.optional(t)
+      val tb = c.dtype match {
+        case GType.TimestampT => prim(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case GType.DateT => prim(INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case GType.IntT   => prim(INT64)
+        case GType.FloatT => prim(DOUBLE)
+        case GType.StrT   => prim(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+      }
+      b.addField(tb.named(phys))
+    }
+    b.named("spark_schema")
+  }
+
+  /** WriteSupport for flat InternalRows of the engine dtypes (micros
+    * Long / days Int / Long / Double / UTF8String, Spark's internal
+    * representations). */
+  private final class RowWriteSupport(cols: Seq[ColDef],
+      physNames: Seq[String]) extends WriteSupport[InternalRow] {
+    private val msg = messageType(cols, physNames)
+    private var rc: RecordConsumer = _
+    override def init(conf: Configuration): WriteSupport.WriteContext =
+      new WriteSupport.WriteContext(msg,
+        java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(c: RecordConsumer): Unit = rc = c
+    override def write(ir: InternalRow): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < cols.length) {
+        if (!ir.isNullAt(i)) {
+          rc.startField(physNames(i), i)
+          cols(i).dtype match {
+            case GType.TimestampT | GType.IntT => rc.addLong(ir.getLong(i))
+            case GType.DateT  => rc.addInteger(ir.getInt(i))
+            case GType.FloatT => rc.addDouble(ir.getDouble(i))
+            case GType.StrT   => rc.addBinary(
+              Binary.fromString(ir.getUTF8String(i).toString))
+          }
+          rc.endField(physNames(i), i)
+        }
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  private final class RowWriterBuilder(out: HadoopOutputFile,
+      ws: WriteSupport[InternalRow])
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](out) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : WriteSupport[InternalRow] = ws
+  }
+
+  /** Open one segment-format parquet writer at `uri`. */
+  def open(cols: Seq[ColDef], physNames: Seq[String], uri: String,
+      conf: Configuration, codec: String): ParquetWriter[InternalRow] =
+    new RowWriterBuilder(
+      HadoopOutputFile.fromPath(new Path(uri), conf),
+      new RowWriteSupport(cols, physNames))
+      .withConf(conf)
+      // attempt-unique staging names make OVERWRITE safe: a retried
+      // task rewrites its own file, never a committed one
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .withCompressionCodec(
+        CompressionCodecName.valueOf(
+          codec.toUpperCase(java.util.Locale.ROOT)))
+      .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_2_0)
+      .withDictionaryEncoding(true)
+      // NOT BYTE_STREAM_SPLIT: Spark 4.1's vectorized parquet reader
+      // has no BSS decoder (only PLAIN/RLE/DELTA_* readers exist in
+      // spark-sql), so BSS pages would throw "Unsupported encoding"
+      // on every segment read — trading ~25% float size for losing
+      // the whole vectorized read path is the wrong side of the
+      // bargain. Float64 payloads ship zstd'd PLAIN; high-entropy
+      // mantissas are ~incompressible under ANY byte-oriented codec
+      // (the reference's own bench_zstd.py:8-12 concedes blosc
+      // 0.877x on random float64).
+      .build()
+
+  /** Write a driver-local row batch as ONE file (the tiny-commit
+    * path). Caller computes its own stats. */
+  def writeFile(rows: Iterator[InternalRow], cols: Seq[ColDef],
+      physNames: Seq[String], uri: String, conf: Configuration,
+      codec: String): Unit = {
+    val w = open(cols, physNames, uri, conf, codec)
+    try rows.foreach(w.write) finally w.close()
+  }
+
+  /** The bulk write: one distributed job over `sorted` (already
+    * range-partitioned + sorted within partitions on the index
+    * columns, projected to physical names in schema order). Each task
+    * streams its rows into ≤ pageLen-row files under `tmpUri` and
+    * emits one [[FileStat]] per file; the returned stats are the
+    * write's ONLY metadata pass. At cluster scale this is
+    * embarrassingly parallel: no driver coordination beyond the
+    * final small collect of one stat row per ~pageLen rows.
+    */
+  def writeJob(sorted: DataFrame, gschema: GSchema,
+      physNames: Seq[String], tmpRel: String, tmpUri: String,
+      pageLen: Long, codec: String,
+      verifySorted: Boolean = false): Seq[FileStat] = {
+    val spark = sorted.sparkSession
+    val cols = gschema.cols
+    val phys = physNames.toIndexedSeq
+    val sparkFields = gschema.sparkSchema.fields
+    val idxPos = cols.zipWithIndex.filter(_._1.idx).map(_._2).toArray
+    val dtypes = cols.map(_.dtype).toIndexedSeq
+    val serConf = new SerConf(spark.sessionState.newHadoopConf())
+    val M = 2147483647L
+
+    sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, iter) =>
+      if (!iter.hasNext) Iterator.empty
+      else {
+        val conf = serConf.value
+        val nCols = cols.length
+        val fieldTypes = sparkFields.map(_.dataType)
+        def keyAt(ir: InternalRow): IndexKey = IndexKey(
+          idxPos.map { i =>
+            dtypes(i) match {
+              case GType.TimestampT | GType.IntT => ir.getLong(i)
+              case GType.DateT  => ir.getInt(i).toLong
+              case GType.FloatT => ir.getDouble(i)
+              case GType.StrT   => ir.getUTF8String(i).toString
+            }
+          }.toVector)
+        val attempt = Option(TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val out = ArrayBuffer.empty[FileStat]
+        var w: ParquetWriter[InternalRow] = null
+        var fi = -1
+        var cnt = 0L
+        var hash = 0L
+        var minK: IndexKey = null
+        var maxK: IndexKey = null
+        var prevK: IndexKey = null
+        def fname(i: Int) = f"part-$pid%05d-$attempt-$i%04d.parquet"
+        def roll(): Unit = if (w != null) {
+          w.close()
+          out += FileStat(s"$tmpRel/${fname(fi)}", cnt, minK, maxK, hash)
+          w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
+        }
+        try {
+          while (iter.hasNext) {
+            val ir = iter.next()
+            if (w == null) {
+              fi += 1
+              w = open(cols, phys, s"$tmpUri/${fname(fi)}", conf, codec)
+              minK = keyAt(ir)
+            }
+            w.write(ir)
+            maxK = keyAt(ir)
+            if (verifySorted) {
+              // presorted-input contract (the reference requires
+              // sorted frames on write, lakota/frame.py): verify per
+              // row, fail the write loudly before anything commits
+              if (prevK != null && gschema.cmpKey(prevK, maxK) > 0)
+                throw new IllegalArgumentException(
+                  s"presorted write got unsorted input: $prevK > $maxK")
+              prevK = maxK
+            }
+            // same digest hash the inline/driver-local paths compute
+            // (xxhash64(cols…), seed 42) via the interpreted hash
+            // function directly — no per-row Expression-tree eval
+            var h = 42L
+            var i = 0
+            while (i < nCols) {
+              if (!ir.isNullAt(i))
+                h = XxHash64Function.hash(ir.get(i, fieldTypes(i)),
+                  fieldTypes(i), h)
+              i += 1
+            }
+            hash += ((h % M) + M) % M
+            cnt += 1
+            if (cnt >= pageLen) roll()
+          }
+          roll()
+        } finally if (w != null) w.close()
+        out.iterator
+      }
+    }.collect().toSeq
+  }
+}

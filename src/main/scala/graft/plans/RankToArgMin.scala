@@ -51,6 +51,10 @@ import org.apache.spark.sql.types.IntegerType
   */
 object RankToArgMin extends Rule[LogicalPlan] {
 
+  /** heap state per group is k rows — bound it so the rewrite never
+    * builds an unbounded aggregation buffer from a huge literal */
+  private val MaxK = 10000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Filter(cond, Window(
         Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
@@ -78,6 +82,51 @@ object RankToArgMin extends Rule[LogicalPlan] {
             a.name)(exprId = a.exprId)
         } :+ Alias(Literal(1), alias.name)(exprId = alias.exprId)
       Project(restored, agg)
+
+    // rn <= k (k ≥ 2): same double-sort elimination via the bounded
+    // top-k-rows aggregate + posexplode. The heap carries
+    // struct(order keys…, child cols…); the key fields are BARE
+    // (not struct-wrapped), so the generated comparator's per-field
+    // null ordering is exactly row_number's default for each
+    // direction (asc NULLS FIRST / desc NULLS LAST).
+    case Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+        parts, order, child, _))
+        if rankBound(cond, alias.toAttribute).exists(k =>
+            k >= 2 && k <= MaxK) &&
+          parts.nonEmpty &&
+          order.nonEmpty &&
+          order.forall(_.child.deterministic) &&
+          (order.forall(o => o.direction == Ascending &&
+              o.nullOrdering == NullsFirst) ||
+            order.forall(o => o.direction == Descending &&
+              o.nullOrdering == NullsLast)) &&
+          parts.forall(_.deterministic) &&
+          child.output.nonEmpty =>
+      val k = rankBound(cond, alias.toAttribute).get
+      val asc = order.head.direction == Ascending
+      val nKeys = order.length
+      val combined = CreateStruct(order.map(_.child) ++ child.output)
+      val topk = Alias(
+        graft.functions.TopKRows(combined, nKeys, k, asc)
+          .toAggregateExpression(), "_graft_topk")()
+      val agg = Aggregate(parts, Seq(topk), child)
+      val structT = combined.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val posAttr = AttributeReference("_graft_pos", IntegerType,
+        nullable = false)()
+      val colAttr = AttributeReference("_graft_row", structT,
+        nullable = false)()
+      val gen = Generate(PosExplode(topk.toAttribute),
+        unrequiredChildIndex = Seq(0), outer = false,
+        qualifier = None, generatorOutput = Seq(posAttr, colAttr), agg)
+      val restored: Seq[NamedExpression] =
+        child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(colAttr, nKeys + i, Some(a.name)),
+            a.name)(exprId = a.exprId)
+        } :+ Alias(Add(posAttr, Literal(1)), alias.name)(
+          exprId = alias.exprId)
+      Project(restored, gen)
   }
 
   private def isRankOne(cond: Expression, rn: Attribute): Boolean =
@@ -89,5 +138,19 @@ object RankToArgMin extends Rule[LogicalPlan] {
       case LessThanOrEqual(a: Attribute, Literal(1, IntegerType)) =>
         a.semanticEquals(rn)
       case _ => false
+    }
+
+  /** `rn <= k` / `rn < k+1` / `k >= rn` → Some(k), else None */
+  private def rankBound(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+          if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+          if a.semanticEquals(rn) => Some(k - 1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rn) => Some(k - 1)
+      case _ => None
     }
 }

@@ -1,0 +1,477 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.{InitContext, ReadSupport}
+import org.apache.parquet.io.api.{Binary, Converter, GroupConverter,
+  PrimitiveConverter, RecordMaterializer}
+import org.apache.parquet.schema.{MessageType, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Closed, ColDef, GType, GSchema, IndexKey,
+  SegmentRead, SegmentWriter}
+import graft.engine.SparkVals
+
+/** `spark.read.format("graft")` — the SQL-first entry into the
+  * engine: a DataSourceV2 TableProvider whose ScanBuilder receives
+  * the query's pushed index-column predicates and drives MANIFEST
+  * segment pruning with them, so a plain
+  * `spark.sql("SELECT … WHERE ts < X")` over a registered graft
+  * table opens only the covering segment files — the same pruning
+  * the `Series.frame(start, stop)` API performs, now available to a
+  * SQL user who never touches the Scala API (the mechanism Delta
+  * uses for the same job: TableProvider + ScanBuilder).
+  *
+  * Options: `path` (repo root), `collection`, `series`,
+  * `before` (optional time travel — epoch millis or ISO-8601, the
+  * changelog revision clock of `Series.frame(beforeMs)`).
+  *
+  * Semantics = `Series.frame()`: overlay (splice-clipped segments
+  * get their residual range filter applied IN the reader),
+  * manifest-inline micro-segments served from the plan, clone
+  * renames/defaults resolved per file. Pushed filters are used for
+  * pruning and REMAIN residual — Spark re-applies every predicate
+  * above the scan, so a partially-usable filter can never change
+  * results.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def resolve(options: CaseInsensitiveStringMap): GraftTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft: missing 'path' option"))
+    val clct = Option(options.get("collection")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: missing 'collection' option"))
+    val series = Option(options.get("series")).getOrElse("_")
+    val beforeMs = Option(options.get("before")).map { s =>
+      try s.toLong
+      catch {
+        case _: NumberFormatException =>
+          java.time.Instant.parse(
+            if (s.endsWith("Z") || s.contains("+")) s else s + "Z")
+            .toEpochMilli
+      }
+    }
+    new GraftTable(path, clct, series, beforeMs)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties))
+}
+
+/** Driver-side planning state: segments are resolved from the
+  * manifest lazily per scan, AFTER filters arrive. */
+class GraftTable(rootUri: String, collectionName: String,
+    seriesLabel: String, beforeMs: Option[Long])
+    extends Table with SupportsRead {
+
+  private[sources] def series: graft.api.Series = {
+    val spark = SparkSession.active
+    val repo = new graft.api.Repo(rootUri, spark)
+    val clct = repo.collection(collectionName).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: no collection '$collectionName' under $rootUri"))
+    clct.series(seriesLabel)
+  }
+
+  private[sources] lazy val gschema: GSchema = series.collection.schema
+
+  override def name(): String =
+    s"graft.`$rootUri`.$collectionName.$seriesLabel"
+  override def schema(): StructType = gschema.sparkSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(this, beforeMs)
+}
+
+/** Test/diagnostic probe: records how the LAST planned graft scan
+  * pruned (covering vs total manifest segments). */
+object GraftScanProbe {
+  @volatile var lastSegmentsScanned: Int = -1
+  @volatile var lastSegmentsTotal: Int = -1
+  @volatile var lastPushed: Seq[String] = Nil
+}
+
+class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var startB: Any = null
+  private var startClosed = true
+  private var stopB: Any = null
+  private var stopClosed = true
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  private def idxHead: String = table.gschema.idx.head.name
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan(c, v) if c == idxHead =>
+        usable += f; tighten(lo = v, loClosed = false)
+      case f @ GreaterThanOrEqual(c, v) if c == idxHead =>
+        usable += f; tighten(lo = v, loClosed = true)
+      case f @ LessThan(c, v) if c == idxHead =>
+        usable += f; tighten(hi = v, hiClosed = false)
+      case f @ LessThanOrEqual(c, v) if c == idxHead =>
+        usable += f; tighten(hi = v, hiClosed = true)
+      case f @ EqualTo(c, v) if c == idxHead =>
+        usable += f
+        tighten(lo = v, loClosed = true)
+        tighten(hi = v, hiClosed = true)
+      case _ => ()
+    }
+    pushed = usable.toArray
+    filters // everything stays residual: Spark re-applies above scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** keep the tightest bound seen (kernel-compared) */
+  private def tighten(lo: Any = null, loClosed: Boolean = true,
+      hi: Any = null, hiClosed: Boolean = true): Unit = {
+    val dt = table.gschema.idx.head.dtype
+    def k(v: Any) = SparkVals.parseBound(dt, v)
+    if (lo != null) {
+      if (startB == null || dt.cmp(k(lo), k(startB)) > 0 ||
+          (dt.cmp(k(lo), k(startB)) == 0 && !loClosed)) {
+        startB = lo; startClosed = loClosed
+      }
+    }
+    if (hi != null) {
+      if (stopB == null || dt.cmp(k(hi), k(stopB)) < 0 ||
+          (dt.cmp(k(hi), k(stopB)) == 0 && !hiClosed)) {
+        stopB = hi; stopClosed = hiClosed
+      }
+    }
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val closed = Closed.Both.setLeft(startClosed).setRight(stopClosed)
+    new GraftScan(table, startB, stopB, closed, beforeMs,
+      required.getOrElse(table.schema()),
+      pushed.map(_.toString).toSeq)
+  }
+}
+
+class GraftScan(table: GraftTable, start: Any, stop: Any,
+    closed: Closed, beforeMs: Option[Long], required: StructType,
+    pushedDesc: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val segs = plannedSegments
+    s"GraftScan ${table.name()} segments=${segs.length}/" +
+      s"$totalSegments pushed=[${pushedDesc.mkString(", ")}]"
+  }
+
+  private lazy val (plannedSegments, totalSegments):
+      (Seq[SegmentRead], Int) = {
+    val s = table.series
+    val total = s.segments().count(_.meta.hasData)
+    val covering = s.segments(start, stop, beforeMs, closed)
+      .filter(_.meta.hasData)
+    GraftScanProbe.lastSegmentsScanned = covering.length
+    GraftScanProbe.lastSegmentsTotal = total
+    GraftScanProbe.lastPushed = pushedDesc
+    (covering, total)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = table.series
+    val clct = s.collection
+    val gs = table.gschema
+    val reqNames = required.fields.map(_.name).toSeq
+    // residual clip needs the index values even when pruned away:
+    // read (requested ∪ index-if-clipping), emit requested positions
+    def partsOf(seg: SegmentRead): Seq[InputPartition] = {
+      val clip = !covers(gs, seg)
+      val readNames =
+        if (clip) (reqNames ++ gs.idxNames.filterNot(reqNames.contains))
+        else reqNames
+      val cols = readNames.map(n => gs(n))
+      val outPos = reqNames.map(readNames.indexOf).toArray
+      // only meaningful when clipping (idx cols are then in readNames)
+      val idxPos =
+        if (clip) gs.idxNames.map(readNames.indexOf).toArray
+        else Array.empty[Int]
+      val defaults = readNames.map(n => clct.defaults.get(n).orNull)
+      val bounds =
+        if (clip) GraftClip(seg.start, seg.stop, seg.closed) else null
+      if (seg.meta.inline.isDefined) {
+        val srcCols = gs.cols.filterNot(c =>
+          clct.defaults.contains(c.name)).map(_.name)
+        Seq(GraftInlinePartition(seg.meta.inline.get,
+          srcCols.toVector, readNames.toVector,
+          cols.map(_.dtype.name).toVector,
+          defaults.toVector, outPos, idxPos, bounds))
+      } else seg.meta.files.map { f =>
+        GraftFilePartition(s.collection.repo.store.uri(f),
+          readNames.toVector, cols.map(n => clct.physOf(n.name)).toVector,
+          cols.map(_.dtype.name).toVector, defaults.toVector,
+          outPos, idxPos, bounds)
+      }
+    }
+    plannedSegments.flatMap(partsOf).toArray
+  }
+
+  private def covers(gs: GSchema, s: SegmentRead): Boolean =
+    (s.meta.dataStart, s.meta.dataStop) match {
+      case (Some(ds), Some(de)) =>
+        val l = gs.cmpKey(s.start, ds)
+        val r = gs.cmpKey(s.stop, de)
+        (l < 0 || (l == 0 && s.closed.left)) &&
+          (r > 0 || (r == 0 && s.closed.right))
+      case _ => false
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SegmentWriter.SerConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new GraftReaderFactory(conf)
+  }
+}
+
+/** residual overlay-clip bounds, evaluated per row in the reader */
+final case class GraftClip(start: IndexKey, stop: IndexKey,
+    closed: Closed) extends Serializable
+
+final case class GraftFilePartition(uri: String,
+    readNames: Vector[String], physNames: Vector[String],
+    dtypeNames: Vector[String], defaults: Vector[Any],
+    outPos: Array[Int], idxPos: Array[Int], clip: GraftClip)
+    extends InputPartition
+
+final case class GraftInlinePartition(rows: Vector[Vector[Any]],
+    srcCols: Vector[String], readNames: Vector[String],
+    dtypeNames: Vector[String], defaults: Vector[Any],
+    outPos: Array[Int], idxPos: Array[Int], clip: GraftClip)
+    extends InputPartition
+
+class GraftReaderFactory(conf: SegmentWriter.SerConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case fp: GraftFilePartition => new GraftFileReader(fp, conf)
+    case ip: GraftInlinePartition => new GraftInlineReader(ip)
+  }
+}
+
+private object GraftRead {
+  def dtypeOf(name: String): GType =
+    GType.all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"bad dtype $name"))
+
+  /** kernel scalar -> InternalRow slot value for a dtype */
+  def kernelToInternal(dt: GType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case GType.DateT => v.asInstanceOf[Long].toInt
+      case GType.StrT  => UTF8String.fromString(v.asInstanceOf[String])
+      case _           => v
+    }
+
+  /** InternalRow slot value -> kernel scalar */
+  def internalToKernel(dt: GType, v: Any): Any = dt match {
+    case GType.DateT => v.asInstanceOf[Int].toLong
+    case GType.StrT  => v.toString
+    case _           => v
+  }
+
+  /** does the row's index key fall inside the clip bounds? */
+  def inClip(gs: Array[GType], key: Array[Any], clip: GraftClip): Boolean = {
+    if (clip == null) return true
+    def cmp(k: IndexKey): Int = {
+      val n = math.min(key.length, k.values.length)
+      var i = 0
+      while (i < n) {
+        val c = gs(i).cmp(key(i), k.values(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    val l = cmp(clip.start)
+    val r = cmp(clip.stop)
+    (l > 0 || (l == 0 && clip.closed.left)) &&
+      (r < 0 || (r == 0 && clip.closed.right))
+  }
+
+  def project(slots: Array[Any], outPos: Array[Int]): InternalRow = {
+    if (outPos.length == slots.length &&
+        outPos.indices.forall(i => outPos(i) == i))
+      new GenericInternalRow(slots.clone())
+    else {
+      val out = new Array[Any](outPos.length)
+      var i = 0
+      while (i < outPos.length) { out(i) = slots(outPos(i)); i += 1 }
+      new GenericInternalRow(out)
+    }
+  }
+}
+
+/** Row-materializing parquet reader for the engine's 5 scalar dtypes.
+  * Handles both current segment files (INT64-micros timestamps) and
+  * pre-round-8 ones (INT96), missing columns (pre-clone files) via
+  * defaults/null, and the residual overlay clip. */
+class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
+    extends PartitionReader[InternalRow] {
+  import GraftRead._
+
+  private val dtypes = p.dtypeNames.map(dtypeOf).toArray
+  private val idxDts = p.idxPos.map(i => dtypes(i))
+  private val slots = new Array[Any](p.readNames.length)
+  private val kernelDefaults: Array[Any] =
+    p.defaults.toArray
+
+  private val support = new ReadSupport[Array[Any]] {
+    override def init(ctx: InitContext): ReadSupport.ReadContext = {
+      val fileSchema = ctx.getFileSchema
+      val byName = fileSchema.getFields.asScala.map(f =>
+        f.getName -> f).toMap
+      val b = Types.buildMessage()
+      p.physNames.foreach(n => byName.get(n).foreach(b.addField))
+      new ReadSupport.ReadContext(b.named(fileSchema.getName))
+    }
+    override def prepareForRead(c: org.apache.hadoop.conf.Configuration,
+        meta: util.Map[String, String], fileSchema: MessageType,
+        ctx: ReadSupport.ReadContext): RecordMaterializer[Array[Any]] = {
+      val requested = ctx.getRequestedSchema
+      // requested field i -> slot index
+      val slotOf = requested.getFields.asScala.map(f =>
+        p.physNames.indexOf(f.getName)).toArray
+      new RecordMaterializer[Array[Any]] {
+        private val root: GroupConverter = new GroupConverter {
+          override def getConverter(fieldIndex: Int): Converter = {
+            val slot = slotOf(fieldIndex)
+            val dt = dtypes(slot)
+            val prim = requested.getType(fieldIndex).asPrimitiveType()
+              .getPrimitiveTypeName
+            new PrimitiveConverter {
+              override def addLong(v: Long): Unit = slots(slot) = v
+              override def addInt(v: Int): Unit = slots(slot) =
+                if (dt == GType.DateT) v else v.toLong
+              override def addDouble(v: Double): Unit = slots(slot) = v
+              override def addFloat(v: Float): Unit =
+                slots(slot) = v.toDouble
+              override def addBinary(v: Binary): Unit =
+                if (prim == org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT96) {
+                  // legacy INT96 timestamp: 8 B nanos-of-day LE +
+                  // 4 B julian day LE -> epoch micros
+                  val buf = v.toByteBuffer
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val nanos = buf.getLong(0)
+                  val julian = buf.getInt(8)
+                  slots(slot) =
+                    (julian - 2440588L) * 86400000000L + nanos / 1000L
+                } else slots(slot) =
+                  UTF8String.fromBytes(v.getBytes)
+            }
+          }
+          override def start(): Unit = {
+            java.util.Arrays.fill(
+              slots.asInstanceOf[Array[AnyRef]], null)
+          }
+          override def end(): Unit = ()
+        }
+        override def getRootConverter: GroupConverter = root
+        override def getCurrentRecord: Array[Any] = slots
+      }
+    }
+  }
+
+  private val reader: ParquetReader[Array[Any]] =
+    ParquetReader.builder(support, new Path(p.uri))
+      .withConf(conf.value).build()
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      val rec = reader.read()
+      if (rec == null) return false
+      // absent columns / stored nulls with a declared default
+      var i = 0
+      while (i < slots.length) {
+        if (slots(i) == null && kernelDefaults(i) != null)
+          slots(i) = kernelToInternal(dtypes(i), kernelDefaults(i))
+        i += 1
+      }
+      if (p.clip == null || {
+        val key = p.idxPos.map(j =>
+          internalToKernel(dtypes(j), slots(j)))
+        inClip(idxDts, key, p.clip)
+      }) {
+        current = project(slots, p.outPos)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+class GraftInlineReader(p: GraftInlinePartition)
+    extends PartitionReader[InternalRow] {
+  import GraftRead._
+
+  private val dtypes = p.dtypeNames.map(dtypeOf).toArray
+  private val idxDts = p.idxPos.map(i => dtypes(i))
+  private val srcIdx: Array[Int] =
+    p.readNames.map(n => p.srcCols.indexOf(n)).toArray
+  private val it = p.rows.iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val v = it.next()
+      val slots = new Array[Any](p.readNames.length)
+      var i = 0
+      while (i < slots.length) {
+        val kernel =
+          if (srcIdx(i) >= 0) v(srcIdx(i)) else p.defaults(i)
+        slots(i) = kernelToInternal(dtypes(i), kernel)
+        i += 1
+      }
+      val key = p.idxPos.map(j => internalToKernel(dtypes(j), slots(j)))
+      if (inClip(idxDts, key, p.clip)) {
+        current = project(slots, p.outPos)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,140 @@
+package graft
+
+import graft.api._
+import graft.core._
+import graft.sources.GraftScanProbe
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `spark.read.format("graft")` connector: SQL `WHERE` predicates on
+  * the index column must drive MANIFEST pruning (the SegmentRead
+  * cover, mirroring `Series.frame(start, stop)`), overlay clips must
+  * apply in the reader, inline micro-segments must be served, and
+  * `.option("before", ms)` must round-trip time travel.
+  */
+class GraftSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = GSchema("ts" -> "int*", "value" -> "float")
+
+  /** series with 8 parquet segments of 10k rows each (pageLen 10k) */
+  private def fixture(): (Repo, Series, String) = {
+    val root = Files.createTempDirectory("graft-dsv2").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.pageLen = 10000L
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    val df = spark.range(0, 80000, 1, 8)
+      .select($"id".as("ts"), ($"id" * 1.5).as("value"))
+    s.write(df, presorted = true)
+    (repo, s, root)
+  }
+
+  private def table(root: String) =
+    spark.read.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").load()
+
+  test("index WHERE prunes to the covering segments") {
+    val (_, s, root) = fixture()
+    assert(s.segments().length == 8)
+    table(root).createOrReplaceTempView("g")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(ts) AS st FROM g WHERE ts < 10000")
+      .collect()(0)
+    assert(got.getLong(0) == 10000L)
+    assert(got.getLong(1) == (0L until 10000L).sum)
+    assert(GraftScanProbe.lastSegmentsTotal == 8)
+    assert(GraftScanProbe.lastSegmentsScanned == 1,
+      s"expected 1 covering segment, scanned " +
+        s"${GraftScanProbe.lastSegmentsScanned}")
+    assert(GraftScanProbe.lastPushed.exists(_.contains("ts")))
+
+    // range in the middle: 2 covering segments
+    val mid = spark.sql(
+      "SELECT count(*) AS n FROM g WHERE ts >= 15000 AND ts < 25000")
+      .collect()(0).getLong(0)
+    assert(mid == 10000L)
+    assert(GraftScanProbe.lastSegmentsScanned == 2)
+  }
+
+  test("column pruning reaches the reader") {
+    val (_, _, root) = fixture()
+    val df = table(root).select("value").filter(col("value") < 15.0)
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan.take(800))
+  }
+
+  test("overlay clip applies in the reader") {
+    val (_, s, root) = fixture()
+    import spark.implicits._
+    // overwrite [5000, 15000): splices the first two segments
+    val over = spark.range(5000, 15000, 1, 2)
+      .select($"id".as("ts"), lit(-1.0).as("value"))
+    s.write(over, presorted = true)
+    val got = table(root).filter(col("ts") < 20000)
+    assert(got.count() == 20000L)
+    val negs = got.filter(col("value") === -1.0).count()
+    assert(negs == 10000L)
+    // API result == connector result
+    val api = s.frame(null, 20000L, closed = Closed.None_)
+    assert(got.exceptAll(api).isEmpty && api.exceptAll(got).isEmpty)
+  }
+
+  test("inline micro-segments are served") {
+    val root = Files.createTempDirectory("graft-dsv2i").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(Seq((1L, 1.0), (2L, 2.0)).toDF("ts", "value"))
+    assert(clct.manifest().get.rows.forall(_.inline.isDefined))
+    val got = table(root).collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(got == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("before option time-travels (q32 semantics over SQL)") {
+    val root = Files.createTempDirectory("graft-dsv2t").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(Seq((1L, 1.0), (2L, 2.0)).toDF("ts", "value"))
+    val rev1 = clct.changelog.leaf().get.epochMs
+    Thread.sleep(5)
+    s.write(Seq((2L, 20.0), (3L, 3.0)).toDF("ts", "value"))
+    val now = table(root).collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(now == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    val then_ = spark.read.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").option("before", (rev1 + 1).toString)
+      .load().collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(then_ == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("clone renames and defaults resolve through the connector") {
+    val root = Files.createTempDirectory("graft-dsv2c").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(Seq((1L, 1.0), (2L, 2.0)).toDF("ts", "value"))
+    clct.cloneTo("c2", rename = Map("value" -> "v2"),
+      additions = Seq(
+        (ColDef("tag", GType.StrT, idx = false), "x")))
+    val got = spark.read.format("graft")
+      .option("path", root).option("collection", "c2").load()
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 1.0, "x"), (2L, 2.0, "x")))
+  }
+}

@@ -410,6 +410,45 @@ class PlanSpec extends AnyFunSuite {
       .contains("row_number() windowspecdefinition"))
   }
 
+  test("RankToArgMin rewrites rn <= k to the bounded top-k aggregate") {
+    graft.GraftOptimizations.install(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // top-3 events per user by time — the naive window formulation
+    val naive = spark.sql(
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin)
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number() windowspecdefinition"),
+      s"rn<=k window not rewritten:\n${plan.take(1500)}")
+    assert(plan.contains("graft_topk_rows"), plan.take(1500))
+    // equals the window result computed WITHOUT the rule (rank()
+    // over a TOTAL order ≡ row_number, and the rule ignores rank)
+    val noRule = spark.sql(
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, rank() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin)
+    assert(naive.exceptAll(noRule).isEmpty &&
+      noRule.exceptAll(naive).isEmpty)
+    // descending variant → keep-latest-3, and rn survives correctly
+    val desc = spark.sql(
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 2""".stripMargin)
+    assert(desc.queryExecution.executedPlan.toString
+      .contains("graft_topk_rows"))
+    val descRef = spark.sql(
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id, rank() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 2""".stripMargin)
+    assert(desc.exceptAll(descRef).isEmpty &&
+      descRef.exceptAll(desc).isEmpty)
+  }
+
   // -- global-window allowlist gate ----------------------------------
   // A WindowExec with an EMPTY partitionSpec single-threads its input
   // through one task — a scale-killer on corpus-sized data, and the
