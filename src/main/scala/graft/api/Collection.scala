@@ -40,15 +40,16 @@ class Collection(val repo: Repo, val label: String, val path: String,
   /** Bulk multi-series ingest — one series per distinct value of
     * `byCol` (the reference's who_covid workflow, one series per
     * country, examples/who_covid.md). Scale shape: ONE range-sorted
-    * `partitionBy` write job stages every group's segment files, ONE
-    * read-back aggregate computes all per-file stats, and every
-    * series' manifest rows land in a SINGLE batched changelog commit —
-    * the driver loop touches only metadata, so "split this dataframe
-    * into 10^5 series" never becomes 10^5 Spark jobs.
-    *
-    * Labels are the group values rendered as strings; values that are
-    * not plain path characters go through Spark's partition-dir
-    * escaping. Returns the ingested labels in sorted order.
+    * job in which every task streams its (label, index)-ordered rows
+    * into per-label segment files ([[graft.core.SegmentWriter]]
+    * rolls on label change or pageLen) and returns label-tagged
+    * per-file stats + content hashes inline; every series' manifest
+    * rows then land in a SINGLE batched changelog commit — the
+    * driver loop touches only metadata, so "split this dataframe
+    * into 10^5 series" never becomes 10^5 Spark jobs, and the old
+    * read-back stats aggregate (a second full pass at corpus scale)
+    * no longer exists. Labels are the group values rendered as
+    * strings. Returns the ingested labels in sorted order.
     */
   def ingestGrouped(df: org.apache.spark.sql.DataFrame,
       byCol: String): Seq[String] = {
@@ -56,7 +57,6 @@ class Collection(val repo: Repo, val label: String, val path: String,
     require(colMap.isEmpty && defaults.isEmpty,
       "ingestGrouped targets non-cloned collections (bulk ingest " +
         "belongs in the source collection; clones share its segments)")
-    val spark = repo.spark
     val store = repo.store
     val idxCols = schema.idxNames.map(col)
     val data = df.select(col(byCol).cast("string").as("_graft_label") +:
@@ -68,51 +68,26 @@ class Collection(val repo: Repo, val label: String, val path: String,
 
     val tmpRel = s"tmp/${Hash.hextime()}-" +
       java.util.UUID.randomUUID().toString.take(12)
-    sorted.write.mode("overwrite")
-      .option("maxRecordsPerFile", pageLen)
-      // same at-rest codec + v2-page decisions as the Series write path
-      .option("compression",
+    val stats =
+      try graft.core.SegmentWriter.writeJobGrouped(sorted, schema,
+        schema.names, tmpRel, store.uri(tmpRel), pageLen,
         repo.spark.conf.get("spark.graft.segment.codec", "zstd"))
-      .option("parquet.writer.version", "PARQUET_2_0")
-      .partitionBy("_graft_label")
-      .parquet(store.uri(tmpRel))
-
-    val allCols = schema.names.map(col)
-    val readSchema = org.apache.spark.sql.types.StructType(
-      schema.sparkSchema.fields :+ org.apache.spark.sql.types
-        .StructField("_graft_label",
-          org.apache.spark.sql.types.StringType))
-    val statRows = spark.read.schema(readSchema)
-      .option("basePath", store.uri(tmpRel))
-      .parquet(store.uri(tmpRel))
-      .groupBy(col("_graft_label").as("_lbl"),
-        input_file_name().as("_file"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(idxCols: _*)).as("_min"),
-        max(struct(idxCols: _*)).as("_max"),
-        sum(pmod(xxhash64(allCols: _*), lit(2147483647L))).as("_hash"))
-      .collect()
-
-    // input_file_name() returns URL-encoded URIs; the file ON DISK has
-    // the decoded name (e.g. a label with a space stages under a dir
-    // with a literal space, reported as %20). Decode via URI.getPath —
-    // otherwise the rename would silently miss and the manifest would
-    // reference segments that were never created.
-    def relOf(uri: String): String = {
-      val p = new java.net.URI(uri).getPath
-      val i = p.indexOf(tmpRel)
-      require(i >= 0, s"staged file outside staging dir: $uri")
-      p.substring(i)
-    }
-    val byLabel = statRows.groupBy(_.getAs[String]("_lbl"))
-    if (byLabel.contains(null)) { // fail loudly, never a null-labeled series
-      store.rm(tmpRel, recursive = true)
-      throw new IllegalArgumentException(
-        s"null values in group column '$byCol' — filter them first")
-    }
+      catch {
+        case e: Throwable =>
+          store.rm(tmpRel, recursive = true)
+          // task-side validation (null labels) keeps its API-level
+          // exception type instead of Spark's job-failure wrapper
+          Iterator.iterate(e.getCause)(_.getCause)
+            .takeWhile(_ != null).take(8)
+            .collectFirst { case ia: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"${ia.getMessage} (group column '$byCol')") }
+          throw e
+      }
+    val byLabel = stats.groupBy(_._1)
     val labels = byLabel.keys.toSeq.sorted
     val writes = labels.map { lbl =>
-      new Series(this, lbl).sealSegmentRows(byLabel(lbl).toSeq, relOf,
+      new Series(this, lbl).sealSegments(byLabel(lbl).map(_._2),
         null, null, Closed.Both)
     }
     store.rm(tmpRel, recursive = true)

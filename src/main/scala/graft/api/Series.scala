@@ -179,19 +179,6 @@ class Series(val collection: Collection, val label: String) {
     commitRows(rows, root)
   }
 
-  /** Stat-row adapter for [[Collection.ingestGrouped]]'s read-back
-    * aggregate (`_file,_cnt,_min,_max,_hash` rows; `tmpPathOf` maps a
-    * file URI to its store-relative staging path). */
-  private[api] def sealSegmentRows(statRows: Seq[Row],
-      tmpPathOf: String => String, startK: IndexKey, stopK: IndexKey,
-      closed: Closed): Seq[SegmentMeta] =
-    sealSegments(statRows.map { r =>
-      graft.core.SegmentWriter.FileStat(
-        tmpPathOf(r.getAs[String]("_file")), r.getAs[Long]("_cnt"),
-        keyOf(r.getAs[Row]("_min")), keyOf(r.getAs[Row]("_max")),
-        r.getAs[Long]("_hash"))
-    }, startK, stopK, closed)
-
   /** Per-file write stats → sorted, content-addressed segment rows
     * for THIS series: each staged file is moved (or deduplicated)
     * into the segment store and covered by a contiguous manifest row.

@@ -102,9 +102,12 @@ object SegmentWriter {
 
   /** WriteSupport for flat InternalRows of the engine dtypes (micros
     * Long / days Int / Long / Double / UTF8String, Spark's internal
-    * representations). */
+    * representations). `srcOffset` shifts where the data columns
+    * start in the input row (the grouped write carries a leading
+    * label column that must not reach the file). */
   private final class RowWriteSupport(cols: Seq[ColDef],
-      physNames: Seq[String]) extends WriteSupport[InternalRow] {
+      physNames: Seq[String], srcOffset: Int)
+      extends WriteSupport[InternalRow] {
     private val msg = messageType(cols, physNames)
     private var rc: RecordConsumer = _
     override def init(conf: Configuration): WriteSupport.WriteContext =
@@ -115,14 +118,15 @@ object SegmentWriter {
       rc.startMessage()
       var i = 0
       while (i < cols.length) {
-        if (!ir.isNullAt(i)) {
+        val s = i + srcOffset
+        if (!ir.isNullAt(s)) {
           rc.startField(physNames(i), i)
           cols(i).dtype match {
-            case GType.TimestampT | GType.IntT => rc.addLong(ir.getLong(i))
-            case GType.DateT  => rc.addInteger(ir.getInt(i))
-            case GType.FloatT => rc.addDouble(ir.getDouble(i))
+            case GType.TimestampT | GType.IntT => rc.addLong(ir.getLong(s))
+            case GType.DateT  => rc.addInteger(ir.getInt(s))
+            case GType.FloatT => rc.addDouble(ir.getDouble(s))
             case GType.StrT   => rc.addBinary(
-              Binary.fromString(ir.getUTF8String(i).toString))
+              Binary.fromString(ir.getUTF8String(s).toString))
           }
           rc.endField(physNames(i), i)
         }
@@ -142,10 +146,11 @@ object SegmentWriter {
 
   /** Open one segment-format parquet writer at `uri`. */
   def open(cols: Seq[ColDef], physNames: Seq[String], uri: String,
-      conf: Configuration, codec: String): ParquetWriter[InternalRow] =
+      conf: Configuration, codec: String, srcOffset: Int = 0)
+      : ParquetWriter[InternalRow] =
     new RowWriterBuilder(
       HadoopOutputFile.fromPath(new Path(uri), conf),
-      new RowWriteSupport(cols, physNames))
+      new RowWriteSupport(cols, physNames, srcOffset))
       .withConf(conf)
       // attempt-unique staging names make OVERWRITE safe: a retried
       // task rewrites its own file, never a committed one
@@ -187,7 +192,27 @@ object SegmentWriter {
   def writeJob(sorted: DataFrame, gschema: GSchema,
       physNames: Seq[String], tmpRel: String, tmpUri: String,
       pageLen: Long, codec: String,
-      verifySorted: Boolean = false): Seq[FileStat] = {
+      verifySorted: Boolean = false): Seq[FileStat] =
+    writeJobImpl(sorted, gschema, physNames, tmpRel, tmpUri, pageLen,
+      codec, verifySorted, labeled = false).map(_._2)
+
+  /** Multi-series variant for [[graft.api.Collection.ingestGrouped]]:
+    * the input carries a leading STRING label column (row layout
+    * `[label, data cols…]`, sorted by (label, index…)), tasks roll
+    * files on label change OR pageLen, and each [[FileStat]] comes
+    * back tagged with its label — so "split this frame into 10^5
+    * series" is ONE job with no read-back, no partitionBy directory
+    * escaping, and per-file metadata proportional to output files. */
+  def writeJobGrouped(sorted: DataFrame, gschema: GSchema,
+      physNames: Seq[String], tmpRel: String, tmpUri: String,
+      pageLen: Long, codec: String): Seq[(String, FileStat)] =
+    writeJobImpl(sorted, gschema, physNames, tmpRel, tmpUri, pageLen,
+      codec, verifySorted = false, labeled = true)
+
+  private def writeJobImpl(sorted: DataFrame, gschema: GSchema,
+      physNames: Seq[String], tmpRel: String, tmpUri: String,
+      pageLen: Long, codec: String, verifySorted: Boolean,
+      labeled: Boolean): Seq[(String, FileStat)] = {
     val spark = sorted.sparkSession
     val cols = gschema.cols
     val phys = physNames.toIndexedSeq
@@ -196,6 +221,7 @@ object SegmentWriter {
     val dtypes = cols.map(_.dtype).toIndexedSeq
     val serConf = new SerConf(spark.sessionState.newHadoopConf())
     val M = 2147483647L
+    val off = if (labeled) 1 else 0
 
     sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, iter) =>
       if (!iter.hasNext) Iterator.empty
@@ -206,15 +232,15 @@ object SegmentWriter {
         def keyAt(ir: InternalRow): IndexKey = IndexKey(
           idxPos.map { i =>
             dtypes(i) match {
-              case GType.TimestampT | GType.IntT => ir.getLong(i)
-              case GType.DateT  => ir.getInt(i).toLong
-              case GType.FloatT => ir.getDouble(i)
-              case GType.StrT   => ir.getUTF8String(i).toString
+              case GType.TimestampT | GType.IntT => ir.getLong(i + off)
+              case GType.DateT  => ir.getInt(i + off).toLong
+              case GType.FloatT => ir.getDouble(i + off)
+              case GType.StrT   => ir.getUTF8String(i + off).toString
             }
           }.toVector)
         val attempt = Option(TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val out = ArrayBuffer.empty[FileStat]
+        val out = ArrayBuffer.empty[(String, FileStat)]
         var w: ParquetWriter[InternalRow] = null
         var fi = -1
         var cnt = 0L
@@ -222,19 +248,33 @@ object SegmentWriter {
         var minK: IndexKey = null
         var maxK: IndexKey = null
         var prevK: IndexKey = null
+        var label: String = null
         def fname(i: Int) = f"part-$pid%05d-$attempt-$i%04d.parquet"
         def roll(): Unit = if (w != null) {
           w.close()
-          out += FileStat(s"$tmpRel/${fname(fi)}", cnt, minK, maxK, hash)
+          out += ((label,
+            FileStat(s"$tmpRel/${fname(fi)}", cnt, minK, maxK, hash)))
           w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
         }
         try {
           while (iter.hasNext) {
             val ir = iter.next()
+            val rowLabel =
+              if (!labeled) null
+              else if (ir.isNullAt(0))
+                throw new IllegalArgumentException(
+                  "null values in group column — filter them first")
+              else ir.getUTF8String(0).toString
+            if (w != null && labeled && rowLabel != label) {
+              roll() // new series starts a new file
+              prevK = null
+            }
             if (w == null) {
               fi += 1
-              w = open(cols, phys, s"$tmpUri/${fname(fi)}", conf, codec)
+              w = open(cols, phys, s"$tmpUri/${fname(fi)}", conf,
+                codec, off)
               minK = keyAt(ir)
+              label = rowLabel
             }
             w.write(ir)
             maxK = keyAt(ir)
@@ -253,9 +293,9 @@ object SegmentWriter {
             var h = 42L
             var i = 0
             while (i < nCols) {
-              if (!ir.isNullAt(i))
-                h = XxHash64Function.hash(ir.get(i, fieldTypes(i)),
-                  fieldTypes(i), h)
+              if (!ir.isNullAt(i + off))
+                h = XxHash64Function.hash(
+                  ir.get(i + off, fieldTypes(i)), fieldTypes(i), h)
               i += 1
             }
             hash += ((h % M) + M) % M
