@@ -54,7 +54,10 @@ object Bench {
     "q128_incremental_index",
     // round-7 additions: JL-sketch-prefiltered ANN with recall audit,
     // batch novelty scoring, simhash hamming-radius pair join
-    "q146_ann_jl_prefilter", "q147_ngram_novelty", "q152_simhash_pairs")
+    "q146_ann_jl_prefilter", "q147_ngram_novelty", "q152_simhash_pairs",
+    // round-8: the row_number()<=k -> bounded-heap rewrite, timed on
+    // the naive SQL a user writes (the rule supplies the fast plan)
+    "q175_topk_rewrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

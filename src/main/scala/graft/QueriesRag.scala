@@ -727,7 +727,95 @@ object QueriesRag {
   /** the full-rebuild oracle IS q113's: incremental == rebuild */
   val q128_oracle: String = q113_oracle
 
+  /** integer nDCG@10 discount table: D(p) = round(1e9 / log2(p+1))
+    * and its prefix sums, embedded as LITERALS in both dialects so
+    * neither engine evaluates a logarithm at query time (a 1-ulp
+    * libm difference could flip a nano rounding). */
+  private val ndcgD: Seq[Long] =
+    (1 to 10).map(p => math.round(1e9 / (math.log(p + 1) / math.log(2))))
+  private val ndcgP: Seq[Long] = ndcgD.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation — nDCG@10 of the brute-force
+    * cosine ranking against the stored labels (binary relevance:
+    * neighbor shares the probe's label), per probe. This is the
+    * EVAL half the retrieval stack (q113 BM25, q114 RRF, q115 MMR,
+    * q107/q122 recall audits) reports into: the number a team
+    * actually tracks when swapping index types. Shape: broadcast
+    * probe table, two-stage sharded top-10 (never a global sort),
+    * discount arithmetic entirely on integer literals; at 100 TB
+    * the per-probe work is one scan + k-bounded ranks. */
+  def q176_retrieval_ndcg(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    val dArr = ndcgD.mkString("array(", "L, ", "L)")
+    val pArr = ndcgP.mkString("array(", "L, ", "L)")
+    s.sql(
+      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+         |    label, cast(embedding AS array<double>) AS e
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+         |  WHERE vec_id % 37 = 0),
+         |sc AS (SELECT /*+ BROADCAST(p) */ p.pid, p.plabel, v.vec_id,
+         |    v.label,
+         |    cast(round(graft_cosine(v.e, p.pe) * 1000000.0D, 0)
+         |      AS bigint) AS qsim,
+         |    pmod(hash(v.vec_id), 16) AS shard
+         |  FROM v JOIN p ON v.vec_id != p.pid),
+         |t1 AS (SELECT pid, plabel, vec_id, label, qsim FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY pid, shard ORDER BY qsim DESC, vec_id)
+         |      AS rn FROM sc) WHERE rn <= 10),
+         |top AS (SELECT pid, plabel, label, rn FROM (
+         |    SELECT pid, plabel, label, row_number() OVER (
+         |      PARTITION BY pid ORDER BY qsim DESC, vec_id) AS rn
+         |    FROM t1) WHERE rn <= 10),
+         |dcg AS (SELECT pid, plabel,
+         |    sum(CASE WHEN label = plabel
+         |      THEN element_at($dArr, cast(rn AS int)) ELSE 0L END)
+         |      AS dcg_nano
+         |  FROM top GROUP BY pid, plabel),
+         |nr AS (SELECT label, count(*) AS n FROM v GROUP BY label)
+         |SELECT d.pid, d.plabel AS label,
+         |  nr.n - 1 AS n_rel, d.dcg_nano,
+         |  (d.dcg_nano * 1000000) div element_at($pArr,
+         |    cast(least(10L, nr.n - 1) AS int)) AS ndcg_ppm
+         |FROM dcg d JOIN nr ON d.plabel = nr.label
+         |WHERE nr.n > 1
+         |ORDER BY d.pid""".stripMargin)
+  }
+
+  val q176_oracle: String = {
+    val dArr = ndcgD.mkString("[", ", ", "]::BIGINT[]")
+    val pArr = ndcgP.mkString("[", ", ", "]::BIGINT[]")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
+       |  WHERE vec_id % 37 = 0),
+       |sc AS (SELECT p.pid, p.plabel, v.vec_id, v.label,
+       |    round(list_cosine_similarity(v.e, p.pe)
+       |      * 1000000.0)::BIGINT AS qsim
+       |  FROM v JOIN p ON v.vec_id != p.pid),
+       |top AS (SELECT pid, plabel, label, rn FROM (
+       |    SELECT pid, plabel, label, row_number() OVER (
+       |      PARTITION BY pid ORDER BY qsim DESC, vec_id) AS rn
+       |    FROM sc) t WHERE rn <= 10),
+       |dcg AS (SELECT pid, plabel,
+       |    sum(CASE WHEN label = plabel
+       |      THEN ($dArr)[rn] ELSE 0 END)::BIGINT AS dcg_nano
+       |  FROM top GROUP BY pid, plabel),
+       |nr AS (SELECT label, count(*)::BIGINT AS n FROM v
+       |  GROUP BY label)
+       |SELECT d.pid, d.plabel AS label,
+       |  (nr.n - 1)::BIGINT AS n_rel, d.dcg_nano,
+       |  ((d.dcg_nano * 1000000) // ($pArr)[least(10, nr.n - 1)])
+       |    ::BIGINT AS ndcg_ppm
+       |FROM dcg d JOIN nr ON d.plabel = nr.label
+       |WHERE nr.n > 1
+       |ORDER BY d.pid""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_retrieval_ndcg" -> q176_retrieval_ndcg _,
     "q113_bm25" -> q113_bm25 _,
     "q114_rrf_fusion" -> q114_rrf_fusion _,
     "q115_mmr_diversify" -> q115_mmr_diversify _,
@@ -740,6 +828,7 @@ object QueriesRag {
     "q125_crossmodal_audit" -> q125_crossmodal_audit _)
 
   val oracles: Map[String, String] = Map(
+    "q176_retrieval_ndcg" -> q176_oracle,
     "q113_bm25" -> q113_oracle,
     "q114_rrf_fusion" -> q114_oracle,
     "q115_mmr_diversify" -> q115_oracle,

@@ -332,6 +332,44 @@ object QueriesSeries {
       |WHERE ts >= '2024-01-05 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL-first read through the DataSourceV2 connector
+    * (`spark.read.format("graft")`): the WHERE range on the
+    * timestamp index pushes into [[graft.sources.GraftScanBuilder]]
+    * and prunes MANIFEST segments before any file opens — the
+    * engine-grade pruning a plain-SQL user gets without touching the
+    * Scala API (GraftSourceSpec gates the segment count; q76 covers
+    * the registerViews route, this covers the raw connector). The
+    * oracle runs the identical filtered aggregate over the source
+    * parquet, so overlay resolution + clip + pushdown must be
+    * value-exact. */
+  def q174_connector_sql(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    s.read.format("graft")
+      .option("path", sr.collection.repo.rootUri)
+      .option("collection", "events")
+      .option("series", "_")
+      .load()
+      .createOrReplaceTempView("gq174")
+    s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM gq174
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q174_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro,
+      |  count(DISTINCT event_id)::BIGINT AS n_ids
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Bulk multi-series ingest (Collection.ingestGrouped): one series
     * per event type from a single partitioned write + batched commit,
     * then an engine read of two of the series unioned back — checked
@@ -934,6 +972,7 @@ object QueriesSeries {
     "q123_jsonl_roundtrip" -> q123_jsonl_roundtrip _,
     "q84_grouped_ingest" -> q84_grouped_ingest _,
     "q76_sql_facade" -> q76_sql_facade _,
+    "q174_connector_sql" -> q174_connector_sql _,
     "q48_series_inline" -> q48_series_inline _,
     "q65_series_squash" -> q65_series_squash _,
     "q66_series_export" -> q66_series_export _,
@@ -963,6 +1002,7 @@ object QueriesSeries {
     "q132_http_roundtrip" -> q132_oracle,
     "q84_grouped_ingest" -> q84_oracle,
     "q76_sql_facade" -> q76_oracle,
+    "q174_connector_sql" -> q174_oracle,
     "q48_series_inline" -> q48_oracle,
     "q65_series_squash" -> q65_oracle,
     "q66_series_export" -> q66_oracle,

@@ -523,7 +523,33 @@ object QueriesWindow {
       |FROM g WHERE gap_ms IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Keep-best-k-per-group through the NAIVE window SQL — the query a
+    * SQL user actually writes — executed with the engine's
+    * RankToArgMin rule active (Verify/Bench sessions load
+    * GraftExtensions), which rewrites the `row_number() <= k` filter
+    * into the bounded TopKRows heap aggregate + posexplode: no
+    * per-group sort, k-bounded map-side state (PlanSpec gates the
+    * plan shape). The oracle is DuckDB's window formulation — the
+    * rewrite must be result-identical to the window it replaced. */
+  def q175_topk_rewrite(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT user_id, event_id, cast(rn AS bigint) AS rn FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 5
+        |ORDER BY user_id, rn""".stripMargin)
+  }
+
+  val q175_oracle: String =
+    """SELECT user_id, event_id, rn FROM (
+      |  SELECT user_id, event_id, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) t WHERE rn <= 5
+      |ORDER BY user_id, rn""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_topk_rewrite" -> q175_topk_rewrite _,
     "q173_interarrival" -> q173_interarrival _,
     "q172_transition_matrix" -> q172_transition_matrix _,
     "q166_session_hours" -> q166_session_hours _,
@@ -541,6 +567,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q175_topk_rewrite" -> q175_oracle,
     "q173_interarrival" -> q173_oracle,
     "q172_transition_matrix" -> q172_oracle,
     "q166_session_hours" -> q166_oracle,

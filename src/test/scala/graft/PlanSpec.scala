@@ -447,6 +447,13 @@ class PlanSpec extends AnyFunSuite {
         |  FROM events) WHERE rn <= 2""".stripMargin)
     assert(desc.exceptAll(descRef).isEmpty &&
       descRef.exceptAll(desc).isEmpty)
+    // the oracle-gated q175 must actually exercise the rewrite
+    val q175 = QueriesWindow.q175_topk_rewrite(
+      spark, "/root/testdata/sf0.001")
+    val p175 = q175.queryExecution.executedPlan.toString
+    assert(p175.contains("graft_topk_rows") &&
+      !p175.contains("row_number() windowspecdefinition"),
+      p175.take(1200))
   }
 
   // -- global-window allowlist gate ----------------------------------
