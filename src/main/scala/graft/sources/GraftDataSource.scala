@@ -19,7 +19,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  Statistics, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,10 +184,30 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long])
 
 class GraftScan(table: GraftTable, start: Any, stop: Any,
     closed: Closed, beforeMs: Option[Long], required: StructType,
-    pushedDesc: Seq[String]) extends Scan with Batch {
+    pushedDesc: Seq[String]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pruning statistics from the MANIFEST (no file IO): row
+    * counts are recorded per segment at write time, so the join
+    * planner sees the size of the data actually scanned — a graft
+    * table filtered down to one segment broadcasts like the small
+    * table it is. Clipped segments report their full stored length
+    * (an upper bound — statistics are estimates). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = plannedSegments.map(_.meta.length).sum
+    private val rowWidth: Long = table.gschema.cols.map(_.dtype match {
+      case GType.StrT => 24L
+      case GType.DateT => 4L
+      case _ => 8L
+    }).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def description(): String = {
     val segs = plannedSegments

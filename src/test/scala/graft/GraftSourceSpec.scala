@@ -61,6 +61,19 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftScanProbe.lastSegmentsScanned == 2)
   }
 
+  test("manifest statistics let a pruned scan broadcast") {
+    val (_, _, root) = fixture()
+    // one covering segment (10k rows ≈ 160 KB by manifest stats) vs
+    // the full 8-segment table: the filtered side must broadcast
+    val small = table(root).filter(col("ts") < 10000)
+    val big = table(root).select(col("ts").as("ts2"), col("value"))
+    val j = big.join(small, col("ts2") === col("ts"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(j.count() == 10000L)
+  }
+
   test("column pruning reaches the reader") {
     val (_, _, root) = fixture()
     val df = table(root).select("value").filter(col("value") < 15.0)
