@@ -322,10 +322,11 @@ object Bench {
     // `du -hs .lakota/` but write_lk writes to Repo("test-db");
     // the reference's own data_size.py:55-75 (732 KB / 100 k rows of
     // the identical shape) puts its real footprint at ~38.5 MB for
-    // this series, which is what the ~40 MB here is parity with. The rep
-    // copies don't share segments (the range sampler draws different
-    // file boundaries each run, so content addresses differ), hence
-    // per-manifest accounting rather than a store-size delta.
+    // this series, which is what the ~40 MB here is parity with.
+    // Per-manifest accounting (sum over ONE manifest's files) stays
+    // correct whether or not the rep copies dedupe: presorted reps
+    // have deterministic splits and DO share content addresses, so a
+    // store-size delta would under-count — never switch to one.
     val disk5mMb = series5m.segments().flatMap(_.meta.files).distinct
       .map(f => java.nio.file.Files.size(
         java.nio.file.Paths.get(root, f))).sum / 1e6

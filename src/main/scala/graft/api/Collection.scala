@@ -86,10 +86,13 @@ class Collection(val repo: Repo, val label: String, val path: String,
       }
     val byLabel = stats.groupBy(_._1)
     val labels = byLabel.keys.toSeq.sorted
-    val writes = labels.map { lbl =>
-      new Series(this, lbl).sealSegments(byLabel(lbl).map(_._2),
-        null, null, Closed.Both)
-    }
+    val writes =
+      try labels.map { lbl =>
+        new Series(this, lbl).sealSegments(byLabel(lbl).map(_._2),
+          null, null, Closed.Both)
+      } catch {
+        case e: Throwable => store.rm(tmpRel, recursive = true); throw e
+      }
     store.rm(tmpRel, recursive = true)
     if (writes.nonEmpty) synchronized {
       if (batch != null) batch ++= writes else commitBatch(writes)

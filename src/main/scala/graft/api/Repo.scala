@@ -176,11 +176,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
   /** Register every series of every collection as a Spark temp view
     * named `<collection>_<series>` (non-identifier characters mapped
     * to `_`), so the whole versioned repo is queryable from plain
-    * SQL. Views are LAZY plans over `Series.frame()` — each carries
-    * the manifest-pruned, filter-pushed scan, so SQL over a view
-    * inherits every read-path optimization. Returns the view names.
-    */
-  /** Register one SQL temp view per series, backed by the
+    * SQL — one view per series, backed by the
     * `spark.read.format("graft")` CONNECTOR — not a pre-resolved
     * frame snapshot — so a plain `WHERE ts < X` over the view pushes
     * its index predicates into [[graft.sources.GraftScanBuilder]]

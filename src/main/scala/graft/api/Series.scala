@@ -174,7 +174,13 @@ class Series(val collection: Collection, val label: String) {
       return
     }
 
-    val rows = sealSegments(stats, startK, stopK, closed)
+    // a rejected presorted declaration (overlap at seal) must not
+    // leak the staged dataset — clean the tmp dir on ANY failure
+    val rows =
+      try sealSegments(stats, startK, stopK, closed)
+      catch {
+        case e: Throwable => store.rm(tmpRel, recursive = true); throw e
+      }
     store.rm(tmpRel, recursive = true)
     commitRows(rows, root)
   }

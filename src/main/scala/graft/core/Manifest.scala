@@ -234,8 +234,12 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
       // a clip that degenerated to a single point is only non-empty
       // when BOTH sides stayed closed ([k,k] = the point; [k,k) and
       // (k,k] are empty) — skipping them prunes the boundary segment
-      // a right-open stop (or left-open start) lands exactly on
-      if (!skip && schema.cmpKey(aStart, aStop) == 0 &&
+      // a right-open stop (or left-open start) lands exactly on.
+      // ONLY for same-arity keys: prefix compare returns 0 for
+      // (5) vs (5,10) too, but that half-open range holds the rows
+      // (5,0)..(5,9) — mixed-arity bounds must never prune here
+      if (!skip && aStart.values.length == aStop.values.length &&
+          schema.cmpKey(aStart, aStop) == 0 &&
           !(aClosed.left && aClosed.right)) skip = true
       if (skip) Iterator.empty
       else Iterator.single(SegmentRead(r, aStart, aStop, aClosed))

@@ -66,9 +66,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       try s.toLong
       catch {
         case _: NumberFormatException =>
-          java.time.Instant.parse(
-            if (s.endsWith("Z") || s.contains("+")) s else s + "Z")
-            .toEpochMilli
+          try java.time.Instant.parse(s).toEpochMilli // offset/Z forms
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              // bare local date/datetime -> UTC (engine convention)
+              val t = s.replace(" ", "T") match {
+                case d if d.length == 10 => d + "T00:00:00"
+                case d => d
+              }
+              java.time.LocalDateTime.parse(t)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          }
       }
     }
     new GraftTable(path, clct, series, beforeMs)
@@ -115,6 +123,9 @@ object GraftScanProbe {
   @volatile var lastSegmentsScanned: Int = -1
   @volatile var lastSegmentsTotal: Int = -1
   @volatile var lastPushed: Seq[String] = Nil
+  /** decode-path counters (local-mode visible; diagnostics only) */
+  val vectorizedOpens = new java.util.concurrent.atomic.AtomicLong
+  val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
 class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long])
@@ -215,9 +226,16 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       s"$totalSegments pushed=[${pushedDesc.mkString(", ")}]"
   }
 
+  /** ONE resolution per scan: plannedSegments, planInputPartitions
+    * and statistics all read the same changelog revision (a commit
+    * landing mid-planning can never mix segment lists from one
+    * revision with colMap/defaults from another), and the store
+    * metadata loads once instead of once per planning step. */
+  private lazy val resolvedSeries: graft.api.Series = table.series
+
   private lazy val (plannedSegments, totalSegments):
       (Seq[SegmentRead], Int) = {
-    val s = table.series
+    val s = resolvedSeries
     val total = s.segments().count(_.meta.hasData)
     val covering = s.segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
@@ -228,7 +246,7 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val s = table.series
+    val s = resolvedSeries
     val clct = s.collection
     val gs = table.gschema
     val reqNames = required.fields.map(_.name).toSeq
@@ -276,9 +294,26 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SegmentWriter.SerConf(
-      SparkSession.active.sessionState.newHadoopConf())
-    new GraftReaderFactory(conf)
+    val session = SparkSession.active
+    val c = session.sessionState.newHadoopConf()
+    // the entries Spark's parquet reader machinery
+    // (ParquetReadSupport / ParquetToSparkSchemaConverter /
+    // VectorizedParquetRecordReader) resolves from the TASK-side
+    // Hadoop conf — newHadoopConf only carries EXPLICITLY-set SQL
+    // entries, so mirror the session-resolved values here exactly
+    // like ParquetFileFormat.buildReaderWithPartitionValues does
+    import org.apache.spark.sql.internal.SQLConf
+    val sc = session.sessionState.conf
+    Seq(SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_BINARY_AS_STRING,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED)
+      .foreach(e => c.set(e.key, sc.getConf(e).toString))
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet" +
+        ".ParquetReadSupport")
+    new GraftReaderFactory(new SegmentWriter.SerConf(c))
   }
 }
 
@@ -360,10 +395,19 @@ private object GraftRead {
   }
 }
 
-/** Row-materializing parquet reader for the engine's 5 scalar dtypes.
-  * Handles both current segment files (INT64-micros timestamps) and
-  * pre-round-8 ones (INT96), missing columns (pre-clone files) via
-  * defaults/null, and the residual overlay clip. */
+/** Segment-file reader for the connector. The PRIMARY decode path is
+  * Spark's own VectorizedParquetRecordReader (columnar batch decode,
+  * iterated as rows) over a FileSplit with the session's Hadoop conf
+  * — the same machinery `Series.frame()`'s scans use, so an
+  * unfiltered SQL view scan pays vectorized-decode cost, not per-value
+  * converter callbacks. Missing columns (pre-clone files) come back
+  * as null vectors, which the shared default-injection fills. When
+  * the vectorized reader cannot open the file (exotic store streams),
+  * a parquet-mr row materializer takes over — it also handles
+  * legacy INT96 timestamps explicitly. Rows pass through the shared
+  * clip/defaults/projection step only when the partition needs one;
+  * the common unclipped, no-defaults, no-extra-columns case emits
+  * the reader's row views untouched. */
 class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     extends PartitionReader[InternalRow] {
   import GraftRead._
@@ -373,8 +417,57 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   private val slots = new Array[Any](p.readNames.length)
   private val kernelDefaults: Array[Any] =
     p.defaults.toArray
+  private val hasDefaults = kernelDefaults.exists(_ != null)
+  private val identityOut = p.clip == null && !hasDefaults &&
+    p.outPos.length == p.readNames.length &&
+    p.outPos.indices.forall(i => p.outPos(i) == i)
 
-  private val support = new ReadSupport[Array[Any]] {
+  // ---- primary: vectorized columnar decode -------------------------
+  private val vec: org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader = {
+    try {
+      val c = new org.apache.hadoop.conf.Configuration(conf.value)
+      val reqStruct = org.apache.spark.sql.types.StructType(
+        p.physNames.zip(dtypes).map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt.sparkType,
+            nullable = true) })
+      // the conf keys ParquetReadSupport/SpecificParquetRecordReaderBase
+      // consult when initialized from an InputSplit
+      c.set("org.apache.spark.sql.parquet.row.requested_schema",
+        reqStruct.json)
+      c.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet" +
+          ".ParquetReadSupport")
+      c.setBoolean("spark.sql.parquet.binaryAsString", false)
+      c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      c.setBoolean("spark.sql.caseSensitive", false)
+      val path = new Path(p.uri)
+      val len = path.getFileSystem(c).getFileStatus(path).getLen
+      // NOTE: Spark's SpecificParquetRecordReaderBase casts to the
+      // OLD mapred FileSplit, not the mapreduce one
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        path, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task
+        .TaskAttemptContextImpl(c,
+          new org.apache.hadoop.mapreduce.TaskAttemptID())
+      // engine files store proleptic INT64 micros (CORRECTED); the
+      // INT96 branch only matters for pre-round-8 files of modern
+      // timestamps, where CORRECTED and LEGACY agree
+      val r = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
+          "CORRECTED", "UTC", false, 4096)
+      r.initialize(split, ctx)
+      r.initBatch(org.apache.spark.sql.types.StructType(Nil),
+        InternalRow.empty)
+      GraftScanProbe.vectorizedOpens.incrementAndGet()
+      r
+    } catch { case scala.util.control.NonFatal(e) =>
+      if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+      GraftScanProbe.fallbackOpens.incrementAndGet(); null }
+  }
+
+  // ---- fallback: parquet-mr row materializer -----------------------
+  private lazy val support = new ReadSupport[Array[Any]] {
     override def init(ctx: InitContext): ReadSupport.ReadContext = {
       val fileSchema = ctx.getFileSchema
       val byName = fileSchema.getFields.asScala.map(f =>
@@ -408,11 +501,14 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
                 if (prim == org.apache.parquet.schema.PrimitiveType
                     .PrimitiveTypeName.INT96) {
                   // legacy INT96 timestamp: 8 B nanos-of-day LE +
-                  // 4 B julian day LE -> epoch micros
+                  // 4 B julian day LE -> epoch micros. toByteBuffer
+                  // may wrap a larger backing array with position>0 —
+                  // index RELATIVE to position, never absolute 0
                   val buf = v.toByteBuffer
                     .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val nanos = buf.getLong(0)
-                  val julian = buf.getInt(8)
+                  val base = buf.position()
+                  val nanos = buf.getLong(base)
+                  val julian = buf.getInt(base + 8)
                   slots(slot) =
                     (julian - 2440588L) * 86400000000L + nanos / 1000L
                 } else slots(slot) =
@@ -431,36 +527,64 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     }
   }
 
-  private val reader: ParquetReader[Array[Any]] =
+  private lazy val reader: ParquetReader[Array[Any]] =
     ParquetReader.builder(support, new Path(p.uri))
       .withConf(conf.value).build()
 
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    while (true) {
-      val rec = reader.read()
-      if (rec == null) return false
-      // absent columns / stored nulls with a declared default
-      var i = 0
-      while (i < slots.length) {
-        if (slots(i) == null && kernelDefaults(i) != null)
-          slots(i) = kernelToInternal(dtypes(i), kernelDefaults(i))
-        i += 1
-      }
-      if (p.clip == null || {
-        val key = p.idxPos.map(j =>
-          internalToKernel(dtypes(j), slots(j)))
-        inClip(idxDts, key, p.clip)
-      }) {
-        current = project(slots, p.outPos)
-        return true
-      }
+  /** defaults + clip + projection over a row in readNames layout */
+  private def finish(): Boolean = {
+    var i = 0
+    while (i < slots.length) {
+      if (slots(i) == null && kernelDefaults(i) != null)
+        slots(i) = kernelToInternal(dtypes(i), kernelDefaults(i))
+      i += 1
     }
-    false
+    if (p.clip != null) {
+      val key = p.idxPos.map(j => internalToKernel(dtypes(j), slots(j)))
+      if (!inClip(idxDts, key, p.clip)) return false
+    }
+    current = project(slots, p.outPos)
+    true
+  }
+
+  private def fillSlots(row: InternalRow): Unit = {
+    var i = 0
+    while (i < slots.length) {
+      slots(i) =
+        if (row.isNullAt(i)) null
+        else dtypes(i) match {
+          case GType.TimestampT | GType.IntT => row.getLong(i)
+          case GType.DateT  => row.getInt(i)
+          case GType.FloatT => row.getDouble(i)
+          case GType.StrT   => row.getUTF8String(i)
+        }
+      i += 1
+    }
+  }
+
+  override def next(): Boolean = {
+    if (vec != null) {
+      while (vec.nextKeyValue()) {
+        val row = vec.getCurrentValue.asInstanceOf[InternalRow]
+        if (identityOut) { current = row; return true }
+        fillSlots(row)
+        if (finish()) return true
+      }
+      false
+    } else {
+      while (true) {
+        val rec = reader.read()
+        if (rec == null) return false
+        if (finish()) return true
+      }
+      false
+    }
   }
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit =
+    if (vec != null) vec.close() else reader.close()
 }
 
 class GraftInlineReader(p: GraftInlinePartition)

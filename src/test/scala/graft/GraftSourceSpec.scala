@@ -6,6 +6,7 @@ import graft.sources.GraftScanProbe
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** `spark.read.format("graft")` connector: SQL `WHERE` predicates on
   * the index column must drive MANIFEST pruning (the SegmentRead
@@ -42,6 +43,8 @@ class GraftSourceSpec extends AnyFunSuite {
     val (_, s, root) = fixture()
     assert(s.segments().length == 8)
     table(root).createOrReplaceTempView("g")
+    GraftScanProbe.vectorizedOpens.set(0)
+    GraftScanProbe.fallbackOpens.set(0)
     val got = spark.sql(
       "SELECT count(*) AS n, sum(ts) AS st FROM g WHERE ts < 10000")
       .collect()(0)
@@ -59,6 +62,13 @@ class GraftSourceSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(mid == 10000L)
     assert(GraftScanProbe.lastSegmentsScanned == 2)
+    // the file partitions must decode through the VECTORIZED reader,
+    // not the parquet-mr fallback
+    assert(GraftScanProbe.vectorizedOpens.get() >= 3,
+      s"vectorized=${GraftScanProbe.vectorizedOpens.get()} " +
+        s"fallback=${GraftScanProbe.fallbackOpens.get()}")
+    assert(GraftScanProbe.fallbackOpens.get() == 0,
+      s"fallback opens: ${GraftScanProbe.fallbackOpens.get()}")
   }
 
   test("manifest statistics let a pruned scan broadcast") {
@@ -131,6 +141,70 @@ class GraftSourceSpec extends AnyFunSuite {
       .load().collect().map(r =>
         (r.getLong(0), r.getDouble(1))).toSeq.sorted
     assert(then_ == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("legacy INT96 segment files read correctly") {
+    // pre-round-8 engine versions wrote timestamps via Spark's INT96
+    // default; stores from them must stay readable. Rewrite a
+    // segment file as INT96 (logical content identical — the
+    // manifest digest doesn't change) and read it back through both
+    // the connector and the API.
+    val root = Files.createTempDirectory("graft-int96").toString
+    val repo = new Repo(root, spark)
+    val tsSchema = GSchema("ts" -> "timestamp*", "value" -> "float")
+    val clct = repo.createCollection(tsSchema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    val src = spark.range(0, 1000, 1, 1)
+      .select(timestamp_seconds($"id" * 60).as("ts"),
+        ($"id" * 0.5).as("value"))
+    s.write(src, presorted = true)
+    val segRel = s.segments().flatMap(_.meta.files).head
+    val segPath = repo.store.uri(segRel)
+    val stored = spark.read.parquet(segPath).orderBy("ts")
+    val tmp96 = Files.createTempDirectory("graft-96w").toString
+    val prev = spark.conf.getOption(
+      "spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try stored.repartition(1).write.mode("overwrite").parquet(tmp96)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val part = new java.io.File(tmp96).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val segNio =
+      if (segPath.startsWith("file:"))
+        java.nio.file.Paths.get(new java.net.URI(segPath))
+      else java.nio.file.Paths.get(segPath)
+    java.nio.file.Files.copy(part.toPath, segNio,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the replaced bytes invalidate Hadoop LocalFileSystem's .crc
+    // sidecar from the original engine write — drop it
+    java.nio.file.Files.deleteIfExists(
+      segNio.getParent.resolve("." + segNio.getFileName + ".crc"))
+    // confirm the store file really is INT96 now
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(segPath),
+        spark.sessionState.newHadoopConf()))
+    val tsPrim = footer.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.find(_.getName == "ts").get
+      .asPrimitiveType().getPrimitiveTypeName
+    footer.close()
+    assert(tsPrim.toString == "INT96", tsPrim.toString)
+    val got = spark.read.format("graft")
+      .option("path", root).option("collection", "c").load()
+      .orderBy("ts").collect()
+    val want = src.orderBy("ts").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) == w.getTimestamp(0), s"$g vs $w")
+      assert(g.getDouble(1) == w.getDouble(1))
+    }
   }
 
   test("clone renames and defaults resolve through the connector") {

@@ -156,3 +156,41 @@ class ManifestSpec extends AnyFunSuite {
     assert(s6.isEmpty)
   }
 }
+
+/** segments() pruning edge cases, incl. the degenerate-point skip and
+  * its mixed-arity exception on multi-column indexes. */
+class ManifestPruneSpec extends AnyFunSuite {
+
+  test("right-open stop landing on a segment start prunes it") {
+    val schema = GSchema("ts" -> "int*", "v" -> "float")
+    val mf = Manifest(schema, Vector(
+      SegmentMeta("_", IndexKey(0L), IndexKey(10L),
+        Closed.Both.setRight(false), 10, Vector("f0")),
+      SegmentMeta("_", IndexKey(10L), IndexKey(20L),
+        Closed.Both, 10, Vector("f1"))))
+    // [null, 10) must touch only the first segment
+    val segs = mf.segments("_", None, Some(IndexKey(10L)),
+      Closed.Both.setRight(false))
+    assert(segs.map(_.meta.files.head) == Seq("f0"))
+    // [null, 10] keeps the boundary point of the second
+    val incl = mf.segments("_", None, Some(IndexKey(10L)), Closed.Both)
+    assert(incl.map(_.meta.files.head) == Seq("f0", "f1"))
+  }
+
+  test("mixed-arity degenerate clip on a 2-col index is NOT pruned") {
+    val schema = GSchema("ts" -> "int*", "ver" -> "int*", "v" -> "float")
+    val mf = Manifest(schema, Vector(
+      SegmentMeta("_", IndexKey(4L, 0L), IndexKey(5L, 20L),
+        Closed.Both, 30, Vector("f0"))))
+    // start = prefix (5), stop = (5, 10), right-open: the clipped
+    // range [(5), (5,10)) still holds rows (5,0)..(5,9) even though
+    // the PREFIX compare of its endpoints is 0 — must stay
+    val segs = mf.segments("_", Some(IndexKey(5L)),
+      Some(IndexKey(5L, 10L)), Closed.Both.setRight(false))
+    assert(segs.length == 1, s"mixed-arity clip wrongly pruned: $segs")
+    // same-arity full-key degenerate half-open point IS empty
+    val none = mf.segments("_", Some(IndexKey(5L, 10L)),
+      Some(IndexKey(5L, 10L)), Closed.Both.setRight(false))
+    assert(none.isEmpty)
+  }
+}
