@@ -102,8 +102,30 @@ class Collection(val repo: Repo, val label: String, val path: String,
 
   def kvSeries(name: String): KVSeries = new KVSeries(this, name)
 
+  /** Decoded-manifest cache keyed by revision id. Revision ids are
+    * `hextime-sha1(payload)` — content-addressed and immutable — so a
+    * cached decode can never go stale; only the LEAF lookup (cheap)
+    * consults the store per read. At 100 TB a manifest holds ~10^5
+    * segment rows (tens of MB of JSON): without this, every query
+    * planning step re-reads and re-parses it. Manifest is immutable,
+    * so sharing one instance across queries is safe. Bounded: the
+    * handful of revisions a session actively reads (leaf + time
+    * travels); cleared wholesale past 8 entries. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+  private[graft] def decodeCached(r: graft.core.Revision): Manifest = {
+    val hit = manifestCache.get(r.child)
+    if (hit != null) hit
+    else {
+      val m = Manifest.decode(changelog.payload(r))
+      if (manifestCache.size >= 8) manifestCache.clear()
+      manifestCache.put(r.child, m)
+      m
+    }
+  }
+
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
-    changelog.leaf(beforeMs).map(r => Manifest.decode(changelog.payload(r)))
+    changelog.leaf(beforeMs).map(decodeCached)
 
   /** Series labels present at the current leaf. */
   def ls(beforeMs: Option[Long] = None): Seq[String] =
@@ -156,7 +178,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private def commitBatch(writes: Seq[Seq[SegmentMeta]]): Unit = {
     val leaf = changelog.leaf()
     var m = leaf match {
-      case Some(rev) => Manifest.decode(changelog.payload(rev))
+      case Some(rev) => decodeCached(rev)
       case None      => Manifest.empty(schema)
     }
     writes.foreach { w => m = Manifest.spliceWrite(m, w) }

@@ -363,7 +363,7 @@ class Series(val collection: Collection, val label: String) {
     collection.batchOr { () =>
       val leaf = if (root) None else changelog.leaf()
       val m = leaf match {
-        case Some(rev) => Manifest.decode(changelog.payload(rev))
+        case Some(rev) => collection.decodeCached(rev)
         case None      => Manifest.empty(schema)
       }
       val m2 = Manifest.spliceWrite(m, rows)
