@@ -2735,7 +2735,47 @@ object QueriesPipe {
        |GROUP BY bucket, shard, (rn - 1) // 8
        |ORDER BY bucket, shard, batch_id""".stripMargin
 
+  /** Join-key skew audit — the "does this join need salting" monitor
+    * (q100 is the fix; this is the detector a pipeline runs FIRST):
+    * per event type, the user_id key-frequency profile — distinct
+    * keys, hottest-key share (truncating ppm), exact p50/p99 key
+    * frequencies (q13 percentile convention), and an integer-exact
+    * skew verdict (hottest key > 4× the mean key frequency, i.e.
+    * maxc · nkeys > 4 · total — no division, no float). One map-side
+    * combined aggregate over the corpus + a constant-size stats pass
+    * per type; at 100 TB the frequency table is keys-sized, never
+    * row-sized. */
+  def q177_join_skew(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH f AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  count(*) AS n_keys,
+        |  sum(c) AS n_rows,
+        |  max(c) AS max_key_rows,
+        |  (max(c) * 1000000) div sum(c) AS top_share_ppm,
+        |  round(percentile(c, 0.5D), 6) + 0 AS p50_key_rows,
+        |  round(percentile(c, 0.99D), 6) + 0 AS p99_key_rows,
+        |  max(c) * count(*) > 4 * sum(c) AS skewed
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q177_oracle: String =
+    """WITH f AS (SELECT event_type, user_id, count(*) AS c
+      |  FROM events GROUP BY event_type, user_id)
+      |SELECT event_type,
+      |  count(*)::BIGINT AS n_keys,
+      |  sum(c)::BIGINT AS n_rows,
+      |  max(c)::BIGINT AS max_key_rows,
+      |  ((max(c) * 1000000) // sum(c))::BIGINT AS top_share_ppm,
+      |  round(quantile_cont(c, 0.5), 6) + 0 AS p50_key_rows,
+      |  round(quantile_cont(c, 0.99), 6) + 0 AS p99_key_rows,
+      |  max(c) * count(*) > 4 * sum(c) AS skewed
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_join_skew" -> q177_join_skew _,
     "q104_dsir_weights" -> q104_dsir_weights _,
     "q105_unimax_mix" -> q105_unimax_mix _,
     "q106_lang_kl" -> q106_lang_kl _,
@@ -2812,6 +2852,7 @@ object QueriesPipe {
       |FROM c ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q177_join_skew" -> q177_oracle,
     "q104_dsir_weights" -> q104_oracle,
     "q105_unimax_mix" -> q105_oracle,
     "q106_lang_kl" -> q106_oracle,
