@@ -405,7 +405,58 @@ object QueriesStream {
     * oracle */
   val q169_oracle: String = QueriesPipe.q168_oracle
 
+  /** The ENGINE STORE as a streaming source — events written into a
+    * graft series, then streamed back out through the connector's
+    * CDC micro-batches (`spark.readStream.format("graft")`: offsets
+    * are changelog ordinals, each batch serves newly-referenced
+    * segment files) into a memory sink, aggregated, and checked
+    * against plain SQL over the original parquet. This is the "train
+    * on data as it lands in the versioned store" delivery path: the
+    * stream IS the store's commit history, no side channel. Written
+    * in TWO commits so the drained result provably crosses a
+    * micro-batch boundary. */
+  def q178_stream_connector(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q178").toString
+    val repo = new graft.api.Repo(root, s)
+    val gschema = graft.core.GSchema(
+      "ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    val clct = repo.createCollection(gschema, "events")
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    val ev = Tables.table(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+    val cut = lit("2024-01-15").cast("timestamp")
+    sr.write(ev.filter(col("ts") < cut))
+    sr.write(ev.filter(col("ts") >= cut))
+    val name = "graft_q178_sink"
+    if (s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+    val q = s.readStream.format("graft")
+      .option("path", root).option("collection", "events")
+      .option("series", "_").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).createOrReplaceTempView("graft_q178_rows")
+    s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM graft_q178_rows
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q178_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro,
+      |  count(DISTINCT event_id)::BIGINT AS n_ids
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_stream_connector" -> q178_stream_connector _,
     "q169_stream_funnel" -> q169_stream_funnel _,
     "q163_stream_ohlc" -> q163_stream_ohlc _,
     "q144_stream_drift" -> q144_stream_drift _,
@@ -418,6 +469,7 @@ object QueriesStream {
     "q120_stream_incdedup" -> q120_stream_incdedup _)
 
   val oracles: Map[String, String] = Map(
+    "q178_stream_connector" -> q178_oracle,
     "q169_stream_funnel" -> q169_oracle,
     "q163_stream_ohlc" -> q163_oracle,
     "q144_stream_drift" -> q144_oracle,

@@ -111,10 +111,12 @@ class GraftTable(rootUri: String, collectionName: String,
     s"graft.`$rootUri`.$collectionName.$seriesLabel"
   override def schema(): StructType = gschema.sparkSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftScanBuilder(this, beforeMs)
+    new GraftScanBuilder(this, beforeMs,
+      options.getOrDefault("stream.starting", "earliest") == "latest")
 }
 
 /** Test/diagnostic probe: records how the LAST planned graft scan
@@ -128,7 +130,8 @@ object GraftScanProbe {
   val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
-class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long])
+class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
+    streamStartLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -189,13 +192,14 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long])
     val closed = Closed.Both.setLeft(startClosed).setRight(stopClosed)
     new GraftScan(table, startB, stopB, closed, beforeMs,
       required.getOrElse(table.schema()),
-      pushed.map(_.toString).toSeq)
+      pushed.map(_.toString).toSeq, streamStartLatest)
   }
 }
 
 class GraftScan(table: GraftTable, start: Any, stop: Any,
     closed: Closed, beforeMs: Option[Long], required: StructType,
-    pushedDesc: Seq[String]) extends Scan with Batch
+    pushedDesc: Seq[String], streamStartLatest: Boolean = false)
+    extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -245,45 +249,25 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     (covering, total)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val s = resolvedSeries
-    val clct = s.collection
-    val gs = table.gschema
-    val reqNames = required.fields.map(_.name).toSeq
-    // residual clip needs the index values even when pruned away:
-    // read (requested ∪ index-if-clipping), emit requested positions
-    def partsOf(seg: SegmentRead): Seq[InputPartition] = {
-      val clip = !covers(gs, seg)
-      val readNames =
-        if (clip) (reqNames ++ gs.idxNames.filterNot(reqNames.contains))
-        else reqNames
-      val cols = readNames.map(n => gs(n))
-      val outPos = reqNames.map(readNames.indexOf).toArray
-      // only meaningful when clipping (idx cols are then in readNames)
-      val idxPos =
-        if (clip) gs.idxNames.map(readNames.indexOf).toArray
-        else Array.empty[Int]
-      val defaults = readNames.map(n => clct.defaults.get(n).orNull)
-      val bounds =
-        if (clip) GraftClip(seg.start, seg.stop, seg.closed) else null
-      if (seg.meta.inline.isDefined) {
-        val srcCols = gs.cols.filterNot(c =>
-          clct.defaults.contains(c.name)).map(_.name)
-        Seq(GraftInlinePartition(seg.meta.inline.get,
-          srcCols.toVector, readNames.toVector,
-          cols.map(_.dtype.name).toVector,
-          defaults.toVector, outPos, idxPos, bounds))
-      } else seg.meta.files.map { f =>
-        GraftFilePartition(s.collection.repo.store.uri(f),
-          readNames.toVector, cols.map(n => clct.physOf(n.name)).toVector,
-          cols.map(_.dtype.name).toVector, defaults.toVector,
-          outPos, idxPos, bounds)
-      }
-    }
-    plannedSegments.flatMap(partsOf).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedSegments.flatMap(seg => GraftPlanning.partitionsFor(
+      resolvedSeries, table.gschema,
+      required.fields.map(_.name).toSeq, seg, null)).toArray
 
-  private def covers(gs: GSchema, s: SegmentRead): Boolean =
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(table, required, streamStartLatest)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPlanning.readerFactory()
+}
+
+/** Planning helpers shared by the batch scan and the micro-batch
+  * stream: segment → InputPartitions, and the reader factory with
+  * the task-side Hadoop conf Spark's parquet machinery needs. */
+private[sources] object GraftPlanning {
+
+  def covers(gs: GSchema, s: SegmentRead): Boolean =
     (s.meta.dataStart, s.meta.dataStop) match {
       case (Some(ds), Some(de)) =>
         val l = gs.cmpKey(s.start, ds)
@@ -293,7 +277,47 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       case _ => false
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** Partitions for one visible segment. `onlyFiles` (null = all)
+    * restricts a multi-file segment row to a subset — the streaming
+    * diff uses it to serve just the NEWLY-appeared files of a row.
+    * Residual clip needs the index values even when pruned away:
+    * read (requested ∪ index-if-clipping), emit requested positions.
+    */
+  def partitionsFor(s: graft.api.Series, gs: GSchema,
+      reqNames: Seq[String], seg: SegmentRead,
+      onlyFiles: Set[String]): Seq[InputPartition] = {
+    val clct = s.collection
+    val clip = !covers(gs, seg)
+    val readNames =
+      if (clip) (reqNames ++ gs.idxNames.filterNot(reqNames.contains))
+      else reqNames
+    val cols = readNames.map(n => gs(n))
+    val outPos = reqNames.map(readNames.indexOf).toArray
+    // only meaningful when clipping (idx cols are then in readNames)
+    val idxPos =
+      if (clip) gs.idxNames.map(readNames.indexOf).toArray
+      else Array.empty[Int]
+    val defaults = readNames.map(n => clct.defaults.get(n).orNull)
+    val bounds =
+      if (clip) GraftClip(seg.start, seg.stop, seg.closed) else null
+    if (seg.meta.inline.isDefined) {
+      val srcCols = gs.cols.filterNot(c =>
+        clct.defaults.contains(c.name)).map(_.name)
+      Seq(GraftInlinePartition(seg.meta.inline.get,
+        srcCols.toVector, readNames.toVector,
+        cols.map(_.dtype.name).toVector,
+        defaults.toVector, outPos, idxPos, bounds))
+    } else seg.meta.files
+      .filter(f => onlyFiles == null || onlyFiles.contains(f))
+      .map { f =>
+        GraftFilePartition(clct.repo.store.uri(f),
+          readNames.toVector, cols.map(n => clct.physOf(n.name)).toVector,
+          cols.map(_.dtype.name).toVector, defaults.toVector,
+          outPos, idxPos, bounds)
+      }
+  }
+
+  def readerFactory(): PartitionReaderFactory = {
     val session = SparkSession.active
     val c = session.sessionState.newHadoopConf()
     // the entries Spark's parquet reader machinery
@@ -315,6 +339,115 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
         ".ParquetReadSupport")
     new GraftReaderFactory(new SegmentWriter.SerConf(c))
   }
+}
+
+/** Streaming offset: ordinal into the collection's LINEARIZED
+  * changelog plus the revision id at that ordinal. The id is the
+  * stable anchor: if a concurrent branch's revisions interleave into
+  * the linearization (shifting ordinals), the offset still resolves
+  * to the same revision by id; the ordinal is the fallback when the
+  * anchored revision was trimmed/squashed away. */
+final case class GraftStreamOffset(n: Long, rev: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"n":$n,"rev":"$rev"}"""
+}
+
+/** `spark.readStream.format("graft")` — the versioned store as a
+  * CDC-style streaming source. Offsets are ordinals into the
+  * series' linearized changelog; each micro-batch serves the rows of
+  * segment FILES newly referenced by the end revision's manifest
+  * versus the start revision's (plus manifest rows not present
+  * before — inline micro-writes), clipped to their visibility at the
+  * end revision. Append workloads stream exactly once; an overlay
+  * REWRITE streams its new rows (and a splice-truncated inline row
+  * re-emits its surviving remainder — documented CDC semantics, not
+  * a replay bug). `option("stream.starting", "latest")` skips
+  * history; the default replays the full series. The reference has
+  * no streaming surface at all; this reuses the batch connector's
+  * partitions and readers wholesale. */
+class GraftMicroBatchStream(table: GraftTable, required: StructType,
+    startingLatest: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming
+      .MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // one resolution per stream; the changelog refreshes per poll
+  private lazy val series = table.series
+  private def changelog = series.collection.changelog
+
+  private def logNow(): Seq[graft.core.Revision] = {
+    changelog.refresh()
+    changelog.log()
+  }
+
+  private def offsetAt(log: Seq[graft.core.Revision]): GraftStreamOffset =
+    GraftStreamOffset(log.length.toLong,
+      log.lastOption.map(_.child).getOrElse(""))
+
+  /** resolve an offset to a revision: by id first (stable under
+    * linearization shifts), by ordinal as fallback */
+  private def revisionOf(o: GraftStreamOffset)
+      : Option[graft.core.Revision] = {
+    if (o.n <= 0) return None
+    val log = changelog.log()
+    log.find(_.child == o.rev)
+      .orElse(log.take(math.min(o.n, log.length.toLong).toInt)
+        .lastOption)
+  }
+
+  private def manifestOf(o: GraftStreamOffset)
+      : Option[graft.core.Manifest] =
+    revisionOf(o).map(series.collection.decodeCached)
+
+  override def latestOffset(): Offset = offsetAt(logNow())
+  override def initialOffset(): Offset =
+    if (startingLatest) offsetAt(logNow())
+    else GraftStreamOffset(0L, "")
+  override def deserializeOffset(json: String): Offset = {
+    val n = "\"n\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val rev = "\"rev\":\"([^\"]*)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    GraftStreamOffset(n, rev)
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftStreamOffset]
+    val b = end.asInstanceOf[GraftStreamOffset]
+    if (b.n <= a.n && b.rev == a.rev) return Array.empty
+    val endM = manifestOf(b)
+    if (endM.isEmpty) return Array.empty
+    val startM = manifestOf(a)
+    val label = series.label
+    val prevFiles: Set[String] =
+      startM.map(_.allFiles).getOrElse(Set.empty)
+    val prevRows: Set[graft.core.SegmentMeta] =
+      startM.map(_.rows.filter(_.label == label).toSet)
+        .getOrElse(Set.empty)
+    val gs = table.gschema
+    val reqNames = required.fields.map(_.name).toSeq
+    endM.get.rows.filter(r => r.label == label && r.hasData).flatMap {
+      meta =>
+        val seg = SegmentRead(meta, meta.start, meta.stop, meta.closed)
+        if (meta.inline.isDefined) {
+          if (prevRows.contains(meta)) Nil
+          else GraftPlanning.partitionsFor(series, gs, reqNames, seg,
+            null)
+        } else {
+          val fresh = meta.files.filterNot(prevFiles.contains).toSet
+          if (fresh.isEmpty) Nil
+          else GraftPlanning.partitionsFor(series, gs, reqNames, seg,
+            fresh)
+        }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPlanning.readerFactory()
 }
 
 /** residual overlay-clip bounds, evaluated per row in the reader */

@@ -207,6 +207,67 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("readStream tails new segment writes (CDC micro-batches)") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(spark.range(0, 500, 1, 2)
+      .select($"id".as("ts"), lit(1.0).as("value")), presorted = true)
+    val stream = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").load()
+    val q = stream.writeStream.format("memory")
+      .queryName("gstream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gstream").count() == 500L)
+      // an appended write arrives as the next micro-batch
+      s.write(spark.range(500, 800, 1, 2)
+        .select($"id".as("ts"), lit(2.0).as("value")),
+        presorted = true)
+      q.processAllAvailable()
+      assert(spark.table("gstream").count() == 800L)
+      assert(spark.table("gstream")
+        .filter(col("value") === 2.0).count() == 300L)
+      // a tiny manifest-INLINE commit streams too
+      clct.embedMaxSize = 1024L
+      s.write(Seq((900L, 3.0)).toDF("ts", "value"))
+      q.processAllAvailable()
+      assert(spark.table("gstream").count() == 801L)
+      // no data -> no phantom batches
+      q.processAllAvailable()
+      assert(spark.table("gstream").count() == 801L)
+    } finally q.stop()
+  }
+
+  test("stream.starting=latest skips history") {
+    val root = Files.createTempDirectory("graft-stream2").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(spark.range(0, 400, 1, 2)
+      .select($"id".as("ts"), lit(1.0).as("value")), presorted = true)
+    val stream = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").option("stream.starting", "latest").load()
+    val q = stream.writeStream.format("memory")
+      .queryName("gstream2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gstream2").count() == 0L)
+      s.write(spark.range(400, 450, 1, 1)
+        .select($"id".as("ts"), lit(2.0).as("value")),
+        presorted = true)
+      q.processAllAvailable()
+      assert(spark.table("gstream2").count() == 50L)
+    } finally q.stop()
+  }
+
   test("clone renames and defaults resolve through the connector") {
     val root = Files.createTempDirectory("graft-dsv2c").toString
     val repo = new Repo(root, spark)
