@@ -548,7 +548,58 @@ object QueriesWindow {
       |  FROM events) t WHERE rn <= 5
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Time-weighted average price per (event type, day) — the finance
+    * downsample where irregular ticks must NOT be averaged naively
+    * (a value that held for hours counts more than a 1-second
+    * blip). Weight = seconds until the next tick within the day
+    * (last tick of the day carries no interval — standard
+    * session-TWAP). All arithmetic integer-exact: milli-quantized
+    * values × whole-second intervals (products bounded ≪ 2^63),
+    * truncating division at the end; groups whose ticks all landed
+    * in one second (zero total weight) are excluded in both
+    * dialects. One window per (type, day) partition — bounded — and
+    * one map-side-combined aggregate. */
+  def q179_twap(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH t AS (SELECT event_type, cast(ts AS date) AS day,
+        |    cast(round(value * 1000, 0) AS bigint) AS vm,
+        |    unix_micros(ts) AS us, ts, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, day, vm,
+        |    (lead(us) OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) - us) div 1000000 AS dt_s
+        |  FROM t)
+        |SELECT event_type, day,
+        |  count(*) AS n_ticks,
+        |  sum(dt_s) AS weight_s,
+        |  sum(vm * dt_s) div sum(dt_s) AS twap_milli
+        |FROM g WHERE dt_s IS NOT NULL
+        |GROUP BY event_type, day
+        |HAVING sum(dt_s) > 0
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  val q179_oracle: String =
+    """WITH t AS (SELECT event_type, ts::DATE AS day,
+      |    round(value * 1000)::BIGINT AS vm,
+      |    epoch_us(ts) AS us, ts, event_id
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT event_type, day, vm,
+      |    (lead(us) OVER (PARTITION BY event_type, day
+      |      ORDER BY ts, event_id) - us) // 1000000 AS dt_s
+      |  FROM t)
+      |SELECT event_type, day,
+      |  count(*)::BIGINT AS n_ticks,
+      |  sum(dt_s)::BIGINT AS weight_s,
+      |  (sum(vm * dt_s) // sum(dt_s))::BIGINT AS twap_milli
+      |FROM g WHERE dt_s IS NOT NULL
+      |GROUP BY event_type, day
+      |HAVING sum(dt_s) > 0
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_twap" -> q179_twap _,
     "q175_topk_rewrite" -> q175_topk_rewrite _,
     "q173_interarrival" -> q173_interarrival _,
     "q172_transition_matrix" -> q172_transition_matrix _,
@@ -567,6 +618,7 @@ object QueriesWindow {
     "q42_histogram" -> q42_histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q179_twap" -> q179_oracle,
     "q175_topk_rewrite" -> q175_oracle,
     "q173_interarrival" -> q173_oracle,
     "q172_transition_matrix" -> q172_oracle,
