@@ -370,6 +370,112 @@ object QueriesSeries {
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL-first WRITE through the DataSourceV2 connector
+    * (`INSERT INTO` a graft temp view): the engine ingests half the
+    * events through the Scala API and the other half through a plain
+    * SQL insert — which plans the engine's own one-job bulk write
+    * ([[graft.sources.GraftBatchWrite]]: per-task segment files +
+    * inline stats, manifest splice at commit, no read-back) with the
+    * range-shuffle+sort requested declaratively via
+    * RequiresDistributionAndOrdering. The aggregate then reads the
+    * merged series back through the connector; the oracle computes
+    * the same numbers over ALL source events, so the insert must have
+    * landed exactly. */
+  def q180_connector_insert(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    val ev = eventsDf(s, dir)
+    val cut = lit("2024-01-15").cast("timestamp")
+    sr.write(ev.filter(col("ts") < cut))
+    s.read.format("graft")
+      .option("path", sr.collection.repo.rootUri)
+      .option("collection", "events")
+      .option("series", "_")
+      .load()
+      .createOrReplaceTempView("gq180")
+    ev.filter(col("ts") >= cut).createOrReplaceTempView("gq180_src")
+    s.sql(
+      """INSERT INTO gq180
+        |SELECT ts, event_id, value, event_type FROM gq180_src"""
+        .stripMargin)
+    s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro,
+        |  count(DISTINCT event_id) AS n_ids
+        |FROM gq180
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q180_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro,
+      |  count(DISTINCT event_id)::BIGINT AS n_ids
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Multi-column index pushdown through the connector: a
+    * (day, event_id) two-column index, SQL `WHERE day = X AND
+    * event_id >= Y` — the scan builder assembles the lexicographic
+    * prefix bound [X, Y] → [X] and prunes manifest segments WITHIN
+    * day X (head-column-only pushdown would scan the whole day;
+    * GraftSourceSpec gates the segment count, this gates the
+    * values). */
+  def q181_connector_multiidx(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val schema = GSchema("day" -> "int*", "event_id" -> "int*",
+      "value" -> "float")
+    val clct = repo.createCollection(schema, "by_day")
+    clct.pageLen = 2000L // several segments per day at sf0.01+
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    sr.write(eventsDf(s, dir).select(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"),
+      col("event_id"), col("value")))
+    s.read.format("graft").option("path", root)
+      .option("collection", "by_day").option("series", "_").load()
+      .createOrReplaceTempView("gq181")
+    s.sql(
+      """SELECT count(*) AS cnt,
+        |  sum(event_id) AS id_sum,
+        |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+        |FROM gq181 WHERE day = 7 AND event_id >= 2400""".stripMargin)
+  }
+
+  val q181_oracle: String =
+    """SELECT count(*)::BIGINT AS cnt,
+      |  sum(event_id)::BIGINT AS id_sum,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |WHERE date_diff('day', DATE '2024-01-01', ts::DATE) = 7
+      |  AND event_id >= 2400""".stripMargin
+
+  /** ORDER BY index LIMIT k through the connector: SupportsPushDownTopN
+    * turns the SQL top-k into a manifest prefix-covering scan (1-2
+    * trailing segments instead of the whole series — the same walk
+    * `Series.tail` does), Spark re-sorts the reduced input above. The
+    * unique (ts, event_id) index makes the top-k deterministic. */
+  def q182_connector_topn(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    s.read.format("graft")
+      .option("path", sr.collection.repo.rootUri)
+      .option("collection", "events").option("series", "_").load()
+      .createOrReplaceTempView("gq182")
+    s.sql(
+      """SELECT event_id, ts, cast(round(value * 1000000, 0) AS bigint)
+        |  AS val_micro
+        |FROM gq182 ORDER BY ts DESC, event_id DESC LIMIT 40"""
+        .stripMargin)
+  }
+
+  val q182_oracle: String =
+    """SELECT event_id, ts, round(value * 1000000)::BIGINT AS val_micro
+      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 40"""
+      .stripMargin
+
   /** Bulk multi-series ingest (Collection.ingestGrouped): one series
     * per event type from a single partitioned write + batched commit,
     * then an engine read of two of the series unioned back — checked
@@ -973,6 +1079,9 @@ object QueriesSeries {
     "q84_grouped_ingest" -> q84_grouped_ingest _,
     "q76_sql_facade" -> q76_sql_facade _,
     "q174_connector_sql" -> q174_connector_sql _,
+    "q180_connector_insert" -> q180_connector_insert _,
+    "q181_connector_multiidx" -> q181_connector_multiidx _,
+    "q182_connector_topn" -> q182_connector_topn _,
     "q48_series_inline" -> q48_series_inline _,
     "q65_series_squash" -> q65_series_squash _,
     "q66_series_export" -> q66_series_export _,
@@ -1003,6 +1112,9 @@ object QueriesSeries {
     "q84_grouped_ingest" -> q84_oracle,
     "q76_sql_facade" -> q76_oracle,
     "q174_connector_sql" -> q174_oracle,
+    "q180_connector_insert" -> q180_oracle,
+    "q181_connector_multiidx" -> q181_oracle,
+    "q182_connector_topn" -> q182_oracle,
     "q48_series_inline" -> q48_oracle,
     "q65_series_squash" -> q65_oracle,
     "q66_series_export" -> q66_oracle,

@@ -175,6 +175,25 @@ class Collection(val repo: Repo, val label: String, val path: String,
     try { body; buf.toSeq } finally capture.remove()
   }
 
+  /** ONE commit that drops every existing row of `label` and splices
+    * `rows` in — SQL overwrite-mode semantics for a single series:
+    * readers at the previous revision (time travel) still see the old
+    * data; other series are untouched. */
+  private[graft] def truncateWrite(label: String,
+      rows: Seq[SegmentMeta]): Unit = synchronized {
+    val leaf = changelog.leaf()
+    val m0 = leaf match {
+      case Some(rev) => decodeCached(rev)
+      case None      => Manifest.empty(schema)
+    }
+    val m1 = m0.deleteLabels(Set(label))
+    val m2 =
+      if (rows.isEmpty) m1 else Manifest.spliceWrite(m1, rows)
+    changelog.commit(m2.encode,
+      parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+    ()
+  }
+
   private def commitBatch(writes: Seq[Seq[SegmentMeta]]): Unit = {
     val leaf = changelog.leaf()
     var m = leaf match {

@@ -248,6 +248,25 @@ class Series(val collection: Collection, val label: String) {
     }
   }
 
+  /** Commit staged files written OUTSIDE a Series-run job — the
+    * DataSourceV2 BatchWrite's driver-side commit: its tasks produced
+    * the same per-file stats the bulk job returns, so sealing +
+    * manifest splice is identical from here on. `truncate = true`
+    * (SQL overwrite mode) replaces THIS series' rows in one commit;
+    * other series and all history stay intact. */
+  private[graft] def commitStaged(
+      stats: Seq[graft.core.SegmentWriter.FileStat],
+      truncate: Boolean): Unit = {
+    if (stats.isEmpty) {
+      // empty append is a no-op; empty overwrite clears the series
+      if (truncate) collection.truncateWrite(label, Seq.empty)
+      return
+    }
+    val rows = sealSegments(stats, null, null, Closed.Both)
+    if (truncate) collection.truncateWrite(label, rows)
+    else commitRows(rows, root = false)
+  }
+
   /** Embed a collected tiny frame in the manifest if it fits under
     * collection.embedMaxSize serialized bytes; returns false to fall
     * back to the parquet path. Empty frames commit a tombstone row

@@ -197,6 +197,26 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     if (start.isEmpty) closed = closed.setLeft(true)
     if (stop.isEmpty) closed = closed.setRight(true)
 
+    // A PREFIX bound (fewer components than the key it meets) that
+    // prefix-equals resolves by side + closedness, mirroring the
+    // reference's Python tuple ordering where (2,) sorts BEFORE every
+    // (2, x) (lakota uses plain tuple comparisons in
+    // lakota/commit.py:425-475): a closed start bound (2,) means
+    // "from the beginning of group 2" (before every group-2 key), an
+    // open one "after all of group 2"; symmetrically for stops. Equal
+    // arity keeps the exact cmpKey result — single-column and
+    // full-tuple behavior is unchanged.
+    def cmpStart(s: IndexKey, k: IndexKey): Int = {
+      val c = schema.cmpKey(s, k)
+      if (c != 0 || s.values.length >= k.values.length) c
+      else if (closed.left) -1 else 1
+    }
+    def cmpStop(s: IndexKey, k: IndexKey): Int = {
+      val c = schema.cmpKey(s, k)
+      if (c != 0 || s.values.length >= k.values.length) c
+      else if (closed.right) 1 else -1
+    }
+
     rows.iterator.filter(_.label == label).flatMap { r =>
       var aStart = r.start
       var aStop = r.stop
@@ -204,11 +224,11 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
       var skip = false
 
       start.foreach { s =>
-        val cStop = schema.cmpKey(s, r.stop)
+        val cStop = cmpStart(s, r.stop)
         if (cStop > 0) skip = true                      // fully right of row
         else if (!aClosed.right && cStop == 0) skip = true
         else {
-          val cStart = schema.cmpKey(s, aStart)
+          val cStart = cmpStart(s, aStart)
           if (cStart > 0) {                              // clip left
             aClosed = aClosed.setLeft(closed.left)
             aStart = s
@@ -218,11 +238,11 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
         }
       }
       if (!skip) stop.foreach { s =>
-        val cStart = schema.cmpKey(s, aStart)
+        val cStart = cmpStop(s, aStart)
         if (cStart < 0) skip = true                      // fully left of row
         else if (!aClosed.left && cStart == 0) skip = true
         else {
-          val cStop = schema.cmpKey(s, aStop)
+          val cStop = cmpStop(s, aStop)
           if (cStop < 0) {                               // clip right
             aClosed = aClosed.setRight(closed.right)
             aStop = s

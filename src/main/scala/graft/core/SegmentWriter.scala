@@ -214,98 +214,129 @@ object SegmentWriter {
       pageLen: Long, codec: String, verifySorted: Boolean,
       labeled: Boolean): Seq[(String, FileStat)] = {
     val spark = sorted.sparkSession
-    val cols = gschema.cols
-    val phys = physNames.toIndexedSeq
-    val sparkFields = gschema.sparkSchema.fields
-    val idxPos = cols.zipWithIndex.filter(_._1.idx).map(_._2).toArray
-    val dtypes = cols.map(_.dtype).toIndexedSeq
     val serConf = new SerConf(spark.sessionState.newHadoopConf())
-    val M = 2147483647L
-    val off = if (labeled) 1 else 0
+    val params = TaskParams(gschema, physNames.toIndexedSeq, tmpRel,
+      tmpUri, pageLen, codec, verifySorted, labeled)
 
     sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, iter) =>
       if (!iter.hasNext) Iterator.empty
       else {
-        val conf = serConf.value
-        val nCols = cols.length
-        val fieldTypes = sparkFields.map(_.dataType)
-        def keyAt(ir: InternalRow): IndexKey = IndexKey(
-          idxPos.map { i =>
-            dtypes(i) match {
-              case GType.TimestampT | GType.IntT => ir.getLong(i + off)
-              case GType.DateT  => ir.getInt(i + off).toLong
-              case GType.FloatT => ir.getDouble(i + off)
-              case GType.StrT   => ir.getUTF8String(i + off).toString
-            }
-          }.toVector)
         val attempt = Option(TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val out = ArrayBuffer.empty[(String, FileStat)]
-        var w: ParquetWriter[InternalRow] = null
-        var fi = -1
-        var cnt = 0L
-        var hash = 0L
-        var minK: IndexKey = null
-        var maxK: IndexKey = null
-        var prevK: IndexKey = null
-        var label: String = null
-        def fname(i: Int) = f"part-$pid%05d-$attempt-$i%04d.parquet"
-        def roll(): Unit = if (w != null) {
-          w.close()
-          out += ((label,
-            FileStat(s"$tmpRel/${fname(fi)}", cnt, minK, maxK, hash)))
-          w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
-        }
+        val tw = new TaskSegmentWriter(params, serConf.value, pid,
+          attempt)
         try {
-          while (iter.hasNext) {
-            val ir = iter.next()
-            val rowLabel =
-              if (!labeled) null
-              else if (ir.isNullAt(0))
-                throw new IllegalArgumentException(
-                  "null values in group column — filter them first")
-              else ir.getUTF8String(0).toString
-            if (w != null && labeled && rowLabel != label) {
-              roll() // new series starts a new file
-              prevK = null
-            }
-            if (w == null) {
-              fi += 1
-              w = open(cols, phys, s"$tmpUri/${fname(fi)}", conf,
-                codec, off)
-              minK = keyAt(ir)
-              label = rowLabel
-            }
-            w.write(ir)
-            maxK = keyAt(ir)
-            if (verifySorted) {
-              // presorted-input contract (the reference requires
-              // sorted frames on write, lakota/frame.py): verify per
-              // row, fail the write loudly before anything commits
-              if (prevK != null && gschema.cmpKey(prevK, maxK) > 0)
-                throw new IllegalArgumentException(
-                  s"presorted write got unsorted input: $prevK > $maxK")
-              prevK = maxK
-            }
-            // same digest hash the inline/driver-local paths compute
-            // (xxhash64(cols…), seed 42) via the interpreted hash
-            // function directly — no per-row Expression-tree eval
-            var h = 42L
-            var i = 0
-            while (i < nCols) {
-              if (!ir.isNullAt(i + off))
-                h = XxHash64Function.hash(
-                  ir.get(i + off, fieldTypes(i)), fieldTypes(i), h)
-              i += 1
-            }
-            hash += ((h % M) + M) % M
-            cnt += 1
-            if (cnt >= pageLen) roll()
-          }
-          roll()
-        } finally if (w != null) w.close()
-        out.iterator
+          while (iter.hasNext) tw.write(iter.next())
+          tw.finish().iterator
+        } finally tw.closeQuiet()
       }
     }.collect().toSeq
+  }
+
+  /** Serializable bundle of everything one task-side rolling writer
+    * needs — shared by the bulk write job and the DataSourceV2
+    * BatchWrite's writer factory. */
+  final case class TaskParams(gschema: GSchema,
+      phys: IndexedSeq[String], tmpRel: String, tmpUri: String,
+      pageLen: Long, codec: String, verifySorted: Boolean,
+      labeled: Boolean) extends Serializable
+
+  /** Task-side rolling segment writer: streams sorted InternalRows
+    * into ≤ pageLen-row engine-format parquet files under the staging
+    * dir, rolling on pageLen (and, for the grouped ingest, on label
+    * change), verifying row order when the input was declared
+    * presorted, and accumulating each file's
+    * (count, min key, max key, content hash) as it writes — the write
+    * IS the stats pass. One instance per task/partition. */
+  private[graft] final class TaskSegmentWriter(p: TaskParams,
+      conf: Configuration, pid: Int, attempt: Long) {
+    private val cols = p.gschema.cols
+    private val off = if (p.labeled) 1 else 0
+    private val idxPos =
+      cols.zipWithIndex.filter(_._1.idx).map(_._2).toArray
+    private val dtypes = cols.map(_.dtype).toIndexedSeq
+    private val fieldTypes = p.gschema.sparkSchema.fields.map(_.dataType)
+    private val nCols = cols.length
+    private val M = 2147483647L
+
+    private val out = ArrayBuffer.empty[(String, FileStat)]
+    private var w: ParquetWriter[InternalRow] = null
+    private var fi = -1
+    private var cnt = 0L
+    private var hash = 0L
+    private var minK: IndexKey = null
+    private var maxK: IndexKey = null
+    private var prevK: IndexKey = null
+    private var label: String = null
+
+    private def keyAt(ir: InternalRow): IndexKey = IndexKey(
+      idxPos.map { i =>
+        dtypes(i) match {
+          case GType.TimestampT | GType.IntT => ir.getLong(i + off)
+          case GType.DateT  => ir.getInt(i + off).toLong
+          case GType.FloatT => ir.getDouble(i + off)
+          case GType.StrT   => ir.getUTF8String(i + off).toString
+        }
+      }.toVector)
+
+    private def fname(i: Int) = f"part-$pid%05d-$attempt-$i%04d.parquet"
+
+    private def roll(): Unit = if (w != null) {
+      w.close()
+      out += ((label,
+        FileStat(s"${p.tmpRel}/${fname(fi)}", cnt, minK, maxK, hash)))
+      w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
+    }
+
+    def write(ir: InternalRow): Unit = {
+      val rowLabel =
+        if (!p.labeled) null
+        else if (ir.isNullAt(0))
+          throw new IllegalArgumentException(
+            "null values in group column — filter them first")
+        else ir.getUTF8String(0).toString
+      if (w != null && p.labeled && rowLabel != label) {
+        roll() // new series starts a new file
+        prevK = null
+      }
+      if (w == null) {
+        fi += 1
+        w = open(cols, p.phys, s"${p.tmpUri}/${fname(fi)}", conf,
+          p.codec, off)
+        minK = keyAt(ir)
+        label = rowLabel
+      }
+      w.write(ir)
+      maxK = keyAt(ir)
+      if (p.verifySorted) {
+        // presorted-input contract (the reference requires sorted
+        // frames on write, lakota/frame.py): verify per row, fail the
+        // write loudly before anything commits
+        if (prevK != null && p.gschema.cmpKey(prevK, maxK) > 0)
+          throw new IllegalArgumentException(
+            s"presorted write got unsorted input: $prevK > $maxK")
+        prevK = maxK
+      }
+      // same digest hash the inline/driver-local paths compute
+      // (xxhash64(cols…), seed 42) via the interpreted hash function
+      // directly — no per-row Expression-tree eval
+      var h = 42L
+      var i = 0
+      while (i < nCols) {
+        if (!ir.isNullAt(i + off))
+          h = XxHash64Function.hash(
+            ir.get(i + off, fieldTypes(i)), fieldTypes(i), h)
+        i += 1
+      }
+      hash += ((h % M) + M) % M
+      cnt += 1
+      if (cnt >= p.pageLen) roll()
+    }
+
+    /** Close the open file and return every file's stats. */
+    def finish(): Seq[(String, FileStat)] = { roll(); out.toSeq }
+
+    /** failure-path close: never masks the original exception */
+    def closeQuiet(): Unit = if (w != null) w.close()
   }
 }

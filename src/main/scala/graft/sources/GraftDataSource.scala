@@ -94,7 +94,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * manifest lazily per scan, AFTER filters arrive. */
 class GraftTable(rootUri: String, collectionName: String,
     seriesLabel: String, beforeMs: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private[sources] def series: graft.api.Series = {
     val spark = SparkSession.active
@@ -112,11 +113,17 @@ class GraftTable(rootUri: String, collectionName: String,
   override def schema(): StructType = gschema.sparkSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(this, beforeMs,
-      options.getOrDefault("stream.starting", "earliest") == "latest")
+      options.getOrDefault("stream.starting", "earliest") == "latest",
+      options.getOrDefault("stream.rewrites", "emit") == "skip")
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(this, info)
 }
 
 /** Test/diagnostic probe: records how the LAST planned graft scan
@@ -125,40 +132,78 @@ object GraftScanProbe {
   @volatile var lastSegmentsScanned: Int = -1
   @volatile var lastSegmentsTotal: Int = -1
   @volatile var lastPushed: Seq[String] = Nil
+  @volatile var lastLimit: Int = -1
+  /** staged files sealed by the LAST connector batch write */
+  @volatile var lastWriteFiles: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */
   val vectorizedOpens = new java.util.concurrent.atomic.AtomicLong
   val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
 class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
-    streamStartLatest: Boolean = false)
+    streamStartLatest: Boolean = false,
+    streamSkipRewrites: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
-  private var startB: Any = null
-  private var startClosed = true
-  private var stopB: Any = null
-  private var stopClosed = true
+  /** per-index-column bound state, tightest-seen (kernel-compared) */
+  private final class ColBound(val dt: GType) {
+    var lo: Any = null; var loClosed = true
+    var hi: Any = null; var hiClosed = true
+    def hasEq: Boolean = lo != null && hi != null && loClosed &&
+      hiClosed && dt.cmp(k(lo), k(hi)) == 0
+    private def k(v: Any) = SparkVals.parseBound(dt, v)
+    def tighten(lo0: Any = null, loC: Boolean = true,
+        hi0: Any = null, hiC: Boolean = true): Unit = {
+      if (lo0 != null) {
+        if (lo == null || dt.cmp(k(lo0), k(lo)) > 0 ||
+            (dt.cmp(k(lo0), k(lo)) == 0 && !loC)) {
+          lo = lo0; loClosed = loC
+        }
+      }
+      if (hi0 != null) {
+        if (hi == null || dt.cmp(k(hi0), k(hi)) < 0 ||
+            (dt.cmp(k(hi0), k(hi)) == 0 && !hiC)) {
+          hi = hi0; hiClosed = hiC
+        }
+      }
+    }
+  }
+
+  private val idxCols: Seq[ColDef] = table.gschema.idx
+  private val bounds: Map[String, ColBound] =
+    idxCols.map(c => c.name -> new ColBound(c.dtype)).toMap
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
-
-  private def idxHead: String = table.gschema.idx.head.name
+  private var limitN: Option[Int] = None
+  private var limitReversed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = ArrayBuffer.empty[Filter]
+    // predicates on ANY index column collect per-column bounds; the
+    // lexicographic prefix assembly in build() uses columns 2..n only
+    // below an unbroken run of equalities, matching what
+    // `Series.frame`'s full-tuple pruning resolves. The `v != null`
+    // guards are unreachable after constant folding (a null-literal
+    // comparison folds to null first) but keep a hand-built filter
+    // from reaching SparkVals.parseBound.
     filters.foreach {
-      case f @ GreaterThan(c, v) if c == idxHead =>
-        usable += f; tighten(lo = v, loClosed = false)
-      case f @ GreaterThanOrEqual(c, v) if c == idxHead =>
-        usable += f; tighten(lo = v, loClosed = true)
-      case f @ LessThan(c, v) if c == idxHead =>
-        usable += f; tighten(hi = v, hiClosed = false)
-      case f @ LessThanOrEqual(c, v) if c == idxHead =>
-        usable += f; tighten(hi = v, hiClosed = true)
-      case f @ EqualTo(c, v) if c == idxHead =>
+      case f @ GreaterThan(c, v) if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(lo0 = v, loC = false)
+      case f @ GreaterThanOrEqual(c, v)
+          if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(lo0 = v, loC = true)
+      case f @ LessThan(c, v) if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(hi0 = v, hiC = false)
+      case f @ LessThanOrEqual(c, v)
+          if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(hi0 = v, hiC = true)
+      case f @ EqualTo(c, v) if bounds.contains(c) && v != null =>
         usable += f
-        tighten(lo = v, loClosed = true)
-        tighten(hi = v, hiClosed = true)
+        bounds(c).tighten(lo0 = v, loC = true)
+        bounds(c).tighten(hi0 = v, hiC = true)
       case _ => ()
     }
     pushed = usable.toArray
@@ -166,39 +211,80 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** keep the tightest bound seen (kernel-compared) */
-  private def tighten(lo: Any = null, loClosed: Boolean = true,
-      hi: Any = null, hiClosed: Boolean = true): Unit = {
-    val dt = table.gschema.idx.head.dtype
-    def k(v: Any) = SparkVals.parseBound(dt, v)
-    if (lo != null) {
-      if (startB == null || dt.cmp(k(lo), k(startB)) > 0 ||
-          (dt.cmp(k(lo), k(startB)) == 0 && !loClosed)) {
-        startB = lo; startClosed = loClosed
-      }
-    }
-    if (hi != null) {
-      if (stopB == null || dt.cmp(k(hi), k(stopB)) < 0 ||
-          (dt.cmp(k(hi), k(stopB)) == 0 && !hiClosed)) {
-        stopB = hi; stopClosed = hiClosed
-      }
-    }
-  }
-
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
+  /** LIMIT k over the bare scan: the manifest's prefix-covering logic
+    * answers it with the fewest leading segments (partial push — Spark
+    * re-applies the limit above, so over-serving is safe). */
+  override def pushLimit(limit: Int): Boolean = {
+    limitN = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <idx prefix> LIMIT k: manifest order IS index order, so
+    * an ascending top-k needs only the leading covering segments and a
+    * descending one only the trailing (partial push — Spark still
+    * sorts/limits the reduced input above the scan). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, SortDirection}
+    if (orders.isEmpty || orders.length > idxCols.length) return false
+    val names = orders.map(_.expression() match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        r.fieldNames()(0)
+      case _ => return false
+    })
+    if (!names.sameElements(idxCols.take(names.length).map(_.name)))
+      return false
+    val dirs = orders.map(_.direction()).distinct
+    if (dirs.length != 1) return false
+    limitN = Some(limit)
+    limitReversed = dirs.head == SortDirection.DESCENDING
+    true
+  }
+
+  /** Assemble the lexicographic prefix bound: equalities on leading
+    * index columns extend the prefix; the first non-equality column
+    * contributes its own bound and terminates it (anything deeper
+    * cannot prune without the full tuple — it stays residual). */
+  private def prefixBound(lower: Boolean): (Seq[Any], Boolean) = {
+    val prefix = Vector.newBuilder[Any]
+    var closed = true
+    var n = 0
+    var stop = false
+    val it = idxCols.iterator
+    while (!stop && it.hasNext) {
+      val b = bounds(it.next().name)
+      if (b.hasEq) { prefix += b.lo; n += 1 }
+      else {
+        val (v, cl) = if (lower) (b.lo, b.loClosed) else (b.hi, b.hiClosed)
+        if (v != null) { prefix += v; closed = cl; n += 1 }
+        stop = true // anything deeper than the first range column
+                    // cannot prune without the full tuple
+      }
+    }
+    (if (n == 0) null else prefix.result(), closed)
+  }
+
   override def build(): Scan = {
+    val (startB, startClosed) = prefixBound(lower = true)
+    val (stopB, stopClosed) = prefixBound(lower = false)
     val closed = Closed.Both.setLeft(startClosed).setRight(stopClosed)
     new GraftScan(table, startB, stopB, closed, beforeMs,
       required.getOrElse(table.schema()),
-      pushed.map(_.toString).toSeq, streamStartLatest)
+      pushed.map(_.toString).toSeq, streamStartLatest,
+      limitN, limitReversed, streamSkipRewrites)
   }
 }
 
 class GraftScan(table: GraftTable, start: Any, stop: Any,
     closed: Closed, beforeMs: Option[Long], required: StructType,
-    pushedDesc: Seq[String], streamStartLatest: Boolean = false)
+    pushedDesc: Seq[String], streamStartLatest: Boolean = false,
+    limit: Option[Int] = None, limitReversed: Boolean = false,
+    streamSkipRewrites: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics {
 
@@ -227,7 +313,9 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   override def description(): String = {
     val segs = plannedSegments
     s"GraftScan ${table.name()} segments=${segs.length}/" +
-      s"$totalSegments pushed=[${pushedDesc.mkString(", ")}]"
+      s"$totalSegments pushed=[${pushedDesc.mkString(", ")}]" +
+      limit.map(l => s" limit=$l" +
+        (if (limitReversed) " (desc)" else "")).getOrElse("")
   }
 
   /** ONE resolution per scan: plannedSegments, planInputPartitions
@@ -241,11 +329,35 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       (Seq[SegmentRead], Int) = {
     val s = resolvedSeries
     val total = s.segments().count(_.meta.hasData)
-    val covering = s.segments(start, stop, beforeMs, closed)
+    val covering0 = s.segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
+    // pushed LIMIT k: the shortest run of segments GUARANTEED to hold
+    // ≥ k rows (manifest order = index order; ascending limits take
+    // the leading run, descending top-k the trailing). Only fully
+    // visible segments contribute guaranteed rows — an overlay-clipped
+    // one counts 0, so the cover can only over-serve, never starve the
+    // re-applied limit above the scan.
+    val covering = limit match {
+      case Some(k) =>
+        val ordered =
+          if (limitReversed) covering0.reverse else covering0
+        val out = Seq.newBuilder[SegmentRead]
+        var guaranteed = 0L
+        val it = ordered.iterator
+        while (guaranteed < k && it.hasNext) {
+          val seg = it.next()
+          out += seg
+          if (GraftPlanning.covers(table.gschema, seg))
+            guaranteed += seg.meta.length
+        }
+        val run = out.result()
+        if (limitReversed) run.reverse else run
+      case None => covering0
+    }
     GraftScanProbe.lastSegmentsScanned = covering.length
     GraftScanProbe.lastSegmentsTotal = total
     GraftScanProbe.lastPushed = pushedDesc
+    GraftScanProbe.lastLimit = limit.getOrElse(-1)
     (covering, total)
   }
 
@@ -256,10 +368,148 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(table, required, streamStartLatest)
+    new GraftMicroBatchStream(table, required, streamStartLatest,
+      streamSkipRewrites)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPlanning.readerFactory()
+}
+
+/** `INSERT INTO` / `df.write.format("graft").mode(...)` — the
+  * DataSourceV2 write path into the engine. The physical shape is the
+  * engine's own one-job bulk write ([[SegmentWriter.TaskSegmentWriter]]
+  * per task: roll ≤ pageLen-row engine-format parquet files, return
+  * per-file count/min/max/content-hash inline), so a SQL insert pays
+  * exactly what `Series.write` pays: ONE distributed job, no read-back
+  * scan, one metadata commit. Sorting is requested declaratively via
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+  * (Spark plans the range-shuffle + sort INSIDE the write job — the V2
+  * counterpart of the API path's repartitionByRange), or skipped
+  * entirely with `option("presorted", "true")`, which mirrors
+  * `write(df, presorted = true)`: trusted but verified per row
+  * in-task, with file-range disjointness re-checked at seal time.
+  * `mode("overwrite")` (SupportsTruncate) replaces THIS series only —
+  * a single commit whose manifest drops the series' rows and splices
+  * the new ones, so other series in the collection and all history
+  * (time travel) stay intact. Semantics = `Series.write` range
+  * overlay; KV upsert merge is an API-only surface. */
+class GraftWriteBuilder(table: GraftTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateMode = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateMode = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val expect = table.gschema.sparkSchema
+    val got = info.schema()
+    require(got.length == expect.length &&
+      got.fields.zip(expect.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"graft write schema mismatch: got ${got.simpleString}, " +
+        s"table is ${expect.simpleString}")
+    new GraftWrite(table,
+      info.options().getBoolean("presorted", false), truncateMode)
+  }
+}
+
+class GraftWrite(table: GraftTable, presorted: Boolean,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution,
+    Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions,
+    SortDirection, SortOrder}
+
+  private def idxOrders: Array[SortOrder] =
+    table.gschema.idx.map(c => Expressions.sort(
+      Expressions.column(c.name), SortDirection.ASCENDING)).toArray
+
+  // presorted = the caller's declaration that the input is already
+  // globally sorted (lakota's own write precondition): no shuffle, no
+  // sort — the task-side order verify + seal-time disjointness check
+  // still reject a false declaration before anything commits
+  override def requiredDistribution(): Distribution =
+    if (presorted) Distributions.unspecified()
+    else Distributions.ordered(idxOrders)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (presorted) Array.empty else idxOrders
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite = {
+    val s = table.series
+    val clct = s.collection
+    val store = clct.repo.store
+    val tmpRel = s"tmp/${graft.core.Hash.hextime()}-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val params = SegmentWriter.TaskParams(table.gschema,
+      table.gschema.names.map(clct.physOf).toIndexedSeq,
+      tmpRel, store.uri(tmpRel), clct.pageLen,
+      clct.repo.spark.conf.get("spark.graft.segment.codec", "zstd"),
+      verifySorted = presorted, labeled = false)
+    new GraftBatchWrite(table, params, truncate)
+  }
+}
+
+/** per-task stats travel back in the commit message — the write's
+  * ONLY metadata channel, exactly like the bulk job's collect */
+final case class GraftCommitMessage(
+    stats: Seq[SegmentWriter.FileStat])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftBatchWrite(table: GraftTable,
+    params: SegmentWriter.TaskParams, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new GraftWriterFactory(params, new SegmentWriter.SerConf(
+      SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val stats = messages.toSeq.flatMap {
+      case GraftCommitMessage(s) => s
+      case other => throw new IllegalStateException(
+        s"unexpected commit message: $other")
+    }
+    val series = table.series
+    try series.commitStaged(stats, truncate)
+    finally series.collection.repo.store.rm(params.tmpRel,
+      recursive = true)
+    GraftScanProbe.lastWriteFiles = stats.length
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    table.series.collection.repo.store.rm(params.tmpRel,
+      recursive = true)
+}
+
+class GraftWriterFactory(params: SegmentWriter.TaskParams,
+    conf: SegmentWriter.SerConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(
+      new SegmentWriter.TaskSegmentWriter(params, conf.value,
+        partitionId, taskId))
+}
+
+class GraftDataWriter(tw: SegmentWriter.TaskSegmentWriter)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  override def write(row: InternalRow): Unit = tw.write(row)
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage =
+    GraftCommitMessage(tw.finish().map(_._2))
+  override def abort(): Unit = tw.closeQuiet()
+  override def close(): Unit = tw.closeQuiet()
 }
 
 /** Planning helpers shared by the batch scan and the micro-batch
@@ -363,11 +613,25 @@ final case class GraftStreamOffset(n: Long, rev: String)
   * REWRITE streams its new rows (and a splice-truncated inline row
   * re-emits its surviving remainder — documented CDC semantics, not
   * a replay bug). `option("stream.starting", "latest")` skips
-  * history; the default replays the full series. The reference has
-  * no streaming surface at all; this reuses the batch connector's
-  * partitions and readers wholesale. */
+  * history; the default replays the full series.
+  *
+  * Rewrite contract (MIGRATION.md "Streaming CDC"): by default a
+  * compaction (defrag/squash-style commit that rewrites existing rows
+  * into new files) RE-EMITS those rows — at-least-once with replay on
+  * compaction — and range deletes never surface (no tombstone
+  * events). `option("stream.rewrites", "skip")` suppresses the
+  * replay: a commit is classified as compaction from MANIFEST
+  * METADATA ONLY — every affected series keeps an identical merged
+  * visible-window cover and total row count, with everything fully
+  * visible on both sides — and its newly-referenced files/inline rows
+  * are not served. An overlay update that preserves exactly its
+  * range's row count and bounds is indistinguishable from compaction
+  * at the metadata level and is ALSO skipped in this mode: skip is
+  * for append+compact workloads; value-rewriting workloads keep the
+  * default. The reference has no streaming surface at all; this
+  * reuses the batch connector's partitions and readers wholesale. */
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
-    startingLatest: Boolean)
+    startingLatest: Boolean, skipRewrites: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -414,6 +678,100 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** merged visible-window cover + total row count for one series of
+    * a manifest — None when any row is overlay-clipped (its visible
+    * length is unknowable from metadata alone, so a commit touching
+    * it is never classified as compaction). The merged cover makes
+    * the signature partition-independent: N small contiguous rows and
+    * the one page-sized row defrag rewrote them into hash equal. */
+  private def compactionSig(m: graft.core.Manifest, label: String)
+      : Option[(Vector[(String, Boolean, String, Boolean)], Long)] = {
+    val gs = table.gschema
+    val segs = m.segments(label).filter(_.meta.hasData)
+    if (!segs.forall(s => GraftPlanning.covers(gs, s))) return None
+    // key-adjacent both-closed windows ([0,999] then [1000,…]) merge
+    // too when the last index component is a DISCRETE dtype (int /
+    // timestamp-micros / date-days — every engine dtype except float
+    // and string): defrag's one output window [0,4999] must hash
+    // equal to the five input windows it replaced
+    def isSuccessor(a: graft.core.IndexKey,
+        b: graft.core.IndexKey): Boolean = {
+      val n = gs.idx.length
+      if (a.values.length != n || b.values.length != n || n == 0)
+        return false
+      var i = 0
+      while (i < n - 1) {
+        if (gs.idx(i).dtype.cmp(a.values(i), b.values(i)) != 0)
+          return false
+        i += 1
+      }
+      gs.idx(n - 1).dtype match {
+        case GType.FloatT | GType.StrT => false
+        case _ => (a.values(n - 1), b.values(n - 1)) match {
+          case (x: java.lang.Long, y: java.lang.Long) => y == x + 1L
+          case _ => false
+        }
+      }
+    }
+    val merged = ArrayBuffer
+      .empty[(graft.core.IndexKey, Boolean, graft.core.IndexKey, Boolean)]
+    segs.foreach { s =>
+      val contiguous = merged.nonEmpty && {
+        val last = merged.last
+        (gs.cmpKey(last._3, s.start) == 0 &&
+          (last._4 || s.closed.left)) ||
+          (last._4 && s.closed.left && isSuccessor(last._3, s.start))
+      }
+      if (contiguous) {
+        val last = merged.last
+        merged(merged.length - 1) =
+          (last._1, last._2, s.stop, s.closed.right)
+      } else merged += ((s.start, s.closed.left, s.stop, s.closed.right))
+    }
+    Some((merged.map(w =>
+      (w._1.toString, w._2, w._3.toString, w._4)).toVector,
+      segs.map(_.meta.length).sum))
+  }
+
+  /** files + inline rows introduced by commits in (a, b] that the
+    * metadata classifies as pure compaction (see class doc) */
+  private def compactionArtifacts(a: GraftStreamOffset,
+      b: GraftStreamOffset)
+      : (Set[String], Set[graft.core.SegmentMeta]) = {
+    val log = changelog.log()
+    val lo = math.max(0L, math.min(a.n, log.length.toLong)).toInt
+    val hi = math.min(b.n, log.length.toLong).toInt
+    var files = Set.empty[String]
+    var inline = Set.empty[graft.core.SegmentMeta]
+    var prev: Option[graft.core.Manifest] =
+      if (lo == 0) None
+      else Some(series.collection.decodeCached(log(lo - 1)))
+    (lo until hi).foreach { i =>
+      val cur = series.collection.decodeCached(log(i))
+      val prevRows = prev.map(_.rows.toSet).getOrElse(Set.empty)
+      val labels = (cur.rows.map(_.label) ++
+        prev.toSeq.flatMap(_.rows.map(_.label))).distinct.filter { l =>
+        cur.rows.filter(_.label == l) !=
+          prev.map(_.rows.filter(_.label == l)).getOrElse(Vector.empty)
+      }
+      val isCompaction = labels.nonEmpty && prev.isDefined &&
+        labels.forall { l =>
+          val s1 = compactionSig(prev.get, l)
+          val s2 = compactionSig(cur, l)
+          s1.isDefined && s1 == s2
+        }
+      if (isCompaction) {
+        val prevFiles = prev.map(_.allFiles).getOrElse(Set.empty)
+        cur.rows.filterNot(prevRows.contains).foreach { r =>
+          files ++= r.files.filterNot(prevFiles.contains)
+          if (r.inline.isDefined) inline += r
+        }
+      }
+      prev = Some(cur)
+    }
+    (files, inline)
+  }
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val a = start.asInstanceOf[GraftStreamOffset]
@@ -423,11 +781,14 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     if (endM.isEmpty) return Array.empty
     val startM = manifestOf(a)
     val label = series.label
+    val (skipFiles, skipInline) =
+      if (skipRewrites) compactionArtifacts(a, b)
+      else (Set.empty[String], Set.empty[graft.core.SegmentMeta])
     val prevFiles: Set[String] =
-      startM.map(_.allFiles).getOrElse(Set.empty)
+      startM.map(_.allFiles).getOrElse(Set.empty) ++ skipFiles
     val prevRows: Set[graft.core.SegmentMeta] =
       startM.map(_.rows.filter(_.label == label).toSet)
-        .getOrElse(Set.empty)
+        .getOrElse(Set.empty) ++ skipInline
     val gs = table.gschema
     val reqNames = required.fields.map(_.name).toSeq
     endM.get.rows.filter(r => r.label == label && r.hasData).flatMap {

@@ -268,6 +268,242 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EqualTo(col, null) pushdown is a no-op, not a MatchError") {
+    val (_, _, root) = fixture()
+    val t = new graft.sources.GraftTable(root, "c", "_", None)
+    val b = new graft.sources.GraftScanBuilder(t, None)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("ts", null),
+      org.apache.spark.sql.sources.GreaterThan("ts", null)))
+    assert(b.pushedFilters().isEmpty)
+    b.build() // must not throw parsing a null bound
+  }
+
+  test("multi-column index prefix pushdown prunes within the group") {
+    // 2-col index (day, id): equality on day + range on id must
+    // assemble the lexicographic prefix bound and prune to the one
+    // covering segment — head-column-only pushdown would scan all of
+    // day 2's four segments
+    val root = Files.createTempDirectory("graft-dsv2m").toString
+    val repo = new Repo(root, spark)
+    val s2 = GSchema("day" -> "int*", "id" -> "int*",
+      "value" -> "float")
+    val clct = repo.createCollection(s2, "c")
+    clct.pageLen = 5000L
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    val df = spark.range(0, 80000, 1, 4).select(
+      ($"id" / 20000).cast("long").as("day"),
+      ($"id" % 20000).as("id"),
+      ($"id" * 0.5).as("value"))
+    s.write(df, presorted = true)
+    assert(s.segments().length == 16)
+    spark.read.format("graft").option("path", root)
+      .option("collection", "c").option("series", "_").load()
+      .createOrReplaceTempView("gm")
+    val got = spark.sql(
+      "SELECT count(*) AS n FROM gm WHERE day = 2 AND id >= 15000")
+      .collect()(0).getLong(0)
+    assert(got == 5000L)
+    assert(GraftScanProbe.lastSegmentsScanned == 1,
+      s"expected 1 segment, got ${GraftScanProbe.lastSegmentsScanned}")
+    // equality on day alone: the day's 4 segments plus the preceding
+    // boundary row [ (1,15000), (2,0) ) — its right-open stop could
+    // in principle cover day-2 keys with negative ids, so the
+    // manifest must keep it (the residual clip drops its rows)
+    assert(spark.sql("SELECT count(*) FROM gm WHERE day = 2")
+      .collect()(0).getLong(0) == 20000L)
+    assert(GraftScanProbe.lastSegmentsScanned == 5)
+    // a bound on id WITHOUT day cannot prune (not a prefix)
+    assert(spark.sql("SELECT count(*) FROM gm WHERE id < 100")
+      .collect()(0).getLong(0) == 400L)
+    assert(GraftScanProbe.lastSegmentsScanned == 16)
+  }
+
+  test("LIMIT and ORDER BY idx LIMIT push to a prefix-covering scan") {
+    val (_, _, root) = fixture()
+    table(root).createOrReplaceTempView("gl")
+    assert(spark.sql("SELECT * FROM gl LIMIT 100").collect().length
+      == 100)
+    assert(GraftScanProbe.lastLimit == 100)
+    assert(GraftScanProbe.lastSegmentsScanned == 1,
+      s"limit scan read ${GraftScanProbe.lastSegmentsScanned} segments")
+    // ascending top-k: leading segment only
+    val lo = spark.sql("SELECT ts FROM gl ORDER BY ts LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lo == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(GraftScanProbe.lastSegmentsScanned == 1)
+    // descending top-k: trailing segment only
+    val hi = spark.sql("SELECT ts FROM gl ORDER BY ts DESC LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hi == Seq(79999L, 79998L, 79997L))
+    assert(GraftScanProbe.lastSegmentsScanned == 1)
+    // an unlimited read must NOT inherit the pushed limit
+    assert(spark.sql("SELECT count(*) FROM gl").collect()(0)
+      .getLong(0) == 80000L)
+    assert(GraftScanProbe.lastSegmentsScanned == 8)
+  }
+
+  private def jobCount(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener events post asynchronously — wait until stable
+      var last = -1
+      var spins = 0
+      while (n.get() != last && spins < 40) {
+        last = n.get(); Thread.sleep(50); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("connector append: one job, no read-back, engine-visible") {
+    val (_, s, root) = fixture()
+    import spark.implicits._
+    val add = spark.range(80000, 90000, 1, 2)
+      .select($"id".as("ts"), lit(7.0).as("value"))
+    val jobs = jobCount {
+      add.write.format("graft")
+        .option("path", root).option("collection", "c")
+        .option("series", "_").option("presorted", "true")
+        .mode("append").save()
+    }
+    assert(jobs == 1, s"presorted connector append ran $jobs jobs")
+    assert(graft.sources.GraftScanProbe.lastWriteFiles == 2)
+    // visible through BOTH the API and the connector
+    assert(s.frame().count() == 90000L)
+    assert(table(root).filter(col("value") === 7.0).count() == 10000L)
+    // the engine wrote real manifest rows (stats came from the tasks)
+    val segs = s.segments()
+    assert(segs.length == 10)
+    assert(segs.forall(_.meta.length > 0))
+  }
+
+  test("connector append without presorted sorts via required ordering") {
+    val (_, s, root) = fixture()
+    import spark.implicits._
+    // deliberately unsorted, unpartitioned-by-range input
+    val add = spark.range(0, 10000, 1, 4)
+      .select((lit(99999L) - $"id" + lit(80000L)).as("ts"),
+        lit(3.0).as("value"))
+    add.write.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").mode("append").save()
+    assert(s.frame(90000L, null).count() == 10000L)
+    // seal-time disjointness held: segments are ordered and disjoint
+    val segs = s.segments()
+    assert(segs.sliding(2).forall {
+      case Seq(a, b) => schema.cmpKey(a.stop, b.start) <= 0
+      case _ => true
+    })
+  }
+
+  test("a false presorted declaration on the connector aborts") {
+    val (_, s, root) = fixture()
+    import spark.implicits._
+    val bad = spark.range(0, 1000, 1, 1)
+      .select((lit(1000L) - $"id").as("ts"), lit(0.0).as("value"))
+    val before = s.frame().count()
+    val e = intercept[Exception] {
+      bad.write.format("graft")
+        .option("path", root).option("collection", "c")
+        .option("series", "_").option("presorted", "true")
+        .mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsorted")), e.toString)
+    assert(s.frame().count() == before) // nothing committed
+  }
+
+  test("connector overwrite replaces one series, keeps history") {
+    val (repo, s, root) = fixture()
+    // a SECOND series in the same collection must survive overwrite
+    val other = repo.collection("c").get.series("other")
+    import spark.implicits._
+    other.write(spark.range(0, 100, 1, 1)
+      .select($"id".as("ts"), lit(5.0).as("value")), presorted = true)
+    val revBefore = repo.collection("c").get.changelog.leaf().get.epochMs
+    Thread.sleep(5)
+    spark.range(0, 500, 1, 1)
+      .select($"id".as("ts"), lit(9.0).as("value"))
+      .write.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").option("presorted", "true")
+      .mode("overwrite").save()
+    assert(s.frame().count() == 500L)
+    assert(s.frame().agg(min(col("value"))).collect()(0)
+      .getDouble(0) == 9.0)
+    assert(other.frame().count() == 100L) // untouched
+    // time travel still sees the pre-overwrite series
+    assert(s.frame(beforeMs = Some(revBefore + 1)).count() == 80000L)
+  }
+
+  test("stream.rewrites contract: skip suppresses defrag replay") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L // tiny writes become small FILES
+    val s = clct.series("_")
+    import spark.implicits._
+    def put(lo: Long, hi: Long, v: Double): Unit =
+      s.write(spark.range(lo, hi, 1, 1)
+        .select($"id".as("ts"), lit(v).as("value")), presorted = true)
+    // 5 small segments -> a defrag run (> maxChunk = 4)
+    (0 until 5).foreach(i => put(i * 1000L, (i + 1) * 1000L, 1.0))
+    def startQ(name: String, opts: Map[String, String]) = {
+      var r = spark.readStream.format("graft")
+        .option("path", root).option("collection", "c")
+        .option("series", "_")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
+    val qEmit = startQ("cdc_emit", Map.empty)
+    val qSkip = startQ("cdc_skip", Map("stream.rewrites" -> "skip"))
+    def sync(): Unit = {
+      qEmit.processAllAvailable(); qSkip.processAllAvailable()
+    }
+    try {
+      // both modes replay the initial appends exactly once
+      sync()
+      assert(spark.table("cdc_emit").count() == 5000L)
+      assert(spark.table("cdc_skip").count() == 5000L)
+      clct.defrag()
+      clct.refresh()
+      assert(s.segments().length == 1) // the run was compacted
+      sync()
+      // default: at-least-once with replay on compaction (documented)
+      assert(spark.table("cdc_emit").count() == 10000L)
+      // skip: the compaction commit is metadata-classified and silent
+      assert(spark.table("cdc_skip").count() == 5000L)
+      // a REAL append after the defrag must still flow in both modes
+      put(5000L, 5600L, 2.0)
+      sync()
+      assert(spark.table("cdc_emit").count() == 10600L)
+      assert(spark.table("cdc_skip").count() == 5600L)
+      assert(spark.table("cdc_skip")
+        .filter(col("value") === 2.0).count() == 600L)
+      // a range delete surfaces no tombstone events in either mode
+      s.delete(100L, 200L)
+      sync()
+      assert(spark.table("cdc_emit").count() == 10600L)
+      assert(spark.table("cdc_skip").count() == 5600L)
+    } finally { qEmit.stop(); qSkip.stop() }
+    spark.catalog.dropTempView("cdc_emit")
+    spark.catalog.dropTempView("cdc_skip")
+  }
+
   test("clone renames and defaults resolve through the connector") {
     val root = Files.createTempDirectory("graft-dsv2c").toString
     val repo = new Repo(root, spark)
