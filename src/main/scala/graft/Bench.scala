@@ -57,7 +57,11 @@ object Bench {
     "q146_ann_jl_prefilter", "q147_ngram_novelty", "q152_simhash_pairs",
     // round-8: the row_number()<=k -> bounded-heap rewrite, timed on
     // the naive SQL a user writes (the rule supplies the fast plan)
-    "q175_topk_rewrite")
+    "q175_topk_rewrite",
+    // round-9: the streaming-CDC drain — two engine commits + a full
+    // readStream drain through the connector's micro-batches into a
+    // memory sink + the aggregate over it (QUERIES.md flags it ⏱)
+    "q178_stream_connector")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

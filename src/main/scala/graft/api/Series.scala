@@ -115,32 +115,105 @@ class Series(val collection: Collection, val label: String) {
     //    in-memory jobs instead of the sampling+shuffle sort, the write
     //    commit and the full stats re-scan. The fragmentation workload
     //    (reference bench_fragmentation.py) lives entirely here.
+    val data = cast(df)
     if (collection.embedProbeRows > 0) {
-      val probeOpt: Option[Array[Row]] = localInputRows(df).orElse {
-        val probeLimit = collection.embedProbeRows + 1
-        val probe = cast(df).limit(probeLimit).collect()
-        if (probe.length < probeLimit) Some(probe) else None
-      }
-      probeOpt.foreach { probe =>
-        // inline vectors carry only non-default source columns, so a
-        // write's explicit values for clone-added columns would be
-        // silently replaced by the default at read — collections with
-        // additions take the (value-preserving) small-file path instead
+      // tiny-frame handling shared by every probe below: manifest
+      // embed, else one driver-local file, else a tombstone. Inline
+      // vectors carry only non-default source columns, so a write's
+      // explicit values for clone-added columns would be silently
+      // replaced by the default at read — collections with additions
+      // take the (value-preserving) small-file path instead.
+      def tinyWrite(probe: Array[Row]): Unit = {
         if (collection.embedMaxSize > 0 && collection.defaults.isEmpty &&
-            writeInline(probe, startK, stopK, closed, root)) return
-        if (probe.nonEmpty) {
-          writeSmallFile(probe, startK, stopK, closed, root)
+            writeInline(probe, startK, stopK, closed, root)) ()
+        else if (probe.nonEmpty)
+          writeSmallFile(probe, startK, stopK, closed, root, presorted)
+        else {
+          // empty frame: tombstone (same contract as the parquet path)
+          require(startK != null && stopK != null,
+            "empty write needs explicit start/stop bounds")
+          commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
+            Vector.empty)), root)
+        }
+      }
+
+      // DRIVER-TIER gate: a frame under a single segment
+      // (≤ driverWriteRows ≤ pageLen) pays Spark's per-job scheduling
+      // floor twice on the distributed path (sample + write) for work
+      // one thread finishes in tens of ms — the reference's
+      // bulk_write-at-100k regime. Gate on the OPTIMIZER'S size
+      // estimate so big inputs never pay a wasted probe: only plans
+      // estimated under driverWriteBytes (cached relations report
+      // measured cache size, file scans their on-disk bytes) are
+      // probed — with ONE incremental CollectLimit of InternalRows
+      // that subsumes the tiny probe. Digest + parquet format are
+      // identical to the bulk path, so content addresses still dedupe
+      // across tiers. At cluster scale this is strictly the right
+      // trade: a sub-segment write was never parallel work.
+      val driverRows = math.min(pageLen, spark.conf
+        .get("spark.graft.driverWriteRows", "250000").toLong)
+      val sizeGated = driverRows > collection.embedProbeRows && {
+        val estBytes =
+          try data.queryExecution.optimizedPlan.stats.sizeInBytes
+          catch { case scala.util.control.NonFatal(_) =>
+            BigInt(Long.MaxValue) }
+        estBytes <= spark.conf
+          .get("spark.graft.driverWriteBytes", "33554432").toLong
+      }
+
+      val probeOpt: Option[Array[Row]] = localInputRows(df).orElse {
+        if (sizeGated) None // the driver tier's one collect covers it
+        else {
+          val probeLimit = collection.embedProbeRows + 1
+          val probe = data.limit(probeLimit).collect()
+          if (probe.length < probeLimit) Some(probe) else None
+        }
+      }
+      probeOpt.foreach { probe => tinyWrite(probe); return }
+
+      if (sizeGated) {
+        // Collect INTERNAL rows (no external-Row round trip) in ONE
+        // job over every partition, each capped at driverRows+1 —
+        // CollectLimit's incremental partition escalation costs 3-4
+        // job round-trips here (it expects to stop early; this path
+        // expects to take everything), and the size gate already
+        // bounds the data. A misestimate falls through to the
+        // distributed path below, cost bounded by the per-partition
+        // cap.
+        val tColl = System.nanoTime()
+        val cap = driverRows.toInt + 1
+        val rdd = data.queryExecution.toRdd
+        val parts = Array.fill(math.max(rdd.getNumPartitions, 1))(
+          Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+        if (rdd.getNumPartitions > 0)
+          spark.sparkContext.runJob(rdd,
+            (_: org.apache.spark.TaskContext,
+                it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+              it.take(cap).map(_.copy()).toArray,
+            0 until rdd.getNumPartitions,
+            (pid: Int,
+                res: Array[org.apache.spark.sql.catalyst.InternalRow]) =>
+              parts(pid) = res)
+        val irows = parts.flatten
+        if (sys.env.contains("GRAFT_SMALLWRITE_PROF"))
+          System.err.println(f"[smallwrite] collect " +
+            f"${(System.nanoTime() - tColl) / 1e6}%.1f ms " +
+            f"(${irows.length} rows)")
+        if (irows.length <= collection.embedProbeRows) {
+          // tiny after all — rejoin the embed/inline path
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(schema.sparkSchema)
+          tinyWrite(irows.map(ir => conv(ir).asInstanceOf[Row]))
           return
         }
-        // empty frame: tombstone (same contract as the parquet path)
-        require(startK != null && stopK != null,
-          "empty write needs explicit start/stop bounds")
-        commitRows(Seq(SegmentMeta(label, startK, stopK, closed, 0L,
-          Vector.empty)), root)
-        return
+        if (irows.length <= driverRows) {
+          writeSmallRows(parts, startK, stopK, closed, root, presorted)
+          return
+        }
+        // estimate was low and the frame overflowed the cap: fall
+        // through to the distributed path (cost bounded by maxBytes)
       }
     }
-    val data = cast(df)
 
     // Global sort via range partitioning; AQE coalesces the default
     // shuffle partition count for small inputs; SegmentWriter.writeJob
@@ -320,61 +393,136 @@ class Series(val collection: Collection, val label: String) {
     * formula matches the bulk path, so identical content dedupes
     * across both. */
   private def writeSmallFile(probe: Array[Row], startK: IndexKey,
-      stopK: IndexKey, closed: Closed, root: Boolean): Unit = {
-    val idxPos = schema.cols.zipWithIndex.filter(_._1.idx).map(_._2)
-    def keyOfRow(r: Row): IndexKey = IndexKey(idxPos.map(i =>
-      SparkVals.toKernel(schema.cols(i).dtype, r.get(i))).toVector)
-    val sorted = probe.sortWith((a, b) =>
-      schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0)
-    // physical column names, like the big-write path
+      stopK: IndexKey, closed: Closed, root: Boolean,
+      verifySorted: Boolean = false): Unit = {
+    // physical column names, like the big-write path (the converter
+    // only consults field TYPES, which renames don't touch)
     val physStruct = org.apache.spark.sql.types.StructType(
       schema.sparkSchema.fields.map(f =>
         f.copy(name = collection.physOf(f.name))))
     val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(physStruct)
-    val irows = sorted.map(r => toCatalyst(r)
-      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
-    // sum(pmod(xxhash64(cols), 2^31-1)) — the bulk path's digest
-    // aggregate, via the SAME XxHash64 expression (seed 42) it codegens
-    val hashExpr = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-      physStruct.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        org.apache.spark.sql.catalyst.expressions.BoundReference(
-          i, f.dataType, f.nullable) })
-    val M = 2147483647L
-    val hash = irows.foldLeft(0L) { (acc, ir) =>
-      val h = hashExpr.eval(ir).asInstanceOf[Long]
-      acc + (((h % M) + M) % M)
-    }
-    val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
-    val tmpFile = s"$tmpRel/part-00000.parquet"
-    writeParquetLocal(irows, physStruct, store.uri(tmpFile))
-    val mn = keyOfRow(sorted.head)
-    val mx = keyOfRow(sorted.last)
-    val digest = Hash.sha1(
-      s"${schema.serialize}|${sorted.length}|$hash|$mn|$mx"
-        .getBytes("UTF-8"))
-    val target = s"seg/${Hash.hashedPath(digest)}.parquet"
-    if (store.exists(target)) store.rm(tmpFile) else store.mv(tmpFile, target)
-    store.rm(tmpRel, recursive = true)
-    commitRows(Seq(SegmentMeta(label,
-      Option(startK).getOrElse(mn), Option(stopK).getOrElse(mx),
-      closed, sorted.length.toLong, Vector(target),
-      Some(mn), Some(mx))), root)
+    writeSmallRows(Array(probe.map(r => toCatalyst(r)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])),
+      startK, stopK, closed, root, verifySorted)
   }
 
-  /** Driver-local single-file write — no Spark job. Delegates to
-    * [[graft.core.SegmentWriter]], so tiny commits produce the SAME
-    * segment format (INT64-micros timestamps, v2 pages,
-    * BYTE_STREAM_SPLIT floats) as the distributed bulk job. Writes
-    * through the Hadoop FileSystem of the target URI, so every store
-    * backend (file, memory://, s3ish://, http) is covered. */
-  private def writeParquetLocal(
-      irows: Seq[org.apache.spark.sql.catalyst.InternalRow],
-      physStruct: org.apache.spark.sql.types.StructType,
-      uri: String): Unit =
-    graft.core.SegmentWriter.writeFile(irows.iterator, schema.cols,
-      physStruct.fields.map(_.name).toSeq, uri,
-      spark.sessionState.newHadoopConf(), segmentCodec)
+  /** InternalRow core of the driver-local write — the driver-tier
+    * collect lands here directly (no external-Row round trip), one
+    * inner array per source partition. Digest formula and parquet
+    * format match the bulk path exactly, so identical content dedupes
+    * across tiers. */
+  private def writeSmallRows(
+      parts: Array[Array[org.apache.spark.sql.catalyst.InternalRow]],
+      startK: IndexKey, stopK: IndexKey, closed: Closed, root: Boolean,
+      verifySorted: Boolean): Unit = {
+    val physStruct = org.apache.spark.sql.types.StructType(
+      schema.sparkSchema.fields.map(f =>
+        f.copy(name = collection.physOf(f.name))))
+    val dtypes = schema.cols.map(_.dtype).toIndexedSeq
+    val idxPos = schema.cols.zipWithIndex.filter(_._1.idx)
+      .map(_._2).toArray
+    def keyAt(ir: org.apache.spark.sql.catalyst.InternalRow): IndexKey =
+      IndexKey(idxPos.map { i =>
+        dtypes(i) match {
+          case GType.TimestampT | GType.IntT => ir.getLong(i)
+          case GType.DateT  => ir.getInt(i).toLong
+          case GType.FloatT => ir.getDouble(i)
+          case GType.StrT   => ir.getUTF8String(i).toString
+        }
+      }.toVector)
+    val prof = sys.env.contains("GRAFT_SMALLWRITE_PROF")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (prof) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[smallwrite] $tag ${(t1 - t0) / 1e6}%.1f ms")
+      t0 = t1
+    }
+    // the presorted contract is per PARTITION order + range
+    // disjointness, not pid order: concatenating partitions by their
+    // first key makes the global order check below equivalent to it
+    // (the distributed tier's seal-by-min does the same)
+    val irows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+      if (!verifySorted || parts.count(_.nonEmpty) <= 1) parts.flatten
+      else parts.filter(_.nonEmpty)
+        .sortWith((a, b) => schema.cmpKey(keyAt(a(0)), keyAt(b(0))) < 0)
+        .flatten
+    // one key per ROW, not per comparison — at the driver-tier's
+    // 10^5-row ceiling a naive sortWith would allocate ~2·n·log n keys
+    val keys = irows.map(keyAt)
+    if (verifySorted) {
+      // same presorted contract the distributed tier enforces in-task
+      var i = 1
+      while (i < keys.length) {
+        require(schema.cmpKey(keys(i - 1), keys(i)) <= 0,
+          s"presorted write got unsorted input: ${keys(i - 1)} > " +
+            s"${keys(i)}")
+        i += 1
+      }
+    }
+    val order = Array.tabulate(irows.length)(identity).sortWith(
+      (i, j) => schema.cmpKey(keys(i), keys(j)) < 0)
+    lap("keys+sort")
+    // Parquet ENCODE dominates this path (~100-200 ms for 10^5 rows
+    // single-threaded): chunk the sorted rows into ≤ chunkRows files
+    // written by PARALLEL driver threads — still no Spark job, and
+    // each chunk computes its own per-file stats + content hash
+    // exactly like one bulk-job task, so sealing + digests are
+    // identical to the distributed tier (straddled duplicate keys at
+    // chunk boundaries included, via the shared sealSegments).
+    val chunkRows = spark.conf
+      .get("spark.graft.driverWriteChunkRows", "32768").toInt
+    val n = irows.length
+    val nChunks = math.max(1, (n + chunkRows - 1) / chunkRows)
+    val fieldTypes = physStruct.fields.map(_.dataType)
+    val physNames = physStruct.fields.map(_.name).toSeq
+    val hconf = spark.sessionState.newHadoopConf()
+    val M = 2147483647L
+    val tmpRel = s"tmp/${Hash.hextime()}-${java.util.UUID.randomUUID().toString.take(12)}"
+    def writeChunk(ci: Int): graft.core.SegmentWriter.FileStat = {
+      val lo = ci * chunkRows
+      val hi = math.min(n, lo + chunkRows)
+      var hash = 0L
+      var r = lo
+      while (r < hi) {
+        val ir = irows(order(r))
+        var h = 42L
+        var i = 0
+        while (i < fieldTypes.length) {
+          if (!ir.isNullAt(i))
+            h = org.apache.spark.sql.catalyst.expressions
+              .XxHash64Function.hash(ir.get(i, fieldTypes(i)),
+                fieldTypes(i), h)
+          i += 1
+        }
+        hash += ((h % M) + M) % M
+        r += 1
+      }
+      val rel = f"$tmpRel/part-d-$ci%04d.parquet"
+      graft.core.SegmentWriter.writeFile(
+        (lo until hi).iterator.map(j => irows(order(j))),
+        schema.cols, physNames, store.uri(rel), hconf, segmentCodec)
+      graft.core.SegmentWriter.FileStat(rel, (hi - lo).toLong,
+        keys(order(lo)), keys(order(hi - 1)), hash)
+    }
+    val stats: Seq[graft.core.SegmentWriter.FileStat] =
+      if (nChunks == 1) Seq(writeChunk(0))
+      else {
+        import scala.jdk.CollectionConverters._
+        (0 until nChunks).toList.asJava.parallelStream()
+          .map[graft.core.SegmentWriter.FileStat](writeChunk(_))
+          .collect(java.util.stream.Collectors.toList[
+            graft.core.SegmentWriter.FileStat]).asScala.toSeq
+      }
+    lap(s"parquet x$nChunks")
+    val rows =
+      try sealSegments(stats, startK, stopK, closed)
+      catch {
+        case e: Throwable => store.rm(tmpRel, recursive = true); throw e
+      }
+    store.rm(tmpRel, recursive = true)
+    commitRows(rows, root)
+  }
 
   /** Splice one write's segment rows into the leaf manifest and append
     * a revision (or defer to an open multi() batch). */

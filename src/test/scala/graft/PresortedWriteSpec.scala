@@ -20,6 +20,15 @@ class PresortedWriteSpec extends AnyFunSuite {
   private def freshRepo(): Repo =
     new Repo(Files.createTempDirectory("graft-presort").toString, spark)
 
+  /** pin the DISTRIBUTED write path: the driver-tier small-write
+    * fast path (spark.graft.driverWriteRows) would otherwise absorb
+    * these sub-segment frames and verify on the driver instead */
+  private def distributedOnly[T](body: => T): T = {
+    spark.conf.set("spark.graft.driverWriteRows", "0")
+    try body
+    finally spark.conf.unset("spark.graft.driverWriteRows")
+  }
+
   private val schema = GSchema("ts" -> "int*", "value" -> "float")
 
   // 40k rows over 4 partitions: range partitions are contiguous, so
@@ -33,6 +42,7 @@ class PresortedWriteSpec extends AnyFunSuite {
   }
 
   test("presorted write round-trips and matches the sorted write") {
+    distributedOnly {
     val repo = freshRepo()
     val a = repo.createCollection(schema, "a").series("_")
     a.write(sortedFrame(), presorted = true)
@@ -60,6 +70,7 @@ class PresortedWriteSpec extends AnyFunSuite {
     val av = a.frame()
     val cv = c.frame()
     assert(av.exceptAll(cv).isEmpty && cv.exceptAll(av).isEmpty)
+    }
   }
 
   test("unsorted rows inside a partition fail loudly") {
@@ -71,12 +82,34 @@ class PresortedWriteSpec extends AnyFunSuite {
       .select((lit(50000L) - $"id").as("ts"),
         lit(1.0).as("value"))
     val e = intercept[org.apache.spark.SparkException] {
-      s.write(df, presorted = true)
+      distributedOnly { s.write(df, presorted = true) }
     }
     assert(e.getMessage.contains("unsorted") ||
       Option(e.getCause).exists(_.getMessage.contains("unsorted")))
     assert(s.collection.manifest().isEmpty ||
       s.segments().isEmpty) // nothing committed
+  }
+
+  test("driver-tier small write verifies the presorted declaration") {
+    val repo = freshRepo()
+    val s = repo.createCollection(schema, "bad3").series("_")
+    import spark.implicits._
+    val df = spark.range(0, 40000, 1, 2)
+      .select((lit(50000L) - $"id").as("ts"), lit(1.0).as("value"))
+    // same unsorted frame, driver tier enabled (the default): the
+    // declaration must still be rejected, just without a Spark job
+    val e = intercept[IllegalArgumentException] {
+      s.write(df, presorted = true)
+    }
+    assert(e.getMessage.contains("unsorted"))
+    assert(s.collection.manifest().isEmpty || s.segments().isEmpty)
+    // and a correct declaration round-trips through the driver tier's
+    // parallel chunk files (40k rows / 32k-row chunks = 2)
+    s.write(sortedFrame(), presorted = true)
+    assert(s.frame().count() == 40000L)
+    val segs = s.segments()
+    assert(segs.nonEmpty && segs.forall(_.meta.files.length == 1))
+    assert(segs.map(_.meta.length).sum == 40000L)
   }
 
   test("overlapping partition ranges fail loudly at seal") {
@@ -88,7 +121,7 @@ class PresortedWriteSpec extends AnyFunSuite {
     val df = spark.range(0, 40000, 1, 2)
       .select(($"id" % 20000L).as("ts"), lit(1.0).as("value"))
     val e = intercept[IllegalArgumentException] {
-      s.write(df, presorted = true)
+      distributedOnly { s.write(df, presorted = true) }
     }
     assert(e.getMessage.contains("overlapping"))
     assert(s.collection.manifest().isEmpty || s.segments().isEmpty)
