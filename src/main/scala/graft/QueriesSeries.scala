@@ -476,6 +476,108 @@ object QueriesSeries {
       |FROM events ORDER BY ts DESC, event_id DESC LIMIT 40"""
       .stripMargin
 
+  /** The engine as a Spark SQL CATALOG
+    * ([[graft.sources.GraftCatalog]]): CREATE TABLE declares the
+    * collection (identity PARTITIONED BY = the series index), INSERT
+    * runs the engine's one-job write, and the aggregate reads back
+    * through the catalog-loaded connector table — an all-SQL
+    * lifecycle with zero Scala API calls between data and answer. */
+  def q183_catalog_sql(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq183_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq183_src")
+    s.sql(
+      s"""INSERT INTO $cat.events.ev
+         |SELECT ts, event_id, value, event_type FROM gq183_src"""
+        .stripMargin)
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q183_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
+    * unfiltered connector table answer from MANIFEST row counts and
+    * recorded data bounds — zero file IO, the Delta-style metadata
+    * count (GraftCatalogSpec proves the no-scan plan via the probe;
+    * this gates the VALUES against plain SQL over the source). */
+  def q184_meta_agg(s: SparkSession, dir: String): DataFrame = {
+    val sr = freshSeries(s)
+    sr.write(eventsDf(s, dir))
+    s.read.format("graft")
+      .option("path", sr.collection.repo.rootUri)
+      .option("collection", "events").option("series", "_").load()
+      .createOrReplaceTempView("gq184")
+    s.sql(
+      """SELECT count(*) AS cnt, count(event_id) AS cnt_id,
+        |  min(ts) AS ts_min, max(ts) AS ts_max
+        |FROM gq184""".stripMargin)
+  }
+
+  val q184_oracle: String =
+    """SELECT count(*)::BIGINT AS cnt, count(event_id)::BIGINT AS cnt_id,
+      |  min(ts) AS ts_min, max(ts) AS ts_max
+      |FROM events""".stripMargin
+
+  /** Join-driven pruning shape: a (day, event_id)-indexed engine table
+    * joined to a tiny day dimension — the connector declares
+    * SupportsRuntimeFiltering on the head index column, so at scale
+    * the broadcast join's build side prunes manifest segments at
+    * runtime (DPP for the versioned store; GraftCatalogSpec gates the
+    * mechanism). The oracle recomputes the join in closed form. */
+  def q185_runtime_prune_join(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val schema = GSchema("day" -> "int*", "event_id" -> "int*",
+      "value" -> "float")
+    val clct = repo.createCollection(schema, "by_day")
+    clct.pageLen = 2000L
+    clct.embedMaxSize = 0L
+    clct.series("_").write(eventsDf(s, dir).select(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"),
+      col("event_id"), col("value")))
+    s.read.format("graft").option("path", root)
+      .option("collection", "by_day").option("series", "_").load()
+      .createOrReplaceTempView("gq185")
+    s.sql(
+      """SELECT g.day, count(*) AS cnt,
+        |  sum(cast(round(g.value * 1000000, 0) AS bigint)) AS val_micro
+        |FROM gq185 g
+        |JOIN (SELECT explode(array(5L, 12L)) AS day) d
+        |  ON g.day = d.day
+        |GROUP BY g.day ORDER BY g.day""".stripMargin)
+  }
+
+  val q185_oracle: String =
+    """SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+      |    AS day,
+      |  count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |WHERE date_diff('day', DATE '2024-01-01', ts::DATE) IN (5, 12)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bulk multi-series ingest (Collection.ingestGrouped): one series
     * per event type from a single partitioned write + batched commit,
     * then an engine read of two of the series unioned back — checked
@@ -1082,6 +1184,9 @@ object QueriesSeries {
     "q180_connector_insert" -> q180_connector_insert _,
     "q181_connector_multiidx" -> q181_connector_multiidx _,
     "q182_connector_topn" -> q182_connector_topn _,
+    "q183_catalog_sql" -> q183_catalog_sql _,
+    "q184_meta_agg" -> q184_meta_agg _,
+    "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
     "q65_series_squash" -> q65_series_squash _,
     "q66_series_export" -> q66_series_export _,
@@ -1115,6 +1220,9 @@ object QueriesSeries {
     "q180_connector_insert" -> q180_oracle,
     "q181_connector_multiidx" -> q181_oracle,
     "q182_connector_topn" -> q182_oracle,
+    "q183_catalog_sql" -> q183_oracle,
+    "q184_meta_agg" -> q184_oracle,
+    "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,
     "q65_series_squash" -> q65_oracle,
     "q66_series_export" -> q66_oracle,

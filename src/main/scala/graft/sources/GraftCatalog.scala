@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{ColDef, GSchema, GType}
+
+/** The engine as a Spark SQL CATALOG — full DDL/DML without ever
+  * touching the Scala API:
+  *
+  * {{{
+  * spark.sql.catalog.g      = graft.sources.GraftCatalog
+  * spark.sql.catalog.g.path = /data/my-repo
+  *
+  * CREATE TABLE g.prices.btc (ts TIMESTAMP, px DOUBLE)
+  *   PARTITIONED BY (ts)                  -- identity transforms = the
+  *                                        -- series' INDEX, in order
+  * INSERT INTO g.prices.btc SELECT ...    -- the engine's one-job write
+  * SELECT * FROM g.prices.btc WHERE ts > X  -- manifest-pruned scan
+  * SELECT * FROM g.prices.btc TIMESTAMP AS OF '...'  -- time travel
+  * DROP TABLE g.prices.btc
+  * }}}
+  *
+  * Mapping: namespace = COLLECTION (one schema shared by its series,
+  * exactly the engine's model), table = SERIES. `CREATE TABLE` creates
+  * the collection on first use; a second series in the same collection
+  * must declare the identical schema (the collection's contract —
+  * reference lakota/collection.py one-schema-per-collection). Series
+  * are implicit in the engine (they materialize at first write), so
+  * `loadTable` resolves any label in an existing collection — INSERT
+  * right after CREATE works — while `tableExists`/`listTables` report
+  * only series present in the manifest. `kv` upsert schemas via
+  * `TBLPROPERTIES ('kv' = 'true')`.
+  *
+  * TIMESTAMP AS OF maps to the changelog revision clock
+  * (`Series.frame(beforeMs)`); VERSION AS OF accepts the same
+  * epoch-millis number for scripting.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootUri: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootUri = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.path"))
+  }
+
+  override def name(): String = catalogName
+
+  private def repo: graft.api.Repo =
+    new graft.api.Repo(rootUri, SparkSession.active)
+
+  private def collectionOf(ns: Array[String]): String = {
+    if (ns.length != 1)
+      throw new NoSuchNamespaceException(ns)
+    ns(0)
+  }
+
+  // ------------------------------------------------------------------
+  // tables = series
+  // ------------------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] =
+    repo.collection(collectionOf(ns)) match {
+      case None => throw new NoSuchNamespaceException(ns)
+      case Some(c) => c.ls().map(Identifier.of(ns, _)).toArray
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val clct = collectionOf(ident.namespace())
+    if (repo.collection(clct).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(rootUri, clct, ident.name(), None)
+  }
+
+  /** TIMESTAMP AS OF — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : Table = {
+    val clct = collectionOf(ident.namespace())
+    if (repo.collection(clct).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(rootUri, clct, ident.name(),
+      Some(timestampMicros / 1000L))
+  }
+
+  /** VERSION AS OF — the same changelog clock, as epoch millis. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ms =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft VERSION AS OF takes epoch millis, got '$version'")
+      }
+    val clct = collectionOf(ident.namespace())
+    if (repo.collection(clct).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(rootUri, clct, ident.name(), Some(ms))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    repo.collection(collectionOf(ident.namespace()))
+      .exists(_.ls().contains(ident.name()))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val idxNames: Seq[String] = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft tables take identity PARTITIONED BY columns (the " +
+          s"series index), got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    require(idxNames.nonEmpty,
+      "graft tables need PARTITIONED BY (<index columns...>) — the " +
+        "series' sorted index, in significance order")
+    // index columns first, in PARTITIONED BY order (the engine sorts
+    // and prunes by this order), then the value columns
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    idxNames.foreach(n => require(byName.contains(n),
+      s"PARTITIONED BY column $n is not in the table schema"))
+    val cols: Seq[ColDef] =
+      idxNames.map(n => ColDef(n, GType.fromSpark(byName(n).dataType),
+        idx = true)) ++
+        schema.fields.toSeq.filterNot(f => idxNames.contains(f.name))
+          .map(f => ColDef(f.name, GType.fromSpark(f.dataType),
+            idx = false))
+    val kv = Option(properties.get("kv")).contains("true")
+    val gschema = GSchema(cols, kv)
+    val clct = collectionOf(ident.namespace())
+    // creates the collection on first use; an existing collection
+    // enforces schema equality (one schema per collection)
+    repo.createCollection(gschema, clct)
+    new GraftTable(rootUri, clct, ident.name(), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*)
+      : Table =
+    throw new UnsupportedOperationException(
+      "graft schemas are collection-wide and immutable; clone the " +
+        "collection (Collection.cloneTo) for renames/additions")
+
+  override def dropTable(ident: Identifier): Boolean =
+    repo.collection(collectionOf(ident.namespace())) match {
+      case Some(c) if c.ls().contains(ident.name()) =>
+        c.deleteSeries(ident.name()); true
+      case _ => false
+    }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace().sameElements(to.namespace()),
+      "graft series rename stays within its collection")
+    repo.collection(collectionOf(from.namespace())) match {
+      case None => throw new NoSuchTableException(from)
+      case Some(c) =>
+        if (!c.ls().contains(from.name()))
+          throw new NoSuchTableException(from)
+        if (c.ls().contains(to.name()))
+          throw new TableAlreadyExistsException(to)
+        c.renameSeries(from.name(), to.name())
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // namespaces = collections
+  // ------------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    repo.ls().map(Array(_)).toArray
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (ns.length == 1 && repo.collection(ns(0)).isDefined)
+      Array.empty // collections have no children
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadNamespaceMetadata(ns: Array[String])
+      : util.Map[String, String] =
+    repo.collection(collectionOf(ns)) match {
+      case None => throw new NoSuchNamespaceException(ns)
+      case Some(c) => Map("schema" -> c.schema.serialize,
+        "location" -> s"$rootUri/${c.path}").asJava
+    }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && repo.collection(ns(0)).isDefined
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft collections carry a schema: CREATE TABLE " +
+        s"$catalogName.<collection>.<series> (...) PARTITIONED BY " +
+        "(<index>) creates the collection")
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft collections have no alterable metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean)
+      : Boolean =
+    repo.collection(collectionOf(ns)) match {
+      case None => false
+      case Some(c) =>
+        if (!cascade && c.ls().nonEmpty)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NonEmptyNamespaceException(ns)
+        repo.deleteCollection(collectionOf(ns))
+        true
+    }
+}

@@ -135,6 +135,10 @@ object GraftScanProbe {
   @volatile var lastLimit: Int = -1
   /** staged files sealed by the LAST connector batch write */
   @volatile var lastWriteFiles: Int = -1
+  /** the LAST planned scan answered its aggregate from the manifest */
+  @volatile var lastAggPushed: Boolean = false
+  /** segments surviving the LAST runtime (DPP) filter, -1 = none ran */
+  @volatile var lastRuntimeScanned: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */
   val vectorizedOpens = new java.util.concurrent.atomic.AtomicLong
   val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
@@ -146,7 +150,8 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   /** per-index-column bound state, tightest-seen (kernel-compared) */
   private final class ColBound(val dt: GType) {
@@ -246,6 +251,80 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     true
   }
 
+  /** `SELECT count(*) / min(idx) / max(idx) FROM g` answered from the
+    * MANIFEST — no file IO at all, like Delta's metadata-only count.
+    * Accepted only for ungrouped aggregates the metadata answers
+    * EXACTLY: count(*) / count(non-null index col) = sum of visible
+    * row lengths, min/max of the FIRST index column = the first/last
+    * visible segment's recorded data bounds — and only when every
+    * visible segment is fully visible (an overlay-clipped segment's
+    * visible count/extremes are unknowable without reading it: the
+    * whole aggregation is then rejected and planned as a normal
+    * scan). Filtered queries never reach here: every WHERE stays a
+    * residual post-scan filter, and Spark only offers aggregate
+    * pushdown when no post-scan filters remain. */
+  private var aggPush: Option[(StructType, Seq[Any])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = aggPush.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions().nonEmpty) return false
+    if (limitN.isDefined) return false
+    val head = idxCols.head
+    def headRef(e: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().sameElements(
+        Array(head.name))
+      case _ => false
+    }
+    def idxRef(e: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames().length == 1 &&
+        idxCols.exists(_.name == r.fieldNames()(0))
+      case _ => false
+    }
+    // resolve the plan BEFORE accepting: any clipped segment rejects.
+    // Plan-time snapshot = the query's snapshot (same beforeMs).
+    val segs = table.series.segments(null, null, beforeMs)
+      .filter(_.meta.hasData)
+    if (!segs.forall(s => GraftPlanning.covers(table.gschema, s)))
+      return false
+    val cnt: java.lang.Long = segs.map(_.meta.length).sum
+    def minHead: Any =
+      segs.headOption.flatMap(_.meta.dataStart).map(k =>
+        GraftRead.kernelToInternal(head.dtype, k.values(0))).orNull
+    def maxHead: Any =
+      segs.lastOption.flatMap(_.meta.dataStop).map(k =>
+        GraftRead.kernelToInternal(head.dtype, k.values(0))).orNull
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false), cnt))
+      case c: Count if !c.isDistinct && idxRef(c.column) =>
+        // index columns are non-null by schema: count(col) = count(*)
+        Some((org.apache.spark.sql.types.StructField("count",
+          org.apache.spark.sql.types.LongType, nullable = false), cnt))
+      case m: Min if headRef(m.column) =>
+        Some((org.apache.spark.sql.types.StructField("min",
+          head.dtype.sparkType, nullable = true), minHead))
+      case m: Max if headRef(m.column) =>
+        Some((org.apache.spark.sql.types.StructField("max",
+          head.dtype.sparkType, nullable = true), maxHead))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return false
+    val resolved = out.flatten
+    aggPush = Some((StructType(resolved.map(_._1)),
+      resolved.map(_._2).toSeq))
+    true
+  }
+
   /** Assemble the lexicographic prefix bound: equalities on leading
     * index columns extend the prefix; the first non-equality column
     * contributes its own bound and terminates it (anything deeper
@@ -274,9 +353,9 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     val (stopB, stopClosed) = prefixBound(lower = false)
     val closed = Closed.Both.setLeft(startClosed).setRight(stopClosed)
     new GraftScan(table, startB, stopB, closed, beforeMs,
-      required.getOrElse(table.schema()),
+      aggPush.map(_._1).orElse(required).getOrElse(table.schema()),
       pushed.map(_.toString).toSeq, streamStartLatest,
-      limitN, limitReversed, streamSkipRewrites)
+      limitN, limitReversed, streamSkipRewrites, aggPush)
   }
 }
 
@@ -284,9 +363,11 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     closed: Closed, beforeMs: Option[Long], required: StructType,
     pushedDesc: Seq[String], streamStartLatest: Boolean = false,
     limit: Option[Int] = None, limitReversed: Boolean = false,
-    streamSkipRewrites: Boolean = false)
+    streamSkipRewrites: Boolean = false,
+    aggPush: Option[(StructType, Seq[Any])] = None)
     extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -315,7 +396,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     s"GraftScan ${table.name()} segments=${segs.length}/" +
       s"$totalSegments pushed=[${pushedDesc.mkString(", ")}]" +
       limit.map(l => s" limit=$l" +
-        (if (limitReversed) " (desc)" else "")).getOrElse("")
+        (if (limitReversed) " (desc)" else "")).getOrElse("") +
+      (if (aggPush.isDefined) " agg=manifest" else "")
   }
 
   /** ONE resolution per scan: plannedSegments, planInputPartitions
@@ -361,10 +443,56 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     (covering, total)
   }
 
+  // ---- runtime filtering (DPP-style): a join's build side delivers
+  // the head index column's value set AT RUNTIME; segments whose
+  // recorded range contains none of the values drop before any file
+  // opens. Pruning only — Spark still applies the join, so over-keep
+  // is safe and the coarse head-component containment check suffices.
+  private var runtimeKeep: Option[Seq[Any]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(table.gschema.idx.head.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val head = table.gschema.idx.head.name
+    val dt = table.gschema.idx.head.dtype
+    val vals = filters.toSeq.flatMap {
+      case In(c, vs) if c == head =>
+        Some(vs.toSeq.filter(_ != null).map(v =>
+          SparkVals.parseBound(dt, v)))
+      case EqualTo(c, v) if c == head && v != null =>
+        Some(Seq(SparkVals.parseBound(dt, v)))
+      case _ => None
+    }
+    if (vals.nonEmpty) runtimeKeep = Some(vals.flatten.distinct)
+  }
+
+  private def runtimePruned(segs: Seq[SegmentRead]): Seq[SegmentRead] =
+    runtimeKeep match {
+      case None => segs
+      case Some(vals) =>
+        val dt = table.gschema.idx.head.dtype
+        val kept = segs.filter { s =>
+          val lo = s.start.values(0)
+          val hi = s.stop.values(0)
+          vals.exists(v => dt.cmp(v, lo) >= 0 && dt.cmp(v, hi) <= 0)
+        }
+        GraftScanProbe.lastRuntimeScanned = kept.length
+        kept
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    plannedSegments.flatMap(seg => GraftPlanning.partitionsFor(
-      resolvedSeries, table.gschema,
-      required.fields.map(_.name).toSeq, seg, null)).toArray
+    aggPush match {
+      case Some((_, values)) =>
+        GraftScanProbe.lastAggPushed = true
+        Array(GraftAggPartition(values.toVector))
+      case None =>
+        runtimePruned(plannedSegments).flatMap(seg =>
+          GraftPlanning.partitionsFor(resolvedSeries, table.gschema,
+            required.fields.map(_.name).toSeq, seg, null)).toArray
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -827,12 +955,26 @@ final case class GraftInlinePartition(rows: Vector[Vector[Any]],
     outPos: Array[Int], idxPos: Array[Int], clip: GraftClip)
     extends InputPartition
 
+/** one pre-computed row: the manifest-answered aggregate (values are
+  * already in InternalRow representation) */
+final case class GraftAggPartition(values: Vector[Any])
+    extends InputPartition
+
 class GraftReaderFactory(conf: SegmentWriter.SerConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {
     case fp: GraftFilePartition => new GraftFileReader(fp, conf)
     case ip: GraftInlinePartition => new GraftInlineReader(ip)
+    case ap: GraftAggPartition =>
+      new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean =
+          if (served) false else { served = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(ap.values.toArray)
+        override def close(): Unit = ()
+      }
   }
 }
 

@@ -1,0 +1,189 @@
+package graft
+
+import graft.api._
+import graft.core._
+import graft.sources.GraftScanProbe
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The engine as a Spark SQL catalog (`spark.sql.catalog.<n> =
+  * graft.sources.GraftCatalog`): DDL creates collections/series,
+  * INSERT runs the engine write, SELECT gets manifest pruning and
+  * time travel, DROP/SHOW work — plus the scan-level metadata
+  * aggregates and runtime filtering that ride on the same connector.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def newCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft-cat").toString
+    val name = "gc" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.path", root)
+    (name, root)
+  }
+
+  test("SQL DDL + DML lifecycle through the catalog") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.prices.btc (ts TIMESTAMP, px DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    // the collection exists with the declared schema, index on ts
+    val repo = new Repo(root, spark)
+    val clct = repo.collection("prices").get
+    assert(clct.schema.idxNames == Seq("ts"))
+    // series materializes at first INSERT
+    spark.sql(
+      s"""INSERT INTO $cat.prices.btc
+         |SELECT timestamp_seconds(id * 60), id * 0.5
+         |FROM range(0, 1000)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.prices.btc")
+      .collect()(0).getLong(0) == 1000L)
+    assert(clct.ls() == Seq("btc"))
+    // a second series in the same collection shares the schema
+    spark.sql(
+      s"""CREATE TABLE $cat.prices.eth (ts TIMESTAMP, px DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.prices.eth
+         |SELECT timestamp_seconds(id * 60), id * 2.0
+         |FROM range(0, 10)""".stripMargin)
+    assert(spark.sql(s"SHOW TABLES IN $cat.prices").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("btc", "eth"))
+    // engine API sees the same data (one store, two doors)
+    assert(clct.series("btc").frame().count() == 1000L)
+    // WHERE on the index prunes through the catalog-loaded table
+    val n = spark.sql(
+      s"""SELECT count(px) FROM $cat.prices.btc
+         |WHERE ts < timestamp_seconds(6000)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 100L)
+    // INSERT OVERWRITE replaces just that series
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.prices.eth
+         |SELECT timestamp_seconds(id * 60), id * 3.0
+         |FROM range(0, 5)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.prices.eth")
+      .collect()(0).getLong(0) == 5L)
+    assert(clct.series("btc").frame().count() == 1000L) // untouched
+    // DROP TABLE removes the series, namespace ops see collections
+    spark.sql(s"DROP TABLE $cat.prices.eth")
+    assert(clct.ls() == Seq("btc"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSeq == Seq("prices"))
+  }
+
+  test("TIMESTAMP AS OF time-travels through the catalog") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.c.s SELECT id, 1.0 FROM range(0, 100)")
+    Thread.sleep(15)
+    val cut = java.time.Instant.now()
+    Thread.sleep(15)
+    spark.sql(
+      s"INSERT INTO $cat.c.s SELECT id, 2.0 FROM range(100, 300)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 300L)
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM $cat.c.s TIMESTAMP AS OF '$cut'")
+      .collect()(0).getLong(0)
+    assert(asOf == 100L)
+    // VERSION AS OF takes the same clock as epoch millis
+    val ver = spark.sql(
+      s"SELECT count(*) FROM $cat.c.s VERSION AS OF " +
+        s"'${cut.toEpochMilli}'").collect()(0).getLong(0)
+    assert(ver == 100L)
+  }
+
+  test("schema contract: same collection requires same schema") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.a (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.c.a SELECT id, 0.5 FROM range(0, 10)")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.c.b (ts BIGINT, other STRING)
+           |PARTITIONED BY (ts)""".stripMargin)
+    }
+    assert(e.getMessage.contains("different schema"), e.getMessage)
+  }
+
+  test("count/min/max answer from the manifest (no file IO)") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    val repo = new Repo(root, spark)
+    repo.collection("c").get.pageLen = 10000L
+    repo.collection("c").get.embedMaxSize = 0L
+    // write through the engine so pageLen applies (several segments)
+    import spark.implicits._
+    val s = repo.collection("c").get.series("s")
+    s.write(spark.range(0, 80000, 1, 8)
+      .select($"id".as("ts"), ($"id" * 1.5).as("v")), presorted = true)
+    GraftScanProbe.lastAggPushed = false
+    val got = spark.sql(
+      s"SELECT count(*), count(ts), min(ts), max(ts) FROM $cat.c.s")
+      .collect()(0)
+    assert(got.getLong(0) == 80000L)
+    assert(got.getLong(1) == 80000L)
+    assert(got.getLong(2) == 0L)
+    assert(got.getLong(3) == 79999L)
+    assert(GraftScanProbe.lastAggPushed,
+      "aggregate was not answered from the manifest")
+    // an overlay CLIP makes metadata inexact -> normal scan, exact
+    s.delete(100L, 200L)
+    GraftScanProbe.lastAggPushed = false
+    val after = spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0)
+    assert(after == 80000L - 101L)
+    assert(!GraftScanProbe.lastAggPushed)
+    // filtered aggregates never push (WHERE stays residual)
+    GraftScanProbe.lastAggPushed = false
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE ts >= 70000")
+      .collect()(0).getLong(0)
+    assert(filtered == 10000L)
+    assert(!GraftScanProbe.lastAggPushed)
+  }
+
+  test("runtime filter drops segments by join-key values") {
+    val root = Files.createTempDirectory("graft-rtf").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("ts" -> "int*", "value" -> "float")
+    val clct = repo.createCollection(schema, "c")
+    clct.pageLen = 10000L
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(spark.range(0, 80000, 1, 8)
+      .select($"id".as("ts"), ($"id" * 1.5).as("value")),
+      presorted = true)
+    val t = new graft.sources.GraftTable(root, "c", "_", None)
+    val scan = new graft.sources.GraftScanBuilder(t, None).build()
+    val rtf = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rtf.filterAttributes().head.fieldNames().toSeq == Seq("ts"))
+    GraftScanProbe.lastRuntimeScanned = -1
+    rtf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("ts", Array(5L, 15000L))))
+    val parts = scan.toBatch.planInputPartitions()
+    assert(GraftScanProbe.lastRuntimeScanned == 2,
+      s"runtime filter kept ${GraftScanProbe.lastRuntimeScanned}")
+    assert(parts.length == 2)
+    // values outside every segment range -> nothing planned
+    val scan2 = new graft.sources.GraftScanBuilder(t, None).build()
+    scan2.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("ts", 999999L)))
+    assert(scan2.toBatch.planInputPartitions().isEmpty)
+  }
+}
