@@ -514,6 +514,53 @@ object QueriesSeries {
       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL `DELETE FROM` through the catalog — the WHERE's index range
+    * becomes a manifest TOMBSTONE (the engine's native delete: one
+    * metadata commit, zero Spark jobs, stored files untouched —
+    * GraftCatalogSpec proves the no-job plan). Range + IN-list
+    * deletes stack, then the aggregate over the surviving rows is
+    * checked against the equivalent NOT-filter in plain SQL. */
+  def q186_sql_delete(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq186_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq186_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq186_src")
+    s.sql(
+      s"""DELETE FROM $cat.events.ev
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-14 00:00:00'""".stripMargin)
+    // IN-list delete (a subquery condition can't reach the v1 filter
+    // pushdown, so resolve the key first — one driver-side scalar)
+    val minTs = s.sql("SELECT min(ts) FROM gq186_src")
+      .collect()(0).getTimestamp(0)
+    s.sql(
+      s"""DELETE FROM $cat.events.ev
+         |WHERE ts IN (TIMESTAMP '$minTs')""".stripMargin)
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q186_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |WHERE NOT (ts >= TIMESTAMP '2024-01-10'
+      |           AND ts < TIMESTAMP '2024-01-14')
+      |  AND ts <> (SELECT min(ts) FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1185,6 +1232,7 @@ object QueriesSeries {
     "q181_connector_multiidx" -> q181_connector_multiidx _,
     "q182_connector_topn" -> q182_connector_topn _,
     "q183_catalog_sql" -> q183_catalog_sql _,
+    "q186_sql_delete" -> q186_sql_delete _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1221,6 +1269,7 @@ object QueriesSeries {
     "q181_connector_multiidx" -> q181_oracle,
     "q182_connector_topn" -> q182_oracle,
     "q183_catalog_sql" -> q183_oracle,
+    "q186_sql_delete" -> q186_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

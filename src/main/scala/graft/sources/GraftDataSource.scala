@@ -95,7 +95,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 class GraftTable(rootUri: String, collectionName: String,
     seriesLabel: String, beforeMs: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sources] def series: graft.api.Series = {
     val spark = SparkSession.active
@@ -124,6 +125,142 @@ class GraftTable(rootUri: String, collectionName: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(this, info)
+
+  // ---- SQL DELETE — the engine's native delete IS metadata-only
+  // (a manifest tombstone row, no data job), so `DELETE FROM g WHERE
+  // <index range>` maps 1:1 onto `Series.delete`. Accepted only when
+  // the WHERE is EXACTLY expressible as tombstones: a conjunction of
+  // comparisons forming one lexicographic interval over an index
+  // prefix (equalities extend the prefix, the first range column
+  // terminates it), or a single IN/= list on the head column (one
+  // tombstone per value, one batched commit). Anything else — a
+  // value-column predicate, disjunctions — is rejected and Spark
+  // reports the delete as unsupported rather than silently deleting
+  // the wrong rows. A one-sided range substitutes the manifest's
+  // recorded extreme for the missing side (exact for the snapshot's
+  // rows). DELETE without WHERE = truncate: one commit that drops the
+  // series' manifest rows; history stays readable.
+
+  private sealed trait DeletePlan
+  private case object DeleteAll extends DeletePlan
+  private case class DeleteRange(start: IndexKey, stop: IndexKey,
+      closed: Closed) extends DeletePlan
+  private case class DeleteKeys(values: Seq[Any]) extends DeletePlan
+
+  private def deletePlan(filters: Array[Filter]): Option[DeletePlan] = {
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) return Some(DeleteAll)
+    val gs = gschema
+    val head = gs.idx.head
+    // IN / = list on the head column, as the only predicate
+    real match {
+      case Array(In(c, vs)) if c == head.name && vs.nonEmpty &&
+          !vs.contains(null) =>
+        return Some(DeleteKeys(vs.toSeq.map(v =>
+          SparkVals.parseBound(head.dtype, v)).distinct))
+      case _ => ()
+    }
+    // conjunction of comparisons over an index prefix
+    final class B(val dt: GType) {
+      var lo: Any = null; var loC = true
+      var hi: Any = null; var hiC = true
+      def k(v: Any): Any = SparkVals.parseBound(dt, v)
+      def tighten(lo0: Any, loC0: Boolean, hi0: Any,
+          hiC0: Boolean): Unit = {
+        if (lo0 != null && (lo == null || dt.cmp(k(lo0), k(lo)) > 0 ||
+            (dt.cmp(k(lo0), k(lo)) == 0 && !loC0))) {
+          lo = lo0; loC = loC0
+        }
+        if (hi0 != null && (hi == null || dt.cmp(k(hi0), k(hi)) < 0 ||
+            (dt.cmp(k(hi0), k(hi)) == 0 && !hiC0))) {
+          hi = hi0; hiC = hiC0
+        }
+      }
+      def eq: Boolean = lo != null && hi != null && loC && hiC &&
+        dt.cmp(k(lo), k(hi)) == 0
+    }
+    val bounds = gs.idx.map(c => c.name -> new B(c.dtype)).toMap
+    real.foreach {
+      case GreaterThan(c, v) if bounds.contains(c) && v != null =>
+        bounds(c).tighten(v, false, null, true)
+      case GreaterThanOrEqual(c, v) if bounds.contains(c) && v != null =>
+        bounds(c).tighten(v, true, null, true)
+      case LessThan(c, v) if bounds.contains(c) && v != null =>
+        bounds(c).tighten(null, true, v, false)
+      case LessThanOrEqual(c, v) if bounds.contains(c) && v != null =>
+        bounds(c).tighten(null, true, v, true)
+      case EqualTo(c, v) if bounds.contains(c) && v != null =>
+        bounds(c).tighten(v, true, v, true)
+      case _ => return None // not exactly expressible — refuse
+    }
+    // eq-prefix, then at most ONE range column, nothing deeper
+    val prefix = Vector.newBuilder[Any]
+    var rangeCol: Option[B] = None
+    var depth = 0
+    val it = gs.idx.iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val b = bounds(it.next().name)
+      if (b.eq) { prefix += b.k(b.lo); depth += 1 }
+      else {
+        if (b.lo != null || b.hi != null) rangeCol = Some(b)
+        stop = true
+      }
+    }
+    // any bound BELOW the terminating column is inexpressible
+    val deeper = gs.idx.drop(depth + 1)
+      .exists(c => bounds(c.name).lo != null || bounds(c.name).hi != null)
+    if (deeper) return None
+    val p = prefix.result()
+    val (startK, closedL) = rangeCol match {
+      case Some(b) if b.lo != null =>
+        (IndexKey(p :+ b.k(b.lo)), b.loC)
+      case _ if p.nonEmpty => (IndexKey(p), true)
+      case _ => (null, true)
+    }
+    val (stopK, closedR) = rangeCol match {
+      case Some(b) if b.hi != null =>
+        (IndexKey(p :+ b.k(b.hi)), b.hiC)
+      case _ if p.nonEmpty => (IndexKey(p), true)
+      case _ => (null, true)
+    }
+    if (startK == null && stopK == null) return None
+    Some(DeleteRange(startK, stopK,
+      Closed.Both.setLeft(closedL).setRight(closedR)))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    deletePlan(filters) match {
+      case None => throw new UnsupportedOperationException(
+        s"graft DELETE needs an index-range WHERE; got " +
+          filters.mkString(", "))
+      case Some(DeleteAll) => truncateTable(); ()
+      case Some(DeleteKeys(vs)) =>
+        val s = series
+        s.collection.multi {
+          vs.foreach(v => s.delete(IndexKey(Vector(v)),
+            IndexKey(Vector(v))))
+        }
+      case Some(DeleteRange(startK, stopK, closed)) =>
+        val s = series
+        // one-sided range: substitute the manifest's recorded extreme
+        // (exact for the rows this snapshot holds)
+        val segs = s.segments().filter(_.meta.hasData)
+        if (segs.isEmpty) return
+        val st = if (startK != null) startK else segs.head.start
+        val sp = if (stopK != null) stopK else segs.last.stop
+        if (gschema.cmpKey(st, sp) > 0) return // empty range: no-op
+        s.delete(st, sp, closed)
+    }
+
+  override def truncateTable(): Boolean = {
+    val s = series
+    s.collection.truncateWrite(s.label, Seq.empty)
+    true
+  }
 }
 
 /** Test/diagnostic probe: records how the LAST planned graft scan
@@ -533,6 +670,12 @@ class GraftWriteBuilder(table: GraftTable,
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
+    // kv collections MERGE on write (first-wins upsert) — a plain
+    // splice would silently skip the merge, so refuse rather than
+    // diverge from the API's semantics
+    require(!table.gschema.kv,
+      "graft: kv (upsert) collections merge on write — use the " +
+        "Series API (KVSeries.write); SQL INSERT cannot express it")
     val expect = table.gschema.sparkSchema
     val got = info.schema()
     require(got.length == expect.length &&

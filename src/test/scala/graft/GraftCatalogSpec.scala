@@ -154,6 +154,89 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!GraftScanProbe.lastAggPushed)
   }
 
+  test("SQL DELETE maps to manifest tombstones (metadata-only)") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.c.s SELECT id, 1.0 FROM range(0, 1000)")
+    val repo = new Repo(root, spark)
+    val sr = repo.collection("c").get.series("s")
+    val filesBefore = sr.segments().flatMap(_.meta.files).toSet
+    // range delete: closed/open bounds honored, no data job
+    val jobs = jobCountQuiet {
+      spark.sql(s"DELETE FROM $cat.c.s WHERE ts >= 100 AND ts < 200")
+    }
+    assert(jobs == 0, s"metadata delete ran $jobs Spark jobs")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 900L)
+    // the stored files are untouched (tombstone overlays them)
+    assert(sr.segments().flatMap(_.meta.files).toSet
+      .subsetOf(filesBefore))
+    // IN-list delete: one batched commit, one tombstone per key
+    val revs = repo.collection("c").get.changelog.log().length
+    spark.sql(s"DELETE FROM $cat.c.s WHERE ts IN (500, 600, 700)")
+    assert(repo.collection("c").get.changelog.log().length == revs + 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 897L)
+    // one-sided range substitutes the manifest extreme
+    spark.sql(s"DELETE FROM $cat.c.s WHERE ts >= 900")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 797L)
+    // a value-column predicate is refused, not silently wrong
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.c.s WHERE v = 1.0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // DELETE without WHERE truncates the series, history readable
+    Thread.sleep(15)
+    val cut = java.time.Instant.now()
+    Thread.sleep(15)
+    spark.sql(s"DELETE FROM $cat.c.s")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s TIMESTAMP AS OF '$cut'")
+      .collect()(0).getLong(0) == 797L)
+  }
+
+  private def jobCountQuiet(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var last = -1
+      var spins = 0
+      while (n.get() != last && spins < 40) {
+        last = n.get(); Thread.sleep(50); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("kv collections refuse the SQL write path") {
+    val root = Files.createTempDirectory("graft-kvw").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema.kv("k" -> "int*", "v" -> "float")
+    repo.createCollection(schema, "c")
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, 1.0)).toDF("k", "v").write.format("graft")
+        .option("path", root).option("collection", "c")
+        .option("series", "_").mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("kv")), e.toString)
+  }
+
   test("runtime filter drops segments by join-key values") {
     val root = Files.createTempDirectory("graft-rtf").toString
     val repo = new Repo(root, spark)
