@@ -561,6 +561,60 @@ object QueriesSeries {
       |  AND ts <> (SELECT min(ts) FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL maintenance lifecycle via STORED PROCEDURES
+    * ([[graft.sources.GraftProcedures]]): four disjoint-window
+    * INSERTs fragment the manifest and deepen the changelog, then
+    * `CALL sys.defrag` (segment compaction), `CALL sys.squash`
+    * (history collapse) and `CALL sys.gc` (reap the unreferenced
+    * originals) run the engine's day-2 verbs with zero Scala API
+    * calls — the aggregate afterwards must still match the plain
+    * one-pass oracle, proving maintenance never changes data. */
+  def q187_sql_maintenance(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq187_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq187_src")
+    // disjoint index windows → each INSERT splices its own range
+    val cuts = Seq("2024-01-05", "2024-01-10", "2024-01-15")
+    val windows =
+      (s"ts < TIMESTAMP '${cuts.head}'" +:
+        cuts.sliding(2).toSeq.collect { case Seq(a, b) =>
+          s"ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b'" }) :+
+        s"ts >= TIMESTAMP '${cuts.last}'"
+    windows.foreach { w =>
+      s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq187_src WHERE $w")
+    }
+    val d = s.sql(s"CALL $cat.sys.defrag(collection => 'events')")
+      .collect()(0)
+    require(d.getLong(2) <= d.getLong(1), s"defrag grew segments: $d")
+    val q = s.sql(s"CALL $cat.sys.squash('events')").collect()(0)
+    require(q.getLong(2) == 1L && q.getLong(1) >= windows.length,
+      s"squash must collapse ${q.getLong(1)} revisions to one: $q")
+    val g = s.sql(s"CALL $cat.sys.gc(timeout_ms => 0)").collect()(0)
+    require(g.getLong(0) >= 0L)
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(event_id) AS id_sum,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q187_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(event_id)::BIGINT AS id_sum,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1233,6 +1287,7 @@ object QueriesSeries {
     "q182_connector_topn" -> q182_connector_topn _,
     "q183_catalog_sql" -> q183_catalog_sql _,
     "q186_sql_delete" -> q186_sql_delete _,
+    "q187_sql_maintenance" -> q187_sql_maintenance _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1270,6 +1325,7 @@ object QueriesSeries {
     "q182_connector_topn" -> q182_oracle,
     "q183_catalog_sql" -> q183_oracle,
     "q186_sql_delete" -> q186_oracle,
+    "q187_sql_maintenance" -> q187_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

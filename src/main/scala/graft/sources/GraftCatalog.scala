@@ -46,7 +46,8 @@ import graft.core.{ColDef, GSchema, GType}
   * (`Series.frame(beforeMs)`); VERSION AS OF accepts the same
   * epoch-millis number for scripting.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootUri: String = _
@@ -175,6 +176,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         c.renameSeries(from.name(), to.name())
     }
   }
+
+  // ------------------------------------------------------------------
+  // stored procedures: the maintenance verbs (CALL g.sys.defrag(...))
+  // ------------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.load(rootUri, ident)
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    GraftProcedures.list(ns)
 
   // ------------------------------------------------------------------
   // namespaces = collections

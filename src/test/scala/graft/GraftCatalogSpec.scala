@@ -220,6 +220,84 @@ class GraftCatalogSpec extends AnyFunSuite {
     n.get()
   }
 
+  test("CALL procedures: defrag/squash/gc/archive through SQL") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.m.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    // many tiny commits → fragmented manifest + deep changelog
+    (0 until 6).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.m.s SELECT id, 1.0 " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val repo = new Repo(root, spark)
+    val c = repo.collection("m").get
+    val segsBefore = c.manifest().get.rows.count(_.hasData)
+    assert(segsBefore >= 6)
+
+    // defrag: fewer segments, same rows; returns before/after counts
+    val d = spark.sql(s"CALL $cat.sys.defrag(collection => 'm')")
+      .collect()(0)
+    assert(d.getString(0) == "m")
+    assert(d.getLong(2) < d.getLong(1),
+      s"defrag should shrink segments: $d")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.s")
+      .collect()(0).getLong(0) == 600L)
+
+    // squash: one revision left, data intact
+    val q = spark.sql(s"CALL $cat.sys.squash('m')").collect()(0)
+    assert(q.getLong(2) == 1L && q.getLong(1) > 1L, q.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.s")
+      .collect()(0).getLong(0) == 600L)
+
+    // archive parks a snapshot (shared files, no data copy)
+    val a = spark.sql(s"CALL $cat.sys.archive('m')").collect()(0)
+    assert(a.getLong(1) >= 1L)
+    assert(new Repo(root, spark).collection("m", "archive").isDefined)
+
+    // gc after squash+defrag reaps the unreferenced originals
+    val g = spark.sql(s"CALL $cat.sys.gc(timeout_ms => 0)")
+      .collect()(0)
+    assert(g.getLong(0) >= 1L, "gc should collect defrag'd originals")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.s")
+      .collect()(0).getLong(0) == 600L)
+
+    // discovery surface
+    val procs = spark.sql(s"SHOW PROCEDURES IN $cat.sys").collect()
+      .map(_.getString(3))
+    assert(procs.contains("defrag") && procs.contains("gc"),
+      procs.mkString(","))
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.sys.defrag")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.toLowerCase.contains("defrag"), desc)
+    // unknown procedure: a clear error naming the known set
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.nope()")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("sys.defrag")), e.toString)
+  }
+
+  test("CALL push/pull sync two repos through SQL") {
+    val (cat, _) = newCatalog()
+    val (cat2, root2) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.p.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.p.s SELECT id, 2.0 FROM range(0, 50)")
+    val r = spark.sql(s"CALL $cat.sys.push('$root2')").collect()(0)
+    assert(r.getLong(1) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat2.p.s")
+      .collect()(0).getLong(0) == 50L)
+    // pull direction: new rows on the remote come back
+    spark.sql(s"INSERT INTO $cat2.p.s SELECT id, 3.0 FROM range(50, 60)")
+    spark.sql(s"CALL $cat.sys.pull('$root2', collection => 'p')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.p.s")
+      .collect()(0).getLong(0) == 60L)
+  }
+
   test("kv collections refuse the SQL write path") {
     val root = Files.createTempDirectory("graft-kvw").toString
     val repo = new Repo(root, spark)
