@@ -61,7 +61,13 @@ object Bench {
     // round-9: the streaming-CDC drain — two engine commits + a full
     // readStream drain through the connector's micro-batches into a
     // memory sink + the aggregate over it (QUERIES.md flags it ⏱)
-    "q178_stream_connector")
+    "q178_stream_connector",
+    // round-9: the full SQL DML lifecycle — catalog CREATE+INSERT of
+    // the events series, a group-filtered copy-on-write UPDATE, a
+    // value-predicate rewrite DELETE, a MERGE (matched update +
+    // free-space inserts), and the verification aggregate — i.e. the
+    // per-batch cost of mutating a versioned series through SQL
+    "q188_sql_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -615,6 +615,81 @@ object QueriesSeries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL UPDATE / MERGE INTO / value-predicate DELETE through the
+    * catalog — group-based copy-on-write row-level operations
+    * ([[graft.sources.GraftRowLevelOperation]]): the UPDATE's index
+    * WHERE drives runtime group filtering (only the covering
+    * segments rewrite), the DELETE's value predicate takes the
+    * rewrite path a tombstone can't express, and the MERGE both
+    * updates matched keys and inserts new rows into free index space
+    * beyond the series tail — then the aggregate must equal the
+    * oracle's CASE/UNION recompute of the same three mutations. */
+  def q188_sql_update(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq188_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq188_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq188_src")
+    s.sql(
+      s"""UPDATE $cat.events.ev SET value = value * 2
+         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+    s.sql(
+      s"""DELETE FROM $cat.events.ev
+         |WHERE value < 0.1
+         |  AND ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $cat.events.ev t USING (
+         |  SELECT ts, event_id, cast(-1.0 AS DOUBLE) AS value,
+         |    event_type
+         |  FROM gq188_src
+         |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |    AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         |  UNION ALL
+         |  SELECT ts + INTERVAL 100 DAY AS ts, event_id, value,
+         |    event_type
+         |  FROM gq188_src
+         |  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+         |) src ON t.ts = src.ts AND t.event_id = src.event_id
+         |WHEN MATCHED THEN UPDATE SET value = src.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q188_oracle: String =
+    """WITH upd AS (
+      |  SELECT ts, event_id,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-08'
+      |           AND ts < TIMESTAMP '2024-01-12' THEN value * 2
+      |         WHEN ts >= TIMESTAMP '2024-01-15'
+      |           AND ts < TIMESTAMP '2024-01-16' THEN -1.0
+      |         ELSE value END AS value,
+      |    event_type
+      |  FROM events
+      |  WHERE NOT (value < 0.1 AND ts >= TIMESTAMP '2024-01-20')
+      |), ins AS (
+      |  SELECT ts + INTERVAL 100 DAY AS ts, event_id, value,
+      |    event_type
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-02'
+      |), allr AS (
+      |  SELECT * FROM upd UNION ALL SELECT * FROM ins
+      |)
+      |SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1288,6 +1363,7 @@ object QueriesSeries {
     "q183_catalog_sql" -> q183_catalog_sql _,
     "q186_sql_delete" -> q186_sql_delete _,
     "q187_sql_maintenance" -> q187_sql_maintenance _,
+    "q188_sql_update" -> q188_sql_update _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1326,6 +1402,7 @@ object QueriesSeries {
     "q183_catalog_sql" -> q183_oracle,
     "q186_sql_delete" -> q186_oracle,
     "q187_sql_maintenance" -> q187_oracle,
+    "q188_sql_update" -> q188_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

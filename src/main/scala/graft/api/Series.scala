@@ -340,6 +340,75 @@ class Series(val collection: Collection, val label: String) {
     else commitRows(rows, root = false)
   }
 
+  /** Copy-on-write replace for SQL row-level operations
+    * (UPDATE / MERGE / rewrite-DELETE): atomically substitute the
+    * scanned visible windows (`ranges`) with the staged files. Each
+    * replaced window becomes ONE splice — its files re-sealed as a
+    * contiguous cover stretched to the window's own bounds (so rows a
+    * DELETE removed at the edges stay deleted), or a bare tombstone
+    * when the rewrite emptied it. Files that land OUTSIDE every
+    * window (rows whose index an UPDATE moved, or MERGE-inserted
+    * rows) splice into free index space only: landing on a visible
+    * segment that was NOT part of the scan would clobber rows the
+    * operation never read, so that commit is refused. The task-side
+    * writer rolls at region boundaries ([[graft.core.RangeRegions]]),
+    * making per-file region assignment exact. One changelog commit
+    * for the whole operation; history stays readable. */
+  private[graft] def commitReplace(
+      stats: Seq[graft.core.SegmentWriter.FileStat],
+      ranges0: Seq[(IndexKey, IndexKey, Closed)]): Unit = {
+    val ranges = ranges0.sortWith((a, b) => schema.cmpKey(a._1, b._1) < 0)
+    if (ranges.isEmpty) {
+      require(stats.isEmpty,
+        "row-level write produced rows but scanned no groups")
+      return
+    }
+    val regions = new graft.core.RangeRegions(schema, ranges.toIndexedSeq)
+    val byRegion = stats.groupBy { st =>
+      val r = regions.regionOf(st.min)
+      require(regions.regionOf(st.max) == r,
+        s"staged file straddles a replaced-range boundary " +
+          s"([${st.min}, ${st.max}]) — writer rolling failed")
+      r
+    }
+    // gap files may only land on FREE index space: any overlap with a
+    // visible segment outside the replaced set means the operation is
+    // about to clobber rows it never read — refuse loudly
+    val gapGroups = byRegion.filter(_._1 < 0)
+    if (gapGroups.nonEmpty) {
+      val untouched = segments().filter(_.meta.hasData).filterNot(s =>
+        ranges.exists(r => schema.cmpKey(r._1, s.start) == 0 &&
+          schema.cmpKey(r._2, s.stop) == 0))
+      gapGroups.values.flatten.foreach { st =>
+        untouched.foreach { s =>
+          val c1 = schema.cmpKey(st.max, s.start)
+          val c2 = schema.cmpKey(st.min, s.stop)
+          val overlaps = (c1 > 0 || (c1 == 0 && s.closed.left)) &&
+            (c2 < 0 || (c2 == 0 && s.closed.right))
+          require(!overlaps,
+            s"row-level operation moved rows onto occupied index " +
+              s"space [${st.min}, ${st.max}] outside the scanned " +
+              s"groups (UPDATE/MERGE may not relocate rows onto " +
+              s"existing data it did not read)")
+        }
+      }
+    }
+    collection.multi {
+      ranges.zipWithIndex.foreach { case ((a, b, cl), i) =>
+        byRegion.get(i) match {
+          case Some(sts) => commitRows(sealSegments(sts, a, b, cl),
+            root = false)
+          case None => commitRows(Seq(SegmentMeta(label, a, b, cl, 0L,
+            Vector.empty)), root = false)
+        }
+      }
+      gapGroups.toSeq.sortBy(_._1).foreach { case (_, sts) =>
+        commitRows(sealSegments(sts, null, null, Closed.Both),
+          root = false)
+      }
+    }
+  }
+
   /** Embed a collected tiny frame in the manifest if it fits under
     * collection.embedMaxSize serialized bytes; returns false to fall
     * back to the parquet path. Empty frames commit a tombstone row

@@ -336,6 +336,12 @@ object SegmentWriter {
     /** Close the open file and return every file's stats. */
     def finish(): Seq[(String, FileStat)] = { roll(); out.toSeq }
 
+    /** Force a file boundary here — the copy-on-write row-level
+      * writer rolls whenever a row crosses into a different replaced
+      * range, so each staged file lies entirely within one range (or
+      * one gap) and the commit can splice per range. */
+    private[graft] def rollNow(): Unit = roll()
+
     /** failure-path close: never masks the original exception */
     def closeQuiet(): Unit = if (w != null) w.close()
   }

@@ -96,7 +96,9 @@ class GraftTable(rootUri: String, collectionName: String,
     seriesLabel: String, beforeMs: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog
+      .SupportsRowLevelOperations {
 
   private[sources] def series: graft.api.Series = {
     val spark = SparkSession.active
@@ -126,6 +128,15 @@ class GraftTable(rootUri: String, collectionName: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(this, info)
 
+  /** SQL UPDATE / MERGE / rewrite-DELETE — group-based copy-on-write
+    * over visible segment windows ([[GraftRowLevelOperation]]).
+    * Index-range DELETEs still take the metadata-only SupportsDelete
+    * route via Spark's OptimizeMetadataOnlyDeleteFromTable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
+
   // ---- SQL DELETE — the engine's native delete IS metadata-only
   // (a manifest tombstone row, no data job), so `DELETE FROM g WHERE
   // <index range>` maps 1:1 onto `Series.delete`. Accepted only when
@@ -134,9 +145,12 @@ class GraftTable(rootUri: String, collectionName: String,
   // prefix (equalities extend the prefix, the first range column
   // terminates it), or a single IN/= list on the head column (one
   // tombstone per value, one batched commit). Anything else — a
-  // value-column predicate, disjunctions — is rejected and Spark
-  // reports the delete as unsupported rather than silently deleting
-  // the wrong rows. A one-sided range substitutes the manifest's
+  // value-column predicate, disjunctions — is declined here and
+  // falls back to the copy-on-write rewrite path
+  // (GraftRowLevelOperation) via Spark's
+  // OptimizeMetadataOnlyDeleteFromTable dichotomy: metadata-only
+  // when exact, group rewrite otherwise, never silently wrong.
+  // A one-sided range substitutes the manifest's
   // recorded extreme for the missing side (exact for the snapshot's
   // rows). DELETE without WHERE = truncate: one commit that drops the
   // series' manifest rows; history stays readable.

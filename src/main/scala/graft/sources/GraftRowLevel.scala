@@ -1,0 +1,350 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Closed, GType, IndexKey, RangeRegions, SegmentRead,
+  SegmentWriter}
+import graft.engine.SparkVals
+
+/** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` on graft tables —
+  * Spark 4's group-based copy-on-write row-level operations
+  * (`SupportsRowLevelOperations`), the mechanism Iceberg/Delta use
+  * for the same verbs.
+  *
+  * Contract with Spark: the operation's SCAN reads whole affected
+  * GROUPS (here: a segment's visible window — every row, matched or
+  * not), Spark computes the rewritten rows, and the operation's WRITE
+  * must replace exactly the groups the scan served. Group selection
+  * happens via runtime group filtering (Spark plans a dynamic-pruning
+  * subquery from the operation's condition over the ORIGINAL table —
+  * verified against Spark 4.1's
+  * `RowLevelOperationRuntimeGroupFiltering`, which rebuilds the
+  * matching-rows plan from `RowLevelOperationTable.table`): the
+  * scan's [[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]]
+  * then drops every segment whose recorded index range holds none of
+  * the matching head-index values, so a selective UPDATE rewrites
+  * only the segments it touches. Without a usable runtime filter the
+  * scan serves the whole series and the operation degrades to a full
+  * rewrite — correct, never wrong-sized.
+  *
+  * The replacement itself is [[graft.api.Series.commitReplace]]: one
+  * changelog commit that splices each scanned visible window
+  * (tombstone-stretched cover of the window's rewritten files), with
+  * task-side writers rolling output files at window boundaries so
+  * every staged file lies in exactly one window (or in free index
+  * space — where MERGE-inserted rows may land; landing on unscanned
+  * VISIBLE data is refused rather than clobbered). Index-range
+  * DELETEs never reach this path: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` swaps them back to the
+  * metadata-only `SupportsDelete` tombstone route.
+  */
+class GraftRowLevelOperation(table: GraftTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** the visible windows the scan ACTUALLY planned (post runtime
+    * group filtering) — the write replaces exactly these */
+  @volatile private[sources] var replacedRanges
+      : Seq[(IndexKey, IndexKey, Closed)] = null
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"GraftRowLevelOperation[$cmd] ${table.name()}"
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new GraftCowScan(table,
+      GraftRowLevelOperation.this)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        require(!table.gschema.kv,
+          "graft: kv (upsert) collections merge on write — use the " +
+            "Series API; SQL row-level operations cannot express it")
+        val expect = table.gschema.sparkSchema
+        val got = info.schema()
+        require(got.length == expect.length &&
+          got.fields.zip(expect.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType },
+          s"graft row-level write schema mismatch: got " +
+            s"${got.simpleString}, table is ${expect.simpleString}")
+        new GraftCowWrite(table, GraftRowLevelOperation.this)
+      }
+    }
+}
+
+/** The copy-on-write scan: serves ENTIRE visible windows (no static
+  * predicate pushdown — a group must be read whole so unmatched rows
+  * survive the rewrite), prunes windows only through the runtime
+  * group filter, and records what it planned for the write side. */
+class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  private lazy val resolvedSeries: graft.api.Series = table.series
+  private lazy val allSegments: Seq[SegmentRead] =
+    resolvedSeries.segments().filter(_.meta.hasData)
+
+  override def readSchema(): StructType = table.gschema.sparkSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCowScan ${table.name()}"
+
+  private var runtimeKeep: Option[Seq[Any]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(table.gschema.idx.head.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val head = table.gschema.idx.head.name
+    val dt = table.gschema.idx.head.dtype
+    val vals = filters.toSeq.flatMap {
+      case In(c, vs) if c == head =>
+        Some(vs.toSeq.filter(_ != null).map(v =>
+          SparkVals.parseBound(dt, v)))
+      case EqualTo(c, v) if c == head && v != null =>
+        Some(Seq(SparkVals.parseBound(dt, v)))
+      case _ => None
+    }
+    if (vals.nonEmpty) runtimeKeep = Some(vals.flatten.distinct)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dt: GType = table.gschema.idx.head.dtype
+    val kept = runtimeKeep match {
+      case None => allSegments
+      case Some(vals) => allSegments.filter { s =>
+        val lo = s.start.values(0)
+        val hi = s.stop.values(0)
+        vals.exists(v => dt.cmp(v, lo) >= 0 && dt.cmp(v, hi) <= 0)
+      }
+    }
+    op.replacedRanges = kept.map(s => (s.start, s.stop, s.closed))
+    GraftScanProbe.lastRuntimeScanned =
+      if (runtimeKeep.isDefined) kept.length else -1
+    GraftScanProbe.lastSegmentsScanned = kept.length
+    GraftScanProbe.lastSegmentsTotal = allSegments.length
+    val reqNames = table.gschema.names
+    kept.flatMap(seg => GraftPlanning.partitionsFor(resolvedSeries,
+      table.gschema, reqNames, seg, null)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPlanning.readerFactory()
+}
+
+/** The copy-on-write write: the engine's one-job staged write (same
+  * TaskSegmentWriter, same per-file stats channel), with region-aware
+  * file rolling and a commitReplace instead of the append splice. */
+class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
+    extends Write
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution,
+    Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions,
+    SortDirection, SortOrder}
+
+  private def idxOrders: Array[SortOrder] =
+    table.gschema.idx.map(c => Expressions.sort(
+      Expressions.column(c.name), SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(idxOrders)
+  override def requiredOrdering(): Array[SortOrder] = idxOrders
+
+  override def toBatch: BatchWrite = {
+    val s = table.series
+    val clct = s.collection
+    val store = clct.repo.store
+    val tmpRel = s"tmp/${graft.core.Hash.hextime()}-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    val params = SegmentWriter.TaskParams(table.gschema,
+      table.gschema.names.map(clct.physOf).toIndexedSeq,
+      tmpRel, store.uri(tmpRel), clct.pageLen,
+      clct.repo.spark.conf.get("spark.graft.segment.codec", "zstd"),
+      verifySorted = false, labeled = false)
+    new GraftCowBatchWrite(table, params, op)
+  }
+}
+
+class GraftCowBatchWrite(table: GraftTable,
+    params: SegmentWriter.TaskParams, op: GraftRowLevelOperation)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    // the scan plans before the write job materializes (its RDD
+    // partitions are computed first), so the replaced windows are
+    // known here; fail loudly if that execution-order assumption
+    // ever breaks rather than writing unsplittable files
+    val ranges = op.replacedRanges
+    require(ranges != null,
+      "graft row-level write started before its scan planned — " +
+        "cannot determine the replaced groups")
+    new GraftCowWriterFactory(params,
+      new SegmentWriter.SerConf(
+        SparkSession.active.sessionState.newHadoopConf()),
+      new RangeRegions(params.gschema,
+        ranges.sortWith((a, b) =>
+          params.gschema.cmpKey(a._1, b._1) < 0).toIndexedSeq))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val stats = messages.toSeq.flatMap {
+      case GraftCommitMessage(s) => s
+      case other => throw new IllegalStateException(
+        s"unexpected commit message: $other")
+    }
+    val series = table.series
+    try series.commitReplace(stats, op.replacedRanges)
+    finally series.collection.repo.store.rm(params.tmpRel,
+      recursive = true)
+    GraftScanProbe.lastWriteFiles = stats.length
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    table.series.collection.repo.store.rm(params.tmpRel,
+      recursive = true)
+}
+
+class GraftCowWriterFactory(params: SegmentWriter.TaskParams,
+    conf: SegmentWriter.SerConf, regions: RangeRegions)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftCowDataWriter(
+      new SegmentWriter.TaskSegmentWriter(params, conf.value,
+        partitionId, taskId), params, regions)
+}
+
+/** Rolls the underlying segment writer whenever a row crosses into a
+  * different replaced window (or gap), so each staged file maps to
+  * exactly one region — the property commitReplace's per-window
+  * splices rely on.
+  *
+  * Incoming rows may carry ONE extra leading column: Spark's
+  * group-based ReplaceData tags every row with a `__row_operation`
+  * marker, and (Spark 4.1, `ReplaceDataExec.writingTask`) strips it
+  * via the data projection ONLY on the metadata-attributes path — a
+  * connector with no metadata columns receives the raw tagged row
+  * while `LogicalWriteInfo.schema()` still reports the bare table
+  * schema. The first row's field count decides the shift; a
+  * zero-copy delegating view re-aligns the columns for the segment
+  * writer (whose stats/digest read positions 0..n-1). */
+class GraftCowDataWriter(tw: SegmentWriter.TaskSegmentWriter,
+    params: SegmentWriter.TaskParams, regions: RangeRegions)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val idxPos = params.gschema.cols.zipWithIndex
+    .filter(_._1.idx).map(_._2).toArray
+  private val dtypes = params.gschema.cols.map(_.dtype).toIndexedSeq
+  private val nCols = params.gschema.cols.length
+  private var region = Int.MinValue
+  private var started = false
+  private var shift = -1
+  private val shifted = new ShiftedInternalRow(nCols)
+
+  private def keyAt(ir: InternalRow): IndexKey = IndexKey(
+    idxPos.map { i =>
+      dtypes(i) match {
+        case GType.TimestampT | GType.IntT => ir.getLong(i)
+        case GType.DateT  => ir.getInt(i).toLong
+        case GType.FloatT => ir.getDouble(i)
+        case GType.StrT   => ir.getUTF8String(i).toString
+      }
+    }.toVector)
+
+  override def write(row: InternalRow): Unit = {
+    if (shift < 0) {
+      shift = row.numFields - nCols
+      require(shift == 0 || shift == 1,
+        s"graft row-level write got ${row.numFields} columns for a " +
+          s"$nCols-column table")
+      shifted.off = shift
+    }
+    val r =
+      if (shift == 0) row
+      else { shifted.base = row; shifted }
+    val reg = regions.regionOf(keyAt(r))
+    if (started && reg != region) tw.rollNow()
+    region = reg
+    started = true
+    tw.write(r)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftCommitMessage(tw.finish().map(_._2))
+  override def abort(): Unit = tw.closeQuiet()
+  override def close(): Unit = tw.closeQuiet()
+}
+
+/** Zero-copy view of an InternalRow with its first `off` columns
+  * dropped (the ReplaceData operation marker). Read-only. */
+private[sources] final class ShiftedInternalRow(n: Int)
+    extends InternalRow {
+  var base: InternalRow = _
+  var off: Int = 0
+
+  override def numFields: Int = n
+  override def isNullAt(i: Int): Boolean = base.isNullAt(i + off)
+  override def getBoolean(i: Int): Boolean = base.getBoolean(i + off)
+  override def getByte(i: Int): Byte = base.getByte(i + off)
+  override def getShort(i: Int): Short = base.getShort(i + off)
+  override def getInt(i: Int): Int = base.getInt(i + off)
+  override def getLong(i: Int): Long = base.getLong(i + off)
+  override def getFloat(i: Int): Float = base.getFloat(i + off)
+  override def getDouble(i: Int): Double = base.getDouble(i + off)
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(i + off, precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(i + off)
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(i + off)
+  override def getInterval(i: Int)
+      : org.apache.spark.unsafe.types.CalendarInterval =
+    base.getInterval(i + off)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    base.getStruct(i + off, numFields)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    base.getArray(i + off)
+  override def getMap(i: Int)
+      : org.apache.spark.sql.catalyst.util.MapData =
+    base.getMap(i + off)
+  override def getVariant(i: Int)
+      : org.apache.spark.unsafe.types.VariantVal =
+    base.getVariant(i + off)
+  override def getGeography(i: Int)
+      : org.apache.spark.unsafe.types.GeographyVal =
+    base.getGeography(i + off)
+  override def getGeometry(i: Int)
+      : org.apache.spark.unsafe.types.GeometryVal =
+    base.getGeometry(i + off)
+  override def get(i: Int, dt: org.apache.spark.sql.types.DataType)
+      : AnyRef = base.get(i + off, dt)
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def copy(): InternalRow =
+    // the segment writer consumes rows in place; a copy would need
+    // the field dataTypes, which this transient view does not carry
+    throw new UnsupportedOperationException(
+      "ShiftedInternalRow is a transient write-path view")
+}

@@ -183,11 +183,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.c.s WHERE ts >= 900")
     assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
       .collect()(0).getLong(0) == 797L)
-    // a value-column predicate is refused, not silently wrong
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.c.s WHERE v = 1.0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // a value-column predicate can't be a tombstone — it takes the
+    // copy-on-write rewrite path instead (GraftRowLevelSpec) and
+    // still lands correctly
+    spark.sql(s"DELETE FROM $cat.c.s WHERE v = 1.0 AND ts = 850")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 796L)
     // DELETE without WHERE truncates the series, history readable
     Thread.sleep(15)
     val cut = java.time.Instant.now()
@@ -197,7 +198,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0L)
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.c.s TIMESTAMP AS OF '$cut'")
-      .collect()(0).getLong(0) == 797L)
+      .collect()(0).getLong(0) == 796L)
   }
 
   private def jobCountQuiet(body: => Unit): Int = {

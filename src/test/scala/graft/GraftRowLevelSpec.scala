@@ -1,0 +1,161 @@
+package graft
+
+import graft.api._
+import graft.sources.GraftScanProbe
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** SQL UPDATE / MERGE INTO / rewrite-DELETE through the catalog —
+  * group-based copy-on-write row-level operations: selective rewrites
+  * via runtime group filtering, replacement correctness, the
+  * free-space contract for relocated/inserted rows, and history.
+  */
+class GraftRowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def newCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft-rl").toString
+    val name = "grl" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.path", root)
+    (name, root)
+  }
+
+  /** a 3-segment series: ts 0-99, 100-199, 200-299 */
+  private def seeded(): (String, String) = {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.s (ts BIGINT, v DOUBLE, tag STRING)
+         |PARTITIONED BY (ts)""".stripMargin)
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.c.s SELECT id, cast(id AS DOUBLE), " +
+        s"concat('t', cast(id % 3 AS STRING)) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    (cat, root)
+  }
+
+  test("UPDATE with index WHERE rewrites only the touched segment") {
+    val (cat, root) = seeded()
+    val sr = new Repo(root, spark).collection("c").get.series("s")
+    val filesBefore = sr.segments().flatMap(_.meta.files)
+    assert(filesBefore.length == 3)
+    spark.sql(s"UPDATE $cat.c.s SET v = v + 1000 " +
+      s"WHERE ts >= 120 AND ts < 140")
+    // values: exactly the 20 matched rows moved
+    val bumped = spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE v >= 1000").collect()(0)
+      .getLong(0)
+    assert(bumped == 20L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 300L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.c.s").collect()(0).getDouble(0) ==
+      (0 until 300).map(_.toDouble).sum + 20 * 1000)
+    // group filtering: segments 0-99 and 200-299 kept their files
+    val filesAfter = new Repo(root, spark).collection("c").get
+      .series("s").segments().flatMap(_.meta.files)
+    assert(filesAfter.contains(filesBefore(0)),
+      "untouched first segment was rewritten")
+    assert(filesAfter.contains(filesBefore(2)),
+      "untouched last segment was rewritten")
+    assert(!filesAfter.contains(filesBefore(1)),
+      "touched segment must be replaced")
+  }
+
+  test("UPDATE with value-only WHERE still lands correctly") {
+    val (cat, _) = seeded()
+    spark.sql(s"UPDATE $cat.c.s SET tag = 'hot' WHERE v % 100 = 7")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE tag = 'hot'")
+      .collect()(0).getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 300L)
+  }
+
+  test("DELETE with value predicate takes the rewrite path") {
+    val (cat, root) = seeded()
+    spark.sql(s"DELETE FROM $cat.c.s WHERE tag = 't1'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 200L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE tag = 't1'")
+      .collect()(0).getLong(0) == 0L)
+    // index-range DELETE stays metadata-only alongside the COW path
+    val sr = new Repo(root, spark).collection("c").get.series("s")
+    val before = sr.segments().flatMap(_.meta.files).toSet
+    spark.sql(s"DELETE FROM $cat.c.s WHERE ts >= 250")
+    assert(sr.segments().flatMap(_.meta.files).toSet.subsetOf(before),
+      "index-range delete must not rewrite files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 167L) // 200 - 33 t1-less rows >= 250
+  }
+
+  test("MERGE INTO: matched update + inserts into free index space") {
+    val (cat, _) = seeded()
+    spark.sql(
+      s"""CREATE OR REPLACE TEMP VIEW rl_src AS
+         |SELECT id * 2 AS ts, cast(-1.0 AS DOUBLE) AS v,
+         |  'merged' AS tag
+         |FROM range(140, 160)""".stripMargin) // ts 280..318: tail
+    spark.sql(
+      s"""MERGE INTO $cat.c.s t USING rl_src s ON t.ts = s.ts
+         |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // ts 280..298 even (10 rows) matched; 300..318 even (10) inserted
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 310L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE tag = 'merged'")
+      .collect()(0).getLong(0) == 20L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE v = -1.0")
+      .collect()(0).getLong(0) == 20L)
+  }
+
+  test("relocating rows onto unscanned data is refused") {
+    val (cat, _) = seeded()
+    // move ts 120..139 onto 220..239 — occupied space in a segment
+    // the scan never read: must fail, not clobber
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.c.s SET ts = ts + 100 " +
+        s"WHERE ts >= 120 AND ts < 140")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("occupied index space")),
+      e.toString)
+    // nothing committed: data intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 300L)
+    assert(spark.sql(
+      s"SELECT sum(ts) FROM $cat.c.s").collect()(0).getLong(0) ==
+      (0 until 300).map(_.toLong).sum)
+    // relocating onto FREE space (beyond the tail) is fine
+    spark.sql(s"UPDATE $cat.c.s SET ts = ts + 10000 " +
+      s"WHERE ts >= 120 AND ts < 140")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 300L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE ts >= 10000")
+      .collect()(0).getLong(0) == 20L)
+  }
+
+  test("history: time travel sees pre-UPDATE values") {
+    val (cat, _) = seeded()
+    Thread.sleep(15)
+    val cut = java.time.Instant.now()
+    Thread.sleep(15)
+    spark.sql(s"UPDATE $cat.c.s SET v = 0 WHERE ts < 100")
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.c.s WHERE ts < 100")
+      .collect()(0).getDouble(0) == 0.0)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.c.s TIMESTAMP AS OF '$cut' " +
+        s"WHERE ts < 100").collect()(0).getDouble(0) ==
+      (0 until 100).map(_.toDouble).sum)
+  }
+}
