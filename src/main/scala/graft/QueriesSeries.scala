@@ -690,6 +690,58 @@ object QueriesSeries {
       |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
       |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Zero-copy SCHEMA EVOLUTION through the catalog
+    * ([[graft.sources.GraftCatalog.alterTable]]): `ALTER TABLE ADD
+    * COLUMN ... DEFAULT` makes every pre-existing file answer the
+    * default while post-ALTER inserts store real values (under a
+    * fresh physical name — colMap machinery, no file rewritten), and
+    * `RENAME COLUMN` remaps reads in place. The aggregate afterwards
+    * must match the oracle's recompute of both populations. */
+  def q189_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq189_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq189_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq189_src")
+    s.sql(s"ALTER TABLE $cat.events.ev ADD COLUMN quality DOUBLE " +
+      s"DEFAULT 0.5")
+    // post-ALTER writes store real quality values; the shifted copy
+    // lands beyond the original tail (events span Jan 1-30)
+    s.sql(
+      s"""INSERT INTO $cat.events.ev
+         |SELECT ts + INTERVAL 100 DAY, event_id, value, event_type,
+         |  value AS quality
+         |FROM gq189_src
+         |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+    s.sql(s"ALTER TABLE $cat.events.ev RENAME COLUMN value TO val")
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(val * 1000000, 0) AS bigint)) AS val_micro,
+         |  sum(cast(round(quality * 1000000, 0) AS bigint)) AS q_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q189_oracle: String =
+    """WITH allr AS (
+      |  SELECT event_type, value AS val, 0.5 AS quality FROM events
+      |  UNION ALL
+      |  SELECT event_type, value, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-03'
+      |)
+      |SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(val * 1000000)::BIGINT)::BIGINT AS val_micro,
+      |  sum(round(quality * 1000000)::BIGINT)::BIGINT AS q_micro
+      |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1364,6 +1416,7 @@ object QueriesSeries {
     "q186_sql_delete" -> q186_sql_delete _,
     "q187_sql_maintenance" -> q187_sql_maintenance _,
     "q188_sql_update" -> q188_sql_update _,
+    "q189_schema_evolution" -> q189_schema_evolution _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1403,6 +1456,7 @@ object QueriesSeries {
     "q186_sql_delete" -> q186_oracle,
     "q187_sql_maintenance" -> q187_oracle,
     "q188_sql_update" -> q188_oracle,
+    "q189_schema_evolution" -> q189_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

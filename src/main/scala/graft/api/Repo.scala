@@ -146,6 +146,32 @@ class Repo(val rootUri: String, val spark: SparkSession,
     }
   }
 
+  /** In-place schema evolution for a collection: swap its registry
+    * entry's (schema, colMap, defaults) atomically — the same
+    * read-time machinery clones use (files store PHYSICAL names;
+    * colMap renames, defaults fill columns a file predates), so
+    * ADD / RENAME / DROP COLUMN are pure metadata: zero files
+    * rewritten, one registry commit. The index column SET must be
+    * preserved (same physical columns in the same order — renames
+    * fine): manifests prune by position, not name. */
+  def alterCollection(label: String, schema: GSchema,
+      colMap: Map[String, String], defaults: Map[String, Any],
+      namespace: String = DefaultNs): Collection = synchronized {
+    val key = mkKey(namespace, label)
+    val state = regState()
+    val e = state.getOrElse(key, throw new IllegalArgumentException(
+      s"no collection '$label' in namespace '$namespace'"))
+    val oldPhysIdx = e.schema.idx.map(c =>
+      e.colMap.getOrElse(c.name, c.name))
+    val newPhysIdx = schema.idx.map(c => colMap.getOrElse(c.name, c.name))
+    require(oldPhysIdx == newPhysIdx,
+      s"alter may not change the index column set: $oldPhysIdx -> " +
+        s"$newPhysIdx")
+    writeReg(state.updated(key,
+      RegEntry(e.path, schema, colMap, defaults)))
+    new Collection(this, label, e.path, schema, colMap, defaults)
+  }
+
   def collection(label: String,
       namespace: String = DefaultNs): Option[Collection] =
     regState().get(mkKey(namespace, label)).map { e =>

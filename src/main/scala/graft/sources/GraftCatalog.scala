@@ -62,6 +62,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** DEFAULT-valued columns are accepted (ALTER TABLE ADD COLUMN ...
+    * DEFAULT v — the zero-copy schema-evolution path). */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def repo: graft.api.Repo =
     new graft.api.Repo(rootUri, SparkSession.active)
 
@@ -130,6 +138,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(idxNames.nonEmpty,
       "graft tables need PARTITIONED BY (<index columns...>) — the " +
         "series' sorted index, in significance order")
+    // DEFAULTs at CREATE time would shadow explicitly-stored nulls
+    // (the read-side fill is coalesce-based); they belong to schema
+    // evolution, where the fill is exactly right for pre-ADD files
+    schema.fields.foreach(f => require(
+      !f.metadata.contains("CURRENT_DEFAULT"),
+      s"graft: column ${f.name}: CREATE TABLE with DEFAULT is not " +
+        "supported — create without it, then ALTER TABLE ADD COLUMN " +
+        "... DEFAULT for zero-copy evolution"))
     // index columns first, in PARTITIONED BY order (the engine sorts
     // and prunes by this order), then the value columns
     val byName = schema.fields.map(f => f.name -> f).toMap
@@ -150,11 +166,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(rootUri, clct, ident.name(), None)
   }
 
+  /** Zero-copy schema evolution — ADD / RENAME / DROP COLUMN as pure
+    * registry metadata (the clone machinery's colMap/defaults, applied
+    * in place): no file is rewritten, old segment files keep serving
+    * through the rename map, files predating an added column fill it
+    * with its DEFAULT (or null). The schema is COLLECTION-wide (one
+    * schema per collection, the engine's contract), so altering any
+    * series' table alters its siblings too. Added columns get a FRESH
+    * physical name, so dropping and re-adding a name can never
+    * resurrect dead stored values. Index columns may be renamed but
+    * not dropped; nothing may be added to the index (segment pruning
+    * is positional over the existing sort). */
   override def alterTable(ident: Identifier, changes: TableChange*)
-      : Table =
-    throw new UnsupportedOperationException(
-      "graft schemas are collection-wide and immutable; clone the " +
-        "collection (Collection.cloneTo) for renames/additions")
+      : Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val clct = collectionOf(ident.namespace())
+    val c = repo.collection(clct).getOrElse(
+      throw new NoSuchTableException(ident))
+    var cols = c.schema.cols
+    var colMap = c.colMap
+    var defaults = c.defaults
+    def one(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"graft columns are top-level, got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case a: AddColumn =>
+        val name = one(a.fieldNames())
+        require(!cols.exists(_.name == name),
+          s"column $name already exists")
+        require(a.position() == null,
+          "graft ADD COLUMN appends; positions are not supported")
+        val dt = GType.fromSpark(a.dataType())
+        // fresh physical name: a dropped-then-re-added name must not
+        // resurrect the dead stored column from old files
+        val phys = s"${name}__a${graft.core.Hash.hextime()}"
+        // a DEFAULT is required: it is what rows written BEFORE the
+        // column existed answer (files lacking the column, and
+        // manifest-inline micro-rows whose stored vectors predate it)
+        val v = Option(a.defaultValue()).map(_.getValue.value())
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft ADD COLUMN $name needs a DEFAULT — it is the " +
+              "value rows written before the column existed answer"))
+        require(v != null, s"graft ADD COLUMN $name: DEFAULT NULL " +
+          "is not supported; give a concrete default")
+        cols = cols :+ ColDef(name, dt, idx = false)
+        colMap = colMap + (name -> phys)
+        defaults = defaults + (name -> kernelOfLiteral(dt, v))
+      case r: RenameColumn =>
+        val from = one(r.fieldNames())
+        val to = r.newName()
+        require(cols.exists(_.name == from), s"no column $from")
+        require(!cols.exists(_.name == to),
+          s"column $to already exists")
+        val phys = c.physOf(from)
+        cols = cols.map(cd =>
+          if (cd.name == from) cd.copy(name = to) else cd)
+        colMap = (colMap - from) + (to -> phys)
+        defaults = defaults.get(from) match {
+          case Some(v) => (defaults - from) + (to -> v)
+          case None => defaults
+        }
+      case d: DeleteColumn =>
+        val name = one(d.fieldNames())
+        if (!cols.exists(_.name == name)) {
+          require(d.ifExists() == java.lang.Boolean.TRUE,
+            s"no column $name")
+        } else {
+          require(!cols.find(_.name == name).get.idx,
+            s"cannot drop index column $name")
+          cols = cols.filterNot(_.name == name)
+          colMap = colMap - name
+          defaults = defaults - name
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN, got " +
+          s"$other")
+    }
+    require(cols.exists(!_.idx),
+      "a graft series needs at least one value column")
+    repo.alterCollection(clct, GSchema(cols, c.schema.kv), colMap,
+      defaults)
+    new GraftTable(rootUri, clct, ident.name(), None)
+  }
+
+  /** v2 Literal value (catalyst representation) -> kernel scalar */
+  private def kernelOfLiteral(dt: GType, v: Any): Any = dt match {
+    case GType.StrT => v.toString
+    case GType.DateT => v.asInstanceOf[Number].longValue()
+    case GType.FloatT => v.asInstanceOf[Number].doubleValue()
+    case _ => v.asInstanceOf[Number].longValue() // int / ts-micros
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     repo.collection(collectionOf(ident.namespace())) match {

@@ -299,6 +299,75 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 60L)
   }
 
+  test("ALTER TABLE: zero-copy add/rename/drop column") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.a.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.a.s SELECT id, 1.5 FROM range(0, 100)")
+    val filesBefore = new Repo(root, spark).collection("a").get
+      .series("s").segments().flatMap(_.meta.files).toSet
+
+    // ADD COLUMN with DEFAULT: pre-add rows answer the default,
+    // post-add writes store real values; no file rewritten
+    spark.sql(s"ALTER TABLE $cat.a.s ADD COLUMN note STRING " +
+      s"DEFAULT 'none'")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.a.s WHERE note = 'none'")
+      .collect()(0).getLong(0) == 100L)
+    spark.sql(s"INSERT INTO $cat.a.s SELECT id, 2.5, 'fresh' " +
+      s"FROM range(100, 150)")
+    assert(spark.sql(
+      s"SELECT note, count(*) AS c FROM $cat.a.s GROUP BY note " +
+        s"ORDER BY note").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("fresh", 50L), ("none", 100L)))
+    val filesAfter = new Repo(root, spark).collection("a").get
+      .series("s").segments().flatMap(_.meta.files).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "ALTER must not rewrite existing files")
+
+    // ADD COLUMN without DEFAULT is refused with guidance
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.a.s ADD COLUMN bad DOUBLE")
+    }
+    assert(e1.getMessage.contains("DEFAULT"), e1.getMessage)
+
+    // RENAME COLUMN (value and index): reads keep working
+    spark.sql(s"ALTER TABLE $cat.a.s RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE $cat.a.s RENAME COLUMN ts TO t")
+    assert(spark.sql(
+      s"SELECT sum(val) FROM $cat.a.s WHERE t < 100")
+      .collect()(0).getDouble(0) == 150.0)
+
+    // DROP + re-ADD same name: dead stored values must NOT resurrect
+    spark.sql(s"ALTER TABLE $cat.a.s DROP COLUMN note")
+    spark.sql(s"ALTER TABLE $cat.a.s ADD COLUMN note STRING " +
+      s"DEFAULT 'reset'")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.a.s WHERE note = 'reset'")
+      .collect()(0).getLong(0) == 150L,
+      "re-added column must answer its new default everywhere")
+
+    // guards: dropping an index column, CREATE with DEFAULT
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.a.s DROP COLUMN t")
+    }
+    assert(e2.getMessage.contains("index"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.a2.s (ts BIGINT, v DOUBLE DEFAULT 1.0)
+           |PARTITIONED BY (ts)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("ALTER"), e3.getMessage)
+
+    // the Scala API sees the evolved schema through the registry
+    val c2 = new Repo(root, spark).collection("a").get
+    assert(c2.schema.names == Seq("t", "val", "note"))
+    assert(c2.series("s").frame().columns.toSeq ==
+      Seq("t", "val", "note"))
+  }
+
   test("kv collections refuse the SQL write path") {
     val root = Files.createTempDirectory("graft-kvw").toString
     val repo = new Repo(root, spark)
