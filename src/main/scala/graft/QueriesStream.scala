@@ -135,6 +135,52 @@ object QueriesStream {
   val q63_oracle: String =
     """SELECT event_id, ts, value FROM events ORDER BY event_id"""
 
+  /** The NATIVE DSv2 streaming sink (`writeStream.format("graft")`,
+    * [[graft.sources.GraftStreamingWrite]]): events stream into the
+    * store through the connector — one engine revision per
+    * micro-batch, per-query epoch markers making restarts replay-safe
+    * — and the read-back goes through the SQL connector too, so both
+    * directions of the streaming surface are exercised with zero
+    * Scala-API data access. q63 is the same flow via the
+    * foreachBatch helper; this is the `spark.writeStream` one-liner a
+    * SQL-first user writes. */
+  def q190_stream_native_sink(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-qs").toString
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    new Repo(root, s).createCollection(schema, "events")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-qs-ck").toString
+    val src = rawEvents(s, dir)
+      .select(col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+    val q = src.writeStream.format("graft")
+      .option("path", root).option("collection", "events")
+      .option("series", "_").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.format("graft").option("path", root)
+      .option("collection", "events").option("series", "_").load()
+      .createOrReplaceTempView("gq190")
+    s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(event_id) AS id_sum,
+        |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+        |FROM gq190
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q190_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(event_id)::BIGINT AS id_sum,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin
+
   /** Streaming exact deduplication: documents arrive as a stream,
     * `dropDuplicates` on the content hash keeps the first occurrence
     * of each distinct text (state = one compact hash per distinct doc,
@@ -457,6 +503,7 @@ object QueriesStream {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_stream_connector" -> q178_stream_connector _,
+    "q190_stream_native_sink" -> q190_stream_native_sink _,
     "q169_stream_funnel" -> q169_stream_funnel _,
     "q163_stream_ohlc" -> q163_stream_ohlc _,
     "q144_stream_drift" -> q144_stream_drift _,
@@ -470,6 +517,7 @@ object QueriesStream {
 
   val oracles: Map[String, String] = Map(
     "q178_stream_connector" -> q178_oracle,
+    "q190_stream_native_sink" -> q190_oracle,
     "q169_stream_funnel" -> q169_oracle,
     "q163_stream_ohlc" -> q163_oracle,
     "q144_stream_drift" -> q144_oracle,

@@ -117,7 +117,8 @@ class GraftTable(rootUri: String, collectionName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(this, beforeMs,
@@ -698,12 +699,13 @@ class GraftWriteBuilder(table: GraftTable,
       s"graft write schema mismatch: got ${got.simpleString}, " +
         s"table is ${expect.simpleString}")
     new GraftWrite(table,
-      info.options().getBoolean("presorted", false), truncateMode)
+      info.options().getBoolean("presorted", false), truncateMode,
+      info.queryId())
   }
 }
 
 class GraftWrite(table: GraftTable, presorted: Boolean,
-    truncate: Boolean)
+    truncate: Boolean, queryId: String = "")
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write
       .RequiresDistributionAndOrdering {
@@ -726,20 +728,36 @@ class GraftWrite(table: GraftTable, presorted: Boolean,
   override def requiredOrdering(): Array[SortOrder] =
     if (presorted) Array.empty else idxOrders
 
-  override def toBatch
-      : org.apache.spark.sql.connector.write.BatchWrite = {
+  private def taskParams(): SegmentWriter.TaskParams = {
     val s = table.series
     val clct = s.collection
     val store = clct.repo.store
     val tmpRel = s"tmp/${graft.core.Hash.hextime()}-" +
       java.util.UUID.randomUUID().toString.take(12)
-    val params = SegmentWriter.TaskParams(table.gschema,
+    SegmentWriter.TaskParams(table.gschema,
       table.gschema.names.map(clct.physOf).toIndexedSeq,
       tmpRel, store.uri(tmpRel), clct.pageLen,
       clct.repo.spark.conf.get("spark.graft.segment.codec", "zstd"),
       verifySorted = presorted, labeled = false)
-    new GraftBatchWrite(table, params, truncate)
   }
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftBatchWrite(table, taskParams(), truncate)
+
+  /** `df.writeStream.format("graft")` — each micro-batch commits as
+    * ONE engine revision (the same staged write + manifest splice the
+    * batch path uses; the per-epoch shuffle+sort comes from this
+    * Write's distribution requirement, honored by micro-batch plans).
+    * Exactly-once visible state: a per-query marker file records the
+    * last committed epoch, so a replayed epoch after restart is
+    * skipped — and even inside the tiny commit-then-mark window, a
+    * replayed commit splices identical content-addressed files over
+    * the identical range, leaving the visible rows unchanged.
+    * `outputMode("complete")` maps to the per-epoch series truncate. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(table, taskParams(), truncate, queryId)
 }
 
 /** per-task stats travel back in the commit message — the write's
@@ -775,6 +793,69 @@ class GraftBatchWrite(table: GraftTable,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     table.series.collection.repo.store.rm(params.tmpRel,
       recursive = true)
+}
+
+/** The streaming half of the connector write: per-epoch staging under
+  * `<tmp>/e<epoch>`, one changelog commit per micro-batch, replayed
+  * epochs skipped via the per-query marker (see GraftWrite.toStreaming
+  * scaladoc for the exactly-once argument). */
+class GraftStreamingWrite(table: GraftTable,
+    base: SegmentWriter.TaskParams, truncate: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo,
+    WriterCommitMessage}
+
+  private def store = table.series.collection.repo.store
+  private def epochRel(e: Long) = s"${base.tmpRel}/e$e"
+  private val qdir =
+    s"streams/${queryId.replaceAll("[^A-Za-z0-9-]", "_")}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(base, new SegmentWriter.SerConf(
+      SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val marker = s"$qdir/e$epochId"
+    try {
+      if (store.exists(marker)) return // replayed epoch: already in
+      val stats = messages.toSeq.flatMap {
+        case GraftCommitMessage(s) => s
+        case other => throw new IllegalStateException(
+          s"unexpected commit message: $other")
+      }
+      val series = table.series
+      if (stats.nonEmpty || truncate)
+        series.commitStaged(stats, truncate)
+      store.write(marker, Array.emptyByteArray)
+      // only the latest epoch can replay after a restart — older
+      // markers are dead weight
+      store.rm(s"$qdir/e${epochId - 1}")
+      GraftScanProbe.lastWriteFiles = stats.length
+    } finally store.rm(epochRel(epochId), recursive = true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    store.rm(epochRel(epochId), recursive = true)
+}
+
+class GraftStreamingWriterFactory(base: SegmentWriter.TaskParams,
+    conf: SegmentWriter.SerConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val p = base.copy(tmpRel = s"${base.tmpRel}/e$epochId",
+      tmpUri = s"${base.tmpUri}/e$epochId")
+    new GraftDataWriter(
+      new SegmentWriter.TaskSegmentWriter(p, conf.value, partitionId,
+        taskId))
+  }
 }
 
 class GraftWriterFactory(params: SegmentWriter.TaskParams,
