@@ -742,6 +742,63 @@ object QueriesSeries {
       |  sum(round(quality * 1000000)::BIGINT)::BIGINT AS q_micro
       |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** DATA SKIPPING on per-segment VALUE-column statistics (the
+    * Delta/Iceberg file-stats idea on the manifest): every write
+    * records each value column's (min, max) per segment file, and a
+    * SQL WHERE on a value column drops segments whose recorded range
+    * is disjoint — before any file opens. The series carries a value
+    * column correlated with the index (day-banded), the regime where
+    * stats prune; the query requires that segments actually skipped
+    * (probe) and the aggregate must match the oracle's recompute. */
+  def q191_data_skipping(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(GSchema(
+      "ts" -> "timestamp*", "event_id" -> "int*",
+      "vband" -> "float", "event_type" -> "str"), "events")
+    val sr = clct.series("_")
+    val src = eventsDf(s, dir).withColumn("vband",
+      col("value") + dayofmonth(col("ts")) * lit(1000.0))
+      .select(col("ts"), col("event_id"), col("vband"),
+        col("event_type"))
+    // four disjoint index windows -> at least four segments, so the
+    // band predicate has something to skip at every SF
+    val cuts = Seq("2024-01-05", "2024-01-10", "2024-01-15")
+    val conds =
+      (col("ts") < lit(cuts.head).cast("timestamp")) +:
+        cuts.sliding(2).toSeq.collect { case Seq(a, b) =>
+          col("ts") >= lit(a).cast("timestamp") &&
+            col("ts") < lit(b).cast("timestamp") } :+
+        (col("ts") >= lit(cuts.last).cast("timestamp"))
+    conds.foreach(c => sr.write(src.filter(c)))
+    s.read.format("graft").option("path", root)
+      .option("collection", "events").option("series", "_").load()
+      .createOrReplaceTempView("gq191")
+    graft.sources.GraftScanProbe.lastStatSkipped = -1
+    val out = s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(cast(round(vband * 1000000, 0) AS bigint)) AS v_micro
+        |FROM gq191
+        |WHERE vband >= 3000.0 AND vband < 4000.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val n = out.count() // force planning + execution once
+    require(n > 0, "day-3 band must be non-empty")
+    require(graft.sources.GraftScanProbe.lastStatSkipped >= 3,
+      s"value stats should skip the other windows, skipped=" +
+        s"${graft.sources.GraftScanProbe.lastStatSkipped}")
+    out
+  }
+
+  val q191_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round((value + date_part('day', ts) * 1000)
+      |    * 1000000)::BIGINT)::BIGINT AS v_micro
+      |FROM events
+      |WHERE value + date_part('day', ts) * 1000 >= 3000
+      |  AND value + date_part('day', ts) * 1000 < 4000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1417,6 +1474,7 @@ object QueriesSeries {
     "q187_sql_maintenance" -> q187_sql_maintenance _,
     "q188_sql_update" -> q188_sql_update _,
     "q189_schema_evolution" -> q189_schema_evolution _,
+    "q191_data_skipping" -> q191_data_skipping _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1457,6 +1515,7 @@ object QueriesSeries {
     "q187_sql_maintenance" -> q187_oracle,
     "q188_sql_update" -> q188_oracle,
     "q189_schema_evolution" -> q189_oracle,
+    "q191_data_skipping" -> q191_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

@@ -317,7 +317,9 @@ class Series(val collection: Collection, val label: String) {
         .setLeft(if (i == 0) closed.left else true)
         .setRight(if (i == k - 1) closed.right else straddles)
       SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
-        Vector(files(i)), Some(stats(i).min), Some(stats(i).max))
+        Vector(files(i)), Some(stats(i).min), Some(stats(i).max),
+        vstats = if (stats(i).vstats.nonEmpty) Some(stats(i).vstats)
+          else None)
     }
   }
 
@@ -552,6 +554,13 @@ class Series(val collection: Collection, val label: String) {
       val lo = ci * chunkRows
       val hi = math.min(n, lo + chunkRows)
       var hash = 0L
+      // value-column (min, max) — same data-skipping stats as the
+      // bulk tier (NaN poisons a float column, nulls skipped)
+      val valPos = schema.cols.zipWithIndex.filterNot(_._1.idx)
+        .map(_._2).toArray
+      val vMin = new Array[Any](valPos.length)
+      val vMax = new Array[Any](valPos.length)
+      val vBad = new Array[Boolean](valPos.length)
       var r = lo
       while (r < hi) {
         val ir = irows(order(r))
@@ -565,14 +574,41 @@ class Series(val collection: Collection, val label: String) {
           i += 1
         }
         hash += ((h % M) + M) % M
+        var j = 0
+        while (j < valPos.length) {
+          val ci2 = valPos(j)
+          if (!vBad(j) && !ir.isNullAt(ci2)) {
+            val dt = schema.cols(ci2).dtype
+            val v: Any = dt match {
+              case graft.core.GType.TimestampT |
+                   graft.core.GType.IntT => ir.getLong(ci2)
+              case graft.core.GType.DateT => ir.getInt(ci2).toLong
+              case graft.core.GType.FloatT => ir.getDouble(ci2)
+              case graft.core.GType.StrT =>
+                ir.getUTF8String(ci2).toString
+            }
+            if (dt == graft.core.GType.FloatT &&
+                java.lang.Double.isNaN(v.asInstanceOf[Double])) {
+              vBad(j) = true; vMin(j) = null; vMax(j) = null
+            } else {
+              if (vMin(j) == null || dt.cmp(v, vMin(j)) < 0) vMin(j) = v
+              if (vMax(j) == null || dt.cmp(v, vMax(j)) > 0) vMax(j) = v
+            }
+          }
+          j += 1
+        }
         r += 1
       }
+      val vs = valPos.indices.collect {
+        case j if !vBad(j) && vMin(j) != null =>
+          physNames(valPos(j)) -> ((vMin(j), vMax(j)))
+      }.toMap
       val rel = f"$tmpRel/part-d-$ci%04d.parquet"
       graft.core.SegmentWriter.writeFile(
         (lo until hi).iterator.map(j => irows(order(j))),
         schema.cols, physNames, store.uri(rel), hconf, segmentCodec)
       graft.core.SegmentWriter.FileStat(rel, (hi - lo).toLong,
-        keys(order(lo)), keys(order(hi - 1)), hash)
+        keys(order(lo)), keys(order(hi - 1)), hash, vs)
     }
     val stats: Seq[graft.core.SegmentWriter.FileStat] =
       if (nChunks == 1) Seq(writeChunk(0))

@@ -34,7 +34,21 @@ final case class SegmentMeta(
       * lakota/series.py:148-157, embed_max_size): rows in kernel
       * scalar repr, one vector per row in non-default column order,
       * sorted by index. Mutually exclusive with `files`. */
-    inline: Option[Vector[Vector[Any]]] = None) extends Serializable {
+    inline: Option[Vector[Vector[Any]]] = None,
+    /** Per-VALUE-column (min, max) over the rows stored in `files`,
+      * recorded at write time — the data-skipping stats that let a
+      * scan drop whole segments on value predicates (the Delta/
+      * Iceberg file-stats idea). Keyed by PHYSICAL column name (the
+      * name the parquet file stores), so schema evolution — renames,
+      * drop-then-re-add — can never misread a stale column's stats.
+      * Values are raw kernel scalars (converted with the live
+      * schema's dtype at use). A column with only nulls, or a float
+      * column containing NaN, has no entry (no safe bound). None =
+      * older manifests: never skip. Splice truncation narrows the
+      * VISIBLE window but stats keep describing the whole file —
+      * still a superset of the visible rows, so skipping stays safe. */
+    vstats: Option[Map[String, (Any, Any)]] = None)
+    extends Serializable {
   /** does this row carry data (either as files or embedded rows)? */
   def hasData: Boolean = files.nonEmpty || inline.isDefined
 }
@@ -305,11 +319,18 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
           .mkString("[", ",", "]")}"""
         case None => ""
       }
+      val vstatsPart = r.vstats match {
+        case Some(vs) if vs.nonEmpty =>
+          s""","vstats":${vs.toSeq.sortBy(_._1).map { case (n, mm) =>
+            s"${Json.str(n)}:[${Json.scalar(mm._1)},${
+              Json.scalar(mm._2)}]" }.mkString("{", ",", "}")}"""
+        case _ => ""
+      }
       s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
       s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
       s""""length":${r.length},"files":${
         r.files.map(Json.str).mkString("[", ",", "]")
-        }$dataBounds$inlinePart}"""
+        }$dataBounds$inlinePart$vstatsPart}"""
     }.mkString("[", ",", "]")
     val _ = idxTypes
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
@@ -386,7 +407,12 @@ object Manifest {
           rv.asInstanceOf[List[Any]].zip(schema.cols)
             .map { case (x, c) =>
               if (x == null) null else toKernel(c.dtype, x) }.toVector
-        }.toVector))
+        }.toVector),
+        rm.get("vstats").map(_.asInstanceOf[Map[String, Any]].map {
+          case (n, v) =>
+            val l = v.asInstanceOf[List[Any]]
+            n -> ((l(0), l(1))) // raw kernel scalars; dtyped at use
+        }))
     }.toVector
     Manifest(schema, rws)
   }

@@ -57,9 +57,14 @@ object SegmentWriter {
 
   /** Per-staged-file statistics returned by the write job. `tmp` is
     * the store-RELATIVE staging path; `min`/`max` are kernel-repr
-    * index keys of the file's first/last row (the input is sorted). */
+    * index keys of the file's first/last row (the input is sorted).
+    * `vstats` are per-VALUE-column (min, max) kernel bounds keyed by
+    * PHYSICAL name — the data-skipping stats the manifest row
+    * carries (empty when a path does not compute them). */
   final case class FileStat(tmp: String, cnt: Long, min: IndexKey,
-      max: IndexKey, hash: Long) extends Serializable
+      max: IndexKey, hash: Long,
+      vstats: Map[String, (Any, Any)] = Map.empty)
+      extends Serializable
 
   /** java-serializable Hadoop Configuration (Configuration itself is
     * Writable but not Serializable). */
@@ -269,6 +274,57 @@ object SegmentWriter {
     private var prevK: IndexKey = null
     private var label: String = null
 
+    // per-file value-column (min, max) — the data-skipping stats.
+    // NaN poisons a float column (no safe bound); all-null columns
+    // produce no entry.
+    private val valPos =
+      cols.zipWithIndex.filterNot(_._1.idx).map(_._2).toArray
+    private val vMin = new Array[Any](valPos.length)
+    private val vMax = new Array[Any](valPos.length)
+    private val vBad = new Array[Boolean](valPos.length)
+
+    private def vReset(): Unit = {
+      var j = 0
+      while (j < valPos.length) {
+        vMin(j) = null; vMax(j) = null; vBad(j) = false; j += 1
+      }
+    }
+
+    private def vObserve(ir: InternalRow): Unit = {
+      var j = 0
+      while (j < valPos.length) {
+        val i = valPos(j)
+        if (!vBad(j) && !ir.isNullAt(i + off)) {
+          val dt = dtypes(i)
+          val v: Any = dt match {
+            case GType.TimestampT | GType.IntT => ir.getLong(i + off)
+            case GType.DateT  => ir.getInt(i + off).toLong
+            case GType.FloatT => ir.getDouble(i + off)
+            case GType.StrT   => ir.getUTF8String(i + off).toString
+          }
+          val nan = dt == GType.FloatT &&
+            java.lang.Double.isNaN(v.asInstanceOf[Double])
+          if (nan) { vBad(j) = true; vMin(j) = null; vMax(j) = null }
+          else {
+            if (vMin(j) == null || dt.cmp(v, vMin(j)) < 0) vMin(j) = v
+            if (vMax(j) == null || dt.cmp(v, vMax(j)) > 0) vMax(j) = v
+          }
+        }
+        j += 1
+      }
+    }
+
+    private def vStats(): Map[String, (Any, Any)] = {
+      val b = Map.newBuilder[String, (Any, Any)]
+      var j = 0
+      while (j < valPos.length) {
+        if (!vBad(j) && vMin(j) != null)
+          b += p.phys(valPos(j)) -> ((vMin(j), vMax(j)))
+        j += 1
+      }
+      b.result()
+    }
+
     private def keyAt(ir: InternalRow): IndexKey = IndexKey(
       idxPos.map { i =>
         dtypes(i) match {
@@ -284,8 +340,10 @@ object SegmentWriter {
     private def roll(): Unit = if (w != null) {
       w.close()
       out += ((label,
-        FileStat(s"${p.tmpRel}/${fname(fi)}", cnt, minK, maxK, hash)))
+        FileStat(s"${p.tmpRel}/${fname(fi)}", cnt, minK, maxK, hash,
+          vStats())))
       w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
+      vReset()
     }
 
     def write(ir: InternalRow): Unit = {
@@ -329,6 +387,7 @@ object SegmentWriter {
         i += 1
       }
       hash += ((h % M) + M) % M
+      vObserve(ir)
       cnt += 1
       if (cnt >= p.pageLen) roll()
     }

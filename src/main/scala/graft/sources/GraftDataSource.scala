@@ -291,6 +291,8 @@ object GraftScanProbe {
   @volatile var lastAggPushed: Boolean = false
   /** segments surviving the LAST runtime (DPP) filter, -1 = none ran */
   @volatile var lastRuntimeScanned: Int = -1
+  /** segments dropped by VALUE-column stats in the LAST planned scan */
+  @volatile var lastStatSkipped: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */
   val vectorizedOpens = new java.util.concurrent.atomic.AtomicLong
   val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
@@ -332,6 +334,12 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
   private val idxCols: Seq[ColDef] = table.gschema.idx
   private val bounds: Map[String, ColBound] =
     idxCols.map(c => c.name -> new ColBound(c.dtype)).toMap
+  // value-column bounds drive SEGMENT-STATS data skipping (the
+  // manifest's per-segment value min/max) — no range structure, just
+  // per-column disjointness tests
+  private val vbounds: Map[String, ColBound] =
+    table.gschema.cols.filterNot(_.idx)
+      .map(c => c.name -> new ColBound(c.dtype)).toMap
   private var pushed: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
   private var limitN: Option[Int] = None
@@ -342,25 +350,42 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     // predicates on ANY index column collect per-column bounds; the
     // lexicographic prefix assembly in build() uses columns 2..n only
     // below an unbroken run of equalities, matching what
-    // `Series.frame`'s full-tuple pruning resolves. The `v != null`
-    // guards are unreachable after constant folding (a null-literal
-    // comparison folds to null first) but keep a hand-built filter
-    // from reaching SparkVals.parseBound.
+    // `Series.frame`'s full-tuple pruning resolves. Value-column
+    // comparisons collect bounds for stats-based skipping. The
+    // `v != null` guards are unreachable after constant folding (a
+    // null-literal comparison folds to null first) but keep a
+    // hand-built filter from reaching SparkVals.parseBound.
+    def on(c: String): Option[ColBound] =
+      bounds.get(c).orElse(vbounds.get(c))
     filters.foreach {
-      case f @ GreaterThan(c, v) if bounds.contains(c) && v != null =>
-        usable += f; bounds(c).tighten(lo0 = v, loC = false)
+      case f @ GreaterThan(c, v) if on(c).isDefined && v != null =>
+        usable += f; on(c).get.tighten(lo0 = v, loC = false)
       case f @ GreaterThanOrEqual(c, v)
-          if bounds.contains(c) && v != null =>
-        usable += f; bounds(c).tighten(lo0 = v, loC = true)
-      case f @ LessThan(c, v) if bounds.contains(c) && v != null =>
-        usable += f; bounds(c).tighten(hi0 = v, hiC = false)
+          if on(c).isDefined && v != null =>
+        usable += f; on(c).get.tighten(lo0 = v, loC = true)
+      case f @ LessThan(c, v) if on(c).isDefined && v != null =>
+        usable += f; on(c).get.tighten(hi0 = v, hiC = false)
       case f @ LessThanOrEqual(c, v)
-          if bounds.contains(c) && v != null =>
-        usable += f; bounds(c).tighten(hi0 = v, hiC = true)
-      case f @ EqualTo(c, v) if bounds.contains(c) && v != null =>
+          if on(c).isDefined && v != null =>
+        usable += f; on(c).get.tighten(hi0 = v, hiC = true)
+      case f @ EqualTo(c, v) if on(c).isDefined && v != null =>
         usable += f
-        bounds(c).tighten(lo0 = v, loC = true)
-        bounds(c).tighten(hi0 = v, hiC = true)
+        on(c).get.tighten(lo0 = v, loC = true)
+        on(c).get.tighten(hi0 = v, hiC = true)
+      case f @ In(c, vs) if vbounds.contains(c) && vs.nonEmpty &&
+          !vs.contains(null) =>
+        // an IN list bounds the column by its own min/max — enough
+        // for segment disjointness (membership stays residual)
+        usable += f
+        val dt = vbounds(c).dt
+        def k(v: Any) = SparkVals.parseBound(dt, v)
+        val raw = vs.toSeq
+        val lo = raw.reduce((a, b) =>
+          if (dt.cmp(k(a), k(b)) <= 0) a else b)
+        val hi = raw.reduce((a, b) =>
+          if (dt.cmp(k(a), k(b)) >= 0) a else b)
+        vbounds(c).tighten(lo0 = lo, loC = true)
+        vbounds(c).tighten(hi0 = hi, hiC = true)
       case _ => ()
     }
     pushed = usable.toArray
@@ -504,10 +529,19 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     val (startB, startClosed) = prefixBound(lower = true)
     val (stopB, stopClosed) = prefixBound(lower = false)
     val closed = Closed.Both.setLeft(startClosed).setRight(stopClosed)
+    // value-column bounds, kernel-parsed: the stats-skipping query
+    val vquery = vbounds.toSeq.flatMap { case (n, b) =>
+      if (b.lo == null && b.hi == null) None
+      else Some((n, b.dt,
+        if (b.lo == null) null
+        else SparkVals.parseBound(b.dt, b.lo), b.loClosed,
+        if (b.hi == null) null
+        else SparkVals.parseBound(b.dt, b.hi), b.hiClosed))
+    }
     new GraftScan(table, startB, stopB, closed, beforeMs,
       aggPush.map(_._1).orElse(required).getOrElse(table.schema()),
       pushed.map(_.toString).toSeq, streamStartLatest,
-      limitN, limitReversed, streamSkipRewrites, aggPush)
+      limitN, limitReversed, streamSkipRewrites, aggPush, vquery)
   }
 }
 
@@ -516,7 +550,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     pushedDesc: Seq[String], streamStartLatest: Boolean = false,
     limit: Option[Int] = None, limitReversed: Boolean = false,
     streamSkipRewrites: Boolean = false,
-    aggPush: Option[(StructType, Seq[Any])] = None)
+    aggPush: Option[(StructType, Seq[Any])] = None,
+    vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -563,8 +598,40 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       (Seq[SegmentRead], Int) = {
     val s = resolvedSeries
     val total = s.segments().count(_.meta.hasData)
-    val covering0 = s.segments(start, stop, beforeMs, closed)
+    val covering1 = s.segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
+    // data skipping on VALUE-column stats: drop segments whose
+    // recorded per-column (min, max) is disjoint from the query's
+    // bounds. Columns with a registry DEFAULT are exempt: a stored
+    // null reads back as the default through the coalesce fill, so
+    // null-skipped stats can not bound what the reader sees there.
+    val covering0 =
+      if (vquery.isEmpty) covering1
+      else {
+        val clct = s.collection
+        val q = vquery.filterNot(v => clct.defaults.contains(v._1))
+          .map { case (n, dt, lo, loC, hi, hiC) =>
+            (clct.physOf(n), dt, lo, loC, hi, hiC) }
+        if (q.isEmpty) covering1
+        else {
+          val kept = covering1.filterNot { seg =>
+            seg.meta.vstats.exists { vs =>
+              q.exists { case (phys, dt, lo, loC, hi, hiC) =>
+                vs.get(phys).exists { case (rmn, rmx) =>
+                  val mn = graft.core.Manifest.kernelValue(dt, rmn)
+                  val mx = graft.core.Manifest.kernelValue(dt, rmx)
+                  (lo != null && (dt.cmp(mx, lo) < 0 ||
+                    (dt.cmp(mx, lo) == 0 && !loC))) ||
+                  (hi != null && (dt.cmp(mn, hi) > 0 ||
+                    (dt.cmp(mn, hi) == 0 && !hiC)))
+                }
+              }
+            }
+          }
+          GraftScanProbe.lastStatSkipped = covering1.length - kept.length
+          kept
+        }
+      }
     // pushed LIMIT k: the shortest run of segments GUARANTEED to hold
     // ≥ k rows (manifest order = index order; ascending limits take
     // the leading run, descending top-k the trailing). Only fully
