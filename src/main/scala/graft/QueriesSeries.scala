@@ -799,6 +799,46 @@ object QueriesSeries {
       |  AND value + date_part('day', ts) * 1000 < 4000
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQL history + revision-pinned time travel: two INSERT commits,
+    * `CALL sys.history` lists them (ids, commit times, row counts),
+    * and `VERSION AS OF '<first revision id>'` reproduces exactly the
+    * first batch — the oracle recomputes that batch from the raw
+    * table, so a wrong snapshot (or a history row misordered /
+    * miscounted) hash-mismatches. */
+  def q192_sql_history(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq192_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq192_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq192_src " +
+      s"WHERE ts < TIMESTAMP '2024-01-10 00:00:00'")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq192_src " +
+      s"WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'")
+    val hist = s.sql(s"CALL $cat.sys.history('events')").collect()
+    require(hist.length == 2 && hist.last.getBoolean(3),
+      s"history: ${hist.mkString(",")}")
+    val rev1 = hist(0).getString(0)
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev VERSION AS OF '$rev1'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q192_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events WHERE ts < TIMESTAMP '2024-01-10'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1475,6 +1515,7 @@ object QueriesSeries {
     "q188_sql_update" -> q188_sql_update _,
     "q189_schema_evolution" -> q189_schema_evolution _,
     "q191_data_skipping" -> q191_data_skipping _,
+    "q192_sql_history" -> q192_sql_history _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1516,6 +1557,7 @@ object QueriesSeries {
     "q188_sql_update" -> q188_oracle,
     "q189_schema_evolution" -> q189_oracle,
     "q191_data_skipping" -> q191_oracle,
+    "q192_sql_history" -> q192_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

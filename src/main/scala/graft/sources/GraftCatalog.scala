@@ -106,18 +106,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(timestampMicros / 1000L))
   }
 
-  /** VERSION AS OF — the same changelog clock, as epoch millis. */
+  /** VERSION AS OF — epoch millis on the changelog clock, or a
+    * REVISION ID (the `revision` column of `CALL g.sys.history`, full
+    * `hextime-sha1` or any unambiguous prefix): the snapshot pins to
+    * that revision's commit instant. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val ms =
-      try version.toLong
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"graft VERSION AS OF takes epoch millis, got '$version'")
-      }
     val clct = collectionOf(ident.namespace())
-    if (repo.collection(clct).isEmpty)
-      throw new NoSuchTableException(ident)
+    val c = repo.collection(clct).getOrElse(
+      throw new NoSuchTableException(ident))
+    val ms = scala.util.Try(version.toLong).getOrElse {
+      val hits = c.changelog.log().filter(r =>
+        r.child == version || r.child.startsWith(version) ||
+          r.digest.startsWith(version))
+      hits match {
+        case Seq(r) => r.epochMs + 1L // include r, exclude later
+        case Seq() => throw new IllegalArgumentException(
+          s"graft VERSION AS OF: no revision matches '$version' " +
+            s"(epoch millis or a revision id from CALL sys.history)")
+        case _ => throw new IllegalArgumentException(
+          s"graft VERSION AS OF: '$version' is ambiguous " +
+            s"(${hits.length} revisions match)")
+      }
+    }
     new GraftTable(rootUri, clct, ident.name(), Some(ms))
   }
 

@@ -48,7 +48,8 @@ private[sources] object GraftProcedures {
     "clone" -> (new CloneProc(_)),
     "archive" -> (new ArchiveProc(_)),
     "push" -> (new Push(_)),
-    "pull" -> (new Pull(_)))
+    "pull" -> (new Pull(_)),
+    "history" -> (new History(_)))
 
   def load(rootUri: String, ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().length == 1 &&
@@ -85,6 +86,8 @@ private[sources] abstract class ProcBase(rootUri: String)
 
   protected def out: StructType
   protected def run(in: InternalRow): Seq[Any]
+  /** multi-row procedures override this; default = one `run` row */
+  protected def runRows(in: InternalRow): Seq[Seq[Any]] = Seq(run(in))
 
   protected def str(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -92,11 +95,11 @@ private[sources] abstract class ProcBase(rootUri: String)
   override def isDeterministic: Boolean = false
 
   override def call(in: InternalRow): util.Iterator[Scan] = {
-    val vals = run(in)
+    val vals = runRows(in)
     val schema = out
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] =
-        Array(InternalRow.fromSeq(vals))
+        vals.map(InternalRow.fromSeq).toArray
       override def readSchema(): StructType = schema
     }
     util.Arrays.asList(scan).iterator()
@@ -283,6 +286,40 @@ private final class Push(rootUri: String) extends ProcBase(rootUri) {
     repo.push(remote, labels, shallow)
     val n = (if (labels.nonEmpty) labels else repo.ls()).length.toLong
     Seq(str(remoteUri), n)
+  }
+}
+
+/** One row per changelog revision — `DESCRIBE HISTORY` for the
+  * store: revision id (usable as `VERSION AS OF`), parent, commit
+  * time, and the manifest's series/segments/rows at that revision. */
+private final class History(rootUri: String) extends ProcBase(rootUri) {
+  override def name(): String = "history"
+  override def description(): String =
+    "One row per revision: id, parent, time, series/segments/rows"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("collection", StringType).build())
+  override protected val out: StructType = StructType(Seq(
+    StructField("revision", StringType, nullable = false),
+    StructField("parent", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("is_leaf", BooleanType, nullable = false),
+    StructField("series", LongType, nullable = false),
+    StructField("segments", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+  override protected def run(in: InternalRow): Seq[Any] =
+    throw new IllegalStateException("multi-row procedure")
+  override protected def runRows(in: InternalRow): Seq[Seq[Any]] = {
+    val c = collection(in.getUTF8String(0).toString)
+    c.changelog.log().map { r =>
+      val m = c.decodeCached(r)
+      val dataRows = m.rows.filter(_.hasData)
+      Seq(str(r.child), str(r.parent),
+        r.epochMs * 1000L, // micros for TimestampType
+        r.isLeaf,
+        dataRows.map(_.label).distinct.length.toLong,
+        dataRows.length.toLong,
+        dataRows.map(_.length).sum)
+    }
   }
 }
 

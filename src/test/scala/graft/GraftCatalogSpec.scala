@@ -281,6 +281,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("sys.defrag")), e.toString)
   }
 
+  test("CALL history + VERSION AS OF a revision id") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.h.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.h.s SELECT id, 1.0 FROM range(0, 50)")
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.h.s SELECT id, 2.0 FROM range(50, 80)")
+    val hist = spark.sql(s"CALL $cat.sys.history('h')").collect()
+    assert(hist.length == 2, hist.mkString(","))
+    // rows accumulate across revisions; the leaf is flagged
+    assert(hist.map(_.getLong(6)).toSeq == Seq(50L, 80L))
+    assert(hist.last.getBoolean(3), "last revision is the leaf")
+    // VERSION AS OF the FIRST revision id sees only the first batch
+    val rev1 = hist(0).getString(0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.h.s VERSION AS OF '$rev1'")
+      .collect()(0).getLong(0) == 50L)
+    // a digest prefix works; a bogus id errors clearly
+    val pfx = rev1.split("-")(1).take(12)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.h.s VERSION AS OF '$pfx'")
+      .collect()(0).getLong(0) == 50L)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $cat.h.s VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("no revision"), e.getMessage)
+  }
+
   test("CALL push/pull sync two repos through SQL") {
     val (cat, _) = newCatalog()
     val (cat2, root2) = newCatalog()
