@@ -839,6 +839,73 @@ object QueriesSeries {
       |FROM events WHERE ts < TIMESTAMP '2024-01-10'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** STATS BACKFILL (`CALL sys.analyze`): the q191 series is first
+    * stripped of its value stats (one raw manifest recommit — what a
+    * store written before stats existed looks like), then analyze's
+    * one-job scan + one-commit backfill restores them, and the same
+    * band query must both SKIP segments again (probe requirement)
+    * and agree with the oracle recompute. */
+  def q193_analyze_backfill(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(GSchema(
+      "ts" -> "timestamp*", "event_id" -> "int*",
+      "vband" -> "float", "event_type" -> "str"), "events")
+    val sr = clct.series("_")
+    val src = eventsDf(s, dir).withColumn("vband",
+      col("value") + dayofmonth(col("ts")) * lit(1000.0))
+      .select(col("ts"), col("event_id"), col("vband"),
+        col("event_type"))
+    val cuts = Seq("2024-01-05", "2024-01-10", "2024-01-15")
+    val conds =
+      (col("ts") < lit(cuts.head).cast("timestamp")) +:
+        cuts.sliding(2).toSeq.collect { case Seq(a, b) =>
+          col("ts") >= lit(a).cast("timestamp") &&
+            col("ts") < lit(b).cast("timestamp") } :+
+        (col("ts") >= lit(cuts.last).cast("timestamp"))
+    conds.foreach(c => sr.write(src.filter(c)))
+    // strip stats (simulated legacy store), then backfill via SQL
+    val leaf = clct.changelog.leaf().get
+    val m = graft.core.Manifest.decode(clct.changelog.payload(leaf))
+    clct.changelog.commit(graft.core.Manifest(m.schema,
+      m.rows.map(_.copy(vstats = None))).encode,
+      parents = Seq(leaf.child))
+    clct.refresh()
+    val cat = "gq193_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    val analyzed = s.sql(s"CALL $cat.sys.analyze('events')")
+      .collect()(0).getLong(1)
+    require(analyzed >= conds.length,
+      s"analyze should backfill every segment, got $analyzed")
+    s.read.format("graft").option("path", root)
+      .option("collection", "events").option("series", "_").load()
+      .createOrReplaceTempView("gq193")
+    graft.sources.GraftScanProbe.lastStatSkipped = -1
+    val out = s.sql(
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(cast(round(vband * 1000000, 0) AS bigint)) AS v_micro
+        |FROM gq193
+        |WHERE vband >= 3000.0 AND vband < 4000.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    require(out.count() > 0)
+    require(graft.sources.GraftScanProbe.lastStatSkipped >= 3,
+      s"backfilled stats should skip, skipped=" +
+        s"${graft.sources.GraftScanProbe.lastStatSkipped}")
+    out
+  }
+
+  val q193_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round((value + date_part('day', ts) * 1000)
+      |    * 1000000)::BIGINT)::BIGINT AS v_micro
+      |FROM events
+      |WHERE value + date_part('day', ts) * 1000 >= 3000
+      |  AND value + date_part('day', ts) * 1000 < 4000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1516,6 +1583,7 @@ object QueriesSeries {
     "q189_schema_evolution" -> q189_schema_evolution _,
     "q191_data_skipping" -> q191_data_skipping _,
     "q192_sql_history" -> q192_sql_history _,
+    "q193_analyze_backfill" -> q193_analyze_backfill _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1558,6 +1626,7 @@ object QueriesSeries {
     "q189_schema_evolution" -> q189_oracle,
     "q191_data_skipping" -> q191_oracle,
     "q192_sql_history" -> q192_oracle,
+    "q193_analyze_backfill" -> q193_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

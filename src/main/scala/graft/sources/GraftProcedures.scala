@@ -49,7 +49,8 @@ private[sources] object GraftProcedures {
     "archive" -> (new ArchiveProc(_)),
     "push" -> (new Push(_)),
     "pull" -> (new Pull(_)),
-    "history" -> (new History(_)))
+    "history" -> (new History(_)),
+    "analyze" -> (new Analyze(_)))
 
   def load(rootUri: String, ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().length == 1 &&
@@ -286,6 +287,96 @@ private final class Push(rootUri: String) extends ProcBase(rootUri) {
     repo.push(remote, labels, shallow)
     val n = (if (labels.nonEmpty) labels else repo.ls()).length.toLong
     Seq(str(remoteUri), n)
+  }
+}
+
+/** Backfill per-segment VALUE-column (min, max) statistics for
+  * manifest rows written before stats existed (or imported): ONE
+  * Spark job reads every stats-less segment file grouped by
+  * `input_file_name`, aggregates each value column's min/max (NaN
+  * poisons a float column, exactly like the write-time collector),
+  * and ONE metadata commit attaches the stats to the manifest rows —
+  * after which value-predicate data skipping covers the old data
+  * too. The ANALYZE-table analogue for the versioned store. */
+private final class Analyze(rootUri: String) extends ProcBase(rootUri) {
+  override def name(): String = "analyze"
+  override def description(): String =
+    "Backfill value-column min/max stats onto stats-less segments"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("collection", StringType).build())
+  override protected val out: StructType = StructType(Seq(
+    StructField("collection", StringType, nullable = false),
+    StructField("segments_analyzed", LongType, nullable = false)))
+  override protected def run(in: InternalRow): Seq[Any] = {
+    import org.apache.spark.sql.functions._
+    val label = in.getUTF8String(0).toString
+    val c = collection(label)
+    val store = c.repo.store
+    val leaf = c.changelog.leaf()
+    val m = leaf.map(c.decodeCached)
+      .getOrElse(graft.core.Manifest.empty(c.schema))
+    val missing = m.rows.filter(r =>
+      r.files.nonEmpty && r.vstats.isEmpty)
+    if (missing.isEmpty) return Seq(str(label), 0L)
+    val valCols = c.schema.cols.filterNot(_.idx)
+    val physOf = valCols.map(cd => cd.name -> c.physOf(cd.name)).toMap
+    val readStruct = StructType(valCols.map(cd => StructField(
+      physOf(cd.name), cd.dtype.sparkType, nullable = true)))
+    val files = missing.flatMap(_.files).distinct
+    val aggs = valCols.flatMap { cd =>
+      val p = physOf(cd.name)
+      val nan =
+        if (cd.dtype == graft.core.GType.FloatT)
+          max(isnan(col(p))).as(s"__nan_$p")
+        else lit(false).as(s"__nan_$p")
+      Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"), nan)
+    }
+    val perFile = spark.read.schema(readStruct)
+      .parquet(files.map(store.uri): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // full URI -> store-relative path (match by longest suffix)
+    val byRel: Map[String, org.apache.spark.sql.Row] =
+      files.flatMap { rel =>
+        perFile.find(_.getString(0).endsWith(rel)).map(rel -> _)
+      }.toMap
+    def statsOf(fs: Seq[String]): Map[String, (Any, Any)] =
+      valCols.flatMap { cd =>
+        val p = physOf(cd.name)
+        val per = fs.flatMap(byRel.get).flatMap { row =>
+          val mn = row.getAs[Any](s"__mn_$p")
+          val mx = row.getAs[Any](s"__mx_$p")
+          val nan = row.getAs[Boolean](s"__nan_$p")
+          if (nan || mn == null) None
+          else Some((graft.engine.SparkVals.toKernel(cd.dtype, mn),
+            graft.engine.SparkVals.toKernel(cd.dtype, mx)))
+        }
+        // every file of the row must contribute a clean bound, or
+        // the row gets no entry for this column (NaN/all-null file)
+        if (per.length != fs.length || per.isEmpty) None
+        else {
+          val dt = cd.dtype
+          Some(p -> ((per.map(_._1).reduce((a, b) =>
+            if (dt.cmp(a, b) <= 0) a else b),
+            per.map(_._2).reduce((a, b) =>
+              if (dt.cmp(a, b) >= 0) a else b))))
+        }
+      }.toMap
+    val missSet = missing.toSet
+    val rows2 = m.rows.map { r =>
+      if (!missSet.contains(r)) r
+      else {
+        val vs = statsOf(r.files)
+        if (vs.isEmpty) r else r.copy(vstats = Some(vs))
+      }
+    }
+    c.changelog.commit(
+      graft.core.Manifest(m.schema, rows2).encode,
+      parents = Seq(leaf.map(_.child)
+        .getOrElse(graft.core.Changelog.Phi)))
+    c.refresh()
+    Seq(str(label), missing.length.toLong)
   }
 }
 

@@ -113,6 +113,47 @@ class GraftStatsSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 15L)
   }
 
+  test("CALL sys.analyze backfills stats onto stats-less segments") {
+    val (root, sr) = seeded()
+    // simulate pre-stats data: recommit the manifest with vstats
+    // stripped (what a round-8 store looks like on disk)
+    val c = sr.collection
+    val leaf = c.changelog.leaf().get
+    val m = Manifest.decode(c.changelog.payload(leaf))
+    c.changelog.commit(
+      Manifest(m.schema, m.rows.map(_.copy(vstats = None))).encode,
+      parents = Seq(leaf.child))
+    c.refresh()
+    assert(sr.segments().forall(_.meta.vstats.isEmpty))
+    view(root)
+    GraftScanProbe.lastStatSkipped = -1
+    assert(spark.sql(
+      "SELECT count(v) FROM gstats WHERE v >= 1000 AND v < 1100")
+      .collect()(0).getLong(0) == 100L)
+    assert(GraftScanProbe.lastStatSkipped <= 0,
+      "stats-less segments must not skip")
+
+    val cat = "gan" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", root)
+    val r = spark.sql(s"CALL $cat.sys.analyze('c')").collect()(0)
+    assert(r.getLong(1) == 3L, r.toString)
+    // stats are back; skipping works; data identical
+    val sr2 = new Repo(root, spark).collection("c").get.series("_")
+    assert(sr2.segments().forall(_.meta.vstats.isDefined))
+    view(root)
+    GraftScanProbe.lastStatSkipped = -1
+    assert(spark.sql(
+      "SELECT count(v) FROM gstats WHERE v >= 1000 AND v < 1100")
+      .collect()(0).getLong(0) == 100L)
+    assert(GraftScanProbe.lastStatSkipped == 2)
+    // idempotent: nothing left to analyze
+    assert(spark.sql(s"CALL $cat.sys.analyze('c')").collect()(0)
+      .getLong(1) == 0L)
+  }
+
   test("driver-tier (small) writes record the same stats") {
     val root = Files.createTempDirectory("graft-st4").toString
     val repo = new Repo(root, spark)
