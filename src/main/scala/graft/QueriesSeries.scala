@@ -906,6 +906,69 @@ object QueriesSeries {
       |  AND value + date_part('day', ts) * 1000 < 4000
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental CRAWL REFRESH via MERGE INTO — the continuous-
+    * curation shape of a training-data store: a curated table
+    * (doc_id-indexed quality scores) takes a re-crawl batch in ONE
+    * atomic MERGE — re-fetched docs update their quality score in
+    * place (copy-on-write over only the touched segments), newly
+    * discovered docs insert into free index space — and the refreshed
+    * table must aggregate exactly like the oracle's CASE/UNION
+    * recompute. Each refresh is one revision: yesterday's curation
+    * stays time-travelable for dataset reproducibility. */
+  def q194_crawl_refresh(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq194_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.cur.docs
+         |(doc_id BIGINT, lang STRING, q_ppm BIGINT)
+         |PARTITIONED BY (doc_id)""".stripMargin)
+    Tables.table(s, dir, "documents")
+      .createOrReplaceTempView("gq194_src")
+    s.sql(
+      s"""INSERT INTO $cat.cur.docs
+         |SELECT doc_id, lang, least(1000000, n_chars * 100)
+         |FROM gq194_src""".stripMargin)
+    val shift = s.sql("SELECT max(doc_id) + 1 FROM gq194_src")
+      .collect()(0).getLong(0)
+    s.sql(
+      s"""MERGE INTO $cat.cur.docs t USING (
+         |  SELECT doc_id, lang,
+         |    cast(least(1000000, n_chars * 120) AS bigint) AS q_ppm
+         |  FROM gq194_src WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $shift, lang,
+         |    cast(n_chars * 50 AS bigint)
+         |  FROM gq194_src WHERE doc_id % 7 = 0
+         |) src ON t.doc_id = src.doc_id
+         |WHEN MATCHED THEN UPDATE SET q_ppm = src.q_ppm
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT lang, count(*) AS cnt, sum(q_ppm) AS q_sum
+         |FROM $cat.cur.docs
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q194_oracle: String =
+    """WITH cur AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN least(1000000, n_chars * 120)
+      |      ELSE least(1000000, n_chars * 100) END AS q_ppm
+      |  FROM documents
+      |), ins AS (
+      |  SELECT lang, n_chars * 50 AS q_ppm
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), allr AS (
+      |  SELECT * FROM cur UNION ALL SELECT * FROM ins
+      |)
+      |SELECT lang, count(*)::BIGINT AS cnt,
+      |  sum(q_ppm)::BIGINT AS q_sum
+      |FROM allr GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1584,6 +1647,7 @@ object QueriesSeries {
     "q191_data_skipping" -> q191_data_skipping _,
     "q192_sql_history" -> q192_sql_history _,
     "q193_analyze_backfill" -> q193_analyze_backfill _,
+    "q194_crawl_refresh" -> q194_crawl_refresh _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1627,6 +1691,7 @@ object QueriesSeries {
     "q191_data_skipping" -> q191_oracle,
     "q192_sql_history" -> q192_oracle,
     "q193_analyze_backfill" -> q193_oracle,
+    "q194_crawl_refresh" -> q194_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,
