@@ -969,6 +969,40 @@ object QueriesSeries {
       |  sum(q_ppm)::BIGINT AS q_sum
       |FROM allr GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** METADATA-ONLY TOKEN BUDGET: `SELECT count(*), sum(tokens)` over
+    * a corpus-accounting series answers from the manifest alone —
+    * per-segment row counts plus the round-9 per-segment INTEGER
+    * column sums (exact, overflow-guarded) — zero file IO, the query
+    * a training scheduler runs before every mixture decision. The
+    * probe requires the aggregate actually came from metadata. */
+  def q195_token_budget(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(GSchema(
+      "doc_id" -> "int*", "tokens" -> "int"), "budget")
+    clct.embedMaxSize = 0L
+    clct.series("_").write(
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("tokens")))
+    s.read.format("graft").option("path", root)
+      .option("collection", "budget").option("series", "_").load()
+      .createOrReplaceTempView("gq195")
+    graft.sources.GraftScanProbe.lastAggPushed = false
+    val out = s.sql(
+      """SELECT count(*) AS docs, sum(tokens) AS total_tokens
+        |FROM gq195""".stripMargin)
+    require(out.count() == 1)
+    require(graft.sources.GraftScanProbe.lastAggPushed,
+      "token budget must answer from manifest metadata")
+    out
+  }
+
+  val q195_oracle: String =
+    """SELECT count(*)::BIGINT AS docs,
+      |  sum(n_chars)::BIGINT AS total_tokens
+      |FROM documents""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1648,6 +1682,7 @@ object QueriesSeries {
     "q192_sql_history" -> q192_sql_history _,
     "q193_analyze_backfill" -> q193_analyze_backfill _,
     "q194_crawl_refresh" -> q194_crawl_refresh _,
+    "q195_token_budget" -> q195_token_budget _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1692,6 +1727,7 @@ object QueriesSeries {
     "q192_sql_history" -> q192_oracle,
     "q193_analyze_backfill" -> q193_oracle,
     "q194_crawl_refresh" -> q194_oracle,
+    "q195_token_budget" -> q195_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

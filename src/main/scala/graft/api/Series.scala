@@ -319,6 +319,8 @@ class Series(val collection: Collection, val label: String) {
       SegmentMeta(label, rowStart, rowStop, cl, stats(i).cnt,
         Vector(files(i)), Some(stats(i).min), Some(stats(i).max),
         vstats = if (stats(i).vstats.nonEmpty) Some(stats(i).vstats)
+          else None,
+        vsums = if (stats(i).vsums.nonEmpty) Some(stats(i).vsums)
           else None)
     }
   }
@@ -561,6 +563,9 @@ class Series(val collection: Collection, val label: String) {
       val vMin = new Array[Any](valPos.length)
       val vMax = new Array[Any](valPos.length)
       val vBad = new Array[Boolean](valPos.length)
+      val vSum = new Array[Long](valPos.length)
+      val vSumN = new Array[Long](valPos.length)
+      val vSumBad = new Array[Boolean](valPos.length)
       var r = lo
       while (r < hi) {
         val ir = irows(order(r))
@@ -593,6 +598,14 @@ class Series(val collection: Collection, val label: String) {
             } else {
               if (vMin(j) == null || dt.cmp(v, vMin(j)) < 0) vMin(j) = v
               if (vMax(j) == null || dt.cmp(v, vMax(j)) > 0) vMax(j) = v
+              if (dt == graft.core.GType.IntT && !vSumBad(j)) {
+                try {
+                  vSum(j) = Math.addExact(vSum(j), v.asInstanceOf[Long])
+                  vSumN(j) += 1
+                } catch {
+                  case _: ArithmeticException => vSumBad(j) = true
+                }
+              }
             }
           }
           j += 1
@@ -603,12 +616,16 @@ class Series(val collection: Collection, val label: String) {
         case j if !vBad(j) && vMin(j) != null =>
           physNames(valPos(j)) -> ((vMin(j), vMax(j)))
       }.toMap
+      val sums = valPos.indices.collect {
+        case j if !vSumBad(j) && vSumN(j) > 0 =>
+          physNames(valPos(j)) -> vSum(j)
+      }.toMap
       val rel = f"$tmpRel/part-d-$ci%04d.parquet"
       graft.core.SegmentWriter.writeFile(
         (lo until hi).iterator.map(j => irows(order(j))),
         schema.cols, physNames, store.uri(rel), hconf, segmentCodec)
       graft.core.SegmentWriter.FileStat(rel, (hi - lo).toLong,
-        keys(order(lo)), keys(order(hi - 1)), hash, vs)
+        keys(order(lo)), keys(order(hi - 1)), hash, vs, sums)
     }
     val stats: Seq[graft.core.SegmentWriter.FileStat] =
       if (nChunks == 1) Seq(writeChunk(0))

@@ -47,7 +47,13 @@ final case class SegmentMeta(
       * older manifests: never skip. Splice truncation narrows the
       * VISIBLE window but stats keep describing the whole file —
       * still a superset of the visible rows, so skipping stays safe. */
-    vstats: Option[Map[String, (Any, Any)]] = None)
+    vstats: Option[Map[String, (Any, Any)]] = None,
+    /** Per-INT-value-column SUM over the non-null rows stored in
+      * `files` (physical names, like `vstats`): lets an unfiltered
+      * `SELECT sum(col)` answer from metadata alone — exact for
+      * integer columns (token budgets, counts). A column with zero
+      * non-null values, or whose sum overflows Long, has no entry. */
+    vsums: Option[Map[String, Long]] = None)
     extends Serializable {
   /** does this row carry data (either as files or embedded rows)? */
   def hasData: Boolean = files.nonEmpty || inline.isDefined
@@ -326,11 +332,17 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
               Json.scalar(mm._2)}]" }.mkString("{", ",", "}")}"""
         case _ => ""
       }
+      val vsumsPart = r.vsums match {
+        case Some(vs) if vs.nonEmpty =>
+          s""","vsums":${vs.toSeq.sortBy(_._1).map { case (n, v) =>
+            s"${Json.str(n)}:$v" }.mkString("{", ",", "}")}"""
+        case _ => ""
+      }
       s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
       s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
       s""""length":${r.length},"files":${
         r.files.map(Json.str).mkString("[", ",", "]")
-        }$dataBounds$inlinePart$vstatsPart}"""
+        }$dataBounds$inlinePart$vstatsPart$vsumsPart}"""
     }.mkString("[", ",", "]")
     val _ = idxTypes
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
@@ -412,6 +424,9 @@ object Manifest {
           case (n, v) =>
             val l = v.asInstanceOf[List[Any]]
             n -> ((l(0), l(1))) // raw kernel scalars; dtyped at use
+        }),
+        rm.get("vsums").map(_.asInstanceOf[Map[String, Any]].map {
+          case (n, v) => n -> v.asInstanceOf[Long]
         }))
     }.toVector
     Manifest(schema, rws)

@@ -63,7 +63,8 @@ object SegmentWriter {
     * carries (empty when a path does not compute them). */
   final case class FileStat(tmp: String, cnt: Long, min: IndexKey,
       max: IndexKey, hash: Long,
-      vstats: Map[String, (Any, Any)] = Map.empty)
+      vstats: Map[String, (Any, Any)] = Map.empty,
+      vsums: Map[String, Long] = Map.empty)
       extends Serializable
 
   /** java-serializable Hadoop Configuration (Configuration itself is
@@ -282,11 +283,19 @@ object SegmentWriter {
     private val vMin = new Array[Any](valPos.length)
     private val vMax = new Array[Any](valPos.length)
     private val vBad = new Array[Boolean](valPos.length)
+    // per-file SUM for integer value columns (metadata-only sum
+    // pushdown); Long-overflow poisons the column's sum, not its
+    // min/max
+    private val vSum = new Array[Long](valPos.length)
+    private val vSumN = new Array[Long](valPos.length)
+    private val vSumBad = new Array[Boolean](valPos.length)
 
     private def vReset(): Unit = {
       var j = 0
       while (j < valPos.length) {
-        vMin(j) = null; vMax(j) = null; vBad(j) = false; j += 1
+        vMin(j) = null; vMax(j) = null; vBad(j) = false
+        vSum(j) = 0L; vSumN(j) = 0L; vSumBad(j) = false
+        j += 1
       }
     }
 
@@ -308,6 +317,14 @@ object SegmentWriter {
           else {
             if (vMin(j) == null || dt.cmp(v, vMin(j)) < 0) vMin(j) = v
             if (vMax(j) == null || dt.cmp(v, vMax(j)) > 0) vMax(j) = v
+            if (dt == GType.IntT && !vSumBad(j)) {
+              try {
+                vSum(j) = Math.addExact(vSum(j), v.asInstanceOf[Long])
+                vSumN(j) += 1
+              } catch {
+                case _: ArithmeticException => vSumBad(j) = true
+              }
+            }
           }
         }
         j += 1
@@ -320,6 +337,17 @@ object SegmentWriter {
       while (j < valPos.length) {
         if (!vBad(j) && vMin(j) != null)
           b += p.phys(valPos(j)) -> ((vMin(j), vMax(j)))
+        j += 1
+      }
+      b.result()
+    }
+
+    private def vSums(): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      var j = 0
+      while (j < valPos.length) {
+        if (!vSumBad(j) && vSumN(j) > 0)
+          b += p.phys(valPos(j)) -> vSum(j)
         j += 1
       }
       b.result()
@@ -341,7 +369,7 @@ object SegmentWriter {
       w.close()
       out += ((label,
         FileStat(s"${p.tmpRel}/${fname(fi)}", cnt, minK, maxK, hash,
-          vStats())))
+          vStats(), vSums())))
       w = null; cnt = 0L; hash = 0L; minK = null; maxK = null
       vReset()
     }

@@ -468,11 +468,34 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     }
     // resolve the plan BEFORE accepting: any clipped segment rejects.
     // Plan-time snapshot = the query's snapshot (same beforeMs).
-    val segs = table.series.segments(null, null, beforeMs)
+    val series = table.series
+    val segs = series.segments(null, null, beforeMs)
       .filter(_.meta.hasData)
     if (!segs.forall(s => GraftPlanning.covers(table.gschema, s)))
       return false
     val cnt: java.lang.Long = segs.map(_.meta.length).sum
+    // SUM over an integer value column answers from per-segment
+    // recorded sums — exact (token budgets, counts) — when every
+    // visible segment carries the entry and the column has no
+    // registry DEFAULT (stored nulls would read as the default)
+    def sumOf(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[java.lang.Long] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val n = r.fieldNames()(0)
+        table.gschema.cols.find(c => c.name == n && !c.idx &&
+          c.dtype == GType.IntT) match {
+          case Some(_)
+              if !series.collection.defaults.contains(n) =>
+            val phys = series.collection.physOf(n)
+            val per = segs.map(_.meta.vsums.flatMap(_.get(phys)))
+            if (per.isEmpty || per.exists(_.isEmpty)) None
+            else try Some(per.flatten
+              .foldLeft(0L)((a, b) => Math.addExact(a, b)))
+            catch { case _: ArithmeticException => None }
+          case _ => None
+        }
+      case _ => None
+    }
     def minHead: Any =
       segs.headOption.flatMap(_.meta.dataStart).map(k =>
         GraftRead.kernelToInternal(head.dtype, k.values(0))).orNull
@@ -493,6 +516,11 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
       case m: Max if headRef(m.column) =>
         Some((org.apache.spark.sql.types.StructField("max",
           head.dtype.sparkType, nullable = true), maxHead))
+      case s: Sum if !s.isDistinct =>
+        sumOf(s.column).map(v =>
+          (org.apache.spark.sql.types.StructField("sum",
+            org.apache.spark.sql.types.LongType, nullable = true),
+            v: Any))
       case _ => None
     }
     if (out.exists(_.isEmpty)) return false

@@ -154,6 +154,37 @@ class GraftStatsSpec extends AnyFunSuite {
       .getLong(1) == 0L)
   }
 
+  test("sum(int value col) answers from per-segment recorded sums") {
+    val root = Files.createTempDirectory("graft-st5").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(GSchema(
+      "ts" -> "int*", "tokens" -> "int", "v" -> "float"), "c")
+    clct.embedMaxSize = 0L
+    val sr = clct.series("_")
+    import spark.implicits._
+    (0 until 2).foreach { i =>
+      sr.write((0 until 100).map(j =>
+        (i * 100L + j, (j % 7).toLong, j * 0.5)).toDF("ts", "tokens",
+        "v"))
+    }
+    assert(sr.segments().forall(_.meta.vsums.exists(_.contains(
+      "tokens"))))
+    spark.read.format("graft").option("path", root)
+      .option("collection", "c").option("series", "_").load()
+      .createOrReplaceTempView("gsums")
+    GraftScanProbe.lastAggPushed = false
+    val got = spark.sql("SELECT sum(tokens) FROM gsums")
+      .collect()(0).getLong(0)
+    assert(got == 2L * (0 until 100).map(_ % 7).sum)
+    assert(GraftScanProbe.lastAggPushed,
+      "integer sum must answer from the manifest")
+    // float sums are order-dependent: never pushed
+    GraftScanProbe.lastAggPushed = false
+    assert(spark.sql("SELECT sum(v) FROM gsums")
+      .collect()(0).getDouble(0) == 2 * (0 until 100).map(_ * 0.5).sum)
+    assert(!GraftScanProbe.lastAggPushed)
+  }
+
   test("driver-tier (small) writes record the same stats") {
     val root = Files.createTempDirectory("graft-st4").toString
     val repo = new Repo(root, spark)
