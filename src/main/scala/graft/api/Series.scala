@@ -445,10 +445,46 @@ class Series(val collection: Collection, val label: String) {
     if (approxBytes > collection.embedMaxSize) return false
     val mn = keyOfRow(sortedRows.head)
     val mx = keyOfRow(sortedRows.last)
+    // inline rows are already kernel scalars on the driver — record
+    // the same value stats/sums the file tiers do (skipping + the
+    // metadata sum pushdown then cover fragmented tiny-write series)
+    val valCols = srcIdx.zipWithIndex
+      .collect { case ((c, _), j) if !c.idx => (c, j) }
+    var vstats = Map.empty[String, (Any, Any)]
+    var vsums = Map.empty[String, Long]
+    valCols.foreach { case (c, j) =>
+      val dt = c.dtype
+      var mnV: Any = null; var mxV: Any = null
+      var bad = false
+      var sum = 0L; var sumN = 0L; var sumBad = dt != GType.IntT
+      sortedRows.foreach { r =>
+        val v = r(j)
+        if (!bad && v != null) {
+          if (dt == GType.FloatT &&
+              java.lang.Double.isNaN(v.asInstanceOf[Double])) {
+            bad = true; mnV = null; mxV = null
+          } else {
+            if (mnV == null || dt.cmp(v, mnV) < 0) mnV = v
+            if (mxV == null || dt.cmp(v, mxV) > 0) mxV = v
+            if (!sumBad) {
+              try { sum = Math.addExact(sum, v.asInstanceOf[Long]);
+                sumN += 1 }
+              catch { case _: ArithmeticException => sumBad = true }
+            }
+          }
+        }
+      }
+      if (!bad && mnV != null)
+        vstats += collection.physOf(c.name) -> ((mnV, mxV))
+      if (!sumBad && sumN > 0)
+        vsums += collection.physOf(c.name) -> sum
+    }
     commitRows(Seq(SegmentMeta(label,
       Option(startK).getOrElse(mn), Option(stopK).getOrElse(mx),
       closed, sortedRows.length.toLong, Vector.empty,
-      Some(mn), Some(mx), Some(sortedRows))), root)
+      Some(mn), Some(mx), Some(sortedRows),
+      vstats = if (vstats.nonEmpty) Some(vstats) else None,
+      vsums = if (vsums.nonEmpty) Some(vsums) else None)), root)
     true
   }
 
