@@ -281,6 +281,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("sys.defrag")), e.toString)
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.ct.s PARTITIONED BY (ts) AS
+         |SELECT id AS ts, cast(id AS DOUBLE) AS v
+         |FROM range(0, 100)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $cat.ct.s")
+      .collect()(0).getLong(0) == 100L)
+    spark.sql(
+      s"""REPLACE TABLE $cat.ct.s PARTITIONED BY (ts) AS
+         |SELECT id AS ts, cast(id * 2 AS DOUBLE) AS v
+         |FROM range(0, 50)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ct.s")
+      .collect()(0).getLong(0) == 50L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ct.s")
+      .collect()(0).getDouble(0) == (0 until 50).map(_ * 2.0).sum)
+  }
+
   test("CALL history + VERSION AS OF a revision id") {
     val (cat, _) = newCatalog()
     spark.sql(
