@@ -1003,6 +1003,56 @@ object QueriesSeries {
       |  sum(n_chars)::BIGINT AS total_tokens
       |FROM documents""".stripMargin
 
+  /** AS-OF-REVISION temporal join — the versioned store as a slowly-
+    * changing dimension: a per-type score series commits one revision
+    * per day (days 1-5), and each event joins to the score the store
+    * held AT ITS OWN DAY's revision — five pinned time-travel reads
+    * (`frame(beforeMs)`) unioned with their day tag, then a broadcast
+    * join. No snapshot copies, no SCD bookkeeping columns: history IS
+    * the dimension table. The oracle recomputes the closed-form score
+    * (day*100 + strlen(type)), so reading any wrong revision
+    * hash-mismatches. */
+  def q196_asof_revision_join(s: SparkSession, dir: String)
+      : DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(GSchema(
+      "event_type" -> "str*", "score" -> "int"), "scores")
+    val sr = clct.series("_")
+    val types = eventsDf(s, dir).select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    // one revision per day: score(type, d) = d*100 + strlen(type)
+    val dayMs = (1 to 5).map { d =>
+      import s.implicits._
+      sr.write(types.map(t =>
+        (t, d * 100L + t.length)).toDF("event_type", "score"))
+      Thread.sleep(5)
+      d -> (clct.changelog.leaf().get.epochMs + 1L)
+    }
+    // five pinned snapshots, tagged with their day
+    val snaps = dayMs.map { case (d, ms) =>
+      sr.frame(beforeMs = Some(ms))
+        .withColumn("day", lit(d))
+    }.reduce(_.unionByName(_))
+    val ev = eventsDf(s, dir)
+      .withColumn("day", dayofmonth(col("ts")))
+      .filter(col("day").between(1, 5))
+    ev.join(broadcast(snaps), Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("score")).as("score_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q196_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(date_part('day', ts) * 100
+      |    + length(event_type))::BIGINT AS score_sum
+      |FROM events
+      |WHERE date_part('day', ts) BETWEEN 1 AND 5
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1683,6 +1733,7 @@ object QueriesSeries {
     "q193_analyze_backfill" -> q193_analyze_backfill _,
     "q194_crawl_refresh" -> q194_crawl_refresh _,
     "q195_token_budget" -> q195_token_budget _,
+    "q196_asof_revision_join" -> q196_asof_revision_join _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1728,6 +1779,7 @@ object QueriesSeries {
     "q193_analyze_backfill" -> q193_oracle,
     "q194_crawl_refresh" -> q194_oracle,
     "q195_token_budget" -> q195_oracle,
+    "q196_asof_revision_join" -> q196_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,
