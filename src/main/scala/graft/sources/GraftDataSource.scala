@@ -902,15 +902,26 @@ class GraftStreamingWrite(table: GraftTable,
     WriterCommitMessage}
 
   private def store = table.series.collection.repo.store
-  private def epochRel(e: Long) = s"${base.tmpRel}/e$e"
   private val qdir =
     s"streams/${queryId.replaceAll("[^A-Za-z0-9-]", "_")}"
+  // the CURRENT epoch's staging base (micro-batches are serial per
+  // query). Each epoch gets a FRESH hextime-named dir: gc's staging
+  // sweep ages dirs by their hextime prefix, so a long-running stream
+  // must not reuse one base dir across epochs — the sweep would reap
+  // it mid-flight once the query outlives the gc timeout.
+  @volatile private var currentRel: String = base.tmpRel
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
-        .StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(base, new SegmentWriter.SerConf(
-      SparkSession.active.sessionState.newHadoopConf()))
+        .StreamingDataWriterFactory = {
+    val rel = s"tmp/${graft.core.Hash.hextime()}-" +
+      java.util.UUID.randomUUID().toString.take(12)
+    currentRel = rel
+    new GraftStreamingWriterFactory(
+      base.copy(tmpRel = rel, tmpUri = store.uri(rel)),
+      new SegmentWriter.SerConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+  }
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -930,12 +941,12 @@ class GraftStreamingWrite(table: GraftTable,
       // markers are dead weight
       store.rm(s"$qdir/e${epochId - 1}")
       GraftScanProbe.lastWriteFiles = stats.length
-    } finally store.rm(epochRel(epochId), recursive = true)
+    } finally store.rm(currentRel, recursive = true)
   }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    store.rm(epochRel(epochId), recursive = true)
+    store.rm(currentRel, recursive = true)
 }
 
 class GraftStreamingWriterFactory(base: SegmentWriter.TaskParams,
