@@ -1053,6 +1053,54 @@ object QueriesSeries {
       |WHERE date_part('day', ts) BETWEEN 1 AND 5
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** replaceWhere OVERWRITE (`df.writeTo(t).overwrite(cond)`) — the
+    * day-backfill idiom: recompute one index window and atomically
+    * replace exactly that window (tombstone + splice, one commit;
+    * rows outside the declared range are refused before commit).
+    * Days [10, 14) are re-ingested with corrected (doubled) values
+    * and only even event_ids retained; the aggregate must match the
+    * oracle's CASE recompute of the same surgery. */
+  def q197_replace_where(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq197_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq197_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq197_src")
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-14 00:00:00")
+    eventsDf(s, dir)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi) &&
+        col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+      .writeTo(s"$cat.events.ev")
+      .overwrite(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q197_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+      |                  AND ts < TIMESTAMP '2024-01-14'
+      |            THEN value * 2 ELSE value END * 1000000)::BIGINT
+      |    )::BIGINT AS val_micro
+      |FROM events
+      |WHERE NOT (ts >= TIMESTAMP '2024-01-10'
+      |           AND ts < TIMESTAMP '2024-01-14'
+      |           AND event_id % 2 <> 0)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1734,6 +1782,7 @@ object QueriesSeries {
     "q194_crawl_refresh" -> q194_crawl_refresh _,
     "q195_token_budget" -> q195_token_budget _,
     "q196_asof_revision_join" -> q196_asof_revision_join _,
+    "q197_replace_where" -> q197_replace_where _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1780,6 +1829,7 @@ object QueriesSeries {
     "q194_crawl_refresh" -> q194_oracle,
     "q195_token_budget" -> q195_oracle,
     "q196_asof_revision_join" -> q196_oracle,
+    "q197_replace_where" -> q197_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

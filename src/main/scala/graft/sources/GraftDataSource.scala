@@ -118,6 +118,7 @@ class GraftTable(rootUri: String, collectionName: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -156,13 +157,15 @@ class GraftTable(rootUri: String, collectionName: String,
   // rows). DELETE without WHERE = truncate: one commit that drops the
   // series' manifest rows; history stays readable.
 
-  private sealed trait DeletePlan
-  private case object DeleteAll extends DeletePlan
-  private case class DeleteRange(start: IndexKey, stop: IndexKey,
-      closed: Closed) extends DeletePlan
-  private case class DeleteKeys(values: Seq[Any]) extends DeletePlan
+  private[sources] sealed trait DeletePlan
+  private[sources] case object DeleteAll extends DeletePlan
+  private[sources] case class DeleteRange(start: IndexKey,
+      stop: IndexKey, closed: Closed) extends DeletePlan
+  private[sources] case class DeleteKeys(values: Seq[Any])
+      extends DeletePlan
 
-  private def deletePlan(filters: Array[Filter]): Option[DeletePlan] = {
+  private[sources] def deletePlan(filters: Array[Filter])
+      : Option[DeletePlan] = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (real.isEmpty) return Some(DeleteAll)
     val gs = gschema
@@ -252,24 +255,29 @@ class GraftTable(rootUri: String, collectionName: String,
       case None => throw new UnsupportedOperationException(
         s"graft DELETE needs an index-range WHERE; got " +
           filters.mkString(", "))
-      case Some(DeleteAll) => truncateTable(); ()
-      case Some(DeleteKeys(vs)) =>
+      case Some(p) =>
         val s = series
-        s.collection.multi {
-          vs.foreach(v => s.delete(IndexKey(Vector(v)),
-            IndexKey(Vector(v))))
-        }
-      case Some(DeleteRange(startK, stopK, closed)) =>
-        val s = series
-        // one-sided range: substitute the manifest's recorded extreme
-        // (exact for the rows this snapshot holds)
-        val segs = s.segments().filter(_.meta.hasData)
-        if (segs.isEmpty) return
-        val st = if (startK != null) startK else segs.head.start
-        val sp = if (stopK != null) stopK else segs.last.stop
-        if (gschema.cmpKey(st, sp) > 0) return // empty range: no-op
-        s.delete(st, sp, closed)
+        s.collection.multi { applyDelete(s, p) } // one commit
     }
+
+  /** execute a resolved delete plan (shared by SQL DELETE and the
+    * replaceWhere overwrite commit — batchable inside multi()) */
+  private[sources] def applyDelete(s: graft.api.Series,
+      plan: DeletePlan): Unit = plan match {
+    case DeleteAll => truncateTable(); ()
+    case DeleteKeys(vs) =>
+      vs.foreach(v => s.delete(IndexKey(Vector(v)),
+        IndexKey(Vector(v))))
+    case DeleteRange(startK, stopK, closed) =>
+      // one-sided range: substitute the manifest's recorded extreme
+      // (exact for the rows this snapshot holds)
+      val segs = s.segments().filter(_.meta.hasData)
+      if (segs.isEmpty) return
+      val st = if (startK != null) startK else segs.head.start
+      val sp = if (stopK != null) stopK else segs.last.stop
+      if (gschema.cmpKey(st, sp) > 0) return // empty range: no-op
+      s.delete(st, sp, closed)
+  }
 
   override def truncateTable(): Boolean = {
     val s = series
@@ -771,12 +779,32 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
 class GraftWriteBuilder(table: GraftTable,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateMode = false
+  private var overwritePlan: Option[table.DeletePlan] = None
 
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     truncateMode = true; this
+  }
+
+  /** `df.writeTo(...).overwrite(cond)` / INSERT ... REPLACE WHERE —
+    * Delta's replaceWhere for the versioned store: the condition must
+    * be an index range (same algebra as SQL DELETE), and the commit
+    * tombstones that range + splices the new rows atomically. The
+    * written rows must FALL WITHIN the range (checked against the
+    * staged files' bounds before anything commits) — the day-backfill
+    * contract: replace exactly what you said you would. */
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    table.deletePlan(filters) match {
+      case Some(table.DeleteAll) => truncateMode = true
+      case Some(r: table.DeleteRange) => overwritePlan = Some(r)
+      case _ => throw new UnsupportedOperationException(
+        s"graft overwrite needs an index-range condition (the range " +
+          s"to replace); got ${filters.mkString(", ")}")
+    }
+    this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
@@ -795,12 +823,13 @@ class GraftWriteBuilder(table: GraftTable,
         s"table is ${expect.simpleString}")
     new GraftWrite(table,
       info.options().getBoolean("presorted", false), truncateMode,
-      info.queryId())
+      info.queryId(), overwritePlan)
   }
 }
 
 class GraftWrite(table: GraftTable, presorted: Boolean,
-    truncate: Boolean, queryId: String = "")
+    truncate: Boolean, queryId: String = "",
+    overwritePlan: Option[GraftTable#DeletePlan] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write
       .RequiresDistributionAndOrdering {
@@ -838,7 +867,7 @@ class GraftWrite(table: GraftTable, presorted: Boolean,
 
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBatchWrite(table, taskParams(), truncate)
+    new GraftBatchWrite(table, taskParams(), truncate, overwritePlan)
 
   /** `df.writeStream.format("graft")` — each micro-batch commits as
     * ONE engine revision (the same staged write + manifest splice the
@@ -862,7 +891,8 @@ final case class GraftCommitMessage(
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftBatchWrite(table: GraftTable,
-    params: SegmentWriter.TaskParams, truncate: Boolean)
+    params: SegmentWriter.TaskParams, truncate: Boolean,
+    overwritePlan: Option[GraftTable#DeletePlan] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
@@ -879,7 +909,40 @@ class GraftBatchWrite(table: GraftTable,
         s"unexpected commit message: $other")
     }
     val series = table.series
-    try series.commitStaged(stats, truncate)
+    try overwritePlan match {
+      case None => series.commitStaged(stats, truncate)
+      case Some(plan) =>
+        // replaceWhere: the written rows must fall within the
+        // declared range — refuse before anything commits
+        plan match {
+          case r: table.DeleteRange if stats.nonEmpty =>
+            val gs = table.gschema
+            val mn = stats.map(_.min).reduce((a, b) =>
+              if (gs.cmpKey(a, b) <= 0) a else b)
+            val mx = stats.map(_.max).reduce((a, b) =>
+              if (gs.cmpKey(a, b) >= 0) a else b)
+            def inside: Boolean = {
+              val okL = r.start == null || {
+                val c = gs.cmpKey(mn, r.start)
+                c > 0 || (c == 0 && r.closed.left)
+              }
+              val okR = r.stop == null || {
+                val c = gs.cmpKey(mx, r.stop)
+                c < 0 || (c == 0 && r.closed.right)
+              }
+              okL && okR
+            }
+            require(inside,
+              s"graft overwrite: written rows [$mn, $mx] fall " +
+                s"outside the replace range [${r.start}, ${r.stop}]")
+          case _ => ()
+        }
+        series.collection.multi {
+          table.applyDelete(series,
+            plan.asInstanceOf[table.DeletePlan])
+          series.commitStaged(stats, truncate = false)
+        }
+    }
     finally series.collection.repo.store.rm(params.tmpRel,
       recursive = true)
     GraftScanProbe.lastWriteFiles = stats.length

@@ -299,6 +299,46 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == (0 until 50).map(_ * 2.0).sum)
   }
 
+  test("replaceWhere overwrite: writeTo(...).overwrite(cond)") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.rw.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.rw.s SELECT id, 1.0 FROM range(0, 300)")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // backfill days [100, 200): fewer corrected rows replace the range
+    (100L until 200L by 2).map(k => (k, 9.0)).toDF("ts", "v")
+      .writeTo(s"$cat.rw.s")
+      .overwrite(col("ts") >= lit(100L) && col("ts") < lit(200L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rw.s")
+      .collect()(0).getLong(0) == 250L) // 200 outside + 50 corrected
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.rw.s WHERE v = 9.0")
+      .collect()(0).getLong(0) == 50L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.rw.s WHERE ts >= 100 AND ts < 200")
+      .collect()(0).getLong(0) == 50L)
+    // rows outside the declared range are refused before commit
+    val e = intercept[Exception] {
+      Seq((500L, 2.0)).toDF("ts", "v").writeTo(s"$cat.rw.s")
+        .overwrite(col("ts") >= lit(100L) && col("ts") < lit(200L))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("outside the replace range")),
+      e.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rw.s")
+      .collect()(0).getLong(0) == 250L, "failed overwrite commits nothing")
+    // a value-column condition cannot be a range: refused
+    val e2 = intercept[Exception] {
+      Seq((150L, 3.0)).toDF("ts", "v").writeTo(s"$cat.rw.s")
+        .overwrite(col("v") > lit(0.0))
+    }
+    assert(chain(e2).exists(_.contains("index-range")), e2.toString)
+  }
+
   test("CALL history + VERSION AS OF a revision id") {
     val (cat, _) = newCatalog()
     spark.sql(
