@@ -362,11 +362,7 @@ class Series(val collection: Collection, val label: String) {
       stats: Seq[graft.core.SegmentWriter.FileStat],
       ranges0: Seq[(IndexKey, IndexKey, Closed)]): Unit = {
     val ranges = ranges0.sortWith((a, b) => schema.cmpKey(a._1, b._1) < 0)
-    if (ranges.isEmpty) {
-      require(stats.isEmpty,
-        "row-level write produced rows but scanned no groups")
-      return
-    }
+    if (ranges.isEmpty && stats.isEmpty) return
     val regions = new graft.core.RangeRegions(schema, ranges.toIndexedSeq)
     val byRegion = stats.groupBy { st =>
       val r = regions.regionOf(st.min)
@@ -375,9 +371,14 @@ class Series(val collection: Collection, val label: String) {
           s"([${st.min}, ${st.max}]) — writer rolling failed")
       r
     }
-    // gap files may only land on FREE index space: any overlap with a
-    // visible segment outside the replaced set means the operation is
-    // about to clobber rows it never read — refuse loudly
+    // gap files (rows outside every replaced window — MERGE inserts,
+    // relocated index keys; with zero matched groups, every file) may
+    // only land on FREE index space: any overlap with a visible
+    // segment outside the replaced set means the operation is about
+    // to clobber rows it never read — refuse loudly. Each gap file
+    // then splices INDIVIDUALLY over its own [min, max]: a combined
+    // cover could span an untouched segment sitting between two
+    // inserts inside the same gap.
     val gapGroups = byRegion.filter(_._1 < 0)
     if (gapGroups.nonEmpty) {
       val untouched = segments().filter(_.meta.hasData).filterNot(s =>
@@ -407,8 +408,11 @@ class Series(val collection: Collection, val label: String) {
         }
       }
       gapGroups.toSeq.sortBy(_._1).foreach { case (_, sts) =>
-        commitRows(sealSegments(sts, null, null, Closed.Both),
-          root = false)
+        sts.sortWith((x, y) => schema.cmpKey(x.min, y.min) < 0)
+          .foreach { st =>
+            commitRows(sealSegments(Seq(st), null, null, Closed.Both),
+              root = false)
+          }
       }
     }
   }

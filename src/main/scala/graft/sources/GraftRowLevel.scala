@@ -196,12 +196,22 @@ class GraftCowBatchWrite(table: GraftTable,
     require(ranges != null,
       "graft row-level write started before its scan planned — " +
         "cannot determine the replaced groups")
+    // roll boundaries = replaced windows PLUS the untouched visible
+    // windows: a staged file must never straddle an existing segment
+    // either, or commitReplace's per-file gap splices (and its
+    // occupied-space check) would have to refuse legitimate inserts
+    // that merely bracket untouched data
+    val gs = params.gschema
+    val replacedSet = ranges.toSet
+    val untouched = table.series.segments().filter(_.meta.hasData)
+      .map(s => (s.start, s.stop, s.closed))
+      .filterNot(replacedSet.contains)
+    val rollWindows = (ranges ++ untouched)
+      .sortWith((a, b) => gs.cmpKey(a._1, b._1) < 0)
     new GraftCowWriterFactory(params,
       new SegmentWriter.SerConf(
         SparkSession.active.sessionState.newHadoopConf()),
-      new RangeRegions(params.gschema,
-        ranges.sortWith((a, b) =>
-          params.gschema.cmpKey(a._1, b._1) < 0).toIndexedSeq))
+      new RangeRegions(gs, rollWindows.toIndexedSeq))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -115,6 +115,53 @@ class GraftRowLevelSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 20L)
   }
 
+  test("MERGE with zero matches: pure inserts into free space") {
+    val (cat, _) = seeded()
+    // nothing matches (ts 5000+), all rows are inserts — the scan
+    // plans zero groups and the write must still land
+    spark.sql(
+      s"""MERGE INTO $cat.c.s t USING (
+         |  SELECT id AS ts, cast(-9.0 AS DOUBLE) AS v, 'new' AS tag
+         |  FROM range(5000, 5020)
+         |) s ON t.ts = s.ts
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 320L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE tag = 'new'")
+      .collect()(0).getLong(0) == 20L)
+  }
+
+  test("MERGE inserts bracketing an untouched segment don't clobber it") {
+    val (cat, root) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.c.s (ts BIGINT, v DOUBLE) " +
+      s"PARTITIONED BY (ts)")
+    // three islands with free space between them
+    Seq((0, 100), (200, 300), (400, 500)).foreach { case (a, b) =>
+      spark.sql(s"INSERT INTO $cat.c.s SELECT id, 1.0 " +
+        s"FROM range($a, $b)")
+    }
+    // inserts at 150 and 350: free gaps, but the untouched island
+    // [200, 300) sits BETWEEN them — a combined splice cover would
+    // swallow it
+    spark.sql(
+      s"""MERGE INTO $cat.c.s t USING (
+         |  SELECT * FROM VALUES (150L, 5.0), (350L, 5.0) AS x(ts, v)
+         |) s ON t.ts = s.ts
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.s")
+      .collect()(0).getLong(0) == 302L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE ts >= 200 AND ts < 300")
+      .collect()(0).getLong(0) == 100L,
+      "the untouched middle island must survive")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.c.s WHERE v = 5.0")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("relocating rows onto unscanned data is refused") {
     val (cat, _) = seeded()
     // move ts 120..139 onto 220..239 — occupied space in a segment
