@@ -174,6 +174,78 @@ object QueriesStream {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** INCREMENTAL MATERIALIZED VIEW over the versioned store: the CDC
+    * stream (`readStream.format("graft")`) tails a series' commits,
+    * and each micro-batch MERGEs its partial aggregate into a
+    * catalog-managed summary table — matched groups ADD their deltas,
+    * unseen groups insert (the first batch exercises the
+    * zero-matched-groups MERGE). The summary after the drain must
+    * equal the oracle's one-shot recompute over all events — the
+    * exactly-once composition of the round-9 streaming source and
+    * copy-on-write MERGE. */
+  def q198_incremental_mv(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Repo
+    import graft.core.GSchema
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-qs").toString
+    val repo = new Repo(root, s)
+    val schema = GSchema("ts" -> "timestamp*", "event_id" -> "int*",
+      "value" -> "float", "event_type" -> "str")
+    val sr = repo.createCollection(schema, "events").series("_")
+    Tables.init(s)
+    val ev = Tables.table(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+    // two source commits, then the CDC drain
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    sr.write(ev.filter(col("ts") < cut))
+    sr.write(ev.filter(col("ts") >= cut))
+    val cat = "gq198_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.mv.by_type
+         |(event_type STRING, cnt BIGINT, val_micro BIGINT)
+         |PARTITIONED BY (event_type)""".stripMargin)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-qs-ck").toString
+    val q = s.readStream.format("graft")
+      .option("path", root).option("collection", "events")
+      .option("series", "_").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // the micro-batch runs in a CLONED session — register the
+          // view and run the MERGE there, not in the outer session
+          batch.createOrReplaceTempView("gq198_batch")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $cat.mv.by_type t USING (
+               |  SELECT event_type, count(*) AS cnt,
+               |    sum(cast(round(value * 1000000, 0) AS bigint))
+               |      AS val_micro
+               |  FROM gq198_batch GROUP BY event_type
+               |) src ON t.event_type = src.event_type
+               |WHEN MATCHED THEN UPDATE SET
+               |  cnt = t.cnt + src.cnt,
+               |  val_micro = t.val_micro + src.val_micro
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    s.sql(s"SELECT event_type, cnt, val_micro FROM $cat.mv.by_type " +
+      s"ORDER BY event_type")
+  }
+
+  val q198_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events GROUP BY event_type ORDER BY event_type"""
+      .stripMargin
+
   val q190_oracle: String =
     """SELECT event_type, count(*)::BIGINT AS cnt,
       |  sum(event_id)::BIGINT AS id_sum,
@@ -504,6 +576,7 @@ object QueriesStream {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_stream_connector" -> q178_stream_connector _,
     "q190_stream_native_sink" -> q190_stream_native_sink _,
+    "q198_incremental_mv" -> q198_incremental_mv _,
     "q169_stream_funnel" -> q169_stream_funnel _,
     "q163_stream_ohlc" -> q163_stream_ohlc _,
     "q144_stream_drift" -> q144_stream_drift _,
@@ -518,6 +591,7 @@ object QueriesStream {
   val oracles: Map[String, String] = Map(
     "q178_stream_connector" -> q178_oracle,
     "q190_stream_native_sink" -> q190_oracle,
+    "q198_incremental_mv" -> q198_oracle,
     "q169_stream_funnel" -> q169_oracle,
     "q163_stream_ohlc" -> q163_oracle,
     "q144_stream_drift" -> q144_oracle,
