@@ -1101,6 +1101,121 @@ object QueriesSeries {
       |           AND event_id % 2 <> 0)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** RIGHT-TO-BE-FORGOTTEN in a versioned store — the governance flow
+    * a time-travelable engine must make watertight: a value-predicate
+    * SQL DELETE removes one source's documents (copy-on-write over
+    * the touched segments), then `CALL sys.squash` collapses the
+    * changelog (no revision can resurrect them) and `CALL sys.gc`
+    * reaps the now-unreferenced pre-delete segment files. The query
+    * REQUIRES files were actually collected and that zero rows of the
+    * forgotten source survive; the aggregate must match the oracle's
+    * recompute over everything else. */
+  def q199_forget_source(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq199_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.docs.corpus
+         |(doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT)
+         |PARTITIONED BY (doc_id)""".stripMargin)
+    Tables.table(s, dir, "documents")
+      .createOrReplaceTempView("gq199_src")
+    s.sql(s"INSERT INTO $cat.docs.corpus " +
+      s"SELECT doc_id, source, lang, n_chars FROM gq199_src")
+    val victim = s.sql(
+      "SELECT source FROM gq199_src GROUP BY source " +
+        "ORDER BY count(*) DESC, source LIMIT 1")
+      .collect()(0).getString(0)
+    s.sql(s"DELETE FROM $cat.docs.corpus WHERE source = '$victim'")
+    require(s.sql(s"CALL $cat.sys.squash('docs')").collect()(0)
+      .getLong(2) == 1L)
+    val collected = s.sql(s"CALL $cat.sys.gc(timeout_ms => 0)")
+      .collect()(0).getLong(0)
+    require(collected >= 1L,
+      s"gc must reap the pre-delete files, collected=$collected")
+    require(s.sql(
+      s"SELECT count(*) FROM $cat.docs.corpus WHERE source = '$victim'")
+      .collect()(0).getLong(0) == 0L, "forgotten source must be gone")
+    s.sql(
+      s"""SELECT source, lang, count(*) AS cnt,
+         |  sum(n_chars) AS chars
+         |FROM $cat.docs.corpus
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+  }
+
+  val q199_oracle: String =
+    """WITH victim AS (
+      |  SELECT source FROM documents GROUP BY source
+      |  ORDER BY count(*) DESC, source LIMIT 1
+      |)
+      |SELECT source, lang, count(*)::BIGINT AS cnt,
+      |  sum(n_chars)::BIGINT AS chars
+      |FROM documents
+      |WHERE source <> (SELECT source FROM victim)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** DATASET RELEASE capstone — the end-to-end flow a training-data
+    * team ships: quality-filter the corpus, exact-dedup by content
+    * hash (first doc_id wins), land the release as a versioned series
+    * (one squash = one citable revision), answer the release's token
+    * budget from MANIFEST METADATA alone (count + integer-sum
+    * pushdown, probe-required), and publish the per-language card.
+    * The oracle recomputes the same curation in one SQL statement, so
+    * any stage corrupting rows hash-mismatches. */
+  def q200_dataset_release(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val repo = new Repo(root, s)
+    val clct = repo.createCollection(GSchema(
+      "doc_id" -> "int*", "lang" -> "str", "tokens" -> "int"),
+      "release")
+    clct.embedMaxSize = 0L
+    Tables.table(s, dir, "documents")
+      .createOrReplaceTempView("gq200_src")
+    val curated = s.sql(
+      """SELECT doc_id, lang, n_chars AS tokens FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM gq200_src WHERE n_chars >= 200
+        |) WHERE rn = 1""".stripMargin)
+    clct.series("_").write(curated)
+    val cat = "gq200_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    require(s.sql(s"CALL $cat.sys.squash('release')").collect()(0)
+      .getLong(2) == 1L, "a release is one citable revision")
+    s.read.format("graft").option("path", root)
+      .option("collection", "release").option("series", "_").load()
+      .createOrReplaceTempView("gq200_rel")
+    graft.sources.GraftScanProbe.lastAggPushed = false
+    val budget = s.sql(
+      "SELECT count(*), sum(tokens) FROM gq200_rel").collect()(0)
+    require(graft.sources.GraftScanProbe.lastAggPushed,
+      "the release's token budget must answer from metadata")
+    require(budget.getLong(0) > 0L && budget.getLong(1) > 0L)
+    s.sql(
+      """SELECT lang, count(*) AS cnt, sum(tokens) AS tokens
+        |FROM gq200_rel GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q200_oracle: String =
+    """WITH curated AS (
+      |  SELECT doc_id, lang, n_chars FROM (
+      |    SELECT doc_id, lang, n_chars,
+      |      row_number() OVER (PARTITION BY md5(text)
+      |                         ORDER BY doc_id) AS rn
+      |    FROM documents WHERE n_chars >= 200
+      |  ) WHERE rn = 1
+      |)
+      |SELECT lang, count(*)::BIGINT AS cnt,
+      |  sum(n_chars)::BIGINT AS tokens
+      |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1783,6 +1898,8 @@ object QueriesSeries {
     "q195_token_budget" -> q195_token_budget _,
     "q196_asof_revision_join" -> q196_asof_revision_join _,
     "q197_replace_where" -> q197_replace_where _,
+    "q199_forget_source" -> q199_forget_source _,
+    "q200_dataset_release" -> q200_dataset_release _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1830,6 +1947,8 @@ object QueriesSeries {
     "q195_token_budget" -> q195_oracle,
     "q196_asof_revision_join" -> q196_oracle,
     "q197_replace_where" -> q197_oracle,
+    "q199_forget_source" -> q199_oracle,
+    "q200_dataset_release" -> q200_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,
