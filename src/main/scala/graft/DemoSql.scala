@@ -53,6 +53,15 @@ object DemoSql {
     val rev = spark.sql("CALL g.sys.history('prices')")
       .collect()(0).getString(0)
     sql(s"SELECT count(*) FROM g.prices.btc VERSION AS OF '$rev'")
+    // metadata tables: the manifest and changelog as zero-job relations
+    sql("SELECT * FROM g.prices.btc.segments")
+    sql("""SELECT revision, committed_at, is_leaf, segments, rows
+          |FROM g.prices.btc.history""".stripMargin)
+    // a bad deploy, undone: CALL restore is the rollback verb
+    sql("UPDATE g.prices.btc SET px = 0 WHERE px > 0")
+    sql("SELECT count(*) FROM g.prices.btc WHERE px = 0")
+    sql(s"CALL g.sys.restore('prices', '$rev')")
+    sql("SELECT count(*) FROM g.prices.btc WHERE px = 0")
     sql("SHOW PROCEDURES IN g.sys")
     println("\n== done: repo at " + root)
     spark.stop()

@@ -1216,6 +1216,119 @@ object QueriesSeries {
       |  sum(n_chars)::BIGINT AS tokens
       |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** METADATA TABLES ([[graft.sources.GraftMetaTable]]): 4-part names
+    * `cat.<collection>.<series>.segments|.history` expose the leaf
+    * manifest and the changelog as relations served by a DRIVER-LOCAL
+    * scan (Spark's DSv2 `LocalScan` → `LocalTableScanExec`): metadata
+    * queries cost zero Spark jobs, like the engine's own metadata
+    * operations. The query appends the events table twice (two
+    * revisions), REQUIRES the zero-job plan, then reconciles the
+    * store's self-reported state — `sum(rows)` over `segments` now
+    * and `VERSION AS OF` the first revision, plus revision count and
+    * leaf row count from `history` — against the oracle's recompute
+    * from the raw source. */
+  def q201_meta_tables(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq201_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq201_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq201_src")
+    s.sql(
+      s"""INSERT INTO $cat.events.ev
+         |SELECT ts + INTERVAL 1000 DAY AS ts, event_id, value,
+         |  event_type
+         |FROM gq201_src""".stripMargin)
+    val seg = s.sql(
+      s"SELECT sum(rows) AS r FROM $cat.events.ev.segments")
+    require(seg.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "metadata tables must plan as a driver-local scan (zero jobs), " +
+        s"got:\n${seg.queryExecution.executedPlan}")
+    val rev = s.sql(
+      s"""SELECT revision FROM $cat.events.ev.history
+         |ORDER BY committed_at LIMIT 1""".stripMargin)
+      .collect()(0).getString(0)
+    s.sql(
+      s"""SELECT t.total_rows, f.first_rows, h.n_revisions, h.leaf_rows
+         |FROM (SELECT sum(rows) AS total_rows
+         |      FROM $cat.events.ev.segments) t
+         |CROSS JOIN (SELECT sum(rows) AS first_rows
+         |            FROM $cat.events.ev.segments
+         |            VERSION AS OF '$rev') f
+         |CROSS JOIN (SELECT count(*) AS n_revisions,
+         |              max(rows) AS leaf_rows
+         |            FROM $cat.events.ev.history) h""".stripMargin)
+  }
+
+  val q201_oracle: String =
+    """SELECT (2 * count(*))::BIGINT AS total_rows,
+      |  count(*)::BIGINT AS first_rows,
+      |  2::BIGINT AS n_revisions,
+      |  (2 * count(*))::BIGINT AS leaf_rows
+      |FROM events""".stripMargin
+
+  /** `CALL sys.restore` — the Delta RESTORE / Iceberg
+    * rollback_to_snapshot verb ([[graft.sources.GraftProcedures]]):
+    * a bad deploy UPDATEs and DELETEs the table, then restore commits
+    * the pre-deploy revision's manifest FORWARD as the new leaf (the
+    * undone revisions remain time-travelable; restore is itself
+    * undoable). The aggregate afterwards must equal the oracle's
+    * recompute over the UNTOUCHED source — the q199 complement:
+    * forget proves deletes are permanent, restore proves mistakes
+    * are not. */
+  def q202_restore(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq202_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq202_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq202_src")
+    val rev1 = s.sql(
+      s"""SELECT revision FROM $cat.events.ev.history
+         |ORDER BY committed_at LIMIT 1""".stripMargin)
+      .collect()(0).getString(0)
+    // the bad deploy: corrupt half the values, drop a whole day
+    s.sql(
+      s"""UPDATE $cat.events.ev SET value = value * 1000
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'""".stripMargin)
+    s.sql(
+      s"""DELETE FROM $cat.events.ev
+         |WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-04 00:00:00'""".stripMargin)
+    val r = s.sql(
+      s"CALL $cat.sys.restore('events', '$rev1')").collect()(0)
+    require(r.getString(1) == rev1 && r.getLong(3) > 0L,
+      s"restore must land on $rev1: $r")
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(event_id) AS id_sum,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q202_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(event_id)::BIGINT AS id_sum,
+      |  sum(round(value * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -1900,6 +2013,8 @@ object QueriesSeries {
     "q197_replace_where" -> q197_replace_where _,
     "q199_forget_source" -> q199_forget_source _,
     "q200_dataset_release" -> q200_dataset_release _,
+    "q201_meta_tables" -> q201_meta_tables _,
+    "q202_restore" -> q202_restore _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -1949,6 +2064,8 @@ object QueriesSeries {
     "q197_replace_where" -> q197_oracle,
     "q199_forget_source" -> q199_oracle,
     "q200_dataset_release" -> q200_oracle,
+    "q201_meta_tables" -> q201_oracle,
+    "q202_restore" -> q202_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

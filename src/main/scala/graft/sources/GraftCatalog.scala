@@ -28,6 +28,8 @@ import graft.core.{ColDef, GSchema, GType}
   * INSERT INTO g.prices.btc SELECT ...    -- the engine's one-job write
   * SELECT * FROM g.prices.btc WHERE ts > X  -- manifest-pruned scan
   * SELECT * FROM g.prices.btc TIMESTAMP AS OF '...'  -- time travel
+  * SELECT * FROM g.prices.btc.segments   -- metadata tables: zero-job
+  * SELECT * FROM g.prices.btc.history    --   driver-local scans
   * DROP TABLE g.prices.btc
   * }}}
   *
@@ -89,32 +91,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(c) => c.ls().map(Identifier.of(ns, _)).toArray
     }
 
-  override def loadTable(ident: Identifier): Table = {
-    val clct = collectionOf(ident.namespace())
-    if (repo.collection(clct).isEmpty)
-      throw new NoSuchTableException(ident)
-    new GraftTable(rootUri, clct, ident.name(), None)
-  }
+  override def loadTable(ident: Identifier): Table =
+    if (ident.namespace().length == 2) metaTable(ident, None)
+    else {
+      val clct = collectionOf(ident.namespace())
+      if (repo.collection(clct).isEmpty)
+        throw new NoSuchTableException(ident)
+      new GraftTable(rootUri, clct, ident.name(), None)
+    }
 
   /** TIMESTAMP AS OF — Spark passes MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long)
-      : Table = {
-    val clct = collectionOf(ident.namespace())
-    if (repo.collection(clct).isEmpty)
-      throw new NoSuchTableException(ident)
-    new GraftTable(rootUri, clct, ident.name(),
-      Some(timestampMicros / 1000L))
-  }
+      : Table =
+    if (ident.namespace().length == 2)
+      metaTable(ident, Some(timestampMicros / 1000L))
+    else {
+      val clct = collectionOf(ident.namespace())
+      if (repo.collection(clct).isEmpty)
+        throw new NoSuchTableException(ident)
+      new GraftTable(rootUri, clct, ident.name(),
+        Some(timestampMicros / 1000L))
+    }
 
   /** VERSION AS OF — epoch millis on the changelog clock, or a
     * REVISION ID (the `revision` column of `CALL g.sys.history`, full
     * `hextime-sha1` or any unambiguous prefix): the snapshot pins to
     * that revision's commit instant. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val clct = collectionOf(ident.namespace())
-    val c = repo.collection(clct).getOrElse(
-      throw new NoSuchTableException(ident))
-    val ms = scala.util.Try(version.toLong).getOrElse {
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (ident.namespace().length == 2) {
+      val c = repo.collection(ident.namespace()(0)).getOrElse(
+        throw new NoSuchTableException(ident))
+      metaTable(ident, Some(resolveVersionMs(c, version)))
+    } else {
+      val clct = collectionOf(ident.namespace())
+      val c = repo.collection(clct).getOrElse(
+        throw new NoSuchTableException(ident))
+      new GraftTable(rootUri, clct, ident.name(),
+        Some(resolveVersionMs(c, version)))
+    }
+
+  private def resolveVersionMs(c: graft.api.Collection, version: String)
+      : Long =
+    scala.util.Try(version.toLong).getOrElse {
       val hits = c.changelog.log().filter(r =>
         r.child == version || r.child.startsWith(version) ||
           r.digest.startsWith(version))
@@ -128,12 +146,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"(${hits.length} revisions match)")
       }
     }
-    new GraftTable(rootUri, clct, ident.name(), Some(ms))
+
+  /** 4-part names select a METADATA TABLE of a series —
+    * `cat.<collection>.<series>.segments` / `.history`
+    * ([[GraftMetaTable]], a zero-job driver-local scan). */
+  private def metaTable(ident: Identifier, beforeMs: Option[Long])
+      : Table = {
+    val clct = ident.namespace()(0)
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (repo.collection(clct).isEmpty ||
+        !GraftMetaTable.kinds.contains(kind))
+      throw new NoSuchTableException(ident)
+    new GraftMetaTable(rootUri, clct, ident.namespace()(1), kind,
+      beforeMs)
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    repo.collection(collectionOf(ident.namespace()))
-      .exists(_.ls().contains(ident.name()))
+    if (ident.namespace().length == 2)
+      GraftMetaTable.kinds.contains(
+        ident.name().toLowerCase(java.util.Locale.ROOT)) &&
+        repo.collection(ident.namespace()(0))
+          .exists(_.ls().contains(ident.namespace()(1)))
+    else
+      repo.collection(collectionOf(ident.namespace()))
+        .exists(_.ls().contains(ident.name()))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])

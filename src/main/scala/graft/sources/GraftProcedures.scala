@@ -22,6 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL g.sys.gc()                                -- two-phase unreferenced-file GC
   * CALL g.sys.clone('prices', 'prices_v2')        -- zero-copy collection clone
   * CALL g.sys.archive('prices')                   -- move to the archive namespace
+  * CALL g.sys.restore('prices', '<revision>')    -- Delta RESTORE analogue
   * CALL g.sys.push('/path/or/uri/to/remote')      -- repo sync (push)
   * CALL g.sys.pull('/path/or/uri/to/remote')      -- repo sync (pull)
   * SHOW PROCEDURES IN g.sys; DESCRIBE PROCEDURE g.sys.defrag
@@ -50,7 +51,8 @@ private[sources] object GraftProcedures {
     "push" -> (new Push(_)),
     "pull" -> (new Pull(_)),
     "history" -> (new History(_)),
-    "analyze" -> (new Analyze(_)))
+    "analyze" -> (new Analyze(_)),
+    "restore" -> (new Restore(_)))
 
   def load(rootUri: String, ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().length == 1 &&
@@ -437,5 +439,61 @@ private final class Pull(rootUri: String) extends ProcBase(rootUri) {
     repo.pull(remote, labels, shallow)
     val n = (if (labels.nonEmpty) labels else remote.ls()).length.toLong
     Seq(str(remoteUri), n)
+  }
+}
+
+/** RESTORE a collection to an earlier revision (the Delta RESTORE /
+  * Iceberg rollback_to_snapshot verb): decode the pinned revision's
+  * manifest and commit it as the NEW leaf. Restoration is a FORWARD
+  * commit — the undone revisions stay in the changelog (time travel
+  * still reads them; `sys.trim`/`sys.squash` retire them; a later
+  * `sys.gc` reaps files only they referenced), so a restore is itself
+  * undoable. Accepts the same version forms as `VERSION AS OF`: a
+  * revision id from `CALL sys.history` (full or unambiguous prefix)
+  * or epoch millis on the changelog clock. */
+private final class Restore(rootUri: String) extends ProcBase(rootUri) {
+  override def name(): String = "restore"
+  override def description(): String =
+    "Commit an earlier revision's manifest as the new leaf (RESTORE)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("collection", StringType).build(),
+    ProcedureParameter.in("version", StringType).build())
+  override protected val out: StructType = StructType(Seq(
+    StructField("collection", StringType, nullable = false),
+    StructField("restored_to", StringType, nullable = false),
+    StructField("segments", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+  override protected def run(in: InternalRow): Seq[Any] = {
+    val label = in.getUTF8String(0).toString
+    val version = in.getUTF8String(1).toString
+    val c = collection(label)
+    val log = c.changelog.log()
+    val rev = scala.util.Try(version.toLong).toOption match {
+      case Some(ms) => log.filter(_.epochMs <= ms).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft restore: no revision at or before epoch ms $ms"))
+      case None =>
+        val hits = log.filter(r =>
+          r.child == version || r.child.startsWith(version) ||
+            r.digest.startsWith(version))
+        hits match {
+          case Seq(r) => r
+          case Seq() => throw new IllegalArgumentException(
+            s"graft restore: no revision matches '$version' (a " +
+              "revision id from CALL sys.history, or epoch millis)")
+          case _ => throw new IllegalArgumentException(
+            s"graft restore: '$version' is ambiguous " +
+              s"(${hits.length} revisions match)")
+        }
+    }
+    val m = c.decodeCached(rev)
+    // forward commit of the old manifest; a no-op restore (leaf ==
+    // target payload) is skipped by the changelog's double-write guard
+    c.changelog.commit(m.encode, parents = Seq(c.changelog.leaf()
+      .map(_.child).getOrElse(graft.core.Changelog.Phi)))
+    c.refresh()
+    val dataRows = m.rows.filter(_.hasData)
+    Seq(str(label), str(rev.child), dataRows.length.toLong,
+      dataRows.map(_.length).sum)
   }
 }

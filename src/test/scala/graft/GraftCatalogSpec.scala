@@ -505,4 +505,120 @@ class GraftCatalogSpec extends AnyFunSuite {
         org.apache.spark.sql.sources.EqualTo("ts", 999999L)))
     assert(scan2.toBatch.planInputPartitions().isEmpty)
   }
+
+  test("metadata tables: .segments/.history are zero-job local scans") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.m.s (ts TIMESTAMP, px DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.m.s
+         |SELECT timestamp_seconds(id * 60), id * 0.5
+         |FROM range(0, 1000)""".stripMargin)
+    Thread.sleep(3) // hextime is ms-precision; separate the revisions
+    spark.sql(
+      s"""INSERT INTO $cat.m.s
+         |SELECT timestamp_seconds(100000 + id * 60), id * 1.5
+         |FROM range(0, 200)""".stripMargin)
+
+    // segments: one per INSERT commit; visible rows reconcile
+    val seg = spark.sql(s"SELECT * FROM $cat.m.s.segments")
+    assert(seg.schema.fieldNames.toSeq ==
+      graft.sources.GraftMetaTable.segmentsSchema.fieldNames.toSeq)
+    // zero Spark jobs: the plan is a driver-local scan
+    assert(seg.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      s"expected LocalTableScan:\n${seg.queryExecution.executedPlan}")
+    val rows = seg.collect()
+    assert(rows.map(_.getAs[Long]("rows")).sum == 1200L)
+    assert(rows.forall(r => !r.getAs[Boolean]("is_inline")))
+    assert(rows.length >= 2)
+    assert(rows.flatMap(_.getSeq[String](
+      rows(0).fieldIndex("files"))).distinct.length >= 2)
+
+    // history: two revisions, leaf carries all rows of this series
+    val hist = spark.sql(
+      s"""SELECT revision, is_leaf, segments, rows
+         |FROM $cat.m.s.history ORDER BY committed_at""".stripMargin)
+      .collect()
+    assert(hist.length == 2)
+    assert(hist(1).getAs[Boolean]("is_leaf"))
+    assert(hist(1).getAs[Long]("rows") == 1200L)
+    assert(hist(0).getAs[Long]("rows") == 1000L)
+
+    // VERSION AS OF a revision id pins the metadata snapshot too
+    val rev1 = hist(0).getString(0)
+    val pinned = spark.sql(
+      s"""SELECT sum(rows) FROM $cat.m.s.segments
+         |VERSION AS OF '$rev1'""".stripMargin).collect()(0).getLong(0)
+    assert(pinned == 1000L)
+
+    // a second series in the collection sees only its own segments
+    spark.sql(
+      s"""CREATE TABLE $cat.m.t (ts TIMESTAMP, px DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.m.t
+         |SELECT timestamp_seconds(id * 60), id FROM range(0, 7)"""
+        .stripMargin)
+    assert(spark.sql(s"SELECT sum(rows) FROM $cat.m.t.segments")
+      .collect()(0).getLong(0) == 7L)
+    assert(spark.sql(s"SELECT sum(rows) FROM $cat.m.s.segments")
+      .collect()(0).getLong(0) == 1200L)
+    // each data segment is EITHER file-backed or manifest-inline
+    assert(spark.sql(s"SELECT * FROM $cat.m.t.segments")
+      .collect().forall(r => r.getAs[Boolean]("is_inline") !=
+        r.getSeq[String](r.fieldIndex("files")).nonEmpty))
+
+    // unknown 4th part stays an analysis error
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.m.s.nonsense").collect())
+    assert(e.getMessage.contains("nonsense") ||
+      e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("CALL restore rolls back to a revision, forward-committed") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.r.s (ts TIMESTAMP, px DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.r.s
+         |SELECT timestamp_seconds(id * 60), id * 1.0
+         |FROM range(0, 500)""".stripMargin)
+    Thread.sleep(3)
+    def total: Double = spark.sql(
+      s"SELECT sum(px) FROM $cat.r.s").collect()(0).getDouble(0)
+    val good = total
+    val rev1 = spark.sql(
+      s"""SELECT revision FROM $cat.r.s.history
+         |ORDER BY committed_at LIMIT 1""".stripMargin)
+      .collect()(0).getString(0)
+    // bad deploy: overwrite a range with corrupted values
+    spark.sql(
+      s"""INSERT INTO $cat.r.s
+         |SELECT timestamp_seconds(id * 60), id * 100.0
+         |FROM range(0, 500)""".stripMargin)
+    assert(total != good)
+    Thread.sleep(3)
+    val r = spark.sql(s"CALL $cat.sys.restore('r', '$rev1')")
+      .collect()(0)
+    assert(r.getString(1) == rev1 && r.getLong(3) == 500L)
+    assert(total == good)
+    // the restore is a FORWARD commit: history kept the bad revision
+    // and added one for the restore itself
+    val hist = spark.sql(
+      s"""SELECT revision FROM $cat.r.s.history
+         |ORDER BY committed_at""".stripMargin).collect()
+    assert(hist.length == 3)
+    // ...so the restore is itself undoable: restore to the bad leaf
+    Thread.sleep(3)
+    spark.sql(s"CALL $cat.sys.restore('r', '${hist(1).getString(0)}')")
+      .collect()
+    assert(total != good)
+    // unknown version -> clear error
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.sys.restore('r', 'zzzz')").collect())
+    assert(e.getMessage.contains("no revision matches"))
+  }
 }
