@@ -1,0 +1,90 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side metadata costs at a 100 TB-scale manifest: 1e5
+  * segments (100k segments × ~500k rows × ~2 KB/row ≈ 100 TB). Every
+  * query pays the driver-side plan — prune, splice, encode, decode —
+  * so these must stay interactive at that size. The bounds are
+  * deliberately generous absolute ceilings (shared-host noise), but
+  * tight enough that a regression to quadratic planning fails
+  * loudly; the pruned/spliced SETS are asserted exactly.
+  */
+class ManifestScaleSpec extends AnyFunSuite {
+  private val schema = GSchema("ts" -> "int*", "v" -> "float")
+  private val N = 100000
+
+  // N disjoint left-closed [i*100, (i+1)*100) segments, one file each
+  private lazy val big: Manifest = {
+    val rows = Vector.tabulate(N) { i =>
+      SegmentMeta("_", IndexKey(Vector(i * 100L)),
+        IndexKey(Vector((i + 1) * 100L)), Closed.Left, 100L,
+        Vector(f"seg/aa/bb/$i%08d.parquet"))
+    }
+    Manifest(schema, rows)
+  }
+
+  test("pruning a 100k-segment manifest: exact and interactive") {
+    big.size // build outside the timed region
+    val t0 = System.nanoTime()
+    (0 until 50).foreach { q =>
+      val lo = (q * 199999L) % (N.toLong * 100 - 1000)
+      val got = big.segments("_", Some(IndexKey(Vector(lo))),
+        Some(IndexKey(Vector(lo + 300L))), Closed.Left)
+      // [lo, lo+300) over width-100 tiles covers 3 or 4 segments
+      assert(got.length >= 3 && got.length <= 4,
+        s"[$lo, ${lo + 300}) -> ${got.length} segments")
+      // clipped visible bounds land exactly on the query window
+      assert(got.head.start == IndexKey(Vector(lo)))
+      assert(got.last.stop == IndexKey(Vector(lo + 300L)))
+      assert(got.flatMap(_.meta.files).distinct.length == got.length)
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 5000, f"50 prunes over $N segments took $ms%.0f ms")
+    info(f"50 prunes over $N segments: $ms%.0f ms total")
+  }
+
+  test("a write splices into a 100k-segment manifest via bisect") {
+    big.size
+    val base = 5000000L
+    val tiles = Seq.tabulate(8)(j => SegmentMeta("_",
+      IndexKey(Vector(base + j * 100L)),
+      IndexKey(Vector(base + (j + 1) * 100L)), Closed.Left, 100L,
+      Vector(f"seg/cc/dd/$j%04d.parquet")))
+    val t0 = System.nanoTime()
+    val m2 = Manifest.spliceWrite(big, tiles)
+    val ms = (System.nanoTime() - t0) / 1e6
+    // the overlay replaced exactly the 8 covered tiles
+    assert(math.abs(m2.size - big.size) <= 2, s"${m2.size} vs ${big.size}")
+    val after = m2.segments("_", Some(IndexKey(Vector(base))),
+      Some(IndexKey(Vector(base + 800L))), Closed.Left)
+    assert(after.flatMap(_.meta.files).toSet ==
+      tiles.flatMap(_.files).toSet, "spliced window must serve the new files")
+    // neighbors outside the window are untouched
+    val left = m2.segments("_", Some(IndexKey(Vector(base - 100L))),
+      Some(IndexKey(Vector(base))), Closed.Left)
+    assert(left.flatMap(_.meta.files) ==
+      Vector(f"seg/aa/bb/${base / 100 - 1}%08d.parquet"))
+    assert(ms < 2000, f"splice took $ms%.0f ms")
+    info(f"8-tile splice into $N segments: $ms%.0f ms")
+  }
+
+  test("encode/decode round-trips 100k segments within bounds") {
+    big.size
+    val t0 = System.nanoTime()
+    val bytes = big.encode
+    val tEnc = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val m2 = Manifest.decode(bytes)
+    val tDec = (System.nanoTime() - t1) / 1e6
+    assert(m2.size == big.size)
+    assert(m2.rows(12345) == big.rows(12345))
+    assert(m2.rows(N - 1) == big.rows(N - 1))
+    // one commit's metadata cost at 100 TB scale: seconds, not minutes
+    assert(tEnc < 10000, f"encode $tEnc%.0f ms")
+    assert(tDec < 10000, f"decode $tDec%.0f ms")
+    info(f"$N-segment manifest: ${bytes.length / 1024} KB, " +
+      f"encode $tEnc%.0f ms, decode $tDec%.0f ms")
+  }
+}
