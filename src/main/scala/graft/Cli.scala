@@ -27,6 +27,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli <repoRoot> defrag <collection>
   *   graft.Cli <repoRoot> trim <collection> <epochMs>
   *   graft.Cli <repoRoot> squash <collection>
+  *   graft.Cli <repoRoot> restore <collection> <revision|epochMs>
   *   graft.Cli <repoRoot> sql "<query>"   SQL over <collection>_<series> views
   *   graft.Cli <repoRoot> gc
   *   graft.Cli <repoRoot> serve <port>                HTTP POD server
@@ -142,6 +143,9 @@ object Cli {
       case "squash" =>
         repo.collection(args(2)).get.squash()
         println("squashed")
+      case "restore" =>
+        val rev = repo.collection(args(2)).get.restore(args(3))
+        println(s"restored to ${rev.child}")
       case "export-repo" =>
         repo.exportTo(args(2), args.drop(3).toSeq)
         println(s"exported repo to ${args(2)}")

@@ -255,6 +255,45 @@ class Collection(val repo: Repo, val label: String, val path: String,
     ()
   }
 
+  /** RESTORE to an earlier revision (Delta RESTORE / Iceberg
+    * rollback_to_snapshot): commit that revision's manifest FORWARD
+    * as the new leaf — undone revisions stay in the changelog (time
+    * travel still reads them; restore is itself undoable; `trim`/
+    * `squash` + `gc` retire them for real). `version` is a revision
+    * id (full or unambiguous prefix) or epoch millis on the
+    * changelog clock. Returns the revision restored to. */
+  def restore(version: String): graft.core.Revision = {
+    val log = changelog.log()
+    val rev = scala.util.Try(version.toLong).toOption match {
+      case Some(ms) => log.filter(_.epochMs <= ms).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft restore: no revision at or before epoch ms $ms"))
+      case None =>
+        val hits = log.filter(r =>
+          r.child == version || r.child.startsWith(version) ||
+            r.digest.startsWith(version))
+        hits match {
+          case Seq(r) => r
+          case Seq() => throw new IllegalArgumentException(
+            s"graft restore: no revision matches '$version' (a " +
+              "revision id from the log, or epoch millis)")
+          case _ => throw new IllegalArgumentException(
+            s"graft restore: '$version' is ambiguous " +
+              s"(${hits.length} revisions match)")
+        }
+    }
+    val m = decodeCached(rev)
+    val leaf = changelog.leaf()
+    // no-op restore: the leaf already holds this exact payload
+    // (digest = sha1 of the manifest bytes) — commit nothing
+    if (!leaf.exists(_.digest == rev.digest)) {
+      changelog.commit(m.encode,
+        parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+      refresh()
+    }
+    rev
+  }
+
   /** Compaction: for each series, find runs of small segments and
     * rewrite them as page-sized ones (reference Collection.defrag,
     * lakota/collection.py:364-403 — Delta OPTIMIZE analogue).

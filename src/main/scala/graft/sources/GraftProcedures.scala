@@ -467,32 +467,8 @@ private final class Restore(rootUri: String) extends ProcBase(rootUri) {
     val label = in.getUTF8String(0).toString
     val version = in.getUTF8String(1).toString
     val c = collection(label)
-    val log = c.changelog.log()
-    val rev = scala.util.Try(version.toLong).toOption match {
-      case Some(ms) => log.filter(_.epochMs <= ms).lastOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft restore: no revision at or before epoch ms $ms"))
-      case None =>
-        val hits = log.filter(r =>
-          r.child == version || r.child.startsWith(version) ||
-            r.digest.startsWith(version))
-        hits match {
-          case Seq(r) => r
-          case Seq() => throw new IllegalArgumentException(
-            s"graft restore: no revision matches '$version' (a " +
-              "revision id from CALL sys.history, or epoch millis)")
-          case _ => throw new IllegalArgumentException(
-            s"graft restore: '$version' is ambiguous " +
-              s"(${hits.length} revisions match)")
-        }
-    }
-    val m = c.decodeCached(rev)
-    // forward commit of the old manifest; a no-op restore (leaf ==
-    // target payload) is skipped by the changelog's double-write guard
-    c.changelog.commit(m.encode, parents = Seq(c.changelog.leaf()
-      .map(_.child).getOrElse(graft.core.Changelog.Phi)))
-    c.refresh()
-    val dataRows = m.rows.filter(_.hasData)
+    val rev = c.restore(version)
+    val dataRows = c.decodeCached(rev).rows.filter(_.hasData)
     Seq(str(label), str(rev.child), dataRows.length.toLong,
       dataRows.map(_.length).sum)
   }

@@ -616,6 +616,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"CALL $cat.sys.restore('r', '${hist(1).getString(0)}')")
       .collect()
     assert(total != good)
+    // restoring to what the leaf already holds is a no-op commit
+    Thread.sleep(3)
+    val n4 = spark.sql(s"SELECT count(*) FROM $cat.r.s.history")
+      .collect()(0).getLong(0)
+    spark.sql(s"CALL $cat.sys.restore('r', '${hist(1).getString(0)}')")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.r.s.history")
+      .collect()(0).getLong(0) == n4, "no-op restore must not commit")
     // unknown version -> clear error
     val e = intercept[Exception](
       spark.sql(s"CALL $cat.sys.restore('r', 'zzzz')").collect())
