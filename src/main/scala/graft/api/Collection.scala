@@ -261,7 +261,13 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * travel still reads them; restore is itself undoable; `trim`/
     * `squash` + `gc` retire them for real). `version` is a revision
     * id (full or unambiguous prefix) or epoch millis on the
-    * changelog clock. Returns the revision restored to. */
+    * changelog clock. Returns the revision restored to.
+    *
+    * Restore is DATA-only: the manifest rolls back, the SCHEMA stays
+    * current (registry-level, shared by the collection's series —
+    * the one-schema-per-collection contract), so restored pre-ALTER
+    * files answer added columns with their DEFAULTs, exactly like
+    * any other pre-ALTER file. */
   def restore(version: String): graft.core.Revision = {
     val log = changelog.log()
     val rev = scala.util.Try(version.toLong).toOption match {

@@ -629,4 +629,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"CALL $cat.sys.restore('r', 'zzzz')").collect())
     assert(e.getMessage.contains("no revision matches"))
   }
+
+  test("restore x schema evolution: data rolls back, schema stays") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.e.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.e.s SELECT id, 1.0 FROM range(0, 100)")
+    Thread.sleep(3)
+    val rev1 = spark.sql(
+      s"""SELECT revision FROM $cat.e.s.history
+         |ORDER BY committed_at LIMIT 1""".stripMargin)
+      .collect()(0).getString(0)
+    // evolve the schema, then write rows that store the new column
+    spark.sql(s"ALTER TABLE $cat.e.s ADD COLUMN tag STRING " +
+      s"DEFAULT 'old'")
+    spark.sql(s"INSERT INTO $cat.e.s SELECT id, 2.0, 'new' " +
+      s"FROM range(100, 150)")
+    // a COW UPDATE after the ALTER must materialize the added column
+    // correctly for pre-ALTER rows (default) while rewriting
+    spark.sql(s"UPDATE $cat.e.s SET v = v + 10 WHERE ts < 10")
+    assert(spark.sql(
+      s"""SELECT tag, count(*) AS c, sum(v) AS sv FROM $cat.e.s
+         |GROUP BY tag ORDER BY tag""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq(("new", 50L, 100.0), ("old", 100L, 200.0)))
+    // restore to the pre-ALTER revision: the DATA rolls back (the
+    // manifest), the SCHEMA stays current (registry-level, the
+    // one-schema-per-collection contract) — restored old files
+    // answer the added column with its DEFAULT
+    Thread.sleep(3)
+    spark.sql(s"CALL $cat.sys.restore('e', '$rev1')").collect()
+    val back = spark.sql(
+      s"""SELECT tag, count(*) AS c, sum(v) AS sv FROM $cat.e.s
+         |GROUP BY tag ORDER BY tag""".stripMargin).collect()
+    assert(back.map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("old", 100L, 100.0)), back.mkString(", "))
+  }
 }
