@@ -308,6 +308,17 @@ object Bench {
     }
     val series5m = repo.collection("ts5m_0").get.series("_")
     bench("full_read_5m") { _ => series5m.frame().count(); () }
+    // the same 5.26M-row series through the SQL door: the DSv2
+    // connector (vectorized decode; WHERE drives manifest pruning)
+    // must match the API path at the baseline-comparable scale
+    val conn5m = spark.read.format("graft").option("path", root)
+      .option("collection", "ts5m_0").option("series", "_").load()
+    bench("conn_read_5m") { _ => conn5m.count(); () }
+    bench("conn_range_5m") { _ =>
+      conn5m.filter(col("ts") >= lit("1990-01-01").cast("timestamp")
+          && col("ts") < lit("1991-01-01").cast("timestamp"))
+        .agg(count(col("value"))).collect(); ()
+    }
     // 1M-row x 8-col wide series — the reference bench_parallel.py
     // frame (key int* + 7 float64 sin columns; lakota 0.79-3.64 s
     // depending on IO lag/threading). One range-partitioned write job

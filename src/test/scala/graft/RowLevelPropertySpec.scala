@@ -9,8 +9,10 @@ import scala.util.Random
   * Map replays every operation under the ENGINE's documented
   * semantics (INSERT = range splice over the batch's [min, max];
   * UPDATE/MERGE/value-DELETE = copy-on-write over scanned windows;
-  * index-DELETE = tombstone), and the full table read must equal the
-  * model after every step. Fixed seeds — failures replay exactly. */
+  * index-DELETE = tombstone; RESTORE = the model state at the
+  * restored-to leaf, tracked through the `.history` metadata table),
+  * and the full table read must equal the model after every step.
+  * Fixed seeds — failures replay exactly. */
 class RowLevelPropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -55,14 +57,25 @@ class RowLevelPropertySpec extends AnyFunSuite {
             .filter(k => got(k) != model(k)).take(5)}")
     }
 
+    // snapshots for the restore op: (leaf revision id, model state)
+    // after every committed step — the leaf comes from the .history
+    // metadata table, so the check also exercises that surface
+    var snapshots = Vector.empty[(String, Map[Long, Double])]
+    def snapshot(): Unit = {
+      val rev = spark.sql(s"SELECT revision FROM $cat.c.s.history " +
+        "WHERE is_leaf").collect()(0).getString(0)
+      snapshots :+= (rev -> model)
+    }
+
     // seed data: three disjoint batches
     insertBatch(0L until 100L, _.toDouble)
     insertBatch(200L until 300L, k => k * 2.0)
     insertBatch(400L until 500L, k => k * 3.0)
     check("seed")
+    snapshot()
 
-    (0 until 6).foreach { step =>
-      rnd.nextInt(5) match {
+    (0 until 8).foreach { step =>
+      rnd.nextInt(6) match {
         case 0 => // UPDATE over a random index range
           val lo = rnd.nextInt(500)
           val hi = lo + 1 + rnd.nextInt(120)
@@ -106,8 +119,13 @@ class RowLevelPropertySpec extends AnyFunSuite {
             // insert span contains only themselves)
             model = model ++ upd.map(_ -> -1.0) ++ ins.map(_ -> 0.5)
           }
+        case 5 => // RESTORE to a random earlier snapshot (fwd commit)
+          val (rev, snap) = snapshots(rnd.nextInt(snapshots.length))
+          spark.sql(s"CALL $cat.sys.restore('c', '$rev')").collect()
+          model = snap
       }
       check(s"step$step")
+      snapshot()
     }
   }
 
