@@ -590,10 +590,33 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil)
     extends Scan with Batch
     with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Per-PARTITION ordering, declared to Catalyst: every planned
+    * partition serves one index-sorted segment file (or inline run),
+    * and residual filters / default fills preserve that order — so
+    * the scan reports the longest prefix of index columns that
+    * survives column pruning, ascending (nulls-first, the engine's
+    * index order). `RemoveRedundantSorts` then drops any
+    * within-partition SortExec on the index (`sortWithinPartitions`,
+    * local-sort requirements) — a GLOBAL `ORDER BY` keeps its
+    * exchange+sort, since the scan reports no partitioning (range
+    * segments are not a KeyGroupedPartitioning, and this Spark has
+    * no single-partition shortcut for v2 scans). Top-k `ORDER BY idx
+    * LIMIT k` is already served by the pushed-TopN prefix cover. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions,
+      SortDirection}
+    val present = required.fieldNames.toSet
+    table.gschema.idx.map(_.name).takeWhile(present.contains)
+      .map(n => Expressions.sort(Expressions.column(n),
+        SortDirection.ASCENDING)).toArray
+  }
 
   /** Post-pruning statistics from the MANIFEST (no file IO): row
     * counts are recorded per segment at write time, so the join

@@ -345,6 +345,35 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftScanProbe.lastSegmentsScanned == 8)
   }
 
+  test("reported ordering elides within-partition index sorts") {
+    val (_, _, root) = fixture()
+    // per-partition sorts on the index are free at any width: the
+    // scan reports each partition index-sorted, RemoveRedundantSorts
+    // drops the SortExec
+    val within = table(root).sortWithinPartitions("ts")
+    assert(!within.queryExecution.executedPlan.toString
+      .contains("Sort"),
+      s"sortWithinPartitions(idx) kept a sort:\n" +
+        within.queryExecution.executedPlan)
+    // ...and the elided plan still yields index-ordered rows per
+    // partition (one partition pruned -> fully ordered output)
+    val got = within
+      .filter("ts >= 20000 AND ts < 30000").collect()
+    assert(got.length == 10000)
+    assert(got.sliding(2).forall(p =>
+      p(0).getLong(0) < p(1).getLong(0)))
+    // no false GLOBAL claim: a multi-partition ORDER BY still sorts
+    val all = table(root).orderBy("ts")
+    assert(all.queryExecution.executedPlan.toString.contains("Sort"),
+      "multi-partition global sort must remain")
+    // no false claim on value columns: their sort stays
+    val byVal = table(root).sortWithinPartitions("value")
+    assert(byVal.queryExecution.executedPlan.toString.contains("Sort"),
+      "value-column sort must remain")
+    // pruned away index -> no ordering reported, plan stays valid
+    assert(table(root).select("value").limit(3).collect().length == 3)
+  }
+
   private def jobCount(body: => Unit): Int = {
     val n = new java.util.concurrent.atomic.AtomicInteger
     val l = new org.apache.spark.scheduler.SparkListener {
