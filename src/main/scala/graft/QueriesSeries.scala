@@ -1329,6 +1329,56 @@ object QueriesSeries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `_file` PROVENANCE column × `.segments` metadata — the
+    * surgical-repair reconciliation: every row names the segment file
+    * serving it (hidden metadata column, projected as a
+    * per-partition constant — zero extra IO), grouped per-file counts
+    * must equal the manifest's per-segment planning lengths (exact
+    * for the append-only table), and the file sets must coincide.
+    * The REQUIREs prove the join; the returned aggregate is the
+    * oracle-stable reconciliation summary. */
+  def q203_file_provenance(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq203_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq203_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq203_src")
+    // per-file row counts from the hidden provenance column...
+    val perFile = s.sql(
+      s"""SELECT _file AS f, count(*) AS c
+         |FROM $cat.events.ev GROUP BY _file""".stripMargin)
+    // ...reconciled against the manifest's segments metadata table
+    val segs = s.sql(
+      s"""SELECT explode(files) AS f, rows
+         |FROM $cat.events.ev.segments""".stripMargin)
+    val joined = perFile.join(segs, "f").collect()
+    require(joined.nonEmpty && joined.forall(r =>
+      r.getAs[Long]("c") == r.getAs[Long]("rows")),
+      s"per-file counts must equal segment planning lengths: " +
+        joined.take(3).mkString(", "))
+    require(perFile.count() == segs.count(),
+      "provenance and manifest must name the same file set")
+    s.sql(
+      s"""SELECT count(*) AS total_rows,
+         |  count(_file) AS with_file,
+         |  count(*) - count(_file) AS inline_rows
+         |FROM $cat.events.ev""".stripMargin)
+  }
+
+  val q203_oracle: String =
+    """SELECT count(*)::BIGINT AS total_rows,
+      |  count(*)::BIGINT AS with_file,
+      |  0::BIGINT AS inline_rows
+      |FROM events""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -2015,6 +2065,7 @@ object QueriesSeries {
     "q200_dataset_release" -> q200_dataset_release _,
     "q201_meta_tables" -> q201_meta_tables _,
     "q202_restore" -> q202_restore _,
+    "q203_file_provenance" -> q203_file_provenance _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -2066,6 +2117,7 @@ object QueriesSeries {
     "q200_dataset_release" -> q200_oracle,
     "q201_meta_tables" -> q201_oracle,
     "q202_restore" -> q202_oracle,
+    "q203_file_provenance" -> q203_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

@@ -98,7 +98,9 @@ class GraftTable(rootUri: String, collectionName: String,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog
-      .SupportsRowLevelOperations {
+      .SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog
+      .SupportsMetadataColumns {
 
   private[sources] def series: graft.api.Series = {
     val spark = SparkSession.active
@@ -120,6 +122,24 @@ class GraftTable(rootUri: String, collectionName: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
+  /** Hidden PROVENANCE column (the Iceberg/Delta `_file` idiom):
+    * `SELECT _file, ...` surfaces the store-relative segment file
+    * serving each row (null for manifest-inline micro-rows) — it
+    * joins against the `.segments` metadata table's `files` for
+    * surgical repair flows. Never stored, excluded from `SELECT *`
+    * and writes; projected as a per-partition constant, no file IO. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftPlanning.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "store-relative segment file serving this row " +
+          "(null for manifest-inline rows)"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(this, beforeMs,
@@ -729,9 +749,17 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   private var runtimeKeep: Option[Seq[Any]] = None
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(table.gschema.idx.head.name))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val head = table.gschema.idx.head.name
+    // only offer the runtime-filter key while it survives column
+    // pruning: Spark resolves these refs against the scan OUTPUT, so
+    // naming a pruned-away column is an analysis error (surfaced by
+    // metadata-only projections like `SELECT _file`)
+    if (required.fieldNames.contains(head))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(head))
+    else Array.empty
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val head = table.gschema.idx.head.name
@@ -1085,22 +1113,36 @@ private[sources] object GraftPlanning {
       case _ => false
     }
 
+  /** the hidden provenance metadata column (SupportsMetadataColumns):
+    * the store-relative segment file serving each row (null for
+    * manifest-inline rows) — joinable against `.segments`.files */
+  val FileCol = "_file"
+
   /** Partitions for one visible segment. `onlyFiles` (null = all)
     * restricts a multi-file segment row to a subset — the streaming
     * diff uses it to serve just the NEWLY-appeared files of a row.
     * Residual clip needs the index values even when pruned away:
     * read (requested ∪ index-if-clipping), emit requested positions.
+    * A requested `_file` metadata column is never read from parquet:
+    * it projects as a per-partition constant (outPos sentinel -1).
     */
   def partitionsFor(s: graft.api.Series, gs: GSchema,
-      reqNames: Seq[String], seg: SegmentRead,
+      reqNames0: Seq[String], seg: SegmentRead,
       onlyFiles: Set[String]): Seq[InputPartition] = {
     val clct = s.collection
     val clip = !covers(gs, seg)
+    val dataReq = reqNames0.filterNot(_ == FileCol)
+    // `SELECT _file` alone still needs one stored column to drive
+    // row iteration
+    val reqNames =
+      if (dataReq.isEmpty && reqNames0.nonEmpty) Seq(gs.idxNames.head)
+      else dataReq
     val readNames =
       if (clip) (reqNames ++ gs.idxNames.filterNot(reqNames.contains))
       else reqNames
     val cols = readNames.map(n => gs(n))
-    val outPos = reqNames.map(readNames.indexOf).toArray
+    val outPos = reqNames0.map(n =>
+      if (n == FileCol) -1 else readNames.indexOf(n)).toArray
     // only meaningful when clipping (idx cols are then in readNames)
     val idxPos =
       if (clip) gs.idxNames.map(readNames.indexOf).toArray
@@ -1121,7 +1163,7 @@ private[sources] object GraftPlanning {
         GraftFilePartition(clct.repo.store.uri(f),
           readNames.toVector, cols.map(n => clct.physOf(n.name)).toVector,
           cols.map(_.dtype.name).toVector, defaults.toVector,
-          outPos, idxPos, bounds)
+          outPos, idxPos, bounds, fileLabel = f)
       }
   }
 
@@ -1376,7 +1418,10 @@ final case class GraftClip(start: IndexKey, stop: IndexKey,
 final case class GraftFilePartition(uri: String,
     readNames: Vector[String], physNames: Vector[String],
     dtypeNames: Vector[String], defaults: Vector[Any],
-    outPos: Array[Int], idxPos: Array[Int], clip: GraftClip)
+    outPos: Array[Int], idxPos: Array[Int], clip: GraftClip,
+    /** store-relative segment path served as the `_file` metadata
+      * column (joins against `.segments`.files) */
+    fileLabel: String = "")
     extends InputPartition
 
 final case class GraftInlinePartition(rows: Vector[Vector[Any]],
@@ -1448,14 +1493,21 @@ private object GraftRead {
       (r < 0 || (r == 0 && clip.closed.right))
   }
 
-  def project(slots: Array[Any], outPos: Array[Int]): InternalRow = {
+  /** assemble the output row; outPos sentinel -1 = the partition's
+    * `_file` constant (null for manifest-inline partitions) */
+  def project(slots: Array[Any], outPos: Array[Int],
+      fileConst: UTF8String): InternalRow = {
     if (outPos.length == slots.length &&
         outPos.indices.forall(i => outPos(i) == i))
       new GenericInternalRow(slots.clone())
     else {
       val out = new Array[Any](outPos.length)
       var i = 0
-      while (i < outPos.length) { out(i) = slots(outPos(i)); i += 1 }
+      while (i < outPos.length) {
+        val pos = outPos(i)
+        out(i) = if (pos == -1) fileConst else slots(pos)
+        i += 1
+      }
       new GenericInternalRow(out)
     }
   }
@@ -1478,6 +1530,8 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     extends PartitionReader[InternalRow] {
   import GraftRead._
 
+  private val fileConst: UTF8String =
+    if (p.fileLabel.isEmpty) null else UTF8String.fromString(p.fileLabel)
   private val dtypes = p.dtypeNames.map(dtypeOf).toArray
   private val idxDts = p.idxPos.map(i => dtypes(i))
   private val slots = new Array[Any](p.readNames.length)
@@ -1611,7 +1665,7 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
       val key = p.idxPos.map(j => internalToKernel(dtypes(j), slots(j)))
       if (!inClip(idxDts, key, p.clip)) return false
     }
-    current = project(slots, p.outPos)
+    current = project(slots, p.outPos, fileConst)
     true
   }
 
@@ -1677,7 +1731,8 @@ class GraftInlineReader(p: GraftInlinePartition)
       }
       val key = p.idxPos.map(j => internalToKernel(dtypes(j), slots(j)))
       if (inClip(idxDts, key, p.clip)) {
-        current = project(slots, p.outPos)
+        // inline rows have no backing file: `_file` projects null
+        current = project(slots, p.outPos, null)
         return true
       }
     }

@@ -374,6 +374,34 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(table(root).select("value").limit(3).collect().length == 3)
   }
 
+  test("_file metadata column: per-row provenance, joins .segments") {
+    val (repo, s, root) = fixture() // 8 file-backed segments
+    val df = table(root)
+    // hidden from SELECT *
+    assert(df.columns.toSeq == Seq("ts", "value"))
+    // every row reports its serving file; exactly the manifest's set
+    val rows = df.select(col("_file"), col("ts")).collect()
+    assert(rows.length == 80000 && rows.forall(_.getString(0) != null))
+    val manifestFiles = s.segments().flatMap(_.meta.files).toSet
+    assert(rows.map(_.getString(0)).toSet == manifestFiles)
+    assert(manifestFiles.size == 8)
+    // provenance composes with pruning: one range -> one file
+    val one = df.filter("ts >= 20000 AND ts < 30000")
+      .select("_file").distinct().collect()
+    assert(one.length == 1)
+    // `SELECT _file` alone still iterates rows (guard column)
+    assert(df.select("_file").count() == 80000L)
+    // manifest-inline rows have no backing file -> null
+    val c2 = repo.createCollection(
+      GSchema("k" -> "int*", "v" -> "float"), "tiny")
+    import spark.implicits._
+    c2.series("_").write(Seq((1L, 0.5), (2L, 1.5)).toDF("k", "v"))
+    val tiny = spark.read.format("graft").option("path", root)
+      .option("collection", "tiny").option("series", "_").load()
+      .select(col("_file"), col("k")).collect()
+    assert(tiny.length == 2 && tiny.forall(_.isNullAt(0)))
+  }
+
   private def jobCount(body: => Unit): Int = {
     val n = new java.util.concurrent.atomic.AtomicInteger
     val l = new org.apache.spark.scheduler.SparkListener {
