@@ -400,6 +400,15 @@ class GraftSourceSpec extends AnyFunSuite {
       .option("collection", "tiny").option("series", "_").load()
       .select(col("_file"), col("k")).collect()
     assert(tiny.length == 2 && tiny.forall(_.isNullAt(0)))
+    // the surgical-repair flow: bounds FROM the manifest drive an
+    // index-range delete (DELETE by _file itself is not a verb —
+    // _file is read-only provenance)
+    val seg0 = s.segments().head
+    val lo = seg0.start.values.head.asInstanceOf[Long]
+    val hi = seg0.stop.values.head.asInstanceOf[Long]
+    s.delete(lo, hi)
+    val left = df.select("_file").distinct().collect()
+    assert(left.length == 7, s"expected 7 surviving files: $left")
   }
 
   private def jobCount(body: => Unit): Int = {
