@@ -127,6 +127,55 @@ object Bench {
     // corpus object store (input DATA, not operator work), so their
     // synthesis does not belong in any timed region (round-6 verdict).
     QueriesRag.warmImageFixtures(spark, sfDir)
+    // JIT-warm the SQL DML (catalog CREATE/INSERT, group-based COW
+    // UPDATE/DELETE/MERGE) and streaming-CDC code paths on a TINY
+    // synthetic table: profiled at ~6 s of one-time codegen/JIT
+    // otherwise landing inside q188/q178's first timed rep. Same
+    // rationale as the string-codegen warm above — a long-running
+    // cluster is always JIT-warm; no benchmark table is touched and
+    // the timed queries still create their own catalogs/repos from
+    // scratch inside the timed region.
+    locally {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-warm-dml").toString
+      spark.conf.set("spark.sql.catalog.gwarm",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gwarm.path", root)
+      spark.sql(
+        """CREATE TABLE gwarm.w.ev (ts TIMESTAMP, id BIGINT, v DOUBLE)
+          |PARTITIONED BY (ts, id)""".stripMargin)
+      spark.range(0, 2000L, 1, 4)
+        .selectExpr("timestamp_seconds(id * 60) AS ts", "id",
+          "cast(id % 7 AS double) AS v")
+        .createOrReplaceTempView("gwarm_src")
+      spark.sql("INSERT INTO gwarm.w.ev SELECT * FROM gwarm_src")
+      spark.sql(
+        """UPDATE gwarm.w.ev SET v = v * 2
+          |WHERE ts < TIMESTAMP '1970-01-01 00:10:00'""".stripMargin)
+      spark.sql(
+        """DELETE FROM gwarm.w.ev
+          |WHERE v < 3 AND ts >= TIMESTAMP '1970-01-01 20:00:00'"""
+          .stripMargin)
+      spark.sql(
+        """MERGE INTO gwarm.w.ev t USING (
+          |  SELECT ts + INTERVAL 100 DAY AS ts, id, v FROM gwarm_src
+          |  WHERE id < 50) src
+          |ON t.ts = src.ts AND t.id = src.id
+          |WHEN MATCHED THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql("SELECT count(*), sum(v) FROM gwarm.w.ev").collect()
+      val drain = spark.readStream.format("graft")
+        .option("path", root).option("collection", "w")
+        .option("series", "ev").load()
+        .writeStream.format("memory").queryName("gwarm_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drain.awaitTermination()
+      spark.sql("DROP TABLE gwarm.w.ev")
+      spark.catalog.dropTempView("gwarm_sink")
+      spark.catalog.dropTempView("gwarm_src")
+    }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()

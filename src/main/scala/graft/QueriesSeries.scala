@@ -625,6 +625,18 @@ object QueriesSeries {
     * beyond the series tail — then the aggregate must equal the
     * oracle's CASE/UNION recompute of the same three mutations. */
   def q188_sql_update(s: SparkSession, dir: String): DataFrame = {
+    // env-gated stage timing (GRAFT_PROF=1): per-verb wall clock on
+    // stderr, outside the oracle contract
+    def staged[T](tag: String)(body: => T): T = {
+      if (!sys.env.contains("GRAFT_PROF")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[q188] $tag: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        r
+      }
+    }
     val root = java.nio.file.Files
       .createTempDirectory("graft-q").toString
     val cat = "gq188_" + java.util.UUID.randomUUID().toString
@@ -637,16 +649,17 @@ object QueriesSeries {
          | event_type STRING)
          |PARTITIONED BY (ts, event_id)""".stripMargin)
     eventsDf(s, dir).createOrReplaceTempView("gq188_src")
-    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq188_src")
-    s.sql(
+    staged("insert")(
+      s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq188_src"))
+    staged("update")(s.sql(
       s"""UPDATE $cat.events.ev SET value = value * 2
          |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
-    s.sql(
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin))
+    staged("delete")(s.sql(
       s"""DELETE FROM $cat.events.ev
          |WHERE value < 0.1
-         |  AND ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
-    s.sql(
+         |  AND ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin))
+    staged("merge")(s.sql(
       s"""MERGE INTO $cat.events.ev t USING (
          |  SELECT ts, event_id, cast(-1.0 AS DOUBLE) AS value,
          |    event_type
@@ -660,7 +673,7 @@ object QueriesSeries {
          |  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
          |) src ON t.ts = src.ts AND t.event_id = src.event_id
          |WHEN MATCHED THEN UPDATE SET value = src.value
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
     s.sql(
       s"""SELECT event_type, count(*) AS cnt,
          |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
@@ -1379,6 +1392,74 @@ object QueriesSeries {
       |  0::BIGINT AS inline_rows
       |FROM events""".stripMargin
 
+  /** Persisted `page_len` table property: `CREATE TABLE ...
+    * TBLPROPERTIES ('page_len'='N')` sizes segment granularity in the
+    * REGISTRY (survives reopen — [[graft.api.Repo.RegEntry]]), so one
+    * INSERT lands ceil(rows/N) files instead of one monolith and a
+    * narrow COW UPDATE's runtime group filter rewrites only the
+    * covering segments (Delta's target-file-size knob, applied to the
+    * versioned store). The query itself asserts both: exact file
+    * count from the manifest, and — when the table has enough
+    * segments to prune — that the UPDATE scanned strictly fewer than
+    * all of them. The oracle recomputes the mutated aggregate. */
+  def q204_page_len(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-q").toString
+    val cat = "gq204_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.path", root)
+    s.sql(
+      s"""CREATE TABLE $cat.events.ev
+         |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
+         | event_type STRING)
+         |PARTITIONED BY (ts, event_id)
+         |TBLPROPERTIES ('page_len' = '2000')""".stripMargin)
+    eventsDf(s, dir).createOrReplaceTempView("gq204_src")
+    s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq204_src")
+    val nRows = s.table("gq204_src").count()
+    // page_len persists in the registry: a FRESH repo handle (no
+    // session state) must reopen the collection at 2000 rows/page
+    val reopened = new graft.api.Repo(root, s)
+      .collection("events").get
+    require(reopened.pageLen == 2000L,
+      s"page_len must persist across reopen, got ${reopened.pageLen}")
+    val nSegs = reopened.series("ev").segments().count(_.meta.hasData)
+    val expect = (nRows + 1999L) / 2000L
+    require(nSegs == expect,
+      s"expected $expect segments of <=2000 rows for $nRows rows, " +
+        s"got $nSegs")
+    graft.sources.GraftScanProbe.lastRuntimeScanned = -1
+    graft.sources.GraftScanProbe.lastSegmentsTotal = -1
+    s.sql(
+      s"""UPDATE $cat.events.ev SET value = value * 3
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-07 00:00:00'""".stripMargin)
+    // the narrow UPDATE's runtime group filter must have pruned the
+    // rewrite to a strict subset of the segments (only checkable when
+    // the index span actually splits across enough pages)
+    if (nSegs >= 8) {
+      val scanned = graft.sources.GraftScanProbe.lastRuntimeScanned
+      val total = graft.sources.GraftScanProbe.lastSegmentsTotal
+      require(scanned > 0 && scanned < total,
+        s"COW UPDATE must rewrite a strict segment subset, " +
+          s"scanned $scanned of $total")
+    }
+    s.sql(
+      s"""SELECT event_type, count(*) AS cnt,
+         |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
+         |FROM $cat.events.ev
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q204_oracle: String =
+    """SELECT event_type, count(*)::BIGINT AS cnt,
+      |  sum(round(CASE WHEN ts >= TIMESTAMP '2024-01-05'
+      |    AND ts < TIMESTAMP '2024-01-07' THEN value * 3
+      |    ELSE value END * 1000000)::BIGINT)::BIGINT AS val_micro
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -2066,6 +2147,7 @@ object QueriesSeries {
     "q201_meta_tables" -> q201_meta_tables _,
     "q202_restore" -> q202_restore _,
     "q203_file_provenance" -> q203_file_provenance _,
+    "q204_page_len" -> q204_page_len _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -2118,6 +2200,7 @@ object QueriesSeries {
     "q201_meta_tables" -> q201_oracle,
     "q202_restore" -> q202_oracle,
     "q203_file_provenance" -> q203_oracle,
+    "q204_page_len" -> q204_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

@@ -13,10 +13,18 @@ class Collection(val repo: Repo, val label: String, val path: String,
     /** target→source column-name mapping (set by cloneTo renames) */
     val colMap: Map[String, String] = Map.empty,
     /** added columns absent from stored segments → default scalar */
-    val defaults: Map[String, Any] = Map.empty) {
+    val defaults: Map[String, Any] = Map.empty,
+    /** registry-persisted segment page length (rows per file) —
+      * `CREATE TABLE ... TBLPROPERTIES ('page_len'='N')` / the
+      * `pageLen` argument of [[Repo.createCollection]]. Smaller pages
+      * trade per-file overhead for finer segment granularity: range
+      * reads prune tighter and SQL row-level operations (group-based
+      * copy-on-write) rewrite only the covering segments. None =
+      * engine default. */
+    val pageLenCfg: Option[Long] = None) {
 
   val changelog = new Changelog(repo.store, s"$path/changelog")
-  var pageLen: Long = 500000L
+  var pageLen: Long = pageLenCfg.getOrElse(500000L)
   /** writes serializing under this many bytes embed their rows in the
     * manifest instead of creating a parquet segment (reference
     * lakota/series.py embed_max_size; 0 disables embedding) */

@@ -33,9 +33,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
     if (storeOverride != null) storeOverride else new HadoopStore(rootUri)
   val registry = new Changelog(store, "registry/changelog")
 
-  /** registry entry: path, schema, column mapping, read defaults */
+  /** registry entry: path, schema, column mapping, read defaults,
+    * optional persisted page length (rows per segment file) */
   final case class RegEntry(path: String, schema: GSchema,
-      colMap: Map[String, String], defaults: Map[String, Any])
+      colMap: Map[String, String], defaults: Map[String, Any],
+      pageLen: Option[Long] = None)
 
   /** Registry keys carry a namespace (reference repo.py keeps one
     * registry series per namespace — "collection" for live data,
@@ -89,8 +91,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
           // normalize to the canonical ns:label key (migrates bare
           // legacy keys on the next registry write)
           val (ns, lbl) = parseKey(label0)
+          val pageLen = vm.get("page_len")
+            .map(_.asInstanceOf[Number].longValue())
           mkKey(ns, lbl) -> RegEntry(vm("path").asInstanceOf[String],
-            schema, colMap, defaults)
+            schema, colMap, defaults, pageLen)
         }
     }
 
@@ -105,9 +109,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
         s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
       val dm = e.defaults.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${Json.str(k)}:${Json.scalar(v)}" }.mkString("{", ",", "}")
+      val pl = e.pageLen.map(n => s""","page_len":$n""").getOrElse("")
       s"${Json.str(l)}:{" +
         s""""path":${Json.str(e.path)},"schema":${Json.str(
-          e.schema.serialize)},"colmap":$cm,"defaults":$dm}"""
+          e.schema.serialize)},"colmap":$cm,"defaults":$dm$pl}"""
     }.mkString("{", ",", "}")
     registry.commit(body.getBytes("UTF-8"), parents)
     ()
@@ -116,7 +121,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
   def createCollection(schema: GSchema, label0: String,
       colMap: Map[String, String] = Map.empty,
       defaults: Map[String, Any] = Map.empty,
-      namespace: String = DefaultNs): Collection = {
+      namespace: String = DefaultNs,
+      pageLen: Option[Long] = None): Collection = {
+    pageLen.foreach(n => require(n > 0, s"pageLen must be positive: $n"))
     // reference repo.py:189-191: labels are stripped, empty is invalid
     val label = label0.trim
     require(label.nonEmpty, s"invalid label: '$label0'")
@@ -125,7 +132,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
       case Some(e) =>
         require(e.schema == schema,
           s"collection $label exists with different schema")
-        new Collection(this, label, e.path, e.schema, e.colMap, e.defaults)
+        require(pageLen.isEmpty || pageLen == e.pageLen,
+          s"collection $label exists with page_len ${e.pageLen
+            .getOrElse("default")}, requested ${pageLen.get}")
+        new Collection(this, label, e.path, e.schema, e.colMap,
+          e.defaults, e.pageLen)
       case None =>
         // Path is DERIVED from the key (not random like the reference)
         // so two processes racing to create the same label converge on
@@ -141,8 +152,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
           .map(i => if (i == 1) base else s"$base-$i")
           .find(p => !taken.contains(p)).get
         writeReg(state + (mkKey(namespace, label) -> RegEntry(path,
-          schema, colMap, defaults)))
-        new Collection(this, label, path, schema, colMap, defaults)
+          schema, colMap, defaults, pageLen)))
+        new Collection(this, label, path, schema, colMap, defaults,
+          pageLen)
     }
   }
 
@@ -168,14 +180,16 @@ class Repo(val rootUri: String, val spark: SparkSession,
       s"alter may not change the index column set: $oldPhysIdx -> " +
         s"$newPhysIdx")
     writeReg(state.updated(key,
-      RegEntry(e.path, schema, colMap, defaults)))
-    new Collection(this, label, e.path, schema, colMap, defaults)
+      RegEntry(e.path, schema, colMap, defaults, e.pageLen)))
+    new Collection(this, label, e.path, schema, colMap, defaults,
+      e.pageLen)
   }
 
   def collection(label: String,
       namespace: String = DefaultNs): Option[Collection] =
     regState().get(mkKey(namespace, label)).map { e =>
-      new Collection(this, label, e.path, e.schema, e.colMap, e.defaults) }
+      new Collection(this, label, e.path, e.schema, e.colMap,
+        e.defaults, e.pageLen) }
 
   def ls(namespace: String = DefaultNs): Seq[String] =
     regState().keys.toSeq.map(parseKey)
@@ -277,7 +291,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val merged = state ++ remoteState.collect {
       case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
         mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
-          c.defaults) }
+          c.defaults, c.pageLenCfg) }
     if (merged != state) writeReg(merged)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))

@@ -204,11 +204,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(f => ColDef(f.name, GType.fromSpark(f.dataType),
             idx = false))
     val kv = Option(properties.get("kv")).contains("true")
+    // persisted page length (rows per segment file): finer segments
+    // prune tighter and make row-level operations rewrite less
+    val pageLen = Option(properties.get("page_len")).map { v =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"page_len must be a positive integer, got '$v'") }
+      require(n > 0, s"page_len must be positive, got $v")
+      n
+    }
     val gschema = GSchema(cols, kv)
     val clct = collectionOf(ident.namespace())
     // creates the collection on first use; an existing collection
     // enforces schema equality (one schema per collection)
-    repo.createCollection(gschema, clct)
+    repo.createCollection(gschema, clct, pageLen = pageLen)
     new GraftTable(rootUri, clct, ident.name(), None)
   }
 

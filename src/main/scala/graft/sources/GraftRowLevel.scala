@@ -167,6 +167,24 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     Distributions.ordered(idxOrders)
   override def requiredOrdering(): Array[SortOrder] = idxOrders
 
+  /** Sort width sized from the series' own manifest: a rewrite can
+    * never emit more rows than the table holds (plus MERGE inserts of
+    * the same order), so a series under one page needs exactly one
+    * sorted partition — and `RangePartitioner` skips its sampling
+    * pass entirely at numPartitions = 1, saving a whole Spark job on
+    * every small-table UPDATE/DELETE/MERGE. Large series scale the
+    * width by pages, capped at the cluster's parallelism (the
+    * planning-time manifest read is already cached driver state). */
+  override def requiredNumPartitions(): Int = {
+    val clct = table.series.collection
+    val totalRows = table.series.segments()
+      .filter(_.meta.hasData).map(_.meta.length).sum
+    val pages = math.max(1L,
+      (totalRows + clct.pageLen - 1) / clct.pageLen)
+    math.min(pages,
+      SparkSession.active.sparkContext.defaultParallelism.toLong).toInt
+  }
+
   override def toBatch: BatchWrite = {
     val s = table.series
     val clct = s.collection
