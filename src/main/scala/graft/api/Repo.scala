@@ -185,6 +185,23 @@ class Repo(val rootUri: String, val spark: SparkSession,
       e.pageLen)
   }
 
+  /** Re-point a collection's persisted page length (rows per segment
+    * file) — `ALTER TABLE ... SET TBLPROPERTIES ('page_len'='N')`.
+    * Pure registry metadata: existing segments keep their size; only
+    * FUTURE writes (and compactions) roll at the new length. None
+    * restores the engine default. */
+  def alterPageLen(label: String, pageLen: Option[Long],
+      namespace: String = DefaultNs): Collection = synchronized {
+    pageLen.foreach(n => require(n > 0, s"pageLen must be positive: $n"))
+    val key = mkKey(namespace, label)
+    val state = regState()
+    val e = state.getOrElse(key, throw new IllegalArgumentException(
+      s"no collection '$label' in namespace '$namespace'"))
+    writeReg(state.updated(key, e.copy(pageLen = pageLen)))
+    new Collection(this, label, e.path, e.schema, e.colMap, e.defaults,
+      pageLen)
+  }
+
   def collection(label: String,
       namespace: String = DefaultNs): Option[Collection] =
     regState().get(mkKey(namespace, label)).map { e =>

@@ -295,9 +295,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           colMap = colMap - name
           defaults = defaults - name
         }
+      case p: SetProperty if p.property() == "page_len" =>
+        val n = try p.value().toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"page_len must be a positive integer, got " +
+                s"'${p.value()}'") }
+        require(n > 0, s"page_len must be positive, got ${p.value()}")
+        repo.alterPageLen(clct, Some(n))
+      case p: RemoveProperty if p.property() == "page_len" =>
+        repo.alterPageLen(clct, None)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN, got " +
-          s"$other")
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"SET/UNSET TBLPROPERTIES ('page_len'), got $other")
     }
     require(cols.exists(!_.idx),
       "a graft series needs at least one value column")

@@ -116,6 +116,14 @@ class GraftTable(rootUri: String, collectionName: String,
   override def name(): String =
     s"graft.`$rootUri`.$collectionName.$seriesLabel"
   override def schema(): StructType = gschema.sparkSchema
+  /** surfaced in DESCRIBE TABLE EXTENDED */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    series.collection.pageLenCfg.foreach(n =>
+      m.put("page_len", n.toString))
+    if (gschema.kv) m.put("kv", "true")
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

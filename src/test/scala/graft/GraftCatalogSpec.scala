@@ -667,4 +667,66 @@ class GraftCatalogSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq(("old", 100L, 100.0)), back.mkString(", "))
   }
+
+  test("page_len property: persisted, honored, alterable") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.pl.s (ts TIMESTAMP, v DOUBLE)
+         |PARTITIONED BY (ts)
+         |TBLPROPERTIES ('page_len' = '100')""".stripMargin)
+    // persisted in the registry: a fresh Repo handle sees it (a
+    // long-lived handle caches the registry log by design — refresh()
+    // or reopen to observe another writer's DDL)
+    def repo = new Repo(root, spark)
+    assert(repo.collection("pl").get.pageLen == 100L)
+    // honored by the connector write: 1000 rows roll into 10 files
+    spark.sql(
+      s"""INSERT INTO $cat.pl.s
+         |SELECT timestamp_seconds(id * 60), id * 0.5
+         |FROM range(0, 1000)""".stripMargin)
+    val segs = repo.collection("pl").get.series("s").segments()
+      .filter(_.meta.hasData)
+    assert(segs.length == 10, s"expected 10 pages, got ${segs.length}")
+    assert(segs.forall(_.meta.length <= 100L))
+    // DESCRIBE surfaces it
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.pl.s")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // (Spark renders table properties inside one "Table Properties"
+    // row; just assert the value made it somewhere in the output)
+    assert(props.exists(kv => kv._2 != null &&
+      kv._2.contains("page_len")) ||
+      props.values.exists(v => v != null && v.contains("100")))
+    // ALTER SET re-points future writes; existing files untouched
+    spark.sql(
+      s"ALTER TABLE $cat.pl.s SET TBLPROPERTIES ('page_len' = '500')")
+    assert(repo.collection("pl").get.pageLen == 500L)
+    spark.sql(
+      s"""INSERT INTO $cat.pl.s
+         |SELECT timestamp_seconds(100000 + id * 60), id * 0.5
+         |FROM range(0, 1000)""".stripMargin)
+    val segs2 = repo.collection("pl").get.series("s").segments()
+      .filter(_.meta.hasData)
+    assert(segs2.length == 12, s"10 old + 2 new, got ${segs2.length}")
+    // UNSET restores the default
+    spark.sql(s"ALTER TABLE $cat.pl.s UNSET TBLPROPERTIES ('page_len')")
+    assert(repo.collection("pl").get.pageLen == 500000L)
+    // a second CREATE in the same collection with a CONFLICTING
+    // page_len is refused (one collection, one page length)
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.pl.s2 (ts TIMESTAMP, v DOUBLE)
+           |PARTITIONED BY (ts)
+           |TBLPROPERTIES ('page_len' = '7')""".stripMargin)
+    }
+    assert(err.getMessage.contains("page_len") ||
+      err.getMessage.contains("pageLen"), err.getMessage)
+    // invalid values are refused
+    val bad = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE $cat.plbad.s (ts TIMESTAMP, v DOUBLE)
+           |PARTITIONED BY (ts)
+           |TBLPROPERTIES ('page_len' = '0')""".stripMargin)
+    }
+    assert(bad.getMessage.contains("positive"), bad.getMessage)
+  }
 }
