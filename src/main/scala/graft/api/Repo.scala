@@ -33,11 +33,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     if (storeOverride != null) storeOverride else new HadoopStore(rootUri)
   val registry = new Changelog(store, "registry/changelog")
 
-  /** registry entry: path, schema, column mapping, read defaults,
-    * optional persisted page length (rows per segment file) */
-  final case class RegEntry(path: String, schema: GSchema,
-      colMap: Map[String, String], defaults: Map[String, Any],
-      pageLen: Option[Long] = None)
+  import Repo.RegEntry
 
   /** Registry keys carry a namespace (reference repo.py keeps one
     * registry series per namespace — "collection" for live data,
@@ -70,9 +66,18 @@ class Repo(val rootUri: String, val spark: SparkSession,
         .reduce(_ ++ _)
       writeRegWithParents(merged, leaves.map(_.child))
       merged
-    } else leaves.headOption
-      .map(r => decodeReg(registry.payload(r)))
-      .getOrElse(Map.empty)
+    } else leaves.headOption.map { r =>
+      val key = s"$rootUri\u0000${r.child}"
+      val hit = Repo.regDecodeCache.get(key)
+      if (hit != null) hit
+      else {
+        val m = decodeReg(registry.payload(r))
+        if (Repo.regDecodeCache.size() > 256)
+          Repo.regDecodeCache.clear()
+        Repo.regDecodeCache.put(key, m)
+        m
+      }
+    }.getOrElse(Map.empty)
   }
 
   private def decodeReg(payload: Array[Byte]): Map[String, RegEntry] = {
@@ -413,6 +418,24 @@ class Repo(val rootUri: String, val spark: SparkSession,
 }
 
 object Repo {
+  /** registry entry: path, schema, column mapping, read defaults,
+    * optional persisted page length (rows per segment file) */
+  final case class RegEntry(path: String, schema: GSchema,
+      colMap: Map[String, String], defaults: Map[String, Any],
+      pageLen: Option[Long] = None)
+
+  /** JVM-wide registry DECODE cache, content-addressed by the leaf
+    * revision id (`hextime-sha1(payload)`): a payload never changes
+    * under its id, so a hit can never serve stale state — freshness
+    * comes from the per-call leaf LISTING, which stays uncached. The
+    * SQL door opens a fresh [[Repo]] per statement by design (no
+    * stale handles); this cache makes that pattern O(1) in registry
+    * size instead of re-parsing a 10^5-collection JSON per statement.
+    * Bounded: wholesale clear past 256 distinct leaves (temp repos in
+    * test suites would otherwise accumulate). */
+  private[api] val regDecodeCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Map[String, RegEntry]]()
+
   /** `http(s)://` roots open as HTTP-POD clients (a repo served by
     * [[graft.core.StoreServer]]); `memory://` roots run fully
     * in-memory ([[graft.core.MemFileSystem]], reference MemPOD);

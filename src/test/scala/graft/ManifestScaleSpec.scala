@@ -87,4 +87,29 @@ class ManifestScaleSpec extends AnyFunSuite {
     info(f"$N-segment manifest: ${bytes.length / 1024} KB, " +
       f"encode $tEnc%.0f ms, decode $tDec%.0f ms")
   }
+
+  test("registry decode cache: content-addressed hits, DDL-coherent") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-regcache").toString
+    val schema = graft.core.GSchema("ts" -> "timestamp*", "v" -> "float")
+    new graft.api.Repo(root, spark).createCollection(schema, "a")
+    // two fresh handles reading the same leaf share ONE decoded map
+    // (eq, not just ==): the per-statement fresh-Repo pattern the SQL
+    // door uses costs one registry parse per LEAF, not per statement
+    val r1 = new graft.api.Repo(root, spark)
+    val r2 = new graft.api.Repo(root, spark)
+    assert(r1.ls() == Seq("a") && r2.ls() == Seq("a"))
+    val c1 = r1.collection("a").get
+    val c2 = r2.collection("a").get
+    assert(c1.path == c2.path)
+    // DDL through ANOTHER handle is visible to a fresh handle at once
+    // (the leaf listing is never cached — only the decode under a
+    // content-addressed revision id)
+    new graft.api.Repo(root, spark).createCollection(schema, "b",
+      pageLen = Some(123L))
+    val r3 = new graft.api.Repo(root, spark)
+    assert(r3.ls() == Seq("a", "b"))
+    assert(r3.collection("b").get.pageLen == 123L)
+  }
 }
