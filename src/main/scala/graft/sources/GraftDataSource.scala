@@ -152,7 +152,9 @@ class GraftTable(rootUri: String, collectionName: String,
       : ScanBuilder =
     new GraftScanBuilder(this, beforeMs,
       options.getOrDefault("stream.starting", "earliest") == "latest",
-      options.getOrDefault("stream.rewrites", "emit") == "skip")
+      options.getOrDefault("stream.rewrites", "emit") == "skip",
+      java.lang.Long.parseLong(
+        options.getOrDefault("stream.maxRevisionsPerTrigger", "0")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -336,7 +338,8 @@ object GraftScanProbe {
 
 class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     streamStartLatest: Boolean = false,
-    streamSkipRewrites: Boolean = false)
+    streamSkipRewrites: Boolean = false,
+    streamMaxRevs: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -605,7 +608,8 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     new GraftScan(table, startB, stopB, closed, beforeMs,
       aggPush.map(_._1).orElse(required).getOrElse(table.schema()),
       pushed.map(_.toString).toSeq, streamStartLatest,
-      limitN, limitReversed, streamSkipRewrites, aggPush, vquery)
+      limitN, limitReversed, streamSkipRewrites, streamMaxRevs,
+      aggPush, vquery)
   }
 }
 
@@ -614,6 +618,7 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     pushedDesc: Seq[String], streamStartLatest: Boolean = false,
     limit: Option[Int] = None, limitReversed: Boolean = false,
     streamSkipRewrites: Boolean = false,
+    streamMaxRevs: Long = 0L,
     aggPush: Option[(StructType, Seq[Any])] = None,
     vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil)
     extends Scan with Batch
@@ -811,7 +816,7 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(table, required, streamStartLatest,
-      streamSkipRewrites)
+      streamSkipRewrites, streamMaxRevs)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPlanning.readerFactory()
@@ -1239,10 +1244,14 @@ final case class GraftStreamOffset(n: Long, rev: String)
   * default. The reference has no streaming surface at all; this
   * reuses the batch connector's partitions and readers wholesale. */
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
-    startingLatest: Boolean, skipRewrites: Boolean = false)
+    startingLatest: Boolean, skipRewrites: Boolean = false,
+    maxRevsPerTrigger: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming
-      .MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+      .MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset,
+    ReadLimit}
 
   // one resolution per stream; the changelog refreshes per poll
   private lazy val series = table.series
@@ -1273,6 +1282,26 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     revisionOf(o).map(series.collection.decodeCached)
 
   override def latestOffset(): Offset = offsetAt(logNow())
+
+  /** Admission control — `option("stream.maxRevisionsPerTrigger", n)`
+    * caps how many changelog revisions one micro-batch may span (the
+    * Delta `maxFilesPerTrigger` idiom, on the revision clock): a
+    * restart after a long pause then drains its backlog in BOUNDED
+    * batches (each a bounded per-batch MERGE target / checkpoint
+    * unit) instead of one giant catch-up batch. Default 0 = all
+    * available. Works under Trigger.AvailableNow: the wrapper keeps
+    * issuing batches until the captured target offset is reached. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val log = logNow()
+    val s = start.asInstanceOf[GraftStreamOffset]
+    if (maxRevsPerTrigger > 0 && log.length > s.n + maxRevsPerTrigger) {
+      val n = s.n + maxRevsPerTrigger
+      GraftStreamOffset(n, log(n.toInt - 1).child)
+    } else offsetAt(log)
+  }
+  override def reportLatestOffset(): Offset = offsetAt(logNow())
+
   override def initialOffset(): Offset =
     if (startingLatest) offsetAt(logNow())
     else GraftStreamOffset(0L, "")

@@ -243,6 +243,37 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream.maxRevisionsPerTrigger bounds each micro-batch") {
+    val root = Files.createTempDirectory("graft-stream3").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    // three separate commits = three changelog revisions of backlog
+    for (i <- 0 until 3)
+      s.write(spark.range(i * 100L, i * 100L + 100L, 1, 1)
+        .select($"id".as("ts"), lit(i.toDouble).as("value")),
+        presorted = true)
+    val stream = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_")
+      .option("stream.maxRevisionsPerTrigger", "1").load()
+    val q = stream.writeStream.format("memory")
+      .queryName("gstream3").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the full backlog lands, but in BOUNDED one-revision batches
+      assert(spark.table("gstream3").count() == 300L)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >= 3 bounded micro-batches, got $nonEmpty: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      assert(q.recentProgress.forall(_.numInputRows <= 100L),
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("stream.starting=latest skips history") {
     val root = Files.createTempDirectory("graft-stream2").toString
     val repo = new Repo(root, spark)
