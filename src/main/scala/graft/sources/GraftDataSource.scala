@@ -154,7 +154,9 @@ class GraftTable(rootUri: String, collectionName: String,
       options.getOrDefault("stream.starting", "earliest") == "latest",
       options.getOrDefault("stream.rewrites", "emit") == "skip",
       java.lang.Long.parseLong(
-        options.getOrDefault("stream.maxRevisionsPerTrigger", "0")))
+        options.getOrDefault("stream.maxRevisionsPerTrigger", "0")),
+      Option(options.get("stream.startingTimestamp"))
+        .map(java.lang.Long.parseLong(_)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -339,7 +341,8 @@ object GraftScanProbe {
 class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     streamStartLatest: Boolean = false,
     streamSkipRewrites: Boolean = false,
-    streamMaxRevs: Long = 0L)
+    streamMaxRevs: Long = 0L,
+    streamStartTs: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -609,7 +612,7 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
       aggPush.map(_._1).orElse(required).getOrElse(table.schema()),
       pushed.map(_.toString).toSeq, streamStartLatest,
       limitN, limitReversed, streamSkipRewrites, streamMaxRevs,
-      aggPush, vquery)
+      aggPush, vquery, streamStartTs)
   }
 }
 
@@ -620,7 +623,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     streamSkipRewrites: Boolean = false,
     streamMaxRevs: Long = 0L,
     aggPush: Option[(StructType, Seq[Any])] = None,
-    vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil)
+    vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil,
+    streamStartTs: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -816,7 +820,7 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(table, required, streamStartLatest,
-      streamSkipRewrites, streamMaxRevs)
+      streamSkipRewrites, streamMaxRevs, streamStartTs)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPlanning.readerFactory()
@@ -1245,7 +1249,8 @@ final case class GraftStreamOffset(n: Long, rev: String)
   * reuses the batch connector's partitions and readers wholesale. */
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
     startingLatest: Boolean, skipRewrites: Boolean = false,
-    maxRevsPerTrigger: Long = 0L)
+    maxRevsPerTrigger: Long = 0L,
+    startingTs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
@@ -1302,9 +1307,20 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
   }
   override def reportLatestOffset(): Offset = offsetAt(logNow())
 
+  /** `option("stream.startingTimestamp", epochMs)` starts the CDC
+    * feed AFTER the revisions already committed before that instant
+    * on the changelog clock (the batch reader's `before` convention:
+    * `log(Some(ms))` = history visible at ms) — the Delta
+    * startingTimestamp idiom. Mutually sensible with
+    * `stream.starting=latest`, which wins if both are set. */
   override def initialOffset(): Offset =
     if (startingLatest) offsetAt(logNow())
-    else GraftStreamOffset(0L, "")
+    else startingTs match {
+      case Some(ms) =>
+        changelog.refresh()
+        offsetAt(changelog.log(Some(ms)))
+      case None => GraftStreamOffset(0L, "")
+    }
   override def deserializeOffset(json: String): Offset = {
     val n = "\"n\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)

@@ -243,6 +243,37 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream.startingTimestamp starts after prior history") {
+    val root = Files.createTempDirectory("graft-stream4").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(spark.range(0, 200, 1, 1)
+      .select($"id".as("ts"), lit(1.0).as("value")), presorted = true)
+    Thread.sleep(3)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(3)
+    s.write(spark.range(200, 250, 1, 1)
+      .select($"id".as("ts"), lit(2.0).as("value")), presorted = true)
+    val stream = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_")
+      .option("stream.startingTimestamp", cut.toString).load()
+    val q = stream.writeStream.format("memory")
+      .queryName("gstream4").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only the post-cut commit streams; history before it is the
+      // batch reader's job (same clock as option("before", ms))
+      assert(spark.table("gstream4").count() == 50L)
+      assert(spark.table("gstream4")
+        .agg(min(col("value")), max(col("value"))).collect()(0)
+        .toSeq == Seq(2.0, 2.0))
+    } finally q.stop()
+  }
+
   test("stream.maxRevisionsPerTrigger bounds each micro-batch") {
     val root = Files.createTempDirectory("graft-stream3").toString
     val repo = new Repo(root, spark)
