@@ -440,7 +440,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
         additions.map { case (cd, v) =>
           cd.name -> graft.engine.SparkVals.parseBound(cd.dtype, v) }.toMap
     val target = repo.createCollection(targetSchema, targetLabel,
-      tgtColMap, tgtDefaults)
+      tgtColMap, tgtDefaults, pageLen = pageLenCfg)
     manifest().foreach { m =>
       val tm = Manifest(targetSchema, m.rows)
       target.changelog.commit(tm.encode, parents = Seq(Changelog.Phi))

@@ -67,14 +67,13 @@ class Repo(val rootUri: String, val spark: SparkSession,
       writeRegWithParents(merged, leaves.map(_.child))
       merged
     } else leaves.headOption.map { r =>
-      val key = s"$rootUri\u0000${r.child}"
-      val hit = Repo.regDecodeCache.get(key)
-      if (hit != null) hit
+      val hit = Repo.regDecodeCache.get(rootUri)
+      if (hit != null && hit._1 == r.child) hit._2
       else {
         val m = decodeReg(registry.payload(r))
         if (Repo.regDecodeCache.size() > 256)
           Repo.regDecodeCache.clear()
-        Repo.regDecodeCache.put(key, m)
+        Repo.regDecodeCache.put(rootUri, (r.child, m))
         m
       }
     }.getOrElse(Map.empty)
@@ -228,7 +227,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * its segments stay live for [[gc]]. */
   def archive(c: Collection): Collection =
     collection(c.label, "archive")
-      .getOrElse(createCollection(c.schema, c.label, namespace = "archive"))
+      .getOrElse(createCollection(c.schema, c.label,
+        namespace = "archive", pageLen = c.pageLenCfg))
 
   /** collections whose label starts with `prefix` (reference
     * Repo.search / CLI prefix match, lakota/repo.py:138-161). */
@@ -431,10 +431,12 @@ object Repo {
     * SQL door opens a fresh [[Repo]] per statement by design (no
     * stale handles); this cache makes that pattern O(1) in registry
     * size instead of re-parsing a 10^5-collection JSON per statement.
-    * Bounded: wholesale clear past 256 distinct leaves (temp repos in
-    * test suites would otherwise accumulate). */
+    * One entry per ROOT (the newest leaf — only it can ever hit
+    * again), so memory is O(#open repos), not O(#registry commits);
+    * wholesale clear past 256 roots (temp repos in test suites would
+    * otherwise accumulate). */
   private[api] val regDecodeCache = new java.util.concurrent
-    .ConcurrentHashMap[String, Map[String, RegEntry]]()
+    .ConcurrentHashMap[String, (String, Map[String, RegEntry])]()
 
   /** `http(s)://` roots open as HTTP-POD clients (a repo served by
     * [[graft.core.StoreServer]]); `memory://` roots run fully

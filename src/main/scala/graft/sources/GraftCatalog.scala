@@ -75,6 +75,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def repo: graft.api.Repo =
     new graft.api.Repo(rootUri, SparkSession.active)
 
+  /** 'page_len' TBLPROPERTY value: positive integer rows-per-file */
+  private def parsePageLen(v: String): Long = {
+    val n = try v.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"page_len must be a positive integer, got '$v'") }
+    require(n > 0, s"page_len must be positive, got $v")
+    n
+  }
+
   private def collectionOf(ns: Array[String]): String = {
     if (ns.length != 1)
       throw new NoSuchNamespaceException(ns)
@@ -206,13 +215,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val kv = Option(properties.get("kv")).contains("true")
     // persisted page length (rows per segment file): finer segments
     // prune tighter and make row-level operations rewrite less
-    val pageLen = Option(properties.get("page_len")).map { v =>
-      val n = try v.toLong catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"page_len must be a positive integer, got '$v'") }
-      require(n > 0, s"page_len must be positive, got $v")
-      n
-    }
+    val pageLen = Option(properties.get("page_len")).map(parsePageLen)
     val gschema = GSchema(cols, kv)
     val clct = collectionOf(ident.namespace())
     // creates the collection on first use; an existing collection
@@ -241,6 +244,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var cols = c.schema.cols
     var colMap = c.colMap
     var defaults = c.defaults
+    var colsChanged = false
     def one(fieldNames: Array[String]): String = {
       require(fieldNames.length == 1,
         s"graft columns are top-level, got ${fieldNames.mkString(".")}")
@@ -248,6 +252,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case a: AddColumn =>
+        colsChanged = true
         val name = one(a.fieldNames())
         require(!cols.exists(_.name == name),
           s"column $name already exists")
@@ -270,6 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         colMap = colMap + (name -> phys)
         defaults = defaults + (name -> kernelOfLiteral(dt, v))
       case r: RenameColumn =>
+        colsChanged = true
         val from = one(r.fieldNames())
         val to = r.newName()
         require(cols.exists(_.name == from), s"no column $from")
@@ -284,6 +290,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case None => defaults
         }
       case d: DeleteColumn =>
+        colsChanged = true
         val name = one(d.fieldNames())
         if (!cols.exists(_.name == name)) {
           require(d.ifExists() == java.lang.Boolean.TRUE,
@@ -296,23 +303,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           defaults = defaults - name
         }
       case p: SetProperty if p.property() == "page_len" =>
-        val n = try p.value().toLong
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"page_len must be a positive integer, got " +
-                s"'${p.value()}'") }
-        require(n > 0, s"page_len must be positive, got ${p.value()}")
-        repo.alterPageLen(clct, Some(n))
+        repo.alterPageLen(clct, Some(parsePageLen(p.value())))
       case p: RemoveProperty if p.property() == "page_len" =>
         repo.alterPageLen(clct, None)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
           s"SET/UNSET TBLPROPERTIES ('page_len'), got $other")
     }
-    require(cols.exists(!_.idx),
-      "a graft series needs at least one value column")
-    repo.alterCollection(clct, GSchema(cols, c.schema.kv), colMap,
-      defaults)
+    if (colsChanged) {
+      require(cols.exists(!_.idx),
+        "a graft series needs at least one value column")
+      repo.alterCollection(clct, GSchema(cols, c.schema.kv), colMap,
+        defaults)
+    } // property-only ALTERs already committed; no redundant rewrite
     new GraftTable(rootUri, clct, ident.name(), None)
   }
 

@@ -52,6 +52,44 @@ import graft.engine.SparkVals
   * above the scan, so a partially-usable filter can never change
   * results.
   */
+/** shared option parsing: errors NAME the option, timestamp options
+  * accept the same forms everywhere (epoch millis, ISO instant, bare
+  * local date/datetime read as UTC — the engine convention) */
+private[sources] object GraftOptions {
+  def epochMs(name: String, s: String): Long =
+    try s.toLong
+    catch {
+      case _: NumberFormatException =>
+        try java.time.Instant.parse(s).toEpochMilli // offset/Z forms
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            val t = s.replace(" ", "T") match {
+              case d if d.length == 10 => d + "T00:00:00"
+              case d => d
+            }
+            try java.time.LocalDateTime.parse(t)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"graft: option '$name' must be epoch millis or an " +
+                    s"ISO date/datetime, got '$s'")
+            }
+        }
+    }
+
+  def nonNegLong(name: String, s: String): Long = {
+    val n = try java.lang.Long.parseLong(s)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft: option '$name' must be a non-negative integer, " +
+            s"got '$s'") }
+    require(n >= 0,
+      s"graft: option '$name' must be a non-negative integer, got '$s'")
+    n
+  }
+}
+
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
@@ -62,23 +100,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft: missing 'collection' option"))
     val series = Option(options.get("series")).getOrElse("_")
-    val beforeMs = Option(options.get("before")).map { s =>
-      try s.toLong
-      catch {
-        case _: NumberFormatException =>
-          try java.time.Instant.parse(s).toEpochMilli // offset/Z forms
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              // bare local date/datetime -> UTC (engine convention)
-              val t = s.replace(" ", "T") match {
-                case d if d.length == 10 => d + "T00:00:00"
-                case d => d
-              }
-              java.time.LocalDateTime.parse(t)
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          }
-      }
-    }
+    val beforeMs = Option(options.get("before"))
+      .map(GraftOptions.epochMs("before", _))
     new GraftTable(path, clct, series, beforeMs)
   }
 
@@ -153,10 +176,10 @@ class GraftTable(rootUri: String, collectionName: String,
     new GraftScanBuilder(this, beforeMs,
       options.getOrDefault("stream.starting", "earliest") == "latest",
       options.getOrDefault("stream.rewrites", "emit") == "skip",
-      java.lang.Long.parseLong(
+      GraftOptions.nonNegLong("stream.maxRevisionsPerTrigger",
         options.getOrDefault("stream.maxRevisionsPerTrigger", "0")),
       Option(options.get("stream.startingTimestamp"))
-        .map(java.lang.Long.parseLong(_)))
+        .map(GraftOptions.epochMs("stream.startingTimestamp", _)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -1300,10 +1323,20 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val log = logNow()
     val s = start.asInstanceOf[GraftStreamOffset]
-    if (maxRevsPerTrigger > 0 && log.length > s.n + maxRevsPerTrigger) {
-      val n = s.n + maxRevsPerTrigger
-      GraftStreamOffset(n, log(n.toInt - 1).child)
-    } else offsetAt(log)
+    if (maxRevsPerTrigger <= 0) return offsetAt(log)
+    // anchor the start POSITION on the revision id (stable under
+    // linearization shifts from healed forks/trims), ordinal as
+    // fallback; cap the advance without Long overflow
+    val pos: Long =
+      if (s.n <= 0) 0L
+      else {
+        val i = log.indexWhere(_.child == s.rev)
+        if (i >= 0) i + 1L else math.min(s.n, log.length.toLong)
+      }
+    val cap = math.min(maxRevsPerTrigger, Int.MaxValue.toLong)
+    val end = math.min(log.length.toLong, pos + cap)
+    if (end <= pos) GraftStreamOffset(s.n, s.rev) // caught up: no-op
+    else GraftStreamOffset(end, log(end.toInt - 1).child)
   }
   override def reportLatestOffset(): Offset = offsetAt(logNow())
 
@@ -1318,7 +1351,17 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     else startingTs match {
       case Some(ms) =>
         changelog.refresh()
-        offsetAt(changelog.log(Some(ms)))
+        // anchor on the last pre-cut revision's ID, with its ordinal
+        // taken from the FULL linearization (log(Some(ms)) filters a
+        // DFS order, so count and position can disagree on a forked
+        // history)
+        changelog.log(Some(ms)).lastOption match {
+          case None => GraftStreamOffset(0L, "")
+          case Some(r) =>
+            val full = changelog.log()
+            val i = full.indexWhere(_.child == r.child)
+            GraftStreamOffset(if (i >= 0) i + 1L else 1L, r.child)
+        }
       case None => GraftStreamOffset(0L, "")
     }
   override def deserializeOffset(json: String): Offset = {
@@ -1392,8 +1435,17 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       b: GraftStreamOffset)
       : (Set[String], Set[graft.core.SegmentMeta]) = {
     val log = changelog.log()
-    val lo = math.max(0L, math.min(a.n, log.length.toLong)).toInt
-    val hi = math.min(b.n, log.length.toLong).toInt
+    // anchor window positions on revision IDs (stable under healed
+    // forks / trims), ordinals as fallback — mirrors latestOffset
+    def posOf(o: GraftStreamOffset): Int =
+      if (o.n <= 0) 0
+      else {
+        val i = log.indexWhere(_.child == o.rev)
+        if (i >= 0) i + 1
+        else math.min(o.n, log.length.toLong).toInt
+      }
+    val lo = posOf(a)
+    val hi = posOf(b)
     var files = Set.empty[String]
     var inline = Set.empty[graft.core.SegmentMeta]
     var prev: Option[graft.core.Manifest] =

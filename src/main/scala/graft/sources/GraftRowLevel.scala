@@ -167,20 +167,24 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     Distributions.ordered(idxOrders)
   override def requiredOrdering(): Array[SortOrder] = idxOrders
 
-  /** Sort width sized from the series' own manifest: a rewrite can
-    * never emit more rows than the table holds (plus MERGE inserts of
-    * the same order), so a series under one page needs exactly one
-    * sorted partition — and `RangePartitioner` skips its sampling
-    * pass entirely at numPartitions = 1, saving a whole Spark job on
-    * every small-table UPDATE/DELETE/MERGE. Large series scale the
-    * width by pages, capped at the cluster's parallelism (the
-    * planning-time manifest read is already cached driver state). */
+  /** Sort width sized from the series' own manifest for UPDATE and
+    * DELETE: those rewrites can never emit more rows than the table
+    * holds, so a series under one page needs exactly one sorted
+    * partition — and `RangePartitioner` skips its sampling pass
+    * entirely at numPartitions = 1, saving a whole Spark job on
+    * every small-table statement. Large series scale the width by
+    * pages, capped at the cluster's parallelism. MERGE is exempt
+    * (returns 0 = no requirement, AQE sizes the sort): its
+    * NOT-MATCHED inserts are bounded by the SOURCE, which can dwarf
+    * a small target — a bulk-load MERGE must not funnel through one
+    * task. */
   override def requiredNumPartitions(): Int = {
-    val clct = table.series.collection
-    val totalRows = table.series.segments()
+    if (op.command() == RowLevelOperation.Command.MERGE) return 0
+    val s = table.series
+    val totalRows = s.segments()
       .filter(_.meta.hasData).map(_.meta.length).sum
     val pages = math.max(1L,
-      (totalRows + clct.pageLen - 1) / clct.pageLen)
+      (totalRows + s.collection.pageLen - 1) / s.collection.pageLen)
     math.min(pages,
       SparkSession.active.sparkContext.defaultParallelism.toLong).toInt
   }

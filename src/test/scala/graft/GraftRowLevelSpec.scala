@@ -205,4 +205,29 @@ class GraftRowLevelSpec extends AnyFunSuite {
         s"WHERE ts < 100").collect()(0).getDouble(0) ==
       (0 until 100).map(_.toDouble).sum)
   }
+
+  test("COW sort width: manifest-sized for UPDATE/DELETE, open for MERGE") {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.w.s (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.w.s
+         |SELECT id, id * 0.5 FROM range(0, 1000)""".stripMargin)
+    val table = new graft.sources.GraftTable(root, "w", "s", None)
+    // a 1000-row table is one page: UPDATE/DELETE rewrites sort in
+    // ONE partition (RangePartitioner skips sampling at 1)
+    for (c <- Seq(Command.UPDATE, Command.DELETE)) {
+      val op = new graft.sources.GraftRowLevelOperation(table, c)
+      assert(new graft.sources.GraftCowWrite(table, op)
+        .requiredNumPartitions() == 1, c)
+    }
+    // MERGE inserts are bounded by the SOURCE, not the table: no
+    // partition requirement (0) so AQE sizes a bulk-load MERGE
+    val opM = new graft.sources.GraftRowLevelOperation(table,
+      Command.MERGE)
+    assert(new graft.sources.GraftCowWrite(table, opM)
+      .requiredNumPartitions() == 0)
+  }
 }
