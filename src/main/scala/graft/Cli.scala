@@ -64,12 +64,26 @@ object Cli {
           case None => System.err.println(s"no collection ${args(2)}")
         }
       case "create" =>
-        val specs = args.drop(3).map { s =>
+        // optional trailing --page-len N (persisted segment size)
+        val (flags, colArgs) = args.drop(3).partition(_.startsWith("--"))
+        val pageLen = flags.collectFirst {
+          case f if f.startsWith("--page-len=") =>
+            f.stripPrefix("--page-len=").toLong
+        }.orElse {
+          val i = flags.indexOf("--page-len")
+          if (i >= 0)
+            throw new IllegalArgumentException(
+              "use --page-len=N (one token)")
+          None
+        }
+        val specs = colArgs.map { s =>
           val Array(n, t) = s.split(":", 2)
           n -> t
         }
-        repo.createCollection(GSchema(specs.toIndexedSeq: _*), args(2))
-        println(s"created ${args(2)}")
+        repo.createCollection(GSchema(specs.toIndexedSeq: _*), args(2),
+          pageLen = pageLen)
+        println(s"created ${args(2)}" +
+          pageLen.map(n => s" (page_len=$n)").getOrElse(""))
       case "read" =>
         val series = repo.collection(args(2)).get.series(args(3))
         val start = if (args.length > 4) args(4) else null

@@ -1259,7 +1259,13 @@ final case class GraftStreamOffset(n: Long, rev: String)
   * compaction (defrag/squash-style commit that rewrites existing rows
   * into new files) RE-EMITS those rows — at-least-once with replay on
   * compaction — and range deletes never surface (no tombstone
-  * events). `option("stream.rewrites", "skip")` suppresses the
+  * events). The same at-least-once bound applies across HEALED
+  * CONCURRENT-WRITER FORKS: batches diff consecutive manifests along
+  * the DFS linearization, and a merge commit re-references the
+  * sibling branch's files, so a batch window straddling the branch
+  * point can serve a file twice (exactly-once holds along any linear
+  * history; dedup by content hash downstream when consuming forked
+  * histories). `option("stream.rewrites", "skip")` suppresses the
   * replay: a commit is classified as compaction from MANIFEST
   * METADATA ONLY — every affected series keeps an identical merged
   * visible-window cover and total row count, with everything fully

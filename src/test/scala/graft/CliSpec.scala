@@ -97,4 +97,11 @@ class CliSpec extends AnyFunSuite {
     assert(lines.head == "n,s")
     assert(lines.tail == Seq("2,6.0"))
   }
+
+  test("create --page-len persists the segment size") {
+    val a = Files.createTempDirectory("graft-cli-pl").toString
+    cli(a, "create", "t", "--page-len=777", "timestamp:int*",
+      "value:float")
+    assert(api.Repo(a, spark).collection("t").get.pageLen == 777L)
+  }
 }
