@@ -1283,7 +1283,9 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset,
     ReadLimit}
 
@@ -1326,8 +1328,28 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     * available. Works under Trigger.AvailableNow: the wrapper keeps
     * issuing batches until the captured target offset is reached. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Trigger.AvailableNow: capture the drain TARGET once at query
+    * start; every capped batch then advances toward it (never past
+    * it) until the wrapper sees the target reached and terminates —
+    * without this, AvailableNow degrades to a single batch and a
+    * capped stream would stop early. */
+  @volatile private var availableNowTarget: Option[GraftStreamOffset] =
+    None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(offsetAt(logNow()))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val log = logNow()
+    val log0 = logNow()
+    // under AvailableNow, never plan past the captured target
+    val log = availableNowTarget match {
+      case Some(t) if t.n > 0 =>
+        val i = log0.indexWhere(_.child == t.rev)
+        if (i >= 0) log0.take(i + 1)
+        else log0.take(math.min(t.n, log0.length.toLong).toInt)
+      case Some(_) => Vector.empty[graft.core.Revision]
+      case None => log0
+    }
     val s = start.asInstanceOf[GraftStreamOffset]
     if (maxRevsPerTrigger <= 0) return offsetAt(log)
     // anchor the start POSITION on the revision id (stable under

@@ -243,6 +243,35 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxRevisionsPerTrigger under Trigger.AvailableNow drains fully") {
+    val root = Files.createTempDirectory("graft-stream5").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    for (i <- 0 until 4)
+      s.write(spark.range(i * 50L, i * 50L + 50L, 1, 1)
+        .select($"id".as("ts"), lit(i.toDouble).as("value")),
+        presorted = true)
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_")
+      .option("stream.maxRevisionsPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("gstream5")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      // AvailableNow must still reach the captured end across
+      // multiple capped batches, then terminate
+      assert(spark.table("gstream5").count() == 200L)
+      assert(q.recentProgress.forall(_.numInputRows <= 100L),
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("stream.startingTimestamp starts after prior history") {
     val root = Files.createTempDirectory("graft-stream4").toString
     val repo = new Repo(root, spark)
