@@ -368,6 +368,26 @@ object Bench {
           && col("ts") < lit("1991-01-01").cast("timestamp"))
         .agg(count(col("value"))).collect(); ()
     }
+    // SQL DML at the baseline-comparable scale: a half-year UPDATE on
+    // a dedicated copy of the 5.26M-row series rewrites ONE ~500k-row
+    // segment of 11 (runtime group filtering + manifest-sized sort
+    // width) — the scale shape q188's single-page table can't show.
+    // Each rep hits a different half-year, so per-rep work is equal
+    // and windows never overlap.
+    locally {
+      val dml = repo.createCollection(schema5m, "ts5mdml").series("_")
+      dml.write(ts5m, presorted = true)
+    }
+    spark.conf.set("spark.sql.catalog.gbench",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbench.path", root)
+    bench("conn_update_5m") { i =>
+      spark.sql(
+        s"""UPDATE gbench.ts5mdml.`_` SET value = value + 1.0
+           |WHERE ts >= TIMESTAMP '${1981 + i}-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '${1981 + i}-07-01 00:00:00'"""
+          .stripMargin); ()
+    }
     // 1M-row x 8-col wide series — the reference bench_parallel.py
     // frame (key int* + 7 float64 sin columns; lakota 0.79-3.64 s
     // depending on IO lag/threading). One range-partitioned write job

@@ -34,15 +34,31 @@ object Profile {
         new org.apache.spark.scheduler.SparkListener {
           private val t0 = new java.util.concurrent.ConcurrentHashMap[
             Int, Long]()
+          private val desc = new java.util.concurrent.ConcurrentHashMap[
+            Int, String]()
           override def onJobStart(
               js: org.apache.spark.scheduler.SparkListenerJobStart)
-              : Unit = t0.put(js.jobId, System.nanoTime())
+              : Unit = {
+            t0.put(js.jobId, System.nanoTime())
+            desc.put(js.jobId, Option(js.properties.getProperty(
+              "spark.job.description")).getOrElse("")
+              .replaceAll("\\s+", " ").take(90))
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = sc.stageInfo
+            System.err.println(f"[stage] ${si.stageId}%4d " +
+              f"${si.taskMetrics.executorRunTime}%6d ms-task " +
+              f"${si.numTasks}%3d tasks  ${si.name.take(80)}")
+          }
           override def onJobEnd(
               je: org.apache.spark.scheduler.SparkListenerJobEnd)
               : Unit = {
             val start = Option(t0.remove(je.jobId)).getOrElse(0L)
             System.err.println(f"[job] ${je.jobId}%4d " +
-              f"${(System.nanoTime() - start) / 1e6}%7.0f ms")
+              f"${(System.nanoTime() - start) / 1e6}%7.0f ms  " +
+              Option(desc.remove(je.jobId)).getOrElse(""))
           }
         })
     spark.range(1000000L).selectExpr("sum(id)").collect()
