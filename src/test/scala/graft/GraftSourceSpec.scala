@@ -272,6 +272,49 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capped offset walk is exactly-once along a linear history") {
+    // drive the MicroBatchStream API directly: N commits, cap 3 ->
+    // every file planned exactly once across the walk, regardless of
+    // where batch boundaries land (the documented linear-history
+    // contract the end-to-end drains rely on)
+    val root = Files.createTempDirectory("graft-walk").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    for (i <- 0 until 7)
+      s.write(spark.range(i * 10L, i * 10L + 10L, 1, 1)
+        .select($"id".as("ts"), lit(i.toDouble).as("value")),
+        presorted = true)
+    val table = new graft.sources.GraftTable(root, "c", "_", None)
+    val stream = new graft.sources.GraftMicroBatchStream(table,
+      table.schema(), startingLatest = false, maxRevsPerTrigger = 3L)
+    val limit = org.apache.spark.sql.connector.read.streaming
+      .ReadLimit.allAvailable()
+    var cur = stream.initialOffset()
+      .asInstanceOf[graft.sources.GraftStreamOffset]
+    var planned = Vector.empty[String]
+    var advances = 0
+    var done = false
+    while (!done && advances < 10) {
+      val nxt = stream.latestOffset(cur, limit)
+        .asInstanceOf[graft.sources.GraftStreamOffset]
+      if (nxt == cur) done = true
+      else {
+        val parts = stream.planInputPartitions(cur, nxt)
+        planned = planned ++ parts.map(_.toString)
+        cur = nxt
+        advances += 1
+      }
+    }
+    assert(advances == 3, s"7 revisions / cap 3 -> 3 advances, got " +
+      s"$advances")
+    // exactly once: 7 distinct single-file partitions, no repeats
+    assert(planned.distinct.length == planned.length, planned)
+    assert(planned.length == 7, planned)
+  }
+
   test("stream.startingTimestamp starts after prior history") {
     val root = Files.createTempDirectory("graft-stream4").toString
     val repo = new Repo(root, spark)
