@@ -369,11 +369,14 @@ object Bench {
         .agg(count(col("value"))).collect(); ()
     }
     // SQL DML at the baseline-comparable scale: a half-year UPDATE on
-    // a dedicated copy of the 5.26M-row series rewrites ONE ~500k-row
-    // segment of 11 (runtime group filtering + manifest-sized sort
-    // width) — the scale shape q188's single-page table can't show.
-    // Each rep hits a different half-year, so per-rep work is equal
-    // and windows never overlap.
+    // a dedicated copy of the 5.26M-row series rewrites only the
+    // COVERING segment via runtime group filtering — the presorted
+    // write keeps its 32 input partitions, so the series holds ~32
+    // segments of ~164k rows (~1.56 years each) — the scale shape
+    // q188's single-page table can't show. Reps hit the disjoint
+    // half-years 1981/1982/1983, each inside ONE segment (equal
+    // per-rep work at the default 3 reps; a 4th rep's 1984 window
+    // would straddle the ~1984-01-23 boundary and rewrite two).
     locally {
       val dml = repo.createCollection(schema5m, "ts5mdml").series("_")
       dml.write(ts5m, presorted = true)

@@ -64,17 +64,19 @@ object Cli {
           case None => System.err.println(s"no collection ${args(2)}")
         }
       case "create" =>
-        // optional trailing --page-len N (persisted segment size)
+        // optional --page-len=N (persisted segment size, rows/file)
         val (flags, colArgs) = args.drop(3).partition(_.startsWith("--"))
+        flags.filterNot(_.startsWith("--page-len=")).foreach { f =>
+          throw new IllegalArgumentException(
+            s"unknown flag '$f' (create takes --page-len=N)")
+        }
         val pageLen = flags.collectFirst {
           case f if f.startsWith("--page-len=") =>
-            f.stripPrefix("--page-len=").toLong
-        }.orElse {
-          val i = flags.indexOf("--page-len")
-          if (i >= 0)
-            throw new IllegalArgumentException(
-              "use --page-len=N (one token)")
-          None
+            val v = f.stripPrefix("--page-len=")
+            try v.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"--page-len must be a positive integer, got '$v'") }
         }
         val specs = colArgs.map { s =>
           val Array(n, t) = s.split(":", 2)

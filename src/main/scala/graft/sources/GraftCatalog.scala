@@ -245,6 +245,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var colMap = c.colMap
     var defaults = c.defaults
     var colsChanged = false
+    // property changes stage here and commit AFTER the loop, like the
+    // column vars: a later unsupported change in the same statement
+    // must not leave a half-applied DDL behind
+    var pageLenChange: Option[Option[Long]] = None
     def one(fieldNames: Array[String]): String = {
       require(fieldNames.length == 1,
         s"graft columns are top-level, got ${fieldNames.mkString(".")}")
@@ -303,13 +307,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           defaults = defaults - name
         }
       case p: SetProperty if p.property() == "page_len" =>
-        repo.alterPageLen(clct, Some(parsePageLen(p.value())))
+        pageLenChange = Some(Some(parsePageLen(p.value())))
       case p: RemoveProperty if p.property() == "page_len" =>
-        repo.alterPageLen(clct, None)
+        pageLenChange = Some(None)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
           s"SET/UNSET TBLPROPERTIES ('page_len'), got $other")
     }
+    pageLenChange.foreach(pl => repo.alterPageLen(clct, pl))
     if (colsChanged) {
       require(cols.exists(!_.idx),
         "a graft series needs at least one value column")

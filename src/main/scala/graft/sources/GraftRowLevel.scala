@@ -167,26 +167,23 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     Distributions.ordered(idxOrders)
   override def requiredOrdering(): Array[SortOrder] = idxOrders
 
-  /** Sort width sized from the series' own manifest for UPDATE and
-    * DELETE: those rewrites can never emit more rows than the table
-    * holds, so a series under one page needs exactly one sorted
-    * partition — and `RangePartitioner` skips its sampling pass
-    * entirely at numPartitions = 1, saving a whole Spark job on
-    * every small-table statement. Large series scale the width by
-    * pages, capped at the cluster's parallelism. MERGE is exempt
-    * (returns 0 = no requirement, AQE sizes the sort): its
-    * NOT-MATCHED inserts are bounded by the SOURCE, which can dwarf
-    * a small target — a bulk-load MERGE must not funnel through one
-    * task. */
+  /** Sort width: a SINGLE-PAGE series (UPDATE/DELETE only — those
+    * rewrites can never emit more rows than the table holds) requires
+    * exactly one sorted partition, where `RangePartitioner` skips its
+    * sampling pass entirely — one whole Spark job saved per
+    * small-table statement. Every other case returns 0 (no
+    * requirement) so AQE sizes the sort from the rows ACTUALLY
+    * rewritten: forcing table-page-many partitions would shatter a
+    * narrow rewrite into that many tiny files (an exact requirement
+    * disables AQE coalescing), progressively fragmenting the very
+    * segments page_len sizes — and MERGE inserts are bounded by the
+    * SOURCE, which can dwarf a small target. */
   override def requiredNumPartitions(): Int = {
     if (op.command() == RowLevelOperation.Command.MERGE) return 0
     val s = table.series
     val totalRows = s.segments()
       .filter(_.meta.hasData).map(_.meta.length).sum
-    val pages = math.max(1L,
-      (totalRows + s.collection.pageLen - 1) / s.collection.pageLen)
-    math.min(pages,
-      SparkSession.active.sparkContext.defaultParallelism.toLong).toInt
+    if (totalRows <= s.collection.pageLen) 1 else 0
   }
 
   override def toBatch: BatchWrite = {
