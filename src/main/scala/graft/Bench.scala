@@ -69,11 +69,9 @@ object Bench {
     // per-batch cost of mutating a versioned series through SQL
     "q188_sql_update")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+  /** One harness session for Bench AND Profile: identical configs so
+    * profiled numbers stay comparable to benched ones. */
+  private[graft] def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,6 +92,15 @@ object Bench {
       })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val spark = buildSession(cpus)
 
     // JVM/codegen warmup outside the timed region: file listings +
     // parquet footers per table, and one tiny scan/agg/join/window so

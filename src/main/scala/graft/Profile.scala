@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query profiler: run named [[SparkEntry.queries]]
   * entries repeatedly with wall-clock per rep, outside the full Bench
@@ -19,15 +18,7 @@ object Profile {
     val sfDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.buildSession(cpus)
     // job-level accounting: one line per Spark job (duration + stages)
     if (sys.env.contains("GRAFT_PROF_JOBS"))
       spark.sparkContext.addSparkListener(
