@@ -305,6 +305,22 @@ object Bench {
     bench("bulk_write") { i =>
       repo.createCollection(schema, s"events_$i").series("_").write(ev)
     }
+    // the reference's EXACT 100k comparable shape (data_size.py:36-47,
+    // 24.24 ms): 2 columns — 5-min timestamp grid + random float —
+    // where bulk_write above carries the 4-column events frame
+    // (strings included, a heavier write than the baseline row). Same
+    // one-commit workload: fresh series per rep, repo open + create
+    // inside the timed region like the reference's write_lk.
+    val schema2c = GSchema("ts" -> "timestamp*", "value" -> "float")
+    val ts100k = spark.range(0, 100000L, 1, cpus.toInt)
+      .select(timestamp_seconds(col("id") * 300L).as("ts"),
+        sin(col("id").cast("double")).as("value"))
+      .cache()
+    ts100k.count() // materialize input outside the timed region
+    bench("bulk_write_100k_ts") { i =>
+      repo.createCollection(schema2c, s"ts100k_$i").series("_")
+        .write(ts100k, presorted = true)
+    }
     val series = repo.collection("events_0").get.series("_")
     bench("full_read") { _ => series.frame().count(); () }
     bench("range_read") { _ =>
