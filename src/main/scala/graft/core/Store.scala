@@ -43,8 +43,21 @@ final class HadoopStore(val root: String) extends Store {
     confCache
   }
   private def fs: FileSystem = synchronized {
-    if (fsCache == null)
+    if (fsCache == null) {
       fsCache = new Path(root).getFileSystem(conf)
+      // No Hadoop client-side .crc sidecars: they DOUBLE the file ops
+      // of every metadata commit (create+rename twice) — measured at
+      // a third of the tiny-write cost — and add nothing here:
+      // revision payloads are content-addressed (sha1 = file name,
+      // verified on read with retry), segment files carry parquet's
+      // own page checksums, and the real deployment filesystems
+      // (HDFS server-side checksums, S3A) never use the sidecar
+      // scheme — it is a LocalFileSystem artifact. Sidecar-less files
+      // stay readable by CRC-verifying readers (the checksum is
+      // optional by contract).
+      fsCache.setWriteChecksum(false)
+      fsCache.setVerifyChecksum(false)
+    }
     fsCache
   }
   private def p(path: String): Path =
