@@ -45,7 +45,7 @@ final class Changelog(val store: Store, val dir: String) {
       }
       if (parent != Phi && parentKey == key) None // double write
       else {
-        val rev = Revision(this.pathless(parent), child)
+        val rev = Revision(parent, child)
         store.write(s"$dir/${rev.path}", payload)
         Some(rev)
       }
@@ -53,8 +53,6 @@ final class Changelog(val store: Store, val dir: String) {
     refresh()
     revs
   }
-
-  private def pathless(parent: String): String = parent
 
   def entries(): Seq[String] = store.ls(dir)
 
@@ -93,7 +91,14 @@ final class Changelog(val store: Store, val dir: String) {
     }
     val roots = children.keys.filterNot(allChildren.contains).toVector
     val firstGen = roots.flatMap(children.getOrElse(_, Vector.empty))
-    var queue = firstGen.reverse.toList
+    // head-pop queue: seed ASCENDING and push children ASCENDING at
+    // the head, mirroring the reference's end-pop-of-reversed-list
+    // (changelog.py:108-121) exactly — the traversal descends the
+    // OLDEST sibling first, so the LAST yielded revision (= leaf())
+    // is the tip of the NEWEST branch. Seeding reversed here made the
+    // oldest branch win an unmerged fork, the opposite of the
+    // reference's last-leaf-wins.
+    var queue = firstGen.toList
     val yielded = scala.collection.mutable.Set.empty[String]
     val out = Vector.newBuilder[Revision]
     while (queue.nonEmpty) {
@@ -102,7 +107,7 @@ final class Changelog(val store: Store, val dir: String) {
         if (yielded.contains(rev.child)) Vector.empty
         else children.getOrElse(rev.child, Vector.empty)
       yielded += rev.child
-      queue = kids.reverse.toList ::: queue
+      queue = kids.toList ::: queue
       // leaf-ness is a property of the GRAPH, not the traversal: a
       // merge node reached again via its second parent edge must not
       // masquerade as a leaf once a commit sits on top of it —
@@ -152,16 +157,30 @@ final class Changelog(val store: Store, val dir: String) {
     val remoteRevs = if (shallow) remote.leafs() else remote.log()
     val copied = remoteRevs.filterNot(r =>
       localDigests.contains((pd(r.parent), r.digest))).map { r =>
-      store.write(s"$dir/${r.path}", remote.store.read(s"${remote.dir}/${r.path}"))
+      // verify BEFORE writing: a torn read of a mid-flight remote
+      // object would otherwise land corrupt bytes under the
+      // digest-named path, and the name-based dedupe above would then
+      // block the repair forever. Same verify-retry as payload().
+      // (The reference copies unverified — robustness over parity.)
+      var attempt = 0
+      var data = remote.store.read(s"${remote.dir}/${r.path}")
+      while (Hash.sha1(data) != r.digest) {
+        attempt += 1
+        if (attempt > 2) throw new IllegalStateException(
+          s"checksum mismatch pulling revision ${r.path}")
+        Thread.sleep(50L * attempt)
+        data = remote.store.read(s"${remote.dir}/${r.path}")
+      }
+      store.write(s"$dir/${r.path}", data)
       r.path
     }
     refresh()
     copied
   }
 
-  /** Remove revisions strictly older than `beforeMs`, keeping the
-    * current winning chain's continuity by re-rooting the first kept
-    * revision at phi (reference Collection.trim semantics). */
+  /** Remove revisions strictly older than `beforeMs`; the first kept
+    * revision's dangling parent edge makes it an implicit root
+    * (reference Collection.trim semantics — no file is rewritten). */
   def trim(beforeMs: Long): Seq[Revision] = {
     val history = log()
     val (old0, kept0) = history.partition(_.epochMs < beforeMs)
@@ -174,14 +193,12 @@ final class Changelog(val store: Store, val dir: String) {
       if (kept0.nonEmpty) (old0, kept0)
       else (old0.init, Vector(old0.last))
     if (old.isEmpty) return Seq.empty
-    kept.headOption.foreach { keep =>
-      if (keep.parent != Phi) {
-        val rerooted = Revision(Phi, keep.child)
-        store.write(s"$dir/${rerooted.path}",
-          store.read(s"$dir/${keep.path}"))
-        store.rm(s"$dir/${keep.path}")
-      }
-    }
+    // NO re-root (reference parity, collection.py:339-362): the kept
+    // revision keeps its original parent edge — computeLog's implicit
+    // root inference (parents never seen as children) preserves
+    // continuity, and the unchanged (parent-digest, child-digest)
+    // pair keeps pull's dedupe exact: a re-rooted copy would be
+    // re-pulled from any untrimmed remote, duplicating the node.
     old.foreach(r => store.rm(s"$dir/${r.path}"))
     refresh()
     old

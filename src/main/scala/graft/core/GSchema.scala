@@ -138,6 +138,19 @@ final case class GSchema(cols: Seq[ColDef], kv: Boolean = false)
     0
   }
 
+  /** Python-tuple TOTAL order over (possibly partial) keys: prefix
+    * compare, then shorter-before-longer — `(5,) < (5, 0)`, exactly
+    * what the reference's splice algebra inherits from raw tuple
+    * comparison. [[cmpKey]] (prefix semantics: a partial key compares
+    * equal to its extensions) remains the QUERY-side convention,
+    * where `Manifest.segments` resolves prefix bounds by
+    * side+closedness instead. */
+  def cmpKeyTotal(a: IndexKey, b: IndexKey): Int = {
+    val c = cmpKey(a, b)
+    if (c != 0) c
+    else a.values.length.compare(b.values.length)
+  }
+
   def serialize: String = GSchema.toJson(this)
 }
 

@@ -73,10 +73,40 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
   def isEmpty: Boolean = rows.isEmpty
 
   /** compare (label, key) with prefix semantics on the key */
+  // Total ordering for same-arity splice work (write ordering, range
+  // validation). Equal-arity keys compare exactly; a partial key
+  // sorts before its extensions (the reference's raw tuple order).
   private def cmpLK(l1: String, k1: IndexKey, l2: String, k2: IndexKey): Int = {
     val c = l1.compareTo(l2)
-    if (c != 0) c else schema.cmpKey(k1, k2)
+    if (c != 0) c else schema.cmpKeyTotal(k1, k2)
   }
+
+  /** A splice BOUND as a CUT in full-key space: a partial-arity key
+    * is a position AROUND its group of extensions — `after = false`
+    * cuts before every extension, `after = true` cuts after all of
+    * them. Which side a bound cuts follows the engine's query-side
+    * convention (same as [[segments]] prefix resolution):
+    * start bound → before iff left-closed; stop bound → after iff
+    * right-closed — so `delete(stop = (m), Closed.Both)` removes ALL
+    * of group m while `delete(stop = (m), right-open)` spares it.
+    * Stored rows' own bounds resolve by their own closed flags the
+    * same way. Equal-arity comparisons ignore the flags entirely
+    * (exact reference tuple parity — full-key behavior unchanged);
+    * a cut never coincides with a longer real key, so remnant
+    * closedness at a mixed-arity cut cannot flip a row's content. */
+  private def cmpCut(aK: IndexKey, aAfter: Boolean,
+      bK: IndexKey, bAfter: Boolean): Int = {
+    val c = schema.cmpKey(aK, bK)
+    if (c != 0) c
+    else {
+      val (al, bl) = (aK.values.length, bK.values.length)
+      if (al == bl) 0
+      else if (al < bl) { if (aAfter) 1 else -1 }
+      else { if (bAfter) -1 else 1 }
+    }
+  }
+  private def startCutAfter(leftClosed: Boolean): Boolean = !leftClosed
+  private def stopCutAfter(rightClosed: Boolean): Boolean = rightClosed
 
   /** first i in [0,n) where cmp(key(i), q) >= 0 */
   private def bisectLeft(key: Int => (String, IndexKey),
@@ -105,10 +135,39 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
   /** (startPos, stopPos) bisect positions for a [start, stop] splice
     * (reference lakota/commit.py:235-244): startPos bisects right over
     * row *stop* keys, stopPos bisects left over row *start* keys.
+    * Bounds and row keys compare as CUTS ([[cmpCut]]); equal-arity
+    * behavior is the reference's exactly.
     */
-  def split(label: String, start: IndexKey, stop: IndexKey): (Int, Int) = {
-    val startPos = bisectRight(i => (rows(i).label, rows(i).stop), label, start)
-    val stopPos  = bisectLeft(i => (rows(i).label, rows(i).start), label, stop)
+  def split(label: String, start: IndexKey, stop: IndexKey): (Int, Int) =
+    split(label, start, stop, Closed.Both)
+
+  private def split(label: String, start: IndexKey, stop: IndexKey,
+      closed: Closed): (Int, Int) = {
+    val sAfter = startCutAfter(closed.left)
+    val eAfter = stopCutAfter(closed.right)
+    def cmpStopTo(i: Int): Int = {
+      val r = rows(i)
+      val c = r.label.compareTo(label)
+      if (c != 0) c
+      else cmpCut(r.stop, stopCutAfter(r.closed.right), start, sAfter)
+    }
+    def cmpStartTo(i: Int): Int = {
+      val r = rows(i)
+      val c = r.label.compareTo(label)
+      if (c != 0) c
+      else cmpCut(r.start, startCutAfter(r.closed.left), stop, eAfter)
+    }
+    def bisect(cmpAt: Int => Int, strict: Boolean): Int = {
+      var lo = 0; var hi = rows.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = cmpAt(mid)
+        if (if (strict) c <= 0 else c < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val startPos = bisect(cmpStopTo, strict = true)
+    val stopPos = bisect(cmpStartTo, strict = false)
     (startPos, stopPos)
   }
 
@@ -129,11 +188,25 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
 
     val first = rows.head
     val last = rows.last
-    if (cmpLK(label, start, first.label, first.start) < 0 &&
-        cmpLK(label, stop, last.label, last.stop) > 0)
+    // covers-everything shortcut, cut-aware: an open-left partial
+    // start sits AFTER its group, so it must not be mistaken for
+    // "before the first row" by raw ordering
+    def lkCut(l1: String, k1: IndexKey, a1: Boolean,
+        l2: String, k2: IndexKey, a2: Boolean): Int = {
+      val c = l1.compareTo(l2)
+      if (c != 0) c else cmpCut(k1, a1, k2, a2)
+    }
+    if (lkCut(label, start, startCutAfter(closed.left),
+          first.label, first.start,
+          startCutAfter(first.closed.left)) < 0 &&
+        lkCut(label, stop, stopCutAfter(closed.right),
+          last.label, last.stop,
+          stopCutAfter(last.closed.right)) > 0)
       return Manifest(schema, Vector(row))
 
-    var (startPos, stopPos) = split(label, start, stop)
+    var (startPos, stopPos) = split(label, start, stop, closed)
+    val sAfter = startCutAfter(closed.left)
+    val eAfter = stopCutAfter(closed.right)
 
     // ---- truncate the row hit on the left (head side) ----
     var head: Vector[SegmentMeta] = null
@@ -142,7 +215,9 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     // perfect (label, stop)==(label, start) match
     if (startPos > 0) {
       val prev = rows(startPos - 1)
-      if (prev.label == label && schema.cmpKey(prev.stop, start) == 0) {
+      if (prev.label == label &&
+          cmpCut(prev.stop, stopCutAfter(prev.closed.right),
+            start, sAfter) == 0) {
         startPos -= 1
         startRow = prev
       }
@@ -152,17 +227,27 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     // closed state of the (possibly truncated) start row — the
     // reference reuses this in the tail branch below
     var startRowClosed: Closed = startRow.closed
+    // whether the head branch RAN: the reference's tail zero-width
+    // check reads start_row["closed"], which is a raw STRING unless
+    // head truncation reassigned it — string != Closed.BOTH is always
+    // true, so an untouched start row always lets a zero-width stop
+    // row drop (lakota/commit.py:338-346 quirk, kept for parity)
+    var headTruncRan = false
 
     if (startRow.label == label &&
-        schema.cmpKey(startRow.start, start) <= 0 &&
-        schema.cmpKey(start, startRow.stop) <= 0) {
+        cmpCut(startRow.start, startCutAfter(startRow.closed.left),
+          start, sAfter) <= 0 &&
+        cmpCut(start, sAfter,
+          startRow.stop, stopCutAfter(startRow.closed.right)) <= 0) {
+      headTruncRan = true
       // we hit the right side of an existing row: its stop shrinks to
       // our start, and its right-closedness becomes the opposite of
       // our left-closedness
       val newClosed = startRow.closed.setRight(!closed.left)
       startRowClosed = newClosed
       val truncated = startRow.copy(stop = start, closed = newClosed)
-      if (schema.cmpKey(truncated.start, truncated.stop) == 0 &&
+      if (cmpCut(truncated.start, startCutAfter(newClosed.left),
+            truncated.stop, stopCutAfter(newClosed.right)) >= 0 &&
           truncated.closed != Closed.Both) {
         head = rows.take(startPos) // zero-width & not fully closed: drop
       } else {
@@ -178,7 +263,9 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     // perfect (label, start)==(label, stop) match
     if (stopPos < rows.length) {
       val next = rows(stopPos)
-      if (next.label == label && schema.cmpKey(next.start, stop) == 0) {
+      if (next.label == label &&
+          cmpCut(next.start, startCutAfter(next.closed.left),
+            stop, eAfter) == 0) {
         stopRow = next
         stopPos += 1
       }
@@ -186,15 +273,22 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     if (stopRow == null) stopRow = rows(math.max(0, stopPos - 1))
 
     if (stopRow.label == label &&
-        schema.cmpKey(stopRow.start, stop) <= 0 &&
-        schema.cmpKey(stop, stopRow.stop) <= 0) {
+        cmpCut(stopRow.start, startCutAfter(stopRow.closed.left),
+          stop, eAfter) <= 0 &&
+        cmpCut(stop, eAfter,
+          stopRow.stop, stopCutAfter(stopRow.closed.right)) <= 0) {
       // we hit the left side of an existing row
       val truncated = stopRow.copy(start = stop,
         closed = stopRow.closed.setLeft(!closed.right))
-      // NOTE: the reference checks start_row's closed flag here
-      // (lakota/commit.py:341-344) — kept for behavioral parity
-      if (schema.cmpKey(truncated.start, truncated.stop) == 0 &&
-          startRowClosed != Closed.Both) {
+      // NOTE: the reference checks START_row's closed flag here
+      // (lakota/commit.py:341-344) — and that flag is only an enum
+      // (comparable to BOTH) when head truncation reassigned it;
+      // untouched it is a raw string, so the comparison is always
+      // "not BOTH". Kept for behavioral parity.
+      if (cmpCut(truncated.start, startCutAfter(truncated.closed.left),
+            truncated.stop,
+            stopCutAfter(truncated.closed.right)) >= 0 &&
+          (!headTruncRan || startRowClosed != Closed.Both)) {
         tail = rows.drop(stopPos)
       } else {
         tail = truncated +: rows.drop(stopPos)
@@ -218,14 +312,20 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     if (stop.isEmpty) closed = closed.setRight(true)
 
     // A PREFIX bound (fewer components than the key it meets) that
-    // prefix-equals resolves by side + closedness, mirroring the
-    // reference's Python tuple ordering where (2,) sorts BEFORE every
-    // (2, x) (lakota uses plain tuple comparisons in
-    // lakota/commit.py:425-475): a closed start bound (2,) means
-    // "from the beginning of group 2" (before every group-2 key), an
-    // open one "after all of group 2"; symmetrically for stops. Equal
-    // arity keeps the exact cmpKey result — single-column and
-    // full-tuple behavior is unchanged.
+    // prefix-equals resolves by side + closedness: a closed start
+    // bound (2,) means "from the beginning of group 2", an open one
+    // "after all of group 2"; symmetrically for stops — so a
+    // right-CLOSED stop (2,) includes the whole group. This is a
+    // DELIBERATE deviation from the reference, whose raw tuple order
+    // puts (2,) before every (2, x) (lakota/commit.py:425-475): there
+    // a closed stop (2,) EXCLUDES all of group 2 and an open start
+    // (2,) still serves it with its original flags (the clip clauses
+    // never fire). Side-resolution is the user-facing range
+    // convention every oracle encodes ("up to day X inclusive"
+    // covers the day); the reference's tuple semantics survive intact
+    // on the SPLICE side (cmpKeyTotal). Equal arity keeps the exact
+    // cmpKey result — single-column and full-tuple behavior is
+    // unchanged.
     def cmpStart(s: IndexKey, k: IndexKey): Int = {
       val c = schema.cmpKey(s, k)
       if (c != 0 || s.values.length >= k.values.length) c
@@ -310,7 +410,6 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
   // ---------- serialization ----------
 
   def encode: Array[Byte] = {
-    val idxTypes = schema.idx.map(_.dtype)
     def key(k: IndexKey): String =
       k.values.map(Json.scalar).mkString("[", ",", "]")
     val rws = rows.map { r =>
@@ -344,7 +443,6 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
         r.files.map(Json.str).mkString("[", ",", "]")
         }$dataBounds$inlinePart$vstatsPart$vsumsPart}"""
     }.mkString("[", ",", "]")
-    val _ = idxTypes
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
       .getBytes("UTF-8")
   }

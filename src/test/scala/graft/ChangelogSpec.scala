@@ -94,4 +94,55 @@ class ChangelogSpec extends AnyFunSuite {
       s"merged-over node resurfaced as a leaf: $leaves")
     assert(new String(log.payload(leaves.head)) == "after")
   }
+
+  test("unmerged fork: the NEWEST branch wins (reference DFS order)") {
+    // reference changelog.py:91-121 descends the OLDEST sibling first,
+    // so log() ends on (and leaf() returns) the newest branch's tip —
+    // even when the older branch is DEEPER
+    val log = freshLog()
+    val r0 = log.commit("root".getBytes).head
+    Thread.sleep(2)
+    val rA = log.commit("branch-a".getBytes,
+      parents = Seq(r0.child)).head
+    Thread.sleep(2)
+    val rAx = log.commit("branch-a-child".getBytes,
+      parents = Seq(rA.child)).head
+    Thread.sleep(2)
+    val rB = log.commit("branch-b".getBytes,
+      parents = Seq(r0.child)).head
+    log.refresh()
+    val order = log.log().map(_.child)
+    assert(order == Vector(r0.child, rA.child, rAx.child, rB.child),
+      order)
+    assert(log.leaf().get.child == rB.child)
+    assert(log.leafs().map(_.child).toSet ==
+      Set(rAx.child, rB.child))
+  }
+
+  test("trim keeps the parent edge; pull after trim never duplicates") {
+    val dirR = Files.createTempDirectory("graft-log-r").toString
+    val remote = new Changelog(new HadoopStore(dirR), "changelog")
+    remote.commit("r0".getBytes); Thread.sleep(2)
+    remote.commit("r1".getBytes); Thread.sleep(2)
+    remote.commit("r2".getBytes)
+    val local = freshLog()
+    local.pull(remote)
+    assert(local.log().map(_.child) == remote.log().map(_.child))
+    // trim the oldest revision: kept revisions keep their ORIGINAL
+    // parent edges (implicit-root continuity, reference parity)
+    val cut = remote.log()(1).epochMs + 1
+    local.trim(cut)
+    local.refresh()
+    assert(local.log().length == 1)
+    assert(local.log().head.parent != Changelog.Phi,
+      "trim must not re-root the kept revision")
+    // pulling from the untrimmed remote restores the trimmed history
+    // (reference behavior) but must NOT duplicate any kept node
+    local.pull(remote)
+    local.refresh()
+    val children = local.log().map(_.child)
+    assert(children.distinct == children, children)
+    assert(children.toSet == remote.log().map(_.child).toSet)
+    assert(local.leaf().get.child == remote.leaf().get.child)
+  }
 }

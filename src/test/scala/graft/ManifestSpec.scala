@@ -155,10 +155,47 @@ class ManifestSpec extends AnyFunSuite {
     val s6 = mf.segments("_", Some(IndexKey(Vector(6L))), None, Closed.Both)
     assert(s6.isEmpty)
   }
+  test("partial-arity splice bound keeps the surviving remnant " +
+      "(Python tuple order, not prefix-equality)") {
+    // reference semantics: (5,) < (5,9), so a right-open delete bound
+    // (5,) truncates the 2-col row to [(5,),(5,9)] and KEEPS it —
+    // prefix-equality misread it as zero-width and dropped group 5
+    val schema2 = GSchema("a" -> "int*", "b" -> "int*", "v" -> "float")
+    val r = SegmentMeta("_", IndexKey(3L, 0L), IndexKey(5L, 9L),
+      Closed.Both, 10L, Vector("f1"))
+    val tomb = SegmentMeta("_", IndexKey(Vector[Any](3L)),
+      IndexKey(Vector[Any](5L)), Closed.Left, 0L, Vector.empty)
+    val out = Manifest(schema2, Vector(r)).update(tomb)
+    val kept = out.rows.filter(_.hasData)
+    assert(kept.length == 1, out.rows)
+    assert(kept.head.start == IndexKey(Vector[Any](5L)) &&
+      kept.head.stop == IndexKey(5L, 9L), kept)
+    // left flag re-closed: the tombstone was right-open
+    assert(kept.head.closed.left, kept)
+    // and a delete whose stop EQUALS the row start prefix is a no-op
+    // on the data row (reference: (5,) < (5,0))
+    val r2 = SegmentMeta("_", IndexKey(5L, 0L), IndexKey(5L, 9L),
+      Closed.Both, 10L, Vector("f2"))
+    val out2 = Manifest(schema2, Vector(r2)).update(
+      SegmentMeta("_", IndexKey(Vector[Any](5L)),
+        IndexKey(Vector[Any](5L)), Closed.Left, 0L, Vector.empty))
+    assert(out2.rows.filter(_.hasData).map(m => (m.start, m.stop)) ==
+      Vector((IndexKey(5L, 0L), IndexKey(5L, 9L))), out2.rows)
+  }
+
+  test("zero-width tail remnant drops when head truncation did not " +
+      "run (reference string-vs-enum quirk)") {
+    // manifest [10,20] 'b'; splice [5,20] 'b': head truncation never
+    // runs (10 > 5), the tail residual [20,20] right-closed is
+    // zero-width — the reference drops it unconditionally in this
+    // case (start_row closed is a raw string there, != BOTH always)
+    val out = m(row(10, 20)).update(row(5, 20, file = "g"))
+    assert(spans(out) == Seq((5L, 20L, "b")), spans(out))
+    // the fully-shadowed old file is released from the leaf manifest
+    assert(out.allFiles == Set("g"), out.allFiles)
+  }
 }
 
-/** segments() pruning edge cases, incl. the degenerate-point skip and
-  * its mixed-arity exception on multi-column indexes. */
 class ManifestPruneSpec extends AnyFunSuite {
 
   test("right-open stop landing on a segment start prunes it") {

@@ -37,6 +37,28 @@ abstract class SeriesSpecBase(embedOn: Boolean) extends AnyFunSuite {
     df.select("timestamp", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
 
+  test("partial-arity delete bound spares the excluded group") {
+    // 2-col index; delete(3, 5, Left) is right-OPEN at the partial
+    // key (5,): every (5, x) row must survive (Python tuple order —
+    // (5,) sorts before (5, 0)). Prefix-equality once dropped the
+    // whole group.
+    val root = Files.createTempDirectory("graft-repo").toString
+    val repo = new Repo(root, spark)
+    val schema2 = GSchema("a" -> "int*", "b" -> "int*", "v" -> "float")
+    val clct = tuned(repo.createCollection(schema2, "-"))
+    val s = clct.series("_")
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    s.write(Seq((3L, 0L, 1.0), (4L, 5L, 2.0), (5L, 0L, 3.0),
+      (5L, 9L, 4.0)).toDF("a", "b", "v"))
+    s.delete(3L, 5L, Closed.Left)
+    val left = s.frame().select("a", "b", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(left == Seq((5L, 0L, 3.0), (5L, 9L, 4.0)), left)
+  }
+
   test("read back what was written") {
     val s = freshSeries()
     assert(rows(s.frame()) == origTs.zip(origVals))
