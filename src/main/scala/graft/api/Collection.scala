@@ -251,8 +251,17 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case None => ()
       case Some(m) =>
         val old = changelog.log()
-        changelog.commit(m.encode, parents = Seq(Changelog.Phi))
-        old.foreach(r => repo.store.rm(s"${changelog.dir}/${r.path}"))
+        val written = changelog.commit(m.encode,
+          parents = Seq(Changelog.Phi))
+        // keep exactly the root the commit resolved to: a squash in
+        // the same millisecond as an identical earlier squash shares
+        // its content-addressed id (the write-once create is a no-op
+        // on the existing file), and deleting that very file would
+        // EMPTY the changelog — every series would read as gone and
+        // gc would reap the segments
+        val keep = written.map(_.path).toSet
+        old.filterNot(r => keep.contains(r.path))
+          .foreach(r => repo.store.rm(s"${changelog.dir}/${r.path}"))
         changelog.refresh()
     }
   }

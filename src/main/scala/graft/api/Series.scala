@@ -127,7 +127,12 @@ class Series(val collection: Collection, val label: String) {
         if (collection.embedMaxSize > 0 && collection.defaults.isEmpty &&
             writeInline(probe, startK, stopK, closed, root)) ()
         else if (probe.nonEmpty)
-          writeSmallFile(probe, startK, stopK, closed, root, presorted)
+          // NOT verifySorted: the probe collect flattens partitions in
+          // pid order, and the presorted contract is per-partition
+          // order + range disjointness, not pid order — sorting a
+          // <=256-row frame costs nothing and accepts every valid
+          // declaration the distributed tier accepts
+          writeSmallFile(probe, startK, stopK, closed, root)
         else {
           // empty frame: tombstone (same contract as the parquet path)
           require(startK != null && stopK != null,
@@ -439,8 +444,12 @@ class Series(val collection: Collection, val label: String) {
       .collect { case ((c, _), j) if c.idx => j }
     val kernelRows = probe.map(r =>
       srcIdx.map { case (c, i) =>
-        if (r.isNullAt(i)) null
-        else SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
+        if (r.isNullAt(i)) {
+          if (c.idx) throw new IllegalArgumentException(
+            s"null value in index column '${c.name}' — index " +
+              "columns must be non-null")
+          null
+        } else SparkVals.toKernel(c.dtype, r.get(i)) }.toVector)
     def keyOfRow(v: Vector[Any]): IndexKey = IndexKey(idxPos.map(v).toVector)
     val sortedRows = kernelRows.sortWith((a, b) =>
       schema.cmpKey(keyOfRow(a), keyOfRow(b)) < 0).toVector
@@ -537,6 +546,9 @@ class Series(val collection: Collection, val label: String) {
       .map(_._2).toArray
     def keyAt(ir: org.apache.spark.sql.catalyst.InternalRow): IndexKey =
       IndexKey(idxPos.map { i =>
+        if (ir.isNullAt(i)) throw new IllegalArgumentException(
+          s"null value in index column '${schema.cols(i).name}' — " +
+            "index columns must be non-null")
         dtypes(i) match {
           case GType.TimestampT | GType.IntT => ir.getLong(i)
           case GType.DateT  => ir.getInt(i).toLong
@@ -913,9 +925,16 @@ class Series(val collection: Collection, val label: String) {
     val parts = grouped ++ clipped.map(segDf) ++ inlParts
     var df = parts.reduceOption(_ union _).getOrElse(emptyDf)
     if (offset.isDefined || limit.isDefined) {
+      // Spark's limit/offset operators take Int — reject out-of-range
+      // values instead of letting .toInt wrap negative
+      def asInt(what: String, v: Long): Int = {
+        require(v >= 0 && v <= Int.MaxValue,
+          s"$what must be in [0, ${Int.MaxValue}], got $v")
+        v.toInt
+      }
       df = df.orderBy(idxCols: _*)
-      offset.foreach(o => df = df.offset(o.toInt))
-      limit.foreach(l => df = df.limit(l.toInt))
+      offset.foreach(o => df = df.offset(asInt("offset", o)))
+      limit.foreach(l => df = df.limit(asInt("limit", l)))
     }
     if (select.nonEmpty) df = df.select(select.map(col): _*)
     styled(df, style)
@@ -928,7 +947,8 @@ class Series(val collection: Collection, val label: String) {
   def tail(n: Long, start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None, closed: Closed = Closed.Left,
       select: Seq[String] = Nil): DataFrame = {
-    require(n > 0, "length argument must be > 0")
+    require(n > 0 && n <= Int.MaxValue,
+      s"length argument must be in [1, ${Int.MaxValue}], got $n")
     val segs = segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
     val keep = prefixCovering(segs.reverse, n).reverse
@@ -948,7 +968,8 @@ class Series(val collection: Collection, val label: String) {
   def paginate(step: Long = 500000L, start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None,
       closed: Closed = Closed.Left): Iterator[DataFrame] = {
-    require(step > 0, "step must be > 0")
+    require(step > 0 && step <= Int.MaxValue,
+      s"step must be in [1, ${Int.MaxValue}], got $step")
     val segs = segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
     val lens = segs.map(visibleLen)
@@ -980,7 +1001,6 @@ class Series(val collection: Collection, val label: String) {
     */
   def update(dfIn: DataFrame): Unit = {
     val updCols = dfIn.columns.toSeq.filterNot(schema.idxNames.contains)
-    val readCols = schema.nonIdx.map(_.name).filterNot(updCols.contains)
     val newDf = dfIn.select(
       (schema.idxNames ++ updCols).map(c =>
         col(c).cast(schema(c).dtype.sparkType).as(c)): _*)
@@ -1033,8 +1053,16 @@ class Series(val collection: Collection, val label: String) {
     // job); persist the joined frame so the join doesn't run twice
     val pinned = full.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try write(pinned, startK, stopK, Closed.Both)
-    finally pinned.unpersist()
+    try {
+      // duplicate index keys on BOTH sides pass the count+anti-join
+      // alignment check but fan the inner join out k×k — catch the
+      // expansion before committing silently duplicated rows
+      if (pinned.count() != newDf.count())
+        throw new IllegalArgumentException(
+          "Update frame is not aligned with existing index " +
+            "(duplicate index keys fan out the alignment join)")
+      write(pinned, startK, stopK, Closed.Both)
+    } finally pinned.unpersist()
     // closes the try opened right after db.cache(): a misalignment
     // throw must not leave db pinned for the life of the session
     } finally db.unpersist()

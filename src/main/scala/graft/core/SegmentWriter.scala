@@ -355,6 +355,14 @@ object SegmentWriter {
 
     private def keyAt(ir: InternalRow): IndexKey = IndexKey(
       idxPos.map { i =>
+        // a null index slot would silently read as 0/"" and record a
+        // phantom key in the manifest stats (and corrupt the REQUIRED
+        // parquet field) — reject it with the offending column named
+        if (ir.isNullAt(i + off))
+          throw new IllegalArgumentException(
+            s"null value in index column '${p.gschema.cols(i).name}' " +
+              "— index " +
+              "columns must be non-null")
         dtypes(i) match {
           case GType.TimestampT | GType.IntT => ir.getLong(i + off)
           case GType.DateT  => ir.getInt(i + off).toLong
@@ -430,6 +438,12 @@ object SegmentWriter {
     private[graft] def rollNow(): Unit = roll()
 
     /** failure-path close: never masks the original exception */
-    def closeQuiet(): Unit = if (w != null) w.close()
+    def closeQuiet(): Unit = if (w != null) {
+      // failure-path close: ParquetWriter.close() flushes pages and
+      // writes a footer, which can itself throw on a half-written
+      // file — swallow it so the ORIGINAL task failure propagates
+      try w.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }

@@ -59,6 +59,62 @@ abstract class SeriesSpecBase(embedOn: Boolean) extends AnyFunSuite {
     assert(left == Seq((5L, 0L, 3.0), (5L, 9L, 4.0)), left)
   }
 
+  test("rapid repeated squash never empties the changelog") {
+    // two squashes of identical content within the same millisecond
+    // share the content-addressed root id; the second one's write-once
+    // create is refused, and deleting that very file used to EMPTY
+    // the changelog (every series gone, segments gc-able)
+    val s = freshSeries()
+    val c = s.collection
+    for (_ <- 1 to 50) c.squash()
+    assert(c.manifest().isDefined, "changelog must never empty")
+    assert(rows(s.frame()) == origTs.zip(origVals))
+  }
+
+  test("null index values are rejected with the column named") {
+    val s = freshSeries()
+    val sp = spark
+    import sp.implicits._
+    // tiny tier (probe/inline or driver tier depending on mode)
+    val bad = Seq((Some(1L), 1.0), (None: Option[Long], 2.0))
+      .toDF("timestamp", "value")
+    val e = intercept[Exception] { s.write(bad) }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("index column"),
+      root(e).getMessage)
+    // distributed tier: force past the tiny probe with > probe rows
+    val big = (0 until 3000).map(i =>
+      (if (i == 1500) None else Some(i.toLong), i * 1.0))
+      .toDF("timestamp", "value")
+    val e2 = intercept[Exception] { s.write(big) }
+    val msgs = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(12)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("index column"), msgs.take(300))
+    // data untouched by both failures
+    assert(rows(s.frame()) == origTs.zip(origVals))
+  }
+
+  test("update refuses duplicate-key join fanout") {
+    val s = freshSeries()
+    val sp = spark
+    import sp.implicits._
+    // duplicate the middle key in the SERIES (duplicates are legal)
+    s.write(Seq((origTs(1), 9.9)).toDF("timestamp", "value"),
+      start = origTs(1), stop = origTs(1))
+    // series now holds one row at origTs(1) (splice replaced it);
+    // make a real duplicate via concat-style write of two rows with
+    // the same key in ONE frame
+    s.write(Seq((origTs(1), 1.0), (origTs(1), 2.0))
+      .toDF("timestamp", "value"), start = origTs(1), stop = origTs(1))
+    assert(s.frame().count() == 4) // 2 dup rows + the 2 neighbors
+    val upd = Seq((origTs(1), 7.0), (origTs(1), 8.0))
+      .toDF("timestamp", "value")
+    val e = intercept[IllegalArgumentException] { s.update(upd) }
+    assert(e.getMessage.contains("aligned"), e.getMessage)
+  }
+
   test("read back what was written") {
     val s = freshSeries()
     assert(rows(s.frame()) == origTs.zip(origVals))
