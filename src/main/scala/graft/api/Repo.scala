@@ -183,6 +183,31 @@ class Repo(val rootUri: String, val spark: SparkSession,
     require(oldPhysIdx == newPhysIdx,
       s"alter may not change the index column set: $oldPhysIdx -> " +
         s"$newPhysIdx")
+    // DROP COLUMN guard: manifest-INLINE rows store values
+    // positionally over the write-time non-default column set, so
+    // dropping a SOURCE column would silently shift every later
+    // column's slot on read (files are name-addressed and immune;
+    // default-backed added columns were never in the vectors). Scan
+    // the full history — time travel reads old revisions too.
+    val oldPhysAll = e.schema.cols.map(c =>
+      e.colMap.getOrElse(c.name, c.name)).toSet
+    val newPhysAll = schema.cols.map(c =>
+      colMap.getOrElse(c.name, c.name)).toSet
+    val defaultPhys = e.defaults.keySet.map(n =>
+      e.colMap.getOrElse(n, n))
+    val droppedSrc = oldPhysAll -- newPhysAll -- defaultPhys
+    if (droppedSrc.nonEmpty) {
+      val c = new Collection(this, label, e.path, e.schema, e.colMap,
+        e.defaults, e.pageLen)
+      val hasInline = c.changelog.log().exists(r =>
+        Manifest.decode(c.changelog.payload(r)).rows
+          .exists(_.inline.isDefined))
+      require(!hasInline,
+        s"cannot drop stored column(s) ${droppedSrc.mkString(", ")}: " +
+          "the collection's history holds manifest-inline rows whose " +
+          "positional layout would shift — rewrite them to files " +
+          "(defrag with embedMaxSize = 0), squash, then retry")
+    }
     writeReg(state.updated(key,
       RegEntry(e.path, schema, colMap, defaults, e.pageLen)))
     new Collection(this, label, e.path, schema, colMap, defaults,

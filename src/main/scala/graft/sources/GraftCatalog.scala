@@ -142,11 +142,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def resolveVersionMs(c: graft.api.Collection, version: String)
       : Long =
     scala.util.Try(version.toLong).getOrElse {
-      val hits = c.changelog.log().filter(r =>
+      val log = c.changelog.log()
+      val hits = log.filter(r =>
         r.child == version || r.child.startsWith(version) ||
           r.digest.startsWith(version))
       hits match {
-        case Seq(r) => r.epochMs + 1L // include r, exclude later
+        case Seq(r) =>
+          // the snapshot clock is millisecond-grained: a LATER
+          // revision in the same millisecond would silently win the
+          // leaf resolution at epochMs+1 — refuse rather than serve
+          // the wrong snapshot
+          val i = log.indexWhere(_.child == r.child)
+          if (log.drop(i + 1).exists(_.epochMs == r.epochMs))
+            throw new IllegalArgumentException(
+              s"graft VERSION AS OF: revision ${r.child} shares its " +
+                "millisecond with a later revision, so the snapshot " +
+                "clock cannot pin it — pin the later revision, or " +
+                "squash/trim first")
+          r.epochMs + 1L // include r, exclude later
         case Seq() => throw new IllegalArgumentException(
           s"graft VERSION AS OF: no revision matches '$version' " +
             s"(epoch millis or a revision id from CALL sys.history)")
@@ -212,6 +225,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         schema.fields.toSeq.filterNot(f => idxNames.contains(f.name))
           .map(f => ColDef(f.name, GType.fromSpark(f.dataType),
             idx = false))
+    require(schema.fields.exists(f => !idxNames.contains(f.name)),
+      "a graft series needs at least one value column beyond " +
+        "PARTITIONED BY (the index)")
     val kv = Option(properties.get("kv")).contains("true")
     // persisted page length (rows per segment file): finer segments
     // prune tighter and make row-level operations rewrite less

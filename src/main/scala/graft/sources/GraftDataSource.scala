@@ -319,7 +319,11 @@ class GraftTable(rootUri: String, collectionName: String,
     * replaceWhere overwrite commit — batchable inside multi()) */
   private[sources] def applyDelete(s: graft.api.Series,
       plan: DeletePlan): Unit = plan match {
-    case DeleteAll => truncateTable(); ()
+    case DeleteAll =>
+      // on the PASSED series: Collection.multi batching is
+      // instance-scoped, so truncateTable()'s fresh resolution would
+      // commit outside the enclosing batch
+      s.collection.truncateWrite(s.label, Seq.empty)
     case DeleteKeys(vs) =>
       vs.foreach(v => s.delete(IndexKey(Vector(v)),
         IndexKey(Vector(v))))
@@ -1055,7 +1059,9 @@ class GraftStreamingWrite(table: GraftTable,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo,
     WriterCommitMessage}
 
-  private def store = table.series.collection.repo.store
+  // one resolution per streaming query, not per epoch store access
+  private lazy val resolvedSeries = table.series
+  private def store = resolvedSeries.collection.repo.store
   private val qdir =
     s"streams/${queryId.replaceAll("[^A-Za-z0-9-]", "_")}"
   // the CURRENT epoch's staging base (micro-batches are serial per
@@ -1727,6 +1733,11 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
         f.getName -> f).toMap
       val b = Types.buildMessage()
       p.physNames.foreach(n => byName.get(n).foreach(b.addField))
+      // parquet forbids empty group types: a zero-column projection
+      // (count(*) over a clipped snapshot) reads the first file
+      // column and discards it (slotOf maps it to no output slot)
+      if (p.physNames.isEmpty)
+        fileSchema.getFields.asScala.headOption.foreach(b.addField)
       new ReadSupport.ReadContext(b.named(fileSchema.getName))
     }
     override def prepareForRead(c: org.apache.hadoop.conf.Configuration,
@@ -1740,6 +1751,15 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
         private val root: GroupConverter = new GroupConverter {
           override def getConverter(fieldIndex: Int): Converter = {
             val slot = slotOf(fieldIndex)
+            if (slot < 0) // the empty-projection placeholder column
+              return new PrimitiveConverter {
+                override def addLong(v: Long): Unit = ()
+                override def addInt(v: Int): Unit = ()
+                override def addDouble(v: Double): Unit = ()
+                override def addFloat(v: Float): Unit = ()
+                override def addBoolean(v: Boolean): Unit = ()
+                override def addBinary(v: Binary): Unit = ()
+              }
             val dt = dtypes(slot)
             val prim = requested.getType(fieldIndex).asPrimitiveType()
               .getPrimitiveTypeName
@@ -1780,9 +1800,12 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     }
   }
 
-  private lazy val reader: ParquetReader[Array[Any]] =
+  private var readerOpened = false
+  private lazy val reader: ParquetReader[Array[Any]] = {
+    readerOpened = true
     ParquetReader.builder(support, new Path(p.uri))
       .withConf(conf.value).build()
+  }
 
   private var current: InternalRow = _
 
@@ -1837,7 +1860,11 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   }
   override def get(): InternalRow = current
   override def close(): Unit =
-    if (vec != null) vec.close() else reader.close()
+    if (vec != null) vec.close()
+    // never FORCE the lazy fallback reader during cleanup: that would
+    // open the file (which may be the unreadable file that put us on
+    // this path) just to close it, masking the original failure
+    else if (readerOpened) reader.close()
 }
 
 class GraftInlineReader(p: GraftInlinePartition)

@@ -729,4 +729,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("positive"), bad.getMessage)
   }
+
+  test("DROP COLUMN refuses while manifest-inline rows exist") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.ic.s (ts TIMESTAMP, a DOUBLE, b DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    // tiny write via the Series API -> manifest-INLINE row
+    // (positional [ts, a, b]; the SQL door always writes files)
+    val repo0 = new Repo(root, spark)
+    val sp = spark
+    import sp.implicits._
+    repo0.collection("ic").get.series("s").write(
+      Seq(("2024-01-01 00:00:00", 1.0, 2.0)).toDF("ts", "a", "b")
+        .selectExpr("cast(ts as timestamp) ts", "a", "b"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ic.s DROP COLUMN a")
+    }
+    assert(e.getMessage.contains("inline"), e.getMessage)
+    // reads still correct (nothing half-applied)
+    assert(spark.sql(s"SELECT b FROM $cat.ic.s").collect()(0)
+      .getDouble(0) == 2.0)
+    // an ADDed (default-backed) column was never in the vectors:
+    // dropping IT is fine even with inline rows present
+    spark.sql(
+      s"ALTER TABLE $cat.ic.s ADD COLUMN c DOUBLE DEFAULT 9.0")
+    spark.sql(s"ALTER TABLE $cat.ic.s DROP COLUMN c")
+    // defrag with embedding off rewrites inline rows to FILES;
+    // squash retires the inline-bearing history; then the drop works
+    val repo = new Repo(root, spark)
+    val clct = repo.collection("ic").get
+    clct.embedMaxSize = 0L
+    clct.defrag(maxChunk = 0)
+    clct.squash()
+    spark.sql(s"ALTER TABLE $cat.ic.s DROP COLUMN a")
+    assert(spark.sql(s"SELECT b FROM $cat.ic.s").collect()(0)
+      .getDouble(0) == 2.0)
+  }
+
+  test("VERSION AS OF refuses a revision a same-ms successor shadows") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.vs.s (ts TIMESTAMP, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.vs.s VALUES
+         |(TIMESTAMP '2024-01-01 00:00:00', 1.0)""".stripMargin)
+    val repo = new Repo(root, spark)
+    val clog = repo.collection("vs").get.changelog
+    val r = clog.leaf().get
+    // handcraft a successor revision in the SAME millisecond (the
+    // snapshot clock cannot order them)
+    val payload = "{}".getBytes("UTF-8")
+    val child2 = s"${r.epochHex}-${graft.core.Hash.sha1(payload)}"
+    repo.store.write(s"${clog.dir}/${r.child}.$child2", payload)
+    clog.refresh()
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $cat.vs.s VERSION AS OF '${r.child}'").collect()
+    }
+    assert(e.getMessage.contains("millisecond"), e.getMessage)
+  }
 }
