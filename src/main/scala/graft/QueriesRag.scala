@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * identically-ordered operations.
   */
 object QueriesRag {
+  /** q128's per-call union pin: holds the live checkpoint so the NEXT
+    * call can free the previous one (no cross-call result reuse — the
+    * pin is rebuilt from scratch inside every timed call). */
+  private val idxAllPin =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   // ---- q113: BM25 "more-like-this" retrieval ---------------------------
 
@@ -701,26 +706,50 @@ object QueriesRag {
   def q128_incremental_index(s: SparkSession, dir: String): DataFrame = {
     import graft.api.Repo
     import graft.core.GSchema
-    QueriesPipe.termView(s, dir)
+    def phase[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[q128] $what ${(System.nanoTime()-t0)/1e6}%.0f ms")
+      r
+    }
+    phase("termView")(QueriesPipe.termView(s, dir))
     val root = java.nio.file.Files
       .createTempDirectory("graft-idx").toString
     val schema = GSchema("term" -> "str*", "doc_id" -> "int*",
       "lang" -> "str", "cnt" -> "int")
     val sr = new Repo(root, s).createCollection(schema, "postings")
       .series("_")
-    sr.write(s.table("doc_terms").filter("doc_id % 2 = 0")
-      .selectExpr("term", "doc_id", "lang", "cnt"))
-    sr.frame().createOrReplaceTempView("graft_idx_stored")
+    phase("write")(sr.write(s.table("doc_terms").filter("doc_id % 2 = 0")
+      .selectExpr("term", "doc_id", "lang", "cnt")))
+    phase("frameView")(
+      sr.frame().createOrReplaceTempView("graft_idx_stored"))
     s.sql(
       """SELECT term, cast(doc_id AS bigint) AS doc_id, lang,
         |  cast(cnt AS bigint) AS cnt
         |FROM doc_terms WHERE doc_id % 2 = 1""".stripMargin)
       .createOrReplaceTempView("graft_idx_new")
-    s.sql(
-      """CREATE OR REPLACE TEMPORARY VIEW graft_idx_all AS
-        |SELECT doc_id, lang, term, cnt FROM graft_idx_stored
-        |UNION ALL
-        |SELECT doc_id, lang, term, cnt FROM graft_idx_new""".stripMargin)
+    // bm25Sql consumes its postings relation FOUR times (dl, qt, df,
+    // sc): pin the stored∪fresh union once per call (eager executor
+    // checkpoint — one stored-parquet read + one fresh-half derive)
+    // so the consumers scan pinned rows instead of re-deriving the
+    // union per CTE. Pinned PER CALL, inside the timed region — the
+    // previous call's blocks are released, nothing is reused across
+    // bench reps (each rep still pays write + union + pin + query).
+    phase("unionPin") {
+      val union = s.sql(
+        """SELECT doc_id, lang, term, cnt FROM graft_idx_stored
+          |UNION ALL
+          |SELECT doc_id, lang, term, cnt FROM graft_idx_new"""
+          .stripMargin)
+      val pinned = union.localCheckpoint()
+      idxAllPin.getAndSet(pinned) match {
+        case null => ()
+        case prev => org.apache.spark.sql.GraftBridge
+          .unpersistCheckpoint(prev)
+      }
+      pinned.createOrReplaceTempView("graft_idx_all")
+    }
     s.sql(bm25Sql("graft_idx_all"))
   }
 

@@ -572,21 +572,76 @@ class Series(val collection: Collection, val label: String) {
       else parts.filter(_.nonEmpty)
         .sortWith((a, b) => schema.cmpKey(keyAt(a(0)), keyAt(b(0))) < 0)
         .flatten
-    // one key per ROW, not per comparison — at the driver-tier's
-    // 10^5-row ceiling a naive sortWith would allocate ~2·n·log n keys
-    val keys = irows.map(keyAt)
-    if (verifySorted) {
-      // same presorted contract the distributed tier enforces in-task
-      var i = 1
-      while (i < keys.length) {
-        require(schema.cmpKey(keys(i - 1), keys(i)) <= 0,
-          s"presorted write got unsorted input: ${keys(i - 1)} > " +
-            s"${keys(i)}")
-        i += 1
+    // Index keys as per-COLUMN typed arrays (one pass, null-checked),
+    // not an IndexKey/Vector per row: the sort below compares via
+    // primitive array loads instead of boxed Vector[Any] dispatch —
+    // profiled 5-10x on the 10^5-row driver-tier ceiling. String
+    // columns keep String.compareTo, matching cmpKey / manifest order.
+    val n = irows.length
+    val keyCols: Array[AnyRef] = idxPos.map { i =>
+      val col: AnyRef = dtypes(i) match {
+        case GType.FloatT => new Array[Double](n)
+        case GType.StrT   => new Array[String](n)
+        case _            => new Array[Long](n)
       }
+      var r = 0
+      while (r < n) {
+        val ir = irows(r)
+        if (ir.isNullAt(i)) throw new IllegalArgumentException(
+          s"null value in index column '${schema.cols(i).name}' — " +
+            "index columns must be non-null")
+        dtypes(i) match {
+          case GType.TimestampT | GType.IntT =>
+            col.asInstanceOf[Array[Long]](r) = ir.getLong(i)
+          case GType.DateT =>
+            col.asInstanceOf[Array[Long]](r) = ir.getInt(i).toLong
+          case GType.FloatT =>
+            col.asInstanceOf[Array[Double]](r) = ir.getDouble(i)
+          case GType.StrT =>
+            col.asInstanceOf[Array[String]](r) =
+              ir.getUTF8String(i).toString
+        }
+        r += 1
+      }
+      col
     }
-    val order = Array.tabulate(irows.length)(identity).sortWith(
-      (i, j) => schema.cmpKey(keys(i), keys(j)) < 0)
+    def cmpIdx(a: Int, b: Int): Int = {
+      var k = 0
+      while (k < keyCols.length) {
+        val c = keyCols(k) match {
+          case l: Array[Long]   => java.lang.Long.compare(l(a), l(b))
+          case d: Array[Double] => java.lang.Double.compare(d(a), d(b))
+          case s: Array[String] => s(a).compareTo(s(b))
+        }
+        if (c != 0) return c
+        k += 1
+      }
+      0
+    }
+    def keyOf(r: Int): IndexKey = IndexKey(keyCols.map {
+      case l: Array[Long]   => l(r): Any
+      case d: Array[Double] => d(r): Any
+      case s: Array[String] => s(r): Any
+    }.toVector)
+    val order: Array[Int] =
+      if (verifySorted) {
+        // same presorted contract the distributed tier enforces
+        // in-task; a verified-sorted input needs no sort at all
+        var i = 1
+        while (i < n) {
+          require(cmpIdx(i - 1, i) <= 0,
+            s"presorted write got unsorted input: ${keyOf(i - 1)} > " +
+              s"${keyOf(i)}")
+          i += 1
+        }
+        Array.range(0, n)
+      } else {
+        val boxed = Array.range(0, n).map(Integer.valueOf)
+        java.util.Arrays.sort(boxed,
+          ((a: Integer, b: Integer) => cmpIdx(a, b)):
+            java.util.Comparator[Integer])
+        boxed.map(_.intValue)
+      }
     lap("keys+sort")
     // Parquet ENCODE dominates this path (~100-200 ms for 10^5 rows
     // single-threaded): chunk the sorted rows into ≤ chunkRows files
@@ -595,9 +650,15 @@ class Series(val collection: Collection, val label: String) {
     // exactly like one bulk-job task, so sealing + digests are
     // identical to the distributed tier (straddled duplicate keys at
     // chunk boundaries included, via the shared sealSegments).
-    val chunkRows = spark.conf
+    // chunk size: capped above (file granularity) AND sized down to
+    // keep ~8 writer threads busy on mid-size frames — a 58k-row
+    // frame writes 8 parallel ~7k-row files instead of 2 serial-ish
+    // 32k ones, without exploding small-write file counts (≤ 8
+    // files/write either way)
+    val chunkCap = spark.conf
       .get("spark.graft.driverWriteChunkRows", "32768").toInt
-    val n = irows.length
+    val chunkRows = math.min(chunkCap,
+      math.max(4096, (n + 7) / 8)).max(1)
     val nChunks = math.max(1, (n + chunkRows - 1) / chunkRows)
     val fieldTypes = physStruct.fields.map(_.dataType)
     val physNames = physStruct.fields.map(_.name).toSeq
@@ -677,7 +738,7 @@ class Series(val collection: Collection, val label: String) {
         (lo until hi).iterator.map(j => irows(order(j))),
         schema.cols, physNames, store.uri(rel), hconf, segmentCodec)
       graft.core.SegmentWriter.FileStat(rel, (hi - lo).toLong,
-        keys(order(lo)), keys(order(hi - 1)), hash, vs, sums)
+        keyOf(order(lo)), keyOf(order(hi - 1)), hash, vs, sums)
     }
     val stats: Seq[graft.core.SegmentWriter.FileStat] =
       if (nChunks == 1) Seq(writeChunk(0))
