@@ -80,6 +80,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // benched plans run with the same extension set users get
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // generated-class cache (STATIC conf, default 100 entries): a
+      // long-lived session running a wide query mix compiles hundreds
+      // of distinct whole-stage classes; at 100 the LRU churns and
+      // late queries re-Janino-compile EVERY execution (profiled as
+      // bimodal 0.5 s vs 2.5 s on identical plans — the same failure
+      // mode the 1g ReservedCodeCacheSize fixes one layer down).
+      // 5000 × ~50 KB of class metadata is nothing next to the code
+      // cache it feeds.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // opt-in stage-level profiling: parse the JSON event log offline
       .config("spark.eventLog.enabled",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))

@@ -15,6 +15,10 @@ object Verify {
       // native functions + RankToArgMin via the public extension point,
       // so every oracle query is verified WITH the rewrite rule active
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // 204 queries compile far more than the default 100 generated
+      // classes; without this the LRU churns and late queries
+      // re-compile every stage (see Bench.buildSession)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -71,9 +71,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
       if (hit != null && hit._1 == r.child) hit._2
       else {
         val m = decodeReg(registry.payload(r))
-        if (Repo.regDecodeCache.size() > 256)
-          Repo.regDecodeCache.clear()
-        Repo.regDecodeCache.put(rootUri, (r.child, m))
+        Repo.regDecodeCache.put(rootUri, (r.child, m)) // LRU-bounded
         m
       }
     }.getOrElse(Map.empty)
@@ -172,7 +170,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * fine): manifests prune by position, not name. */
   def alterCollection(label: String, schema: GSchema,
       colMap: Map[String, String], defaults: Map[String, Any],
-      namespace: String = DefaultNs): Collection = synchronized {
+      namespace: String = DefaultNs,
+      pageLenChange: Option[Option[Long]] = None): Collection =
+      synchronized {
+    pageLenChange.foreach(_.foreach(n =>
+      require(n > 0, s"pageLen must be positive: $n")))
     val key = mkKey(namespace, label)
     val state = regState()
     val e = state.getOrElse(key, throw new IllegalArgumentException(
@@ -208,8 +210,12 @@ class Repo(val rootUri: String, val spark: SparkSession,
           "positional layout would shift — rewrite them to files " +
           "(defrag with embedMaxSize = 0), squash, then retry")
     }
+    // a mixed ALTER (column change + page_len property) commits both
+    // in ONE registry write, so a failing half can never leave the
+    // other half applied
+    val newPageLen = pageLenChange.getOrElse(e.pageLen)
     writeReg(state.updated(key,
-      RegEntry(e.path, schema, colMap, defaults, e.pageLen)))
+      RegEntry(e.path, schema, colMap, defaults, newPageLen)))
     new Collection(this, label, e.path, schema, colMap, defaults,
       e.pageLen)
   }
@@ -458,10 +464,20 @@ object Repo {
     * size instead of re-parsing a 10^5-collection JSON per statement.
     * One entry per ROOT (the newest leaf — only it can ever hit
     * again), so memory is O(#open repos), not O(#registry commits);
-    * wholesale clear past 256 roots (temp repos in test suites would
-    * otherwise accumulate). */
-  private[api] val regDecodeCache = new java.util.concurrent
-    .ConcurrentHashMap[String, (String, Map[String, RegEntry])]()
+    * bounded by a true LRU at 256 roots (temp repos in test suites
+    * would otherwise accumulate) — access-ordered eviction of ONLY the
+    * eldest entry, so hot repos never lose their slot to a cold temp
+    * repo churning the bound, and the bound holds under concurrent
+    * repos (all access goes through the map's own lock). */
+  private[api] val regDecodeCache: java.util.Map[
+      String, (String, Map[String, RegEntry])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          String, (String, Map[String, RegEntry])](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            String, (String, Map[String, RegEntry])]): Boolean =
+          size() > 256
+      })
 
   /** `http(s)://` roots open as HTTP-POD clients (a repo served by
     * [[graft.core.StoreServer]]); `memory://` roots run fully

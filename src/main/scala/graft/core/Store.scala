@@ -44,19 +44,32 @@ final class HadoopStore(val root: String) extends Store {
   }
   private def fs: FileSystem = synchronized {
     if (fsCache == null) {
-      fsCache = new Path(root).getFileSystem(conf)
-      // No Hadoop client-side .crc sidecars: they DOUBLE the file ops
-      // of every metadata commit (create+rename twice) — measured at
-      // a third of the tiny-write cost — and add nothing here:
-      // revision payloads are content-addressed (sha1 = file name,
-      // verified on read with retry), segment files carry parquet's
-      // own page checksums, and the real deployment filesystems
-      // (HDFS server-side checksums, S3A) never use the sidecar
-      // scheme — it is a LocalFileSystem artifact. Sidecar-less files
-      // stay readable by CRC-verifying readers (the checksum is
-      // optional by contract).
-      fsCache.setWriteChecksum(false)
-      fsCache.setVerifyChecksum(false)
+      val path = new Path(root)
+      val scheme = Option(path.toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        // No Hadoop client-side .crc sidecars: they DOUBLE the file
+        // ops of every metadata commit (create+rename twice) —
+        // measured at a third of the tiny-write cost — and add
+        // nothing here: revision payloads are content-addressed
+        // (sha1 = file name, verified on read with retry), segment
+        // files carry parquet's own page checksums. The sidecar
+        // scheme is a LocalFileSystem artifact, so only file:// needs
+        // the toggle — and it must be INSTANCE-LOCAL: Hadoop's
+        // FileSystem cache is keyed by scheme+authority+UGI, so
+        // toggling the shared instance would silently disable CRCs
+        // for every other file:// user in the JVM (Spark checkpoint
+        // logs, event logs). disable.cache gives this store a
+        // private instance; the JVM-cached one keeps its checksums.
+        val c = new Configuration(conf)
+        c.setBoolean("fs.file.impl.disable.cache", true)
+        fsCache = path.getFileSystem(c)
+        fsCache.setWriteChecksum(false)
+        fsCache.setVerifyChecksum(false)
+      } else {
+        // remote/object schemes never use the sidecar protocol;
+        // share the JVM-cached connector (one DFS/S3 client).
+        fsCache = path.getFileSystem(conf)
+      }
     }
     fsCache
   }

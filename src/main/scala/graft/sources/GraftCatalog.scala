@@ -148,12 +148,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           r.digest.startsWith(version))
       hits match {
         case Seq(r) =>
-          // the snapshot clock is millisecond-grained: a LATER
+          // the snapshot clock is millisecond-grained: another
           // revision in the same millisecond would silently win the
           // leaf resolution at epochMs+1 — refuse rather than serve
-          // the wrong snapshot
-          val i = log.indexWhere(_.child == r.child)
-          if (log.drop(i + 1).exists(_.epochMs == r.epochMs))
+          // the wrong snapshot. Checked against ALL same-ms revisions
+          // that are not ancestors of r (DFS linearization is not
+          // commit-time order on forked histories, so a sibling
+          // branch's same-ms revision can appear BEFORE r in the log);
+          // ancestors of r are safe — they lose the leaf race to r by
+          // construction.
+          val ancestors = {
+            // merge nodes carry one edge per parent: follow them all
+            val parentsOf = log.groupBy(_.child)
+              .view.mapValues(_.map(_.parent)).toMap
+            val seen = scala.collection.mutable.Set.empty[String]
+            val todo = scala.collection.mutable.Queue(
+              parentsOf.getOrElse(r.child, Nil): _*)
+            while (todo.nonEmpty) {
+              val p = todo.dequeue()
+              if (seen.add(p)) todo.enqueueAll(parentsOf.getOrElse(p, Nil))
+            }
+            seen.toSet
+          }
+          if (log.exists(x => x.child != r.child &&
+              !ancestors.contains(x.child) && x.epochMs == r.epochMs))
             throw new IllegalArgumentException(
               s"graft VERSION AS OF: revision ${r.child} shares its " +
                 "millisecond with a later revision, so the snapshot " +
@@ -330,13 +348,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
           s"SET/UNSET TBLPROPERTIES ('page_len'), got $other")
     }
-    pageLenChange.foreach(pl => repo.alterPageLen(clct, pl))
     if (colsChanged) {
       require(cols.exists(!_.idx),
         "a graft series needs at least one value column")
+      // a mixed ALTER (columns + page_len) commits as ONE registry
+      // write inside alterCollection — all validations (value-column
+      // require, the inline-rows drop guard) run before anything is
+      // applied, so a failing column change cannot leave the property
+      // half-applied (or vice versa)
       repo.alterCollection(clct, GSchema(cols, c.schema.kv), colMap,
-        defaults)
-    } // property-only ALTERs already committed; no redundant rewrite
+        defaults, pageLenChange = pageLenChange)
+    } else
+      pageLenChange.foreach(pl => repo.alterPageLen(clct, pl))
     new GraftTable(rootUri, clct, ident.name(), None)
   }
 

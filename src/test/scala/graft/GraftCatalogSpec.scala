@@ -790,4 +790,96 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("millisecond"), e.getMessage)
   }
+
+  test("VERSION AS OF same-ms guard sees fork siblings, exempts " +
+      "ancestors") {
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.vf.s (ts TIMESTAMP, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.vf.s VALUES
+         |(TIMESTAMP '2024-01-01 00:00:00', 1.0)""".stripMargin)
+    Thread.sleep(3) // r2 lands in a LATER ms than r1
+    spark.sql(
+      s"""INSERT INTO $cat.vf.s VALUES
+         |(TIMESTAMP '2024-01-02 00:00:00', 2.0)""".stripMargin)
+    val repo = new Repo(root, spark)
+    val clog = repo.collection("vf").get.changelog
+    val r2 = clog.leaf().get
+    // handcraft a SIBLING of r2 (same parent, same millisecond) on a
+    // fork branch — DFS linearization may order it before r2, which
+    // the old drop(i+1) scan missed
+    val pB = "{ }".getBytes("UTF-8")
+    val sib = s"${r2.epochHex}-${graft.core.Hash.sha1(pB)}"
+    assert(sib != r2.child)
+    repo.store.write(s"${clog.dir}/${r2.parent}.$sib", pB)
+    clog.refresh()
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $cat.vf.s VERSION AS OF '${r2.child}'")
+        .collect()
+    }
+    assert(e.getMessage.contains("millisecond"), e.getMessage)
+    // ancestors are exempt: a same-ms PARENT cannot shadow its own
+    // child's snapshot. Fresh table (no fork sibling lurking in the
+    // log): handcraft a child of the leaf in the leaf's millisecond
+    // and resolve the CHILD — the guard must not fire (whatever else
+    // the placeholder payload does downstream).
+    spark.sql(
+      s"""CREATE TABLE $cat.vf2.s (ts TIMESTAMP, v DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.vf2.s VALUES
+         |(TIMESTAMP '2024-01-01 00:00:00', 1.0)""".stripMargin)
+    val repo2 = new Repo(root, spark) // fresh handle sees vf2's DDL
+    val clog2 = repo2.collection("vf2").get.changelog
+    val ra = clog2.leaf().get
+    val pC = "{}".getBytes("UTF-8")
+    val c2 = s"${ra.epochHex}-${graft.core.Hash.sha1(pC)}"
+    repo2.store.write(s"${clog2.dir}/${ra.child}.$c2", pC)
+    clog2.refresh()
+    scala.util.Try(spark.sql(
+      s"SELECT * FROM $cat.vf2.s VERSION AS OF '$c2'").collect()) match {
+      case scala.util.Failure(ex) =>
+        assert(ex.getMessage == null ||
+          !ex.getMessage.contains("millisecond"), ex.getMessage)
+      case _ => ()
+    }
+  }
+
+  test("mixed ALTER (page_len + failing column change) applies " +
+      "nothing") {
+    import org.apache.spark.sql.connector.catalog.{
+      Identifier, TableCatalog, TableChange}
+    val (cat, root) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.mx.s (ts TIMESTAMP, a DOUBLE, b DOUBLE)
+         |PARTITIONED BY (ts)""".stripMargin)
+    // tiny Series-API write -> manifest-INLINE row, so DROP COLUMN a
+    // is refused (positional layout would shift)
+    val repo0 = new Repo(root, spark)
+    val sp = spark
+    import sp.implicits._
+    repo0.collection("mx").get.series("s").write(
+      Seq(("2024-01-01 00:00:00", 1.0, 2.0)).toDF("ts", "a", "b")
+        .selectExpr("cast(ts as timestamp) ts", "a", "b"))
+    // one alterTable call carrying BOTH a property change and the
+    // doomed column change (SQL issues them separately, but the
+    // TableCatalog API batches; the catalog must stay atomic)
+    val catImpl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    intercept[Exception] {
+      catImpl.alterTable(Identifier.of(Array("mx"), "s"),
+        TableChange.setProperty("page_len", "123"),
+        TableChange.deleteColumn(Array("a"), false))
+    }
+    // neither half applied: page_len still default, column intact
+    val repo = new Repo(root, spark)
+    val c = repo.collection("mx").get
+    assert(c.pageLen != 123L, s"page_len leaked: ${c.pageLen}")
+    assert(c.schema.cols.exists(_.name == "a"))
+    assert(spark.sql(s"SELECT a FROM $cat.mx.s").collect()(0)
+      .getDouble(0) == 1.0)
+  }
 }
