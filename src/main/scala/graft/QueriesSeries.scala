@@ -1460,6 +1460,145 @@ object QueriesSeries {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Concurrent ingest at reference scale under racing maintenance
+    * (reference tests/concurrent_test.py:31-91): 20 writers — each
+    * with its OWN Repo handle, like the reference's per-worker
+    * `Repo(pod=single_pod)` — write disjoint ~one-writer-year 1-min
+    * ranges of ONE series label while a maintenance thread loops
+    * defrag+trim and a final gc races the tail writers. Racing
+    * commits fork the changelog; merge() heals; the read-back (which
+    * resurrects any segment gc buried mid-race, Series.scala:840)
+    * must reproduce every row — the oracle recomputes the full
+    * 1,051,200-row grid from scratch. This is the normal production
+    * mode (continuous ingest + background compaction) and the one
+    * reference test family previously gated by ScalaTest only. */
+  def q205_concurrent_ingest(s: SparkSession, dir: String): DataFrame = {
+    val _ = dir // fixed synthetic grid: the oracle regenerates it
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-conc205").toString
+    val schema = GSchema("ts" -> "timestamp*", "value" -> "int")
+    val repo = new Repo(root, s)
+    repo.createCollection(schema, "conc")
+    val nWriters = 20
+    val per = 52560L // one writer-year of minutes; 1,051,200 total
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new java.util.concurrent.CountDownLatch(nWriters)
+    (0 until nWriters).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            // fresh handle per writer: no shared changelog cache
+            val sr = new Repo(root, s).collection("conc").get
+              .series("my_label")
+            sr.write(s.range(w * per, (w + 1) * per, 1, 4)
+              .selectExpr("timestamp_seconds(946684800 + id * 60) AS ts",
+                "cast(id % 997 AS int) AS value"))
+          } catch { case t: Throwable => errors.add(t); () }
+          finally writersDone.countDown()
+        }
+      })
+    }
+    // maintenance races the writers: defrag+trim loop, then one gc
+    // sweep (reference do_defrag_and_gc)
+    val maint = pool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          val c = new Repo(root, s).collection("conc").get
+          var i = 0
+          while (i < 10) {
+            c.refresh(); c.defrag(1)
+            // reference trim() cutoff: now - 2x the 600 s write
+            // timeout (utils.py:40) — the operational contract that
+            // makes trim SAFE against in-flight writers: a revision
+            // younger than the longest possible write batch may carry
+            // unmerged data and must survive
+            c.trim(System.currentTimeMillis() - 1200000L)
+            Thread.sleep(50); i += 1
+          }
+          new Repo(root, s).gc()
+          ()
+        } catch { case t: Throwable => errors.add(t); () }
+      }
+    })
+    require(writersDone.await(1200,
+      java.util.concurrent.TimeUnit.SECONDS), "q205 writers timed out")
+    maint.get(600, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    require(errors.isEmpty,
+      s"q205 concurrent write/maintenance failed: ${errors.peek()}")
+    // racing commits fork; merge until the changelog converges
+    val clct = repo.collection("conc").get
+    clct.refresh(); clct.merge(); clct.refresh()
+    var guard = 0
+    while (clct.changelog.leafs().length > 1 && guard < 30) {
+      clct.merge(); clct.refresh(); guard += 1
+    }
+    require(clct.changelog.leafs().length == 1,
+      s"q205 merge did not converge: ${clct.changelog.leafs().length}")
+    clct.series("my_label").frame().createOrReplaceTempView("gq205")
+    s.sql(
+      """SELECT cast(year(ts) AS bigint) AS y,
+        |  cast(month(ts) AS bigint) AS m,
+        |  count(*) AS n_rows, sum(cast(value AS bigint)) AS sum_val,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM gq205 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** S3 wire-protocol POD, oracle-gated the way q132 gated HTTP: an
+    * engine write lands parquet segments through the S3 REST protocol
+    * (multipart PUT, ranged GET, paginated ListObjectsV2 against a
+    * live [[graft.core.S3Server]] port), then the CONNECTOR reads the
+    * series back over `s3net://` — SQL door in, wire protocol down.
+    * The returned frame is pinned before the fixture server stops. */
+  def q206_s3_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.core.S3Server(maxKeysCap = 7)
+    val endpoint = server.start()
+    try {
+      graft.core.S3NetFileSystem.install(
+        s.sparkContext.hadoopConfiguration, endpoint)
+      // JVM-global fallback: task-side and store-private Configurations
+      // are fresh copies that never saw the session conf
+      graft.core.S3NetFileSystem.setDefaultEndpoint(endpoint)
+      // segment parquet files big enough to exercise multipart
+      s.sparkContext.hadoopConfiguration
+        .setLong("fs.s3net.multipart.threshold", 64L * 1024)
+      val rootUri = "s3net://gq206/repo"
+      val repo = Repo(rootUri, s)
+      val clct = repo.createCollection(eventsSchema, "events")
+      clct.embedMaxSize = 0L // parquet segments THROUGH the http fs
+      val sr = clct.series("_")
+      sr.write(eventsDf(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp")))
+      val got = s.read.format("graft")
+        .option("path", rootUri)
+        .option("collection", "events").option("series", "_").load()
+        .select(out.map(col): _*)
+        .orderBy(col("event_id")).localCheckpoint(true)
+      require(server.listPagesServed.get() > 0,
+        "listings must page through ListObjectsV2")
+      require(server.rangedGets.get() > 0,
+        "parquet reads must issue ranged GETs")
+      got
+    } finally server.stop() // the JDK dispatcher thread is non-daemon:
+                            // a leaked server pins the JVM open
+  }
+
+  val q206_oracle: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts < TIMESTAMP '2024-01-08' ORDER BY event_id""".stripMargin
+
+  val q205_oracle: String =
+    """SELECT cast(year(ts) AS BIGINT) AS y,
+      |  cast(month(ts) AS BIGINT) AS m,
+      |  count(*)::BIGINT AS n_rows,
+      |  cast(sum(k % 997) AS BIGINT) AS sum_val,
+      |  min(ts) AS min_ts, max(ts) AS max_ts
+      |FROM (SELECT k, TIMESTAMP '2000-01-01' + to_minutes(k) AS ts
+      |      FROM range(0, 1051200) t(k))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -2148,6 +2287,8 @@ object QueriesSeries {
     "q202_restore" -> q202_restore _,
     "q203_file_provenance" -> q203_file_provenance _,
     "q204_page_len" -> q204_page_len _,
+    "q205_concurrent_ingest" -> q205_concurrent_ingest _,
+    "q206_s3_roundtrip" -> q206_s3_roundtrip _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -2201,6 +2342,8 @@ object QueriesSeries {
     "q202_restore" -> q202_oracle,
     "q203_file_provenance" -> q203_oracle,
     "q204_page_len" -> q204_oracle,
+    "q205_concurrent_ingest" -> q205_oracle,
+    "q206_s3_roundtrip" -> q206_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

@@ -346,8 +346,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
             val cl = Closed.Both.setLeft(run.head.closed.left)
               .setRight(run.last.closed.right)
             // read the fragmented run and rewrite it page-sized
+            // (pageChunks: the rewrite must coalesce, not re-split)
             val df = s.frame(start, stop, closed = cl)
-            s.write(df, start, stop, cl)
+            s.write(df, start, stop, cl, pageChunks = true)
           }
         }
     }
@@ -397,14 +398,43 @@ class Collection(val repo: Repo, val label: String, val path: String,
       val headM = Manifest.decode(changelog.payload(leaf))
       headM.rows.foreach { r =>
         if (!baseRows.contains(r) && !rootRows.contains(r)) {
-          if (r.closed == Closed.Both || !r.hasData) m = m.update(r)
+          // Conflict probe: does r's span intersect FOREIGN data
+          // already piled — another branch's work, not shared-ancestor
+          // rows (those r legitimately overlays)? A plain splice would
+          // CUT that foreign data: a defragged/coalesced segment's
+          // span legitimately bridges key ranges its own branch never
+          // saw (interior gaps), and splicing it wholesale deletes
+          // whatever a sibling branch wrote inside those gaps — the
+          // concurrent-ingest data-loss mode (the reference's pile
+          // algebra, collection.py:270-291, shares it; we deviate:
+          // conflicted spans get a content-level union merge instead,
+          // incoming-branch-wins per key).
+          val conflicted = r.hasData && m.segments(r.label,
+              Some(r.start), Some(r.stop), r.closed)
+            .exists(sr => sr.meta.hasData && sr.meta != r &&
+              !rootRows.contains(sr.meta))
+          if (!conflicted && (r.closed == Closed.Both || !r.hasData))
+            m = m.update(r)
+          else if (!r.hasData) m = m.update(r) // tombstone: cut wins
           else {
             val s = new Series(this, r.label)
+            val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+            // incoming branch's visible rows over the span
+            val sib = s.frame(r.start, r.stop, closed = r.closed,
+              from = Some(headM))
             // one persisted computation serves the emptiness probe AND
             // the rewrite's own evaluation
-            val frm = s.frame(r.start, r.stop, closed = r.closed,
-              from = Some(headM)).persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val frm = (if (conflicted) {
+              // union with the pile's in-span rows: incoming wins on
+              // key collisions, foreign keys the incoming branch never
+              // saw survive
+              val idx = schema.idxNames
+              val keep = s.frame(r.start, r.stop, closed = r.closed,
+                from = Some(m)).join(
+                  sib.select(idx.map(org.apache.spark.sql.functions
+                    .col): _*), idx, "left_anti")
+              sib.unionByName(keep)
+            } else sib).persist(lvl)
             try {
               if (!frm.isEmpty) {
                 val written = captureRows { s.write(frm) }

@@ -101,7 +101,7 @@ class Series(val collection: Collection, val label: String) {
     * straight from its partitions into segment files. */
   def write(df: DataFrame, start: Any = null, stop: Any = null,
       closed: Closed = Closed.Both, root: Boolean = false,
-      presorted: Boolean = false): Unit = {
+      presorted: Boolean = false, pageChunks: Boolean = false): Unit = {
     val startK = boundKey(start)
     val stopK = boundKey(stop)
 
@@ -212,7 +212,8 @@ class Series(val collection: Collection, val label: String) {
           return
         }
         if (irows.length <= driverRows) {
-          writeSmallRows(parts, startK, stopK, closed, root, presorted)
+          writeSmallRows(parts, startK, stopK, closed, root, presorted,
+            pageChunks)
           return
         }
         // estimate was low and the frame overflowed the cap: fall
@@ -537,7 +538,7 @@ class Series(val collection: Collection, val label: String) {
   private def writeSmallRows(
       parts: Array[Array[org.apache.spark.sql.catalyst.InternalRow]],
       startK: IndexKey, stopK: IndexKey, closed: Closed, root: Boolean,
-      verifySorted: Boolean): Unit = {
+      verifySorted: Boolean, pageChunks: Boolean = false): Unit = {
     val physStruct = org.apache.spark.sql.types.StructType(
       schema.sparkSchema.fields.map(f =>
         f.copy(name = collection.physOf(f.name))))
@@ -657,8 +658,14 @@ class Series(val collection: Collection, val label: String) {
     // files/write either way)
     val chunkCap = spark.conf
       .get("spark.graft.driverWriteChunkRows", "32768").toInt
-    val chunkRows = math.min(chunkCap,
-      math.max(4096, (n + 7) / 8)).max(1)
+    // pageChunks: maintenance rewrites (defrag) exist to COALESCE —
+    // chunk at pageLen (the driver-tier gate already bounds n to one
+    // page, so this is one file), never the throughput-oriented 8-way
+    // split that would hand defrag's output right back to defrag
+    val chunkRows =
+      if (pageChunks) math.min(pageLen, Int.MaxValue.toLong).toInt.max(1)
+      else math.min(chunkCap.toLong, math.min(pageLen,
+        math.max(4096L, (n + 7L) / 8L))).toInt.max(1)
     val nChunks = math.max(1, (n + chunkRows - 1) / chunkRows)
     val fieldTypes = physStruct.fields.map(_.dataType)
     val physNames = physStruct.fields.map(_.name).toSeq
@@ -1217,7 +1224,8 @@ class KVSeries(collection: Collection, label: String)
   import collection.schema
 
   override def write(df: DataFrame, start: Any, stop: Any,
-      closed: Closed, root: Boolean, presorted: Boolean): Unit = {
+      closed: Closed, root: Boolean, presorted: Boolean,
+      pageChunks: Boolean): Unit = {
     // an upsert merges with stored rows, so presorted pass-through
     // ordering cannot be preserved — the merged frame re-sorts
     if (root || start != null || stop != null) {

@@ -92,6 +92,51 @@ class ConcurrencySpec extends AnyFunSuite {
       s"expected ${nWriters * rowsPer} rows, got $got")
   }
 
+  test("merge keeps a sibling's rows inside a defragged segment's " +
+      "interior gap") {
+    // The concurrent-ingest loss mode, deterministically: branch A
+    // holds writers {0,1,4} DEFRAGGED into wide segments whose span
+    // bridges the [200,300) gap; branch B (forked from the empty
+    // root) wrote exactly that gap. A plain manifest splice of A's
+    // wide segment over the pile would cut B's rows — merge must
+    // union-merge the conflicted span instead.
+    val root = Files.createTempDirectory("graft-gap").toString
+    val repo = new Repo(root, spark)
+    repo.createCollection(schema, "gap")
+    // branch A: three disjoint ranges committed separately, then
+    // defrag(1) coalesces them into segments spanning [0,500)
+    val cA = repo.collection("gap").get
+    val sA = cA.series("_")
+    Seq((0L, 100L), (100L, 200L), (400L, 500L)).foreach { case (a, b) =>
+      val ts = (a until b).toSeq
+      sA.write(TestSpark.frame(ts, ts.map(_ * 1.0)))
+    }
+    cA.refresh(); cA.defrag(1)
+    // branch B: the interior gap, written in a SECOND repo whose
+    // changelog starts at the same empty root — pull preserves the
+    // parent edge, so it lands as a sibling branch (the same fork a
+    // racing writer's commit produces)
+    val rootB = Files.createTempDirectory("graft-gapB").toString
+    val repoB = new Repo(rootB, spark)
+    val cB = repoB.createCollection(schema, "gap")
+    val ts = (200L until 300L).toSeq
+    cB.series("_").write(TestSpark.frame(ts, ts.map(_ * 2.0)))
+    cA.pull(cB)
+    cA.refresh()
+    assert(cA.changelog.leafs().length == 2,
+      s"expected a fork, got ${cA.changelog.leafs().length} leaves")
+    cA.merge(); cA.refresh()
+    val got = cA.series("_").frame().orderBy("timestamp").collect()
+    assert(got.length == 400,
+      s"merge lost rows: ${got.length} of 400")
+    // B's values (x2) survived inside the gap
+    val gap = got.filter(r => r.getLong(0) >= 200L && r.getLong(0) < 300L)
+    assert(gap.length == 100 &&
+      gap.forall(r =>
+        r.getAs[Number](1).doubleValue() == r.getLong(0) * 2.0),
+      "sibling gap rows lost or corrupted")
+  }
+
   test("concurrent grouped ingests fork and merge without losing groups") {
     val root = Files.createTempDirectory("graft-conc2").toString
     val repo = new Repo(root, spark)
