@@ -179,7 +179,8 @@ class GraftTable(rootUri: String, collectionName: String,
       GraftOptions.nonNegLong("stream.maxRevisionsPerTrigger",
         options.getOrDefault("stream.maxRevisionsPerTrigger", "0")),
       Option(options.get("stream.startingTimestamp"))
-        .map(GraftOptions.epochMs("stream.startingTimestamp", _)))
+        .map(GraftOptions.epochMs("stream.startingTimestamp", _)),
+      options.getOrDefault("stream.forkDedup", "false") == "true")
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -369,7 +370,8 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
     streamStartLatest: Boolean = false,
     streamSkipRewrites: Boolean = false,
     streamMaxRevs: Long = 0L,
-    streamStartTs: Option[Long] = None)
+    streamStartTs: Option[Long] = None,
+    streamForkDedup: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -639,7 +641,7 @@ class GraftScanBuilder(table: GraftTable, beforeMs: Option[Long],
       aggPush.map(_._1).orElse(required).getOrElse(table.schema()),
       pushed.map(_.toString).toSeq, streamStartLatest,
       limitN, limitReversed, streamSkipRewrites, streamMaxRevs,
-      aggPush, vquery, streamStartTs)
+      aggPush, vquery, streamStartTs, streamForkDedup)
   }
 }
 
@@ -651,7 +653,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     streamMaxRevs: Long = 0L,
     aggPush: Option[(StructType, Seq[Any])] = None,
     vquery: Seq[(String, GType, Any, Boolean, Any, Boolean)] = Nil,
-    streamStartTs: Option[Long] = None)
+    streamStartTs: Option[Long] = None,
+    streamForkDedup: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -847,7 +850,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(table, required, streamStartLatest,
-      streamSkipRewrites, streamMaxRevs, streamStartTs)
+      streamSkipRewrites, streamMaxRevs, streamStartTs,
+      streamForkDedup)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPlanning.readerFactory()
@@ -1243,10 +1247,13 @@ private[sources] object GraftPlanning {
   * the linearization (shifting ordinals), the offset still resolves
   * to the same revision by id; the ordinal is the fallback when the
   * anchored revision was trimmed/squashed away. */
-final case class GraftStreamOffset(n: Long, rev: String)
+final case class GraftStreamOffset(n: Long, rev: String,
+    heads: Vector[String] = Vector.empty)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    s"""{"n":$n,"rev":"$rev"}"""
+    if (heads.isEmpty) s"""{"n":$n,"rev":"$rev"}"""
+    else s"""{"n":$n,"rev":"$rev","heads":[""" +
+      heads.map(h => "\"" + h + "\"").mkString(",") + "]}"
 }
 
 /** `spark.readStream.format("graft")` — the versioned store as a
@@ -1270,8 +1277,10 @@ final case class GraftStreamOffset(n: Long, rev: String)
   * the DFS linearization, and a merge commit re-references the
   * sibling branch's files, so a batch window straddling the branch
   * point can serve a file twice (exactly-once holds along any linear
-  * history; dedup by content hash downstream when consuming forked
-  * histories). `option("stream.rewrites", "skip")` suppresses the
+  * history); `option("stream.forkDedup", "true")` upgrades forked
+  * histories to exactly-once — the offset then carries the whole
+  * leaf FRONTIER and the served set diffs against every drained
+  * branch. `option("stream.rewrites", "skip")` suppresses the
   * replay: a commit is classified as compaction from MANIFEST
   * METADATA ONLY — every affected series keeps an identical merged
   * visible-window cover and total row count, with everything fully
@@ -1285,7 +1294,8 @@ final case class GraftStreamOffset(n: Long, rev: String)
 class GraftMicroBatchStream(table: GraftTable, required: StructType,
     startingLatest: Boolean, skipRewrites: Boolean = false,
     maxRevsPerTrigger: Long = 0L,
-    startingTs: Option[Long] = None)
+    startingTs: Option[Long] = None,
+    forkDedup: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
@@ -1304,9 +1314,17 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     changelog.log()
   }
 
+  /** leaves of a log SLICE: children with no child inside the slice */
+  private def headsOf(log: Seq[graft.core.Revision]): Vector[String] = {
+    val parents = log.map(_.parent).toSet
+    log.collect { case r if !parents.contains(r.child) => r.child }
+      .toVector
+  }
+
   private def offsetAt(log: Seq[graft.core.Revision]): GraftStreamOffset =
     GraftStreamOffset(log.length.toLong,
-      log.lastOption.map(_.child).getOrElse(""))
+      log.lastOption.map(_.child).getOrElse(""),
+      if (forkDedup) headsOf(log) else Vector.empty)
 
   /** resolve an offset to a revision: by id first (stable under
     * linearization shifts), by ordinal as fallback */
@@ -1369,8 +1387,9 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       }
     val cap = math.min(maxRevsPerTrigger, Int.MaxValue.toLong)
     val end = math.min(log.length.toLong, pos + cap)
-    if (end <= pos) GraftStreamOffset(s.n, s.rev) // caught up: no-op
-    else GraftStreamOffset(end, log(end.toInt - 1).child)
+    if (end <= pos) GraftStreamOffset(s.n, s.rev, s.heads) // caught up
+    else GraftStreamOffset(end, log(end.toInt - 1).child,
+      if (forkDedup) headsOf(log.take(end.toInt)) else Vector.empty)
   }
   override def reportLatestOffset(): Offset = offsetAt(logNow())
 
@@ -1403,7 +1422,11 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
       .map(_.group(1).toLong).getOrElse(0L)
     val rev = "\"rev\":\"([^\"]*)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("")
-    GraftStreamOffset(n, rev)
+    val heads = "\"heads\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(m => "\"([^\"]*)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toVector)
+      .getOrElse(Vector.empty)
+    GraftStreamOffset(n, rev, heads)
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1511,38 +1534,72 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     (files, inline)
   }
 
+  /** resolve an offset's FRONTIER to manifests: every head by id
+    * (trimmed heads drop out), falling back to the single anchored
+    * revision when no head resolves — pre-forkDedup checkpoints have
+    * no heads and land there too */
+  private def frontierManifests(o: GraftStreamOffset)
+      : Seq[graft.core.Manifest] =
+    if (forkDedup && o.heads.nonEmpty) {
+      val byId = changelog.log().map(r => r.child -> r).toMap
+      val ms = o.heads.flatMap(h => byId.get(h))
+        .map(series.collection.decodeCached)
+      if (ms.nonEmpty) ms else manifestOf(o).toSeq
+    } else manifestOf(o).toSeq
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val a = start.asInstanceOf[GraftStreamOffset]
     val b = end.asInstanceOf[GraftStreamOffset]
-    if (b.n <= a.n && b.rev == a.rev) return Array.empty
-    val endM = manifestOf(b)
-    if (endM.isEmpty) return Array.empty
-    val startM = manifestOf(a)
+    if (b.n <= a.n && b.rev == a.rev && b.heads == a.heads)
+      return Array.empty
+    // forkDedup: the served set is the union over the start offset's
+    // whole FRONTIER (every leaf already drained), so a heal that
+    // re-references a sibling branch's files diffs them away instead
+    // of replaying them — exactly-once across healed forks, for the
+    // price of a multi-head offset
+    val endMs = frontierManifests(b)
+    if (endMs.isEmpty) return Array.empty
+    val startMs = frontierManifests(a)
     val label = series.label
     val (skipFiles, skipInline) =
       if (skipRewrites) compactionArtifacts(a, b)
       else (Set.empty[String], Set.empty[graft.core.SegmentMeta])
     val prevFiles: Set[String] =
-      startM.map(_.allFiles).getOrElse(Set.empty) ++ skipFiles
+      startMs.flatMap(_.allFiles).toSet ++ skipFiles
     val prevRows: Set[graft.core.SegmentMeta] =
-      startM.map(_.rows.filter(_.label == label).toSet)
-        .getOrElse(Set.empty) ++ skipInline
+      startMs.flatMap(_.rows.filter(_.label == label)).toSet ++
+        skipInline
     val gs = table.gschema
     val reqNames = required.fields.map(_.name).toSeq
-    endM.get.rows.filter(r => r.label == label && r.hasData).flatMap {
-      meta =>
-        val seg = SegmentRead(meta, meta.start, meta.stop, meta.closed)
-        if (meta.inline.isDefined) {
-          if (prevRows.contains(meta)) Nil
-          else GraftPlanning.partitionsFor(series, gs, reqNames, seg,
-            null)
-        } else {
-          val fresh = meta.files.filterNot(prevFiles.contains).toSet
-          if (fresh.isEmpty) Nil
-          else GraftPlanning.partitionsFor(series, gs, reqNames, seg,
-            fresh)
-        }
+    // a file/inline row present on TWO end heads (e.g. both sides of
+    // a fork inherited it) must still be served once
+    var served = Set.empty[String]
+    var servedInline = Set.empty[graft.core.SegmentMeta]
+    endMs.flatMap { endM =>
+      endM.rows.filter(r => r.label == label && r.hasData).flatMap {
+        meta =>
+          val seg = SegmentRead(meta, meta.start, meta.stop, meta.closed)
+          if (meta.inline.isDefined) {
+            if (prevRows.contains(meta) || servedInline.contains(meta))
+              Nil
+            else {
+              servedInline += meta
+              GraftPlanning.partitionsFor(series, gs, reqNames, seg,
+                null)
+            }
+          } else {
+            val fresh = meta.files
+              .filterNot(f => prevFiles.contains(f) || served.contains(f))
+              .toSet
+            if (fresh.isEmpty) Nil
+            else {
+              served ++= fresh
+              GraftPlanning.partitionsFor(series, gs, reqNames, seg,
+                fresh)
+            }
+          }
+      }
     }.toArray
   }
 

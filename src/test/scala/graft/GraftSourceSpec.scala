@@ -649,6 +649,81 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(s.frame(beforeMs = Some(revBefore + 1)).count() == 80000L)
   }
 
+  test("stream.forkDedup: a healed fork replays nothing") {
+    // Fork fixture: trunk r1, then branch A and branch B committed on
+    // separate repos and pulled together (the same shape a racing
+    // writer's commit produces). Default CDC is at-least-once across
+    // the heal (batch diffs are manifest-vs-manifest, and the merge
+    // re-references the sibling's files); stream.forkDedup=true makes
+    // the offset carry the whole FRONTIER so the heal diffs clean.
+    def mkFork(): (Repo, graft.api.Collection) = {
+      val root = Files.createTempDirectory("graft-fork").toString
+      val repo = new Repo(root, spark)
+      val clct = repo.createCollection(schema, "c")
+      clct.embedMaxSize = 0L
+      import spark.implicits._
+      clct.series("_").write(spark.range(0, 500, 1, 2)
+        .select($"id".as("ts"), lit(1.0).as("value")), presorted = true)
+      // branch B: clone at r1, commit [1000,1500) there
+      val rootB = Files.createTempDirectory("graft-forkB").toString
+      val cB = new Repo(rootB, spark).createCollection(schema, "c")
+      cB.embedMaxSize = 0L
+      cB.pull(clct)
+      // branch A continues on main: [500,1000)
+      clct.series("_").write(spark.range(500, 1000, 1, 2)
+        .select($"id".as("ts"), lit(2.0).as("value")), presorted = true)
+      cB.refresh()
+      cB.series("_").write(spark.range(1000, 1500, 1, 2)
+        .select($"id".as("ts"), lit(3.0).as("value")), presorted = true)
+      clct.pull(cB)
+      clct.refresh()
+      assert(clct.changelog.leafs().length == 2, "fixture must fork")
+      (repo, clct)
+    }
+    // forkDedup on: drain the fork, heal, drain again -> zero replays
+    locally {
+      val (repo, clct) = mkFork()
+      val q = spark.readStream.format("graft")
+        .option("path", repo.rootUri).option("collection", "c")
+        .option("series", "_").option("stream.forkDedup", "true")
+        .load().writeStream.format("memory")
+        .queryName("gfork_dedup").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // the frontier offset drains BOTH leaves
+        assert(spark.table("gfork_dedup").count() == 1500L)
+        clct.merge(); clct.refresh()
+        q.processAllAvailable()
+        assert(spark.table("gfork_dedup").count() == 1500L,
+          "healed fork must replay nothing under forkDedup")
+        // a genuine append after the heal still flows
+        import spark.implicits._
+        clct.series("_").write(spark.range(1500, 1600, 1, 2)
+          .select($"id".as("ts"), lit(4.0).as("value")),
+          presorted = true)
+        q.processAllAvailable()
+        assert(spark.table("gfork_dedup").count() == 1600L)
+      } finally q.stop()
+    }
+    // default mode: the documented at-least-once bound across a heal
+    locally {
+      val (repo, clct) = mkFork()
+      val q = spark.readStream.format("graft")
+        .option("path", repo.rootUri).option("collection", "c")
+        .option("series", "_")
+        .load().writeStream.format("memory")
+        .queryName("gfork_default").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val drained = spark.table("gfork_default").count()
+        clct.merge(); clct.refresh()
+        q.processAllAvailable()
+        assert(spark.table("gfork_default").count() >= drained,
+          "default mode may replay across a heal, never lose")
+      } finally q.stop()
+    }
+  }
+
   test("stream.rewrites contract: skip suppresses defrag replay") {
     val root = Files.createTempDirectory("graft-cdc").toString
     val repo = new Repo(root, spark)
