@@ -441,6 +441,56 @@ object Bench {
     val seriesW = repo.collection("wide_0").get.series("_")
     bench("wide_read_1m") { _ => seriesW.frame().count(); () }
 
+    // 10x SCALE SLOPE (52.59M rows = 10x the baseline-comparable
+    // series): the local[32] numbers above hide skew and memory
+    // cliffs that only show when per-core volume grows — these rows
+    // give the 100x-scale claims a measured slope instead of an
+    // extrapolation. Linear scaling = each row lands at ~10x its
+    // 5M sibling; the presorted write is one pass (no shuffle), the
+    // range read and the UPDATE stay pruned to O(segments-touched),
+    // so sub-linear on those rows is the expected (and asserted by
+    // eye) shape.
+    val rows53m = rows5m * 10L
+    val ts53m = spark.range(0, rows53m, 1, cpus.toInt)
+      .select(
+        timestamp_seconds(col("id") * 300L).as("ts"),
+        sin(col("id").cast("double")).as("value"))
+      .cache()
+    ts53m.count() // materialize input outside the timed region
+    bench("bulk_write_53m") { i =>
+      repo.createCollection(schema5m, s"ts53m_$i").series("_")
+        .write(ts53m, presorted = true)
+    }
+    val series53m = repo.collection("ts53m_0").get.series("_")
+    bench("full_read_53m") { _ => series53m.frame().count(); () }
+    val conn53m = spark.read.format("graft").option("path", root)
+      .option("collection", "ts53m_0").option("series", "_").load()
+    // one-year window out of ~500 years: manifest pruning must keep
+    // this O(1 segment) no matter the series size
+    bench("conn_range_53m") { _ =>
+      conn53m.filter(col("ts") >= lit("1990-01-01").cast("timestamp")
+          && col("ts") < lit("1991-01-01").cast("timestamp"))
+        .agg(count(col("value"))).collect(); ()
+    }
+    // half-year COW UPDATE against the 52.6M-row series: runtime
+    // group filtering keeps the rewrite at ONE ~500k-row segment
+    // (pageLen), i.e. the same absolute cost as conn_update_5m —
+    // the at-scale shape where mutation cost tracks touched data,
+    // not table size. Disjoint per-rep windows as in the 5m row.
+    locally {
+      val dml = repo.createCollection(schema5m, "ts53mdml").series("_")
+      dml.write(ts53m, presorted = true)
+    }
+    bench("conn_update_53m") { i =>
+      spark.sql(
+        s"""UPDATE gbench.ts53mdml.`_` SET value = value + 1.0
+           |WHERE ts >= TIMESTAMP '${2101 + i}-01-01 00:00:00'
+           |  AND ts < TIMESTAMP '${2101 + i}-07-01 00:00:00'"""
+          .stripMargin); ()
+    }
+    ts53m.unpersist() // ~840 MB of cached input; free it before the
+                      // footprint accounting below
+
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the
     // segment files its manifest references. BASELINE.md's "2.0 MB"
     // comparable is a measurement artifact — bench_pg.py:23 ran

@@ -742,7 +742,11 @@ object QueriesRag {
           |UNION ALL
           |SELECT doc_id, lang, term, cnt FROM graft_idx_new"""
           .stripMargin)
-      val pinned = union.localCheckpoint()
+      // coalesce before pinning: the raw union inherits ~40 partitions
+      // (stored files + the 32-way fresh half) of a 116k-row relation,
+      // so every downstream CTE pays 40 task launches per scan x 4
+      // scans; 8 pinned blocks keep the parallelism the data needs
+      val pinned = union.coalesce(8).localCheckpoint()
       idxAllPin.getAndSet(pinned) match {
         case null => ()
         case prev => org.apache.spark.sql.GraftBridge
