@@ -208,10 +208,33 @@ object Bench {
     // (this VM shows guest load >5 with zero guest processes when
     // neighbors are loud).
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    def calibrate(): Unit = calibSamples += time {
-      var x = 0x9e3779b97f4a7c15L; var i = 0
-      while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
-      if (x == 42L) System.err.println("") // defeat dead-code elim
+    // IO twin of the CPU probe: a FIXED 256 MB buffered write+fsync to
+    // the same filesystem the engine stores land on. The CPU probe is
+    // blind to disk noise — bulk_write_53m measured 1.8 s and 12 s
+    // across runs with FLAT CPU calib (the VM's virtio disk throughput
+    // swings ~6x with neighbor IO) — so the write rows carry their own
+    // IO-noise floor: divergent calib_io_s samples mean a slow write
+    // row was the disk's window, not the engine.
+    val calibIoSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrateIo(): Unit = calibIoSamples += time {
+      val p = java.nio.file.Files.createTempFile("graft-calib-io", ".bin")
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < 256) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+        ch.force(false)
+      } finally { ch.close(); java.nio.file.Files.delete(p) }
+    }
+    def calibrate(): Unit = {
+      calibSamples += time {
+        var x = 0x9e3779b97f4a7c15L; var i = 0
+        while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        if (x == 42L) System.err.println("") // defeat dead-code elim
+      }
+      calibrateIo()
     }
     calibrate()
 
@@ -519,10 +542,12 @@ object Bench {
       if (meds.values.exists(_ < 0)) -1.0 else samples.values.map(_.head).sum
     calibrate() // end-of-run steal probe
     val calibJson = calibSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibIoJson =
+      calibIoSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
-      s""""calib_s":$calibJson,""" +
+      s""""calib_s":$calibJson,"calib_io_s":$calibIoJson,""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""queries_max":${jmap(_.max)},"queries_first":${jmap(_.head)},""" +
       s""""sf":"$sfDir"}"""
@@ -536,7 +561,8 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
-      s""""calib_s":$calibJson,"queries":$medsCompact,"sf":"$sfDir"}"""
+      s""""calib_s":$calibJson,"calib_io_s":$calibIoJson,""" +
+      s""""queries":$medsCompact,"sf":"$sfDir"}"""
     println(compact)
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact stdout line is " +

@@ -52,6 +52,58 @@ object Profile {
               Option(desc.remove(je.jobId)).getOrElse(""))
           }
         })
+    // SQL-execution accounting (GRAFT_PROF_SQL=1): one line per SQL
+    // execution — wall clock, Spark-job time inside it, and the
+    // DRIVER GAP (optimizer + physical planning + codegen + connector
+    // commit work between jobs). The q188 floor hunt runs on this.
+    if (sys.env.contains("GRAFT_PROF_SQL"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          import org.apache.spark.sql.execution.ui.{
+            SparkListenerSQLExecutionStart, SparkListenerSQLExecutionEnd}
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[
+            Long, (Long, String)]()
+          private val jobMs = new java.util.concurrent.ConcurrentHashMap[
+            Long, java.util.concurrent.atomic.LongAdder]()
+          private val jobExec = new java.util.concurrent.ConcurrentHashMap[
+            Int, (Long, Long)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = {
+            val eid = Option(js.properties.getProperty(
+              "spark.sql.execution.id")).map(_.toLong).getOrElse(-1L)
+            jobExec.put(js.jobId, (eid, System.nanoTime()))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd)
+              : Unit = {
+            val se = jobExec.remove(je.jobId)
+            if (se != null && se._1 >= 0) {
+              jobMs.computeIfAbsent(se._1,
+                _ => new java.util.concurrent.atomic.LongAdder)
+                .add((System.nanoTime() - se._2) / 1000000L)
+            }
+          }
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: SparkListenerSQLExecutionStart =>
+                t0.put(s.executionId,
+                  (System.nanoTime(), s.description.replaceAll("\\s+", " ")
+                    .take(70)))
+              case s: SparkListenerSQLExecutionEnd =>
+                val st = t0.remove(s.executionId)
+                if (st != null) {
+                  val wall = (System.nanoTime() - st._1) / 1e6
+                  val jm = Option(jobMs.remove(s.executionId))
+                    .map(_.sum()).getOrElse(0L)
+                  System.err.println(f"[sqlexec] ${s.executionId}%3d " +
+                    f"wall=$wall%6.0f ms jobs=$jm%5d ms " +
+                    f"gap=${wall - jm}%6.0f ms  ${st._2}")
+                }
+              case _ =>
+            }
+        })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.registerAll(spark, sfDir)
     for (name <- names) {

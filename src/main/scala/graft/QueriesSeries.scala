@@ -626,14 +626,20 @@ object QueriesSeries {
     * oracle's CASE/UNION recompute of the same three mutations. */
   def q188_sql_update(s: SparkSession, dir: String): DataFrame = {
     // env-gated stage timing (GRAFT_PROF=1): per-verb wall clock on
-    // stderr, outside the oracle contract
-    def staged[T](tag: String)(body: => T): T = {
+    // stderr, outside the oracle contract. The planning-tracker line
+    // splits each verb into Catalyst phases (parse/analyze/optimize/
+    // plan) vs execution — the attribution the q188 driver-floor work
+    // runs on.
+    def staged(tag: String)(body: => DataFrame): DataFrame = {
       if (!sys.env.contains("GRAFT_PROF")) body
       else {
         val t0 = System.nanoTime()
         val r = body
-        System.err.println(
-          f"[q188] $tag: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        val wall = (System.nanoTime() - t0) / 1e6
+        val phases = r.queryExecution.tracker.phases
+          .map { case (p, t) => f"$p=${t.endTimeMs - t.startTimeMs}ms" }
+          .mkString(" ")
+        System.err.println(f"[q188] $tag: $wall%.0f ms  $phases")
         r
       }
     }
@@ -1435,15 +1441,19 @@ object QueriesSeries {
       s"""UPDATE $cat.events.ev SET value = value * 3
          |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-07 00:00:00'""".stripMargin)
-    // the narrow UPDATE's runtime group filter must have pruned the
+    // the narrow UPDATE's group selection must have pruned the
     // rewrite to a strict subset of the segments (only checkable when
-    // the index span actually splits across enough pages)
+    // the index span actually splits across enough pages) — and since
+    // its condition is a pure index range, the selection must have
+    // been STATIC (manifest bound, no runtime subquery planned)
     if (nSegs >= 8) {
       val scanned = graft.sources.GraftScanProbe.lastRuntimeScanned
       val total = graft.sources.GraftScanProbe.lastSegmentsTotal
       require(scanned > 0 && scanned < total,
         s"COW UPDATE must rewrite a strict segment subset, " +
           s"scanned $scanned of $total")
+      require(graft.sources.GraftScanProbe.lastCowStatic,
+        "index-range UPDATE must select groups statically")
     }
     s.sql(
       s"""SELECT event_type, count(*) AS cnt,

@@ -359,6 +359,9 @@ object GraftScanProbe {
   @volatile var lastAggPushed: Boolean = false
   /** segments surviving the LAST runtime (DPP) filter, -1 = none ran */
   @volatile var lastRuntimeScanned: Int = -1
+  /** the LAST COW scan's group selection was fully static (index
+    * bound covered the whole condition; no runtime subquery planned) */
+  @volatile var lastCowStatic: Boolean = false
   /** segments dropped by VALUE-column stats in the LAST planned scan */
   @volatile var lastStatSkipped: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */

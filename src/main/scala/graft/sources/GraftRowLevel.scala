@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReaderFactory, Scan, ScanBuilder}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.write.{BatchWrite,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
@@ -61,10 +61,8 @@ class GraftRowLevelOperation(table: GraftTable,
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
-      : ScanBuilder = new ScanBuilder {
-    override def build(): Scan = new GraftCowScan(table,
-      GraftRowLevelOperation.this)
-  }
+      : ScanBuilder = new GraftCowScanBuilder(table,
+    GraftRowLevelOperation.this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -84,28 +82,166 @@ class GraftRowLevelOperation(table: GraftTable,
     }
 }
 
-/** The copy-on-write scan: serves ENTIRE visible windows (no static
-  * predicate pushdown — a group must be read whole so unmatched rows
-  * survive the rewrite), prunes windows only through the runtime
-  * group filter, and records what it planned for the write side. */
-class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation)
+/** Group-selection pushdown for the copy-on-write scan
+  * (`GroupBasedRowLevelOperationScanPlanning` pushes the command's
+  * condition here, exactly as it does for Iceberg): index-range
+  * conjuncts assemble a lexicographic prefix bound that selects the
+  * covering GROUPS straight from the manifest — O(segments) driver
+  * work, no table-scan subquery. Rows are never filtered (a group is
+  * read whole so unmatched rows survive the rewrite; the returned
+  * post-scan filters keep every predicate residual).
+  *
+  * When EVERY pushed conjunct folded into the index bound, the
+  * static cover already contains all matched groups, and the scan
+  * reports no runtime-filter attributes — Spark then skips planning
+  * the `RowLevelOperationRuntimeGroupFiltering` subquery entirely
+  * (three AQE jobs per statement at bench scale; a full table scan's
+  * worth of IO at 100 TB). Any non-index conjunct (a value predicate,
+  * an IN list) keeps the runtime filter: static bounds still cap the
+  * cover, and the matched-row value set prunes it finer. */
+class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+    GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+
+  private val idxCols = table.gschema.idx
+  private final class B(val dt: GType) {
+    var lo: Any = null; var loClosed = true
+    var hi: Any = null; var hiClosed = true
+    private def k(v: Any) = SparkVals.parseBound(dt, v)
+    def hasEq: Boolean = lo != null && hi != null && loClosed &&
+      hiClosed && dt.cmp(k(lo), k(hi)) == 0
+    def tighten(lo0: Any, loC: Boolean, hi0: Any, hiC: Boolean): Unit = {
+      if (lo0 != null && (lo == null || dt.cmp(k(lo0), k(lo)) > 0 ||
+          (dt.cmp(k(lo0), k(lo)) == 0 && !loC))) { lo = lo0; loClosed = loC }
+      if (hi0 != null && (hi == null || dt.cmp(k(hi0), k(hi)) < 0 ||
+          (dt.cmp(k(hi0), k(hi)) == 0 && !hiC))) { hi = hi0; hiClosed = hiC }
+    }
+  }
+  private val bounds: Map[String, B] =
+    idxCols.map(c => c.name -> new B(c.dtype)).toMap
+  private var accepted: Array[Filter] = Array.empty
+  // true only while every conjunct Spark handed over folded into the
+  // index bound — the condition under which the runtime group filter
+  // can prune nothing the static cover didn't
+  private var allIndexRange = true
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThan(c, v) if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(v, false, null, true)
+      case f @ GreaterThanOrEqual(c, v)
+          if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(v, true, null, true)
+      case f @ LessThan(c, v) if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(null, true, v, false)
+      case f @ LessThanOrEqual(c, v)
+          if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(null, true, v, true)
+      case f @ EqualTo(c, v) if bounds.contains(c) && v != null =>
+        usable += f; bounds(c).tighten(v, true, v, true)
+      case IsNotNull(c) if bounds.contains(c) =>
+        () // index columns are non-null by schema: vacuous, not a miss
+      case _ => allIndexRange = false
+    }
+    accepted = usable.toArray
+    filters // ALL residual: COW groups must be read whole
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  /** equalities on leading index columns extend the prefix; the first
+    * range column contributes its bound and terminates it (same
+    * lexicographic-prefix rule as [[GraftScanBuilder]]). A bound on a
+    * column BELOW the terminated prefix was accepted but cannot
+    * prune — it drops out of the assembled bound, so exactness also
+    * requires every bounded column to have been consumed. */
+  private def prefix(lower: Boolean): (Seq[Any], Boolean, Int) = {
+    val out = Vector.newBuilder[Any]
+    var closed = true
+    var n = 0
+    var consumed = 0
+    var stop = false
+    val it = idxCols.iterator
+    while (!stop && it.hasNext) {
+      val b = bounds(it.next().name)
+      if (b.hasEq) { out += b.lo; n += 1; consumed += 1 }
+      else {
+        val (v, cl) = if (lower) (b.lo, b.loClosed) else (b.hi, b.hiClosed)
+        if (v != null) {
+          out += v; closed = cl; n += 1
+          if (b.lo != null || b.hi != null) consumed += 1
+        }
+        stop = true
+      }
+    }
+    (if (n == 0) null else out.result(), closed, consumed)
+  }
+
+  override def build(): Scan = {
+    val (startB, startClosed, usedLo) = prefix(lower = true)
+    val (stopB, stopClosed, usedHi) = prefix(lower = false)
+    val bounded = bounds.valuesIterator
+      .count(b => b.lo != null || b.hi != null)
+    val exact = allIndexRange && (startB != null || stopB != null) &&
+      math.max(usedLo, usedHi) == bounded
+    new GraftCowScan(table, op, startB, stopB,
+      Closed.Both.setLeft(startClosed).setRight(stopClosed),
+      skipRuntimeFilter = exact)
+  }
+}
+
+/** The copy-on-write scan: serves ENTIRE visible windows (no row
+  * filtering — a group must be read whole so unmatched rows survive
+  * the rewrite), prunes windows statically through the pushed index
+  * bound and dynamically through the runtime group filter, and
+  * records what it planned for the write side. */
+class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
+    start: Any = null, stop: Any = null, closed: Closed = Closed.Both,
+    skipRuntimeFilter: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private lazy val resolvedSeries: graft.api.Series = table.series
-  private lazy val allSegments: Seq[SegmentRead] =
-    resolvedSeries.segments().filter(_.meta.hasData)
+  /** covering segments for the static bound, as FULL visible windows
+    * (the bounded manifest query returns windows CLIPPED to the
+    * bound; serving those would splice a sub-segment replacement —
+    * correct for pure UPDATEs but it breaks the group contract the
+    * write side assumes: roll windows must not overlap untouched
+    * windows, and MERGE free-space inserts must be able to land
+    * anywhere inside a scanned group). Matching the bounded hits back
+    * to the unbounded list by manifest row keeps whole groups; a
+    * window whose meta is shared by another visible window over-keeps
+    * that sibling — a superset, safe for copy-on-write. */
+  private lazy val (allSegments, tableSegmentCount)
+      : (Seq[SegmentRead], Int) = {
+    val full = resolvedSeries.segments().filter(_.meta.hasData)
+    val kept =
+      if (start == null && stop == null) full
+      else {
+        val hit = resolvedSeries.segments(start, stop, None, closed)
+          .filter(_.meta.hasData).map(_.meta).toSet
+        full.filter(s => hit.contains(s.meta))
+      }
+    (kept, full.length)
+  }
 
   override def readSchema(): StructType = table.gschema.sparkSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCowScan ${table.name()}"
+    s"GraftCowScan ${table.name()}" +
+      (if (start != null || stop != null) " bounded=static" else "") +
+      (if (skipRuntimeFilter) " runtimeFilter=skipped" else "")
 
   private var runtimeKeep: Option[Seq[Any]] = None
 
+  /** empty when the static index bound already covers every matched
+    * group — `RowLevelOperationRuntimeGroupFiltering` then plans no
+    * subquery at all */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
+    if (skipRuntimeFilter) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
       .column(table.gschema.idx.head.name))
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -134,10 +270,15 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation)
       }
     }
     op.replacedRanges = kept.map(s => (s.start, s.stop, s.closed))
+    // probe semantics: "scanned" counts groups kept by EITHER pruning
+    // mechanism (static index bound or runtime matched-value filter);
+    // "total" is always the table's full segment count
+    val statik = start != null || stop != null
+    GraftScanProbe.lastCowStatic = skipRuntimeFilter
     GraftScanProbe.lastRuntimeScanned =
-      if (runtimeKeep.isDefined) kept.length else -1
+      if (runtimeKeep.isDefined || statik) kept.length else -1
     GraftScanProbe.lastSegmentsScanned = kept.length
-    GraftScanProbe.lastSegmentsTotal = allSegments.length
+    GraftScanProbe.lastSegmentsTotal = tableSegmentCount
     val reqNames = table.gschema.names
     kept.flatMap(seg => GraftPlanning.partitionsFor(resolvedSeries,
       table.gschema, reqNames, seg, null)).toArray

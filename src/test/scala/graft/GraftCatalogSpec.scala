@@ -668,6 +668,51 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq(("old", 100L, 100.0)), back.mkString(", "))
   }
 
+  test("COW group selection: index-range UPDATE prunes statically " +
+      "(no runtime subquery); value DELETE keeps the runtime filter") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.c.ev (ts BIGINT, v DOUBLE)
+         |PARTITIONED BY (ts)
+         |TBLPROPERTIES ('page_len' = '1000')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.c.ev SELECT id, id * 0.5 FROM range(0, 8000)")
+    // pure index-range condition: the manifest bound selects the two
+    // covering segments statically — no group-filter subquery planned
+    GraftScanProbe.lastCowStatic = false
+    GraftScanProbe.lastRuntimeScanned = -1
+    spark.sql(
+      s"UPDATE $cat.c.ev SET v = -1.0 WHERE ts >= 2500 AND ts < 3500")
+    assert(GraftScanProbe.lastCowStatic,
+      "index-range UPDATE must select groups statically")
+    assert(GraftScanProbe.lastRuntimeScanned == 2,
+      s"expected 2 covering segments, " +
+        s"kept ${GraftScanProbe.lastRuntimeScanned}")
+    assert(GraftScanProbe.lastSegmentsTotal == 8)
+    // groups were read WHOLE: unmatched rows in the rewritten
+    // segments survive with their original values
+    val r = spark.sql(
+      s"""SELECT count(*) n, sum(CASE WHEN v = -1.0 THEN 1 ELSE 0 END)
+         |  hit, sum(CASE WHEN ts IN (2000, 3999)
+         |    AND v = ts * 0.5 THEN 1 ELSE 0 END) edge
+         |FROM $cat.c.ev""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 8000L)
+    assert(r.getLong(1) == 1000L)
+    assert(r.getLong(2) == 2L, "unmatched rows in rewritten segments " +
+      "must survive the COW rewrite")
+    // value predicate: not index-expressible — the static bound can't
+    // cover it, so the runtime group filter must stay in the plan
+    GraftScanProbe.lastCowStatic = true
+    GraftScanProbe.lastRuntimeScanned = -1
+    spark.sql(s"DELETE FROM $cat.c.ev WHERE v = 123.5")
+    assert(!GraftScanProbe.lastCowStatic,
+      "value-predicate DELETE must keep the runtime group filter")
+    assert(GraftScanProbe.lastRuntimeScanned >= 0,
+      "runtime filter should have run for the value-predicate DELETE")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.c.ev")
+      .collect()(0).getLong(0) == 7999L)
+  }
+
   test("page_len property: persisted, honored, alterable") {
     val (cat, root) = newCatalog()
     spark.sql(
