@@ -200,7 +200,19 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     start: Any = null, stop: Any = null, closed: Closed = Closed.Both,
     skipRuntimeFilter: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** every planned partition serves one index-sorted visible window —
+    * reported so the rewrite-DELETE's in-partition sort requirement
+    * is satisfied by the scan itself (`RemoveRedundantSorts`) */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions,
+      SortDirection}
+    table.gschema.idx.map(c => Expressions.sort(
+      Expressions.column(c.name), SortDirection.ASCENDING)).toArray
+  }
 
   private lazy val resolvedSeries: graft.api.Series = table.series
   /** covering segments for the static bound, as FULL visible windows
@@ -304,8 +316,21 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     table.gschema.idx.map(c => Expressions.sort(
       Expressions.column(c.name), SortDirection.ASCENDING)).toArray
 
+  /** Rewrite-DELETE needs NO distribution: its output is a strict
+    * SUBSET of the scanned rows under narrow operators (scan →
+    * filter), so the scan's per-window partitions arrive still
+    * index-sorted and range-disjoint — exactly what the rolling
+    * writers need. Requiring `ordered` here would buy nothing and
+    * cost a RangePartitioner sample job + a full shuffle+sort per
+    * statement. UPDATE can rewrite index values (`SET ts = ...`)
+    * and MERGE unions in source rows, so both keep the global sort;
+    * the in-partition ordering requirement below stays for DELETE
+    * (a no-op local sort over already-sorted partitions, dropped by
+    * `RemoveRedundantSorts` once the scan reports its ordering). */
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(idxOrders)
+    if (op.command() == RowLevelOperation.Command.DELETE)
+      Distributions.unspecified()
+    else Distributions.ordered(idxOrders)
   override def requiredOrdering(): Array[SortOrder] = idxOrders
 
   /** Sort width: a SINGLE-PAGE series (UPDATE/DELETE only — those
@@ -320,7 +345,10 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     * segments page_len sizes — and MERGE inserts are bounded by the
     * SOURCE, which can dwarf a small target. */
   override def requiredNumPartitions(): Int = {
-    if (op.command() == RowLevelOperation.Command.MERGE) return 0
+    // MERGE: AQE sizes the sort (see above). DELETE: unspecified
+    // distribution — Spark refuses a partition count without one
+    // (and there is no sample job to save anyway).
+    if (op.command() != RowLevelOperation.Command.UPDATE) return 0
     val s = table.series
     val totalRows = s.segments()
       .filter(_.meta.hasData).map(_.meta.length).sum

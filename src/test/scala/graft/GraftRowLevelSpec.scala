@@ -216,13 +216,26 @@ class GraftRowLevelSpec extends AnyFunSuite {
       s"""INSERT INTO $cat.w.s
          |SELECT id, id * 0.5 FROM range(0, 1000)""".stripMargin)
     val table = new graft.sources.GraftTable(root, "w", "s", None)
-    // a 1000-row table is one page: UPDATE/DELETE rewrites sort in
-    // ONE partition (RangePartitioner skips sampling at 1)
-    for (c <- Seq(Command.UPDATE, Command.DELETE)) {
-      val op = new graft.sources.GraftRowLevelOperation(table, c)
-      assert(new graft.sources.GraftCowWrite(table, op)
-        .requiredNumPartitions() == 1, c)
-    }
+    // a 1000-row table is one page: the UPDATE rewrite sorts in ONE
+    // partition (RangePartitioner skips sampling at 1)
+    val opU = new graft.sources.GraftRowLevelOperation(table,
+      Command.UPDATE)
+    assert(new graft.sources.GraftCowWrite(table, opU)
+      .requiredNumPartitions() == 1)
+    val du = new graft.sources.GraftCowWrite(table, opU)
+      .requiredDistribution()
+    assert(du.toString.toLowerCase.contains("ordered"),
+      s"UPDATE keeps the global sort, got $du")
+    // rewrite-DELETE output is a narrow subset of the scan: no
+    // distribution requirement at all (no sample job, no shuffle) —
+    // and a partition count is forbidden alongside it
+    val opD = new graft.sources.GraftRowLevelOperation(table,
+      Command.DELETE)
+    val wD = new graft.sources.GraftCowWrite(table, opD)
+    assert(wD.requiredNumPartitions() == 0)
+    assert(wD.requiredDistribution() ==
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified())
     // MERGE inserts are bounded by the SOURCE, not the table: no
     // partition requirement (0) so AQE sizes a bulk-load MERGE
     val opM = new graft.sources.GraftRowLevelOperation(table,
