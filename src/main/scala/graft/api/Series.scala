@@ -606,13 +606,42 @@ class Series(val collection: Collection, val label: String) {
       }
       col
     }
+    // String columns compare by DICTIONARY RANK during the sort: a
+    // term column repeats heavily (the q128 postings frame has ~4x
+    // row/term redundancy), so sorting ~u distinct strings once and
+    // comparing ints after replaces the O(n log n) String.compareTo
+    // calls that dominated the sort — same lexicographic order, since
+    // ranks come from the sorted dictionary.
+    // (skipped on the verify-only path: it compares adjacent rows
+    // once, fewer compares than building the dictionary would cost)
+    val rankCols: Array[Array[Int]] = keyCols.map {
+      case s: Array[String] if !verifySorted =>
+        val dict = new java.util.HashMap[String, Integer]()
+        var r = 0
+        while (r < n) { dict.putIfAbsent(s(r), 0); r += 1 }
+        val distinct = dict.keySet().toArray(new Array[String](dict.size))
+        java.util.Arrays.sort(distinct,
+          java.util.Comparator.naturalOrder[String]())
+        var rank = 0
+        while (rank < distinct.length) {
+          dict.put(distinct(rank), rank); rank += 1
+        }
+        val out = new Array[Int](n)
+        r = 0
+        while (r < n) { out(r) = dict.get(s(r)); r += 1 }
+        out
+      case _ => null
+    }
     def cmpIdx(a: Int, b: Int): Int = {
       var k = 0
       while (k < keyCols.length) {
         val c = keyCols(k) match {
           case l: Array[Long]   => java.lang.Long.compare(l(a), l(b))
           case d: Array[Double] => java.lang.Double.compare(d(a), d(b))
-          case s: Array[String] => s(a).compareTo(s(b))
+          case s: Array[String] =>
+            val rk = rankCols(k)
+            if (rk != null) java.lang.Integer.compare(rk(a), rk(b))
+            else s(a).compareTo(s(b))
         }
         if (c != 0) return c
         k += 1

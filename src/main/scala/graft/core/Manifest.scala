@@ -337,7 +337,55 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
       else if (closed.right) 1 else -1
     }
 
-    rows.iterator.filter(_.label == label).flatMap { r =>
+    // BISECT the candidate window before the exact per-row clip: rows
+    // are kept sorted by (label, start) with same-label ranges
+    // disjoint, so (a) the label's rows form one contiguous span and
+    // (b) both start-heads and stop-heads are nondecreasing inside
+    // it. A row is exactly skippable when the bound's HEAD component
+    // alone already separates it (cmpKey decides at component 0), so
+    // binary-searching the head values yields a conservative
+    // contiguous superset window — prefix-arity and closed-flag
+    // resolution stay entirely in the exact filter below. This is
+    // what keeps a prune O(log n + answer) instead of O(manifest):
+    // at 1e6 segments the full scan measured ~100 ms per prune, the
+    // bisect microseconds (ManifestScaleSpec pins both scales).
+    val (lab0, lab1) = {
+      var a = 0; var b = rows.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (rows(m).label.compareTo(label) < 0) a = m + 1 else b = m
+      }
+      val first = a
+      var a2 = first; var b2 = rows.length
+      while (a2 < b2) {
+        val m = (a2 + b2) >>> 1
+        if (rows(m).label.compareTo(label) <= 0) a2 = m + 1 else b2 = m
+      }
+      (first, a2)
+    }
+    val hd = schema.idx.head.dtype
+    val winLo = start.fold(lab0) { s =>
+      val sv = s.values(0)
+      // first row whose stop-head could still reach the start bound
+      var a = lab0; var b = lab1
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (hd.cmp(rows(m).stop.values(0), sv) < 0) a = m + 1 else b = m
+      }
+      a
+    }
+    val winHi = stop.fold(lab1) { s =>
+      val sv = s.values(0)
+      // past the last row whose start-head is within the stop bound
+      var a = winLo; var b = lab1
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (hd.cmp(rows(m).start.values(0), sv) <= 0) a = m + 1 else b = m
+      }
+      a
+    }
+
+    (winLo until winHi).iterator.map(rows).flatMap { r =>
       var aStart = r.start
       var aStop = r.stop
       var aClosed = r.closed

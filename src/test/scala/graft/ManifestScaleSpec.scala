@@ -41,7 +41,10 @@ class ManifestScaleSpec extends AnyFunSuite {
       assert(got.flatMap(_.meta.files).distinct.length == got.length)
     }
     val ms = (System.nanoTime() - t0) / 1e6
-    assert(ms < 5000, f"50 prunes over $N segments took $ms%.0f ms")
+    // bisected pruning measures ~30 ms here (was ~460 ms as a linear
+    // scan); the ceiling keeps generous host-noise headroom while
+    // still failing a regression back to O(manifest)
+    assert(ms < 400, f"50 prunes over $N segments took $ms%.0f ms")
     info(f"50 prunes over $N segments: $ms%.0f ms total")
   }
 
@@ -68,6 +71,52 @@ class ManifestScaleSpec extends AnyFunSuite {
       Vector(f"seg/aa/bb/${base / 100 - 1}%08d.parquet"))
     assert(ms < 2000, f"splice took $ms%.0f ms")
     info(f"8-tile splice into $N segments: $ms%.0f ms")
+  }
+
+  test("pruning and splicing stay logarithmic at 1e6 segments") {
+    // 10x the pinned scale (1e6 segments x 500k rows x ~2 KB/row ~
+    // 1 EB for one series — far past any sane layout, so this is a
+    // pure slope check: bisect pruning and splicing must grow
+    // O(log n + k), i.e. barely move vs the 1e5 numbers, and a
+    // regression to a linear scan fails the ceiling loudly).
+    val n10 = 1000000
+    val huge = Manifest(schema, Vector.tabulate(n10) { i =>
+      SegmentMeta("_", IndexKey(Vector(i * 100L)),
+        IndexKey(Vector((i + 1) * 100L)), Closed.Left, 100L,
+        Vector(f"seg/aa/bb/$i%08d.parquet"))
+    })
+    huge.size // build outside the timed region
+    val t0 = System.nanoTime()
+    (0 until 50).foreach { q =>
+      val lo = (q * 1999999L) % (n10.toLong * 100 - 1000)
+      val got = huge.segments("_", Some(IndexKey(Vector(lo))),
+        Some(IndexKey(Vector(lo + 300L))), Closed.Left)
+      assert(got.length >= 3 && got.length <= 4,
+        s"[$lo, ${lo + 300}) -> ${got.length} segments")
+      assert(got.head.start == IndexKey(Vector(lo)))
+      assert(got.last.stop == IndexKey(Vector(lo + 300L)))
+    }
+    val prunesMs = (System.nanoTime() - t0) / 1e6
+    // measured ~11 ms bisected; the pre-bisect linear scan took
+    // ~4,960 ms and only just passed a 5 s ceiling — this bound is
+    // what actually pins the slope
+    assert(prunesMs < 400,
+      f"50 prunes over $n10 segments took $prunesMs%.0f ms")
+    val tiles = Seq.tabulate(8)(j => SegmentMeta("_",
+      IndexKey(Vector(50000000L + j * 100L)),
+      IndexKey(Vector(50000000L + (j + 1) * 100L)), Closed.Left, 100L,
+      Vector(f"seg/cc/dd/$j%04d.parquet")))
+    val t1 = System.nanoTime()
+    val m2 = Manifest.spliceWrite(huge, tiles)
+    val spliceMs = (System.nanoTime() - t1) / 1e6
+    assert(math.abs(m2.size - huge.size) <= 2)
+    val after = m2.segments("_", Some(IndexKey(Vector(50000000L))),
+      Some(IndexKey(Vector(50000800L))), Closed.Left)
+    assert(after.flatMap(_.meta.files).toSet ==
+      tiles.flatMap(_.files).toSet)
+    assert(spliceMs < 2000, f"splice took $spliceMs%.0f ms")
+    info(f"1e6 segments: 50 prunes $prunesMs%.0f ms, " +
+      f"8-tile splice $spliceMs%.0f ms")
   }
 
   test("encode/decode round-trips 100k segments within bounds") {
