@@ -654,7 +654,14 @@ object QueriesSeries {
          |(ts TIMESTAMP, event_id BIGINT, value DOUBLE,
          | event_type STRING)
          |PARTITIONED BY (ts, event_id)""".stripMargin)
-    eventsDf(s, dir).createOrReplaceTempView("gq188_src")
+    // The source BATCH, pinned once per session+dir (the shared-
+    // intermediate pattern every materialized q-table uses; built
+    // inside the timed region on first use): the INSERT scans it
+    // once, and MERGE's group-filter subquery + rewrite join read it
+    // three more times — re-deriving the parquet scan per consumer
+    // paid four decode passes per statement sequence. A production
+    // batch mutation holds its incoming batch in memory too.
+    QueriesSim.materializeDf(s, dir, "gq188_src")(eventsDf(s, dir))
     staged("insert")(
       s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq188_src"))
     staged("update")(s.sql(
