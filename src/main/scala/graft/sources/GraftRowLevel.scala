@@ -201,7 +201,8 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     skipRuntimeFilter: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** every planned partition serves one index-sorted visible window —
     * reported so the rewrite-DELETE's in-partition sort requirement
@@ -237,6 +238,27 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
       }
     (kept, full.length)
   }
+
+  /** Post-static-pruning statistics from the MANIFEST (no file IO),
+    * mirroring [[GraftScan.estimateStatistics]]: the join planner in
+    * a MERGE rewrite or group-filter subquery sees the size of the
+    * groups actually scanned, not the whole table — a selective
+    * operation's scanned groups are broadcast-sized next to a bulk
+    * source even when the table is not. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows: Long = allSegments.map(_.meta.length).sum
+      private val rowWidth: Long = table.gschema.cols.map(_.dtype match {
+        case GType.StrT => 24L
+        case GType.DateT => 4L
+        case _ => 8L
+      }).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowWidth)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
 
   override def readSchema(): StructType = table.gschema.sparkSchema
   override def toBatch: Batch = this
