@@ -713,6 +713,64 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 7999L)
   }
 
+  test("COW static selection: multi-column index exactness rules") {
+    val (cat, _) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.m.ev (a BIGINT, b BIGINT, v DOUBLE)
+         |PARTITIONED BY (a, b)
+         |TBLPROPERTIES ('page_len' = '1000')""".stripMargin)
+    // a in 0..7, b in 0..999: 8 segments of exactly one a-value each
+    spark.sql(
+      s"""INSERT INTO $cat.m.ev
+         |SELECT cast(id / 1000 AS BIGINT), id % 1000, id * 0.5
+         |FROM range(0, 8000)""".stripMargin)
+    // eq on the leading column + range on the second: the prefix
+    // consumes BOTH bounds — fully static, no runtime subquery
+    GraftScanProbe.lastCowStatic = false
+    spark.sql(s"UPDATE $cat.m.ev SET v = -1.0 " +
+      s"WHERE a = 3 AND b >= 200 AND b < 300")
+    assert(GraftScanProbe.lastCowStatic,
+      "eq-prefix + range condition must select groups statically")
+    assert(GraftScanProbe.lastRuntimeScanned == 1,
+      s"expected the one a=3 segment, " +
+        s"kept ${GraftScanProbe.lastRuntimeScanned}")
+    // range on the SECOND column alone cannot prune through the
+    // lexicographic prefix: static selection must stand down (scan
+    // unbounded) and the runtime group filter stays available
+    GraftScanProbe.lastCowStatic = true
+    spark.sql(s"UPDATE $cat.m.ev SET v = -2.0 WHERE b = 998")
+    assert(!GraftScanProbe.lastCowStatic,
+      "a second-column-only condition must not claim exactness")
+    // range (not eq) on the leading column + bound on the second:
+    // the prefix ends at the first range column, so the second
+    // column's bound is NOT consumed — static bound applies but
+    // exactness must not be claimed
+    GraftScanProbe.lastCowStatic = true
+    spark.sql(s"UPDATE $cat.m.ev SET v = -3.0 " +
+      s"WHERE a >= 5 AND a < 7 AND b = 4")
+    assert(!GraftScanProbe.lastCowStatic,
+      "a bound below the terminated prefix must not claim exactness")
+    // <= 3, not 2: segment stops are stretched to the successor's
+    // start, so the a=4 segment's window [(4,0),(5,0)) intersects
+    // the (5) closed start bound as a degenerate sliver the prune
+    // cannot drop without knowing b's domain — a conservative cover
+    // that COW handles by rewriting the group unchanged
+    assert(GraftScanProbe.lastRuntimeScanned <= 3,
+      "the leading-column range must still bound the scan statically")
+    // all three updates landed exactly
+    val r = spark.sql(
+      s"""SELECT
+         |  sum(CASE WHEN v = -1.0 THEN 1 ELSE 0 END) u1,
+         |  sum(CASE WHEN v = -2.0 THEN 1 ELSE 0 END) u2,
+         |  sum(CASE WHEN v = -3.0 THEN 1 ELSE 0 END) u3,
+         |  count(*) n
+         |FROM $cat.m.ev""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 100L, s"a=3,b in [200,300): ${r.getLong(0)}")
+    assert(r.getLong(1) == 8L, s"b=998 across 8 a-groups: ${r.getLong(1)}")
+    assert(r.getLong(2) == 2L, s"a in [5,7),b=4: ${r.getLong(2)}")
+    assert(r.getLong(3) == 8000L)
+  }
+
   test("page_len property: persisted, honored, alterable") {
     val (cat, root) = newCatalog()
     spark.sql(
