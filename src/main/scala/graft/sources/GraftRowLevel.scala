@@ -183,7 +183,15 @@ class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
     val (stopB, stopClosed, usedHi) = prefix(lower = false)
     val bounded = bounds.valuesIterator
       .count(b => b.lo != null || b.hi != null)
-    val exact = allIndexRange && (startB != null || stopB != null) &&
+    // UPDATE/DELETE only: their condition is a pure predicate over
+    // the target, so an all-consumed index bound IS the matched-group
+    // cover. A MERGE's matched groups are decided by the JOIN with
+    // the source — a target-only conjunct in its ON clause (pushed
+    // here all the same) caps the cover but can never make it exact,
+    // and dropping the runtime filter would rewrite every covered
+    // segment even when the source matches two of them.
+    val exact = op.command() != RowLevelOperation.Command.MERGE &&
+      allIndexRange && (startB != null || stopB != null) &&
       math.max(usedLo, usedHi) == bounded
     new GraftCowScan(table, op, startB, stopB,
       Closed.Both.setLeft(startClosed).setRight(stopClosed),

@@ -757,6 +757,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     // that COW handles by rewriting the group unchanged
     assert(GraftScanProbe.lastRuntimeScanned <= 3,
       "the leading-column range must still bound the scan statically")
+    // MERGE with a target-only index conjunct in its ON clause: the
+    // pushed bound caps the cover but matched groups are decided by
+    // the JOIN — exactness must never be claimed, so the runtime
+    // group filter stays and prunes to the segments the source
+    // actually matches
+    GraftScanProbe.lastCowStatic = true
+    GraftScanProbe.lastRuntimeScanned = -1
+    spark.sql(
+      s"""MERGE INTO $cat.m.ev t USING (
+         |  SELECT cast(2 AS BIGINT) AS a, cast(id AS BIGINT) AS b,
+         |    -9.0 AS v FROM range(10, 20)) src
+         |ON t.a = src.a AND t.b = src.b AND t.a >= 1 AND t.a < 6
+         |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    assert(!GraftScanProbe.lastCowStatic,
+      "MERGE must never claim static exactness")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.ev WHERE v = -9.0")
+      .collect()(0).getLong(0) == 10L)
     // all three updates landed exactly
     val r = spark.sql(
       s"""SELECT
