@@ -78,7 +78,10 @@ object Profile {
               je: org.apache.spark.scheduler.SparkListenerJobEnd)
               : Unit = {
             val se = jobExec.remove(je.jobId)
-            if (se != null && se._1 >= 0) {
+            // guard on the execution still being tracked: the bus is
+            // async, and a job ending AFTER its SQLExecutionEnd would
+            // otherwise re-insert a LongAdder nothing ever removes
+            if (se != null && se._1 >= 0 && t0.containsKey(se._1)) {
               jobMs.computeIfAbsent(se._1,
                 _ => new java.util.concurrent.atomic.LongAdder)
                 .add((System.nanoTime() - se._2) / 1000000L)

@@ -1517,31 +1517,35 @@ object QueriesSeries {
         }
       })
     }
-    // maintenance races the writers: defrag+trim loop, then one gc
-    // sweep (reference do_defrag_and_gc)
-    val maint = pool.submit(new Runnable {
-      def run(): Unit = {
-        try {
-          val c = new Repo(root, s).collection("conc").get
-          var i = 0
-          while (i < 10) {
-            c.refresh(); c.defrag(1)
-            // reference trim() cutoff: now - 2x the 600 s write
-            // timeout (utils.py:40) — the operational contract that
-            // makes trim SAFE against in-flight writers: a revision
-            // younger than the longest possible write batch may carry
-            // unmerged data and must survive
-            c.trim(System.currentTimeMillis() - 1200000L)
-            Thread.sleep(50); i += 1
-          }
-          new Repo(root, s).gc()
-          ()
-        } catch { case t: Throwable => errors.add(t); () }
-      }
-    })
+    // maintenance races the writers on a DEDICATED thread — submitted
+    // to the 8-thread FIFO pool it would queue behind all 20 writers
+    // and only ever race the last few; a separate thread contends
+    // with the busiest interleavings from the first write on
+    val maintDone = new java.util.concurrent.CountDownLatch(1)
+    val maint = new Thread(() => {
+      try {
+        val c = new Repo(root, s).collection("conc").get
+        var i = 0
+        while (i < 10) {
+          c.refresh(); c.defrag(1)
+          // reference trim() cutoff: now - 2x the 600 s write
+          // timeout (utils.py:40) — the operational contract that
+          // makes trim SAFE against in-flight writers: a revision
+          // younger than the longest possible write batch may carry
+          // unmerged data and must survive
+          c.trim(System.currentTimeMillis() - 1200000L)
+          Thread.sleep(50); i += 1
+        }
+        new Repo(root, s).gc()
+        ()
+      } catch { case t: Throwable => errors.add(t); () }
+      finally maintDone.countDown()
+    }, "q205-maintenance")
+    maint.start()
     require(writersDone.await(1200,
       java.util.concurrent.TimeUnit.SECONDS), "q205 writers timed out")
-    maint.get(600, java.util.concurrent.TimeUnit.SECONDS)
+    require(maintDone.await(600,
+      java.util.concurrent.TimeUnit.SECONDS), "q205 maintenance hung")
     pool.shutdown()
     require(errors.isEmpty,
       s"q205 concurrent write/maintenance failed: ${errors.peek()}")
@@ -1598,8 +1602,14 @@ object QueriesSeries {
       require(server.rangedGets.get() > 0,
         "parquet reads must issue ranged GETs")
       got
-    } finally server.stop() // the JDK dispatcher thread is non-daemon:
-                            // a leaked server pins the JVM open
+    } finally {
+      server.stop() // the JDK dispatcher thread is non-daemon:
+                    // a leaked server pins the JVM open
+      // the JVM-global endpoint fallback must not outlive its server:
+      // a later s3net:// open relying on it would dial a dead port
+      // with a confusing connection error far from this query
+      graft.core.S3NetFileSystem.setDefaultEndpoint(null)
+    }
   }
 
   val q206_oracle: String =

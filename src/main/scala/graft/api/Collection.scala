@@ -413,9 +413,11 @@ class Collection(val repo: Repo, val label: String, val path: String,
               Some(r.start), Some(r.stop), r.closed)
             .exists(sr => sr.meta.hasData && sr.meta != r &&
               !rootRows.contains(sr.meta))
-          if (!conflicted && (r.closed == Closed.Both || !r.hasData))
+          // tombstones ALWAYS splice (the cut wins — the conflict
+          // probe never runs for them: conflicted requires hasData);
+          // unconflicted both-closed data rows splice verbatim
+          if (!r.hasData || (!conflicted && r.closed == Closed.Both))
             m = m.update(r)
-          else if (!r.hasData) m = m.update(r) // tombstone: cut wins
           else {
             val s = new Series(this, r.label)
             val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

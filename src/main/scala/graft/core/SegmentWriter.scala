@@ -162,18 +162,29 @@ object SegmentWriter {
     * S3A) never use the sidecar scheme. The override is CONF-LOCAL
     * (disable.cache + impl on a copy), so no other file:// user in
     * the JVM loses its checksums. */
+  // the raw-local write Configuration, memoized per SOURCE conf: a
+  // Configuration copy clones the full property map, and paying that
+  // per rolled file (~105 files on the 53M-row write, 8 per driver-
+  // tier write) is pure waste — the derived conf never varies within
+  // a task. Weak keys: task confs die with their tasks.
+  private val fileWriteConfCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Configuration, Configuration]())
+
   def open(cols: Seq[ColDef], physNames: Seq[String], uri: String,
       conf: Configuration, codec: String, srcOffset: Int = 0)
       : ParquetWriter[InternalRow] = {
     val path = new Path(uri)
     val writeConf =
-      if (Option(path.toUri.getScheme).forall(_ == "file")) {
-        val c = new Configuration(conf)
-        c.set("fs.file.impl",
-          classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
-        c.setBoolean("fs.file.impl.disable.cache", true)
-        c
-      } else conf
+      if (Option(path.toUri.getScheme).forall(_ == "file"))
+        fileWriteConfCache.computeIfAbsent(conf, c0 => {
+          val c = new Configuration(c0)
+          c.set("fs.file.impl",
+            classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+          c.setBoolean("fs.file.impl.disable.cache", true)
+          c
+        })
+      else conf
     openWith(cols, physNames, path, writeConf, codec, srcOffset)
   }
 

@@ -1317,11 +1317,14 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     changelog.log()
   }
 
-  /** leaves of a log SLICE: children with no child inside the slice */
+  /** leaves of a log SLICE: children with no child inside the slice
+    * (distinct — a merge leaf appears once per PARENT EDGE in the
+    * changelog, and duplicate head ids would make frontierManifests
+    * resolve, and a meta-keyed dedup serve, the same manifest twice) */
   private def headsOf(log: Seq[graft.core.Revision]): Vector[String] = {
     val parents = log.map(_.parent).toSet
     log.collect { case r if !parents.contains(r.child) => r.child }
-      .toVector
+      .distinct.toVector
   }
 
   private def offsetAt(log: Seq[graft.core.Revision]): GraftStreamOffset =
@@ -1575,9 +1578,15 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
         skipInline
     val gs = table.gschema
     val reqNames = required.fields.map(_.name).toSeq
-    // a file/inline row present on TWO end heads (e.g. both sides of
-    // a fork inherited it) must still be served once
-    var served = Set.empty[String]
+    // A ROW present on TWO end heads (e.g. both sides of a fork
+    // inherited it) must still be served once — dedup by the
+    // SegmentMeta (window + files), NEVER by bare file name: one
+    // file legitimately backs TWO visible windows of one manifest
+    // (a batch spanning a write plus a middle overlay/delete leaves
+    // truncated rows [lo,a) and [b,hi) sharing the original file),
+    // and a file-keyed set would silently drop the second window's
+    // rows from the stream.
+    var servedRows = Set.empty[graft.core.SegmentMeta]
     var servedInline = Set.empty[graft.core.SegmentMeta]
     endMs.flatMap { endM =>
       endM.rows.filter(r => r.label == label && r.hasData).flatMap {
@@ -1592,12 +1601,10 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
                 null)
             }
           } else {
-            val fresh = meta.files
-              .filterNot(f => prevFiles.contains(f) || served.contains(f))
-              .toSet
-            if (fresh.isEmpty) Nil
+            val fresh = meta.files.filterNot(prevFiles.contains).toSet
+            if (fresh.isEmpty || servedRows.contains(meta)) Nil
             else {
-              served ++= fresh
+              servedRows += meta
               GraftPlanning.partitionsFor(series, gs, reqNames, seg,
                 fresh)
             }

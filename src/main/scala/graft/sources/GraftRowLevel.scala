@@ -55,6 +55,14 @@ class GraftRowLevelOperation(table: GraftTable,
   @volatile private[sources] var replacedRanges
       : Seq[(IndexKey, IndexKey, Closed)] = null
 
+  /** ONE manifest snapshot per OPERATION: the scan's group planning,
+    * the probe totals, the write's roll-window computation and the
+    * sort-width decision all read the same visible-window list —
+    * one label-span walk per statement instead of three, and no
+    * commit can slip between the scan's view and the write's. */
+  private[sources] lazy val tableSegments: Seq[SegmentRead] =
+    table.series.segments().filter(_.meta.hasData)
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
     s"GraftRowLevelOperation[$cmd] ${table.name()}"
@@ -236,7 +244,7 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     * that sibling — a superset, safe for copy-on-write. */
   private lazy val (allSegments, tableSegmentCount)
       : (Seq[SegmentRead], Int) = {
-    val full = resolvedSeries.segments().filter(_.meta.hasData)
+    val full = op.tableSegments // the operation's one snapshot
     val kept =
       if (start == null && stop == null) full
       else {
@@ -379,10 +387,8 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     // distribution — Spark refuses a partition count without one
     // (and there is no sample job to save anyway).
     if (op.command() != RowLevelOperation.Command.UPDATE) return 0
-    val s = table.series
-    val totalRows = s.segments()
-      .filter(_.meta.hasData).map(_.meta.length).sum
-    if (totalRows <= s.collection.pageLen) 1 else 0
+    val totalRows = op.tableSegments.map(_.meta.length).sum
+    if (totalRows <= table.series.collection.pageLen) 1 else 0
   }
 
   override def toBatch: BatchWrite = {
@@ -421,7 +427,7 @@ class GraftCowBatchWrite(table: GraftTable,
     // that merely bracket untouched data
     val gs = params.gschema
     val replacedSet = ranges.toSet
-    val untouched = table.series.segments().filter(_.meta.hasData)
+    val untouched = op.tableSegments
       .map(s => (s.start, s.stop, s.closed))
       .filterNot(replacedSet.contains)
     val rollWindows = (ranges ++ untouched)

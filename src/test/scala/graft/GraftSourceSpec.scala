@@ -243,6 +243,40 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("one batch spanning write + middle delete serves BOTH " +
+      "truncated windows of the shared file") {
+    // regression: the splice keeps ONE file referenced by TWO visible
+    // windows ([0,200) deleted in the middle -> rows [0,80) and
+    // [120,200) both point at the original segment file). A
+    // file-name-keyed served set dropped the second window's rows
+    // from the stream; dedup must key on the manifest ROW.
+    val root = Files.createTempDirectory("graft-stream-trunc").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    val s = clct.series("_")
+    import spark.implicits._
+    s.write(spark.range(0, 200, 1, 2)
+      .select($"id".as("ts"), lit(1.0).as("value")), presorted = true)
+    s.delete(80L, 120L, Closed.Left) // middle punch: two windows, one file
+    // BOTH commits land inside the FIRST micro-batch window
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("collection", "c")
+      .option("series", "_").load()
+      .writeStream.format("memory").queryName("gtrunc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gtrunc").select("ts")
+        .collect().map(_.getLong(0)).sorted
+      val expect = ((0L until 80L) ++ (120L until 200L)).toArray
+      assert(got.length == expect.length,
+        s"served ${got.length} rows, expected ${expect.length} " +
+          "(second truncated window lost?)")
+      assert(got.sameElements(expect), "wrong rows served")
+    } finally q.stop()
+  }
+
   test("maxRevisionsPerTrigger under Trigger.AvailableNow drains fully") {
     val root = Files.createTempDirectory("graft-stream5").toString
     val repo = new Repo(root, spark)
