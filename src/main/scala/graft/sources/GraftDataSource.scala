@@ -694,18 +694,8 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
     * table filtered down to one segment broadcasts like the small
     * table it is. Clipped segments report their full stored length
     * (an upper bound — statistics are estimates). */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val rows: Long = plannedSegments.map(_.meta.length).sum
-    private val rowWidth: Long = table.gschema.cols.map(_.dtype match {
-      case GType.StrT => 24L
-      case GType.DateT => 4L
-      case _ => 8L
-    }).sum
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * rowWidth)
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
-  }
+  override def estimateStatistics(): Statistics =
+    GraftPlanning.manifestStatistics(plannedSegments, table.gschema)
 
   override def description(): String = {
     val segs = plannedSegments
@@ -1156,6 +1146,24 @@ class GraftDataWriter(tw: SegmentWriter.TaskSegmentWriter)
   * the task-side Hadoop conf Spark's parquet machinery needs. */
 private[sources] object GraftPlanning {
 
+  /** Manifest-derived Statistics (no file IO) shared by the regular
+    * scan and the COW scan: recorded per-segment row counts times a
+    * coarse per-dtype width. Clipped segments report their full
+    * stored length (an upper bound — statistics are estimates). */
+  def manifestStatistics(segs: => Seq[SegmentRead], gs: GSchema)
+      : Statistics = new Statistics {
+    private lazy val rows: Long = segs.map(_.meta.length).sum
+    private val rowWidth: Long = gs.cols.map(_.dtype match {
+      case GType.StrT => 24L
+      case GType.DateT => 4L
+      case _ => 8L
+    }).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
   def covers(gs: GSchema, s: SegmentRead): Boolean =
     (s.meta.dataStart, s.meta.dataStop) match {
       case (Some(ds), Some(de)) =>
@@ -1585,7 +1593,13 @@ class GraftMicroBatchStream(table: GraftTable, required: StructType,
     // (a batch spanning a write plus a middle overlay/delete leaves
     // truncated rows [lo,a) and [b,hi) sharing the original file),
     // and a file-keyed set would silently drop the second window's
-    // rows from the stream.
+    // rows from the stream. Residual at-least-once corner (forkDedup
+    // only): two UN-HEALED heads carrying DIVERGENT truncations of a
+    // file written in the same batch (A's [0,80)+[120,200) vs B's
+    // untouched [0,200)) serve the overlap from both heads — distinct
+    // metas, so no sound dedup exists short of per-row interval
+    // bookkeeping; never loses, and the heal's merge resolves the
+    // windows before any later batch.
     var servedRows = Set.empty[graft.core.SegmentMeta]
     var servedInline = Set.empty[graft.core.SegmentMeta]
     endMs.flatMap { endM =>

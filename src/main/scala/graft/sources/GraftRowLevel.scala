@@ -55,13 +55,18 @@ class GraftRowLevelOperation(table: GraftTable,
   @volatile private[sources] var replacedRanges
       : Seq[(IndexKey, IndexKey, Closed)] = null
 
-  /** ONE manifest snapshot per OPERATION: the scan's group planning,
-    * the probe totals, the write's roll-window computation and the
-    * sort-width decision all read the same visible-window list —
-    * one label-span walk per statement instead of three, and no
-    * commit can slip between the scan's view and the write's. */
+  /** ONE manifest snapshot per OPERATION: the scan's group planning
+    * (bounded AND unbounded), the probe totals, the write's
+    * roll-window computation and the sort-width decision all query
+    * this one decoded manifest — one label-span walk per statement
+    * instead of three, and no concurrent commit can slip a different
+    * revision between the scan's view and the write's. */
+  private[sources] lazy val tableManifest
+      : Option[graft.core.Manifest] =
+    table.series.collection.manifest(None)
   private[sources] lazy val tableSegments: Seq[SegmentRead] =
-    table.series.segments().filter(_.meta.hasData)
+    table.series.segments(from = tableManifest)
+      .filter(_.meta.hasData)
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
@@ -248,7 +253,12 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     val kept =
       if (start == null && stop == null) full
       else {
-        val hit = resolvedSeries.segments(start, stop, None, closed)
+        // bounded query against the SAME snapshot manifest: reading
+        // the live changelog here would let a concurrent commit land
+        // between the two reads — its new metas would match nothing
+        // in `full` and covered groups would silently drop out
+        val hit = resolvedSeries
+          .segments(start, stop, None, closed, from = op.tableManifest)
           .filter(_.meta.hasData).map(_.meta).toSet
         full.filter(s => hit.contains(s.meta))
       }
@@ -256,25 +266,14 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
   }
 
   /** Post-static-pruning statistics from the MANIFEST (no file IO),
-    * mirroring [[GraftScan.estimateStatistics]]: the join planner in
-    * a MERGE rewrite or group-filter subquery sees the size of the
-    * groups actually scanned, not the whole table — a selective
-    * operation's scanned groups are broadcast-sized next to a bulk
-    * source even when the table is not. */
+    * shared with [[GraftScan]]: the join planner in a MERGE rewrite
+    * or group-filter subquery sees the size of the groups actually
+    * scanned, not the whole table — a selective operation's scanned
+    * groups are broadcast-sized next to a bulk source even when the
+    * table is not. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      private val rows: Long = allSegments.map(_.meta.length).sum
-      private val rowWidth: Long = table.gschema.cols.map(_.dtype match {
-        case GType.StrT => 24L
-        case GType.DateT => 4L
-        case _ => 8L
-      }).sum
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows * rowWidth)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-    }
+    GraftPlanning.manifestStatistics(allSegments, table.gschema)
 
   override def readSchema(): StructType = table.gschema.sparkSchema
   override def toBatch: Batch = this
