@@ -145,4 +145,39 @@ class ChangelogSpec extends AnyFunSuite {
     assert(children.toSet == remote.log().map(_.child).toSet)
     assert(local.leaf().get.child == remote.leaf().get.child)
   }
+
+  test("tree build stays interactive at 1e4 revisions") {
+    // the last driver-cost path without a scale pin (manifest prune/
+    // splice/encode and registry decode have theirs): computeLog
+    // sorts the listing and walks the parent->children tree once —
+    // O(n log n) — and a long-lived UNsquashed series accumulates
+    // thousands of revisions. Entry files are synthesized directly
+    // (computeLog reads only the LISTING; payloads are never touched
+    // by log()/leaf()).
+    val root = Files.createTempDirectory("graft-logscale")
+    val dir = root.resolve("changelog")
+    Files.createDirectories(dir)
+    val n = 10000
+    var parent = Changelog.Phi
+    (0 until n).foreach { i =>
+      val child = f"$i%011x-deadbeef$i%08d"
+      Files.createFile(dir.resolve(s"$parent.$child"))
+      parent = child
+    }
+    val log = new Changelog(new HadoopStore(root.toString), "changelog")
+    val t0 = System.nanoTime()
+    val hist = log.log()
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    assert(hist.length == n)
+    assert(hist.last.child == parent)
+    assert(log.leaf().get.child == parent)
+    // cached: a second read must not re-list or re-walk
+    val t1 = System.nanoTime()
+    (0 until 100).foreach(_ => log.leaf())
+    val cachedMs = (System.nanoTime() - t1) / 1e6
+    assert(buildMs < 2000, f"1e4-revision tree build $buildMs%.0f ms")
+    assert(cachedMs < 200, f"100 cached leaf reads $cachedMs%.0f ms")
+    info(f"1e4 revisions: build $buildMs%.0f ms, " +
+      f"100 cached leafs $cachedMs%.0f ms")
+  }
 }
