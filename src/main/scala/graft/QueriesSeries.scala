@@ -1626,6 +1626,126 @@ object QueriesSeries {
       |      FROM range(0, 1051200) t(k))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Multi-PROCESS concurrent ingest (reference
+    * tests/concurrent_test.py:31-57, which runs its writers in dask
+    * processes): the same 20-writer × one-writer-year grid as q205,
+    * but HALF the writers run in a forked `java -cp` child JVM
+    * ([[ConcChild]]) racing the parent's writers and its
+    * defrag+trim+gc maintenance loop against one shared file store.
+    * q205's threads share a JVM, where memory effects (common locks,
+    * caches, fences) could accidentally serialize the race; process
+    * isolation exercises the store contract itself — atomic
+    * create-if-absent, content-addressed digest names, fork-and-merge
+    * healing — under OS-level concurrency. The oracle recomputes the
+    * full 1,051,200-row grid from scratch (identical to q205's). */
+  def q207_multiprocess_ingest(s: SparkSession, dir: String)
+      : DataFrame = {
+    val _ = dir // fixed synthetic grid: the oracle regenerates it
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-conc207").toString
+    val schema = GSchema("ts" -> "timestamp*", "value" -> "int")
+    val repo = new Repo(root, s)
+    repo.createCollection(schema, "conc")
+    val nWriters = 20
+    val half = nWriters / 2
+    val per = 52560L // one writer-year of minutes; 1,051,200 total
+    // fork the child fleet FIRST and hold the parent's writers until
+    // its session is up, so both PROCESSES race from the first commit
+    // (a child still booting while the parent finishes would reduce
+    // this to sequential single-process ingest)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(javaBin) ++ ConcChild.jdkModuleOptions ++ Seq(
+      "-Xmx6g", "-cp", System.getProperty("java.class.path"),
+      "graft.ConcChild", root, half.toString, nWriters.toString,
+      per.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val childOut = new StringBuffer // drain thread + failure reporter
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    val drain = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = br.readLine()
+      while (line != null) {
+        if (line.contains("GRAFT_CHILD_READY")) ready.countDown()
+        childOut.append(line).append('\n')
+        if (childOut.length > 20000) childOut.delete(0, 10000)
+        line = br.readLine()
+      }
+    }, "q207-child-drain")
+    drain.setDaemon(true)
+    drain.start()
+    require(ready.await(300, java.util.concurrent.TimeUnit.SECONDS),
+      s"q207 child JVM never came up:\n$childOut")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new java.util.concurrent.CountDownLatch(half)
+    (0 until half).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            val sr = new Repo(root, s).collection("conc").get
+              .series("my_label")
+            sr.write(s.range(w * per, (w + 1) * per, 1, 4)
+              .selectExpr("timestamp_seconds(946684800 + id * 60) AS ts",
+                "cast(id % 997 AS int) AS value"))
+          } catch { case t: Throwable => errors.add(t); () }
+          finally writersDone.countDown()
+        }
+      })
+    }
+    // maintenance on a dedicated thread, racing BOTH processes'
+    // writers (same loop and trim contract as q205)
+    val maintDone = new java.util.concurrent.CountDownLatch(1)
+    val maint = new Thread(() => {
+      try {
+        val c = new Repo(root, s).collection("conc").get
+        var i = 0
+        while (i < 10) {
+          c.refresh(); c.defrag(1)
+          c.trim(System.currentTimeMillis() - 1200000L)
+          Thread.sleep(50); i += 1
+        }
+        new Repo(root, s).gc()
+        ()
+      } catch { case t: Throwable => errors.add(t); () }
+      finally maintDone.countDown()
+    }, "q207-maintenance")
+    maint.start()
+    require(writersDone.await(1200,
+      java.util.concurrent.TimeUnit.SECONDS), "q207 writers timed out")
+    require(proc.waitFor(1200, java.util.concurrent.TimeUnit.SECONDS),
+      { proc.destroyForcibly(); s"q207 child JVM timed out:\n$childOut" })
+    require(maintDone.await(600,
+      java.util.concurrent.TimeUnit.SECONDS), "q207 maintenance hung")
+    pool.shutdown()
+    require(proc.exitValue() == 0,
+      s"q207 child JVM exit ${proc.exitValue()}:\n$childOut")
+    require(errors.isEmpty,
+      s"q207 parent write/maintenance failed: ${errors.peek()}")
+    // racing commits fork (now across processes); merge until the
+    // changelog converges
+    val clct = repo.collection("conc").get
+    clct.refresh(); clct.merge(); clct.refresh()
+    var guard = 0
+    while (clct.changelog.leafs().length > 1 && guard < 30) {
+      clct.merge(); clct.refresh(); guard += 1
+    }
+    require(clct.changelog.leafs().length == 1,
+      s"q207 merge did not converge: ${clct.changelog.leafs().length}")
+    clct.series("my_label").frame().createOrReplaceTempView("gq207")
+    s.sql(
+      """SELECT cast(year(ts) AS bigint) AS y,
+        |  cast(month(ts) AS bigint) AS m,
+        |  count(*) AS n_rows, sum(cast(value AS bigint)) AS sum_val,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM gq207 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val q207_oracle: String = q205_oracle
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -2316,6 +2436,7 @@ object QueriesSeries {
     "q204_page_len" -> q204_page_len _,
     "q205_concurrent_ingest" -> q205_concurrent_ingest _,
     "q206_s3_roundtrip" -> q206_s3_roundtrip _,
+    "q207_multiprocess_ingest" -> q207_multiprocess_ingest _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -2371,6 +2492,7 @@ object QueriesSeries {
     "q204_page_len" -> q204_oracle,
     "q205_concurrent_ingest" -> q205_oracle,
     "q206_s3_roundtrip" -> q206_oracle,
+    "q207_multiprocess_ingest" -> q207_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,

@@ -110,27 +110,17 @@ class Collection(val repo: Repo, val label: String, val path: String,
 
   def kvSeries(name: String): KVSeries = new KVSeries(this, name)
 
-  /** Decoded-manifest cache keyed by revision id. Revision ids are
-    * `hextime-sha1(payload)` — content-addressed and immutable — so a
-    * cached decode can never go stale; only the LEAF lookup (cheap)
-    * consults the store per read. At 100 TB a manifest holds ~10^5
-    * segment rows (tens of MB of JSON): without this, every query
-    * planning step re-reads and re-parses it. Manifest is immutable,
-    * so sharing one instance across queries is safe. Bounded: the
-    * handful of revisions a session actively reads (leaf + time
-    * travels); cleared wholesale past 8 entries. */
-  private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
-  private[graft] def decodeCached(r: graft.core.Revision): Manifest = {
-    val hit = manifestCache.get(r.child)
-    if (hit != null) hit
-    else {
-      val m = Manifest.decode(changelog.payload(r))
-      if (manifestCache.size >= 8) manifestCache.clear()
-      manifestCache.put(r.child, m)
-      m
-    }
-  }
+  /** Decoded-manifest lookup through the JVM-wide content-addressed
+    * cache ([[Collection.decodeManifestCached]]). Revision ids are
+    * `hextime-sha1(payload)` — equal id implies equal payload implies
+    * equal decode — so a cached decode can never go stale; only the
+    * LEAF lookup (cheap) consults the store per read. The cache being
+    * JVM-wide (not instance-local) is what makes the SQL door's
+    * fresh-handle-per-statement pattern O(1) in manifest size: a
+    * fresh Collection on an unchanged leaf decodes nothing. */
+  private[graft] def decodeCached(r: graft.core.Revision): Manifest =
+    Collection.decodeManifestCached(r.child,
+      () => Manifest.decode(changelog.payload(r)))
 
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
     changelog.leaf(beforeMs).map(decodeCached)
@@ -521,4 +511,71 @@ class Collection(val repo: Repo, val label: String, val path: String,
 
   def push(remote: Collection, shallow: Boolean = false): Unit =
     remote.pull(this, shallow)
+}
+
+/** JVM-wide content-addressed manifest decode cache — the
+  * [[Repo.regDecodeCache]] pattern applied to collection manifests.
+  * Revision ids embed `sha1(payload)`, so equal id ⇒ equal payload ⇒
+  * equal decoded [[Manifest]]: a hit can never serve stale state, and
+  * freshness comes entirely from the per-call leaf LISTING, which is
+  * never cached. The SQL door opens a fresh [[Repo]]/[[Collection]]
+  * per statement by design (no stale handles); an instance-local
+  * cache made every statement re-decode the full manifest JSON —
+  * O(manifest): ~1 s at 1e5 segments, ~10 s projected at 1e6. With
+  * this cache the per-statement driver cost is O(1) in manifest size
+  * once any handle in the JVM has decoded the leaf.
+  *
+  * Bounded by TOTAL cached segment rows (`graft.manifestCacheRows`
+  * system property, default 2e6 ≈ two 1e6-segment manifests — a few
+  * GB worst case, sized for a 100 TB driver heap) with access-ordered
+  * eviction of the coldest leaves first, so a hot leaf is never
+  * evicted by a time-travel sweep over many historical revisions.
+  */
+object Collection {
+  private val cacheRowBudget: Long =
+    java.lang.Long.getLong("graft.manifestCacheRows", 2000000L)
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true)
+  private var cachedRows: Long = 0L
+  /** Count of actual payload decodes — observability for the cache
+    * spec: a second fresh handle on an unchanged leaf must not move
+    * this counter. */
+  private[graft] val manifestDecodes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def decodeManifestCached(revId: String,
+      decode: () => Manifest): Manifest = {
+    manifestCache.synchronized {
+      val hit = manifestCache.get(revId) // get() also refreshes LRU order
+      if (hit != null) return hit
+    }
+    // Decode OUTSIDE the lock: concurrent misses on different
+    // revisions must not serialize behind one global decode (a 1e5-
+    // segment decode is ~1 s). Two racing misses on the SAME revision
+    // may both decode; the second insert discards its copy — cheaper
+    // than holding a global lock across every decode.
+    manifestDecodes.incrementAndGet()
+    val m = decode()
+    manifestCache.synchronized {
+      val prev = manifestCache.get(revId)
+      if (prev != null) prev
+      else {
+        manifestCache.put(revId, m)
+        cachedRows += m.size
+        val it = manifestCache.entrySet().iterator()
+        while (cachedRows > cacheRowBudget && manifestCache.size() > 1 &&
+            it.hasNext) {
+          val e = it.next()
+          if (e.getKey != revId) { cachedRows -= e.getValue.size; it.remove() }
+        }
+        m
+      }
+    }
+  }
+
+  /** Test hook: drop all cached decodes (counter keeps its value). */
+  private[graft] def clearManifestCache(): Unit =
+    manifestCache.synchronized {
+      manifestCache.clear(); cachedRows = 0L
+    }
 }

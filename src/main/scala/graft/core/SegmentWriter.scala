@@ -171,6 +171,45 @@ object SegmentWriter {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[Configuration, Configuration]())
 
+  /** The memoized raw-local conf is SHARED by every concurrent writer
+    * task that holds the same source conf; parquet's writer machinery
+    * only ever READS it. This subclass enforces that assumption: any
+    * downstream consumer that tried to mutate the shared conf (which
+    * would silently cross-contaminate sibling writers) fails loudly
+    * instead. All Configuration mutators funnel through
+    * set(name,value,source) / unset / clear / addResource — each is
+    * rejected once the instance is frozen (construction itself copies
+    * via internal state, not set(), so the flag can be final). */
+  private final class FrozenConf(src: Configuration)
+      extends Configuration(src) {
+    @volatile private var frozen = false
+    def freeze(): this.type = { frozen = true; this }
+    private def reject(what: String): Unit = if (frozen)
+      throw new UnsupportedOperationException(
+        "graft: the shared raw-local write Configuration is read-only " +
+          s"(attempted $what); open() hands every writer this one " +
+          "instance — mutate a private copy instead")
+    override def set(name: String, value: String, source: String): Unit = {
+      reject(s"set($name)"); super.set(name, value, source)
+    }
+    override def set(name: String, value: String): Unit = {
+      reject(s"set($name)"); super.set(name, value)
+    }
+    override def unset(name: String): Unit = {
+      reject(s"unset($name)"); super.unset(name)
+    }
+    override def clear(): Unit = { reject("clear()"); super.clear() }
+    override def addResource(r: Configuration): Unit = {
+      reject("addResource"); super.addResource(r)
+    }
+    override def addResource(r: org.apache.hadoop.fs.Path): Unit = {
+      reject("addResource"); super.addResource(r)
+    }
+    override def addResource(r: String): Unit = {
+      reject("addResource"); super.addResource(r)
+    }
+  }
+
   def open(cols: Seq[ColDef], physNames: Seq[String], uri: String,
       conf: Configuration, codec: String, srcOffset: Int = 0)
       : ParquetWriter[InternalRow] = {
@@ -178,11 +217,11 @@ object SegmentWriter {
     val writeConf =
       if (Option(path.toUri.getScheme).forall(_ == "file"))
         fileWriteConfCache.computeIfAbsent(conf, c0 => {
-          val c = new Configuration(c0)
+          val c = new FrozenConf(c0)
           c.set("fs.file.impl",
             classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
           c.setBoolean("fs.file.impl.disable.cache", true)
-          c
+          c.freeze()
         })
       else conf
     openWith(cols, physNames, path, writeConf, codec, srcOffset)

@@ -65,8 +65,13 @@ class GraftRowLevelOperation(table: GraftTable,
       : Option[graft.core.Manifest] =
     table.series.collection.manifest(None)
   private[sources] lazy val tableSegments: Seq[SegmentRead] =
-    table.series.segments(from = tableManifest)
-      .filter(_.meta.hasData)
+    // empty snapshot (no leaf yet) must stay empty — segments(from =
+    // None) would FALL BACK to a live manifest read, letting the
+    // bounded and unbounded group queries observe two different live
+    // revisions: exactly the race this snapshot exists to prevent
+    tableManifest.map(m =>
+      table.series.segments(from = Some(m)).filter(_.meta.hasData))
+      .getOrElse(Seq.empty)
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String =

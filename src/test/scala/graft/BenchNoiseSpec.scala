@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Synthetic-noise proof of the bench's io_noise self-labeling
+  * (round-11 verdict #4): the flagging rule that decides both the
+  * per-row artifact flag and the mid-run auto-retry is pure
+  * ([[Bench.ioNoiseFlag]]), so it can be driven with fabricated probe
+  * vectors — no disk involvement, no flakiness.
+  *
+  * Semantics under test: an adjacent probe ≥ 2× the run's quiet band
+  * marks ONE rep as noisy; the ROW is flagged only when a
+  * median-forming majority (≥ half) of its reps were noisy — a single
+  * noisy rep out of three cannot move the reported median, so it
+  * alone must not flag (or retry) the row.
+  */
+class BenchNoiseSpec extends AnyFunSuite {
+  private val quiet = 0.15 // a quiet 64 MB fsync'd write on this host
+
+  test("a flat quiet window never flags") {
+    assert(!Bench.ioNoiseFlag(Vector(0.15, 0.16, 0.15), quiet))
+    // just under the 2x threshold stays quiet
+    assert(!Bench.ioNoiseFlag(Vector(0.29, 0.29, 0.29), quiet))
+  }
+
+  test("one noisy rep of three does not flag (median survives)") {
+    assert(!Bench.ioNoiseFlag(Vector(0.15, 3.1, 0.16), quiet))
+  }
+
+  test("a majority of noisy reps flags the row") {
+    // 2 of 3: the median itself sat in the noise window
+    assert(Bench.ioNoiseFlag(Vector(0.80, 3.13, 0.68), 0.15))
+    assert(Bench.ioNoiseFlag(Vector(0.15, 2.9, 3.4), quiet))
+    // all reps noisy — the r11 artifact's shape (every write row
+    // uniformly 1.3-2x with calib_io spiked): must self-label
+    assert(Bench.ioNoiseFlag(Vector(1.2, 0.9, 1.5), quiet))
+  }
+
+  test("2-of-4 flags (an even split can pollute an averaged median)") {
+    assert(Bench.ioNoiseFlag(Vector(0.15, 2.0, 0.16, 1.9), quiet))
+    assert(!Bench.ioNoiseFlag(Vector(0.15, 2.0, 0.16, 0.17), quiet))
+  }
+
+  test("threshold is exactly 2x the quiet band, inclusive") {
+    assert(Bench.probeNoisy(0.30, 0.15))
+    assert(!Bench.probeNoisy(0.2999, 0.15))
+  }
+
+  test("empty probe vector (non-IO row) never flags") {
+    assert(!Bench.ioNoiseFlag(Vector.empty, quiet))
+  }
+}

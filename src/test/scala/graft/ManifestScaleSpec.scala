@@ -137,6 +137,41 @@ class ManifestScaleSpec extends AnyFunSuite {
       f"encode $tEnc%.0f ms, decode $tDec%.0f ms")
   }
 
+  test("manifest decode cache: second fresh handle decodes nothing, " +
+      "changed leaf invalidates") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mancache").toString
+    val schema = graft.core.GSchema("ts" -> "int*", "v" -> "float")
+    val repo0 = new graft.api.Repo(root, spark)
+    val c0 = repo0.createCollection(schema, "c")
+    c0.embedMaxSize = 0L // real parquet segments, real manifest rows
+    import spark.implicits._
+    c0.series("s").write(Seq((1L, 1.0), (2L, 2.0)).toDF("ts", "v"))
+    // warm: first fresh handle pays one decode of the leaf manifest
+    graft.api.Collection.clearManifestCache()
+    val r1 = new graft.api.Repo(root, spark)
+    assert(r1.collection("c").get.series("s").frame().count() == 2)
+    val afterFirst = graft.api.Collection.manifestDecodes.get()
+    // the SQL-door pattern: a SECOND fresh Repo+Collection handle on
+    // the unchanged leaf must decode NOTHING (JVM-wide content-
+    // addressed hit) — per-statement driver cost O(1) in manifest size
+    val r2 = new graft.api.Repo(root, spark)
+    assert(r2.collection("c").get.series("s").frame().count() == 2)
+    assert(graft.api.Collection.manifestDecodes.get() == afterFirst,
+      "fresh handle on an unchanged leaf must not re-decode the manifest")
+    // a commit through ANY handle moves the leaf: the next fresh
+    // handle sees the new data at once (leaf listing is never cached)
+    // and pays exactly one new decode for the new revision id
+    new graft.api.Repo(root, spark).collection("c").get
+      .series("s").write(Seq((3L, 3.0)).toDF("ts", "v"))
+    val afterWrite = graft.api.Collection.manifestDecodes.get()
+    val r3 = new graft.api.Repo(root, spark)
+    assert(r3.collection("c").get.series("s").frame().count() == 3)
+    assert(graft.api.Collection.manifestDecodes.get() > afterWrite,
+      "a changed leaf must be decoded fresh (new revision id)")
+  }
+
   test("registry decode cache: content-addressed hits, DDL-coherent") {
     val spark = TestSpark.spark
     val root = java.nio.file.Files
