@@ -169,7 +169,7 @@ object Bench {
     // cluster is always JIT-warm; no benchmark table is touched and
     // the timed queries still create their own catalogs/repos from
     // scratch inside the timed region.
-    locally {
+    if (!sys.env.contains("GRAFT_SKIP_DML_WARM")) locally {
       val root = java.nio.file.Files
         .createTempDirectory("graft-warm-dml").toString
       spark.conf.set("spark.sql.catalog.gwarm",
@@ -268,11 +268,36 @@ object Bench {
       s
     }
     def calibrateIo(): Unit = calibIoSamples += ioProbe()
+    // MULTI-core twin of the CPU probe: the same fixed LCG loop run on
+    // `cpus` threads simultaneously. The 1-thread probe is blind to
+    // partial core steal — round-12 attribution found the whole
+    // text-query family (32-way CPU-parallel aggregates) drifted
+    // 1.3-2x ACROSS ROUNDS with FLAT 1-thread calib and flat IO calib:
+    // re-running the round-10 tree under current host conditions
+    // reproduced the drifted numbers exactly (r10-tree q113 1.14 s vs
+    // its 0.69 s artifact), i.e. neighbors were stealing OTHER cores.
+    // Flat calib_s + inflated calib_mt_s = multi-core steal window;
+    // CPU-parallel rows follow this probe, not the 1-thread one.
+    val calibMtSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def calibrate(): Unit = {
       calibSamples += time {
         var x = 0x9e3779b97f4a7c15L; var i = 0
         while (i < 300000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
         if (x == 42L) System.err.println("") // defeat dead-code elim
+      }
+      calibMtSamples += time {
+        val n = cpus.toInt
+        val threads = (0 until n).map { t =>
+          new Thread(() => {
+            var x = 0x9e3779b97f4a7c15L + t; var i = 0
+            // 100M per thread: ~0.15 s quiet on 32 idle cores — long
+            // enough that scheduler jitter is noise, short enough to
+            // probe 3x per run
+            while (i < 100000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+            if (x == 42L) System.err.println("")
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
       }
       calibrateIo()
     }
@@ -612,6 +637,8 @@ object Bench {
       if (meds.values.exists(_ < 0)) -1.0 else samples.values.map(_.head).sum
     calibrate() // end-of-run steal probe
     val calibJson = calibSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calibMtJson =
+      calibMtSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calibIoJson =
       calibIoSamples.map(c => f"$c%.3f").mkString("[", ",", "]")
     // self-labeling (round-11 verdict #4): every IO row carries its
@@ -632,7 +659,8 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
-      s""""calib_s":$calibJson,"calib_io_s":$calibIoJson,""" +
+      s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
+      s""""calib_io_s":$calibIoJson,""" +
       f""""io_probe_mb":$ioProbeMb,"io_quiet_s":$quietIo%.3f,""" +
       s""""io_noise":$ioNoiseJson,"io_probes":$ioProbesJson,""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
@@ -648,7 +676,8 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
-      s""""calib_s":$calibJson,"calib_io_s":$calibIoJson,""" +
+      s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
+      s""""calib_io_s":$calibIoJson,""" +
       f""""io_quiet_s":$quietIo%.3f,"io_noise_rows":$ioFlaggedJson,""" +
       s""""queries":$medsCompact,"sf":"$sfDir"}"""
     println(compact)
