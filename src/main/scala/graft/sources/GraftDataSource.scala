@@ -362,6 +362,11 @@ object GraftScanProbe {
   /** the LAST COW scan's group selection was fully static (index
     * bound covered the whole condition; no runtime subquery planned) */
   @volatile var lastCowStatic: Boolean = false
+  /** the LAST COW scan skipped the runtime group-filter subquery for
+    * ECONOMY (candidate cover ≤ spark.graft.cow.runtimeFilterMinSegments
+    * — rewriting every candidate is cheaper than the subquery that
+    * would choose among them), NOT because exactness was claimed */
+  @volatile var lastCowTinySkip: Boolean = false
   /** segments dropped by VALUE-column stats in the LAST planned scan */
   @volatile var lastStatSkipped: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */

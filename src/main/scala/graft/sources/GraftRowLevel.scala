@@ -211,9 +211,27 @@ class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
     val exact = op.command() != RowLevelOperation.Command.MERGE &&
       allIndexRange && (startB != null || stopB != null) &&
       math.max(usedLo, usedHi) == bounded
-    new GraftCowScan(table, op, startB, stopB,
-      Closed.Both.setLeft(startClosed).setRight(stopClosed),
-      skipRuntimeFilter = exact)
+    val cl = Closed.Both.setLeft(startClosed).setRight(stopClosed)
+    // A handful of candidate groups can never pay for the runtime
+    // group-filter subquery: Spark plans it as an extra target-scan +
+    // join (2-3 AQE jobs, ~300-400 ms at bench scale) whose only
+    // benefit is NOT rewriting the candidates it prunes — with ≤ N
+    // candidates the conservative rewrite of all of them is cheaper
+    // than the subquery that would choose among them. Segment-count
+    // based, so a real table (10^4-10^5 segments at 100 TB) always
+    // keeps the filter; only toy/tail tables skip it. Candidates are
+    // counted against the operation's ONE snapshot manifest.
+    val minSeg = table.series.collection.repo.spark.conf
+      .get("spark.graft.cow.runtimeFilterMinSegments", "4").toInt
+    val candidates =
+      if (startB == null && stopB == null) op.tableSegments.length
+      else if (op.tableManifest.isEmpty) 0 // no leaf: nothing to prune
+      else table.series
+        .segments(startB, stopB, None, cl, from = op.tableManifest)
+        .count(_.meta.hasData)
+    new GraftCowScan(table, op, startB, stopB, cl,
+      skipRuntimeFilter = exact || candidates <= minSeg,
+      staticExact = exact)
   }
 }
 
@@ -224,7 +242,10 @@ class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
   * records what it planned for the write side. */
 class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     start: Any = null, stop: Any = null, closed: Closed = Closed.Both,
-    skipRuntimeFilter: Boolean = false)
+    skipRuntimeFilter: Boolean = false,
+    /** filter skipped because static selection was EXACT (vs skipped
+      * for economy on a tiny candidate cover) — probe attribution */
+    staticExact: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -328,7 +349,8 @@ class GraftCowScan(table: GraftTable, op: GraftRowLevelOperation,
     // mechanism (static index bound or runtime matched-value filter);
     // "total" is always the table's full segment count
     val statik = start != null || stop != null
-    GraftScanProbe.lastCowStatic = skipRuntimeFilter
+    GraftScanProbe.lastCowStatic = staticExact
+    GraftScanProbe.lastCowTinySkip = skipRuntimeFilter && !staticExact
     GraftScanProbe.lastRuntimeScanned =
       if (runtimeKeep.isDefined || statik) kept.length else -1
     GraftScanProbe.lastSegmentsScanned = kept.length
