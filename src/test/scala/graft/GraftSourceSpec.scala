@@ -739,12 +739,13 @@ class GraftSourceSpec extends AnyFunSuite {
         assert(spark.table("gfork_dedup").count() == 1600L)
       } finally q.stop()
     }
-    // default mode: the documented at-least-once bound across a heal
+    // opt-out mode (stream.forkDedup=false — forkDedup is the default
+    // since round 12): the documented at-least-once bound across a heal
     locally {
       val (repo, clct) = mkFork()
       val q = spark.readStream.format("graft")
         .option("path", repo.rootUri).option("collection", "c")
-        .option("series", "_")
+        .option("series", "_").option("stream.forkDedup", "false")
         .load().writeStream.format("memory")
         .queryName("gfork_default").outputMode("append").start()
       try {
@@ -756,6 +757,71 @@ class GraftSourceSpec extends AnyFunSuite {
           "default mode may replay across a heal, never lose")
       } finally q.stop()
     }
+  }
+
+  test("forkDedup default-on: wide-fork offset state is bounded " +
+      "and collapses on heal") {
+    // The round-12 default flip rests on this cost model: the offset
+    // carries ONE revision id per un-healed head (nothing per file,
+    // per segment, or per row), per-batch planning resolves each head
+    // through the JVM-wide cached decode, and the heal collapses the
+    // frontier back to a single head. A deliberately WIDE synthetic
+    // fork (24 branches — wider than q205's racing 20 writers ever
+    // leave un-healed) pins all three properties.
+    val width = 24
+    val root = Files.createTempDirectory("graft-widefork").toString
+    val repo = new Repo(root, spark)
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    import spark.implicits._
+    clct.series("_").write(spark.range(0, 100, 1, 2)
+      .select($"id".as("ts"), lit(0.0).as("value")), presorted = true)
+    // `width` branches off the same trunk revision, pulled back in
+    val branches = (0 until width).map { b =>
+      val rb = Files.createTempDirectory(s"graft-wf$b").toString
+      val cb = new Repo(rb, spark).createCollection(schema, "c")
+      cb.embedMaxSize = 0L
+      cb.pull(clct)
+      cb.series("_").write(
+        spark.range(1000L + b * 100, 1000L + (b + 1) * 100, 1, 1)
+          .select($"id".as("ts"), lit(b.toDouble).as("value")),
+        presorted = true)
+      cb
+    }
+    branches.foreach(clct.pull(_))
+    clct.refresh()
+    assert(clct.changelog.leafs().length == width,
+      s"fixture must hold $width un-healed heads")
+    val t = new graft.sources.GraftTable(root, "c", "_", None)
+    val stream = new graft.sources.GraftMicroBatchStream(
+      t, t.schema(), startingLatest = false, forkDedup = true)
+    val o = stream.latestOffset()
+      .asInstanceOf[graft.sources.GraftStreamOffset]
+    assert(o.heads.length == width, s"frontier = every head: $o")
+    // state cost: one 49-char revision id per head + the anchor — a
+    // few KB at this deliberately extreme width, O(heads) and nothing
+    // else (no per-file or per-row state in the offset)
+    assert(o.json().length < width * 64 + 128,
+      s"offset must stay O(heads): ${o.json().length} chars")
+    // the full-frontier drain plans every branch's rows exactly once
+    val parts = stream.planInputPartitions(
+      graft.sources.GraftStreamOffset(0, ""), o)
+    assert(parts.nonEmpty)
+    // heal: the frontier collapses back to one head, the offset to
+    // its linear-history size
+    var guard = 0
+    while (clct.changelog.leafs().length > 1 && guard < 40) {
+      clct.merge(); clct.refresh(); guard += 1
+    }
+    assert(clct.changelog.leafs().length == 1, "heal must converge")
+    val o2 = stream.latestOffset()
+      .asInstanceOf[graft.sources.GraftStreamOffset]
+    assert(o2.heads.length == 1,
+      s"healed frontier must be a single head: $o2")
+    // and nothing replays: the healed leaf re-references every
+    // branch's files, all already in the start frontier
+    assert(stream.planInputPartitions(o, o2).isEmpty,
+      "heal must diff away against the drained frontier")
   }
 
   test("stream.rewrites contract: skip suppresses defrag replay") {
