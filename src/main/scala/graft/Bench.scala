@@ -505,6 +505,37 @@ object Bench {
     }
     val series5m = repo.collection("ts5m_0").get.series("_")
     bench("full_read_5m") { _ => series5m.frame().count(); () }
+    // BYTE_STREAM_SPLIT storage mode (opt-in `zstd+bss`): the same
+    // series shape stored with BSS float pages — disk_mb_5m_bss
+    // records the footprint win (float column 39.9 -> ~30 MB, the
+    // parquet-native analogue of the reference's blosc-bitshuffle)
+    // and full_read_5m_bss the read cost the mode pays (Spark's
+    // vectorized reader has no BSS decoder; reads take the
+    // parquet-mr row fallback). DIFFERENT value data (cos, same
+    // entropy): segment files are content-addressed by ROW content,
+    // so re-writing the sin frame would dedupe onto the plain series'
+    // existing files instead of writing BSS ones.
+    val ts5mBss = spark.range(0, rows5m, 1, cpus.toInt)
+      .select(
+        timestamp_seconds(col("id") * 300L).as("ts"),
+        cos(col("id").cast("double")).as("value"))
+    locally {
+      spark.conf.set("spark.graft.segment.codec", "zstd+bss")
+      try repo.createCollection(schema5m, "ts5mbss").series("_")
+        .write(ts5mBss, presorted = true)
+      finally spark.conf.set("spark.graft.segment.codec", "zstd")
+    }
+    val series5mBss = repo.collection("ts5mbss").get.series("_")
+    // a VALUE aggregate, not count(): count prunes the float column
+    // away entirely, so only a read that DECODES the value column
+    // shows the BSS fallback cost — benched against the identical
+    // aggregate on the plain series as the like-for-like twin
+    bench("read_val_5m") { _ =>
+      series5m.frame().agg(sum(col("value"))).collect(); ()
+    }
+    bench("read_val_5m_bss") { _ =>
+      series5mBss.frame().agg(sum(col("value"))).collect(); ()
+    }
     // the same 5.26M-row series through the SQL door: the DSv2
     // connector (vectorized decode; WHERE drives manifest pruning)
     // must match the API path at the baseline-comparable scale
@@ -623,6 +654,10 @@ object Bench {
     val disk5mMb = series5m.segments().flatMap(_.meta.files).distinct
       .map(f => java.nio.file.Files.size(
         java.nio.file.Paths.get(root, f))).sum / 1e6
+    // footprint of the BSS-mode twin (cos data, same shape/entropy)
+    val disk5mBssMb = series5mBss.segments().flatMap(_.meta.files)
+      .distinct.map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, f))).sum / 1e6
     val _ = nRows
 
     val meds = samples.map { case (k, v) => k -> median(v) }
@@ -659,6 +694,7 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
+      f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
       s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_probe_mb":$ioProbeMb,"io_quiet_s":$quietIo%.3f,""" +
@@ -676,6 +712,7 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
+      f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
       s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_quiet_s":$quietIo%.3f,"io_noise_rows":$ioFlaggedJson,""" +

@@ -21,7 +21,19 @@ class Collection(val repo: Repo, val label: String, val path: String,
       * reads prune tighter and SQL row-level operations (group-based
       * copy-on-write) rewrite only the covering segments. None =
       * engine default. */
-    val pageLenCfg: Option[Long] = None) {
+    val pageLenCfg: Option[Long] = None,
+    /** registry-seeded sticky BSS storage hint (Repo.RegEntry.bss) */
+    bssHint: Boolean = false) {
+
+  /** Live view of the BSS hint: seeded from the registry, flipped by
+    * the first `+bss` write through THIS handle too, so the same
+    * handle's frame() reads route row-based immediately (a fresh
+    * handle reads the persisted hint). */
+  @volatile private[graft] var bssMode: Boolean = bssHint
+  private[graft] def enableBss(): Unit = if (!bssMode) {
+    repo.markBss(path)
+    bssMode = true
+  }
 
   val changelog = new Changelog(repo.store, s"$path/changelog")
   var pageLen: Long = pageLenCfg.getOrElse(500000L)
@@ -79,7 +91,13 @@ class Collection(val repo: Repo, val label: String, val path: String,
     val stats =
       try graft.core.SegmentWriter.writeJobGrouped(sorted, schema,
         schema.names, tmpRel, store.uri(tmpRel), pageLen,
-        repo.spark.conf.get("spark.graft.segment.codec", "zstd"))
+        {
+          val codec =
+            repo.spark.conf.get("spark.graft.segment.codec", "zstd")
+          if (codec.toLowerCase(java.util.Locale.ROOT).endsWith("+bss"))
+            enableBss() // sticky read-routing hint (see Series.segmentCodec)
+          codec
+        })
       catch {
         case e: Throwable =>
           store.rm(tmpRel, recursive = true)

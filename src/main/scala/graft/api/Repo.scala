@@ -95,8 +95,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
           val (ns, lbl) = parseKey(label0)
           val pageLen = vm.get("page_len")
             .map(_.asInstanceOf[Number].longValue())
+          val bss = vm.get("enc").contains("bss")
           mkKey(ns, lbl) -> RegEntry(vm("path").asInstanceOf[String],
-            schema, colMap, defaults, pageLen)
+            schema, colMap, defaults, pageLen, bss)
         }
     }
 
@@ -112,9 +113,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
       val dm = e.defaults.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${Json.str(k)}:${Json.scalar(v)}" }.mkString("{", ",", "}")
       val pl = e.pageLen.map(n => s""","page_len":$n""").getOrElse("")
+      val enc = if (e.bss) s""","enc":"bss"""" else ""
       s"${Json.str(l)}:{" +
         s""""path":${Json.str(e.path)},"schema":${Json.str(
-          e.schema.serialize)},"colmap":$cm,"defaults":$dm$pl}"""
+          e.schema.serialize)},"colmap":$cm,"defaults":$dm$pl$enc}"""
     }.mkString("{", ",", "}")
     registry.commit(body.getBytes("UTF-8"), parents)
     ()
@@ -138,7 +140,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
           s"collection $label exists with page_len ${e.pageLen
             .getOrElse("default")}, requested ${pageLen.get}")
         new Collection(this, label, e.path, e.schema, e.colMap,
-          e.defaults, e.pageLen)
+          e.defaults, e.pageLen, e.bss)
       case None =>
         // Path is DERIVED from the key (not random like the reference)
         // so two processes racing to create the same label converge on
@@ -200,7 +202,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val droppedSrc = oldPhysAll -- newPhysAll -- defaultPhys
     if (droppedSrc.nonEmpty) {
       val c = new Collection(this, label, e.path, e.schema, e.colMap,
-        e.defaults, e.pageLen)
+        e.defaults, e.pageLen, e.bss)
       val hasInline = c.changelog.log().exists(r =>
         Manifest.decode(c.changelog.payload(r)).rows
           .exists(_.inline.isDefined))
@@ -215,9 +217,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // other half applied
     val newPageLen = pageLenChange.getOrElse(e.pageLen)
     writeReg(state.updated(key,
-      RegEntry(e.path, schema, colMap, defaults, newPageLen)))
+      RegEntry(e.path, schema, colMap, defaults, newPageLen, e.bss)))
     new Collection(this, label, e.path, schema, colMap, defaults,
-      e.pageLen)
+      e.pageLen, e.bss)
   }
 
   /** Re-point a collection's persisted page length (rows per segment
@@ -234,14 +236,27 @@ class Repo(val rootUri: String, val spark: SparkSession,
       s"no collection '$label' in namespace '$namespace'"))
     writeReg(state.updated(key, e.copy(pageLen = pageLen)))
     new Collection(this, label, e.path, e.schema, e.colMap, e.defaults,
-      pageLen)
+      pageLen, e.bss)
+  }
+
+  /** Flip the sticky BSS storage hint for the collection at `path`
+    * (see [[Repo.RegEntry]].bss) — idempotent, one registry commit on
+    * the false->true transition only. Located by PATH, which is
+    * unique per entry, so namespaced labels need no reverse lookup. */
+  private[graft] def markBss(path: String): Unit = synchronized {
+    val state = regState()
+    state.find(_._2.path == path) match {
+      case Some((k, e)) if !e.bss =>
+        writeReg(state.updated(k, e.copy(bss = true)))
+      case _ => ()
+    }
   }
 
   def collection(label: String,
       namespace: String = DefaultNs): Option[Collection] =
     regState().get(mkKey(namespace, label)).map { e =>
       new Collection(this, label, e.path, e.schema, e.colMap,
-        e.defaults, e.pageLen) }
+        e.defaults, e.pageLen, e.bss) }
 
   def ls(namespace: String = DefaultNs): Seq[String] =
     regState().keys.toSeq.map(parseKey)
@@ -344,7 +359,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val merged = state ++ remoteState.collect {
       case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
         mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
-          c.defaults, c.pageLenCfg) }
+          c.defaults, c.pageLenCfg, c.bssMode) }
     if (merged != state) writeReg(merged)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))
@@ -453,7 +468,15 @@ object Repo {
     * optional persisted page length (rows per segment file) */
   final case class RegEntry(path: String, schema: GSchema,
       colMap: Map[String, String], defaults: Map[String, Any],
-      pageLen: Option[Long] = None)
+      pageLen: Option[Long] = None,
+      /** STICKY storage hint: some segment of this collection was
+        * written with the `+bss` (BYTE_STREAM_SPLIT) codec mode, so
+        * Series.frame() must route scans through the engine's own
+        * row-capable reader (Spark's vectorized parquet reader has no
+        * BSS decoder). Pessimistic by design: once set, plain files
+        * also read row-based — correct, and the mode targets
+        * cold/archival collections where that trade was chosen. */
+      bss: Boolean = false)
 
   /** JVM-wide registry DECODE cache, content-addressed by the leaf
     * revision id (`hextime-sha1(payload)`): a payload never changes

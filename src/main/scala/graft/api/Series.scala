@@ -32,9 +32,19 @@ class Series(val collection: Collection, val label: String) {
     * reference makes the same call with blosc(zstd) per column
     * (lakota/schema.py). Read path is codec-agnostic (parquet footers
     * name the codec per column chunk), so mixed-codec series stay
-    * readable after a config change. */
-  private def segmentCodec: String =
-    spark.conf.get("spark.graft.segment.codec", "zstd")
+    * readable after a config change — EXCEPT the `+bss` ENCODING mode
+    * (BYTE_STREAM_SPLIT float pages), which Spark's vectorized reader
+    * cannot decode: the first `+bss` write flips the collection's
+    * sticky registry hint so every frame() read (this handle and
+    * fresh ones alike) routes through the engine's row-capable
+    * reader. Flipped BEFORE the write: pessimistic on failure, never
+    * a crash-on-read. */
+  private def segmentCodec: String = {
+    val codec = spark.conf.get("spark.graft.segment.codec", "zstd")
+    if (codec.toLowerCase(java.util.Locale.ROOT).endsWith("+bss"))
+      collection.enableBss()
+    codec
+  }
 
   // ------------------------------------------------------------------
   // bounds helpers
@@ -935,9 +945,24 @@ class Series(val collection: Collection, val label: String) {
       s.stop, s.closed))
   }
 
+  /** Engine-reader scan (`+bss` storage mode): Spark's builtin
+    * parquet source has no BYTE_STREAM_SPLIT decoder and no
+    * per-relation row-mode toggle, so BSS-hinted collections route
+    * frame() scans through the connector's own partitions + reader
+    * (whose parquet-mr fallback decodes every encoding). Clip,
+    * clone renames and defaults are baked into the partitions. */
+  private def internalScanDf(segs: Seq[SegmentRead]): DataFrame = {
+    val parts = segs.flatMap(s =>
+      graft.sources.GraftPlanning.partitionsFor(this, schema,
+        schema.names, s, null))
+    graft.sources.GraftPlanning.internalScan(spark, parts,
+      schema.sparkSchema)
+  }
+
   /** single-segment DataFrame, residual range filter only if clipped */
   private def segDf(s: SegmentRead): DataFrame =
     if (s.meta.inline.isDefined) inlineDf(s)
+    else if (collection.bssMode) internalScanDf(Seq(s))
     else if (coversData(s)) scanFiles(s.meta.files)
     else scanFiles(s.meta.files)
       .filter(SparkVals.rangePredicate(schema.idx, idxCols, s.start,
@@ -1009,6 +1034,7 @@ class Series(val collection: Collection, val label: String) {
     val (unclipped, clipped) = fileSegs.partition(coversData)
     val grouped =
       if (unclipped.isEmpty) Nil
+      else if (collection.bssMode) Seq(internalScanDf(unclipped))
       else Seq(scanFiles(unclipped.flatMap(_.meta.files)))
     // fully-visible inline segments concatenate into ONE local
     // relation: a heavily fragmented series (the reference's

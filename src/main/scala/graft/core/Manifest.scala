@@ -68,6 +68,15 @@ final case class SegmentRead(meta: SegmentMeta, start: IndexKey,
   * commit time (never at read time).
   */
 final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
+  /** Chunk layout this manifest DECODED from (codec side-channel,
+    * [[ManifestCodec]]): (sha, row-count) per chunk, in row order.
+    * Lets a commit re-encode only the spliced region — unchanged
+    * chunks are reused by sha. A constructor-body var: NOT part of
+    * case-class equality/hashCode/copy, so manifest VALUE semantics
+    * (restore's digest compares, splice algebra, tests) are
+    * untouched; a manifest without it (built by splices) simply
+    * full-encodes. */
+  @transient private[graft] var chunkRefs: Vector[(String, Int)] = null
 
   def size: Int = rows.length
   def isEmpty: Boolean = rows.isEmpty
@@ -458,39 +467,7 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
   // ---------- serialization ----------
 
   def encode: Array[Byte] = {
-    def key(k: IndexKey): String =
-      k.values.map(Json.scalar).mkString("[", ",", "]")
-    val rws = rows.map { r =>
-      val dataBounds = (r.dataStart, r.dataStop) match {
-        case (Some(ds), Some(de)) =>
-          s""","dstart":${key(ds)},"dstop":${key(de)}"""
-        case _ => ""
-      }
-      val inlinePart = r.inline match {
-        case Some(rows) => s""","inline":${rows.map(
-          _.map(Json.scalar).mkString("[", ",", "]"))
-          .mkString("[", ",", "]")}"""
-        case None => ""
-      }
-      val vstatsPart = r.vstats match {
-        case Some(vs) if vs.nonEmpty =>
-          s""","vstats":${vs.toSeq.sortBy(_._1).map { case (n, mm) =>
-            s"${Json.str(n)}:[${Json.scalar(mm._1)},${
-              Json.scalar(mm._2)}]" }.mkString("{", ",", "}")}"""
-        case _ => ""
-      }
-      val vsumsPart = r.vsums match {
-        case Some(vs) if vs.nonEmpty =>
-          s""","vsums":${vs.toSeq.sortBy(_._1).map { case (n, v) =>
-            s"${Json.str(n)}:$v" }.mkString("{", ",", "}")}"""
-        case _ => ""
-      }
-      s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
-      s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
-      s""""length":${r.length},"files":${
-        r.files.map(Json.str).mkString("[", ",", "]")
-        }$dataBounds$inlinePart$vstatsPart$vsumsPart}"""
-    }.mkString("[", ",", "]")
+    val rws = rows.map(Manifest.rowJson).mkString("[", ",", "]")
     s"""{"schema":${GSchema.toJson(schema)},"rows":$rws}"""
       .getBytes("UTF-8")
   }
@@ -498,6 +475,86 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
 
 object Manifest {
   def empty(schema: GSchema): Manifest = Manifest(schema, Vector.empty)
+
+  /** canonical JSON of ONE manifest row — the unit both the plain
+    * single-document payload and [[ManifestCodec]]'s chunks are built
+    * from, so the two encodings agree byte-for-byte per row */
+  private[core] def rowJson(r: SegmentMeta): String = {
+    def key(k: IndexKey): String =
+      k.values.map(Json.scalar).mkString("[", ",", "]")
+    val dataBounds = (r.dataStart, r.dataStop) match {
+      case (Some(ds), Some(de)) =>
+        s""","dstart":${key(ds)},"dstop":${key(de)}"""
+      case _ => ""
+    }
+    val inlinePart = r.inline match {
+      case Some(rows) => s""","inline":${rows.map(
+        _.map(Json.scalar).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")}"""
+      case None => ""
+    }
+    val vstatsPart = r.vstats match {
+      case Some(vs) if vs.nonEmpty =>
+        s""","vstats":${vs.toSeq.sortBy(_._1).map { case (n, mm) =>
+          s"${Json.str(n)}:[${Json.scalar(mm._1)},${
+            Json.scalar(mm._2)}]" }.mkString("{", ",", "}")}"""
+      case _ => ""
+    }
+    val vsumsPart = r.vsums match {
+      case Some(vs) if vs.nonEmpty =>
+        s""","vsums":${vs.toSeq.sortBy(_._1).map { case (n, v) =>
+          s"${Json.str(n)}:$v" }.mkString("{", ",", "}")}"""
+      case _ => ""
+    }
+    s"""{"label":${Json.str(r.label)},"start":${key(r.start)},""" +
+    s""""stop":${key(r.stop)},"closed":"${r.closed.short}",""" +
+    s""""length":${r.length},"files":${
+      r.files.map(Json.str).mkString("[", ",", "]")
+      }$dataBounds$inlinePart$vstatsPart$vsumsPart}"""
+  }
+
+  /** decode ONE parsed row object (the inverse of [[rowJson]]) */
+  private[core] def rowFromParsed(schema: GSchema, o: Any): SegmentMeta = {
+    val idxTypes = schema.idx.map(_.dtype)
+    def key(v: Any): IndexKey = IndexKey(
+      v.asInstanceOf[List[Any]].zip(idxTypes)
+        .map { case (x, dt) => toKernel(dt, x) }.toVector)
+    val rm = o.asInstanceOf[Map[String, Any]]
+    SegmentMeta(
+      rm("label").asInstanceOf[String],
+      key(rm("start")), key(rm("stop")),
+      Closed.parse(rm("closed").asInstanceOf[String]),
+      rm("length").asInstanceOf[Long],
+      rm("files").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[String]).toVector,
+      rm.get("dstart").map(key), rm.get("dstop").map(key),
+      rm.get("inline").map(_.asInstanceOf[List[Any]].map { rv =>
+        rv.asInstanceOf[List[Any]].zip(schema.cols)
+          .map { case (x, c) =>
+            if (x == null) null else toKernel(c.dtype, x) }.toVector
+      }.toVector),
+      rm.get("vstats").map(_.asInstanceOf[Map[String, Any]].map {
+        case (n, v) =>
+          val l = v.asInstanceOf[List[Any]]
+          n -> ((l(0), l(1))) // raw kernel scalars; dtyped at use
+      }),
+      rm.get("vsums").map(_.asInstanceOf[Map[String, Any]].map {
+        case (n, v) => n -> v.asInstanceOf[Long]
+      }))
+  }
+
+  /** decode the schema object of a parsed payload */
+  private[core] def schemaFromParsed(sm0: Any): GSchema = {
+    val sm = sm0.asInstanceOf[Map[String, Any]]
+    val kv = sm.get("kind").contains("kv")
+    val cols = sm("columns").asInstanceOf[List[Any]].map { o =>
+      val cm = o.asInstanceOf[Map[String, Any]]
+      ColDef(cm("name").asInstanceOf[String],
+        GType.parse(cm("dt").asInstanceOf[String]),
+        cm("idx").asInstanceOf[Boolean])
+    }
+    GSchema(cols, kv)
+  }
 
   /** Splice one logical write (tiled into k contiguous physical
     * segment rows) into `m`: a single covering row performs the
@@ -536,45 +593,9 @@ object Manifest {
   def decode(bytes: Array[Byte]): Manifest = {
     val m = Json.parse(new String(bytes, "UTF-8"))
       .asInstanceOf[Map[String, Any]]
-    val schema = {
-      val sm = m("schema").asInstanceOf[Map[String, Any]]
-      val kv = sm.get("kind").contains("kv")
-      val cols = sm("columns").asInstanceOf[List[Any]].map { o =>
-        val cm = o.asInstanceOf[Map[String, Any]]
-        ColDef(cm("name").asInstanceOf[String],
-          GType.parse(cm("dt").asInstanceOf[String]),
-          cm("idx").asInstanceOf[Boolean])
-      }
-      GSchema(cols, kv)
-    }
-    val idxTypes = schema.idx.map(_.dtype)
-    def key(v: Any): IndexKey = IndexKey(
-      v.asInstanceOf[List[Any]].zip(idxTypes)
-        .map { case (x, dt) => toKernel(dt, x) }.toVector)
-    val rws = m("rows").asInstanceOf[List[Any]].map { o =>
-      val rm = o.asInstanceOf[Map[String, Any]]
-      SegmentMeta(
-        rm("label").asInstanceOf[String],
-        key(rm("start")), key(rm("stop")),
-        Closed.parse(rm("closed").asInstanceOf[String]),
-        rm("length").asInstanceOf[Long],
-        rm("files").asInstanceOf[List[Any]]
-          .map(_.asInstanceOf[String]).toVector,
-        rm.get("dstart").map(key), rm.get("dstop").map(key),
-        rm.get("inline").map(_.asInstanceOf[List[Any]].map { rv =>
-          rv.asInstanceOf[List[Any]].zip(schema.cols)
-            .map { case (x, c) =>
-              if (x == null) null else toKernel(c.dtype, x) }.toVector
-        }.toVector),
-        rm.get("vstats").map(_.asInstanceOf[Map[String, Any]].map {
-          case (n, v) =>
-            val l = v.asInstanceOf[List[Any]]
-            n -> ((l(0), l(1))) // raw kernel scalars; dtyped at use
-        }),
-        rm.get("vsums").map(_.asInstanceOf[Map[String, Any]].map {
-          case (n, v) => n -> v.asInstanceOf[Long]
-        }))
-    }.toVector
+    val schema = schemaFromParsed(m("schema"))
+    val rws = m("rows").asInstanceOf[List[Any]]
+      .map(rowFromParsed(schema, _)).toVector
     Manifest(schema, rws)
   }
 }

@@ -229,8 +229,23 @@ object SegmentWriter {
 
   private def openWith(cols: Seq[ColDef], physNames: Seq[String],
       path: Path, conf: Configuration, codec: String, srcOffset: Int)
-      : ParquetWriter[InternalRow] =
-    new RowWriterBuilder(
+      : ParquetWriter[InternalRow] = {
+    // `<codec>+bss` enables BYTE_STREAM_SPLIT for the FP columns (the
+    // parquet-native analogue of the reference's blosc-bitshuffle,
+    // lakota/schema.py:51): each double splits into 8 byte-streams so
+    // the codec compresses exponent bytes separately from near-random
+    // mantissa bytes. Measured on the 5.26M-row sin() comparable:
+    // float column 39.9 -> 30.1 MB under zstd (-25%). NOT the default:
+    // Spark 4.1's vectorized parquet reader has no BSS decoder (its
+    // encoding switch covers PLAIN/RLE/DELTA_* only — verified against
+    // VectorizedColumnReader.getValuesReader), so reads of BSS files
+    // take the parquet-mr row fallback (GraftFileReader flips over on
+    // the first-batch encoding failure) at ~2-3x the full-scan decode
+    // cost. Right trade for cold/archival series where storage
+    // dominates; wrong default for the read-hot path.
+    val bss = codec.toLowerCase(java.util.Locale.ROOT).endsWith("+bss")
+    val base = if (bss) codec.substring(0, codec.length - 4) else codec
+    val b = new RowWriterBuilder(
       HadoopOutputFile.fromPath(path, conf),
       new RowWriteSupport(cols, physNames, srcOffset))
       .withConf(conf)
@@ -239,19 +254,21 @@ object SegmentWriter {
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
       .withCompressionCodec(
         CompressionCodecName.valueOf(
-          codec.toUpperCase(java.util.Locale.ROOT)))
+          base.toUpperCase(java.util.Locale.ROOT)))
       .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_2_0)
       .withDictionaryEncoding(true)
-      // NOT BYTE_STREAM_SPLIT: Spark 4.1's vectorized parquet reader
-      // has no BSS decoder (only PLAIN/RLE/DELTA_* readers exist in
-      // spark-sql), so BSS pages would throw "Unsupported encoding"
-      // on every segment read — trading ~25% float size for losing
-      // the whole vectorized read path is the wrong side of the
-      // bargain. Float64 payloads ship zstd'd PLAIN; high-entropy
-      // mantissas are ~incompressible under ANY byte-oriented codec
-      // (the reference's own bench_zstd.py:8-12 concedes blosc
-      // 0.877x on random float64).
-      .build()
+      .withByteStreamSplitEncoding(bss)
+    if (bss)
+      // keep BSS chunks PURE: with dictionary on, parquet writes
+      // dict pages first and falls back to BSS mid-chunk, so a
+      // reader could decode early pages and fail later — the
+      // first-batch fallback flip in GraftFileReader relies on the
+      // failure being deterministic at batch one
+      cols.zip(physNames).foreach { case (c, pn) =>
+        if (c.dtype == GType.FloatT) b.withDictionaryEncoding(pn, false)
+      }
+    b.build()
+  }
 
   /** Write a driver-local row batch as ONE file (the tiny-commit
     * path). Caller computes its own stats. */

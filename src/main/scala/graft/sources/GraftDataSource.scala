@@ -966,7 +966,13 @@ class GraftWrite(table: GraftTable, presorted: Boolean,
     SegmentWriter.TaskParams(table.gschema,
       table.gschema.names.map(clct.physOf).toIndexedSeq,
       tmpRel, store.uri(tmpRel), clct.pageLen,
-      clct.repo.spark.conf.get("spark.graft.segment.codec", "zstd"),
+      {
+        val codec = clct.repo.spark.conf
+          .get("spark.graft.segment.codec", "zstd")
+        if (codec.toLowerCase(java.util.Locale.ROOT).endsWith("+bss"))
+          clct.enableBss() // sticky read-routing hint
+        codec
+      },
       verifySorted = presorted, labeled = false)
   }
 
@@ -1157,7 +1163,7 @@ class GraftDataWriter(tw: SegmentWriter.TaskSegmentWriter)
 /** Planning helpers shared by the batch scan and the micro-batch
   * stream: segment → InputPartitions, and the reader factory with
   * the task-side Hadoop conf Spark's parquet machinery needs. */
-private[sources] object GraftPlanning {
+private[graft] object GraftPlanning {
 
   /** Manifest-derived Statistics (no file IO) shared by the regular
     * scan and the COW scan: recorded per-segment row counts times a
@@ -1262,6 +1268,57 @@ private[sources] object GraftPlanning {
       "org.apache.spark.sql.execution.datasources.parquet" +
         ".ParquetReadSupport")
     new GraftReaderFactory(new SegmentWriter.SerConf(c))
+  }
+
+  /** DataFrame over engine partitions decoded by the connector's own
+    * readers ([[GraftFileReader]]/[[GraftInlineReader]]) — the scan
+    * [[graft.api.Series.frame]] routes BSS-mode segments through:
+    * Spark's builtin parquet source cannot decode BYTE_STREAM_SPLIT
+    * pages (no vectorized BSS reader, no per-relation row-mode
+    * toggle), while GraftFileReader flips to its parquet-mr row
+    * fallback on the first-batch encoding failure. Rows arrive in
+    * `schema` order (partitionsFor bakes clip/renames/defaults). */
+  def internalScan(spark: SparkSession, parts: Seq[InputPartition],
+      schema: StructType): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftBridge.internalDf(spark,
+      new GraftFileRDD(spark.sparkContext, parts, readerFactory()),
+      schema)
+}
+
+private final case class GraftRddPartition(index: Int,
+    part: InputPartition) extends org.apache.spark.Partition
+
+/** RDD over connector [[InputPartition]]s — see
+  * [[GraftPlanning.internalScan]]. The reader factory ships to tasks
+  * (it carries only a serializable Hadoop conf). */
+class GraftFileRDD(
+    @transient private val sc: org.apache.spark.SparkContext,
+    @transient private val parts: Seq[InputPartition],
+    factory: PartitionReaderFactory)
+    extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
+  override def getPartitions: Array[org.apache.spark.Partition] =
+    parts.zipWithIndex.map { case (p, i) =>
+      GraftRddPartition(i, p): org.apache.spark.Partition }.toArray
+  override def compute(split: org.apache.spark.Partition,
+      ctx: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+    val r = factory.createReader(
+      split.asInstanceOf[GraftRddPartition].part)
+    ctx.addTaskCompletionListener[Unit](_ => r.close())
+    new Iterator[InternalRow] {
+      private var ready = false
+      private var done = false
+      override def hasNext: Boolean = {
+        if (!ready && !done) { ready = r.next(); done = !ready }
+        ready
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("graft rdd")
+        ready = false
+        // readers reuse row/batch buffers; downstream operators may
+        // hold references across next() calls
+        r.get().copy()
+      }
+    }
   }
 }
 
@@ -1776,7 +1833,12 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     p.outPos.indices.forall(i => p.outPos(i) == i)
 
   // ---- primary: vectorized columnar decode -------------------------
-  private val vec: org.apache.spark.sql.execution.datasources.parquet
+  // var, not val: a file whose pages use an encoding the vectorized
+  // reader lacks (BYTE_STREAM_SPLIT segments written with the
+  // `<codec>+bss` storage mode) opens fine but throws on the FIRST
+  // read batch — next() then closes this and flips to the parquet-mr
+  // fallback, which decodes every parquet encoding
+  private var vec: org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader = {
     try {
       val c = new org.apache.hadoop.conf.Configuration(conf.value)
@@ -1934,13 +1996,32 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     }
   }
 
+  private var emitted = false
   override def next(): Boolean = {
     if (vec != null) {
-      while (vec.nextKeyValue()) {
-        val row = vec.getCurrentValue.asInstanceOf[InternalRow]
-        if (identityOut) { current = row; return true }
-        fillSlots(row)
-        if (finish()) return true
+      // unsupported-encoding pages surface on the FIRST batch, before
+      // any row is emitted — flip to the row fallback then (and ONLY
+      // then: a mid-file failure after emitted rows must propagate,
+      // or the fallback would re-serve rows already returned)
+      val first =
+        try vec.nextKeyValue()
+        catch {
+          case scala.util.control.NonFatal(e) if !emitted =>
+            if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+            vec.close(); vec = null
+            GraftScanProbe.fallbackOpens.incrementAndGet()
+            return next()
+        }
+      if (first) {
+        emitted = true
+        var has = true
+        while (has) {
+          val row = vec.getCurrentValue.asInstanceOf[InternalRow]
+          if (identityOut) { current = row; return true }
+          fillSlots(row)
+          if (finish()) return true
+          has = vec.nextKeyValue()
+        }
       }
       false
     } else {

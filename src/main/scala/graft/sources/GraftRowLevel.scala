@@ -426,7 +426,13 @@ class GraftCowWrite(table: GraftTable, op: GraftRowLevelOperation)
     val params = SegmentWriter.TaskParams(table.gschema,
       table.gschema.names.map(clct.physOf).toIndexedSeq,
       tmpRel, store.uri(tmpRel), clct.pageLen,
-      clct.repo.spark.conf.get("spark.graft.segment.codec", "zstd"),
+      {
+        val codec = clct.repo.spark.conf
+          .get("spark.graft.segment.codec", "zstd")
+        if (codec.toLowerCase(java.util.Locale.ROOT).endsWith("+bss"))
+          clct.enableBss() // sticky read-routing hint
+        codec
+      },
       verifySorted = false, labeled = false)
     new GraftCowBatchWrite(table, params, op)
   }

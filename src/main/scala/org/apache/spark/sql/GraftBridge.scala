@@ -20,6 +20,16 @@ object GraftBridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** DataFrame over an InternalRow RDD with a known schema — the
+    * package-private `internalCreateDataFrame` Spark's own sources
+    * use, exposed for the engine's BSS-mode row scan. */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Free the blocks of an eagerly localCheckpoint()'d Dataset NOW
     * instead of waiting for a driver GC + ContextCleaner cycle. */
   def unpersistCheckpoint(df: Dataset[_]): Unit =

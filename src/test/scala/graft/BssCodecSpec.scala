@@ -1,0 +1,123 @@
+package graft
+
+import graft.api.Repo
+import graft.core.GSchema
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The `<codec>+bss` storage mode: BYTE_STREAM_SPLIT-encoded float64
+  * segment pages (the parquet-native analogue of the reference's
+  * blosc-bitshuffle, lakota/schema.py:51). Three contracts under
+  * test:
+  *  1. the writer actually emits BSS chunks for FP columns (footer
+  *     asserted) and keeps them PURE (no dictionary prefix — the
+  *     reader's fallback flip relies on a deterministic first-batch
+  *     failure);
+  *  2. reads stay CORRECT: Spark 4.1's vectorized reader has no BSS
+  *     decoder (its encoding switch is PLAIN/RLE/DELTA_* only), so
+  *     [[graft.sources.GraftFileReader]] flips to the parquet-mr row
+  *     fallback on the first-batch failure — values identical, probe
+  *     shows the flip;
+  *  3. plain-codec files still take the vectorized path (the flip is
+  *     per-file, never sticky).
+  * The measured trade (5.26M-row sin() comparable): float column
+  * 39.9 -> 30.1 MB under zstd, full-scan decode ~2-3x slower — right
+  * for cold/archival series, so opt-in, never the default.
+  */
+class BssCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("zstd+bss: BSS footer, correct reads via fallback flip, " +
+      "plain files stay vectorized") {
+    val root = Files.createTempDirectory("graft-bss").toString
+    val repo = new Repo(root, spark)
+    val schema = GSchema("ts" -> "int*", "v" -> "float")
+    val clct = repo.createCollection(schema, "c")
+    clct.embedMaxSize = 0L
+    import spark.implicits._
+    val df = spark.range(0, 50000, 1, 4)
+      .select($"id".as("ts"), org.apache.spark.sql.functions
+        .sin($"id".cast("double")).as("v"))
+    spark.conf.set("spark.graft.segment.codec", "zstd+bss")
+    try clct.series("bss").write(df, presorted = true)
+    finally spark.conf.set("spark.graft.segment.codec", "zstd")
+    // DIFFERENT rows for the plain series: segment files are
+    // content-addressed by ROW content, so writing the identical
+    // frame would dedupe onto the bss series' files instead of
+    // exercising a plain-codec write
+    val df2 = df.withColumn("v",
+      org.apache.spark.sql.functions.col("v") * 2.0)
+    clct.series("plain").write(df2, presorted = true)
+
+    // 1. footer: every v-chunk of the bss series is BYTE_STREAM_SPLIT
+    //    (pure — no PLAIN_DICTIONARY/RLE_DICTIONARY data pages), and
+    //    the plain series carries none
+    import scala.jdk.CollectionConverters._
+    def encodings(label: String): Set[String] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      clct.series(label).segments().flatMap(_.meta.files).distinct
+        .flatMap { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$root/$f"), conf))
+          try rd.getFooter.getBlocks.asScala.flatMap(b =>
+            b.getColumns.asScala.filter(_.getPath.toDotString == "v")
+              .flatMap(_.getEncodings.asScala.map(_.name())))
+          finally rd.close()
+        }.toSet
+    }
+    val bssEnc = encodings("bss")
+    assert(bssEnc.contains("BYTE_STREAM_SPLIT"), s"bss chunks: $bssEnc")
+    assert(!bssEnc.exists(_.contains("DICTIONARY")),
+      s"bss FP chunks must be pure (no dict prefix): $bssEnc")
+    assert(!encodings("plain").contains("BYTE_STREAM_SPLIT"))
+
+    // 2. reads flip to the row fallback and return identical values
+    val probe = graft.sources.GraftScanProbe
+    val fb0 = probe.fallbackOpens.get()
+    val got = spark.read.format("graft").option("path", root)
+      .option("collection", "c").option("series", "bss").load()
+      .agg(org.apache.spark.sql.functions.count($"v"),
+        org.apache.spark.sql.functions.sum($"v")).collect()(0)
+    assert(got.getLong(0) == 50000L)
+    assert(probe.fallbackOpens.get() > fb0,
+      "BSS files must take the parquet-mr fallback")
+    val want = df.agg(org.apache.spark.sql.functions.sum($"v"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got.getDouble(1) - want) < 1e-6,
+      s"${got.getDouble(1)} vs $want")
+
+    // 3. the flip is per-file: the plain series still vectorizes
+    val v0 = probe.vectorizedOpens.get()
+    // a VALUE aggregate, not count(): count(*) answers from the
+    // manifest (metadata-only) and would open no file at all
+    assert(spark.read.format("graft").option("path", root)
+      .option("collection", "c").option("series", "plain").load()
+      .agg(org.apache.spark.sql.functions.sum($"v")).collect()(0)
+      .getDouble(0) != 0.0)
+    assert(probe.vectorizedOpens.get() > v0,
+      "plain files must stay on the vectorized path")
+
+    // 4. Series.frame(): the sticky registry hint routes the API scan
+    //    through the engine reader (Spark's builtin parquet source
+    //    would throw on the BSS pages) — same values, and a FRESH
+    //    handle picks the hint up from the registry
+    val viaFrame = clct.series("bss").frame()
+      .agg(org.apache.spark.sql.functions.sum($"v")).collect()(0)
+      .getDouble(0)
+    assert(math.abs(viaFrame - want) < 1e-6, s"$viaFrame vs $want")
+    val fresh = new Repo(root, spark).collection("c").get
+    assert(fresh.bssMode,
+      "a fresh handle must see the persisted registry hint")
+    assert(fresh.series("bss").frame().count() == 50000L)
+    // clipped range read through the engine path (overlay truncation)
+    assert(clct.series("bss").frame(100L, 200L).count() == 100L)
+
+    // and the disk win is real on this synthetic too
+    def mb(label: String): Double =
+      clct.series(label).segments().flatMap(_.meta.files).distinct
+        .map(f => Files.size(java.nio.file.Paths.get(root, f))).sum / 1e6
+    assert(mb("bss") < mb("plain"),
+      f"bss ${mb("bss")}%.2f MB !< plain ${mb("plain")}%.2f MB")
+  }
+}
