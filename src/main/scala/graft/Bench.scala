@@ -640,6 +640,40 @@ object Bench {
     ts53m.unpersist() // ~840 MB of cached input; free it before the
                       // footprint accounting below
 
+    // Driver metadata plane at 100 TB scale: one write-commit + one
+    // fresh-statement decode against a 1e5-SEGMENT manifest (100k
+    // segments x ~500k rows x ~2 KB/row ~ 100 TB). The chunked
+    // manifest codec makes both O(touched): the commit re-encodes
+    // only the spliced chunk(s), the fresh handle re-parses only
+    // them (JVM chunk cache serves the rest). Synthetic segment rows
+    // — this times the metadata path, no data files move. Pre-codec
+    // this row was ~4 s/rep (full 11 MB JSON encode + decode); now
+    // ~0.05 s.
+    locally {
+      val metaSchema = GSchema("ts" -> "int*", "v" -> "float")
+      val metaColl = repo.createCollection(metaSchema, "meta1e5")
+      metaColl.commitManifest(
+        graft.core.Manifest(metaSchema, Vector.tabulate(100000) { k =>
+          graft.core.SegmentMeta("_",
+            graft.core.IndexKey(Vector(k * 100L)),
+            graft.core.IndexKey(Vector((k + 1) * 100L)),
+            Closed.Left, 100L, Vector(f"seg/me/ta/$k%08d.parquet"))
+        }), Seq(graft.core.Changelog.Phi))
+      // warm once: first decode pays the one-time full chunk parse
+      repo.collection("meta1e5").get.manifest().get.size
+      bench("meta_commit_1e5") { i =>
+        val h = new Repo(root, spark).collection("meta1e5").get
+        val m = h.manifest().get // fresh-statement decode (O(touched))
+        h.commitManifest(graft.core.Manifest.spliceWrite(m,
+          Seq(graft.core.SegmentMeta("_",
+            graft.core.IndexKey(Vector(5000000L + i * 1000L)),
+            graft.core.IndexKey(Vector(5000100L + i * 1000L)),
+            Closed.Left, 100L,
+            Vector(f"seg/me/ta/new$i%04d.parquet")))),
+          Seq(h.changelog.leaf().get.child))
+      }
+    }
+
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the
     // segment files its manifest references. BASELINE.md's "2.0 MB"
     // comparable is a measurement artifact — bench_pg.py:23 ran

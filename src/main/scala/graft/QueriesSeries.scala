@@ -893,9 +893,9 @@ object QueriesSeries {
     conds.foreach(c => sr.write(src.filter(c)))
     // strip stats (simulated legacy store), then backfill via SQL
     val leaf = clct.changelog.leaf().get
-    val m = graft.core.Manifest.decode(clct.changelog.payload(leaf))
-    clct.changelog.commit(graft.core.Manifest(m.schema,
-      m.rows.map(_.copy(vstats = None))).encode,
+    val m = clct.decodePayload(clct.changelog.payload(leaf))
+    clct.commitManifest(graft.core.Manifest(m.schema,
+      m.rows.map(_.copy(vstats = None))),
       parents = Seq(leaf.child))
     clct.refresh()
     val cat = "gq193_" + java.util.UUID.randomUUID().toString

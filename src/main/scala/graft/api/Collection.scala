@@ -138,7 +138,84 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * fresh Collection on an unchanged leaf decodes nothing. */
   private[graft] def decodeCached(r: graft.core.Revision): Manifest =
     Collection.decodeManifestCached(r.child,
-      () => Manifest.decode(changelog.payload(r)))
+      () => decodePayload(changelog.payload(r)))
+
+  /** Decode a revision payload of either format: plain v1 single-doc
+    * or chunked v2 ([[ManifestCodec]] — chunks live under
+    * `<path>/chunks/<sha>`, assembled through the JVM-wide chunk
+    * cache, so re-decoding a leaf that moved by one splice parses
+    * only the touched chunks). */
+  private[graft] def decodePayload(bytes: Array[Byte]): Manifest =
+    if (ManifestCodec.isChunked(bytes))
+      ManifestCodec.decode(bytes, readChunk)
+    else Manifest.decode(bytes)
+
+  private[graft] def readChunk(sha: String): Array[Byte] =
+    repo.store.read(s"$path/chunks/$sha")
+
+  /** Commit a manifest revision: big manifests encode as a chunk set
+    * plus a small root ([[ManifestCodec]]); chunk objects are written
+    * (content-addressed create-if-absent — a racer minting the same
+    * chunk is a no-op) BEFORE the root becomes visible, so a reader
+    * can never see a root whose chunks are missing. Unchanged chunks
+    * are reused by reference: a single-write commit on a 1e6-segment
+    * manifest re-encodes O(touched) rows, not O(manifest). */
+  private[graft] def commitManifest(m: Manifest,
+      parents: Seq[String]): Seq[graft.core.Revision] = {
+    val enc = ManifestCodec.encode(m)
+    enc.fresh.foreach { case (sha, bytes) =>
+      repo.store.write(s"$path/chunks/$sha", bytes)
+    }
+    if (enc.refs != null) {
+      // the encoded layout now describes m.rows exactly — stamp it so
+      // a follow-on splice from this same object stays incremental
+      m.chunkRefs = enc.refs
+      m.incPrefix = Int.MaxValue
+      m.incSuffix = Int.MaxValue
+    }
+    changelog.commit(enc.root, parents)
+  }
+
+  /** Every chunk sha referenced by any revision (root parse only, no
+    * row decode) — gc's live set for the chunk sweep. */
+  private[graft] def chunkShasAll(): Set[String] =
+    changelog.log().iterator
+      .map(r => changelog.payload(r))
+      .filter(ManifestCodec.isChunked)
+      .flatMap(ManifestCodec.chunkShas).toSet
+
+  /** Bounded segment read without materializing the manifest: when
+    * the leaf is chunked and not yet fully decoded in this JVM, fetch
+    * only the chunks whose (label, start-head) span can cover the
+    * query ([[ManifestCodec.prunedSegments]]) — a cold point query on
+    * a 1e6-segment manifest touches a couple of ~400 KB chunks
+    * instead of the full payload. Once a full decode is cached (any
+    * unbounded read, `ls`, or a SQL snapshot), the cached manifest
+    * serves directly. Freshness is identical to [[manifest]]: the
+    * leaf LISTING is never cached. */
+  private[graft] def prunedSegments(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long] = None): Seq[SegmentRead] =
+    changelog.leaf(beforeMs) match {
+      case None => Seq.empty
+      case Some(rev) =>
+        Collection.peekManifestCache(rev.child) match {
+          case Some(m) => m.segments(label, start, stop, closed)
+          case None =>
+            val root = Collection.rootCached(rev.child, () => {
+              val bytes = changelog.payload(rev)
+              if (ManifestCodec.isChunked(bytes))
+                Some(ManifestCodec.parseRoot(bytes))
+              else None
+            })
+            root match {
+              case Some(r) => ManifestCodec.prunedSegments(r, readChunk,
+                label, start, stop, closed)
+              case None => // plain payload: full decode, cached
+                decodeCached(rev).segments(label, start, stop, closed)
+            }
+        }
+    }
 
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
     changelog.leaf(beforeMs).map(decodeCached)
@@ -205,7 +282,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     val m1 = m0.deleteLabels(Set(label))
     val m2 =
       if (rows.isEmpty) m1 else Manifest.spliceWrite(m1, rows)
-    changelog.commit(m2.encode,
+    commitManifest(m2,
       parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
     ()
   }
@@ -217,8 +294,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case None      => Manifest.empty(schema)
     }
     writes.foreach { w => m = Manifest.spliceWrite(m, w) }
-    changelog.commit(m.encode,
+    commitManifest(m,
       parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+    ()
   }
 
   def refresh(): Unit = changelog.refresh()
@@ -233,8 +311,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case None => ()
       case Some(m) =>
         val m2 = m.deleteLabels(labels.toSet)
-        changelog.commit(m2.encode,
+        commitManifest(m2,
           parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+        ()
     }
   }
 
@@ -243,8 +322,9 @@ class Collection(val repo: Repo, val label: String, val path: String,
     manifest() match {
       case None => ()
       case Some(m) =>
-        changelog.commit(m.renameLabel(from, to).encode,
+        commitManifest(m.renameLabel(from, to),
           parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
+        ()
     }
   }
 
@@ -259,8 +339,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
       case None => ()
       case Some(m) =>
         val old = changelog.log()
-        val written = changelog.commit(m.encode,
-          parents = Seq(Changelog.Phi))
+        val written = commitManifest(m, parents = Seq(Changelog.Phi))
         // keep exactly the root the commit resolved to: a squash in
         // the same millisecond as an identical earlier squash shares
         // its content-addressed id (the write-once create is a no-op
@@ -318,7 +397,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // no-op restore: the leaf already holds this exact payload
     // (digest = sha1 of the manifest bytes) — commit nothing
     if (!leaf.exists(_.digest == rev.digest)) {
-      changelog.commit(m.encode,
+      commitManifest(m,
         parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
       refresh()
     }
@@ -396,14 +475,14 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // mirroring the reference's read+rewrite branch
     // (lakota/collection.py:278-289).
     val baseLeaf = leaves.head
-    var m = Manifest.decode(changelog.payload(baseLeaf))
+    var m = decodeCached(baseLeaf)
     val baseRows = m.rows.toSet
     val rootRows: Set[SegmentMeta] =
       chains.head.takeWhile(r => common.contains(r.child)).lastOption
-        .map(r => Manifest.decode(changelog.payload(r)).rows.toSet)
+        .map(r => decodeCached(r).rows.toSet)
         .getOrElse(Set.empty)
     leaves.tail.foreach { leaf =>
-      val headM = Manifest.decode(changelog.payload(leaf))
+      val headM = decodeCached(leaf)
       headM.rows.foreach { r =>
         if (!baseRows.contains(r) && !rootRows.contains(r)) {
           // Conflict probe: does r's span intersect FOREIGN data
@@ -455,7 +534,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
         }
       }
     }
-    changelog.commit(m.encode, parents = leaves.map(_.child))
+    commitManifest(m, parents = leaves.map(_.child))
+    ()
   }
 
   /** Clone this collection into a new collection `targetLabel` with
@@ -492,7 +572,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
       tgtColMap, tgtDefaults, pageLen = pageLenCfg)
     manifest().foreach { m =>
       val tm = Manifest(targetSchema, m.rows)
-      target.changelog.commit(tm.encode, parents = Seq(Changelog.Phi))
+      target.commitManifest(tm, parents = Seq(Changelog.Phi))
+      ()
     }
     target
   }
@@ -503,7 +584,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
   def digests(): Set[String] = {
     import scala.jdk.CollectionConverters._
     changelog.log().toList.asJava.parallelStream()
-      .map[Set[String]](r => Manifest.decode(changelog.payload(r)).allFiles)
+      .map[Set[String]](r => decodePayload(changelog.payload(r)).allFiles)
       .reduce(Set.empty[String], (a: Set[String], b: Set[String]) => a ++ b)
   }
 
@@ -512,7 +593,32 @@ class Collection(val repo: Repo, val label: String, val path: String,
     val mine = digests()
     val theirs =
       (if (shallow) remote.changelog.leafs() else remote.changelog.log())
-        .flatMap(r => Manifest.decode(remote.changelog.payload(r)).allFiles)
+        .flatMap { r =>
+          val bytes = remote.changelog.payload(r)
+          // chunked revisions reference chunk objects that must travel
+          // with the revision file — copy missing ones first (verified
+          // against their content-address, like changelog.pull), then
+          // decode locally so the JVM chunk cache is warm for reads
+          if (ManifestCodec.isChunked(bytes)) {
+            ManifestCodec.chunkShas(bytes).foreach { sha =>
+              val dst = s"$path/chunks/$sha"
+              if (!repo.store.exists(dst)) {
+                var attempt = 0
+                var data = remote.readChunk(sha)
+                while (Hash.sha1(data) != sha) {
+                  attempt += 1
+                  if (attempt > 2) throw new IllegalStateException(
+                    s"checksum mismatch pulling manifest chunk $sha")
+                  Thread.sleep(50L * attempt)
+                  data = remote.readChunk(sha)
+                }
+                repo.store.write(dst, data)
+                ()
+              }
+            }
+          }
+          decodePayload(bytes).allFiles
+        }
         .toSet
     // per-file copies are independent — parallel, like the reference's
     // thread pool (lakota/collection.py pull)
@@ -592,8 +698,37 @@ object Collection {
   }
 
   /** Test hook: drop all cached decodes (counter keeps its value). */
-  private[graft] def clearManifestCache(): Unit =
+  private[graft] def clearManifestCache(): Unit = {
     manifestCache.synchronized {
       manifestCache.clear(); cachedRows = 0L
     }
+    rootCache.synchronized { rootCache.clear() }
+  }
+
+  /** cache PEEK (no decode on miss) — the lazy pruned-read path only
+    * uses a full manifest when one is already materialized */
+  private[graft] def peekManifestCache(revId: String): Option[Manifest] =
+    manifestCache.synchronized { Option(manifestCache.get(revId)) }
+
+  // parsed v2 roots by revision id (None = that revision is plain).
+  // Roots are tiny (~120 B/chunk); entry-count LRU is plenty.
+  private val rootCache = new java.util.LinkedHashMap[
+      String, Option[graft.core.ManifestCodec.Root]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, Option[graft.core.ManifestCodec.Root]]): Boolean =
+      size() > 512
+  }
+
+  private[graft] def rootCached(revId: String,
+      parse: () => Option[graft.core.ManifestCodec.Root])
+      : Option[graft.core.ManifestCodec.Root] = {
+    rootCache.synchronized {
+      if (rootCache.containsKey(revId)) return rootCache.get(revId)
+    }
+    val r = parse() // payload read + root parse outside the lock
+    rootCache.synchronized {
+      if (!rootCache.containsKey(revId)) rootCache.put(revId, r)
+      rootCache.get(revId)
+    }
+  }
 }

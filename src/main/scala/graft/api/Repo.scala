@@ -204,7 +204,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
       val c = new Collection(this, label, e.path, e.schema, e.colMap,
         e.defaults, e.pageLen, e.bss)
       val hasInline = c.changelog.log().exists(r =>
-        Manifest.decode(c.changelog.payload(r)).rows
+        c.decodePayload(c.changelog.payload(r)).rows
           .exists(_.inline.isDefined))
       require(!hasInline,
         s"cannot drop stored column(s) ${droppedSrc.mkString(", ")}: " +
@@ -421,9 +421,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // live set spans EVERY namespace — an archived collection's
     // segments are as reachable as a live one's (reference gc walks
     // all registry namespaces, lakota/repo.py:356-363)
-    val live: Set[String] = namespaces()
+    val colls = namespaces()
       .flatMap(ns => ls(ns).flatMap(collection(_, ns)))
-      .flatMap(_.digests()).toSet
+    val live: Set[String] = colls.flatMap(_.digests()).toSet
     val now = System.currentTimeMillis()
     val buried = new java.util.concurrent.atomic.AtomicInteger(0)
     // each segment's bury/resurrect decision is independent — fan the
@@ -444,6 +444,31 @@ class Repo(val rootUri: String, val spark: SparkSession,
           f.drop(f.indexOf(".parquet.t") + 10), 16)
         if (live.contains(plain)) store.mv(f, plain) // resurrect
         else if (now - ts > timeoutMs) store.rm(f)
+      }
+    }
+    // manifest-chunk sweep, same two-phase bury/resurrect contract:
+    // trim/squash retire revisions whose exclusive chunks become
+    // unreferenced; a writer that crashed between chunk writes and
+    // its root commit leaves orphans. Referenced = listed in ANY
+    // surviving revision's root (root parse only — no row decode).
+    colls.foreach { c =>
+      val refd = c.chunkShasAll()
+      store.ls(s"${c.path}/chunks").foreach { f =>
+        val rel = s"${c.path}/chunks/$f"
+        val ti = f.indexOf(".t")
+        if (ti < 0) {
+          if (!refd.contains(f)) {
+            store.mv(rel, s"$rel.t${Hash.hextime(now)}")
+            buried.incrementAndGet()
+            ()
+          }
+        } else {
+          val plain = f.take(ti)
+          val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
+            catch { case _: NumberFormatException => 0L }
+          if (refd.contains(plain)) store.mv(rel, s"${c.path}/chunks/$plain")
+          else if (now - ts > timeoutMs) store.rm(rel)
+        }
       }
     }
     // staging sweep: a writer that dies between staging and commit

@@ -815,7 +815,7 @@ class Series(val collection: Collection, val label: String) {
         case None      => Manifest.empty(schema)
       }
       val m2 = Manifest.spliceWrite(m, rows)
-      changelog.commit(m2.encode,
+      collection.commitManifest(m2,
         parents = Seq(leaf.map(_.child).getOrElse(Changelog.Phi)))
       ()
     }(rows)
@@ -841,11 +841,15 @@ class Series(val collection: Collection, val label: String) {
       beforeMs: Option[Long] = None,
       closed: Closed = Closed.Left,
       from: Option[Manifest] = None): Seq[SegmentRead] =
-    from.orElse(collection.manifest(beforeMs)) match {
-      case None => Seq.empty
+    from match {
       case Some(m) =>
         m.segments(label, Option(boundKey(start)), Option(boundKey(stop)),
           closed)
+      case None =>
+        // no snapshot given: the chunk-pruned path reads only the
+        // covering manifest chunks when the leaf is big and cold
+        collection.prunedSegments(label, Option(boundKey(start)),
+          Option(boundKey(stop)), closed, beforeMs)
     }
 
   /** Assemble the series DataFrame over [start, stop].

@@ -77,6 +77,24 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     * untouched; a manifest without it (built by splices) simply
     * full-encodes. */
   @transient private[graft] var chunkRefs: Vector[(String, Int)] = null
+  /** Conservative unchanged spans vs the manifest `chunkRefs`
+    * describes: the first `incPrefix` rows and the last `incSuffix`
+    * rows of THIS manifest equal that manifest's first/last rows.
+    * Composed as mins across splices; MaxValue = everything (a fresh
+    * decode). Only meaningful when `chunkRefs != null`. */
+  @transient private[graft] var incPrefix: Int = Int.MaxValue
+  @transient private[graft] var incSuffix: Int = Int.MaxValue
+
+  /** propagate the chunk layout to a derived manifest whose rows are
+    * unchanged outside [prefix, n-suffix) of THIS manifest's rows */
+  private[core] def withInc(res: Manifest, prefix: Int, suffix: Int): Manifest = {
+    if (chunkRefs != null) {
+      res.chunkRefs = chunkRefs
+      res.incPrefix = math.min(incPrefix, prefix)
+      res.incSuffix = math.min(incSuffix, suffix)
+    }
+    res
+  }
 
   def size: Int = rows.length
   def isEmpty: Boolean = rows.isEmpty
@@ -305,7 +323,11 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     }
     if (tail == null) tail = rows.drop(stopPos)
 
-    Manifest(schema, head ++ (row +: tail))
+    // incremental-encode bookkeeping: rows before startPos and after
+    // stopPos (in THIS manifest) are carried verbatim — only the
+    // spliced middle needs re-chunking at commit time
+    withInc(Manifest(schema, head ++ (row +: tail)),
+      startPos, rows.length - stopPos)
   }
 
   /** Query-time pruning: all segments of `label` intersecting
@@ -445,8 +467,13 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
 
   def labels: Seq[String] = rows.map(_.label).distinct.sorted
 
-  def deleteLabels(rm: Set[String]): Manifest =
-    Manifest(schema, rows.filterNot(r => rm.contains(r.label)))
+  def deleteLabels(rm: Set[String]): Manifest = {
+    val first = rows.indexWhere(r => rm.contains(r.label))
+    if (first < 0) return this // no-op keeps the chunk layout whole
+    val last = rows.lastIndexWhere(r => rm.contains(r.label))
+    withInc(Manifest(schema, rows.filterNot(r => rm.contains(r.label))),
+      first, rows.length - 1 - last)
+  }
 
   def renameLabel(from: String, to: String): Manifest = {
     // verbatim relabel: the extracted rows already form a disjoint
@@ -460,6 +487,20 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     val base = deleteLabels(Set(from))
     Manifest(schema, (base.rows ++ extract).sortWith((a, b) =>
       cmpLK(a.label, a.start, b.label, b.start) < 0))
+  }
+
+  /** Same manifest with `rows2` (same length, rows modified in
+    * place — e.g. an analyze stats backfill). Unmodified rows must be
+    * the SAME references; the chunk layout carries over with the
+    * changed span computed by identity. */
+  private[graft] def withRows(rows2: Vector[SegmentMeta]): Manifest = {
+    require(rows2.length == rows.length, "withRows: row count changed")
+    var first = 0
+    while (first < rows.length && (rows2(first) eq rows(first))) first += 1
+    if (first == rows.length) return this // nothing changed
+    var last = rows.length - 1
+    while (last > first && (rows2(last) eq rows(last))) last -= 1
+    withInc(Manifest(schema, rows2), first, rows.length - 1 - last)
   }
 
   def allFiles: Set[String] = rows.iterator.flatMap(_.files).toSet
@@ -573,7 +614,8 @@ object Manifest {
     val m1 = m.update(covering)
     val i = m1.rows.indexWhere(_ eq covering)
     require(i >= 0, "covering row lost during splice")
-    Manifest(m1.schema, m1.rows.patch(i, tiles, 1))
+    m1.withInc(Manifest(m1.schema, m1.rows.patch(i, tiles, 1)),
+      i, m1.rows.length - i - 1)
   }
 
   def one(schema: GSchema, row: SegmentMeta): Manifest =

@@ -373,8 +373,7 @@ private final class Analyze(rootUri: String) extends ProcBase(rootUri) {
         if (vs.isEmpty) r else r.copy(vstats = Some(vs))
       }
     }
-    c.changelog.commit(
-      graft.core.Manifest(m.schema, rows2).encode,
+    c.commitManifest(m.withRows(rows2),
       parents = Seq(leaf.map(_.child)
         .getOrElse(graft.core.Changelog.Phi)))
     c.refresh()

@@ -137,6 +137,67 @@ class ManifestScaleSpec extends AnyFunSuite {
       f"encode $tEnc%.0f ms, decode $tDec%.0f ms")
   }
 
+  test("chunked commits at 1e5 segments: encode, decode and cold " +
+      "pruned reads are O(touched), not O(manifest)") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chunkscale").toString
+    val repo = new graft.api.Repo(root, spark)
+    val c = repo.createCollection(schema, "cc")
+    big.size
+    // initial commit pays the one-time full chunking (~25 chunks)
+    c.commitManifest(Manifest(schema, big.rows), Seq(Changelog.Phi))
+    val leaf1 = c.changelog.leaf().get
+    assert(ManifestCodec.isChunked(c.changelog.payload(leaf1)))
+
+    // a single write's COMMIT re-encodes only the touched chunks
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val warm = new graft.api.Repo(root, spark).collection("cc").get
+    val m1 = warm.manifest().get // warm full decode (baseline state)
+    val enc0 = ManifestCodec.chunkEncodes.get()
+    val t0 = System.nanoTime()
+    warm.commitManifest(Manifest.spliceWrite(m1,
+      Seq(SegmentMeta("_", IndexKey(Vector(5000000L)),
+        IndexKey(Vector(5000100L)), Closed.Left, 100L,
+        Vector("seg/cc/dd/new.parquet")))), Seq(leaf1.child))
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    val freshChunks = ManifestCodec.chunkEncodes.get() - enc0
+    assert(freshChunks <= 3,
+      s"1-splice commit re-encoded $freshChunks chunks")
+    // full encode measured ~2.8 s at this scale; incremental ~17 ms.
+    // The CHUNK COUNTER above is the O(touched) pin; the wall ceiling
+    // only guards a regression to full re-encode (JIT/IO headroom)
+    assert(commitMs < 1000, f"incremental commit took $commitMs%.0f ms")
+
+    // a fresh statement on the MOVED leaf re-parses only those chunks
+    graft.api.Collection.clearManifestCache() // chunk cache stays warm
+    val p0 = ManifestCodec.chunkParses.get()
+    val c2 = new graft.api.Repo(root, spark).collection("cc").get
+    assert(c2.manifest().get.size == big.size)
+    val reparsed = ManifestCodec.chunkParses.get() - p0
+    assert(reparsed <= 3,
+      s"moved-leaf decode re-parsed $reparsed chunks (expected <= 3)")
+
+    // stone-cold point query: root + covering chunks only
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val q0 = ManifestCodec.chunkParses.get()
+    val t1 = System.nanoTime()
+    val got = new graft.api.Repo(root, spark).collection("cc").get
+      .series("_").segments(start = 7000000L, stop = 7000300L)
+    val coldMs = (System.nanoTime() - t1) / 1e6
+    assert(got.length >= 3 && got.length <= 4)
+    val coldParses = ManifestCodec.chunkParses.get() - q0
+    assert(coldParses <= 3,
+      s"cold point query parsed $coldParses of ~25 chunks")
+    // full cold decode is ~4 s here; the pruned path is ~50 ms
+    assert(coldMs < 1500, f"cold pruned point query took $coldMs%.0f ms")
+    info(f"1e5 chunked: incremental commit $commitMs%.0f ms " +
+      f"($freshChunks fresh chunks), moved-leaf re-decode $reparsed " +
+      f"chunks, cold pruned query $coldMs%.0f ms ($coldParses chunks)")
+  }
+
   test("manifest decode cache: second fresh handle decodes nothing, " +
       "changed leaf invalidates") {
     val spark = TestSpark.spark
