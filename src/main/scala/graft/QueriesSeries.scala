@@ -633,13 +633,16 @@ object QueriesSeries {
     def staged(tag: String)(body: => DataFrame): DataFrame = {
       if (!sys.env.contains("GRAFT_PROF")) body
       else {
+        val st = s.sparkContext.statusTracker
+        val j0 = st.getJobIdsForGroup(null).length
         val t0 = System.nanoTime()
         val r = body
         val wall = (System.nanoTime() - t0) / 1e6
+        val jobs = st.getJobIdsForGroup(null).length - j0
         val phases = r.queryExecution.tracker.phases
           .map { case (p, t) => f"$p=${t.endTimeMs - t.startTimeMs}ms" }
           .mkString(" ")
-        System.err.println(f"[q188] $tag: $wall%.0f ms  $phases")
+        System.err.println(f"[q188] $tag: $wall%.0f ms  jobs=$jobs  $phases")
         r
       }
     }
@@ -661,7 +664,13 @@ object QueriesSeries {
     // three more times — re-deriving the parquet scan per consumer
     // paid four decode passes per statement sequence. A production
     // batch mutation holds its incoming batch in memory too.
-    QueriesSim.materializeDf(s, dir, "gq188_src")(eventsDf(s, dir))
+    locally {
+      val t0 = System.nanoTime()
+      QueriesSim.materializeDf(s, dir, "gq188_src")(eventsDf(s, dir))
+      if (sys.env.contains("GRAFT_PROF"))
+        System.err.println(f"[q188] materialize+create: ${
+          (System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
     staged("insert")(
       s.sql(s"INSERT INTO $cat.events.ev SELECT * FROM gq188_src"))
     staged("update")(s.sql(
@@ -687,6 +696,12 @@ object QueriesSeries {
          |) src ON t.ts = src.ts AND t.event_id = src.event_id
          |WHEN MATCHED THEN UPDATE SET value = src.value
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    if (sys.env.contains("GRAFT_PROF")) { // profile the final agg too
+      val t0 = System.nanoTime()
+      s.sql(s"SELECT count(*) FROM $cat.events.ev").collect()
+      System.err.println(f"[q188] final-scan-count: ${
+        (System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
     s.sql(
       s"""SELECT event_type, count(*) AS cnt,
          |  sum(cast(round(value * 1000000, 0) AS bigint)) AS val_micro
