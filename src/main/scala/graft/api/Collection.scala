@@ -150,8 +150,22 @@ class Collection(val repo: Repo, val label: String, val path: String,
       ManifestCodec.decode(bytes, readChunk)
     else Manifest.decode(bytes)
 
-  private[graft] def readChunk(sha: String): Array[Byte] =
-    repo.store.read(s"$path/chunks/$sha")
+  private[graft] def readChunk(sha: String): Array[Byte] = {
+    val rel = s"$path/chunks/$sha"
+    try repo.store.read(rel)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        // gc-buried fallback, mirroring segment reads
+        // (Series.scanFiles): a referenced chunk soft-deleted by a
+        // racing gc still exists under its hextime suffix —
+        // resurrect and retry once
+        repo.store.ls(s"$path/chunks").find(_.startsWith(s"$sha.t"))
+          .fold(throw e) { b =>
+            repo.store.mv(s"$path/chunks/$b", rel)
+            repo.store.read(rel)
+          }
+    }
+  }
 
   /** Commit a manifest revision: big manifests encode as a chunk set
     * plus a small root ([[ManifestCodec]]); chunk objects are written
@@ -166,9 +180,18 @@ class Collection(val repo: Repo, val label: String, val path: String,
     enc.fresh.foreach { case (sha, bytes) =>
       repo.store.write(s"$path/chunks/$sha", bytes)
     }
-    if (enc.refs != null) {
-      // the encoded layout now describes m.rows exactly — stamp it so
-      // a follow-on splice from this same object stays incremental
+    // The encoded layout now describes m.rows exactly — stamp it so a
+    // follow-on splice from this same object stays incremental. Skip
+    // the no-op stamp: a JVM-cache-SHARED manifest (restore, squash,
+    // merge-without-changes commit the cached decode directly) already
+    // carries these exact values, and writing content-equal values to
+    // its plain fields from here would be an unsynchronized publish
+    // racing other handles' readers. Derived manifests are
+    // thread-confined to the committing thread, where the plain
+    // writes are safe.
+    if (enc.refs != null &&
+        !(m.incPrefix == Int.MaxValue && m.incSuffix == Int.MaxValue &&
+          enc.refs == m.chunkRefs)) {
       m.chunkRefs = enc.refs
       m.incPrefix = Int.MaxValue
       m.incSuffix = Int.MaxValue
@@ -603,16 +626,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
             ManifestCodec.chunkShas(bytes).foreach { sha =>
               val dst = s"$path/chunks/$sha"
               if (!repo.store.exists(dst)) {
-                var attempt = 0
-                var data = remote.readChunk(sha)
-                while (Hash.sha1(data) != sha) {
-                  attempt += 1
-                  if (attempt > 2) throw new IllegalStateException(
-                    s"checksum mismatch pulling manifest chunk $sha")
-                  Thread.sleep(50L * attempt)
-                  data = remote.readChunk(sha)
-                }
-                repo.store.write(dst, data)
+                repo.store.write(dst, Hash.readVerified(sha,
+                  s"pulled manifest chunk $sha")(remote.readChunk(sha)))
                 ()
               }
             }

@@ -423,36 +423,36 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // all registry namespaces, lakota/repo.py:356-363)
     val colls = namespaces()
       .flatMap(ns => ls(ns).flatMap(collection(_, ns)))
-    val live: Set[String] = colls.flatMap(_.digests()).toSet
     val now = System.currentTimeMillis()
     val buried = new java.util.concurrent.atomic.AtomicInteger(0)
-    // each segment's bury/resurrect decision is independent — fan the
-    // per-file store ops out on a parallel stream (like digests()): at
-    // millions of segments the serial driver loop, not the store,
-    // would be the sweep bottleneck
     import scala.jdk.CollectionConverters._
-    store.walk("seg").toList.asJava.parallelStream().forEach { f =>
-      if (f.endsWith(".parquet")) {
-        if (!live.contains(f)) {
-          store.mv(f, s"$f.t${Hash.hextime(now)}")
-          buried.incrementAndGet()
-          ()
-        }
-      } else if (f.contains(".parquet.t")) {
-        val plain = f.substring(0, f.indexOf(".parquet.t") + 8)
-        val ts = java.lang.Long.parseLong(
-          f.drop(f.indexOf(".parquet.t") + 10), 16)
-        if (live.contains(plain)) store.mv(f, plain) // resurrect
-        else if (now - ts > timeoutMs) store.rm(f)
-      }
-    }
-    // manifest-chunk sweep, same two-phase bury/resurrect contract:
-    // trim/squash retire revisions whose exclusive chunks become
-    // unreferenced; a writer that crashed between chunk writes and
-    // its root commit leaves orphans. Referenced = listed in ANY
-    // surviving revision's root (root parse only — no row decode).
+
+    // ONE payload read per revision: plain payloads decode their file
+    // set immediately (no chunk bytes needed); chunked ROOTS (small)
+    // are held so their row decode runs AFTER this collection's chunk
+    // resurrect pass — ordering that matters, because a previous gc
+    // racing a commit may have buried a chunk the leaf references,
+    // and decoding before resurrecting would throw and brick gc
+    // (segment files self-heal precisely because their resurrect path
+    // never reads the buried bytes).
+    val liveB = Set.newBuilder[String]
     colls.foreach { c =>
-      val refd = c.chunkShasAll()
+      val plainFiles =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val roots =
+        new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+      c.changelog.log().toList.asJava.parallelStream().forEach { r =>
+        val bytes = c.changelog.payload(r)
+        if (ManifestCodec.isChunked(bytes)) { roots.add(bytes); () }
+        else Manifest.decode(bytes).allFiles.foreach(plainFiles.add)
+      }
+      val rootList = roots.asScala.toList.map(ManifestCodec.parseRoot)
+      // chunk sweep, same two-phase bury/resurrect contract as
+      // segments: trim/squash retire revisions whose exclusive chunks
+      // become unreferenced; a writer that crashed between chunk
+      // writes and its root commit leaves orphans. Referenced =
+      // listed in ANY surviving revision's root (root parse only).
+      val refd = rootList.flatMap(_.chunks.map(_.sha)).toSet
       store.ls(s"${c.path}/chunks").foreach { f =>
         val rel = s"${c.path}/chunks/$f"
         val ti = f.indexOf(".t")
@@ -469,6 +469,41 @@ class Repo(val rootUri: String, val spark: SparkSession,
           if (refd.contains(plain)) store.mv(rel, s"${c.path}/chunks/$plain")
           else if (now - ts > timeoutMs) store.rm(rel)
         }
+      }
+      // Chunked roots contribute files now — every referenced chunk
+      // is present after the resurrect pass above. Walk each UNIQUE
+      // chunk once: a long history shares almost all chunks between
+      // consecutive revisions, so the live-file set costs O(unique
+      // chunks), not O(revisions × manifest rows).
+      val walked = scala.collection.mutable.Set.empty[String]
+      rootList.foreach { root =>
+        root.chunks.foreach { ch =>
+          if (walked.add(ch.sha))
+            ManifestCodec.chunkRows(root.schema, ch, c.readChunk)
+              .foreach(r => r.files.foreach(liveB += _))
+        }
+      }
+      plainFiles.forEach(f => liveB += f)
+    }
+    val live: Set[String] = liveB.result()
+
+    // each segment's bury/resurrect decision is independent — fan the
+    // per-file store ops out on a parallel stream (like digests()): at
+    // millions of segments the serial driver loop, not the store,
+    // would be the sweep bottleneck
+    store.walk("seg").toList.asJava.parallelStream().forEach { f =>
+      if (f.endsWith(".parquet")) {
+        if (!live.contains(f)) {
+          store.mv(f, s"$f.t${Hash.hextime(now)}")
+          buried.incrementAndGet()
+          ()
+        }
+      } else if (f.contains(".parquet.t")) {
+        val plain = f.substring(0, f.indexOf(".parquet.t") + 8)
+        val ts = java.lang.Long.parseLong(
+          f.drop(f.indexOf(".parquet.t") + 10), 16)
+        if (live.contains(plain)) store.mv(f, plain) // resurrect
+        else if (now - ts > timeoutMs) store.rm(f)
       }
     }
     // staging sweep: a writer that dies between staging and commit

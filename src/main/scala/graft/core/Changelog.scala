@@ -127,21 +127,11 @@ final class Changelog(val store: Store, val dir: String) {
     log().filter(_.isLeaf).groupBy(_.child).map(_._2.head).toSeq
       .sortBy(_.child)
 
-  /** Payload of a revision, sha1-verified with one retry (guards
+  /** Payload of a revision, sha1-verified with bounded retry (guards
     * against a concurrent writer mid-flight). */
-  def payload(rev: Revision): Array[Byte] = {
-    var attempt = 0
-    while (true) {
-      val data = store.read(s"$dir/${rev.path}")
-      if (Hash.sha1(data) == rev.digest) return data
-      attempt += 1
-      if (attempt > 2)
-        throw new IllegalStateException(
-          s"checksum mismatch for revision ${rev.path}")
-      Thread.sleep(50L * attempt)
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  def payload(rev: Revision): Array[Byte] =
+    Hash.readVerified(rev.digest, s"revision ${rev.path}")(
+      store.read(s"$dir/${rev.path}"))
 
   /** Copy missing revision files from a remote changelog. */
   def pull(remote: Changelog, shallow: Boolean = false): Seq[String] = {
@@ -162,15 +152,8 @@ final class Changelog(val store: Store, val dir: String) {
       // digest-named path, and the name-based dedupe above would then
       // block the repair forever. Same verify-retry as payload().
       // (The reference copies unverified — robustness over parity.)
-      var attempt = 0
-      var data = remote.store.read(s"${remote.dir}/${r.path}")
-      while (Hash.sha1(data) != r.digest) {
-        attempt += 1
-        if (attempt > 2) throw new IllegalStateException(
-          s"checksum mismatch pulling revision ${r.path}")
-        Thread.sleep(50L * attempt)
-        data = remote.store.read(s"${remote.dir}/${r.path}")
-      }
+      val data = Hash.readVerified(r.digest, s"pulled revision ${r.path}")(
+        remote.store.read(s"${remote.dir}/${r.path}"))
       store.write(s"$dir/${r.path}", data)
       r.path
     }

@@ -160,7 +160,11 @@ object ManifestCodec {
       var off = frontRows
       var i = 0
       while (i < k) {
-        val take = (midLen * (i + 1) / k) - (midLen * i / k)
+        // Long arithmetic: midLen * k overflows Int from ~2.93M rows
+        // (first full encode of a 3e6-segment manifest), which made
+        // `take` negative and committed a corrupt root
+        val take = ((midLen.toLong * (i + 1)) / k -
+          (midLen.toLong * i) / k).toInt
         val sb = new java.lang.StringBuilder(take * 96)
         sb.append('[')
         var j = 0
@@ -301,7 +305,7 @@ object ManifestCodec {
     (String, GSchema), Vector[SegmentMeta]](256, 0.75f, true)
   private var cachedRows: Long = 0L
 
-  private def chunkRows(schema: GSchema, ref: ChunkRef,
+  private[graft] def chunkRows(schema: GSchema, ref: ChunkRef,
       fetch: String => Array[Byte]): Vector[SegmentMeta] = {
     val key = (ref.sha, schema)
     cache.synchronized {
@@ -311,15 +315,8 @@ object ManifestCodec {
     // fetch + verify outside the lock (decode of a cold 1e6-row
     // manifest fans many chunk parses; they must not serialize)
     chunkParses.incrementAndGet()
-    var attempt = 0
-    var bytes = fetch(ref.sha)
-    while (Hash.sha1(bytes) != ref.sha) {
-      attempt += 1
-      if (attempt > 2) throw new IllegalStateException(
-        s"checksum mismatch for manifest chunk ${ref.sha}")
-      Thread.sleep(50L * attempt)
-      bytes = fetch(ref.sha)
-    }
+    val bytes = Hash.readVerified(ref.sha,
+      s"manifest chunk ${ref.sha}")(fetch(ref.sha))
     val parsed = Json.parse(new String(bytes, "UTF-8"))
       .asInstanceOf[List[Any]]
       .map(Manifest.rowFromParsed(schema, _)).toVector

@@ -187,4 +187,23 @@ object Hash {
     * lakota/utils.py:122-133). */
   def hashedPath(digest: String): String =
     s"${digest.take(2)}/${digest.slice(2, 4)}/${digest.drop(4)}"
+
+  /** Read bytes whose sha1 must equal `digest`, with bounded
+    * retry+backoff — the shared guard against torn reads of an object
+    * a concurrent writer is mid-creating. One implementation for the
+    * four sites that need it (revision payloads, revision pulls,
+    * manifest chunks, chunk pulls). */
+  def readVerified(digest: String, what: => String)(
+      read: => Array[Byte]): Array[Byte] = {
+    var attempt = 0
+    var data = read
+    while (sha1(data) != digest) {
+      attempt += 1
+      if (attempt > 2) throw new IllegalStateException(
+        s"checksum mismatch for $what")
+      Thread.sleep(50L * attempt)
+      data = read
+    }
+    data
+  }
 }

@@ -106,6 +106,22 @@ class ManifestCodecSpec extends AnyFunSuite {
     assert(ManifestCodec.decode(e.root, fetch).rows == m.rows)
   }
 
+  test("balanced split survives midLen*k past Int.MaxValue") {
+    // 200k rows at target 16 -> k=12500, midLen*k = 2.5e9: the Int
+    // arithmetic regression made `take` negative and committed a
+    // corrupt root at >= ~2.93M rows under the default 4096 target
+    val (store, fetch) = memStore()
+    val m = Manifest(schema, Vector.tabulate(200000)(i =>
+      SegmentMeta("s", IndexKey(Vector(i * 10L)),
+        IndexKey(Vector((i + 1) * 10L)), Closed.Left, 10L,
+        Vector.empty)))
+    val e = ManifestCodec.encode(m, target)
+    assert(e.refs.iterator.map(_._2.toLong).sum == 200000L)
+    assert(e.refs.forall(_._2 > 0), "no negative/zero chunk sizes")
+    e.fresh.foreach { case (sha, b) => store.put(sha, b) }
+    assert(ManifestCodec.decode(e.root, fetch).rows == m.rows)
+  }
+
   test("decode then re-encode is byte-canonical (restore no-op)") {
     val (store, fetch) = memStore()
     val m = mkManifest(Seq("a", "b"), 50)
@@ -314,6 +330,41 @@ class ManifestCodecSpec extends AnyFunSuite {
         "both branches' work must survive the heal")
       // r1/r2 sit past the 1000-tile range [0, 100000): pure appends
       assert(m.size == 1002)
+    }
+  }
+
+  test("a buried-but-referenced chunk self-heals: gc resurrects it " +
+      "before decoding, and a direct read resurrects it too") {
+    withChunkProp(64) {
+      val spark = TestSpark.spark
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-chunkbury").toString
+      val repo = new graft.api.Repo(root, spark)
+      val c = repo.createCollection(schema, "cc")
+      c.commitManifest(Manifest(schema,
+        bigRows(1000).map(_.copy(files = Vector.empty))),
+        Seq(Changelog.Phi))
+      val chunkDir = s"${c.path}/chunks"
+      val sha = repo.store.ls(chunkDir).head
+      // simulate the gc-vs-commit race: a referenced chunk got buried
+      repo.store.mv(s"$chunkDir/$sha",
+        s"$chunkDir/$sha.t${Hash.hextime()}")
+
+      // gc must NOT throw (the old order decoded payloads before the
+      // resurrect pass, bricking gc forever) and must resurrect
+      repo.gc(timeoutMs = 600000L)
+      assert(repo.store.exists(s"$chunkDir/$sha"),
+        "gc must resurrect a referenced buried chunk")
+
+      // bury again: a plain READ must also self-heal (segment parity)
+      repo.store.mv(s"$chunkDir/$sha",
+        s"$chunkDir/$sha.t${Hash.hextime()}")
+      graft.api.Collection.clearManifestCache()
+      ManifestCodec.clearChunkCache()
+      assert(new graft.api.Repo(root, spark).collection("cc").get
+        .manifest().get.size == 1000)
+      assert(repo.store.exists(s"$chunkDir/$sha"),
+        "a read must resurrect a referenced buried chunk")
     }
   }
 
