@@ -87,6 +87,22 @@ object Bench {
     adjacentProbes.nonEmpty &&
       adjacentProbes.count(probeNoisy(_, quiet)) * 2 >= adjacentProbes.length
 
+  /** Intra-row dispersion flag — the probe's blind spot: a 64 MB
+    * adjacent probe can read quiet (page cache, burst credit refill)
+    * while the row's own multi-GB write sat in a throttled window
+    * (bulk_write_53m measured 12 s vs a 1.5-2.9 s quiet band with
+    * flat adjacent probes). A MEDIAN that its own best rep beats by
+    * >= 2.5x means the median-forming reps hit state the fastest rep
+    * proves the code doesn't have — self-label it. First-rep JIT
+    * can't trip this: one slow rep out of three never forms the
+    * median. */
+  private[graft] def dispNoiseFlag(times: Vector[Double]): Boolean = {
+    if (times.length < 2 || times.exists(_ <= 0)) return false
+    val sorted = times.sorted
+    val med = sorted((sorted.length - 1) / 2)
+    med >= 2.5 * sorted.head
+  }
+
   /** One harness session for Bench AND Profile: identical configs so
     * profiled numbers stay comparable to benched ones. */
   private[graft] def buildSession(cpus: String): SparkSession = {
@@ -725,6 +741,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val ioFlaggedJson =
       ioFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // dispersion flags for IO rows (probe blind spot — see
+    // Bench.dispNoiseFlag)
+    val dispFlaggedJson = rowProbes.keys.toSeq.filter(k =>
+        Bench.dispNoiseFlag(samples(k)))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
@@ -733,6 +754,7 @@ object Bench {
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_probe_mb":$ioProbeMb,"io_quiet_s":$quietIo%.3f,""" +
       s""""io_noise":$ioNoiseJson,"io_probes":$ioProbesJson,""" +
+      s""""disp_noise_rows":$dispFlaggedJson,""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""queries_max":${jmap(_.max)},"queries_first":${jmap(_.head)},""" +
       s""""sf":"$sfDir"}"""
@@ -750,6 +772,7 @@ object Bench {
       s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_quiet_s":$quietIo%.3f,"io_noise_rows":$ioFlaggedJson,""" +
+      s""""disp_noise_rows":$dispFlaggedJson,""" +
       s""""queries":$medsCompact,"sf":"$sfDir"}"""
     println(compact)
     if (compact.length > 1900)

@@ -49,4 +49,22 @@ class BenchNoiseSpec extends AnyFunSuite {
   test("empty probe vector (non-IO row) never flags") {
     assert(!Bench.ioNoiseFlag(Vector.empty, quiet))
   }
+
+  test("dispersion flag: throttled median with quiet probes self-labels") {
+    // the probe blind spot: bulk_write_53m's 12 s reps next to a
+    // 2.9 s best, adjacent probes all quiet — the MEDIAN sat in state
+    // the fastest rep proves the code doesn't have
+    assert(Bench.dispNoiseFlag(Vector(2.9, 12.0, 13.1)))
+    // one slow rep (first-rep JIT, one burst) never forms the median
+    assert(!Bench.dispNoiseFlag(Vector(0.6, 0.33, 0.35)))
+    assert(!Bench.dispNoiseFlag(Vector(0.33, 0.35, 12.0)))
+    // a tight band never flags
+    assert(!Bench.dispNoiseFlag(Vector(1.5, 1.7, 1.6)))
+    // exactly at 2.5x, inclusive
+    assert(Bench.dispNoiseFlag(Vector(1.0, 2.5, 2.6)))
+    assert(!Bench.dispNoiseFlag(Vector(1.0, 2.49, 2.6)))
+    // degenerate rows never flag
+    assert(!Bench.dispNoiseFlag(Vector(1.0)))
+    assert(!Bench.dispNoiseFlag(Vector(-1.0, 3.0, 3.1))) // failure sentinel
+  }
 }
