@@ -606,35 +606,65 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * the serial driver loop, not the store, is the gc bottleneck. */
   def digests(): Set[String] = {
     import scala.jdk.CollectionConverters._
-    changelog.log().toList.asJava.parallelStream()
-      .map[Set[String]](r => decodePayload(changelog.payload(r)).allFiles)
+    // plain payloads decode in parallel; chunked roots defer to a
+    // UNIQUE-chunk walk — consecutive revisions share almost all
+    // chunks, so a long history costs O(unique chunks), not
+    // O(revisions × manifest rows) (same shape as Repo.gc's sweep)
+    val roots =
+      new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val plain = changelog.log().toList.asJava.parallelStream()
+      .map[Set[String]] { r =>
+        val bytes = changelog.payload(r)
+        if (ManifestCodec.isChunked(bytes)) { roots.add(bytes); Set.empty }
+        else Manifest.decode(bytes).allFiles
+      }
       .reduce(Set.empty[String], (a: Set[String], b: Set[String]) => a ++ b)
+    val out = Set.newBuilder[String]
+    out ++= plain
+    val walked = scala.collection.mutable.Set.empty[String]
+    roots.asScala.foreach { bytes =>
+      val root = ManifestCodec.parseRoot(bytes)
+      root.chunks.foreach { ch =>
+        if (walked.add(ch.sha))
+          ManifestCodec.chunkRows(root.schema, ch, readChunk)
+            .foreach(r => r.files.foreach(out += _))
+      }
+    }
+    out.result()
   }
 
   /** Copy missing segment files + changelog entries from `remote`. */
   def pull(remote: Collection, shallow: Boolean = false): Unit = {
     val mine = digests()
-    val theirs =
+    val theirs = {
+      val out = Set.newBuilder[String]
+      // chunked revisions reference chunk objects that must travel
+      // with the revision file — copy missing ones first (verified
+      // against their content-address, like changelog.pull), then
+      // read each UNIQUE chunk once from the local copy (a history's
+      // consecutive revisions share almost all chunks)
+      val walked = scala.collection.mutable.Set.empty[String]
       (if (shallow) remote.changelog.leafs() else remote.changelog.log())
-        .flatMap { r =>
+        .foreach { r =>
           val bytes = remote.changelog.payload(r)
-          // chunked revisions reference chunk objects that must travel
-          // with the revision file — copy missing ones first (verified
-          // against their content-address, like changelog.pull), then
-          // decode locally so the JVM chunk cache is warm for reads
           if (ManifestCodec.isChunked(bytes)) {
-            ManifestCodec.chunkShas(bytes).foreach { sha =>
-              val dst = s"$path/chunks/$sha"
-              if (!repo.store.exists(dst)) {
-                repo.store.write(dst, Hash.readVerified(sha,
-                  s"pulled manifest chunk $sha")(remote.readChunk(sha)))
+            val root = ManifestCodec.parseRoot(bytes)
+            root.chunks.foreach { ch =>
+              val dst = s"$path/chunks/${ch.sha}"
+              if (!walked.contains(ch.sha) && !repo.store.exists(dst)) {
+                repo.store.write(dst, Hash.readVerified(ch.sha,
+                  s"pulled manifest chunk ${ch.sha}")(
+                  remote.readChunk(ch.sha)))
                 ()
               }
+              if (walked.add(ch.sha))
+                ManifestCodec.chunkRows(root.schema, ch, readChunk)
+                  .foreach(row => row.files.foreach(out += _))
             }
-          }
-          decodePayload(bytes).allFiles
+          } else out ++= Manifest.decode(bytes).allFiles
         }
-        .toSet
+      out.result()
+    }
     // per-file copies are independent — parallel, like the reference's
     // thread pool (lakota/collection.py pull)
     locally {
