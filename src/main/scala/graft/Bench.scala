@@ -98,9 +98,17 @@ object Bench {
     * median. */
   private[graft] def dispNoiseFlag(times: Vector[Double]): Boolean = {
     if (times.length < 2 || times.exists(_ <= 0)) return false
-    val sorted = times.sorted
-    val med = sorted((sorted.length - 1) / 2)
-    med >= 2.5 * sorted.head
+    // the SAME median definition the artifact publishes (middle-pair
+    // average for even rep counts) — a lower-median variant silently
+    // never fired at reps=2 and missed even-count pollution
+    medianOf(times) >= 2.5 * times.min
+  }
+
+  /** the artifact's median: middle element, or middle-pair average */
+  private[graft] def medianOf(v: Vector[Double]): Double = {
+    val s = v.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
   /** One harness session for Bench AND Profile: identical configs so
@@ -322,11 +330,7 @@ object Bench {
     // per-row rep vectors, insertion-ordered
     val samples =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    def median(v: Vector[Double]): Double = Bench.medianOf(v)
     // per-row IO probes adjacent to each rep of an IO row — the basis
     // of the artifact's io_noise self-labeling (a reader must not have
     // to cross-reference the three global calib_io probes by hand)

@@ -189,7 +189,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // racing other handles' readers. Derived manifests are
     // thread-confined to the committing thread, where the plain
     // writes are safe.
-    if (enc.refs != null &&
+    if (enc.refs != null && m.chunkRefs != null &&
         !(m.incPrefix == Int.MaxValue && m.incSuffix == Int.MaxValue &&
           enc.refs == m.chunkRefs)) {
       m.chunkRefs = enc.refs
@@ -199,13 +199,26 @@ class Collection(val repo: Repo, val label: String, val path: String,
     changelog.commit(enc.root, parents)
   }
 
-  /** Every chunk sha referenced by any revision (root parse only, no
-    * row decode) — gc's live set for the chunk sweep. */
-  private[graft] def chunkShasAll(): Set[String] =
-    changelog.log().iterator
-      .map(r => changelog.payload(r))
-      .filter(ManifestCodec.isChunked)
-      .flatMap(ManifestCodec.chunkShas).toSet
+  /** Files referenced by the given parsed v2 roots, walking each
+    * UNIQUE chunk exactly once — consecutive revisions of a history
+    * share almost all chunks, so sweeps over the whole changelog
+    * (gc, digests, pull) cost O(unique chunks), not
+    * O(revisions × manifest rows). Chunk fetch+parse fans out on a
+    * parallel stream: a cold object store serves one GET per chunk
+    * (~245 for a 1e6-segment history) and back-to-back round trips
+    * would dominate the sweep. */
+  private[graft] def uniqueChunkFiles(
+      roots: Seq[ManifestCodec.Root]): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val uniq = roots.flatMap(r =>
+      r.chunks.map(ch => ch.sha -> ((r.schema, ch)))).toMap
+    val out = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    uniq.values.toList.asJava.parallelStream().forEach { sc =>
+      ManifestCodec.chunkRows(sc._1, sc._2, readChunk)
+        .foreach(r => r.files.foreach(out.add))
+    }
+    out.asScala.toSet
+  }
 
   /** Bounded segment read without materializing the manifest: when
     * the leaf is chunked and not yet fully decoded in this JVM, fetch
@@ -606,10 +619,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * the serial driver loop, not the store, is the gc bottleneck. */
   def digests(): Set[String] = {
     import scala.jdk.CollectionConverters._
-    // plain payloads decode in parallel; chunked roots defer to a
-    // UNIQUE-chunk walk — consecutive revisions share almost all
-    // chunks, so a long history costs O(unique chunks), not
-    // O(revisions × manifest rows) (same shape as Repo.gc's sweep)
+    // plain payloads decode in parallel; chunked roots defer to the
+    // parallel UNIQUE-chunk walk ([[uniqueChunkFiles]])
     val roots =
       new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
     val plain = changelog.log().toList.asJava.parallelStream()
@@ -619,18 +630,8 @@ class Collection(val repo: Repo, val label: String, val path: String,
         else Manifest.decode(bytes).allFiles
       }
       .reduce(Set.empty[String], (a: Set[String], b: Set[String]) => a ++ b)
-    val out = Set.newBuilder[String]
-    out ++= plain
-    val walked = scala.collection.mutable.Set.empty[String]
-    roots.asScala.foreach { bytes =>
-      val root = ManifestCodec.parseRoot(bytes)
-      root.chunks.foreach { ch =>
-        if (walked.add(ch.sha))
-          ManifestCodec.chunkRows(root.schema, ch, readChunk)
-            .foreach(r => r.files.foreach(out += _))
-      }
-    }
-    out.result()
+    plain ++ uniqueChunkFiles(roots.asScala.toList.map(
+      ManifestCodec.parseRoot))
   }
 
   /** Copy missing segment files + changelog entries from `remote`. */
@@ -638,32 +639,33 @@ class Collection(val repo: Repo, val label: String, val path: String,
     val mine = digests()
     val theirs = {
       val out = Set.newBuilder[String]
-      // chunked revisions reference chunk objects that must travel
-      // with the revision file — copy missing ones first (verified
-      // against their content-address, like changelog.pull), then
-      // read each UNIQUE chunk once from the local copy (a history's
-      // consecutive revisions share almost all chunks)
-      val walked = scala.collection.mutable.Set.empty[String]
+      val roots = Seq.newBuilder[ManifestCodec.Root]
       (if (shallow) remote.changelog.leafs() else remote.changelog.log())
         .foreach { r =>
           val bytes = remote.changelog.payload(r)
-          if (ManifestCodec.isChunked(bytes)) {
-            val root = ManifestCodec.parseRoot(bytes)
-            root.chunks.foreach { ch =>
-              val dst = s"$path/chunks/${ch.sha}"
-              if (!walked.contains(ch.sha) && !repo.store.exists(dst)) {
-                repo.store.write(dst, Hash.readVerified(ch.sha,
-                  s"pulled manifest chunk ${ch.sha}")(
-                  remote.readChunk(ch.sha)))
-                ()
-              }
-              if (walked.add(ch.sha))
-                ManifestCodec.chunkRows(root.schema, ch, readChunk)
-                  .foreach(row => row.files.foreach(out += _))
-            }
-          } else out ++= Manifest.decode(bytes).allFiles
+          if (ManifestCodec.isChunked(bytes))
+            roots += ManifestCodec.parseRoot(bytes)
+          else out ++= Manifest.decode(bytes).allFiles
         }
-      out.result()
+      val rootList = roots.result()
+      // chunked revisions reference chunk objects that must travel
+      // with the revision file — copy missing ones FIRST, verified
+      // against their content-address, as an explicit parallel pass
+      // (never folded into the chunk-row fetch: a warm JVM chunk
+      // cache would skip the fetch and silently skip the copy)
+      locally {
+        import scala.jdk.CollectionConverters._
+        rootList.flatMap(_.chunks.map(_.sha)).distinct
+          .asJava.parallelStream().forEach { sha =>
+            val dst = s"$path/chunks/$sha"
+            if (!repo.store.exists(dst)) {
+              repo.store.write(dst, Hash.readVerified(sha,
+                s"pulled manifest chunk $sha")(remote.readChunk(sha)))
+              ()
+            }
+          }
+      }
+      out.result() ++ uniqueChunkFiles(rootList)
     }
     // per-file copies are independent — parallel, like the reference's
     // thread pool (lakota/collection.py pull)

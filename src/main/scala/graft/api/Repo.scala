@@ -453,36 +453,38 @@ class Repo(val rootUri: String, val spark: SparkSession,
       // writes and its root commit leaves orphans. Referenced =
       // listed in ANY surviving revision's root (root parse only).
       val refd = rootList.flatMap(_.chunks.map(_.sha)).toSet
+      def isSha(n: String): Boolean = n.length == 40 &&
+        n.forall(ch => (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f'))
       store.ls(s"${c.path}/chunks").foreach { f =>
         val rel = s"${c.path}/chunks/$f"
         val ti = f.indexOf(".t")
-        if (ti < 0) {
-          if (!refd.contains(f)) {
-            store.mv(rel, s"$rel.t${Hash.hextime(now)}")
-            buried.incrementAndGet()
-            ()
+        val plain = if (ti < 0) f else f.take(ti)
+        // ONLY our own names — a plain content-address or its buried
+        // form. A concurrent writer's in-flight `.tmp-<uuid>` staging
+        // file (HadoopStore.write stages in the target dir) must
+        // never be treated as an expired buried chunk and deleted:
+        // its rename would fail and the committed root would
+        // reference a chunk that no longer exists anywhere.
+        if (isSha(plain)) {
+          if (ti < 0) {
+            if (!refd.contains(f)) {
+              store.mv(rel, s"$rel.t${Hash.hextime(now)}")
+              buried.incrementAndGet()
+              ()
+            }
+          } else {
+            val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
+              catch { case _: NumberFormatException => 0L }
+            if (refd.contains(plain))
+              store.mv(rel, s"${c.path}/chunks/$plain")
+            else if (now - ts > timeoutMs) store.rm(rel)
           }
-        } else {
-          val plain = f.take(ti)
-          val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
-            catch { case _: NumberFormatException => 0L }
-          if (refd.contains(plain)) store.mv(rel, s"${c.path}/chunks/$plain")
-          else if (now - ts > timeoutMs) store.rm(rel)
         }
       }
       // Chunked roots contribute files now — every referenced chunk
-      // is present after the resurrect pass above. Walk each UNIQUE
-      // chunk once: a long history shares almost all chunks between
-      // consecutive revisions, so the live-file set costs O(unique
-      // chunks), not O(revisions × manifest rows).
-      val walked = scala.collection.mutable.Set.empty[String]
-      rootList.foreach { root =>
-        root.chunks.foreach { ch =>
-          if (walked.add(ch.sha))
-            ManifestCodec.chunkRows(root.schema, ch, c.readChunk)
-              .foreach(r => r.files.foreach(liveB += _))
-        }
-      }
+      // is present after the resurrect pass above ([[Collection
+      // .uniqueChunkFiles]]: one parallel walk per unique chunk).
+      c.uniqueChunkFiles(rootList).foreach(liveB += _)
       plainFiles.forEach(f => liveB += f)
     }
     val live: Set[String] = liveB.result()

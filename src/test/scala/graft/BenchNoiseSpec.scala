@@ -66,5 +66,11 @@ class BenchNoiseSpec extends AnyFunSuite {
     // degenerate rows never flag
     assert(!Bench.dispNoiseFlag(Vector(1.0)))
     assert(!Bench.dispNoiseFlag(Vector(-1.0, 3.0, 3.1))) // failure sentinel
+    // EVEN rep counts use the artifact's middle-pair-average median:
+    // at reps=2 a (3, 12) row publishes 7.5 = 2.5x best -> must flag
+    // (the lower-median variant could never fire at reps=2)
+    assert(Bench.dispNoiseFlag(Vector(3.0, 12.0)))
+    assert(!Bench.dispNoiseFlag(Vector(3.0, 4.0)))
+    assert(Bench.dispNoiseFlag(Vector(3.0, 3.1, 12.0, 13.0)))
   }
 }

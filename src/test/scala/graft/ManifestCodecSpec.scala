@@ -275,13 +275,21 @@ class ManifestCodecSpec extends AnyFunSuite {
       val chunkDir = s"${c.path}/chunks"
       val before = repo.store.ls(chunkDir).count(!_.contains(".t"))
       c.squash() // only the latest revision survives
-      val live = c.chunkShasAll()
+      val live = ManifestCodec.chunkShas(
+        c.changelog.payload(c.changelog.leaf().get)).toSet
       assert(live.nonEmpty && live.size < before)
+      // an in-flight writer's staging file must be invisible to the
+      // sweep: HadoopStore.write stages as .tmp-<uuid> in the target
+      // dir, and deleting it would lose the racing commit's chunk
+      repo.store.write(s"$chunkDir/.tmp-abcdef123456",
+        "inflight".getBytes("UTF-8"))
       repo.gc(timeoutMs = 0L) // phase 1: bury
       Thread.sleep(5)
       repo.gc(timeoutMs = 0L) // phase 2: reap buried
       val after = repo.store.ls(chunkDir)
-      assert(after.toSet == live,
+      assert(after.contains(".tmp-abcdef123456"),
+        "gc must never touch a writer's staging file")
+      assert(after.toSet - ".tmp-abcdef123456" == live,
         s"after gc expected exactly the live chunks, got $after")
       // reads still good
       graft.api.Collection.clearManifestCache()
@@ -382,6 +390,10 @@ class ManifestCodecSpec extends AnyFunSuite {
       src.commitManifest(Manifest(schema,
         bigRows(1000).map(_.copy(files = Vector.empty))),
         Seq(Changelog.Phi))
+      // warm the JVM chunk cache BEFORE pulling: the copy pass must
+      // not depend on a chunk-cache miss to fire (a warm cache once
+      // skipped the fetch and would have skipped the copy)
+      src.manifest()
       val dstRepo = new graft.api.Repo(dstRoot, spark)
       val dst = dstRepo.createCollection(schema, "cc")
       dst.pull(src)
