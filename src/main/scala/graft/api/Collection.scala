@@ -151,20 +151,28 @@ class Collection(val repo: Repo, val label: String, val path: String,
     else Manifest.decode(bytes)
 
   private[graft] def readChunk(sha: String): Array[Byte] = {
+    // gc-buried fallback, mirroring segment reads (Series.scanFiles):
+    // a referenced chunk soft-deleted by a racing gc still exists
+    // under its hextime suffix — resurrect it. Best-effort with a
+    // bounded loop: concurrent resurrectors (another reader, gc's own
+    // resurrect pass) race the rename (which throws FNF on a vanished
+    // source), and a re-bury can land between our mv and re-read.
     val rel = s"$path/chunks/$sha"
-    try repo.store.read(rel)
-    catch {
-      case e: java.io.FileNotFoundException =>
-        // gc-buried fallback, mirroring segment reads
-        // (Series.scanFiles): a referenced chunk soft-deleted by a
-        // racing gc still exists under its hextime suffix —
-        // resurrect and retry once
-        repo.store.ls(s"$path/chunks").find(_.startsWith(s"$sha.t"))
-          .fold(throw e) { b =>
-            repo.store.mv(s"$path/chunks/$b", rel)
-            repo.store.read(rel)
-          }
+    var attempt = 0
+    while (true) {
+      try return repo.store.read(rel)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 3) throw e
+          repo.store.ls(s"$path/chunks").find(_.startsWith(s"$sha.t"))
+            .foreach { b =>
+              try repo.store.mv(s"$path/chunks/$b", rel)
+              catch { case _: java.io.FileNotFoundException => () }
+            }
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit a manifest revision: big manifests encode as a chunk set
@@ -369,12 +377,40 @@ class Collection(val repo: Repo, val label: String, val path: String,
   // ------------------------------------------------------------------
 
   /** Rewrite history as a single root revision holding the current
-    * leaf manifest (reference Collection.squash). */
+    * leaf manifest (reference Collection.squash).
+    *
+    * Fork-aware: only the squashed leaf's ANCESTOR edges are deleted.
+    * On an un-healed fork, the winning leaf (last-leaf-wins, same
+    * choice every read makes) is squashed while sibling branches keep
+    * their revisions — squashing them away would silently destroy
+    * whatever a concurrent writer committed on them (found by the
+    * chunked-manifest race spec: 43 of 48 racing writes vanished).
+    * The surviving branches remain ordinary forks; `merge()` heals
+    * them into the squash root afterwards, exactly like any other
+    * fork. On a linear history (the common case) ancestors == the
+    * whole log and behavior is unchanged. */
   def squash(): Unit = {
     manifest() match {
       case None => ()
       case Some(m) =>
-        val old = changelog.log()
+        val history = changelog.log()
+        // ancestor closure of the squashed leaf, following EVERY
+        // parent edge (a merge node has one edge per parent, all
+        // sharing one child id)
+        val edgesByChild = history.groupBy(_.child)
+        val anc = scala.collection.mutable.Set.empty[String]
+        var frontier = List(history.last.child)
+        while (frontier.nonEmpty) {
+          val id = frontier.head; frontier = frontier.tail
+          if (anc.add(id))
+            edgesByChild.getOrElse(id, Seq.empty).foreach { e =>
+              if (e.parent != Changelog.Phi) {
+                val pid = e.parent
+                if (!anc.contains(pid)) frontier = pid :: frontier
+              }
+            }
+        }
+        val old = history.filter(r => anc.contains(r.child))
         val written = commitManifest(m, parents = Seq(Changelog.Phi))
         // keep exactly the root the commit resolved to: a squash in
         // the same millisecond as an identical earlier squash shares

@@ -465,10 +465,16 @@ class Repo(val rootUri: String, val spark: SparkSession,
         // never be treated as an expired buried chunk and deleted:
         // its rename would fail and the committed root would
         // reference a chunk that no longer exists anywhere.
+        // every mv races readers' self-resurrects and sibling gc
+        // passes; a vanished source throws FNF — the other mover won,
+        // nothing to do
+        def mvQuiet(from: String, to: String): Unit =
+          try store.mv(from, to)
+          catch { case _: java.io.FileNotFoundException => () }
         if (isSha(plain)) {
           if (ti < 0) {
             if (!refd.contains(f)) {
-              store.mv(rel, s"$rel.t${Hash.hextime(now)}")
+              mvQuiet(rel, s"$rel.t${Hash.hextime(now)}")
               buried.incrementAndGet()
               ()
             }
@@ -476,7 +482,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
             val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
               catch { case _: NumberFormatException => 0L }
             if (refd.contains(plain))
-              store.mv(rel, s"${c.path}/chunks/$plain")
+              mvQuiet(rel, s"${c.path}/chunks/$plain")
             else if (now - ts > timeoutMs) store.rm(rel)
           }
         }

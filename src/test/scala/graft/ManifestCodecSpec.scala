@@ -376,6 +376,92 @@ class ManifestCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("racing writers + gc + squash on a CHUNKED manifest lose nothing") {
+    withChunkProp(64) {
+      val spark = TestSpark.spark
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-chunkrace").toString
+      val schema2 = schema
+      locally {
+        val c0 = new graft.api.Repo(root, spark)
+          .createCollection(schema2, "cc")
+        c0.commitManifest(Manifest(schema2,
+          bigRows(1000).map(_.copy(files = Vector.empty))),
+          Seq(Changelog.Phi))
+      }
+      val writers = 8
+      val writesPer = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // maintenance thread: gc with zero timeout hammers the bury/
+      // resurrect path while roots move under it; squash collapses
+      // history mid-race (the staging-file deletion bug lived here)
+      pool.submit(new Runnable { def run(): Unit = {
+        val r = new graft.api.Repo(root, spark)
+        while (!stop.get()) {
+          try {
+            // realistic timeout: burying is fair game mid-race, but
+            // reaping young buried files would void the two-phase
+            // protection (the documented operational contract — a gc
+            // timeout must exceed the longest in-flight write)
+            r.gc(timeoutMs = 600000L)
+            r.collection("cc").get.squash()
+          } catch { case t: Throwable => errs.add(t); () }
+        }
+      }})
+      val latch = new java.util.concurrent.CountDownLatch(writers)
+      (0 until writers).foreach { w =>
+        pool.submit(new Runnable { def run(): Unit = {
+          try {
+            val c = new graft.api.Repo(root, spark).collection("cc").get
+            (0 until writesPer).foreach { i =>
+              // disjoint both-closed appends past the base range:
+              // every row must survive every heal verbatim
+              val lo = 200000L + (w * writesPer + i) * 1000L
+              val r = SegmentMeta("big", IndexKey(Vector(lo)),
+                IndexKey(Vector(lo + 100L)), Closed.Both, 100L,
+                Vector.empty,
+                inline = Some(Vector(Vector[Any](lo, w.toDouble))))
+              // a stale leaf just forks; merge heals it below
+              val leaf = c.changelog.leaf().get
+              c.commitManifest(
+                Manifest.spliceWrite(c.decodeCached(leaf), Seq(r)),
+                Seq(leaf.child))
+              ()
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+          finally latch.countDown()
+        }})
+      }
+      latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      stop.set(true)
+      pool.shutdown()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(errs.isEmpty, s"race error: ${Option(errs.peek())}")
+      // heal whatever forks remain, then EVERY write must be present
+      val h = new graft.api.Repo(root, spark).collection("cc").get
+      var guard = 0
+      while (h.changelog.leafs().length > 1 && guard < 20) {
+        h.merge(); h.refresh(); guard += 1
+      }
+      graft.api.Collection.clearManifestCache()
+      ManifestCodec.clearChunkCache()
+      val m = new graft.api.Repo(root, spark).collection("cc").get
+        .manifest().get
+      val got = m.rows.filter(r => r.inline.isDefined &&
+        r.start.values(0).asInstanceOf[Long] >= 200000L)
+      assert(got.length == writers * writesPer,
+        s"${got.length} of ${writers * writesPer} writes survived")
+      // and a final settled gc leaves every referenced chunk readable
+      new graft.api.Repo(root, spark).gc(timeoutMs = 600000L)
+      graft.api.Collection.clearManifestCache()
+      ManifestCodec.clearChunkCache()
+      assert(new graft.api.Repo(root, spark).collection("cc").get
+        .manifest().get.rows == m.rows)
+    }
+  }
+
   test("pull copies chunk objects with the revision files") {
     withChunkProp(64) {
       val spark = TestSpark.spark
