@@ -376,6 +376,44 @@ class ManifestCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("squash on an un-healed fork keeps the sibling branch (deterministic)") {
+    // the race spec's data-loss shape, pinned without timing: squash
+    // must collapse ONLY the winning leaf's ancestry — the sibling
+    // branch's revisions (and data) survive and merge() heals them
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqfork").toString
+    val repo = new graft.api.Repo(root, spark)
+    val c = repo.createCollection(schema, "cc")
+    import spark.implicits._
+    c.series("s").write(Seq((1L, 1.0), (2L, 2.0)).toDF("ts", "v"))
+    val base = c.changelog.leaf().get
+    // two commits forking off the same parent
+    val rA = SegmentMeta("s", IndexKey(Vector(10L)),
+      IndexKey(Vector(11L)), Closed.Both, 1L, Vector.empty,
+      inline = Some(Vector(Vector[Any](10L, 10.0))))
+    val rB = SegmentMeta("s", IndexKey(Vector(20L)),
+      IndexKey(Vector(21L)), Closed.Both, 1L, Vector.empty,
+      inline = Some(Vector(Vector[Any](20L, 20.0))))
+    val m0 = c.decodeCached(base)
+    c.commitManifest(Manifest.spliceWrite(m0, Seq(rA)), Seq(base.child))
+    c.commitManifest(Manifest.spliceWrite(m0, Seq(rB)), Seq(base.child))
+    c.refresh()
+    assert(c.changelog.leafs().length == 2)
+    c.squash() // winning leaf (last-leaf-wins) squashes; sibling stays
+    c.refresh()
+    assert(c.changelog.leafs().length == 2,
+      "the sibling branch must survive a forked squash")
+    c.merge()
+    c.refresh()
+    val m = new graft.api.Repo(root, spark).collection("cc").get
+      .manifest().get
+    assert(m.rows.contains(rA) && m.rows.contains(rB),
+      "both branches' rows must survive squash + heal")
+    assert(new graft.api.Repo(root, spark).collection("cc").get
+      .series("s").frame().count() == 4)
+  }
+
   test("racing writers + gc + squash on a CHUNKED manifest lose nothing") {
     withChunkProp(64) {
       val spark = TestSpark.spark
