@@ -165,11 +165,14 @@ class Collection(val repo: Repo, val label: String, val path: String,
         case e: java.io.FileNotFoundException =>
           attempt += 1
           if (attempt > 3) throw e
-          repo.store.ls(s"$path/chunks").find(_.startsWith(s"$sha.t"))
-            .foreach { b =>
-              try repo.store.mv(s"$path/chunks/$b", rel)
-              catch { case _: java.io.FileNotFoundException => () }
-            }
+          val buriedCopy = repo.store.ls(s"$path/chunks")
+            .find(_.startsWith(s"$sha.t"))
+          buriedCopy.foreach(b =>
+            repo.store.mvQuiet(s"$path/chunks/$b", rel))
+          // genuinely absent (no buried form on a SECOND look, so not
+          // a mid-flight resurrect either): fail now instead of
+          // burning the remaining read+list attempts
+          if (buriedCopy.isEmpty && attempt >= 2) throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -240,6 +243,18 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private[graft] def prunedSegments(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long] = None): Seq[SegmentRead] =
+    try prunedSegments0(label, start, stop, closed, beforeMs)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // racing squash/trim deleted the revision mid-read (see
+        // [[manifest]]) — re-list and retry once
+        changelog.refresh()
+        prunedSegments0(label, start, stop, closed, beforeMs)
+    }
+
+  private def prunedSegments0(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long]): Seq[SegmentRead] =
     changelog.leaf(beforeMs) match {
       case None => Seq.empty
       case Some(rev) =>
@@ -262,7 +277,16 @@ class Collection(val repo: Repo, val label: String, val path: String,
     }
 
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
-    changelog.leaf(beforeMs).map(decodeCached)
+    try changelog.leaf(beforeMs).map(decodeCached)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // a racing squash/trim rewrote history and deleted the
+        // revision under us — the data lives in the new root;
+        // re-list the leaf and retry once (a second miss is a real
+        // store fault and propagates)
+        changelog.refresh()
+        changelog.leaf(beforeMs).map(decodeCached)
+    }
 
   /** Series labels present at the current leaf. */
   def ls(beforeMs: Option[Long] = None): Seq[String] =
@@ -390,16 +414,34 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * fork. On a linear history (the common case) ancestors == the
     * whole log and behavior is unchanged. */
   def squash(): Unit = {
-    manifest() match {
-      case None => ()
-      case Some(m) =>
-        val history = changelog.log()
+    // heal any fork FIRST: the squash root's Phi parent sorts before
+    // a surviving sibling's implicit root in the changelog DFS, so
+    // squashing the winner of a live fork would flip every read to
+    // the STALE branch until someone merged — merging first keeps
+    // last-leaf-wins intact and folds the sibling's data into the
+    // squashed state (bounded loop; a racing writer can at worst
+    // leave one fresh fork, which stays a normal fork)
+    var heals = 0
+    while (changelog.leafs().length > 1 && heals < 8) {
+      merge(); refresh(); heals += 1
+    }
+    // ONE history snapshot drives everything below: the manifest
+    // committed and the ancestor closure deleted must come from the
+    // SAME leaf (a concurrent commit through this handle refreshes
+    // the shared log cache between calls — seeding the closure from
+    // a re-read history.last would delete the newer leaf's revision
+    // while committing the older manifest)
+    val history = changelog.log()
+    if (history.isEmpty) return
+    val leafRev = history.last
+    locally {
+        val m = decodeCached(leafRev)
         // ancestor closure of the squashed leaf, following EVERY
         // parent edge (a merge node has one edge per parent, all
         // sharing one child id)
         val edgesByChild = history.groupBy(_.child)
         val anc = scala.collection.mutable.Set.empty[String]
-        var frontier = List(history.last.child)
+        var frontier = List(leafRev.child)
         while (frontier.nonEmpty) {
           val id = frontier.head; frontier = frontier.tail
           if (anc.add(id))

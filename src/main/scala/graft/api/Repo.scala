@@ -465,16 +465,10 @@ class Repo(val rootUri: String, val spark: SparkSession,
         // never be treated as an expired buried chunk and deleted:
         // its rename would fail and the committed root would
         // reference a chunk that no longer exists anywhere.
-        // every mv races readers' self-resurrects and sibling gc
-        // passes; a vanished source throws FNF — the other mover won,
-        // nothing to do
-        def mvQuiet(from: String, to: String): Unit =
-          try store.mv(from, to)
-          catch { case _: java.io.FileNotFoundException => () }
         if (isSha(plain)) {
           if (ti < 0) {
             if (!refd.contains(f)) {
-              mvQuiet(rel, s"$rel.t${Hash.hextime(now)}")
+              store.mvQuiet(rel, s"$rel.t${Hash.hextime(now)}")
               buried.incrementAndGet()
               ()
             }
@@ -482,7 +476,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
             val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
               catch { case _: NumberFormatException => 0L }
             if (refd.contains(plain))
-              mvQuiet(rel, s"${c.path}/chunks/$plain")
+              store.mvQuiet(rel, s"${c.path}/chunks/$plain")
             else if (now - ts > timeoutMs) store.rm(rel)
           }
         }
@@ -502,7 +496,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     store.walk("seg").toList.asJava.parallelStream().forEach { f =>
       if (f.endsWith(".parquet")) {
         if (!live.contains(f)) {
-          store.mv(f, s"$f.t${Hash.hextime(now)}")
+          store.mvQuiet(f, s"$f.t${Hash.hextime(now)}")
           buried.incrementAndGet()
           ()
         }
@@ -510,7 +504,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
         val plain = f.substring(0, f.indexOf(".parquet.t") + 8)
         val ts = java.lang.Long.parseLong(
           f.drop(f.indexOf(".parquet.t") + 10), 16)
-        if (live.contains(plain)) store.mv(f, plain) // resurrect
+        if (live.contains(plain)) store.mvQuiet(f, plain) // resurrect
         else if (now - ts > timeoutMs) store.rm(f)
       }
     }

@@ -894,7 +894,7 @@ class Series(val collection: Collection, val label: String) {
           val slash = f.lastIndexOf('/')
           val (dir, name) = (f.take(slash), f.drop(slash + 1))
           store.ls(dir).find(_.startsWith(name + ".t")).foreach { b =>
-            store.mv(s"$dir/$b", f)
+            store.mvQuiet(s"$dir/$b", f) // racer may have resurrected
           }
         }
         spark.read.schema(readSchemaStruct)

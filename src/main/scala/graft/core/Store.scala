@@ -14,6 +14,14 @@ import java.io.FileNotFoundException
 trait Store extends Serializable {
   /** names of direct children of `dir` (not full paths) */
   def ls(dir: String): Seq[String]
+  /** mv that tolerates losing a rename race: bury/resurrect moves are
+    * contended by concurrent readers' self-heals and sibling gc
+    * passes, and Hadoop's rename throws FileNotFound on a source the
+    * other mover already took — which just means there is nothing
+    * left to do. */
+  def mvQuiet(from: String, to: String): Unit =
+    try mv(from, to)
+    catch { case _: java.io.FileNotFoundException => () }
   def read(path: String): Array[Byte]
   /** create-if-absent; returns false (skips) if the path already
     * exists — content-addressed names make collisions identical. */

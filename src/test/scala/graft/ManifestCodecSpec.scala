@@ -376,10 +376,11 @@ class ManifestCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("squash on an un-healed fork keeps the sibling branch (deterministic)") {
+  test("squash on an un-healed fork heals it and keeps both branches' data") {
     // the race spec's data-loss shape, pinned without timing: squash
-    // must collapse ONLY the winning leaf's ancestry — the sibling
-    // branch's revisions (and data) survive and merge() heals them
+    // merges an open fork before collapsing, so both branches' rows
+    // land in the squash root (and a fork created mid-squash would
+    // survive as an ordinary fork via the ancestor-closure delete)
     val spark = TestSpark.spark
     val root = java.nio.file.Files
       .createTempDirectory("graft-sqfork").toString
@@ -400,16 +401,17 @@ class ManifestCodecSpec extends AnyFunSuite {
     c.commitManifest(Manifest.spliceWrite(m0, Seq(rB)), Seq(base.child))
     c.refresh()
     assert(c.changelog.leafs().length == 2)
-    c.squash() // winning leaf (last-leaf-wins) squashes; sibling stays
+    // squash heals the fork FIRST (merge), then collapses: both
+    // branches' rows land in the single squash root — last-leaf-wins
+    // reads stay correct and nothing is destroyed
+    c.squash()
     c.refresh()
-    assert(c.changelog.leafs().length == 2,
-      "the sibling branch must survive a forked squash")
-    c.merge()
-    c.refresh()
+    assert(c.changelog.leafs().length == 1,
+      "squash must heal the fork into one root")
     val m = new graft.api.Repo(root, spark).collection("cc").get
       .manifest().get
     assert(m.rows.contains(rA) && m.rows.contains(rB),
-      "both branches' rows must survive squash + heal")
+      "both branches' rows must survive a forked squash")
     assert(new graft.api.Repo(root, spark).collection("cc").get
       .series("s").frame().count() == 4)
   }
@@ -472,7 +474,8 @@ class ManifestCodecSpec extends AnyFunSuite {
           finally latch.countDown()
         }})
       }
-      latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "writers timed out")
       stop.set(true)
       pool.shutdown()
       pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
