@@ -187,7 +187,36 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * manifest re-encodes O(touched) rows, not O(manifest). */
   private[graft] def commitManifest(m: Manifest,
       parents: Seq[String]): Seq[graft.core.Revision] = {
-    val enc = ManifestCodec.encode(m)
+    var enc = ManifestCodec.encode(m)
+    // Reused-by-reference chunks must still EXIST: a handle held past
+    // the gc timeout (default 10 min) can carry a layout whose chunks
+    // two gc passes have since expired-deleted (the revisions
+    // referencing them were retired by squash/trim meanwhile), and
+    // committing a root over absent chunks bricks the whole branch —
+    // worse than the pre-existing stale-SEGMENT window, which loses
+    // one segment. One chunks-dir listing covers every reused sha
+    // (plain or gc-buried form — buried is resurrectable, see
+    // [[readChunk]]); any truly absent ref forces a full re-encode.
+    if (enc.refs != null) {
+      val freshShas = enc.fresh.iterator.map(_._1).toSet
+      val reused = enc.refs.iterator.map(_._1)
+        .filterNot(freshShas).toSet
+      if (reused.nonEmpty) {
+        val present = scala.collection.mutable.HashSet.empty[String]
+        repo.store.ls(s"$path/chunks").foreach { f =>
+          val ti = f.indexOf(".t")
+          present += (if (ti < 0) f else f.take(ti))
+        }
+        if (!reused.forall(present)) {
+          // rare recovery event worth surfacing: it means a layout
+          // outlived the gc timeout (operational contract violation)
+          System.err.println("[graft] commitManifest: " +
+            s"${reused.count(!present(_))} reused chunk refs missing " +
+            "from the store; falling back to a full re-encode")
+          enc = ManifestCodec.encodeFull(m)
+        }
+      }
+    }
     enc.fresh.foreach { case (sha, bytes) =>
       repo.store.write(s"$path/chunks/$sha", bytes)
     }
@@ -203,9 +232,7 @@ class Collection(val repo: Repo, val label: String, val path: String,
     if (enc.refs != null && m.chunkRefs != null &&
         !(m.incPrefix == Int.MaxValue && m.incSuffix == Int.MaxValue &&
           enc.refs == m.chunkRefs)) {
-      m.chunkRefs = enc.refs
-      m.incPrefix = Int.MaxValue
-      m.incSuffix = Int.MaxValue
+      m.stampLayout(enc.refs, Int.MaxValue, Int.MaxValue)
     }
     changelog.commit(enc.root, parents)
   }
@@ -221,8 +248,13 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private[graft] def uniqueChunkFiles(
       roots: Seq[ManifestCodec.Root]): Set[String] = {
     import scala.jdk.CollectionConverters._
+    // dedup key is (sha, schema) like the chunk cache's: identical
+    // chunk bytes can be referenced by roots with different embedded
+    // schemas (post-ALTER histories), and although file extraction is
+    // dtype-independent TODAY, a sha-only dedup would silently
+    // mis-parse if rowFromParsed ever grows a dtype-sensitive field
     val uniq = roots.flatMap(r =>
-      r.chunks.map(ch => ch.sha -> ((r.schema, ch)))).toMap
+      r.chunks.map(ch => (ch.sha, r.schema) -> ((r.schema, ch)))).toMap
     val out = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     uniq.values.toList.asJava.parallelStream().forEach { sc =>
       ManifestCodec.chunkRows(sc._1, sc._2, readChunk)
@@ -433,7 +465,12 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // while committing the older manifest)
     val history = changelog.log()
     if (history.isEmpty) return
-    val leafRev = history.last
+    // the WINNING leaf from this same snapshot — not history.last,
+    // which can be a second-parent-edge revisit of an interior merge
+    // node (see Changelog.leaf); squashing that would collapse to a
+    // stale snapshot
+    val leafRev = history.reverseIterator.find(_.isLeaf)
+      .getOrElse(history.last)
     locally {
         val m = decodeCached(leafRev)
         // ancestor closure of the squashed leaf, following EVERY
@@ -489,9 +526,15 @@ class Collection(val repo: Repo, val label: String, val path: String,
   def restore(version: String): graft.core.Revision = {
     val log = changelog.log()
     val rev = scala.util.Try(version.toLong).toOption match {
-      case Some(ms) => log.filter(_.epochMs <= ms).lastOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft restore: no revision at or before epoch ms $ms"))
+      case Some(ms) =>
+        // view-relative leaf, like Changelog.leaf(beforeMs): the last
+        // DFS edge can be a revisit of an interior merge node
+        val l = log.filter(_.epochMs <= ms)
+        val parents = l.iterator.map(_.parent).toSet
+        l.reverseIterator.find(r => !parents.contains(r.child))
+          .orElse(l.lastOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft restore: no revision at or before epoch ms $ms"))
       case None =>
         val hits = log.filter(r =>
           r.child == version || r.child.startsWith(version) ||
@@ -809,6 +852,10 @@ object Collection {
       val prev = manifestCache.get(revId)
       if (prev != null) prev
       else {
+        // frozen from here on: other handles may now read the layout
+        // fields without synchronization ([[Manifest.stampLayout]]'s
+        // debug guard enforces no further stamps land on this object)
+        m.cacheShared = true
         manifestCache.put(revId, m)
         cachedRows += m.size
         val it = manifestCache.entrySet().iterator()

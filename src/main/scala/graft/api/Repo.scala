@@ -62,7 +62,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val leaves = registry.leafs()
     if (leaves.length > 1) {
       val merged = leaves.sortBy(_.child)
-        .map(r => decodeReg(registry.payload(r)))
+        .map(r => decodeReg(registry.payload(r))._1)
         .reduce(_ ++ _)
       writeRegWithParents(merged, leaves.map(_.child))
       merged
@@ -70,16 +70,27 @@ class Repo(val rootUri: String, val spark: SparkSession,
       val hit = Repo.regDecodeCache.get(rootUri)
       if (hit != null && hit._1 == r.child) hit._2
       else {
-        val m = decodeReg(registry.payload(r))
-        Repo.regDecodeCache.put(rootUri, (r.child, m)) // LRU-bounded
+        val (m, refs) = decodeReg(registry.payload(r))
+        Repo.regDecodeCache.put(rootUri, (r.child, m, refs)) // LRU-bounded
         m
       }
     }.getOrElse(Map.empty)
   }
 
-  private def decodeReg(payload: Array[Byte]): Map[String, RegEntry] = {
-        val m = Json.parse(new String(payload, "UTF-8"))
-          .asInstanceOf[Map[String, Any]]
+  /** Decode a registry payload of either format: plain v1 single-doc
+    * or chunked v2 ([[RegistryCodec]] — chunks live under
+    * `registry/chunks/<sha>`, assembled through the JVM-wide chunk
+    * cache). Returns the chunk layout too (null for v1) so the next
+    * DDL commit can re-encode O(touched). */
+  private def decodeReg(payload: Array[Byte])
+      : (Map[String, RegEntry], Vector[RegistryCodec.ChunkRef]) =
+    if (RegistryCodec.isChunked(payload))
+      RegistryCodec.decode(payload, readRegChunk, parseRegEntries)
+    else (parseRegEntries(Json.parse(new String(payload, "UTF-8"))
+      .asInstanceOf[Map[String, Any]]), null)
+
+  private def parseRegEntries(m: Map[String, Any])
+      : Map[String, RegEntry] =
         m.map { case (label0, v) =>
           val vm = v.asInstanceOf[Map[String, Any]]
           val schema = GSchema.fromJson(vm("schema").asInstanceOf[String])
@@ -99,26 +110,94 @@ class Repo(val rootUri: String, val spark: SparkSession,
           mkKey(ns, lbl) -> RegEntry(vm("path").asInstanceOf[String],
             schema, colMap, defaults, pageLen, bss)
         }
+
+  /** Registry chunk read with the gc-buried resurrect fallback,
+    * mirroring [[Collection.readChunk]] (same two-phase contract). */
+  private[api] def readRegChunk(sha: String): Array[Byte] = {
+    val rel = s"registry/chunks/$sha"
+    var attempt = 0
+    while (true) {
+      try return store.read(rel)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 3) throw e
+          val buriedCopy = store.ls("registry/chunks")
+            .find(_.startsWith(s"$sha.t"))
+          buriedCopy.foreach(b =>
+            store.mvQuiet(s"registry/chunks/$b", rel))
+          if (buriedCopy.isEmpty && attempt >= 2) throw e
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def writeReg(state: Map[String, RegEntry]): Unit =
     writeRegWithParents(state,
       Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi)))
 
-  private def writeRegWithParents(state: Map[String, RegEntry],
+  private[graft] def writeRegWithParents(state: Map[String, RegEntry],
       parents: Seq[String]): Unit = {
-    val body = state.toSeq.sortBy(_._1).map { case (l, e) =>
-      val cm = e.colMap.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
-      val dm = e.defaults.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"${Json.str(k)}:${Json.scalar(v)}" }.mkString("{", ",", "}")
-      val pl = e.pageLen.map(n => s""","page_len":$n""").getOrElse("")
-      val enc = if (e.bss) s""","enc":"bss"""" else ""
-      s"${Json.str(l)}:{" +
-        s""""path":${Json.str(e.path)},"schema":${Json.str(
-          e.schema.serialize)},"colmap":$cm,"defaults":$dm$pl$enc}"""
-    }.mkString("{", ",", "}")
-    registry.commit(body.getBytes("UTF-8"), parents)
+    val sorted = state.toVector.sortBy(_._1)
+    val keys: IndexedSeq[String] = sorted.map(_._1)
+    // lazy per-entry serialization: only the entries landing in a
+    // FRESH chunk are ever rendered — a 1-key DDL at 1e5 collections
+    // serializes one chunk's worth, not the whole document
+    val valueJson: Int => String = i => Repo.entryJson(sorted(i)._2)
+    // incremental layout: when the single parent is the cached leaf,
+    // reuse its chunk refs and re-serialize only the chunks the
+    // changed keys touch — a 1-collection DDL against a 1e5-entry
+    // registry re-encodes O(touched), not the whole document
+    var prevRefs: Vector[RegistryCodec.ChunkRef] = null
+    var changed: Set[String] = null
+    if (parents.length == 1 && parents.head != Changelog.Phi) {
+      val hit = Repo.regDecodeCache.get(rootUri)
+      if (hit != null && hit._1 == parents.head && hit._3 != null) {
+        prevRefs = hit._3
+        val prev = hit._2
+        changed = (prev.keySet ++ state.keySet)
+          .filter(k => prev.get(k) != state.get(k))
+      }
+    }
+    val enc = RegistryCodec.encode(keys, valueJson, prevRefs, changed)
+    if (enc.refs != null) {
+      // reused refs must still EXIST (same hazard as
+      // Collection.commitManifest: a layout held past the gc timeout
+      // can reference expired-deleted chunks; a root over absent
+      // chunks bricks the registry — the WHOLE repo)
+      val freshShas = enc.fresh.iterator.map(_._1).toSet
+      val reused = enc.refs.iterator.map(_.sha)
+        .filterNot(freshShas).toSet
+      if (reused.nonEmpty) {
+        val present = scala.collection.mutable.HashSet.empty[String]
+        store.ls("registry/chunks").foreach { f =>
+          val ti = f.indexOf(".t")
+          present += (if (ti < 0) f else f.take(ti))
+        }
+        if (!reused.forall(present)) {
+          System.err.println("[graft] registry commit: " +
+            s"${reused.count(!present(_))} reused chunk refs missing " +
+            "from the store; falling back to a full re-encode")
+          return commitReg(
+            RegistryCodec.encode(keys, valueJson, null, null),
+            state, parents)
+        }
+      }
+    }
+    commitReg(enc, state, parents)
+  }
+
+  private def commitReg(enc: RegistryCodec.Encoded,
+      state: Map[String, RegEntry], parents: Seq[String]): Unit = {
+    enc.fresh.foreach { case (sha, bytes) =>
+      store.write(s"registry/chunks/$sha", bytes)
+    }
+    val revs = registry.commit(enc.root, parents)
+    // seed the decode cache with the state we just committed: the
+    // next regState() on this leaf decodes nothing (and carries the
+    // refs for the next DDL's incremental encode)
+    revs.headOption.foreach(r =>
+      Repo.regDecodeCache.put(rootUri, (r.child, state, enc.refs)))
     ()
   }
 
@@ -417,6 +496,51 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * buried files older than `timeoutMs` are removed; referenced
     * buried files are resurrected.
     */
+  /** Two-phase sweep of one content-addressed chunk directory
+    * (collection manifests and the registry share the contract):
+    * unreferenced plain chunks are buried under a hextime suffix,
+    * referenced buried chunks resurrect, aged buried chunks are
+    * reaped. ONLY `<40-hex>[.t<hex>]` names are touched — a
+    * concurrent writer's in-flight `.tmp-<uuid>` staging file
+    * (HadoopStore.write stages in the target dir) must never be
+    * treated as an expired buried chunk and deleted: its rename would
+    * fail and the committed root would reference a chunk that no
+    * longer exists anywhere. */
+  private def sweepChunkDir(dir: String, refd: Set[String], now: Long,
+      timeoutMs: Long,
+      buried: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    def isSha(n: String): Boolean = n.length == 40 &&
+      n.forall(ch => (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f'))
+    store.ls(dir).foreach { f =>
+      val rel = s"$dir/$f"
+      val ti = f.indexOf(".t")
+      val plain = if (ti < 0) f else f.take(ti)
+      if (isSha(plain)) {
+        if (ti < 0) {
+          if (!refd.contains(f)) {
+            store.mvQuiet(rel, s"$rel.t${Hash.hextime(now)}")
+            buried.incrementAndGet()
+            ()
+          }
+        } else {
+          val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
+            catch { case _: NumberFormatException => 0L }
+          if (refd.contains(plain)) {
+            if (store.exists(s"$dir/$plain")) {
+              // bury raced a re-mint: the plain copy is live, so the
+              // rename target exists and mvQuiet would no-op forever,
+              // leaving this duplicate retried every gc pass. Content
+              // addressing makes the copies identical — drop the
+              // buried one once it ages out (not immediately: a
+              // mid-flight resurrector may still be reading it).
+              if (now - ts > timeoutMs) store.rm(rel)
+            } else store.mvQuiet(rel, s"$dir/$plain")
+          } else if (now - ts > timeoutMs) store.rm(rel)
+        }
+      }
+    }
+  }
+
   def gc(timeoutMs: Long = 600000L): Int = {
     // live set spans EVERY namespace — an archived collection's
     // segments are as reachable as a live one's (reference gc walks
@@ -452,35 +576,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
       // become unreferenced; a writer that crashed between chunk
       // writes and its root commit leaves orphans. Referenced =
       // listed in ANY surviving revision's root (root parse only).
-      val refd = rootList.flatMap(_.chunks.map(_.sha)).toSet
-      def isSha(n: String): Boolean = n.length == 40 &&
-        n.forall(ch => (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f'))
-      store.ls(s"${c.path}/chunks").foreach { f =>
-        val rel = s"${c.path}/chunks/$f"
-        val ti = f.indexOf(".t")
-        val plain = if (ti < 0) f else f.take(ti)
-        // ONLY our own names — a plain content-address or its buried
-        // form. A concurrent writer's in-flight `.tmp-<uuid>` staging
-        // file (HadoopStore.write stages in the target dir) must
-        // never be treated as an expired buried chunk and deleted:
-        // its rename would fail and the committed root would
-        // reference a chunk that no longer exists anywhere.
-        if (isSha(plain)) {
-          if (ti < 0) {
-            if (!refd.contains(f)) {
-              store.mvQuiet(rel, s"$rel.t${Hash.hextime(now)}")
-              buried.incrementAndGet()
-              ()
-            }
-          } else {
-            val ts = try java.lang.Long.parseLong(f.drop(ti + 2), 16)
-              catch { case _: NumberFormatException => 0L }
-            if (refd.contains(plain))
-              store.mvQuiet(rel, s"${c.path}/chunks/$plain")
-            else if (now - ts > timeoutMs) store.rm(rel)
-          }
-        }
-      }
+      sweepChunkDir(s"${c.path}/chunks",
+        rootList.flatMap(_.chunks.map(_.sha)).toSet,
+        now, timeoutMs, buried)
       // Chunked roots contribute files now — every referenced chunk
       // is present after the resurrect pass above ([[Collection
       // .uniqueChunkFiles]]: one parallel walk per unique chunk).
@@ -488,6 +586,15 @@ class Repo(val rootUri: String, val spark: SparkSession,
       plainFiles.forEach(f => liveB += f)
     }
     val live: Set[String] = liveB.result()
+
+    // REGISTRY chunk objects: same contract. Referenced = listed in
+    // any surviving registry revision's root.
+    sweepChunkDir("registry/chunks",
+      registry.log().flatMap { r =>
+        val b = registry.payload(r)
+        if (RegistryCodec.isChunked(b)) RegistryCodec.chunkShas(b)
+        else Nil
+      }.toSet, now, timeoutMs, buried)
 
     // each segment's bury/resurrect decision is independent — fan the
     // per-file store ops out on a parallel stream (like digests()): at
@@ -555,14 +662,33 @@ object Repo {
     * repo churning the bound, and the bound holds under concurrent
     * repos (all access goes through the map's own lock). */
   private[api] val regDecodeCache: java.util.Map[
-      String, (String, Map[String, RegEntry])] =
+      String, (String, Map[String, RegEntry], Vector[RegistryCodec.ChunkRef])] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[
-          String, (String, Map[String, RegEntry])](64, 0.75f, true) {
+          String, (String, Map[String, RegEntry],
+            Vector[RegistryCodec.ChunkRef])](64, 0.75f, true) {
         override def removeEldestEntry(e: java.util.Map.Entry[
-            String, (String, Map[String, RegEntry])]): Boolean =
+            String, (String, Map[String, RegEntry],
+              Vector[RegistryCodec.ChunkRef])]): Boolean =
           size() > 256
       })
+
+  /** Test hook: drop cached registry decodes (cold-read specs). */
+  private[graft] def clearRegDecodeCache(): Unit = regDecodeCache.clear()
+
+  /** Canonical JSON of ONE registry entry's value — the unit both the
+    * plain v1 document and [[RegistryCodec]]'s chunks are built from,
+    * so the two encodings agree byte-for-byte per entry. */
+  private[api] def entryJson(e: RegEntry): String = {
+    val cm = e.colMap.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${Json.str(k)}:${Json.str(v)}" }.mkString("{", ",", "}")
+    val dm = e.defaults.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${Json.str(k)}:${Json.scalar(v)}" }.mkString("{", ",", "}")
+    val pl = e.pageLen.map(n => s""","page_len":$n""").getOrElse("")
+    val enc = if (e.bss) s""","enc":"bss"""" else ""
+    s"""{"path":${Json.str(e.path)},"schema":${Json.str(
+      e.schema.serialize)},"colmap":$cm,"defaults":$dm$pl$enc}"""
+  }
 
   /** `http(s)://` roots open as HTTP-POD clients (a repo served by
     * [[graft.core.StoreServer]]); `memory://` roots run fully

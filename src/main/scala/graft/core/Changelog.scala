@@ -38,18 +38,29 @@ final class Changelog(val store: Store, val dir: String) {
     // (merge) is ONE node in the revision tree, so the DFS sees a
     // single leaf afterwards
     val child = s"${Hash.hextime()}-$key"
-    val revs = effParents.flatMap { parent =>
-      val parentKey = parent.split("-", 2) match {
+    def parentKey(parent: String): String =
+      parent.split("-", 2) match {
         case Array(_, k) => k
         case _           => ""
       }
-      if (parent != Phi && parentKey == key) None // double write
-      else {
+    // The double-write skip applies ONLY to single-parent commits — a
+    // true re-commit of the parent's own content (Series.write no-ops,
+    // restore's no-op digest compare). A MULTI-parent commit is a JOIN
+    // node: its purpose is collapsing leaves into one, and it must be
+    // written even when the merged content equals a parent's payload.
+    // The old per-EDGE skip dead-locked healing: two leaves carrying
+    // identical digests (racing merges converge to the same union)
+    // skipped every edge, so merge() could never reduce them and the
+    // fork lived forever (found by the chunked-manifest race spec).
+    val parents2 = effParents.distinct
+    val revs =
+      if (parents2.length == 1 && parents2.head != Phi &&
+          parentKey(parents2.head) == key) Nil // double write
+      else parents2.map { parent =>
         val rev = Revision(parent, child)
         store.write(s"$dir/${rev.path}", payload)
-        Some(rev)
+        rev
       }
-    }
     refresh()
     revs
   }
@@ -118,8 +129,29 @@ final class Changelog(val store: Store, val dir: String) {
     out.result()
   }
 
+  /** The winning revision: the LAST DFS-yielded edge whose node is a
+    * leaf within the queried view. NOT plain `lastOption`: a merge
+    * node has one edge per parent, and the DFS yields the second
+    * parent's edge as a REVISIT without descending (its children
+    * already ran) — so the last yielded edge overall can be a revisit
+    * of an INTERIOR node, whose payload is a stale snapshot. Reading
+    * that lost every row the real leaf had merged on top (the chunked
+    * race spec caught it as writers' last commits "vanishing").
+    * For time travel the leaf-ness test is view-relative: a node
+    * whose only children are past the cut IS the leaf of that era. */
   def leaf(beforeMs: Option[Long] = None): Option[Revision] =
-    log(beforeMs).lastOption
+    beforeMs match {
+      case None =>
+        val l = log(None)
+        // isLeaf is graph-global (computed by the DFS); the scan from
+        // the tail crosses only trailing revisit edges — O(#trailing)
+        l.reverseIterator.find(_.isLeaf).orElse(l.lastOption)
+      case some =>
+        val l = log(some)
+        val parents = l.iterator.map(_.parent).toSet
+        l.reverseIterator.find(r => !parents.contains(r.child))
+          .orElse(l.lastOption)
+    }
 
   /** distinct leaf nodes (a multi-parent merge writes one edge file
     * per parent, all sharing one child id — that's ONE leaf) */

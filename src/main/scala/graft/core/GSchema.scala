@@ -193,7 +193,22 @@ object GSchema {
     s"""{"kind":${if (s.kv) "\"kv\"" else "null"},"columns":$cols}"""
   }
 
+  // Registry decode calls fromJson once per ENTRY and a 1e5-
+  // collection repo holds ~a handful of distinct schema strings —
+  // memoize the parse (schemas are immutable values). Entry-count
+  // LRU; a schema string is ~100 B so the bound is a few MB worst
+  // case.
+  private val parseCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, GSchema](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, GSchema]): Boolean =
+          size() > 4096
+      })
+
   def fromJson(j: String): GSchema = {
+    val hit = parseCache.get(j)
+    if (hit != null) return hit
     val m = Json.parse(j).asInstanceOf[Map[String, Any]]
     val kv = m.get("kind").contains("kv")
     val cols = m("columns").asInstanceOf[List[Any]].map { o =>
@@ -202,6 +217,8 @@ object GSchema {
         GType.parse(cm("dt").asInstanceOf[String]),
         cm("idx").asInstanceOf[Boolean])
     }
-    GSchema(cols, kv)
+    val s = GSchema(cols, kv)
+    parseCache.put(j, s)
+    s
   }
 }

@@ -84,15 +84,40 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
     * decode). Only meaningful when `chunkRefs != null`. */
   @transient private[graft] var incPrefix: Int = Int.MaxValue
   @transient private[graft] var incSuffix: Int = Int.MaxValue
+  /** Confinement guards for the layout fields above, enforced under
+    * `-Dgraft.debug` (the contract otherwise lives only in prose, and
+    * a future edit could silently publish unsynchronized writes onto
+    * a shared object): the decoding/constructing thread owns the
+    * fields; once the object enters the JVM-wide manifest cache
+    * ([[graft.api.Collection.decodeManifestCached]] flips
+    * `cacheShared`) they are frozen. */
+  @transient private[graft] val ownerThread: Long =
+    Thread.currentThread().getId
+  @transient @volatile private[graft] var cacheShared: Boolean = false
+
+  /** Sole mutation door for the layout fields — asserts the
+    * confinement contract when `-Dgraft.debug` is set, is a plain
+    * triple store otherwise. */
+  private[graft] def stampLayout(refs: Vector[(String, Int)],
+      prefix: Int, suffix: Int): Unit = {
+    if (Manifest.debugGuard) {
+      if (cacheShared) throw new IllegalStateException(
+        "graft.debug: layout stamp on a JVM-cache-shared manifest")
+      if (Thread.currentThread().getId != ownerThread)
+        throw new IllegalStateException(
+          "graft.debug: layout stamp from non-owner thread")
+    }
+    chunkRefs = refs
+    incPrefix = prefix
+    incSuffix = suffix
+  }
 
   /** propagate the chunk layout to a derived manifest whose rows are
     * unchanged outside [prefix, n-suffix) of THIS manifest's rows */
   private[core] def withInc(res: Manifest, prefix: Int, suffix: Int): Manifest = {
-    if (chunkRefs != null) {
-      res.chunkRefs = chunkRefs
-      res.incPrefix = math.min(incPrefix, prefix)
-      res.incSuffix = math.min(incSuffix, suffix)
-    }
+    if (chunkRefs != null)
+      res.stampLayout(chunkRefs,
+        math.min(incPrefix, prefix), math.min(incSuffix, suffix))
     res
   }
 
@@ -515,6 +540,11 @@ final case class Manifest(schema: GSchema, rows: Vector[SegmentMeta]) {
 }
 
 object Manifest {
+  /** `-Dgraft.debug` — read per stamp (rare: one per commit/decode)
+    * so specs can toggle it without class-load ordering games */
+  private[graft] def debugGuard: Boolean =
+    java.lang.Boolean.getBoolean("graft.debug")
+
   def empty(schema: GSchema): Manifest = Manifest(schema, Vector.empty)
 
   /** canonical JSON of ONE manifest row — the unit both the plain

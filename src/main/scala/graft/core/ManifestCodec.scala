@@ -86,6 +86,18 @@ object ManifestCodec {
 
   def encode(m: Manifest): Encoded = encode(m, targetRows)
 
+  /** Full re-encode IGNORING any incremental layout: every chunk is
+    * serialized fresh. The fallback when [[graft.api.Collection
+    * .commitManifest]] finds a reused chunk ref missing from the
+    * store — a handle held past the gc timeout can carry a layout
+    * whose chunks two gc passes have since expired-deleted, and
+    * committing those refs by reference would brick the new root. */
+  def encodeFull(m: Manifest): Encoded = {
+    val target = targetRows
+    if (m.rows.length < chunkMin(target)) Encoded(m.encode, Nil, null)
+    else assemble(m, m.rows, Vector.empty, 0, Vector.empty, 0, target)
+  }
+
   def encode(m: Manifest, target: Int): Encoded = {
     val rows = m.rows
     val n = rows.length
@@ -252,7 +264,8 @@ object ManifestCodec {
     rows.sizeHint(root.chunks.iterator.map(_.n).sum)
     root.chunks.foreach(c => rows ++= chunkRows(root.schema, c, fetch))
     val m = Manifest(root.schema, rows.result())
-    m.chunkRefs = root.chunks.map(c => (c.sha, c.n))
+    m.stampLayout(root.chunks.map(c => (c.sha, c.n)),
+      Int.MaxValue, Int.MaxValue)
     m
   }
 

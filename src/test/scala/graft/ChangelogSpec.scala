@@ -31,6 +31,54 @@ class ChangelogSpec extends AnyFunSuite {
     assert(log.log().length == 1)
   }
 
+  test("leaf() skips a trailing second-parent revisit of an " +
+      "interior merge node") {
+    val log = freshLog()
+    val a = log.commit("a".getBytes).head
+    Thread.sleep(2)
+    val b = log.commit("b".getBytes, parents = Seq(a.child)).head
+    Thread.sleep(2)
+    val c = log.commit("c".getBytes, parents = Seq(a.child)).head
+    Thread.sleep(2)
+    val m = log.commit("m".getBytes, parents = Seq(b.child, c.child)).head
+    Thread.sleep(2)
+    val d = log.commit("d".getBytes, parents = Seq(m.child)).head
+    log.refresh()
+    // the DFS descends b's branch through the merge node m down to d,
+    // then yields c's edge INTO m as a trailing revisit — so the last
+    // yielded edge is an interior node. Reading it as the leaf served
+    // a stale snapshot (the racing-writers spec saw healed commits
+    // "vanish"); the winning revision must be the graph leaf d.
+    assert(log.log().last.child == m.child,
+      "fixture must end on the revisit edge")
+    assert(log.leaf().get.child == d.child)
+    assert(new String(log.payload(log.leaf().get)) == "d")
+    // view-relative variant: a cut-off AFTER everything still finds d
+    assert(log.leaf(Some(d.epochMs + 10)).get.child == d.child)
+  }
+
+  test("a multi-parent commit joins twin leaves even when the " +
+      "payload matches both parents") {
+    val log = freshLog()
+    val base = log.commit("root".getBytes).head
+    Thread.sleep(2)
+    val a = log.commit("same".getBytes, parents = Seq(base.child)).head
+    Thread.sleep(2)
+    val b = log.commit("same".getBytes, parents = Seq(base.child)).head
+    log.refresh()
+    assert(log.leafs().length == 2)
+    // the healing merge commits the (identical) union content with
+    // both leaves as parents. The old per-EDGE double-write skip
+    // dropped every edge of this join, so two content-identical
+    // leaves could never be healed — merge() spun forever.
+    val revs = log.commit("same".getBytes,
+      parents = Seq(a.child, b.child))
+    assert(revs.length == 2, "join node must write both edges")
+    assert(revs.map(_.child).distinct.length == 1, "ONE node")
+    log.refresh()
+    assert(log.leafs().length == 1)
+  }
+
   test("concurrent writers create branches; leaf wins deterministically") {
     val log = freshLog()
     val base = log.commit("root".getBytes).head

@@ -418,6 +418,9 @@ class ManifestCodecSpec extends AnyFunSuite {
 
   test("racing writers + gc + squash on a CHUNKED manifest lose nothing") {
     withChunkProp(64) {
+     // GRAFT_RACE_ITERS>1: debug-only in-JVM repetition to corner
+     // timing-sensitive interleavings without JVM restart cost
+     (1 to sys.env.getOrElse("GRAFT_RACE_ITERS", "1").toInt).foreach { _ =>
       val spark = TestSpark.spark
       val root = java.nio.file.Files
         .createTempDirectory("graft-chunkrace").toString
@@ -451,6 +454,8 @@ class ManifestCodecSpec extends AnyFunSuite {
         }
       }})
       val latch = new java.util.concurrent.CountDownLatch(writers)
+      val committed = new java.util.concurrent.ConcurrentHashMap[
+        Long, Seq[Revision]]()
       (0 until writers).foreach { w =>
         pool.submit(new Runnable { def run(): Unit = {
           try {
@@ -465,9 +470,9 @@ class ManifestCodecSpec extends AnyFunSuite {
                 inline = Some(Vector(Vector[Any](lo, w.toDouble))))
               // a stale leaf just forks; merge heals it below
               val leaf = c.changelog.leaf().get
-              c.commitManifest(
+              committed.put(lo, c.commitManifest(
                 Manifest.spliceWrite(c.decodeCached(leaf), Seq(r)),
-                Seq(leaf.child))
+                Seq(leaf.child)))
               ()
             }
           } catch { case t: Throwable => errs.add(t); () }
@@ -480,18 +485,51 @@ class ManifestCodecSpec extends AnyFunSuite {
       pool.shutdown()
       pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
       assert(errs.isEmpty, s"race error: ${Option(errs.peek())}")
-      // heal whatever forks remain, then EVERY write must be present
+      // heal whatever forks remain, then EVERY write must be present.
+      // Up to writers*writesPer forks can be alive at stop-time (every
+      // commit that lost the leaf race forks); each merge() heals at
+      // least one pair, so the bound is the total commit count — the
+      // old guard of 20 flaked when the maintenance thread healed
+      // fewer forks mid-race than usual and >20 leaves remained.
       val h = new graft.api.Repo(root, spark).collection("cc").get
       var guard = 0
-      while (h.changelog.leafs().length > 1 && guard < 20) {
+      while (h.changelog.leafs().length > 1 && guard < 200) {
         h.merge(); h.refresh(); guard += 1
       }
+      assert(h.changelog.leafs().length == 1,
+        s"heal loop exhausted with ${h.changelog.leafs().length} leaves")
       graft.api.Collection.clearManifestCache()
       ManifestCodec.clearChunkCache()
       val m = new graft.api.Repo(root, spark).collection("cc").get
         .manifest().get
       val got = m.rows.filter(r => r.inline.isDefined &&
         r.start.values(0).asInstanceOf[Long] >= 200000L)
+      if (got.length != writers * writesPer) {
+        val gotLos = got.map(_.start.values(0).asInstanceOf[Long]).toSet
+        val missing = (0 until writers * writesPer)
+          .map(k => 200000L + k * 1000L).filterNot(gotLos)
+        missing.foreach { lo =>
+          val revs = committed.get(lo)
+          val info = if (revs == null) "COMMIT NEVER RECORDED"
+            else revs.map { r =>
+              val p = s"${h.changelog.dir}/${r.path}"
+              s"${r.path} exists=${new graft.api.Repo(root, spark)
+                .store.exists(p)}"
+            }.mkString("; ")
+          System.err.println(s"[diag] lost lo=$lo rev: $info")
+        }
+        val entries = h.changelog.entries()
+        System.err.println(s"[diag] ${entries.length} changelog entries")
+        // which surviving revisions still CONTAIN each missing row?
+        val hh = new graft.api.Repo(root, spark).collection("cc").get
+        hh.changelog.log().foreach { r =>
+          val rows = hh.decodeCached(r).rows
+            .filter(x => x.inline.isDefined &&
+              missing.contains(x.start.values(0).asInstanceOf[Long]))
+          if (rows.nonEmpty) System.err.println(
+            s"[diag] ${r.path} still holds ${rows.map(_.start)}")
+        }
+      }
       assert(got.length == writers * writesPer,
         s"${got.length} of ${writers * writesPer} writes survived")
       // and a final settled gc leaves every referenced chunk readable
@@ -500,6 +538,7 @@ class ManifestCodecSpec extends AnyFunSuite {
       ManifestCodec.clearChunkCache()
       assert(new graft.api.Repo(root, spark).collection("cc").get
         .manifest().get.rows == m.rows)
+     }
     }
   }
 
@@ -530,6 +569,105 @@ class ManifestCodecSpec extends AnyFunSuite {
       assert(got.manifest().get.size == 1000)
       // chunks landed under the DESTINATION collection's path
       assert(dstRepo.store.ls(s"${dst.path}/chunks").nonEmpty)
+    }
+  }
+
+  test("commit over expired-deleted reused chunks full-re-encodes " +
+      "instead of bricking the branch") {
+    withChunkProp(64) {
+      val spark = TestSpark.spark
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-staleref").toString
+      val repo = new graft.api.Repo(root, spark)
+      val c = repo.createCollection(schema, "cc")
+      c.commitManifest(Manifest(schema, bigRows(2000)), Seq(Changelog.Phi))
+      // a handle held PAST the gc timeout: decode now, commit later
+      val held = c.manifest().get
+      assert(held.chunkRefs != null)
+      // meanwhile two gc passes expired-deleted every chunk object
+      // (squash/trim retired the revisions referencing them)
+      val chunkDir = s"${c.path}/chunks"
+      repo.store.ls(chunkDir).foreach(f => repo.store.rm(s"$chunkDir/$f"))
+      // the held layout's reused refs now point at nothing; without
+      // the existence check this commit writes only the spliced
+      // middle's fresh chunks and the root is permanently undecodable
+      val spliced = Manifest.spliceWrite(held,
+        Vector(SegmentMeta("big", IndexKey(Vector(55000L)),
+          IndexKey(Vector(55100L)), Closed.Left, 100L,
+          Vector("seg/cc/dd/new.parquet"))))
+      c.commitManifest(spliced, Seq(c.changelog.leaf().get.child))
+      graft.api.Collection.clearManifestCache()
+      ManifestCodec.clearChunkCache()
+      val got = new graft.api.Repo(root, spark).collection("cc").get
+        .manifest().get
+      assert(got.rows == spliced.rows,
+        "full re-encode fallback must keep the branch decodable")
+    }
+  }
+
+  test("gc drops an aged buried duplicate once the plain chunk is live") {
+    withChunkProp(64) {
+      val spark = TestSpark.spark
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-burydup").toString
+      val repo = new graft.api.Repo(root, spark)
+      val c = repo.createCollection(schema, "cc")
+      c.commitManifest(Manifest(schema,
+        bigRows(1000).map(_.copy(files = Vector.empty))),
+        Seq(Changelog.Phi))
+      val chunkDir = s"${c.path}/chunks"
+      val sha = repo.store.ls(chunkDir).head
+      // bury raced a re-mint: plain copy live AND a buried copy.
+      // mvQuiet's rename target exists, so before the aging rule these
+      // duplicates were retried (and kept) by every gc pass forever.
+      val young = s"$sha.t${Hash.hextime()}"
+      val old = s"$sha.t${Hash.hextime(1L)}"
+      val bytes = repo.store.read(s"$chunkDir/$sha")
+      repo.store.write(s"$chunkDir/$young", bytes)
+      repo.store.write(s"$chunkDir/$old", bytes)
+      repo.gc(timeoutMs = 3600000L)
+      assert(repo.store.exists(s"$chunkDir/$young"),
+        "a young buried duplicate may still serve mid-flight readers")
+      assert(!repo.store.exists(s"$chunkDir/$old"),
+        "aged buried duplicate must be reaped, not retried forever")
+      assert(repo.store.exists(s"$chunkDir/$sha"))
+      graft.api.Collection.clearManifestCache()
+      ManifestCodec.clearChunkCache()
+      assert(new graft.api.Repo(root, spark).collection("cc").get
+        .manifest().get.size == 1000)
+    }
+  }
+
+  test("-Dgraft.debug: a layout stamp on a cache-shared manifest " +
+      "throws; the normal commit cycle stays clean") {
+    withChunkProp(64) {
+      val prev = System.getProperty("graft.debug")
+      System.setProperty("graft.debug", "true")
+      try {
+        val spark = TestSpark.spark
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-debugstamp").toString
+        val repo = new graft.api.Repo(root, spark)
+        val c = repo.createCollection(schema, "cc")
+        // normal cycle under the guard: chunked commit, cached decode,
+        // splice through withInc, second commit — no false positive
+        c.commitManifest(Manifest(schema, bigRows(500)),
+          Seq(Changelog.Phi))
+        val shared = c.manifest().get // JVM-cache-shared decode
+        c.commitManifest(Manifest.spliceWrite(shared,
+          Vector(SegmentMeta("big", IndexKey(Vector(7000L)),
+            IndexKey(Vector(7100L)), Closed.Left, 100L,
+            Vector("seg/cc/dd/new2.parquet")))),
+          Seq(c.changelog.leaf().get.child))
+        assert(shared.cacheShared,
+          "manifest() must return the cache-shared object")
+        // the contract the guard exists for: stamping the shared
+        // object is an unsynchronized publish racing other handles
+        intercept[IllegalStateException] {
+          shared.stampLayout(Vector(("0" * 40, shared.size)), 0, 0)
+        }
+      } finally if (prev == null) System.clearProperty("graft.debug")
+      else System.setProperty("graft.debug", prev)
     }
   }
 }

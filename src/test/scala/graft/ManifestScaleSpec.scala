@@ -233,6 +233,119 @@ class ManifestScaleSpec extends AnyFunSuite {
       "a changed leaf must be decoded fresh (new revision id)")
   }
 
+  test("chunked commits at 1e6 segments: splice-commit and cold " +
+      "pruned read stay O(touched)") {
+    // the codec-path sibling of the 1e5 pin one scale decade up
+    // (~245 chunks at the default 4096-row target): the counters,
+    // not the wall ceilings, are the O(touched) assertions — they
+    // must NOT grow with the decade
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chunk1e6").toString
+    val repo = new graft.api.Repo(root, spark)
+    val c = repo.createCollection(schema, "cc")
+    val n10 = 1000000
+    val huge = Manifest(schema, Vector.tabulate(n10) { i =>
+      SegmentMeta("_", IndexKey(Vector(i * 100L)),
+        IndexKey(Vector((i + 1) * 100L)), Closed.Left, 100L,
+        Vector(f"seg/aa/bb/$i%08d.parquet"))
+    })
+    val tFull = System.nanoTime()
+    c.commitManifest(huge, Seq(Changelog.Phi))
+    val fullS = (System.nanoTime() - tFull) / 1e9
+    val leaf1 = c.changelog.leaf().get
+    val root1 = ManifestCodec.parseRoot(c.changelog.payload(leaf1))
+    assert(root1.chunks.length >= 200,
+      s"expected ~245 chunks, got ${root1.chunks.length}")
+
+    // warm decode baseline, then a 1-splice commit
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val warm = new graft.api.Repo(root, spark).collection("cc").get
+    val m1 = warm.manifest().get
+    val enc0 = ManifestCodec.chunkEncodes.get()
+    val t0 = System.nanoTime()
+    warm.commitManifest(Manifest.spliceWrite(m1,
+      Seq(SegmentMeta("_", IndexKey(Vector(50000000L)),
+        IndexKey(Vector(50000100L)), Closed.Left, 100L,
+        Vector("seg/cc/dd/new.parquet")))), Seq(leaf1.child))
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    val freshChunks = ManifestCodec.chunkEncodes.get() - enc0
+    assert(freshChunks <= 3,
+      s"1-splice commit at 1e6 re-encoded $freshChunks chunks")
+    assert(commitMs < 2000, f"incremental commit took $commitMs%.0f ms")
+
+    // fresh statement on the moved leaf: O(touched) re-parse
+    graft.api.Collection.clearManifestCache() // chunk cache stays warm
+    val p0 = ManifestCodec.chunkParses.get()
+    assert(new graft.api.Repo(root, spark).collection("cc").get
+      .manifest().get.size == n10)
+    val reparsed = ManifestCodec.chunkParses.get() - p0
+    assert(reparsed <= 3,
+      s"moved-leaf decode re-parsed $reparsed of ~245 chunks")
+
+    // stone-cold bounded read: covering chunks + straddle only
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val q0 = ManifestCodec.chunkParses.get()
+    val t1 = System.nanoTime()
+    val got = new graft.api.Repo(root, spark).collection("cc").get
+      .series("_").segments(start = 70000000L, stop = 70000300L)
+    val coldMs = (System.nanoTime() - t1) / 1e6
+    assert(got.length >= 3 && got.length <= 4)
+    val coldParses = ManifestCodec.chunkParses.get() - q0
+    assert(coldParses <= 3,
+      s"cold point query parsed $coldParses of ~245 chunks")
+    assert(coldMs < 2500, f"cold pruned point query took $coldMs%.0f ms")
+    info(f"1e6 chunked: full encode $fullS%.1fs (${root1.chunks.length} " +
+      f"chunks), incremental commit $commitMs%.0f ms ($freshChunks " +
+      f"fresh), moved-leaf re-decode $reparsed chunks, cold pruned " +
+      f"query $coldMs%.0f ms ($coldParses chunks)")
+  }
+
+  test("a DDL against a 1e5-collection registry commits O(touched)") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-reg1e5").toString
+    val repo = new graft.api.Repo(root, spark)
+    val schema = GSchema("ts" -> "int*", "v" -> "float")
+    // seed 1e5 entries in ONE commit (the full-encode cost is paid
+    // once here; incremental DDLs are what must stay O(touched))
+    val state = (0 until 100000).map { i =>
+      "collection\u0000" + f"t$i%05d" ->
+        graft.api.Repo.RegEntry(f"c-$i%08x", schema, Map.empty, Map.empty)
+    }.toMap
+    val t0 = System.nanoTime()
+    repo.writeRegWithParents(state, Seq(Changelog.Phi))
+    val seedS = (System.nanoTime() - t0) / 1e9
+    assert(graft.api.RegistryCodec.isChunked(
+      repo.registry.payload(repo.registry.leaf().get)))
+
+    // ONE createCollection = one registry DDL: wall-clock interactive
+    // and counter-pinned at <= 3 fresh chunks (touched + absorbed
+    // neighbor), entries re-serialized O(chunk), not O(registry)
+    val encBefore = graft.api.RegistryCodec.chunkEncodes.get()
+    val t1 = System.nanoTime()
+    repo.createCollection(schema, "zz-one-more")
+    val ddlS = (System.nanoTime() - t1) / 1e9
+    val freshChunks = graft.api.RegistryCodec.chunkEncodes.get() - encBefore
+    info(f"seed(full encode)=$seedS%.2fs  ddl=$ddlS%.3fs  " +
+      f"freshChunks=$freshChunks")
+    assert(freshChunks <= 3, s"$freshChunks fresh chunks for one DDL")
+    assert(ddlS < 2.0, f"DDL took $ddlS%.2fs against 1e5 collections")
+
+    // a second DDL through the seeded cache stays O(touched) and
+    // decodes nothing (the SQL door's fresh-statement pattern)
+    val parses0 = graft.api.RegistryCodec.chunkParses.get()
+    val enc0 = graft.api.RegistryCodec.chunkEncodes.get()
+    repo.createCollection(schema, "zz-two-more")
+    assert(graft.api.RegistryCodec.chunkEncodes.get() - enc0 <= 3)
+    assert(graft.api.RegistryCodec.chunkParses.get() - parses0 == 0,
+      "warm DDL must not re-decode any chunk")
+    // and a fresh handle sees everything
+    assert(new graft.api.Repo(root, spark).ls().length == 100002)
+  }
+
   test("registry decode cache: content-addressed hits, DDL-coherent") {
     val spark = TestSpark.spark
     val root = java.nio.file.Files
