@@ -36,7 +36,12 @@ object ConcChild {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   def main(args: Array[String]): Unit = {
-    val Array(root, fromW, untilW, perS) = args
+    val (root, fromW, untilW, perS) = (args(0), args(1), args(2), args(3))
+    // optional 5th arg: the parent's embedded S3 endpoint — the
+    // multi-process-over-object-store gate (q208) points this child
+    // at an `s3net://` root served by the parent JVM over HTTP
+    if (args.length > 4)
+      graft.core.S3NetFileSystem.setDefaultEndpoint(args(4))
     val per = perS.toLong
     val spark = SparkSession.builder()
       .master("local[8]")

@@ -727,6 +727,12 @@ class Collection(val repo: Repo, val label: String, val path: String,
           cd.name -> graft.engine.SparkVals.parseBound(cd.dtype, v) }.toMap
     val target = repo.createCollection(targetSchema, targetLabel,
       tgtColMap, tgtDefaults, pageLen = pageLenCfg)
+    // clones SHARE the source's segment files, so a bss-mode source
+    // makes the clone bss-mode too: without the sticky hint the
+    // clone's reads would route through Spark's vectorized reader
+    // and die on the first BYTE_STREAM_SPLIT page (found by the
+    // zstd+bss full-oracle pass, q59)
+    if (bssMode) target.enableBss()
     manifest().foreach { m =>
       val tm = Manifest(targetSchema, m.rows)
       target.commitManifest(tm, parents = Seq(Changelog.Phi))

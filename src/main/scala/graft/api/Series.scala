@@ -955,13 +955,9 @@ class Series(val collection: Collection, val label: String) {
     * frame() scans through the connector's own partitions + reader
     * (whose parquet-mr fallback decodes every encoding). Clip,
     * clone renames and defaults are baked into the partitions. */
-  private def internalScanDf(segs: Seq[SegmentRead]): DataFrame = {
-    val parts = segs.flatMap(s =>
-      graft.sources.GraftPlanning.partitionsFor(this, schema,
-        schema.names, s, null))
-    graft.sources.GraftPlanning.internalScan(spark, parts,
-      schema.sparkSchema)
-  }
+  private def internalScanDf(segs: Seq[SegmentRead]): DataFrame =
+    graft.sources.GraftPlanning.internalScanTable(spark, this,
+      schema, segs)
 
   /** single-segment DataFrame, residual range filter only if clipped */
   private def segDf(s: SegmentRead): DataFrame =

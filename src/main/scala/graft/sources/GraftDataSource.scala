@@ -379,6 +379,7 @@ object GraftScanProbe {
   @volatile var lastStatSkipped: Int = -1
   /** decode-path counters (local-mode visible; diagnostics only) */
   val vectorizedOpens = new java.util.concurrent.atomic.AtomicLong
+  val columnarFallbackOpens = new java.util.concurrent.atomic.AtomicLong
   val fallbackOpens = new java.util.concurrent.atomic.AtomicLong
 }
 
@@ -1247,7 +1248,13 @@ private[graft] object GraftPlanning {
       }
   }
 
-  def readerFactory(): PartitionReaderFactory = {
+  def readerFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(serConf())
+
+  private[sources] def columnarReaderFactory(): PartitionReaderFactory =
+    new GraftColumnarReaderFactory(serConf())
+
+  private def serConf(): SegmentWriter.SerConf = {
     val session = SparkSession.active
     val c = session.sessionState.newHadoopConf()
     // the entries Spark's parquet reader machinery
@@ -1267,7 +1274,7 @@ private[graft] object GraftPlanning {
     c.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet" +
         ".ParquetReadSupport")
-    new GraftReaderFactory(new SegmentWriter.SerConf(c))
+    new SegmentWriter.SerConf(c)
   }
 
   /** DataFrame over engine partitions decoded by the connector's own
@@ -1283,6 +1290,69 @@ private[graft] object GraftPlanning {
     org.apache.spark.sql.GraftBridge.internalDf(spark,
       new GraftFileRDD(spark.sparkContext, parts, readerFactory()),
       schema)
+
+  /** DataFrame over the engine readers as an ANONYMOUS DSv2 relation
+    * — unlike [[internalScan]]'s LogicalRDD, this participates in
+    * Catalyst column pruning: an aggregate over one column of a
+    * BSS-mode frame() decodes one column, not the whole schema
+    * (partitions are re-planned with the pruned name set, so the
+    * page-level decode itself narrows, same as the builtin parquet
+    * source's ReadSchema). */
+  def internalScanTable(spark: SparkSession, s: graft.api.Series,
+      gs: GSchema, segs: Seq[SegmentRead])
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftBridge.internalDsv2(spark,
+      new GraftSegmentsTable(s, gs, segs))
+}
+
+/** Anonymous single-use DSv2 table over a fixed set of segment reads
+  * (the BSS-mode [[graft.api.Series.frame]] scan) — see
+  * [[GraftPlanning.internalScanTable]]. Driver-side objects (Series,
+  * SegmentReads) never leave the driver; only the planned
+  * [[InputPartition]]s ship. */
+private final class GraftSegmentsTable(s: graft.api.Series,
+    gs: GSchema, segs: Seq[SegmentRead]) extends Table
+    with SupportsRead {
+  override def name(): String = s"graft_segments_${s.label}"
+  override def schema(): StructType = gs.sparkSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var req: Seq[String] = gs.names
+      override def pruneColumns(st: StructType): Unit = {
+        req = st.fieldNames.toSeq
+        ()
+      }
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = StructType(
+          req.map(n => org.apache.spark.sql.types.StructField(
+            n, gs(n).dtype.sparkType, nullable = true)))
+        override def toBatch: Batch = this
+        private lazy val parts: Array[InputPartition] =
+          segs.flatMap(sr =>
+            GraftPlanning.partitionsFor(s, gs, req, sr, null)).toArray
+        // COLUMNAR when every partition is a plain full-file decode
+        // (no clip, no defaults, identity projection): row-group
+        // batches feed Spark's codegen'd ColumnarToRow directly,
+        // skipping the per-row DSv2 iterator tax. Any partition
+        // needing per-row work routes the whole scan row-based.
+        private lazy val columnar: Boolean =
+          parts.nonEmpty && parts.forall {
+            case fp: GraftFilePartition =>
+              fp.clip == null && fp.readNames.nonEmpty &&
+                fp.defaults.forall(_ == null) &&
+                fp.outPos.length == fp.readNames.length &&
+                fp.outPos.indices.forall(i => fp.outPos(i) == i)
+            case _ => false
+          }
+        override def planInputPartitions(): Array[InputPartition] = parts
+        override def createReaderFactory(): PartitionReaderFactory =
+          if (columnar) GraftPlanning.columnarReaderFactory()
+          else GraftPlanning.readerFactory()
+      }
+    }
 }
 
 private final case class GraftRddPartition(index: Int,
@@ -1748,6 +1818,32 @@ private object GraftRead {
     GType.all.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"bad dtype $name"))
 
+  /** Task-side gc-buried resurrect (segment parity with
+    * [[graft.api.Series]]'s scanFiles): a referenced file
+    * soft-deleted by a racing gc still exists under its hextime
+    * suffix — rename it back before any read tier opens. Without
+    * this, engine-reader scans (BSS-mode collections, CDC file
+    * batches) lacked the self-heal the builtin-reader path has, and
+    * the concurrent-ingest gates failed under gc races (found by
+    * the zstd+bss full-oracle pass, q207/q208). Quiet on every
+    * miss: true absence is the readers' error to report, and a
+    * racing resurrector's rename is a win, not a failure. */
+  def ensurePresent(uri: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      val path = new Path(uri)
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) {
+        val name = path.getName
+        fs.listStatus(path.getParent).map(_.getPath.getName)
+          .find(_.startsWith(name + ".t"))
+          .foreach { b =>
+            try { fs.rename(new Path(path.getParent, b), path); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** kernel scalar -> InternalRow slot value for a dtype */
   def kernelToInternal(dt: GType, v: Any): Any =
     if (v == null) null
@@ -1816,6 +1912,186 @@ private object GraftRead {
   * clip/defaults/projection step only when the partition needs one;
   * the common unclipped, no-defaults, no-extra-columns case emits
   * the reader's row views untouched. */
+/** Column-at-a-time decode over parquet-mr's page machinery — the
+  * MIDDLE read tier for files Spark's vectorized reader cannot decode
+  * (BYTE_STREAM_SPLIT pages from the `<codec>+bss` storage mode).
+  * parquet-mr's [[org.apache.parquet.column.ColumnReader]] dispatches
+  * every page encoding (its ByteStreamSplitValuesReader included), and
+  * filling one [[OnHeapColumnVector]] per column in a tight typed loop
+  * keeps the batch shape — no record assembly, no per-row
+  * materializer callbacks, no slot boxing. Rows are served as batch
+  * row VIEWS (the RDD copies on emit, same contract as the vectorized
+  * tier). The parquet-mr row materializer remains the last-resort
+  * tier beneath this one. */
+private final class GraftColumnarScan(uri: String,
+    physNames: Vector[String], dtypes: Array[GType],
+    hconf: org.apache.hadoop.conf.Configuration) {
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.parquet.io.api.PrimitiveConverter
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+    org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(uri), hconf))
+  private val fileMeta = reader.getFooter.getFileMetaData
+  private val fileSchema = fileMeta.getSchema
+  private val byName = fileSchema.getFields.asScala
+    .map(f => f.getName -> f).toMap
+  // projected schema: requested columns present in the file, in
+  // request order; absent columns (pre-clone files) serve null
+  // vectors. A zero-column projection (count(*)) serves empty rows
+  // straight off the row-group counts — no column IO at all.
+  private val presentIdx: Array[Int] = {
+    var k = -1
+    physNames.map(n =>
+      if (byName.contains(n)) { k += 1; k } else -1).toArray
+  }
+  private val proj: MessageType = {
+    val b = Types.buildMessage()
+    physNames.foreach(n => byName.get(n).foreach(b.addField))
+    b.named(fileSchema.getName)
+  }
+  if (proj.getFieldCount > 0) reader.setRequestedSchema(proj)
+  private val descs = proj.getColumns.asScala.toArray
+  private val sparkTypes = dtypes.map(_.sparkType)
+  // ColumnReaderImpl requires a converter tree even when values are
+  // pulled via the typed getters; dictionary support stays off so
+  // dictionary-encoded pages materialize per value
+  private val dummyConverter = new GroupConverter {
+    override def getConverter(i: Int): Converter =
+      new PrimitiveConverter {}
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  private var batch: ColumnarBatch = null
+  private var rowIt: java.util.Iterator[InternalRow] = null
+
+  private def loadNextRowGroup(): Boolean = {
+    val rg = reader.readNextRowGroup() // zero-col case never gets here
+    if (rg == null) return false
+    val n = rg.getRowCount
+    require(n <= Int.MaxValue, s"row group of $n rows")
+    val rows = n.toInt
+    if (batch != null) batch.close()
+    val vectors = new Array[org.apache.spark.sql.vectorized
+      .ColumnVector](physNames.length)
+    val crs = new ColumnReadStoreImpl(rg, dummyConverter, proj,
+      fileMeta.getCreatedBy)
+    var i = 0
+    while (i < physNames.length) {
+      val v = new OnHeapColumnVector(rows, sparkTypes(i))
+      if (presentIdx(i) < 0) v.putNulls(0, rows)
+      else fill(v, crs, descs(presentIdx(i)), dtypes(i), rows)
+      vectors(i) = v
+      i += 1
+    }
+    batch = new ColumnarBatch(vectors, rows)
+    rowIt = batch.rowIterator()
+    true
+  }
+
+  private def fill(v: OnHeapColumnVector,
+      crs: ColumnReadStoreImpl,
+      cd: org.apache.parquet.column.ColumnDescriptor, dt: GType,
+      rows: Int): Unit = {
+    val cr = crs.getColumnReader(cd)
+    val maxDef = cd.getMaxDefinitionLevel
+    val int96 = cd.getPrimitiveType.getPrimitiveTypeName ==
+      org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+    var r = 0
+    while (r < rows) {
+      if (cr.getCurrentDefinitionLevel < maxDef) v.putNull(r)
+      else dt match {
+        case GType.FloatT => v.putDouble(r, cr.getDouble)
+        case GType.IntT => v.putLong(r, cr.getLong)
+        case GType.TimestampT =>
+          if (int96) {
+            // legacy INT96: 8 B nanos-of-day LE + 4 B julian day LE
+            val buf = cr.getBinary.toByteBuffer
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val base = buf.position()
+            val nanos = buf.getLong(base)
+            val julian = buf.getInt(base + 8)
+            v.putLong(r,
+              (julian - 2440588L) * 86400000000L + nanos / 1000L)
+          } else v.putLong(r, cr.getLong)
+        case GType.DateT => v.putInt(r, cr.getInteger)
+        case GType.StrT =>
+          val b = cr.getBinary.getBytes
+          v.putByteArray(r, b, 0, b.length)
+      }
+      cr.consume()
+      r += 1
+    }
+  }
+
+  // zero-column projection: serve empty row views off row counts
+  private var emptyLeft: Long =
+    if (proj.getFieldCount == 0)
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    else -1L
+  private val emptyRow = new GenericInternalRow(0)
+
+  /** next decoded row-group batch, or null at EOF (columnar serving:
+    * empty-projection files have no batch form — callers route those
+    * through [[nextRow]]) */
+  def nextBatch(): ColumnarBatch =
+    if (loadNextRowGroup()) batch else null
+
+  /** next row VIEW in physNames order, or null at EOF */
+  def nextRow(): InternalRow = {
+    if (emptyLeft >= 0) {
+      if (emptyLeft == 0) return null
+      emptyLeft -= 1
+      return emptyRow
+    }
+    while (rowIt == null || !rowIt.hasNext) {
+      if (!loadNextRowGroup()) return null
+    }
+    rowIt.next()
+  }
+
+  def close(): Unit = {
+    if (batch != null) batch.close()
+    reader.close()
+  }
+}
+
+/** Columnar partition reader over [[GraftColumnarScan]] — row-group
+  * batches flow straight into Spark's codegen'd ColumnarToRow, so
+  * the per-row DSv2 iterator tax disappears. Only planned for
+  * partitions with no clip/defaults/projection work (the
+  * [[GraftSegmentsTable]] eligibility check). */
+private final class GraftColumnarFileReader(p: GraftFilePartition,
+    conf: SegmentWriter.SerConf)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  GraftRead.ensurePresent(p.uri, conf.value)
+  private val scan = new GraftColumnarScan(p.uri, p.physNames,
+    p.dtypeNames.map(GraftRead.dtypeOf).toArray, conf.value)
+  GraftScanProbe.columnarFallbackOpens.incrementAndGet()
+  private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  override def next(): Boolean = {
+    cur = scan.nextBatch()
+    cur != null
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
+  override def close(): Unit = scan.close()
+}
+
+private final class GraftColumnarReaderFactory(
+    conf: SegmentWriter.SerConf) extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] =
+    throw new IllegalStateException(
+      "graft columnar factory: row reads not planned here")
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarFileReader(p.asInstanceOf[GraftFilePartition], conf)
+}
+
 class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     extends PartitionReader[InternalRow] {
   import GraftRead._
@@ -1840,6 +2116,7 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   // fallback, which decodes every parquet encoding
   private var vec: org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader = {
+    GraftRead.ensurePresent(p.uri, conf.value)
     try {
       val c = new org.apache.hadoop.conf.Configuration(conf.value)
       val reqStruct = org.apache.spark.sql.types.StructType(
@@ -1996,20 +2273,32 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
     }
   }
 
+  // middle tier: column-at-a-time decode (BYTE_STREAM_SPLIT pages);
+  // opened only after the vectorized first-batch failure
+  private var mid: GraftColumnarScan = null
+
   private var emitted = false
   override def next(): Boolean = {
     if (vec != null) {
       // unsupported-encoding pages surface on the FIRST batch, before
-      // any row is emitted — flip to the row fallback then (and ONLY
-      // then: a mid-file failure after emitted rows must propagate,
-      // or the fallback would re-serve rows already returned)
+      // any row is emitted — flip to the columnar fallback then (and
+      // ONLY then: a mid-file failure after emitted rows must
+      // propagate, or a fallback would re-serve rows already returned)
       val first =
         try vec.nextKeyValue()
         catch {
           case scala.util.control.NonFatal(e) if !emitted =>
             if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
             vec.close(); vec = null
-            GraftScanProbe.fallbackOpens.incrementAndGet()
+            try {
+              mid = new GraftColumnarScan(p.uri, p.physNames, dtypes,
+                conf.value)
+              GraftScanProbe.columnarFallbackOpens.incrementAndGet()
+            } catch { case scala.util.control.NonFatal(e2) =>
+              if (sys.env.contains("GRAFT_DEBUG_VEC")) e2.printStackTrace()
+              mid = null
+              GraftScanProbe.fallbackOpens.incrementAndGet()
+            }
             return next()
         }
       if (first) {
@@ -2024,6 +2313,27 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
         }
       }
       false
+    } else if (mid != null) {
+      // same contract as the vectorized tier: a failure before any
+      // emitted row demotes to the parquet-mr row materializer
+      try {
+        while (true) {
+          val row = mid.nextRow()
+          if (row == null) return false
+          emitted = true
+          if (identityOut) { current = row; return true }
+          fillSlots(row)
+          if (finish()) return true
+        }
+        false
+      } catch {
+        case scala.util.control.NonFatal(e) if !emitted =>
+          if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+          try mid.close() catch { case _: Throwable => () }
+          mid = null
+          GraftScanProbe.fallbackOpens.incrementAndGet()
+          next()
+      }
     } else {
       while (true) {
         val rec = reader.read()
@@ -2036,6 +2346,7 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   override def get(): InternalRow = current
   override def close(): Unit =
     if (vec != null) vec.close()
+    else if (mid != null) mid.close()
     // never FORCE the lazy fallback reader during cleanup: that would
     // open the file (which may be the unreadable file that put us on
     // this path) just to close it, masking the original failure

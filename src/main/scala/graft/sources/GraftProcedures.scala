@@ -325,19 +325,45 @@ private final class Analyze(rootUri: String) extends ProcBase(rootUri) {
     val readStruct = StructType(valCols.map(cd => StructField(
       physOf(cd.name), cd.dtype.sparkType, nullable = true)))
     val files = missing.flatMap(_.files).distinct
-    val aggs = valCols.flatMap { cd =>
-      val p = physOf(cd.name)
-      val nan =
-        if (cd.dtype == graft.core.GType.FloatT)
-          max(isnan(col(p))).as(s"__nan_$p")
-        else lit(false).as(s"__nan_$p")
-      Seq(min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p"), nan)
-    }
-    val perFile = spark.read.schema(readStruct)
-      .parquet(files.map(store.uri): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    def aggsOver(nameOf: graft.core.ColDef => String) =
+      valCols.flatMap { cd =>
+        val p = physOf(cd.name)
+        val n = nameOf(cd)
+        val nan =
+          if (cd.dtype == graft.core.GType.FloatT)
+            max(isnan(col(n))).as(s"__nan_$p")
+          else lit(false).as(s"__nan_$p")
+        Seq(min(col(n)).as(s"__mn_$p"), max(col(n)).as(s"__mx_$p"), nan)
+      }
+    val perFile =
+      if (c.bssMode) {
+        // engine-reader scan: Spark's builtin parquet source cannot
+        // decode this collection's BYTE_STREAM_SPLIT pages (found by
+        // the zstd+bss full-oracle pass, q193). One partition per
+        // file, `_file` provenance as the group key, logical column
+        // names in the scan output.
+        val segs = missing.map(r =>
+          graft.core.SegmentRead(r, r.start, r.stop, r.closed))
+        val parts = segs.flatMap(sr => GraftPlanning.partitionsFor(
+          new graft.api.Series(c, sr.meta.label), c.schema,
+          GraftPlanning.FileCol +: valCols.map(_.name), sr, null))
+        val struct = StructType(
+          StructField(GraftPlanning.FileCol, StringType, nullable = true) +:
+            valCols.map(cd => StructField(cd.name, cd.dtype.sparkType,
+              nullable = true)))
+        val aggs = aggsOver(_.name)
+        GraftPlanning.internalScan(spark, parts, struct)
+          .groupBy(col(GraftPlanning.FileCol).as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+      } else {
+        val aggs = aggsOver(cd => physOf(cd.name))
+        spark.read.schema(readStruct)
+          .parquet(files.map(store.uri): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+      }
     // full URI -> store-relative path (match by longest suffix)
     val byRel: Map[String, org.apache.spark.sql.Row] =
       files.flatMap { rel =>

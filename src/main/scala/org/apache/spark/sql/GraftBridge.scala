@@ -30,6 +30,21 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** DataFrame over an anonymous DSv2 [[org.apache.spark.sql
+    * .connector.catalog.Table]] — unlike [[internalDf]]'s LogicalRDD,
+    * a DSv2 relation participates in Catalyst column pruning
+    * (SupportsPushDownRequiredColumns), so an aggregate over one
+    * column of a BSS-mode scan decodes one column, not the whole
+    * schema. */
+  def internalDsv2(spark: SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table): DataFrame = {
+    val rel = execution.datasources.v2.DataSourceV2Relation.create(
+      table, None, None,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], rel)
+  }
+
   /** Free the blocks of an eagerly localCheckpoint()'d Dataset NOW
     * instead of waiting for a driver GC + ContextCleaner cycle. */
   def unpersistCheckpoint(df: Dataset[_]): Unit =

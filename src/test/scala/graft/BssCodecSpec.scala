@@ -15,14 +15,14 @@ import java.nio.file.Files
   *     failure);
   *  2. reads stay CORRECT: Spark 4.1's vectorized reader has no BSS
   *     decoder (its encoding switch is PLAIN/RLE/DELTA_* only), so
-  *     [[graft.sources.GraftFileReader]] flips to the parquet-mr row
-  *     fallback on the first-batch failure — values identical, probe
-  *     shows the flip;
+  *     [[graft.sources.GraftFileReader]] flips on the first-batch
+  *     failure to the COLUMNAR middle tier ([[graft.sources
+  *     .GraftColumnarScan]]: parquet-mr page decode into
+  *     OnHeapColumnVectors — no record assembly) — values identical,
+  *     probe shows the flip, and the parquet-mr row materializer
+  *     stays untouched beneath it;
   *  3. plain-codec files still take the vectorized path (the flip is
   *     per-file, never sticky).
-  * The measured trade (5.26M-row sin() comparable): float column
-  * 39.9 -> 30.1 MB under zstd, full-scan decode ~2-3x slower — right
-  * for cold/archival series, so opt-in, never the default.
   */
 class BssCodecSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -72,16 +72,20 @@ class BssCodecSpec extends AnyFunSuite {
       s"bss FP chunks must be pure (no dict prefix): $bssEnc")
     assert(!encodings("plain").contains("BYTE_STREAM_SPLIT"))
 
-    // 2. reads flip to the row fallback and return identical values
+    // 2. reads flip to the COLUMNAR middle tier and return identical
+    //    values; the last-resort row materializer stays cold
     val probe = graft.sources.GraftScanProbe
     val fb0 = probe.fallbackOpens.get()
+    val cf0 = probe.columnarFallbackOpens.get()
     val got = spark.read.format("graft").option("path", root)
       .option("collection", "c").option("series", "bss").load()
       .agg(org.apache.spark.sql.functions.count($"v"),
         org.apache.spark.sql.functions.sum($"v")).collect()(0)
     assert(got.getLong(0) == 50000L)
-    assert(probe.fallbackOpens.get() > fb0,
-      "BSS files must take the parquet-mr fallback")
+    assert(probe.columnarFallbackOpens.get() > cf0,
+      "BSS files must take the columnar middle tier")
+    assert(probe.fallbackOpens.get() == fb0,
+      "the row materializer must not open for BSS files")
     val want = df.agg(org.apache.spark.sql.functions.sum($"v"))
       .collect()(0).getDouble(0)
     assert(math.abs(got.getDouble(1) - want) < 1e-6,
