@@ -694,6 +694,25 @@ object Bench {
       }
     }
 
+    // Registry plane at the same scale: one DDL (createCollection)
+    // against a 1e5-COLLECTION registry. The RegistryCodec makes the
+    // commit O(touched) — one fresh chunk, no whole-document
+    // re-serialize (pre-codec: ~30 MB JSON per DDL). Own root: the
+    // 1e5 entries must not tax the main bench repo's registry reads.
+    locally {
+      val regRoot = java.nio.file.Files
+        .createTempDirectory("graft-bench-reg").toString
+      val regRepo = new Repo(regRoot, spark)
+      val rs = GSchema("ts" -> "int*", "v" -> "float")
+      regRepo.writeRegWithParents((0 until 100000).map { k =>
+        ("collection\u0000" + f"t$k%06d") -> // canonical ns-NUL-label
+          graft.api.Repo.RegEntry(f"c-$k%08x", rs, Map.empty, Map.empty)
+      }.toMap, Seq(graft.core.Changelog.Phi))
+      bench("reg_ddl_1e5") { i =>
+        regRepo.createCollection(rs, f"zz-new-$i%03d")
+      }
+    }
+
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the
     // segment files its manifest references. BASELINE.md's "2.0 MB"
     // comparable is a measurement artifact — bench_pg.py:23 ran

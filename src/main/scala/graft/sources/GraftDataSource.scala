@@ -843,16 +843,24 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
         kept
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    aggPush match {
+  // retained for createReaderFactory's columnar-eligibility decision
+  // (Spark calls planInputPartitions before the factory on the same
+  // Batch instance)
+  @volatile private var plannedParts: Array[InputPartition] = null
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = aggPush match {
       case Some((_, values)) =>
         GraftScanProbe.lastAggPushed = true
-        Array(GraftAggPartition(values.toVector))
+        Array[InputPartition](GraftAggPartition(values.toVector))
       case None =>
         runtimePruned(plannedSegments).flatMap(seg =>
           GraftPlanning.partitionsFor(resolvedSeries, table.gschema,
             required.fields.map(_.name).toSeq, seg, null)).toArray
     }
+    plannedParts = parts
+    parts
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -860,8 +868,17 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       streamSkipRewrites, streamMaxRevs, streamStartTs,
       streamForkDedup)
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftPlanning.readerFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // COLUMNAR only for BSS-hinted collections (their files skip the
+    // vectorized tier anyway); plain tables keep the vectorized row
+    // path, whose batch decode already dominates. Gated further on
+    // every partition being a plain full-file decode.
+    val parts = plannedParts
+    if (resolvedSeries.collection.bssMode && parts != null &&
+        GraftPlanning.columnarEligible(parts))
+      GraftPlanning.columnarReaderFactory()
+    else GraftPlanning.readerFactory()
+  }
 }
 
 /** `INSERT INTO` / `df.write.format("graft").mode(...)` — the
@@ -1251,6 +1268,21 @@ private[graft] object GraftPlanning {
   def readerFactory(): PartitionReaderFactory =
     new GraftReaderFactory(serConf())
 
+  /** Columnar serving is planned only when EVERY partition is a plain
+    * full-file decode: no clip, no defaults, identity projection, no
+    * `_file` column, no inline rows — anything needing per-row work
+    * routes the whole scan row-based. */
+  private[sources] def columnarEligible(
+      parts: Array[InputPartition]): Boolean =
+    parts.nonEmpty && parts.forall {
+      case fp: GraftFilePartition =>
+        fp.clip == null && fp.readNames.nonEmpty &&
+          fp.defaults.forall(_ == null) &&
+          fp.outPos.length == fp.readNames.length &&
+          fp.outPos.indices.forall(i => fp.outPos(i) == i)
+      case _ => false
+    }
+
   private[sources] def columnarReaderFactory(): PartitionReaderFactory =
     new GraftColumnarReaderFactory(serConf())
 
@@ -1333,23 +1365,13 @@ private final class GraftSegmentsTable(s: graft.api.Series,
         private lazy val parts: Array[InputPartition] =
           segs.flatMap(sr =>
             GraftPlanning.partitionsFor(s, gs, req, sr, null)).toArray
-        // COLUMNAR when every partition is a plain full-file decode
-        // (no clip, no defaults, identity projection): row-group
-        // batches feed Spark's codegen'd ColumnarToRow directly,
-        // skipping the per-row DSv2 iterator tax. Any partition
-        // needing per-row work routes the whole scan row-based.
-        private lazy val columnar: Boolean =
-          parts.nonEmpty && parts.forall {
-            case fp: GraftFilePartition =>
-              fp.clip == null && fp.readNames.nonEmpty &&
-                fp.defaults.forall(_ == null) &&
-                fp.outPos.length == fp.readNames.length &&
-                fp.outPos.indices.forall(i => fp.outPos(i) == i)
-            case _ => false
-          }
+        // COLUMNAR when every partition is a plain full-file decode:
+        // row-group batches feed Spark's codegen'd ColumnarToRow
+        // directly, skipping the per-row DSv2 iterator tax.
         override def planInputPartitions(): Array[InputPartition] = parts
         override def createReaderFactory(): PartitionReaderFactory =
-          if (columnar) GraftPlanning.columnarReaderFactory()
+          if (GraftPlanning.columnarEligible(parts))
+            GraftPlanning.columnarReaderFactory()
           else GraftPlanning.readerFactory()
       }
     }
@@ -1818,6 +1840,75 @@ private object GraftRead {
     GType.all.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"bad dtype $name"))
 
+  /** Files whose pages the vectorized reader has ALREADY failed to
+    * decode (BYTE_STREAM_SPLIT): the probe open + first-batch throw
+    * costs a footer parse and reader init per attempt, so repeat
+    * reads skip straight to the engine's page decoder. Sound because
+    * segment files are content-addressed — a URI's bytes never
+    * change. Cleared wholesale if it ever grows past bound (a JVM
+    * reading a million distinct BSS files). */
+  private val knownBssUris =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def isKnownBss(uri: String): Boolean = knownBssUris.contains(uri)
+  def markBssUri(uri: String): Unit = {
+    if (knownBssUris.size() > 1000000) knownBssUris.clear()
+    knownBssUris.add(uri)
+    ()
+  }
+
+  /** Open Spark's VectorizedParquetRecordReader over one segment
+    * file, or null when the file can't open that way (exotic store
+    * streams). `batches = true` flips it to whole-ColumnarBatch
+    * output (enableReturningBatches) for the columnar factory;
+    * `false` keeps row iteration for [[GraftFileReader]]. An
+    * unsupported page ENCODING (BYTE_STREAM_SPLIT) opens fine here
+    * and only fails on the first read — callers handle that flip. */
+  def openVectorized(uri: String, physNames: Seq[String],
+      dtypes: Array[GType],
+      hconf: org.apache.hadoop.conf.Configuration, batches: Boolean)
+      : org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader =
+    try {
+      val c = new org.apache.hadoop.conf.Configuration(hconf)
+      val reqStruct = org.apache.spark.sql.types.StructType(
+        physNames.zip(dtypes).map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt.sparkType,
+            nullable = true) })
+      // the conf keys ParquetReadSupport/SpecificParquetRecordReaderBase
+      // consult when initialized from an InputSplit
+      c.set("org.apache.spark.sql.parquet.row.requested_schema",
+        reqStruct.json)
+      c.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet" +
+          ".ParquetReadSupport")
+      c.setBoolean("spark.sql.parquet.binaryAsString", false)
+      c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      c.setBoolean("spark.sql.caseSensitive", false)
+      val path = new Path(uri)
+      val len = path.getFileSystem(c).getFileStatus(path).getLen
+      // NOTE: Spark's SpecificParquetRecordReaderBase casts to the
+      // OLD mapred FileSplit, not the mapreduce one
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        path, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task
+        .TaskAttemptContextImpl(c,
+          new org.apache.hadoop.mapreduce.TaskAttemptID())
+      // engine files store proleptic INT64 micros (CORRECTED); the
+      // INT96 branch only matters for pre-round-8 files of modern
+      // timestamps, where CORRECTED and LEGACY agree
+      val r = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
+          "CORRECTED", "UTC", false, 4096)
+      r.initialize(split, ctx)
+      r.initBatch(org.apache.spark.sql.types.StructType(Nil),
+        InternalRow.empty)
+      if (batches) r.enableReturningBatches()
+      GraftScanProbe.vectorizedOpens.incrementAndGet()
+      r
+    } catch { case scala.util.control.NonFatal(e) =>
+      if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+      null }
+
   /** Task-side gc-buried resurrect (segment parity with
     * [[graft.api.Series]]'s scanFiles): a referenced file
     * soft-deleted by a racing gc still exists under its hextime
@@ -2068,16 +2159,51 @@ private final class GraftColumnarFileReader(p: GraftFilePartition,
     conf: SegmentWriter.SerConf)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   GraftRead.ensurePresent(p.uri, conf.value)
-  private val scan = new GraftColumnarScan(p.uri, p.physNames,
-    p.dtypeNames.map(GraftRead.dtypeOf).toArray, conf.value)
-  GraftScanProbe.columnarFallbackOpens.incrementAndGet()
+  private val dtypes = p.dtypeNames.map(GraftRead.dtypeOf).toArray
+  // same per-FILE adaptivity as the row path: Spark's vectorized
+  // reader in whole-batch mode first (plain-codec files in a
+  // BSS-hinted collection keep their fastest decode), flipping to
+  // the engine's page decoder on the first-batch encoding failure
+  private var vec =
+    if (GraftRead.isKnownBss(p.uri)) null
+    else GraftRead.openVectorized(p.uri, p.physNames, dtypes,
+      conf.value, batches = true)
+  private var scan: GraftColumnarScan =
+    if (vec != null) null else openScan()
+  private def openScan(): GraftColumnarScan = {
+    GraftScanProbe.columnarFallbackOpens.incrementAndGet()
+    new GraftColumnarScan(p.uri, p.physNames, dtypes, conf.value)
+  }
+  private var emitted = false
   private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
   override def next(): Boolean = {
-    cur = scan.nextBatch()
-    cur != null
+    if (vec != null) {
+      val has =
+        try vec.nextKeyValue()
+        catch {
+          case scala.util.control.NonFatal(e) if !emitted =>
+            if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+            vec.close(); vec = null
+            GraftRead.markBssUri(p.uri)
+            scan = openScan()
+            return next()
+        }
+      if (has) {
+        emitted = true
+        cur = vec.getCurrentValue
+          .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      }
+      has
+    } else {
+      cur = scan.nextBatch()
+      cur != null
+    }
   }
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
-  override def close(): Unit = scan.close()
+  override def close(): Unit = {
+    if (vec != null) vec.close()
+    if (scan != null) scan.close()
+  }
 }
 
 private final class GraftColumnarReaderFactory(
@@ -2117,45 +2243,13 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   private var vec: org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader = {
     GraftRead.ensurePresent(p.uri, conf.value)
-    try {
-      val c = new org.apache.hadoop.conf.Configuration(conf.value)
-      val reqStruct = org.apache.spark.sql.types.StructType(
-        p.physNames.zip(dtypes).map { case (n, dt) =>
-          org.apache.spark.sql.types.StructField(n, dt.sparkType,
-            nullable = true) })
-      // the conf keys ParquetReadSupport/SpecificParquetRecordReaderBase
-      // consult when initialized from an InputSplit
-      c.set("org.apache.spark.sql.parquet.row.requested_schema",
-        reqStruct.json)
-      c.set("parquet.read.support.class",
-        "org.apache.spark.sql.execution.datasources.parquet" +
-          ".ParquetReadSupport")
-      c.setBoolean("spark.sql.parquet.binaryAsString", false)
-      c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-      c.setBoolean("spark.sql.caseSensitive", false)
-      val path = new Path(p.uri)
-      val len = path.getFileSystem(c).getFileStatus(path).getLen
-      // NOTE: Spark's SpecificParquetRecordReaderBase casts to the
-      // OLD mapred FileSplit, not the mapreduce one
-      val split = new org.apache.hadoop.mapred.FileSplit(
-        path, 0, len, Array.empty[String])
-      val ctx = new org.apache.hadoop.mapreduce.task
-        .TaskAttemptContextImpl(c,
-          new org.apache.hadoop.mapreduce.TaskAttemptID())
-      // engine files store proleptic INT64 micros (CORRECTED); the
-      // INT96 branch only matters for pre-round-8 files of modern
-      // timestamps, where CORRECTED and LEGACY agree
-      val r = new org.apache.spark.sql.execution.datasources.parquet
-        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
-          "CORRECTED", "UTC", false, 4096)
-      r.initialize(split, ctx)
-      r.initBatch(org.apache.spark.sql.types.StructType(Nil),
-        InternalRow.empty)
-      GraftScanProbe.vectorizedOpens.incrementAndGet()
+    if (GraftRead.isKnownBss(p.uri)) null // straight to the mid tier
+    else {
+      val r = GraftRead.openVectorized(p.uri, p.physNames, dtypes,
+        conf.value, batches = false)
+      if (r == null) GraftScanProbe.fallbackOpens.incrementAndGet()
       r
-    } catch { case scala.util.control.NonFatal(e) =>
-      if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
-      GraftScanProbe.fallbackOpens.incrementAndGet(); null }
+    }
   }
 
   // ---- fallback: parquet-mr row materializer -----------------------
@@ -2274,8 +2368,19 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
   }
 
   // middle tier: column-at-a-time decode (BYTE_STREAM_SPLIT pages);
-  // opened only after the vectorized first-batch failure
-  private var mid: GraftColumnarScan = null
+  // opened after the vectorized first-batch failure — or immediately
+  // when the URI is already KNOWN to hold BSS pages (skips the doomed
+  // probe open's footer parse on every repeat read)
+  private var mid: GraftColumnarScan =
+    if (vec != null || !GraftRead.isKnownBss(p.uri)) null
+    else try {
+      GraftScanProbe.columnarFallbackOpens.incrementAndGet()
+      new GraftColumnarScan(p.uri, p.physNames, dtypes, conf.value)
+    } catch { case scala.util.control.NonFatal(e) =>
+      if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
+      GraftScanProbe.fallbackOpens.incrementAndGet()
+      null
+    }
 
   private var emitted = false
   override def next(): Boolean = {
@@ -2290,6 +2395,7 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
           case scala.util.control.NonFatal(e) if !emitted =>
             if (sys.env.contains("GRAFT_DEBUG_VEC")) e.printStackTrace()
             vec.close(); vec = null
+            GraftRead.markBssUri(p.uri)
             try {
               mid = new GraftColumnarScan(p.uri, p.physNames, dtypes,
                 conf.value)
