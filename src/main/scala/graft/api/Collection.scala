@@ -284,6 +284,45 @@ class Collection(val repo: Repo, val label: String, val path: String,
         prunedSegments0(label, start, stop, closed, beforeMs)
     }
 
+  /** Tail-oriented sibling of [[prunedSegments]]: when the leaf is
+    * chunked and cold, only the TRAILING chunks that guarantee `need`
+    * visible rows are fetched ([[ManifestCodec.prunedTailSegments]])
+    * — a cold `tail(n)` against a 1e6-segment label decodes a couple
+    * of chunks instead of every chunk spanning the label. */
+  private[graft] def prunedTailSegments(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
+    try prunedTailSegments0(label, start, stop, closed, beforeMs, need)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        changelog.refresh()
+        prunedTailSegments0(label, start, stop, closed, beforeMs, need)
+    }
+
+  private def prunedTailSegments0(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
+    changelog.leaf(beforeMs) match {
+      case None => Seq.empty
+      case Some(rev) =>
+        Collection.peekManifestCache(rev.child) match {
+          case Some(m) => m.segments(label, start, stop, closed)
+          case None =>
+            val root = Collection.rootCached(rev.child, () => {
+              val bytes = changelog.payload(rev)
+              if (ManifestCodec.isChunked(bytes))
+                Some(ManifestCodec.parseRoot(bytes))
+              else None
+            })
+            root match {
+              case Some(r) => ManifestCodec.prunedTailSegments(r,
+                readChunk, label, start, stop, closed, need)
+              case None =>
+                decodeCached(rev).segments(label, start, stop, closed)
+            }
+        }
+    }
+
   private def prunedSegments0(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long]): Seq[SegmentRead] =

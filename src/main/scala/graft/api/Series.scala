@@ -1072,8 +1072,13 @@ class Series(val collection: Collection, val label: String) {
       select: Seq[String] = Nil): DataFrame = {
     require(n > 0 && n <= Int.MaxValue,
       s"length argument must be in [1, ${Int.MaxValue}], got $n")
-    val segs = segments(start, stop, beforeMs, closed)
-      .filter(_.meta.hasData)
+    // tail-pruned manifest read: on a cold chunked leaf only the
+    // trailing chunks guaranteeing n rows are decoded (the full-
+    // decode path walked every chunk of the label — the last
+    // O(label-metadata) cold read)
+    val segs = collection.prunedTailSegments(label,
+      Option(boundKey(start)), Option(boundKey(stop)), closed,
+      beforeMs, n).filter(_.meta.hasData)
     val keep = prefixCovering(segs.reverse, n).reverse
     val base = keep.map(segDf).reduceOption(_ union _).getOrElse(emptyDf)
     val desc = schema.idxNames.map(c => col(c).desc)

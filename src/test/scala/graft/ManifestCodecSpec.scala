@@ -47,6 +47,13 @@ class ManifestCodecSpec extends AnyFunSuite {
     SegmentMeta(lbl, IndexKey(Vector(lo)), IndexKey(Vector(hi)),
       Closed.Left, hi - lo,
       Vector.tabulate(files)(i => f"seg/xx/$lbl-$lo%08d-$i.parquet"),
+      // recorded data bounds = write-time visible bounds (what the
+      // write path records); splice truncation later narrows only
+      // the VISIBLE range — the tail-pruning accounting relies on
+      // this distinction
+      dataStart = Some(IndexKey(Vector(lo))),
+      dataStop = Some(IndexKey(Vector(hi - 1))), // last STORED key
+
       vstats = Some(Map("v" -> ((lo.toDouble, hi.toDouble)))))
 
   private def mkManifest(labels: Seq[String], tilesPerLabel: Int,
@@ -159,6 +166,25 @@ class ManifestCodecSpec extends AnyFunSuite {
       val full = m.segments(lbl, s, e, closed)
       val pruned = ManifestCodec.prunedSegments(root, fetch, lbl, s, e, closed)
       assert(pruned == full, s"$lbl [$s, $e] $closed")
+      // tail-pruned: a true SUFFIX of the full answer that guarantees
+      // at least `need` covered rows (or is the complete answer)
+      val need = 1L + rnd.nextInt(3000)
+      val tp = ManifestCodec.prunedTailSegments(root, fetch, lbl,
+        s, e, closed, need)
+      assert(tp == full.takeRight(tp.length),
+        s"tail not a suffix: $lbl [$s, $e] $closed need=$need")
+      def g(sr: SegmentRead): Long =
+        (sr.meta.dataStart, sr.meta.dataStop) match {
+          case (Some(ds), Some(de))
+              if (schema.cmpKey(sr.start, ds) < 0 ||
+                (schema.cmpKey(sr.start, ds) == 0 && sr.closed.left)) &&
+                (schema.cmpKey(sr.stop, de) > 0 ||
+                  (schema.cmpKey(sr.stop, de) == 0 && sr.closed.right)) =>
+            sr.meta.length
+          case _ => 0L
+        }
+      assert(tp.map(g).sum >= math.min(need, full.map(g).sum),
+        s"tail under-covers: $lbl [$s, $e] $closed need=$need")
     }
   }
 

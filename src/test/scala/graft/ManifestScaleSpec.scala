@@ -248,7 +248,11 @@ class ManifestScaleSpec extends AnyFunSuite {
     val huge = Manifest(schema, Vector.tabulate(n10) { i =>
       SegmentMeta("_", IndexKey(Vector(i * 100L)),
         IndexKey(Vector((i + 1) * 100L)), Closed.Left, 100L,
-        Vector(f"seg/aa/bb/$i%08d.parquet"))
+        Vector(f"seg/aa/bb/$i%08d.parquet"),
+        // recorded data bounds (what the write path stamps) — the
+        // cold-tail accounting counts only bounds-covered segments
+        dataStart = Some(IndexKey(Vector(i * 100L))),
+        dataStop = Some(IndexKey(Vector((i + 1) * 100L - 1))))
     })
     val tFull = System.nanoTime()
     c.commitManifest(huge, Seq(Changelog.Phi))
@@ -297,6 +301,21 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(coldParses <= 3,
       s"cold point query parsed $coldParses of ~245 chunks")
     assert(coldMs < 2500, f"cold pruned point query took $coldMs%.0f ms")
+
+    // stone-cold tail: trailing chunks only — the label spans ~245
+    // chunks but a need of 500 rows is guaranteed by the last chunk
+    // (+ none to spare), so the walk stops immediately
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val tq0 = ManifestCodec.chunkParses.get()
+    val tailSegs = new graft.api.Repo(root, spark).collection("cc").get
+      .prunedTailSegments("_", None, None, graft.core.Closed.Left,
+        None, need = 500L)
+    val tailParses = ManifestCodec.chunkParses.get() - tq0
+    assert(tailSegs.nonEmpty)
+    assert(tailSegs.last.stop == IndexKey(Vector(100000000L)))
+    assert(tailParses <= 2,
+      s"cold tail parsed $tailParses of ~245 chunks")
     info(f"1e6 chunked: full encode $fullS%.1fs (${root1.chunks.length} " +
       f"chunks), incremental commit $commitMs%.0f ms ($freshChunks " +
       f"fresh), moved-leaf re-decode $reparsed chunks, cold pruned " +
