@@ -2057,6 +2057,8 @@ private final class GraftColumnarScan(uri: String,
   }
 
   private var batch: ColumnarBatch = null
+  private var vecs: Array[OnHeapColumnVector] = null
+  private var vecCap: Int = 0
   private var rowIt: java.util.Iterator[InternalRow] = null
 
   private def loadNextRowGroup(): Boolean = {
@@ -2065,20 +2067,31 @@ private final class GraftColumnarScan(uri: String,
     val n = rg.getRowCount
     require(n <= Int.MaxValue, s"row group of $n rows")
     val rows = n.toInt
-    if (batch != null) batch.close()
-    val vectors = new Array[org.apache.spark.sql.vectorized
-      .ColumnVector](physNames.length)
+    // REUSE vectors across row groups (downstream consumes each batch
+    // before the next load — the DSv2 buffer-reuse contract): a
+    // fresh-allocation-per-group scan churned ~8 MB of vector garbage
+    // per 500k-row group and showed up as GC tax inside the full
+    // bench suite
+    if (vecs == null || rows > vecCap) {
+      if (batch != null) batch.close()
+      vecs = Array.tabulate(physNames.length)(i =>
+        new OnHeapColumnVector(rows, sparkTypes(i)))
+      vecCap = rows
+      batch = new ColumnarBatch(
+        vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized
+          .ColumnVector]], rows)
+    }
     val crs = new ColumnReadStoreImpl(rg, dummyConverter, proj,
       fileMeta.getCreatedBy)
     var i = 0
     while (i < physNames.length) {
-      val v = new OnHeapColumnVector(rows, sparkTypes(i))
+      val v = vecs(i)
+      v.reset()
       if (presentIdx(i) < 0) v.putNulls(0, rows)
       else fill(v, crs, descs(presentIdx(i)), dtypes(i), rows)
-      vectors(i) = v
       i += 1
     }
-    batch = new ColumnarBatch(vectors, rows)
+    batch.setNumRows(rows)
     rowIt = batch.rowIterator()
     true
   }
