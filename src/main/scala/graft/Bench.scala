@@ -786,17 +786,47 @@ object Bench {
     // overflows that window, so stdout gets a COMPACT line (contract
     // fields + medians at 2 dp — ~1.7 KB for 59 queries) and the full
     // min/max/first maps live only in BENCH.json on disk.
+    // JSON-valid trailing-zero trim ("1.40" -> "1.4", "2.00" -> "2"):
+    // the compact line sits near the driver's 2000-char tail window,
+    // and every spare byte is headroom for future bench rows
+    def trim2(d: Double): String = {
+      val s = f"$d%.2f"
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
+    }
     val medsCompact = samples.map { case (k, v) =>
-      "\"" + k + "\":" + f"${median(v)}%.2f" }.mkString("{", ",", "}")
-    val compact =
+      "\"" + k + "\":" + trim2(median(v)) }.mkString("{", ",", "}")
+    def arr2(v: Seq[Double]): String =
+      v.map(trim2).mkString("[", ",", "]")
+    // basename only: the full dir path spends 15 chars of the tail
+    // window on redundancy (BENCH.json on disk keeps the full path)
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
+    def compactLine(fullCalib: Boolean): String = {
+      def calib(v: Seq[Double]): String =
+        if (fullCalib) arr2(v)
+        else trim2(medianOf(v.toVector)) // scalar fallback when tight
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-      f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
+      f""""total_first":$totalFirst%.2f,"disk_mb_5m":$disk5mMb%.1f,""" +
       f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
-      s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
-      s""""calib_io_s":$calibIoJson,""" +
+      s""""calib_s":${calib(calibSamples.toSeq)},""" +
+      s""""calib_mt_s":${calib(calibMtSamples.toSeq)},""" +
+      s""""calib_io_s":${calib(calibIoSamples.toSeq)},""" +
       f""""io_quiet_s":$quietIo%.3f,"io_noise_rows":$ioFlaggedJson,""" +
       s""""disp_noise_rows":$dispFlaggedJson,""" +
-      s""""queries":$medsCompact,"sf":"$sfDir"}"""
+      s""""queries":$medsCompact,"sf":"$sfShort"}"""
+    }
+    // the driver captures the LAST ~2000 stdout chars and json-parses
+    // the final line: overflow decapitates the line and zeroes the
+    // round's bench. Degrade deterministically (per-probe calib
+    // arrays -> their medians) before that can happen; BENCH.json on
+    // disk always carries the full-fidelity record.
+    val compact = {
+      val full = compactLine(fullCalib = true)
+      if (full.length <= 1900) full else compactLine(fullCalib = false)
+    }
     println(compact)
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact stdout line is " +

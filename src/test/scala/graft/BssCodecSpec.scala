@@ -117,11 +117,41 @@ class BssCodecSpec extends AnyFunSuite {
     // clipped range read through the engine path (overlay truncation)
     assert(clct.series("bss").frame(100L, 200L).count() == 100L)
 
+    // 5. clones SHARE the source's segment files, so the bss hint
+    //    must travel: without it the clone's reads routed through
+    //    the vectorized reader and died on the first BSS page
+    //    (found by the zstd+bss full-oracle pass, q59)
+    val cl = clct.cloneTo("c2", rename = Map("v" -> "w"))
+    assert(cl.bssMode, "clone must inherit the bss routing hint")
+    val freshClone = new Repo(root, spark).collection("c2").get
+    assert(freshClone.bssMode,
+      "a fresh handle on the clone must see the persisted hint")
+    val viaClone = freshClone.series("bss").frame()
+      .agg(org.apache.spark.sql.functions.sum($"w")).collect()(0)
+      .getDouble(0)
+    assert(math.abs(viaClone - want) < 1e-6, s"$viaClone vs $want")
+
     // and the disk win is real on this synthetic too
     def mb(label: String): Double =
       clct.series(label).segments().flatMap(_.meta.files).distinct
         .map(f => Files.size(java.nio.file.Paths.get(root, f))).sum / 1e6
     assert(mb("bss") < mb("plain"),
       f"bss ${mb("bss")}%.2f MB !< plain ${mb("plain")}%.2f MB")
+
+    // 6. task-side gc-buried resurrect, engine-reader parity with
+    //    the builtin path (found by the zstd+bss full-oracle pass,
+    //    q207/q208): a racing gc buried a referenced segment and
+    //    BSS-routed scans had no self-heal
+    val segFile = clct.series("bss").segments()
+      .flatMap(_.meta.files).head
+    repo.store.mv(segFile,
+      s"$segFile.t${graft.core.Hash.hextime()}")
+    val healed = new Repo(root, spark).collection("c").get
+      .series("bss").frame()
+      .agg(org.apache.spark.sql.functions.sum($"v")).collect()(0)
+      .getDouble(0)
+    assert(math.abs(healed - want) < 1e-6,
+      "engine-reader scan must resurrect a buried referenced segment")
+    assert(repo.store.exists(segFile), "the file is back under its name")
   }
 }
