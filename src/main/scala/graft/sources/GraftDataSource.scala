@@ -869,13 +869,15 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
       streamForkDedup)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // COLUMNAR only for BSS-hinted collections (their files skip the
-    // vectorized tier anyway); plain tables keep the vectorized row
-    // path, whose batch decode already dominates. Gated further on
-    // every partition being a plain full-file decode.
+    // COLUMNAR whenever every partition is a plain full-file decode
+    // (no clip/defaults/projection/inline/agg work): whole
+    // ColumnarBatches flow from the vectorized reader (or the
+    // engine's page decoder for BSS files — the factory adapts per
+    // file) into codegen's ColumnarToRow, skipping the per-row DSv2
+    // iterator tax. Anything needing per-row work — boundary-clipped
+    // range scans, clone defaults, `_file` — keeps the row path.
     val parts = plannedParts
-    if (resolvedSeries.collection.bssMode && parts != null &&
-        GraftPlanning.columnarEligible(parts))
+    if (parts != null && GraftPlanning.columnarEligible(parts))
       GraftPlanning.columnarReaderFactory()
     else GraftPlanning.readerFactory()
   }
