@@ -825,7 +825,16 @@ object Bench {
     // disk always carries the full-fidelity record.
     val compact = {
       val full = compactLine(fullCalib = true)
-      if (full.length <= 1900) full else compactLine(fullCalib = false)
+      if (full.length <= 1900) full
+      else {
+        val scalars = compactLine(fullCalib = false)
+        if (scalars.length <= 1950) scalars
+        else // last resort: contract fields + medians only, always fits
+          f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+          s""""reps":$reps,"io_noise_rows":$ioFlaggedJson,""" +
+          s""""disp_noise_rows":$dispFlaggedJson,""" +
+          s""""queries":$medsCompact,"sf":"$sfShort"}"""
+      }
     }
     println(compact)
     if (compact.length > 1900)
