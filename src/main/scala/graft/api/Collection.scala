@@ -194,24 +194,22 @@ class Collection(val repo: Repo, val label: String, val path: String,
     // referencing them were retired by squash/trim meanwhile), and
     // committing a root over absent chunks bricks the whole branch —
     // worse than the pre-existing stale-SEGMENT window, which loses
-    // one segment. One chunks-dir listing covers every reused sha
-    // (plain or gc-buried form — buried is resurrectable, see
-    // [[readChunk]]); any truly absent ref forces a full re-encode.
+    // one segment. Small reused sets probe per-sha; a miss (or a big
+    // set) escalates to the chunks-dir listing that also sees
+    // gc-buried forms — buried is resurrectable, see [[readChunk]];
+    // any truly absent ref forces a full re-encode.
     if (enc.refs != null) {
       val freshShas = enc.fresh.iterator.map(_._1).toSet
       val reused = enc.refs.iterator.map(_._1)
         .filterNot(freshShas).toSet
       if (reused.nonEmpty) {
-        val present = scala.collection.mutable.HashSet.empty[String]
-        repo.store.ls(s"$path/chunks").foreach { f =>
-          val ti = f.indexOf(".t")
-          present += (if (ti < 0) f else f.take(ti))
-        }
-        if (!reused.forall(present)) {
+        val missing = graft.core.Store
+          .missingChunks(repo.store, s"$path/chunks", reused)
+        if (missing.nonEmpty) {
           // rare recovery event worth surfacing: it means a layout
           // outlived the gc timeout (operational contract violation)
           System.err.println("[graft] commitManifest: " +
-            s"${reused.count(!present(_))} reused chunk refs missing " +
+            s"${missing.size} reused chunk refs missing " +
             "from the store; falling back to a full re-encode")
           enc = ManifestCodec.encodeFull(m)
         }

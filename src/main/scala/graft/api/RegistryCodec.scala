@@ -31,7 +31,12 @@ import java.util.concurrent.atomic.AtomicLong
 private[graft] object RegistryCodec {
 
   /** entries per chunk (and the v2 threshold at 2x this) — a system
-    * property so specs can exercise chunking at tiny sizes */
+    * property so specs can exercise chunking at tiny sizes. `0` (or
+    * negative) disables v2 emission entirely: repos that must stay
+    * readable by pre-v2 binaries or external v1-document parsers keep
+    * the plain format at any size (the upgrade is otherwise ONE-WAY —
+    * crossing the threshold rewrites the committed root as v2, and
+    * shrinking back re-emits v1 only on the next write). */
   def targetEntries: Int =
     Integer.getInteger("graft.registryChunkEntries", 4096)
 
@@ -100,7 +105,7 @@ private[graft] object RegistryCodec {
       prevRefs: Vector[ChunkRef], changed: Set[String],
       target: Int): Encoded = {
     val n = keys.length
-    if (n < chunkMin(target))
+    if (target <= 0 || n < chunkMin(target))
       return Encoded(plainBytes(keys, valueJson), Nil, null)
 
     var front = Vector.empty[ChunkRef]

@@ -169,14 +169,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
       val reused = enc.refs.iterator.map(_.sha)
         .filterNot(freshShas).toSet
       if (reused.nonEmpty) {
-        val present = scala.collection.mutable.HashSet.empty[String]
-        store.ls("registry/chunks").foreach { f =>
-          val ti = f.indexOf(".t")
-          present += (if (ti < 0) f else f.take(ti))
-        }
-        if (!reused.forall(present)) {
+        val missing = graft.core.Store
+          .missingChunks(store, "registry/chunks", reused)
+        if (missing.nonEmpty) {
           System.err.println("[graft] registry commit: " +
-            s"${reused.count(!present(_))} reused chunk refs missing " +
+            s"${missing.size} reused chunk refs missing " +
             "from the store; falling back to a full re-encode")
           return commitReg(
             RegistryCodec.encode(keys, valueJson, null, null),

@@ -35,6 +35,33 @@ trait Store extends Serializable {
   def uri(path: String): String
 }
 
+object Store {
+  /** Which of `shas` are absent from the chunk directory `dir`
+    * (where a chunk lives as plain `<sha>` or gc-buried
+    * `<sha>.t<ts>`, the latter resurrectable). Small sets probe each
+    * sha with exists() — O(|shas|) HEADs instead of the O(dir-size)
+    * LIST that every incremental commit was paying on object stores;
+    * a probe miss (which a buried-but-live chunk also produces)
+    * escalates to the one full listing that sees buried forms. Large
+    * sets go straight to the listing, where one paginated LIST beats
+    * per-sha HEADs. The check stays TOCTOU vs a concurrent gc bury —
+    * benign, since buried chunks are resurrectable. */
+  def missingChunks(store: Store, dir: String,
+      shas: Set[String]): Set[String] = {
+    val probeMiss =
+      if (shas.size <= 16)
+        shas.filterNot(sha => store.exists(s"$dir/$sha"))
+      else shas
+    if (probeMiss.isEmpty) return Set.empty
+    val present = scala.collection.mutable.HashSet.empty[String]
+    store.ls(dir).foreach { f =>
+      val ti = f.indexOf(".t")
+      present += (if (ti < 0) f else f.take(ti))
+    }
+    probeMiss.filterNot(present)
+  }
+}
+
 final class HadoopStore(val root: String) extends Store {
   @transient private var fsCache: FileSystem = _
   @transient private var confCache: Configuration = _

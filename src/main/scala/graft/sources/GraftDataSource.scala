@@ -2063,7 +2063,19 @@ private final class GraftColumnarScan(uri: String,
   private var vecCap: Int = 0
   private var rowIt: java.util.Iterator[InternalRow] = null
 
+  // every requested column absent from this file (pre-clone/ALTER
+  // segment): serve null-filled batches of physNames.length columns
+  // sized straight off the footer's row-group counts — no page IO
+  // (readNextRowGroup with no requested schema would decode EVERY
+  // file column), and the row arity stays physNames.length so the
+  // shared default-injection downstream can fill the slots
+  private var nullOnlyBlocks: Iterator[Long] =
+    if (physNames.nonEmpty && proj.getFieldCount == 0)
+      reader.getFooter.getBlocks.asScala.iterator.map(_.getRowCount)
+    else null
+
   private def loadNextRowGroup(): Boolean = {
+    if (nullOnlyBlocks != null) return loadNullOnlyGroup()
     val rg = reader.readNextRowGroup() // zero-col case never gets here
     if (rg == null) return false
     val n = rg.getRowCount
@@ -2091,6 +2103,31 @@ private final class GraftColumnarScan(uri: String,
       v.reset()
       if (presentIdx(i) < 0) v.putNulls(0, rows)
       else fill(v, crs, descs(presentIdx(i)), dtypes(i), rows)
+      i += 1
+    }
+    batch.setNumRows(rows)
+    rowIt = batch.rowIterator()
+    true
+  }
+
+  private def loadNullOnlyGroup(): Boolean = {
+    if (!nullOnlyBlocks.hasNext) return false
+    val n = nullOnlyBlocks.next()
+    require(n <= Int.MaxValue, s"row group of $n rows")
+    val rows = n.toInt
+    if (vecs == null || rows > vecCap) {
+      if (batch != null) batch.close()
+      vecs = Array.tabulate(physNames.length)(i =>
+        new OnHeapColumnVector(rows, sparkTypes(i)))
+      vecCap = rows
+      batch = new ColumnarBatch(
+        vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized
+          .ColumnVector]], rows)
+    }
+    var i = 0
+    while (i < physNames.length) {
+      vecs(i).reset()
+      vecs(i).putNulls(0, rows)
       i += 1
     }
     batch.setNumRows(rows)
@@ -2133,9 +2170,11 @@ private final class GraftColumnarScan(uri: String,
     }
   }
 
-  // zero-column projection: serve empty row views off row counts
+  // zero-column REQUEST (count(*)): serve empty row views off row
+  // counts. Distinct from the null-only case above — there columns
+  // WERE requested, so the served arity must stay physNames.length
   private var emptyLeft: Long =
-    if (proj.getFieldCount == 0)
+    if (physNames.isEmpty)
       reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     else -1L
   private val emptyRow = new GenericInternalRow(0)
@@ -2436,15 +2475,19 @@ class GraftFileReader(p: GraftFilePartition, conf: SegmentWriter.SerConf)
       false
     } else if (mid != null) {
       // same contract as the vectorized tier: a failure before any
-      // emitted row demotes to the parquet-mr row materializer
+      // emitted row demotes to the parquet-mr row materializer.
+      // emitted flips only once a fully-assembled row is about to be
+      // RETURNED — a throw while projecting the first row (or while
+      // rows were read but all clipped out) still demotes, since the
+      // consumer has received nothing that a fresh reader would
+      // re-serve
       try {
         while (true) {
           val row = mid.nextRow()
           if (row == null) return false
-          emitted = true
-          if (identityOut) { current = row; return true }
+          if (identityOut) { current = row; emitted = true; return true }
           fillSlots(row)
-          if (finish()) return true
+          if (finish()) { emitted = true; return true }
         }
         false
       } catch {

@@ -153,5 +153,23 @@ class BssCodecSpec extends AnyFunSuite {
     assert(math.abs(healed - want) < 1e-6,
       "engine-reader scan must resurrect a buried referenced segment")
     assert(repo.store.exists(segFile), "the file is back under its name")
+
+    // 7. clone ADDITIONS read through the knownBssUris memo: the
+    //    segment files are shared and already memoized as BSS, so a
+    //    scan requesting ONLY the added (default-valued) column skips
+    //    the vectorized tier — which absorbs missing columns — and
+    //    lands on GraftColumnarScan with zero present columns. It
+    //    must serve null rows of the REQUESTED arity for the default
+    //    injection to fill (it used to take the 0-arity count(*)
+    //    fast path and crash or corrupt downstream).
+    val cl3 = clct.cloneTo("c3", additions =
+      Seq((graft.core.ColDef("extra", graft.core.GType.FloatT,
+        idx = false), 1.5)))
+    val extraSum = new Repo(root, spark).collection("c3").get
+      .series("bss").frame().select("extra")
+      .agg(org.apache.spark.sql.functions.sum($"extra")).collect()(0)
+      .getDouble(0)
+    assert(math.abs(extraSum - 1.5 * 50000) < 1e-6,
+      s"default-only projection over memoized-bss files: $extraSum")
   }
 }

@@ -34,6 +34,18 @@ class RegistryCodecSpec extends AnyFunSuite {
     assert(new String(e.root, "UTF-8") == expected)
   }
 
+  test("target<=0 disables v2 emission at any size (compat pin)") {
+    // -Dgraft.registryChunkEntries=0: repos that must stay readable
+    // by pre-v2 binaries keep the plain v1 document forever
+    val es = mkEntries(100)
+    val e = RegistryCodec.encode(es.map(_._1), i => es(i)._2,
+      null, null, 0)
+    assert(e.refs == null && e.fresh.isEmpty)
+    val expected = es.map { case (k, v) => s"${Json.str(k)}:$v" }
+      .mkString("{", ",", "}")
+    assert(new String(e.root, "UTF-8") == expected)
+  }
+
   test("chunked encode round-trips and is canonical") {
     val es = mkEntries(100)
     val e = RegistryCodec.encode(es.map(_._1), i => es(i)._2,
