@@ -68,10 +68,13 @@ class Repo(val rootUri: String, val spark: SparkSession,
       merged
     } else leaves.headOption.map { r =>
       val hit = Repo.regDecodeCache.get(rootUri)
-      if (hit != null && hit._1 == r.child) hit._2
+      if (hit != null && hit.leaf == r.child) hit.state
       else {
         val (m, refs) = decodeReg(registry.payload(r))
-        Repo.regDecodeCache.put(rootUri, (r.child, m, refs)) // LRU-bounded
+        // sortedKeys stays null until a write needs it: decodes
+        // (reads, SQL statements) never pay a sort
+        Repo.regDecodeCache.put(rootUri,
+          Repo.RegCached(r.child, m, refs, null, null)) // LRU-bounded
         m
       }
     }.getOrElse(Map.empty)
@@ -132,18 +135,75 @@ class Repo(val rootUri: String, val spark: SparkSession,
     throw new IllegalStateException("unreachable")
   }
 
-  private def writeReg(state: Map[String, RegEntry]): Unit =
-    writeRegWithParents(state,
-      Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi)))
+  /** DDL-path registry write: the caller states the touched keys
+    * (`put` upserts, `del` removals) against the state it read, so
+    * the change-set, the sorted key order AND the chunk layout all
+    * update O(touched) — no per-DDL full sort, no full key-space
+    * diff. Falls back to [[writeRegWithParents]] (full sort) when the
+    * cached leaf doesn't match the current one (cold handle, racer in
+    * between) — correctness never depends on the cache. */
+  private def writeRegDelta(state: Map[String, RegEntry],
+      put: Seq[(String, RegEntry)], del: Seq[String]): Unit = {
+    val parent = registry.leaf().map(_.child).getOrElse(Changelog.Phi)
+    val hit = Repo.regDecodeCache.get(rootUri)
+    if (parent == Changelog.Phi || hit == null || hit.leaf != parent) {
+      writeRegWithParents(state, Seq(parent))
+      return
+    }
+    val prev = hit.state
+    val changed: Set[String] =
+      (put.iterator.collect {
+        case (k, v) if !prev.get(k).contains(v) => k
+      } ++ del.iterator.filter(prev.contains)).toSet
+    val keys: Array[String] =
+      if (hit.sortedKeys != null)
+        Repo.spliceSorted(hit.sortedKeys,
+          put.view.map(_._1).filterNot(prev.contains), del)
+      else sortedKeysOf(state)
+    val paths: Set[String] =
+      if (hit.paths == null) null
+      else {
+        var p = hit.paths
+        del.foreach(k => prev.get(k).foreach(e => p -= e.path))
+        put.foreach { case (k, v) =>
+          prev.get(k).foreach(e => if (e.path != v.path) p -= e.path)
+          p += v.path
+        }
+        p
+      }
+    writeRegCore(state, Seq(parent), keys,
+      if (hit.refs != null) hit.refs else null,
+      if (hit.refs != null) changed else null, paths)
+  }
+
+  /** The set of physical paths the registry currently holds — used by
+    * createCollection's collision probe. Built O(n) once per cached
+    * leaf, then maintained O(touched) by [[writeRegDelta]]; building
+    * it per-DDL was the last O(registry) scan on the DDL path. */
+  private def takenPaths(state: Map[String, RegEntry]): Set[String] = {
+    val hit = Repo.regDecodeCache.get(rootUri)
+    if (hit != null && (hit.state eq state) && hit.paths != null)
+      hit.paths
+    else {
+      val p = state.valuesIterator.map(_.path).toSet
+      if (hit != null && (hit.state eq state))
+        Repo.regDecodeCache.put(rootUri, hit.copy(paths = p))
+      p
+    }
+  }
+
+  private def sortedKeysOf(state: Map[String, RegEntry]): Array[String] = {
+    Repo.regFullSorts.incrementAndGet()
+    val a = new Array[String](state.size)
+    var i = 0
+    state.keysIterator.foreach { k => a(i) = k; i += 1 }
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    a
+  }
 
   private[graft] def writeRegWithParents(state: Map[String, RegEntry],
       parents: Seq[String]): Unit = {
-    val sorted = state.toVector.sortBy(_._1)
-    val keys: IndexedSeq[String] = sorted.map(_._1)
-    // lazy per-entry serialization: only the entries landing in a
-    // FRESH chunk are ever rendered — a 1-key DDL at 1e5 collections
-    // serializes one chunk's worth, not the whole document
-    val valueJson: Int => String = i => Repo.entryJson(sorted(i)._2)
+    val keys = sortedKeysOf(state)
     // incremental layout: when the single parent is the cached leaf,
     // reuse its chunk refs and re-serialize only the chunks the
     // changed keys touch — a 1-collection DDL against a 1e5-entry
@@ -152,14 +212,27 @@ class Repo(val rootUri: String, val spark: SparkSession,
     var changed: Set[String] = null
     if (parents.length == 1 && parents.head != Changelog.Phi) {
       val hit = Repo.regDecodeCache.get(rootUri)
-      if (hit != null && hit._1 == parents.head && hit._3 != null) {
-        prevRefs = hit._3
-        val prev = hit._2
+      if (hit != null && hit.leaf == parents.head && hit.refs != null) {
+        prevRefs = hit.refs
+        val prev = hit.state
         changed = (prev.keySet ++ state.keySet)
           .filter(k => prev.get(k) != state.get(k))
       }
     }
-    val enc = RegistryCodec.encode(keys, valueJson, prevRefs, changed)
+    writeRegCore(state, parents, keys, prevRefs, changed, null)
+  }
+
+  private def writeRegCore(state: Map[String, RegEntry],
+      parents: Seq[String], keys: Array[String],
+      prevRefs: Vector[RegistryCodec.ChunkRef],
+      changed: Set[String], paths: Set[String]): Unit = {
+    val keySeq: IndexedSeq[String] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(keys)
+    // lazy per-entry serialization: only the entries landing in a
+    // FRESH chunk are ever rendered — a 1-key DDL at 1e5 collections
+    // serializes one chunk's worth, not the whole document
+    val valueJson: Int => String = i => Repo.entryJson(state(keys(i)))
+    val enc = RegistryCodec.encode(keySeq, valueJson, prevRefs, changed)
     if (enc.refs != null) {
       // reused refs must still EXIST (same hazard as
       // Collection.commitManifest: a layout held past the gc timeout
@@ -176,25 +249,27 @@ class Repo(val rootUri: String, val spark: SparkSession,
             s"${missing.size} reused chunk refs missing " +
             "from the store; falling back to a full re-encode")
           return commitReg(
-            RegistryCodec.encode(keys, valueJson, null, null),
-            state, parents)
+            RegistryCodec.encode(keySeq, valueJson, null, null),
+            state, parents, keys, paths)
         }
       }
     }
-    commitReg(enc, state, parents)
+    commitReg(enc, state, parents, keys, paths)
   }
 
   private def commitReg(enc: RegistryCodec.Encoded,
-      state: Map[String, RegEntry], parents: Seq[String]): Unit = {
+      state: Map[String, RegEntry], parents: Seq[String],
+      keys: Array[String], paths: Set[String]): Unit = {
     enc.fresh.foreach { case (sha, bytes) =>
       store.write(s"registry/chunks/$sha", bytes)
     }
     val revs = registry.commit(enc.root, parents)
     // seed the decode cache with the state we just committed: the
-    // next regState() on this leaf decodes nothing (and carries the
-    // refs for the next DDL's incremental encode)
+    // next regState() on this leaf decodes nothing, and carries the
+    // refs AND the sorted keys for the next DDL's O(touched) encode
     revs.headOption.foreach(r =>
-      Repo.regDecodeCache.put(rootUri, (r.child, state, enc.refs)))
+      Repo.regDecodeCache.put(rootUri,
+        Repo.RegCached(r.child, state, enc.refs, keys, paths)))
     ()
   }
 
@@ -227,12 +302,13 @@ class Repo(val rootUri: String, val spark: SparkSession,
         // concurrent-create convergence.
         val base = "c-" + Hash.sha1(
           mkKey(namespace, label).getBytes("UTF-8")).take(16)
-        val taken = state.values.map(_.path).toSet
+        val taken = takenPaths(state)
         val path = Iterator.from(1)
           .map(i => if (i == 1) base else s"$base-$i")
           .find(p => !taken.contains(p)).get
-        writeReg(state + (mkKey(namespace, label) -> RegEntry(path,
-          schema, colMap, defaults, pageLen)))
+        val kv = mkKey(namespace, label) -> RegEntry(path,
+          schema, colMap, defaults, pageLen)
+        writeRegDelta(state + kv, Seq(kv), Nil)
         new Collection(this, label, path, schema, colMap, defaults,
           pageLen)
     }
@@ -292,8 +368,9 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // in ONE registry write, so a failing half can never leave the
     // other half applied
     val newPageLen = pageLenChange.getOrElse(e.pageLen)
-    writeReg(state.updated(key,
-      RegEntry(e.path, schema, colMap, defaults, newPageLen, e.bss)))
+    val ne = RegEntry(e.path, schema, colMap, defaults, newPageLen,
+      e.bss)
+    writeRegDelta(state.updated(key, ne), Seq(key -> ne), Nil)
     new Collection(this, label, e.path, schema, colMap, defaults,
       e.pageLen, e.bss)
   }
@@ -310,7 +387,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val state = regState()
     val e = state.getOrElse(key, throw new IllegalArgumentException(
       s"no collection '$label' in namespace '$namespace'"))
-    writeReg(state.updated(key, e.copy(pageLen = pageLen)))
+    val ne = e.copy(pageLen = pageLen)
+    writeRegDelta(state.updated(key, ne), Seq(key -> ne), Nil)
     new Collection(this, label, e.path, e.schema, e.colMap, e.defaults,
       pageLen, e.bss)
   }
@@ -323,7 +401,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val state = regState()
     state.find(_._2.path == path) match {
       case Some((k, e)) if !e.bss =>
-        writeReg(state.updated(k, e.copy(bss = true)))
+        val ne = e.copy(bss = true)
+        writeRegDelta(state.updated(k, ne), Seq(k -> ne), Nil)
       case _ => ()
     }
   }
@@ -402,7 +481,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val state = regState()
     val key = mkKey(namespace, label)
     state.get(key).foreach { e =>
-      writeReg(state - key)
+      writeRegDelta(state - key, Nil, Seq(key))
       store.rm(e.path, recursive = true)
     }
   }
@@ -413,7 +492,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val (fromK, toK) = (mkKey(namespace, from), mkKey(namespace, to))
     state.get(fromK).foreach { e =>
       require(!state.contains(toK), s"collection $to already exists")
-      writeReg(state - fromK + (toK -> e))
+      writeRegDelta(state - fromK + (toK -> e),
+        Seq(toK -> e), Seq(fromK))
     }
   }
 
@@ -432,11 +512,12 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // the remote path would orphan every local-only commit/segment
     // (which gc would then delete). The remote changelog is pulled
     // into the local path below instead.
-    val merged = state ++ remoteState.collect {
+    val added = remoteState.collect {
       case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
         mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
-          c.defaults, c.pageLenCfg, c.bssMode) }
-    if (merged != state) writeReg(merged)
+          c.defaults, c.pageLenCfg, c.bssMode) }.toSeq
+    if (added.nonEmpty)
+      writeRegDelta(state ++ added, added, Nil)
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))
     }
@@ -658,17 +739,65 @@ object Repo {
     * eldest entry, so hot repos never lose their slot to a cold temp
     * repo churning the bound, and the bound holds under concurrent
     * repos (all access goes through the map's own lock). */
-  private[api] val regDecodeCache: java.util.Map[
-      String, (String, Map[String, RegEntry], Vector[RegistryCodec.ChunkRef])] =
+  private[api] val regDecodeCache: java.util.Map[String, RegCached] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[
-          String, (String, Map[String, RegEntry],
-            Vector[RegistryCodec.ChunkRef])](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[
-            String, (String, Map[String, RegEntry],
-              Vector[RegistryCodec.ChunkRef])]): Boolean =
+      new java.util.LinkedHashMap[String, RegCached](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, RegCached]): Boolean =
           size() > 256
       })
+
+  /** One cached registry decode/commit: the leaf revision it belongs
+    * to, the entry state, the chunk layout (null for v1 payloads),
+    * the SORTED key array and the set of taken physical paths (both
+    * null until first materialized — a decode pays neither; writes
+    * maintain them O(touched)). The array is shared by reference and
+    * must never be mutated; [[spliceSorted]] always allocates. */
+  private[api] final case class RegCached(leaf: String,
+      state: Map[String, RegEntry],
+      refs: Vector[RegistryCodec.ChunkRef],
+      sortedKeys: Array[String],
+      paths: Set[String])
+
+  /** full O(n log n) registry key sorts — DDLs against a warm handle
+    * must NOT pay one (spec-pinned); only the first write after a
+    * cold decode (or a fork merge / bulk import) does */
+  private[graft] val regFullSorts =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `base` (sorted, never mutated) with `add` inserted and `rem`
+    * removed — O(|delta| · memcpy) instead of re-sorting: the memcpy
+    * of a 1e6-slot reference array is ~1 ms; the comparison sort it
+    * replaces was the dominant cost of a DDL at that scale. Keys in
+    * `add` already present are position no-ops (value-only changes);
+    * keys in `rem` not present are ignored. */
+  private[api] def spliceSorted(base: Array[String],
+      add: Iterable[String], rem: Iterable[String]): Array[String] = {
+    var arr = base
+    def bs(k: String): Int = java.util.Arrays.binarySearch(
+      arr.asInstanceOf[Array[AnyRef]], k)
+    add.foreach { k =>
+      val i = bs(k)
+      if (i < 0) {
+        val p = -i - 1
+        val out = new Array[String](arr.length + 1)
+        System.arraycopy(arr, 0, out, 0, p)
+        out(p) = k
+        System.arraycopy(arr, p, out, p + 1, arr.length - p)
+        arr = out
+      }
+    }
+    rem.foreach { k =>
+      val i = bs(k)
+      if (i >= 0) {
+        val out = new Array[String](arr.length - 1)
+        System.arraycopy(arr, 0, out, 0, i)
+        System.arraycopy(arr, i + 1, out, i, arr.length - i - 1)
+        arr = out
+      }
+    }
+    arr
+  }
 
   /** Test hook: drop cached registry decodes (cold-read specs). */
   private[graft] def clearRegDecodeCache(): Unit = regDecodeCache.clear()

@@ -353,16 +353,55 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(freshChunks <= 3, s"$freshChunks fresh chunks for one DDL")
     assert(ddlS < 2.0, f"DDL took $ddlS%.2fs against 1e5 collections")
 
-    // a second DDL through the seeded cache stays O(touched) and
-    // decodes nothing (the SQL door's fresh-statement pattern)
+    // a second DDL through the seeded cache stays O(touched),
+    // decodes nothing (the SQL door's fresh-statement pattern) and
+    // pays NO full key sort (the cached sorted-key array splices)
     val parses0 = graft.api.RegistryCodec.chunkParses.get()
     val enc0 = graft.api.RegistryCodec.chunkEncodes.get()
+    val sorts0 = graft.api.Repo.regFullSorts.get()
     repo.createCollection(schema, "zz-two-more")
     assert(graft.api.RegistryCodec.chunkEncodes.get() - enc0 <= 3)
     assert(graft.api.RegistryCodec.chunkParses.get() - parses0 == 0,
       "warm DDL must not re-decode any chunk")
+    assert(graft.api.Repo.regFullSorts.get() == sorts0,
+      "warm DDL must not re-sort the key space")
     // and a fresh handle sees everything
     assert(new graft.api.Repo(root, spark).ls().length == 100002)
+  }
+
+  test("a DDL against a 1e6-collection registry: O(touched) chunks, " +
+      "zero full sorts, interactive wall-clock") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-reg1e6").toString
+    val repo = new graft.api.Repo(root, spark)
+    val schema = GSchema("ts" -> "int*", "v" -> "float")
+    val state = (0 until 1000000).map { i =>
+      "collection\u0000" + f"t$i%07d" ->
+        graft.api.Repo.RegEntry(f"c-$i%08x", schema, Map.empty, Map.empty)
+    }.toMap
+    val t0 = System.nanoTime()
+    repo.writeRegWithParents(state, Seq(Changelog.Phi))
+    val seedS = (System.nanoTime() - t0) / 1e9
+
+    // warm the DDL machinery once (materializes the taken-paths set
+    // lazily; the seed commit already cached the sorted keys), then
+    // pin the steady state: no full sort, no chunk re-parse, <=3
+    // fresh chunks, and a wall-clock ceiling with slack for CI noise
+    repo.createCollection(schema, "zz-warm")
+    val sorts0 = graft.api.Repo.regFullSorts.get()
+    val parses0 = graft.api.RegistryCodec.chunkParses.get()
+    val enc0 = graft.api.RegistryCodec.chunkEncodes.get()
+    val t1 = System.nanoTime()
+    repo.createCollection(schema, "zz-one-more")
+    val ddlS = (System.nanoTime() - t1) / 1e9
+    info(f"seed(full encode)=$seedS%.2fs  warm ddl=$ddlS%.3fs  " +
+      f"freshChunks=${graft.api.RegistryCodec.chunkEncodes.get() - enc0}")
+    assert(graft.api.Repo.regFullSorts.get() == sorts0,
+      "a warm DDL at 1e6 entries must not sort the key space")
+    assert(graft.api.RegistryCodec.chunkParses.get() - parses0 == 0)
+    assert(graft.api.RegistryCodec.chunkEncodes.get() - enc0 <= 3)
+    assert(ddlS < 1.0, f"DDL took $ddlS%.2fs against 1e6 collections")
   }
 
   test("registry decode cache: content-addressed hits, DDL-coherent") {
