@@ -18,8 +18,14 @@ final class Changelog(val store: Store, val dir: String) {
   import Changelog._
 
   @volatile private var logCache: Vector[Revision] = null
+  // (winning-leaf child id, index of its DESCEND edge, its edge
+  // count) for the cached log — lets a warm commit splice in O(tail)
+  // without scanning the whole linearization. Maintained by
+  // computeLog (O(n), paid once per cold build) and by each
+  // incremental append (O(1)).
+  @volatile private var leafMeta: (String, Int, Int) = null
 
-  def refresh(): Unit = logCache = null
+  def refresh(): Unit = { logCache = null; leafMeta = null }
 
   /** Append a new revision holding `payload`. If `parents` is empty the
     * current leaf is used (or phi for an empty log). Double-writes of
@@ -61,7 +67,43 @@ final class Changelog(val store: Store, val dir: String) {
         store.write(s"$dir/${rev.path}", payload)
         rev
       }
-    refresh()
+    // Maintain the linearization INCREMENTALLY when this commit
+    // extends the cached winning leaf: a CDC-style deployment commits
+    // per micro-batch, and recomputing (one `ls` + O(n) DFS) after
+    // every own-commit made the nth commit cost O(n) — O(n^2)
+    // cumulative between trims. The canonical DFS position of the new
+    // edge is right after the leaf's DESCEND edge (its first
+    // occurrence — a merge leaf also has trailing revisit edges), so
+    // splicing there reproduces computeLog's order bit-for-bit; all
+    // other shapes (merge commits, explicit foreign/phi parents, cold
+    // cache) drop the cache and recompute on next read. Freshness
+    // semantics are unchanged: foreign revisions were never visible
+    // without an explicit refresh()/new handle, which still lists.
+    if (revs.isEmpty) () // double-write skip: the view is unchanged
+    else synchronized {
+      val lc = logCache
+      val lm = leafMeta
+      val p = if (revs.length == 1) revs.head.parent else null
+      if (lc != null && lm != null && p != null && lm._1 == p) {
+        Changelog.incAppends.incrementAndGet()
+        val (at, edges) = (lm._2, lm._3)
+        // demote p's edges (descend at `at`, any revisits after it),
+        // splice the new edge right after the descend edge. In the
+        // common linear case at == lc.length-1 and edges == 1, so
+        // this is one updated + one append — no full-vector work.
+        var v = lc.updated(at, lc(at).copy(isLeaf = false))
+        var left = edges - 1
+        var i = at + 1
+        while (left > 0 && i < v.length) {
+          if (v(i).child == p) { v = v.updated(i,
+            v(i).copy(isLeaf = false)); left -= 1 }
+          i += 1
+        }
+        logCache = (v.take(at + 1) :+
+          revs.head.copy(isLeaf = true)) ++ v.drop(at + 1)
+        leafMeta = (child, at + 1, 1)
+      } else refresh()
+    }
     revs
   }
 
@@ -72,20 +114,35 @@ final class Changelog(val store: Store, val dir: String) {
     * the winning leaf.
     */
   def log(beforeMs: Option[Long] = None): Seq[Revision] = {
-    if (logCache == null) logCache = computeLog()
+    var lc = logCache
+    if (lc == null) synchronized {
+      lc = logCache
+      if (lc == null) {
+        lc = computeLog()
+        // leaf summary for the incremental commit path: the winning
+        // leaf's child, its descend-edge index, and its edge count
+        leafMeta = lc.reverseIterator.find(_.isLeaf)
+          .orElse(lc.lastOption).map { w =>
+            (w.child, lc.indexWhere(_.child == w.child),
+              lc.count(_.child == w.child))
+          }.orNull
+        logCache = lc
+      }
+    }
     beforeMs match {
-      case None => logCache
+      case None => lc
       case Some(ms) =>
         val cut = Hash.hextime(ms)
         // filter, not takeWhile: on a forked history the DFS
         // linearization interleaves branches, and a single late
         // revision on an EARLIER branch must not hide every later
         // branch's older revisions from time travel
-        logCache.filter(_.epochHex < cut)
+        lc.filter(_.epochHex < cut)
     }
   }
 
   private def computeLog(): Vector[Revision] = {
+    Changelog.fullComputes.incrementAndGet()
     val children = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Revision]]
     val allChildren = scala.collection.mutable.Set.empty[String]
@@ -224,4 +281,12 @@ object Changelog {
   val ZeroHextime = "0" * 11
   val ZeroHash = "0" * 40
   val Phi = s"$ZeroHextime-$ZeroHash"
+
+  // ---- observability (scale specs pin incremental behavior) ----
+  /** full linearizations (one `ls` + O(n) DFS) */
+  private[graft] val fullComputes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  /** commits that extended the cached log in place (no ls, no DFS) */
+  private[graft] val incAppends =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

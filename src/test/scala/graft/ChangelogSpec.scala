@@ -228,4 +228,70 @@ class ChangelogSpec extends AnyFunSuite {
     info(f"1e4 revisions: build $buildMs%.0f ms, " +
       f"100 cached leafs $cachedMs%.0f ms")
   }
+
+  test("1e5 revisions: one cold build, then warm commits are " +
+      "incremental (no ls, no DFS)") {
+    // CDC-per-micro-batch deployments reach 1e5+ revisions between
+    // trims; the nth warm commit must not pay an O(n) relist+DFS
+    // (that made a commit train O(n^2) cumulative). Counters prove
+    // the shape: exactly ONE full linearization for the cold read,
+    // zero more across a 1000-commit warm train.
+    val root = Files.createTempDirectory("graft-logscale5")
+    val dir = root.resolve("changelog")
+    Files.createDirectories(dir)
+    val n = 100000
+    var parent = Changelog.Phi
+    (0 until n).foreach { i =>
+      val child = f"$i%011x-deadbeef$i%08d"
+      Files.createFile(dir.resolve(s"$parent.$child"))
+      parent = child
+    }
+    val log = new Changelog(new HadoopStore(root.toString), "changelog")
+    val t0 = System.nanoTime()
+    assert(log.leaf().get.child == parent)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    val full0 = Changelog.fullComputes.get()
+    val inc0 = Changelog.incAppends.get()
+    val t1 = System.nanoTime()
+    (0 until 1000).foreach(i => log.commit(s"p$i".getBytes))
+    val trainMs = (System.nanoTime() - t1) / 1e6
+    assert(Changelog.fullComputes.get() == full0,
+      "warm commits must not relinearize the changelog")
+    assert(Changelog.incAppends.get() - inc0 == 1000L)
+    assert(log.log().length == n + 1000)
+    assert(new String(log.payload(log.leaf().get)) == "p999")
+    // the incremental view must MATCH a from-scratch linearization
+    val warm = log.log()
+    log.refresh()
+    assert(log.log() == warm,
+      "incremental cache must equal the canonical DFS order")
+    assert(trainMs < 10000, f"1000 warm commits $trainMs%.0f ms")
+    info(f"1e5 revisions: cold build $coldMs%.0f ms, " +
+      f"1000 warm commits $trainMs%.0f ms " +
+      f"(${trainMs / 1000}%.2f ms/commit)")
+  }
+
+  test("incremental commit after a merge heal keeps canonical order") {
+    val log = freshLog()
+    val a = log.commit("a".getBytes).head
+    Thread.sleep(2)
+    val b = log.commit("b".getBytes, parents = Seq(a.child)).head
+    Thread.sleep(2)
+    val c = log.commit("c".getBytes, parents = Seq(a.child)).head
+    Thread.sleep(2)
+    val m = log.commit("m".getBytes, parents = Seq(b.child, c.child)).head
+    Thread.sleep(2)
+    // the cached log now ends with m's REVISIT edge; the next commit
+    // must splice after m's descend edge (or recompute) — an append
+    // at the tail would diverge from the canonical DFS
+    val d = log.commit("d".getBytes, parents = Seq(m.child)).head
+    Thread.sleep(2)
+    val e = log.commit("e".getBytes, parents = Seq(d.child)).head
+    val warm = log.log()
+    log.refresh()
+    assert(log.log() == warm,
+      "post-merge commits must keep the canonical linearization")
+    assert(log.leaf().get.child == e.child)
+    val _ = (m, d)
+  }
 }
