@@ -73,4 +73,24 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(!Bench.dispNoiseFlag(Vector(3.0, 4.0)))
     assert(Bench.dispNoiseFlag(Vector(3.0, 3.1, 12.0, 13.0)))
   }
+
+  test("dispersion RETRY trigger: any row, 2x its fastest rep") {
+    // the BENCH_r13 shape: CPU-bound query rows 60-90% inflated with
+    // quiet probes and zero flags — the retry trigger must be more
+    // sensitive (2.0x) than the artifact flag (2.5x), and apply to
+    // every row, not just IO rows
+    assert(Bench.dispRetryFlag(Vector(0.73, 1.50, 1.55)))
+    // at exactly 2.0x, inclusive
+    assert(Bench.dispRetryFlag(Vector(1.0, 2.0, 2.1)))
+    assert(!Bench.dispRetryFlag(Vector(1.0, 1.99, 2.1)))
+    // one slow rep out of three never forms the median -> no retry
+    assert(!Bench.dispRetryFlag(Vector(0.33, 0.35, 12.0)))
+    // a tight band never retries; degenerate rows never retry
+    assert(!Bench.dispRetryFlag(Vector(1.5, 1.7, 1.6)))
+    assert(!Bench.dispRetryFlag(Vector(1.0)))
+    assert(!Bench.dispRetryFlag(Vector(-1.0, 3.0, 3.1)))
+    // after the retry rep joins, a healthy row's 4-rep median drops
+    // back under both thresholds (the artifact median re-forms)
+    assert(!Bench.dispNoiseFlag(Vector(0.73, 1.50, 1.55, 0.74)))
+  }
 }
