@@ -65,7 +65,9 @@ object ConcChild {
         pool.submit(new Runnable {
           def run(): Unit = {
             try {
-              val sr = new Repo(root, spark).collection("conc").get
+              // companion apply: file/s3net roots go through Hadoop,
+              // http:// roots open as HTTP-POD clients (q209)
+              val sr = Repo(root, spark).collection("conc").get
                 .series("my_label")
               sr.write(spark.range(w * per, (w + 1) * per, 1, 4)
                 .selectExpr(

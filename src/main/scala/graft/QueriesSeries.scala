@@ -1892,6 +1892,131 @@ object QueriesSeries {
       |      FROM range(0, 87600) t(k))
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The q207/q208 multi-process race run over the HTTP POD
+    * (reference tests/concurrent_test.py:71-91 runs the concurrent
+    * family over the http pod too): a [[graft.core.StoreServer]] in
+    * the parent fronts the backing store; parent threads, a child
+    * JVM's writer fleet AND a defrag+trim+gc maintenance loop all
+    * mutate the repo over the wire protocol (ls/read/
+    * write-if-absent/mv/rm/walk round-trips — no shared JVM state,
+    * no shared filesystem semantics beyond the server's). Converges
+    * to one leaf holding the complete writer grid. */
+  def q209_multiprocess_http(s: SparkSession, dir: String): DataFrame = {
+    val _ = dir // fixed synthetic grid: the oracle regenerates it
+    val served = java.nio.file.Files
+      .createTempDirectory("graft-q209").toString
+    val server = new graft.core.StoreServer(
+      new graft.core.HadoopStore(served)).start()
+    try {
+      val root = s"http://127.0.0.1:${server.boundPort}"
+      val schema = GSchema("ts" -> "timestamp*", "value" -> "int")
+      val repo = Repo(root, s)
+      repo.createCollection(schema, "conc")
+      val nWriters = 20
+      val half = nWriters / 2
+      val per = 4380L // one writer-month of minutes; 87,600 total
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cmd = Seq(javaBin) ++ ConcChild.jdkModuleOptions ++ Seq(
+        "-Xmx6g", "-cp", System.getProperty("java.class.path"),
+        "graft.ConcChild", root, half.toString, nWriters.toString,
+        per.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val childOut = new StringBuffer
+      val ready = new java.util.concurrent.CountDownLatch(1)
+      val drain = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = br.readLine()
+        while (line != null) {
+          if (line.contains("GRAFT_CHILD_READY")) ready.countDown()
+          childOut.append(line).append('\n')
+          if (childOut.length > 20000) childOut.delete(0, 10000)
+          line = br.readLine()
+        }
+      }, "q209-child-drain")
+      drain.setDaemon(true)
+      drain.start()
+      require(ready.await(300, java.util.concurrent.TimeUnit.SECONDS),
+        s"q209 child JVM never came up:\n$childOut")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writersDone = new java.util.concurrent.CountDownLatch(half)
+      (0 until half).foreach { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try {
+              val sr = Repo(root, s).collection("conc").get
+                .series("my_label")
+              sr.write(s.range(w * per, (w + 1) * per, 1, 4)
+                .selectExpr(
+                  "timestamp_seconds(946684800 + id * 60) AS ts",
+                  "cast(id % 997 AS int) AS value"))
+            } catch { case t: Throwable => errors.add(t); () }
+            finally writersDone.countDown()
+          }
+        })
+      }
+      val maintDone = new java.util.concurrent.CountDownLatch(1)
+      val maint = new Thread(() => {
+        try {
+          val c = Repo(root, s).collection("conc").get
+          var i = 0
+          while (i < 10) {
+            c.refresh(); c.defrag(1)
+            c.trim(System.currentTimeMillis() - 1200000L)
+            Thread.sleep(50); i += 1
+          }
+          Repo(root, s).gc()
+          ()
+        } catch { case t: Throwable => errors.add(t); () }
+        finally maintDone.countDown()
+      }, "q209-maintenance")
+      maint.start()
+      require(writersDone.await(1200,
+        java.util.concurrent.TimeUnit.SECONDS), "q209 writers timed out")
+      require(proc.waitFor(1200, java.util.concurrent.TimeUnit.SECONDS),
+        { proc.destroyForcibly(); s"q209 child JVM timed out:\n$childOut" })
+      require(maintDone.await(600,
+        java.util.concurrent.TimeUnit.SECONDS), "q209 maintenance hung")
+      pool.shutdown()
+      require(proc.exitValue() == 0,
+        s"q209 child JVM exit ${proc.exitValue()}:\n$childOut")
+      require(errors.isEmpty,
+        s"q209 parent write/maintenance failed: ${errors.peek()}")
+      val clct = repo.collection("conc").get
+      clct.refresh(); clct.merge(); clct.refresh()
+      var guard = 0
+      while (clct.changelog.leafs().length > 1 && guard < 30) {
+        clct.merge(); clct.refresh(); guard += 1
+      }
+      require(clct.changelog.leafs().length == 1,
+        s"q209 merge did not converge: ${clct.changelog.leafs().length}")
+      clct.series("my_label").frame().createOrReplaceTempView("gq209")
+      // eager materialization: the result must be OFF the wire store
+      // before the embedded server stops in the finally
+      s.sql(
+        """SELECT cast(year(ts) AS bigint) AS y,
+          |  cast(month(ts) AS bigint) AS m,
+          |  count(*) AS n_rows, sum(cast(value AS bigint)) AS sum_val,
+          |  min(ts) AS min_ts, max(ts) AS max_ts
+          |FROM gq209 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .localCheckpoint(true)
+    } finally server.stop()
+  }
+
+  val q209_oracle: String =
+    """SELECT cast(year(ts) AS BIGINT) AS y,
+      |  cast(month(ts) AS BIGINT) AS m,
+      |  count(*)::BIGINT AS n_rows,
+      |  cast(sum(k % 997) AS BIGINT) AS sum_val,
+      |  min(ts) AS min_ts, max(ts) AS max_ts
+      |FROM (SELECT k, TIMESTAMP '2000-01-01' + to_minutes(k) AS ts
+      |      FROM range(0, 87600) t(k))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Metadata-only aggregates: `count(*) / min(ts) / max(ts)` over an
     * unfiltered connector table answer from MANIFEST row counts and
     * recorded data bounds — zero file IO, the Delta-style metadata
@@ -2584,6 +2709,7 @@ object QueriesSeries {
     "q206_s3_roundtrip" -> q206_s3_roundtrip _,
     "q207_multiprocess_ingest" -> q207_multiprocess_ingest _,
     "q208_multiprocess_s3" -> q208_multiprocess_s3 _,
+    "q209_multiprocess_http" -> q209_multiprocess_http _,
     "q184_meta_agg" -> q184_meta_agg _,
     "q185_runtime_prune_join" -> q185_runtime_prune_join _,
     "q48_series_inline" -> q48_series_inline _,
@@ -2641,6 +2767,7 @@ object QueriesSeries {
     "q206_s3_roundtrip" -> q206_oracle,
     "q207_multiprocess_ingest" -> q207_oracle,
     "q208_multiprocess_s3" -> q208_oracle,
+    "q209_multiprocess_http" -> q209_oracle,
     "q184_meta_agg" -> q184_oracle,
     "q185_runtime_prune_join" -> q185_oracle,
     "q48_series_inline" -> q48_oracle,
