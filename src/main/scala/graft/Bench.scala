@@ -777,6 +777,53 @@ object Bench {
       }
     }
 
+    // TEXT-CORPUS SLOPE rows: the engine rows have 10x slope evidence
+    // (53M-row series vs their 5M siblings); the text/LSH family was
+    // measured at one size only. These four rows time the two
+    // foundational text stages — the doc_terms inverted-index build
+    // and the full LSH pair stage (inline signatures -> banding ->
+    // exact shingle verify) — over the corpus and a 10x replication
+    // of it. Replicas are vowel-rotated (`translate`), so each is
+    // shingle-DISJOINT from the others while keeping the original's
+    // length/token structure and internal near-dup pairs: candidates
+    // scale ~10x like a real 10x corpus, instead of the ~45x-per-doc
+    // identical-replica blowup plain duplication would fake. The SQL
+    // is the oracle-gated stage text itself (QueriesSim.lshPairCtes /
+    // the q60 termcounts body), parameterized only by the view name.
+    locally {
+      Tables.registerAll(spark, sfDir)
+      graft.functions.VectorFunctions.register(spark)
+      def docsView(mult: Int, view: String): Unit =
+        spark.sql(
+          s"""SELECT concat(doc_id, '#', r) AS doc_id, lang,
+             |  translate(text, 'etaoinshrd',
+             |    substr('etaoinshrdetaoinshrd', r, 10)) AS text
+             |FROM documents
+             |LATERAL VIEW explode(sequence(1, $mult)) t AS r"""
+            .stripMargin).createOrReplaceTempView(view)
+      docsView(1, "documents_1x")
+      docsView(10, "documents_10x")
+      def termsSql(ref: String): String =
+        s"""SELECT count(*) AS terms, sum(cnt) AS toks FROM (
+           |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM (
+           |    SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+           |      lang, graft_termcounts(text) AS tcs FROM $ref)
+           |  LATERAL VIEW explode(tcs) t AS tc)""".stripMargin
+      def lshSql(ref: String): String =
+        s"""WITH sigx AS (${QueriesSim.sigInlineSql(ref)}),
+           |${QueriesSim.lshPairCtes(ref, "sigx")}
+           |SELECT count(*) AS pairs, sum(cnt) AS isect
+           |FROM j WHERE cnt > 0""".stripMargin
+      bench("text_terms_1x") { _ =>
+        spark.sql(termsSql("documents_1x")).count(); () }
+      bench("text_terms_10x") { _ =>
+        spark.sql(termsSql("documents_10x")).count(); () }
+      bench("text_lsh_1x") { _ =>
+        spark.sql(lshSql("documents_1x")).count(); () }
+      bench("text_lsh_10x") { _ =>
+        spark.sql(lshSql("documents_10x")).count(); () }
+    }
+
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the
     // segment files its manifest references. BASELINE.md's "2.0 MB"
     // comparable is a measurement artifact — bench_pg.py:23 ran

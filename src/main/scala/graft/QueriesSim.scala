@@ -215,12 +215,17 @@ object QueriesSim {
     * (functions.MinHashSig): one fused walk over the document's UTF-8
     * bytes computes all 8 minima — no token array, no shingle strings,
     * no lambda interpretation. */
-  private[graft] def sparkSigInline: String = {
+  private[graft] def sparkSigInline: String = sigInlineSql("documents")
+
+  /** [[sparkSigInline]] over any documents-shaped relation (the 10x
+    * text-slope bench rows run the SAME signature stage over a
+    * replicated corpus view). */
+  private[graft] def sigInlineSql(docsRef: String): String = {
     val cols = (1 to 8)
       .map(i => s"element_at(sig, $i) AS mh$i").mkString(",\n  ")
     s"""SELECT doc_id, $cols FROM (
        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-       |    graft_minhash(text) AS sig FROM documents)
+       |    graft_minhash(text) AS sig FROM $docsRef)
        |WHERE sig IS NOT NULL""".stripMargin
   }
 
@@ -362,39 +367,50 @@ object QueriesSim {
     //    band collision sharing no shingle yields no pair).
     // The pinned result is reused by q54 components / q55 dedup.
     materialize(s, dir,
-      s"""WITH ${bandsCand("sim_sig")},
-         |pe0 AS (
-         |  SELECT da, db, slot, doc_id
-         |  FROM cand LATERAL VIEW posexplode(array(da, db))
-         |    AS slot, doc_id),
-         |cdoc AS (
-         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */
-         |    d.doc_id, d.text
-         |  FROM documents d
-         |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd
-         |    ON d.doc_id = cd.doc_id),
-         |arrs AS (
-         |  SELECT doc_id, ss FROM (
-         |    SELECT doc_id, graft_shingles(text) AS ss FROM cdoc)
-         |  WHERE ss IS NOT NULL),
-         |pe AS (
-         |  SELECT pe0.da, pe0.db, pe0.slot, a.ss
-         |  FROM pe0 JOIN arrs a ON pe0.doc_id = a.doc_id),
-         |g AS (
-         |  SELECT da, db,
-         |    first(if(slot = 0, ss, null), true) AS sa,
-         |    first(if(slot = 1, ss, null), true) AS sb
-         |  FROM (SELECT /*+ REPARTITION(${Tables.np}, da, db) */ * FROM pe)
-         |  GROUP BY da, db),
-         |j AS (
-         |  SELECT da, db, graft_isect(sa, sb) AS cnt,
-         |    size(sa) AS na, size(sb) AS nb FROM g)
-         |SELECT da AS doc_a, db AS doc_b,
-         |  round(cnt/(na + nb - cnt), 4) AS jaccard
-         |FROM j WHERE cnt > 0""".stripMargin,
+      s"""WITH ${lshPairCtes("documents", "sim_sig")}
+         |$lshPairSelect""".stripMargin,
       "sim_pairs")
     s.sql("SELECT * FROM sim_pairs ORDER BY doc_a, doc_b")
   }
+
+  /** The fused banding + exact-verify CTE chain of [[q23_lsh_pairs]],
+    * parameterized over the documents relation and the signature
+    * table so the 10x text-slope bench rows time the IDENTICAL stage
+    * over a replicated corpus view. */
+  private[graft] def lshPairCtes(docsRef: String,
+      sigRef: String): String =
+    s"""${bandsCand(sigRef)},
+       |pe0 AS (
+       |  SELECT da, db, slot, doc_id
+       |  FROM cand LATERAL VIEW posexplode(array(da, db))
+       |    AS slot, doc_id),
+       |cdoc AS (
+       |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */
+       |    d.doc_id, d.text
+       |  FROM $docsRef d
+       |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd
+       |    ON d.doc_id = cd.doc_id),
+       |arrs AS (
+       |  SELECT doc_id, ss FROM (
+       |    SELECT doc_id, graft_shingles(text) AS ss FROM cdoc)
+       |  WHERE ss IS NOT NULL),
+       |pe AS (
+       |  SELECT pe0.da, pe0.db, pe0.slot, a.ss
+       |  FROM pe0 JOIN arrs a ON pe0.doc_id = a.doc_id),
+       |g AS (
+       |  SELECT da, db,
+       |    first(if(slot = 0, ss, null), true) AS sa,
+       |    first(if(slot = 1, ss, null), true) AS sb
+       |  FROM (SELECT /*+ REPARTITION(${Tables.np}, da, db) */ * FROM pe)
+       |  GROUP BY da, db),
+       |j AS (
+       |  SELECT da, db, graft_isect(sa, sb) AS cnt,
+       |    size(sa) AS na, size(sb) AS nb FROM g)""".stripMargin
+
+  private[graft] val lshPairSelect: String =
+    """SELECT da AS doc_a, db AS doc_b,
+      |  round(cnt/(na + nb - cnt), 4) AS jaccard
+      |FROM j WHERE cnt > 0""".stripMargin
 
   val q23_oracle: String =
     s"WITH $duckShingleTok,\n${lshBody("tok")}"
