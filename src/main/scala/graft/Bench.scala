@@ -695,6 +695,31 @@ object Bench {
     }
     val series53m = repo.collection("ts53m_0").get.series("_")
     bench("full_read_53m") { _ => series53m.frame().count(); () }
+    // the 53M series under the zstd+bss storage mode (the r13 verdict
+    // asked for the bss default decision to rest on slope-scale
+    // numbers, not just the 5M pair): write tax, value-read tax and
+    // the disk win all at 10x — cos data for content-address
+    // disjointness from the sin twin, same entropy
+    val ts53mBss = spark.range(0, rows53m, 1, cpus.toInt)
+      .select(
+        timestamp_seconds(col("id") * 300L).as("ts"),
+        cos(col("id").cast("double")).as("value"))
+      .cache()
+    ts53mBss.count()
+    bench("bulk_write_53m_bss", ioRow = true) { i =>
+      spark.conf.set("spark.graft.segment.codec", "zstd+bss")
+      try repo.createCollection(schema5m, s"ts53mbss_$i").series("_")
+        .write(ts53mBss, presorted = true)
+      finally spark.conf.set("spark.graft.segment.codec", "zstd")
+    }
+    val series53mBss = repo.collection("ts53mbss_0").get.series("_")
+    bench("read_val_53m") { _ =>
+      series53m.frame().agg(sum(col("value"))).collect(); ()
+    }
+    bench("read_val_53m_bss") { _ =>
+      series53mBss.frame().agg(sum(col("value"))).collect(); ()
+    }
+    ts53mBss.unpersist()
     val conn53m = spark.read.format("graft").option("path", root)
       .option("collection", "ts53m_0").option("series", "_").load()
     // one-year window out of ~500 years: manifest pruning must keep
@@ -842,6 +867,13 @@ object Bench {
     val disk5mBssMb = series5mBss.segments().flatMap(_.meta.files)
       .distinct.map(f => java.nio.file.Files.size(
         java.nio.file.Paths.get(root, f))).sum / 1e6
+    // and the 53M pair (slope-scale evidence for the bss decision)
+    val disk53mMb = series53m.segments().flatMap(_.meta.files)
+      .distinct.map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, f))).sum / 1e6
+    val disk53mBssMb = series53mBss.segments().flatMap(_.meta.files)
+      .distinct.map(f => java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, f))).sum / 1e6
     val _ = nRows
 
     val meds = samples.map { case (k, v) => k -> median(v) }
@@ -889,6 +921,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.3f,"disk_mb_5m":$disk5mMb%.1f,""" +
       f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
+      f""""disk_mb_53m":$disk53mMb%.1f,"disk_mb_53m_bss":$disk53mBssMb%.1f,""" +
       s""""calib_s":$calibJson,"calib_mt_s":$calibMtJson,""" +
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_probe_mb":$ioProbeMb,"io_quiet_s":$quietIo%.3f,""" +
@@ -928,6 +961,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
       f""""total_first":$totalFirst%.2f,"disk_mb_5m":$disk5mMb%.1f,""" +
       f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
+      f""""disk_mb_53m":$disk53mMb%.1f,"disk_mb_53m_bss":$disk53mBssMb%.1f,""" +
       s""""calib_s":${calib(calibSamples.toSeq)},""" +
       s""""calib_mt_s":${calib(calibMtSamples.toSeq)},""" +
       s""""calib_io_s":${calib(calibIoSamples.toSeq)},""" +
