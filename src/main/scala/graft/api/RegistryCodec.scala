@@ -40,7 +40,12 @@ private[graft] object RegistryCodec {
   def targetEntries: Int =
     Integer.getInteger("graft.registryChunkEntries", 4096)
 
-  def chunkMin(target: Int): Int = 2 * target
+  /** v2 threshold: 2x the chunk target. `target = 1` is the
+    * force-chunked spec/oracle mode — EVERY registry (a single-entry
+    * one included) commits as v2 roots + chunks, so a whole oracle
+    * pass can run on the chunked format even though its repos hold
+    * one or two collections each. */
+  def chunkMin(target: Int): Int = if (target == 1) 1 else 2 * target
 
   // ---- observability (specs pin O(touched) via these) ----
   /** chunks serialized fresh by encode (reused refs don't count) */

@@ -46,6 +46,22 @@ class RegistryCodecSpec extends AnyFunSuite {
     assert(new String(e.root, "UTF-8") == expected)
   }
 
+  test("target=1 forces v2 at any size (oracle-mode pin)") {
+    // -Dgraft.registryChunkEntries=1: even a single-entry registry
+    // commits chunked, so a full oracle pass exercises v2 everywhere
+    val es = mkEntries(1)
+    val e = RegistryCodec.encode(es.map(_._1), i => es(i)._2,
+      null, null, 1)
+    assert(e.refs != null && e.refs.length == 1)
+    assert(dec(e, Map.empty).keySet == es.map(_._1).toSet)
+    // and a 3-entry one round-trips with one chunk per entry
+    val es3 = mkEntries(3)
+    val e3 = RegistryCodec.encode(es3.map(_._1), i => es3(i)._2,
+      null, null, 1)
+    assert(e3.refs != null && e3.refs.iterator.map(_.n).sum == 3)
+    assert(dec(e3, Map.empty).keySet == es3.map(_._1).toSet)
+  }
+
   test("chunked encode round-trips and is canonical") {
     val es = mkEntries(100)
     val e = RegistryCodec.encode(es.map(_._1), i => es(i)._2,
@@ -141,6 +157,64 @@ class RegistryCodecSpec extends AnyFunSuite {
           refs = null // plain payloads carry no layout to reuse
         }
       }
+    }
+  }
+
+  test("random repo DDL trains through writeRegDelta: fresh-handle " +
+      "view equals the model, zero warm full sorts") {
+    // drives the DELTA commit path (create/rename/delete/alterPageLen)
+    // rather than the codec directly: the sorted-key splice, the
+    // taken-path set and the O(touched) change-set must all stay
+    // coherent across arbitrary DDL interleavings, and a cold handle
+    // must decode exactly the model state
+    val prev = System.getProperty("graft.registryChunkEntries")
+    System.setProperty("graft.registryChunkEntries", "8")
+    try {
+      val spark = TestSpark.spark
+      val rnd = new scala.util.Random(29)
+      val schema = GSchema("ts" -> "int*", "v" -> "float")
+      (0 until 5).foreach { trial =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-regddl$trial").toString
+        val repo = new graft.api.Repo(root, spark)
+        var model = Set.empty[String]
+        (0 until 30).foreach { i =>
+          repo.createCollection(schema, f"c$trial%02d-$i%03d")
+          model += f"c$trial%02d-$i%03d"
+        }
+        val sorts0 = graft.api.Repo.regFullSorts.get()
+        (0 until 40).foreach { step =>
+          rnd.nextInt(4) match {
+            case 0 =>
+              val l = f"n$trial%02d-$step%03d"
+              repo.createCollection(schema, l); model += l
+            case 1 if model.nonEmpty =>
+              val from = model.toVector(rnd.nextInt(model.size))
+              val to = s"r-$from-$step"
+              repo.renameCollection(from, to)
+              model -= from; model += to
+            case 2 if model.size > 5 =>
+              val l = model.toVector(rnd.nextInt(model.size))
+              repo.deleteCollection(l); model -= l
+            case _ if model.nonEmpty =>
+              val l = model.toVector(rnd.nextInt(model.size))
+              repo.alterPageLen(l, Some(100L + step))
+              ()
+            case _ => ()
+          }
+        }
+        assert(graft.api.Repo.regFullSorts.get() == sorts0,
+          s"trial $trial: warm DDL train must never full-sort")
+        // cold handle: fresh decode of the final chunked state
+        graft.api.Repo.clearRegDecodeCache()
+        RegistryCodec.clearChunkCache()
+        val fresh = new graft.api.Repo(root, spark)
+        assert(fresh.ls().toSet == model, s"trial $trial diverged")
+      }
+    } finally {
+      if (prev == null)
+        System.clearProperty("graft.registryChunkEntries")
+      else System.setProperty("graft.registryChunkEntries", prev)
     }
   }
 
