@@ -95,9 +95,15 @@ final class HttpStore(baseUrl: String,
       } else Files.deleteIfExists(p)
       ()
     } else {
-      request("rm", Seq("path" -> path, "recursive" -> recursive.toString),
+      // 404 (already gone) is fine — rm is idempotent; anything else
+      // must not vanish (a silently-failed delete strands gc)
+      val r = request("rm",
+        Seq("path" -> path, "recursive" -> recursive.toString),
         Array.emptyByteArray)
-      ()
+      if (r.statusCode() != 200 && r.statusCode() != 404)
+        throw new java.io.IOException(
+          s"rm $path failed: HTTP ${r.statusCode()} " +
+            new String(r.body(), "UTF-8").take(200))
     }
 
   def mv(from: String, to: String): Unit =
@@ -107,8 +113,17 @@ final class HttpStore(baseUrl: String,
       Files.deleteIfExists(lp(from))
       ()
     } else {
-      request("mv", Seq("from" -> from, "to" -> to), Array.emptyByteArray)
-      ()
+      val r = request("mv", Seq("from" -> from, "to" -> to),
+        Array.emptyByteArray)
+      // 404 = the source is gone (a bury/resurrect race the other
+      // mover won) — re-throw as FileNotFoundException so mvQuiet
+      // keeps its contract; real server errors surface
+      if (r.statusCode() == 404)
+        throw new java.io.FileNotFoundException(s"$base/$from")
+      if (r.statusCode() != 200)
+        throw new java.io.IOException(
+          s"mv $from -> $to failed: HTTP ${r.statusCode()} " +
+            new String(r.body(), "UTF-8").take(200))
     }
 
   def exists(path: String): Boolean =
@@ -208,6 +223,14 @@ final class StoreServer(store: Store, port: Int = 0) {
           respond(ex, 404, s"unknown op: $op".getBytes("UTF-8"))
       }
     } catch {
+      // a missing source (rm/mv losing a bury/resurrect race) is a
+      // distinct wire condition: 404 lets the client re-throw it as
+      // FileNotFoundException, which mvQuiet treats as the benign
+      // "the other mover already took it" — while real server errors
+      // stay 500 and SURFACE client-side instead of vanishing
+      case e: java.io.FileNotFoundException =>
+        respond(ex, 404,
+          Option(e.getMessage).getOrElse("not found").getBytes("UTF-8"))
       case e: Throwable =>
         respond(ex, 500,
           Option(e.getMessage).getOrElse("error").getBytes("UTF-8"))

@@ -158,4 +158,29 @@ class StoreSpec extends AnyFunSuite {
         Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
     } finally server.stop()
   }
+
+  test("HTTP wire errors: lost mv races stay quiet, real failures " +
+      "surface, rm is idempotent") {
+    val servedRoot = Files.createTempDirectory("graft-werr").toString
+    val server = new StoreServer(new HadoopStore(servedRoot)).start()
+    try {
+      val st = new HttpStore(s"http://127.0.0.1:${server.boundPort}")
+      st.write("a/blob", "x".getBytes("UTF-8"))
+      // mv of a missing SOURCE (the shape of a lost bury/resurrect
+      // race) maps to FileNotFoundException -> mvQuiet swallows it
+      intercept[java.io.FileNotFoundException](
+        st.mv("a/ghost", "a/elsewhere"))
+      st.mvQuiet("a/ghost", "a/elsewhere") // must not throw
+      // rm is idempotent over the wire
+      st.rm("a/ghost")
+      st.rm("a/blob")
+      assert(!st.exists("a/blob"))
+      // a DEAD server is a real failure on every mutator — never a
+      // silent no-op (a vanished delete would strand gc; a vanished
+      // mv would lose a resurrect)
+      server.stop()
+      intercept[Exception](st.mv("a/x", "a/y"))
+      intercept[Exception](st.rm("a/x"))
+    } finally ()
+  }
 }
