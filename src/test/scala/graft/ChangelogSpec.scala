@@ -281,17 +281,26 @@ class ChangelogSpec extends AnyFunSuite {
     Thread.sleep(2)
     val m = log.commit("m".getBytes, parents = Seq(b.child, c.child)).head
     Thread.sleep(2)
-    // the cached log now ends with m's REVISIT edge; the next commit
-    // must splice after m's descend edge (or recompute) — an append
-    // at the tail would diverge from the canonical DFS
+    // MATERIALIZE the cache so the next commits take the incremental
+    // path (the merge commit itself dropped it): the cached log now
+    // ends with m's REVISIT edge, so the splice must land after m's
+    // DESCEND edge — an append at the tail would diverge from the
+    // canonical DFS
+    val inc0 = Changelog.incAppends.get()
+    assert(log.leaf().get.child == m.child) // builds the cache
     val d = log.commit("d".getBytes, parents = Seq(m.child)).head
     Thread.sleep(2)
     val e = log.commit("e".getBytes, parents = Seq(d.child)).head
+    assert(Changelog.incAppends.get() - inc0 == 2,
+      "both post-merge commits must take the incremental splice")
     val warm = log.log()
     log.refresh()
     assert(log.log() == warm,
       "post-merge commits must keep the canonical linearization")
     assert(log.leaf().get.child == e.child)
-    val _ = (m, d)
+    // the trailing revisit edge of m is still yielded LAST and is not
+    // a leaf (its node has children now)
+    assert(!warm.last.isLeaf && warm.last.child == m.child)
+    val _ = d
   }
 }
