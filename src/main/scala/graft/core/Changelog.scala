@@ -25,7 +25,11 @@ final class Changelog(val store: Store, val dir: String) {
   // incremental append (O(1)).
   @volatile private var leafMeta: (String, Int, Int) = null
 
-  def refresh(): Unit = { logCache = null; leafMeta = null }
+  // synchronized: commit()'s incremental branch writes the cache pair
+  // under the same monitor — an unsynchronized refresh racing it could
+  // otherwise be overwritten by the commit's splice, resurrecting the
+  // view the refresher just dropped
+  def refresh(): Unit = synchronized { logCache = null; leafMeta = null }
 
   /** Append a new revision holding `payload`. If `parents` is empty the
     * current leaf is used (or phi for an empty log). Double-writes of
