@@ -981,10 +981,14 @@ object Bench {
       else {
         val scalars = compactLine(fullCalib = false)
         if (scalars.length <= 1950) scalars
-        else // last resort: contract fields + medians only, always fits
+        else // last resort: contract fields + flags + medians. The
+             // noise self-labels (flags + retry_rows) survive every
+             // degrade stage — a polluted run must say so even when
+             // the line is at its tightest.
           f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
           s""""reps":$reps,"io_noise_rows":$ioFlaggedJson,""" +
           s""""disp_noise_rows":$dispFlaggedJson,""" +
+          s""""retry_rows":$retryRowsJson,""" +
           s""""queries":$medsCompact,"sf":"$sfShort"}"""
       }
     }
