@@ -912,9 +912,10 @@ object Bench {
     // rep, so a polluted run self-labels even with quiet probes);
     // retry_rows lists rows whose median re-formed over reps+1 after
     // their one same-process retry (Bench.dispRetryFlag / ioNoiseFlag)
-    val dispFlaggedJson = samples.keys.toSeq.filter(k =>
-        Bench.dispNoiseFlag(samples(k)))
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dispFlagged = samples.keys.toSeq.filter(k =>
+      Bench.dispNoiseFlag(samples(k)))
+    val dispFlaggedJson =
+      dispFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retryRowsJson =
       retriedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
@@ -982,13 +983,16 @@ object Bench {
         val scalars = compactLine(fullCalib = false)
         if (scalars.length <= 1950) scalars
         else // last resort: contract fields + flags + medians. The
-             // noise self-labels (flags + retry_rows) survive every
-             // degrade stage — a polluted run must say so even when
-             // the line is at its tightest.
+             // noise self-labels survive every degrade stage, but as
+             // bounded COUNTS here — a heavy-noise run could flag
+             // dozens of rows, and unbounded name arrays would push
+             // this "always fits" line past the driver's tail window
+             // exactly in the polluted run the labels exist to record
+             // (full name lists always live in BENCH.json on disk).
           f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-          s""""reps":$reps,"io_noise_rows":$ioFlaggedJson,""" +
-          s""""disp_noise_rows":$dispFlaggedJson,""" +
-          s""""retry_rows":$retryRowsJson,""" +
+          s""""reps":$reps,"io_noise_n":${ioFlagged.length},""" +
+          s""""disp_noise_n":${dispFlagged.length},""" +
+          s""""retry_n":${retriedRows.length},""" +
           s""""queries":$medsCompact,"sf":"$sfShort"}"""
       }
     }

@@ -1676,6 +1676,10 @@ object QueriesSeries {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
+    // a failed require must not leak the non-daemon pool threads or
+    // leave the child JVM running for its full timeout
+    var pool: java.util.concurrent.ExecutorService = null
+    try {
     val childOut = new StringBuffer // drain thread + failure reporter
     val ready = new java.util.concurrent.CountDownLatch(1)
     val drain = new Thread(() => {
@@ -1693,7 +1697,7 @@ object QueriesSeries {
     drain.start()
     require(ready.await(300, java.util.concurrent.TimeUnit.SECONDS),
       s"q207 child JVM never came up:\n$childOut")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val errors =
       new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val writersDone = new java.util.concurrent.CountDownLatch(half)
@@ -1757,6 +1761,11 @@ object QueriesSeries {
         |  count(*) AS n_rows, sum(cast(value AS bigint)) AS sum_val,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM gq207 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    } finally {
+      if (pool != null) pool.shutdownNow()
+      if (proc.isAlive) proc.destroyForcibly()
+      ()
+    }
   }
 
   val q207_oracle: String = q205_oracle
@@ -1795,6 +1804,10 @@ object QueriesSeries {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       val proc = pb.start()
+      // a failed require must not leak the non-daemon pool threads
+      // or leave the child JVM running against a stopped endpoint
+      var pool: java.util.concurrent.ExecutorService = null
+      try {
       val childOut = new StringBuffer
       val ready = new java.util.concurrent.CountDownLatch(1)
       val drain = new Thread(() => {
@@ -1812,7 +1825,7 @@ object QueriesSeries {
       drain.start()
       require(ready.await(300, java.util.concurrent.TimeUnit.SECONDS),
         s"q208 child JVM never came up:\n$childOut")
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       val errors =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val writersDone = new java.util.concurrent.CountDownLatch(half)
@@ -1876,6 +1889,11 @@ object QueriesSeries {
           |  min(ts) AS min_ts, max(ts) AS max_ts
           |FROM gq208 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
         .localCheckpoint(true)
+      } finally {
+        if (pool != null) pool.shutdownNow()
+        if (proc.isAlive) proc.destroyForcibly()
+        ()
+      }
     } finally {
       server.stop()
       graft.core.S3NetFileSystem.setDefaultEndpoint(null)
@@ -1923,6 +1941,11 @@ object QueriesSeries {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       val proc = pb.start()
+      // a failed require must not leak the non-daemon pool threads
+      // (they'd pin the JVM open) or leave the 6 GB child running
+      // against a stopped server for its full timeout
+      var pool: java.util.concurrent.ExecutorService = null
+      try {
       val childOut = new StringBuffer
       val ready = new java.util.concurrent.CountDownLatch(1)
       val drain = new Thread(() => {
@@ -1940,7 +1963,7 @@ object QueriesSeries {
       drain.start()
       require(ready.await(300, java.util.concurrent.TimeUnit.SECONDS),
         s"q209 child JVM never came up:\n$childOut")
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       val errors =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val writersDone = new java.util.concurrent.CountDownLatch(half)
@@ -2004,6 +2027,11 @@ object QueriesSeries {
           |  min(ts) AS min_ts, max(ts) AS max_ts
           |FROM gq209 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
         .localCheckpoint(true)
+      } finally {
+        if (pool != null) pool.shutdownNow()
+        if (proc.isAlive) proc.destroyForcibly()
+        ()
+      }
     } finally server.stop()
   }
 

@@ -766,37 +766,42 @@ object Repo {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** `base` (sorted, never mutated) with `add` inserted and `rem`
-    * removed — O(|delta| · memcpy) instead of re-sorting: the memcpy
-    * of a 1e6-slot reference array is ~1 ms; the comparison sort it
-    * replaces was the dominant cost of a DDL at that scale. Keys in
-    * `add` already present are position no-ops (value-only changes);
-    * keys in `rem` not present are ignored. */
+    * removed, as ONE merge pass — O(n + K log n), not K whole-array
+    * memcpys (a bulk pull of K collections into a 1e6-entry registry
+    * would otherwise copy the full array K times). The comparison
+    * sort this replaces was the dominant cost of a DDL at that
+    * scale. Keys in `add` already present are position no-ops
+    * (value-only changes); keys in `rem` not present are ignored; a
+    * key in both ends absent (add-then-remove, matching the old
+    * sequential application). */
   private[api] def spliceSorted(base: Array[String],
       add: Iterable[String], rem: Iterable[String]): Array[String] = {
-    var arr = base
-    def bs(k: String): Int = java.util.Arrays.binarySearch(
-      arr.asInstanceOf[Array[AnyRef]], k)
-    add.foreach { k =>
-      val i = bs(k)
-      if (i < 0) {
-        val p = -i - 1
-        val out = new Array[String](arr.length + 1)
-        System.arraycopy(arr, 0, out, 0, p)
-        out(p) = k
-        System.arraycopy(arr, p, out, p + 1, arr.length - p)
-        arr = out
+    val remSet = new java.util.HashSet[String]()
+    rem.foreach(remSet.add)
+    val addArr: Array[String] = {
+      val a = add.iterator
+        .filter(k => !remSet.contains(k) &&
+          java.util.Arrays.binarySearch(
+            base.asInstanceOf[Array[AnyRef]], k) < 0)
+        .toArray.distinct
+      java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+      a
+    }
+    if (addArr.isEmpty && remSet.isEmpty) return base
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    out.sizeHint(base.length + addArr.length)
+    var bi = 0
+    var ai = 0
+    while (bi < base.length || ai < addArr.length) {
+      if (ai < addArr.length &&
+          (bi >= base.length || addArr(ai) < base(bi))) {
+        out += addArr(ai); ai += 1
+      } else {
+        val k = base(bi); bi += 1
+        if (!remSet.contains(k)) out += k
       }
     }
-    rem.foreach { k =>
-      val i = bs(k)
-      if (i >= 0) {
-        val out = new Array[String](arr.length - 1)
-        System.arraycopy(arr, 0, out, 0, i)
-        System.arraycopy(arr, i + 1, out, i, arr.length - i - 1)
-        arr = out
-      }
-    }
-    arr
+    out.result()
   }
 
   /** Test hook: drop cached registry decodes (cold-read specs). */

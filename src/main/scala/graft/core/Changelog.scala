@@ -24,12 +24,17 @@ final class Changelog(val store: Store, val dir: String) {
   // computeLog (O(n), paid once per cold build) and by each
   // incremental append (O(1)).
   @volatile private var leafMeta: (String, Int, Int) = null
+  // bumped on every invalidation: a cold build computed OUTSIDE the
+  // monitor installs only if no refresh/commit invalidated the view
+  // while it listed — otherwise the next reader recomputes
+  @volatile private var gen: Long = 0L
 
   // synchronized: commit()'s incremental branch writes the cache pair
   // under the same monitor — an unsynchronized refresh racing it could
   // otherwise be overwritten by the commit's splice, resurrecting the
   // view the refresher just dropped
-  def refresh(): Unit = synchronized { logCache = null; leafMeta = null }
+  def refresh(): Unit =
+    synchronized { logCache = null; leafMeta = null; gen += 1 }
 
   /** Append a new revision holding `payload`. If `parents` is empty the
     * current leaf is used (or phi for an empty log). Double-writes of
@@ -80,9 +85,16 @@ final class Changelog(val store: Store, val dir: String) {
     // occurrence — a merge leaf also has trailing revisit edges), so
     // splicing there reproduces computeLog's order bit-for-bit; all
     // other shapes (merge commits, explicit foreign/phi parents, cold
-    // cache) drop the cache and recompute on next read. Freshness
-    // semantics are unchanged: foreign revisions were never visible
-    // without an explicit refresh()/new handle, which still lists.
+    // cache) drop the cache and recompute on next read.
+    //
+    // DELIBERATE freshness trade (documented in MIGRATION.md): the
+    // old refresh-after-every-commit meant a warm handle re-listed on
+    // its next read and adopted concurrent writers' newer leaves as
+    // parents. A warm handle now parents onto ITS OWN leaf until an
+    // explicit refresh()/fresh handle — concurrent writers produce a
+    // persistent fork that the read-side union-merge heals, exactly
+    // the multi-process model (which never had the accidental
+    // relist). The relist was the O(n)-per-commit cost this removes.
     if (revs.isEmpty) () // double-write skip: the view is unchanged
     else synchronized {
       val lc = logCache
@@ -119,18 +131,31 @@ final class Changelog(val store: Store, val dir: String) {
     */
   def log(beforeMs: Option[Long] = None): Seq[Revision] = {
     var lc = logCache
-    if (lc == null) synchronized {
-      lc = logCache
-      if (lc == null) {
-        lc = computeLog()
-        // leaf summary for the incremental commit path: the winning
-        // leaf's child, its descend-edge index, and its edge count
-        leafMeta = lc.reverseIterator.find(_.isLeaf)
-          .orElse(lc.lastOption).map { w =>
-            (w.child, lc.indexWhere(_.child == w.child),
-              lc.count(_.child == w.child))
-          }.orNull
-        logCache = lc
+    if (lc == null) {
+      // build OUTSIDE the monitor: a cold linearization over a slow
+      // store (one paginated ls + O(n) DFS, seconds at 1e5 revisions)
+      // must not block concurrent commit()/refresh() for its whole
+      // duration. Install only if the view wasn't invalidated while
+      // we listed (gen unchanged and still cold) — a commit that
+      // landed mid-listing would otherwise be hidden by our stale
+      // build (read-your-writes violation within the handle). On a
+      // skipped install this caller still uses its own build — a view
+      // as of the moment its listing started — and the next reader
+      // recomputes.
+      val g0 = gen
+      val built = computeLog()
+      synchronized {
+        if (logCache == null && gen == g0) {
+          // leaf summary for the incremental commit path: the winning
+          // leaf's child, its descend-edge index, and its edge count
+          leafMeta = built.reverseIterator.find(_.isLeaf)
+            .orElse(built.lastOption).map { w =>
+              (w.child, built.indexWhere(_.child == w.child),
+                built.count(_.child == w.child))
+            }.orNull
+          logCache = built
+        }
+        lc = if (logCache != null) logCache else built
       }
     }
     beforeMs match {

@@ -145,7 +145,24 @@ final class HadoopStore(val root: String) extends Store {
   def mv(from: String, to: String): Unit = {
     val t = p(to)
     fs.mkdirs(t.getParent)
-    fs.rename(p(from), t)
+    // Hadoop's rename REPORTS failure as `false` on some backends
+    // (HDFS: missing source, existing destination) instead of
+    // throwing the way RawLocalFileSystem's copy-fallback does. A
+    // swallowed false corrupts the two-phase gc contract: a
+    // bury/resurrect recorded as done that never happened. Map it to
+    // the exceptions the callers' contracts are written against —
+    // FileNotFoundException for a missing source (mvQuiet's benign
+    // lost race), IOException otherwise.
+    if (!fs.rename(p(from), t)) {
+      if (!fs.exists(p(from)))
+        throw new FileNotFoundException(s"$root/$from")
+      // destination already present: the race was lost TO the
+      // destination (a sibling resurrector/burier already moved the
+      // content-addressed copy) — same benign outcome as the missing
+      // source, and what the pre-check rename semantics silently did
+      if (fs.exists(t)) return
+      throw new java.io.IOException(s"rename $from -> $to failed")
+    }
   }
 
   def exists(path: String): Boolean = fs.exists(p(path))

@@ -2081,20 +2081,7 @@ private final class GraftColumnarScan(uri: String,
     val n = rg.getRowCount
     require(n <= Int.MaxValue, s"row group of $n rows")
     val rows = n.toInt
-    // REUSE vectors across row groups (downstream consumes each batch
-    // before the next load — the DSv2 buffer-reuse contract): a
-    // fresh-allocation-per-group scan churned ~8 MB of vector garbage
-    // per 500k-row group and showed up as GC tax inside the full
-    // bench suite
-    if (vecs == null || rows > vecCap) {
-      if (batch != null) batch.close()
-      vecs = Array.tabulate(physNames.length)(i =>
-        new OnHeapColumnVector(rows, sparkTypes(i)))
-      vecCap = rows
-      batch = new ColumnarBatch(
-        vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized
-          .ColumnVector]], rows)
-    }
+    ensureBatch(rows)
     val crs = new ColumnReadStoreImpl(rg, dummyConverter, proj,
       fileMeta.getCreatedBy)
     var i = 0
@@ -2115,15 +2102,7 @@ private final class GraftColumnarScan(uri: String,
     val n = nullOnlyBlocks.next()
     require(n <= Int.MaxValue, s"row group of $n rows")
     val rows = n.toInt
-    if (vecs == null || rows > vecCap) {
-      if (batch != null) batch.close()
-      vecs = Array.tabulate(physNames.length)(i =>
-        new OnHeapColumnVector(rows, sparkTypes(i)))
-      vecCap = rows
-      batch = new ColumnarBatch(
-        vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized
-          .ColumnVector]], rows)
-    }
+    ensureBatch(rows)
     var i = 0
     while (i < physNames.length) {
       vecs(i).reset()
@@ -2134,6 +2113,22 @@ private final class GraftColumnarScan(uri: String,
     rowIt = batch.rowIterator()
     true
   }
+
+  /** REUSE vectors across row groups (downstream consumes each batch
+    * before the next load — the DSv2 buffer-reuse contract): a
+    * fresh-allocation-per-group scan churned ~8 MB of vector garbage
+    * per 500k-row group and showed up as GC tax inside the full
+    * bench suite. */
+  private def ensureBatch(rows: Int): Unit =
+    if (vecs == null || rows > vecCap) {
+      if (batch != null) batch.close()
+      vecs = Array.tabulate(physNames.length)(i =>
+        new OnHeapColumnVector(rows, sparkTypes(i)))
+      vecCap = rows
+      batch = new ColumnarBatch(
+        vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized
+          .ColumnVector]], rows)
+    }
 
   private def fill(v: OnHeapColumnVector,
       crs: ColumnReadStoreImpl,
