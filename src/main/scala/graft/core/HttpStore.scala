@@ -157,12 +157,31 @@ final class HttpStore(baseUrl: String,
     }
 
   /** local spool path: staging area for tmp/, download-on-demand
-    * mirror for remote blobs (so Spark can scan them as file://) */
+    * mirror for remote blobs (so Spark can scan them as file://).
+    * The download is gc-race-hardened: a concurrent gc may have
+    * BURIED the blob (renamed to `name.t<hextime>`, resurrectable) —
+    * on a 404 the spool resurrects over the wire and retries once,
+    * the same recipe task-side segment reads and registry-chunk
+    * reads use. Without it, a merge/scan PLANNED mid-bury failed at
+    * the driver before the task-side self-heal could run (found by
+    * the zstd+bss full-oracle pass racing q209's maintenance loop). */
   def uri(path: String): String = {
     val local = lp(path)
     if (!isLocal(path) && !Files.exists(local)) {
       Files.createDirectories(local.getParent)
-      Files.write(local, read(path))
+      val data =
+        try read(path)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            val cut = path.lastIndexOf('/')
+            if (cut < 0) throw e
+            val (dir, name) = (path.take(cut), path.drop(cut + 1))
+            val buried = ls(dir).find(_.startsWith(name + ".t"))
+            if (buried.isEmpty) throw e
+            buried.foreach(b => mvQuiet(s"$dir/$b", path))
+            read(path)
+        }
+      Files.write(local, data)
     } else if (isLocal(path)) {
       Files.createDirectories(
         if (path.contains('/')) local.getParent else local)

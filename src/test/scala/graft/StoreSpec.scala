@@ -159,6 +159,31 @@ class StoreSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("HTTP spool resurrects a gc-buried blob (driver-side planning " +
+      "races the gc bury window)") {
+    // found by the zstd+bss oracle pass racing q209's maintenance
+    // loop: HttpStore.uri downloads at PLANNING time, so a blob gc
+    // buried between manifest read and spool failed the whole query
+    // before the task-side self-heal could run
+    val servedRoot = Files.createTempDirectory("graft-bury").toString
+    val served = new HadoopStore(servedRoot)
+    val server = new StoreServer(served).start()
+    try {
+      val st = new HttpStore(s"http://127.0.0.1:${server.boundPort}")
+      st.write("seg/aa/blob.parquet", "payload".getBytes("UTF-8"))
+      served.mv("seg/aa/blob.parquet",
+        s"seg/aa/blob.parquet.t${Hash.hextime()}") // gc bury
+      val local = st.uri("seg/aa/blob.parquet") // must resurrect
+      assert(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(java.net.URI.create(local))),
+        "UTF-8") == "payload")
+      assert(served.exists("seg/aa/blob.parquet"),
+        "the blob is back under its plain name")
+      // a hard-deleted blob (no buried copy) still fails loudly
+      intercept[java.io.FileNotFoundException](st.uri("seg/aa/ghost"))
+    } finally server.stop()
+  }
+
   test("HTTP wire errors: lost mv races stay quiet, real failures " +
       "surface, rm is idempotent") {
     val servedRoot = Files.createTempDirectory("graft-werr").toString
