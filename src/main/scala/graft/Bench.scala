@@ -119,8 +119,12 @@ object Bench {
     if (times.length < 2 || times.exists(_ <= 0)) return false
     // the SAME median definition the artifact publishes (middle-pair
     // average for even rep counts) — a lower-median variant silently
-    // never fired at reps=2 and missed even-count pollution
-    medianOf(times) >= 2.5 * times.min
+    // never fired at reps=2 and missed even-count pollution.
+    // Absolute floor: a 2.5x ratio on a sub-0.1 s micro-row is pure
+    // scheduler jitter (a 20 ms row 'flags' on one 50 ms rep) — only
+    // dispersion that can move the TOTAL meaningfully self-labels.
+    medianOf(times) >= 2.5 * times.min &&
+      medianOf(times) - times.min >= 0.1
   }
 
   /** Retry trigger for EVERY query row, IO-bound or not — the blind
@@ -132,7 +136,9 @@ object Bench {
     * so the published median re-forms over reps+1. */
   private[graft] def dispRetryFlag(times: Vector[Double]): Boolean = {
     if (times.length < 2 || times.exists(_ <= 0)) return false
-    medianOf(times) >= 2.0 * times.min
+    // same absolute floor as the artifact flag (see dispNoiseFlag)
+    medianOf(times) >= 2.0 * times.min &&
+      medianOf(times) - times.min >= 0.1
   }
 
   /** the artifact's median: middle element, or middle-pair average */

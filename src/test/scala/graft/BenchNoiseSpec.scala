@@ -89,6 +89,12 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(!Bench.dispRetryFlag(Vector(1.5, 1.7, 1.6)))
     assert(!Bench.dispRetryFlag(Vector(1.0)))
     assert(!Bench.dispRetryFlag(Vector(-1.0, 3.0, 3.1)))
+    // sub-0.1s absolute dispersion is scheduler jitter, not noise:
+    // a 20 ms micro-row must not flag/retry on one 75 ms rep
+    assert(!Bench.dispRetryFlag(Vector(0.02, 0.075, 0.08)))
+    assert(!Bench.dispNoiseFlag(Vector(0.02, 0.075, 0.08)))
+    // ...but a 0.1 s+ absolute gap at the ratio still does
+    assert(Bench.dispRetryFlag(Vector(0.1, 0.25, 0.26)))
     // after the retry rep joins, a healthy row's 4-rep median drops
     // back under both thresholds (the artifact median re-forms)
     assert(!Bench.dispNoiseFlag(Vector(0.73, 1.50, 1.55, 0.74)))
