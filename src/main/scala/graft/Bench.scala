@@ -148,6 +148,93 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** JSON-valid trailing-zero trim ("1.40" -> "1.4", "2.00" -> "2") —
+    * every spare byte of the compact line is tail-window headroom. */
+  private[graft] def trim2(d: Double): String = {
+    val s = f"$d%.2f"
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+  }
+
+  /** The compact stdout line the DRIVER json-parses out of its
+    * ~2000-char stdout tail. BENCH_r14 shipped `parsed:null` because
+    * the previous emitter's "last resort" stage still carried the
+    * FULL per-query map, so 7 new rows pushed the line to 1907 chars
+    * and the capture clipped its FRONT (losing total/calib/labels).
+    * This builder makes overflow impossible BY CONSTRUCTION: a hard
+    * `budget` (default 1500 — 500 chars of tail headroom), scalar
+    * fields + calib + noise/retry self-labels first, then the query
+    * map filled SLOWEST-first until the budget is reached, with a
+    * `queries_omitted` count when truncated. Degrade order when the
+    * prefix itself is tight: full calib arrays -> calib medians ->
+    * flag name arrays -> flag counts. The full-fidelity record
+    * (all rows, min/max/first maps, per-rep probes) always lives in
+    * BENCH.json on disk. */
+  private[graft] def compactStdoutLine(
+      total: Double, totalFirst: Double, reps: Int,
+      disks: Seq[(String, Double)],
+      calib: Seq[(String, Vector[Double])],
+      quietIo: Double,
+      ioNoiseRows: Seq[String], dispNoiseRows: Seq[String],
+      retryRows: Seq[String],
+      medians: Seq[(String, Double)],
+      sfShort: String,
+      budget: Int = 1500): String = {
+    def arr(v: Vector[Double]) = v.map(trim2).mkString("[", ",", "]")
+    def names(v: Seq[String]) =
+      v.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def base(fullCalib: Boolean, nameArrays: Boolean): String = {
+      val calibPart = calib.map { case (k, v) =>
+        s""""$k":${if (fullCalib) arr(v)
+          else if (v.isEmpty) "[]" else trim2(medianOf(v))}"""
+      }.mkString(",")
+      val flags =
+        if (nameArrays)
+          s""""io_noise_rows":${names(ioNoiseRows)},""" +
+          s""""disp_noise_rows":${names(dispNoiseRows)},""" +
+          s""""retry_rows":${names(retryRows)}"""
+        else
+          // bounded COUNTS: a heavy-noise run can flag dozens of rows
+          // and unbounded name arrays would overflow exactly in the
+          // polluted run the labels exist to record
+          s""""io_noise_n":${ioNoiseRows.length},""" +
+          s""""disp_noise_n":${dispNoiseRows.length},""" +
+          s""""retry_n":${retryRows.length}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""reps":$reps,"total_first":$totalFirst%.2f,""" +
+      disks.map { case (k, v) => f""""$k":$v%.1f""" }
+        .mkString("", ",", if (disks.isEmpty) "" else ",") +
+      calibPart + (if (calib.isEmpty) "" else ",") +
+      f""""io_quiet_s":$quietIo%.3f,""" + flags
+    }
+    // keep ≥150 chars of budget for query rows before degrading the
+    // self-label fidelity; the final stage is bounded by construction
+    val prefix = Seq((true, true), (false, true), (false, false))
+      .map { case (fc, na) => base(fc, na) }
+      .find(_.length <= budget - 150)
+      .getOrElse(base(fullCalib = false, nameArrays = false))
+    val bySlow = medians.sortBy { case (k, v) => (-v, k) }
+    val sfPart = s""","sf":"$sfShort"}"""
+    val tailRoom = sfPart.length +
+      s""","queries_omitted":${medians.length}""".length + 1
+    val sb = new StringBuilder(prefix).append(""","queries":{""")
+    var omitted = medians.length
+    var first = true
+    for ((k, v) <- bySlow) {
+      val cell = (if (first) "" else ",") + "\"" + k + "\":" + trim2(v)
+      if (sb.length + cell.length + tailRoom <= budget) {
+        sb.append(cell); first = false; omitted -= 1
+      }
+    }
+    sb.append("}")
+    if (omitted > 0) sb.append(s""","queries_omitted":$omitted""")
+    sb.append(sfPart)
+    sb.toString
+  }
+
   /** One harness session for Bench AND Profile: identical configs so
     * profiled numbers stay comparable to benched ones. */
   private[graft] def buildSession(cpus: String): SparkSession = {
@@ -808,6 +895,55 @@ object Bench {
       }
     }
 
+    // SQL-door COMPOSITION at 100 TB metadata scale: one stone-cold
+    // indexed SELECT against a 1e6-SEGMENT table — registry decode +
+    // chunked-root parse + bisected chunk prune + catalog planning +
+    // pruned file read, end to end (the statement a 100 TB user
+    // actually runs; the parts are each pinned, this times their
+    // composition). Real data files exist ONLY inside the probed
+    // window, so a planning/prune regression that touches any other
+    // segment fails the row instead of silently slowing it.
+    // ManifestScaleSpec's twin spec pins the counters (3/1e6 segments
+    // opened, ≤3 chunk parses).
+    locally {
+      val coldSchema = GSchema("ts" -> "int*", "v" -> "float")
+      val coldColl = repo.createCollection(coldSchema, "cold1e6")
+      (699999 to 700003).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory("seg").toString
+        spark.range(k * 100L, (k + 1) * 100L, 1, 1)
+          .selectExpr("id AS ts", "cast(id AS double) AS v")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = java.nio.file.Paths.get(root, "seg", "cx",
+          f"$k%08d.parquet")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.copy(part.toPath, dest)
+      }
+      coldColl.commitManifest(
+        graft.core.Manifest(coldSchema, Vector.tabulate(1000000) { k =>
+          graft.core.SegmentMeta("_",
+            graft.core.IndexKey(Vector(k * 100L)),
+            graft.core.IndexKey(Vector((k + 1) * 100L)),
+            Closed.Left, 100L, Vector(f"seg/cx/$k%08d.parquet"),
+            dataStart = Some(graft.core.IndexKey(Vector(k * 100L))),
+            dataStop =
+              Some(graft.core.IndexKey(Vector((k + 1) * 100L - 1))))
+        }), Seq(graft.core.Changelog.Phi))
+      bench("conn_cold_1e6seg") { _ =>
+        graft.api.Collection.clearManifestCache()
+        graft.core.ManifestCodec.clearChunkCache()
+        graft.api.Repo.clearRegDecodeCache()
+        val r = spark.sql(
+          """SELECT sum(v) AS sv, count(*) AS n
+            |FROM gbench.cold1e6.`_`
+            |WHERE ts >= 70000000 AND ts < 70000300""".stripMargin)
+          .collect()(0)
+        require(r.getLong(1) == 300L,
+          s"cold1e6 read ${r.getLong(1)} rows, expected 300")
+      }
+    }
+
     // TEXT-CORPUS SLOPE rows: the engine rows have 10x slope evidence
     // (53M-row series vs their 5M siblings); the text/LSH family was
     // measured at one size only. These four rows time the two
@@ -939,74 +1075,27 @@ object Bench {
       s""""queries_max":${jmap(_.max)},"queries_first":${jmap(_.head)},""" +
       s""""sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout and
-    // parses the final JSON line: the full 4-map line above (~4 KB)
-    // overflows that window, so stdout gets a COMPACT line (contract
-    // fields + medians at 2 dp — ~1.7 KB for 59 queries) and the full
-    // min/max/first maps live only in BENCH.json on disk.
-    // JSON-valid trailing-zero trim ("1.40" -> "1.4", "2.00" -> "2"):
-    // the compact line sits near the driver's 2000-char tail window,
-    // and every spare byte is headroom for future bench rows
-    def trim2(d: Double): String = {
-      val s = f"$d%.2f"
-      if (!s.contains('.')) s
-      else {
-        val t = s.reverse.dropWhile(_ == '0').reverse
-        if (t.endsWith(".")) t.dropRight(1) else t
-      }
-    }
-    val medsCompact = samples.map { case (k, v) =>
-      "\"" + k + "\":" + trim2(median(v)) }.mkString("{", ",", "}")
-    def arr2(v: Seq[Double]): String =
-      v.map(trim2).mkString("[", ",", "]")
+    // parses the final JSON line: stdout gets the hard-budgeted
+    // compact line ([[Bench.compactStdoutLine]] — 1500 chars max BY
+    // CONSTRUCTION, slowest rows first, queries_omitted when
+    // truncated); the full per-row maps live in BENCH.json on disk.
     // basename only: the full dir path spends 15 chars of the tail
     // window on redundancy (BENCH.json on disk keeps the full path)
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    def compactLine(fullCalib: Boolean): String = {
-      def calib(v: Seq[Double]): String =
-        if (fullCalib) arr2(v)
-        else trim2(medianOf(v.toVector)) // scalar fallback when tight
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-      f""""total_first":$totalFirst%.2f,"disk_mb_5m":$disk5mMb%.1f,""" +
-      f""""disk_mb_5m_bss":$disk5mBssMb%.1f,""" +
-      f""""disk_mb_53m":$disk53mMb%.1f,"disk_mb_53m_bss":$disk53mBssMb%.1f,""" +
-      s""""calib_s":${calib(calibSamples.toSeq)},""" +
-      s""""calib_mt_s":${calib(calibMtSamples.toSeq)},""" +
-      s""""calib_io_s":${calib(calibIoSamples.toSeq)},""" +
-      f""""io_quiet_s":$quietIo%.3f,"io_noise_rows":$ioFlaggedJson,""" +
-      s""""disp_noise_rows":$dispFlaggedJson,""" +
-      s""""retry_rows":$retryRowsJson,""" +
-      s""""queries":$medsCompact,"sf":"$sfShort"}"""
-    }
-    // the driver captures the LAST ~2000 stdout chars and json-parses
-    // the final line: overflow decapitates the line and zeroes the
-    // round's bench. Degrade deterministically (per-probe calib
-    // arrays -> their medians) before that can happen; BENCH.json on
-    // disk always carries the full-fidelity record.
-    val compact = {
-      val full = compactLine(fullCalib = true)
-      if (full.length <= 1900) full
-      else {
-        val scalars = compactLine(fullCalib = false)
-        if (scalars.length <= 1950) scalars
-        else // last resort: contract fields + flags + medians. The
-             // noise self-labels survive every degrade stage, but as
-             // bounded COUNTS here — a heavy-noise run could flag
-             // dozens of rows, and unbounded name arrays would push
-             // this "always fits" line past the driver's tail window
-             // exactly in the polluted run the labels exist to record
-             // (full name lists always live in BENCH.json on disk).
-          f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-          s""""reps":$reps,"io_noise_n":${ioFlagged.length},""" +
-          s""""disp_noise_n":${dispFlagged.length},""" +
-          s""""retry_n":${retriedRows.length},""" +
-          s""""queries":$medsCompact,"sf":"$sfShort"}"""
-      }
-    }
+    val compact = Bench.compactStdoutLine(
+      total, totalFirst, reps,
+      Seq("disk_mb_5m" -> disk5mMb, "disk_mb_5m_bss" -> disk5mBssMb,
+        "disk_mb_53m" -> disk53mMb, "disk_mb_53m_bss" -> disk53mBssMb),
+      Seq("calib_s" -> calibSamples.toVector,
+        "calib_mt_s" -> calibMtSamples.toVector,
+        "calib_io_s" -> calibIoSamples.toVector),
+      quietIo, ioFlagged, dispFlagged, retriedRows.toSeq,
+      samples.toSeq.map { case (k, v) => k -> median(v) }, sfShort)
     println(compact)
-    if (compact.length > 1900)
-      System.err.println(s"[bench] WARNING compact stdout line is " +
-        s"${compact.length} chars — nearing the driver's 2000-char " +
-        "tail capture; trim query count or precision")
+    if (compact.length > 1500)
+      System.err.println(s"[bench] BUG compact stdout line is " +
+        s"${compact.length} chars — compactStdoutLine's budget " +
+        "invariant is broken (BenchNoiseSpec pins it)")
     // sbt prefixes stdout with "[info] ", which breaks driver-side JSON
     // parsing — always leave a clean copy on disk as well.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

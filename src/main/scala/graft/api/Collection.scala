@@ -345,6 +345,42 @@ class Collection(val repo: Repo, val label: String, val path: String,
         }
     }
 
+  /** Manifest row count for `label` WITHOUT enumerating the manifest
+    * — the scan planner's display/probe denominator. O(touched) via
+    * [[ManifestCodec.countLabelRows]] when the leaf is chunked and
+    * cold (fully-covered chunks count tombstoned rows too — an upper
+    * bound, diagnostics only); exact hasData count when a decoded
+    * manifest is already in memory. */
+  private[graft] def segmentCount(label: String,
+      beforeMs: Option[Long] = None): Int = {
+    def go(): Int = changelog.leaf(beforeMs) match {
+      case None => 0
+      case Some(rev) =>
+        Collection.peekManifestCache(rev.child) match {
+          case Some(m) =>
+            m.rows.count(r => r.label == label && r.hasData)
+          case None =>
+            val root = Collection.rootCached(rev.child, () => {
+              val bytes = changelog.payload(rev)
+              if (ManifestCodec.isChunked(bytes))
+                Some(ManifestCodec.parseRoot(bytes))
+              else None
+            })
+            root match {
+              case Some(r) =>
+                ManifestCodec.countLabelRows(r, readChunk, label)
+              case None => decodeCached(rev).rows
+                .count(r => r.label == label && r.hasData)
+            }
+        }
+    }
+    try go()
+    catch {
+      case _: java.io.FileNotFoundException =>
+        changelog.refresh(); go()
+    }
+  }
+
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
     try changelog.leaf(beforeMs).map(decodeCached)
     catch {

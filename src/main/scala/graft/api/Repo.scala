@@ -68,13 +68,25 @@ class Repo(val rootUri: String, val spark: SparkSession,
       merged
     } else leaves.headOption.map { r =>
       val hit = Repo.regDecodeCache.get(rootUri)
-      if (hit != null && hit.leaf == r.child) hit.state
+      // serve the cache when it matches the handle's leaf OR is
+      // strictly NEWER (child ids lead with Store.hextime, so string
+      // order is time order): another handle in this JVM committed a
+      // DDL this warm handle hasn't relisted. Without this, a stale
+      // handle's DDL would parent onto its old leaf — an in-JVM fork
+      // whose add-wins union heal RESURRECTS renamed/deleted keys.
+      if (hit != null && (hit.leaf == r.child || hit.leaf > r.child))
+        hit.state
       else {
         val (m, refs) = decodeReg(registry.payload(r))
         // sortedKeys stays null until a write needs it: decodes
-        // (reads, SQL statements) never pay a sort
-        Repo.regDecodeCache.put(rootUri,
-          Repo.RegCached(r.child, m, refs, null, null)) // LRU-bounded
+        // (reads, SQL statements) never pay a sort. Put atomically:
+        // never replace an entry a concurrent commit installed after
+        // our get (it is newer than this decode).
+        Repo.regDecodeCache.synchronized {
+          if (Repo.regDecodeCache.get(rootUri) eq hit)
+            Repo.regDecodeCache.put(rootUri,
+              Repo.RegCached(r.child, m, refs, null, null)) // LRU
+        }
         m
       }
     }.getOrElse(Map.empty)
@@ -136,20 +148,42 @@ class Repo(val rootUri: String, val spark: SparkSession,
   }
 
   /** DDL-path registry write: the caller states the touched keys
-    * (`put` upserts, `del` removals) against the state it read, so
-    * the change-set, the sorted key order AND the chunk layout all
+    * (`put` upserts, `del` removals) against the BASE state it read;
+    * the new state, the sorted key order AND the chunk layout all
     * update O(touched) — no per-DDL full sort, no full key-space
     * diff. Falls back to [[writeRegWithParents]] (full sort) when the
     * cached leaf doesn't match the current one (cold handle, racer in
-    * between) — correctness never depends on the cache. */
-  private def writeRegDelta(state: Map[String, RegEntry],
+    * between) OR the cached state isn't the exact snapshot the caller
+    * read (`hit.state eq base` — a concurrent commit replaced the
+    * cache between the caller's regState() and here; splicing the
+    * newer cache's keys against the stale base would either throw
+    * during encode or seed the cache with a state missing an entry
+    * the committed document holds). In the stale-base case the delta
+    * is re-applied onto the CURRENT cached state so the concurrent
+    * key survives — correctness never depends on the cache. */
+  private def writeRegDelta(base: Map[String, RegEntry],
       put: Seq[(String, RegEntry)], del: Seq[String]): Unit = {
-    val parent = registry.leaf().map(_.child).getOrElse(Changelog.Phi)
+    val localParent =
+      registry.leaf().map(_.child).getOrElse(Changelog.Phi)
     val hit = Repo.regDecodeCache.get(rootUri)
+    // parent onto the newest leaf this JVM KNOWS (hextime-ordered
+    // ids): a warm handle whose own lineage lags a sibling handle's
+    // commit must extend that commit, not fork from its stale view —
+    // forks are only for cross-PROCESS racers (healed by union-merge,
+    // which is add-wins and would undo an in-JVM rename/delete).
+    val parent =
+      if (hit != null && localParent != Changelog.Phi &&
+          hit.leaf > localParent) hit.leaf
+      else localParent
     if (parent == Changelog.Phi || hit == null || hit.leaf != parent) {
-      writeRegWithParents(state, Seq(parent))
+      writeRegWithParents((base -- del) ++ put, Seq(parent))
       return
     }
+    if (!(hit.state eq base)) {
+      writeRegWithParents((hit.state -- del) ++ put, Seq(parent))
+      return
+    }
+    val state = (base -- del) ++ put
     val prev = hit.state
     val changed: Set[String] =
       (put.iterator.collect {
@@ -186,8 +220,16 @@ class Repo(val rootUri: String, val spark: SparkSession,
       hit.paths
     else {
       val p = state.valuesIterator.map(_.path).toSet
+      // atomic re-check under the map's own monitor: between the get
+      // above and this put a concurrent commitReg can install a NEWER
+      // leaf's entry, and blindly putting would overwrite it with the
+      // older leaf's cache (ADVICE r14 low: next regState regresses
+      // to a cold decode and the incremental layout is dropped)
       if (hit != null && (hit.state eq state))
-        Repo.regDecodeCache.put(rootUri, hit.copy(paths = p))
+        Repo.regDecodeCache.synchronized {
+          if (Repo.regDecodeCache.get(rootUri) eq hit)
+            Repo.regDecodeCache.put(rootUri, hit.copy(paths = p))
+        }
       p
     }
   }
@@ -277,7 +319,8 @@ class Repo(val rootUri: String, val spark: SparkSession,
       colMap: Map[String, String] = Map.empty,
       defaults: Map[String, Any] = Map.empty,
       namespace: String = DefaultNs,
-      pageLen: Option[Long] = None): Collection = {
+      pageLen: Option[Long] = None): Collection =
+      Repo.ddlLock(rootUri).synchronized {
     pageLen.foreach(n => require(n > 0, s"pageLen must be positive: $n"))
     // reference repo.py:189-191: labels are stripped, empty is invalid
     val label = label0.trim
@@ -308,7 +351,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
           .find(p => !taken.contains(p)).get
         val kv = mkKey(namespace, label) -> RegEntry(path,
           schema, colMap, defaults, pageLen)
-        writeRegDelta(state + kv, Seq(kv), Nil)
+        writeRegDelta(state, Seq(kv), Nil)
         new Collection(this, label, path, schema, colMap, defaults,
           pageLen)
     }
@@ -326,7 +369,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
       colMap: Map[String, String], defaults: Map[String, Any],
       namespace: String = DefaultNs,
       pageLenChange: Option[Option[Long]] = None): Collection =
-      synchronized {
+      Repo.ddlLock(rootUri).synchronized {
     pageLenChange.foreach(_.foreach(n =>
       require(n > 0, s"pageLen must be positive: $n")))
     val key = mkKey(namespace, label)
@@ -370,7 +413,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val newPageLen = pageLenChange.getOrElse(e.pageLen)
     val ne = RegEntry(e.path, schema, colMap, defaults, newPageLen,
       e.bss)
-    writeRegDelta(state.updated(key, ne), Seq(key -> ne), Nil)
+    writeRegDelta(state, Seq(key -> ne), Nil)
     new Collection(this, label, e.path, schema, colMap, defaults,
       e.pageLen, e.bss)
   }
@@ -381,14 +424,15 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * FUTURE writes (and compactions) roll at the new length. None
     * restores the engine default. */
   def alterPageLen(label: String, pageLen: Option[Long],
-      namespace: String = DefaultNs): Collection = synchronized {
+      namespace: String = DefaultNs): Collection =
+      Repo.ddlLock(rootUri).synchronized {
     pageLen.foreach(n => require(n > 0, s"pageLen must be positive: $n"))
     val key = mkKey(namespace, label)
     val state = regState()
     val e = state.getOrElse(key, throw new IllegalArgumentException(
       s"no collection '$label' in namespace '$namespace'"))
     val ne = e.copy(pageLen = pageLen)
-    writeRegDelta(state.updated(key, ne), Seq(key -> ne), Nil)
+    writeRegDelta(state, Seq(key -> ne), Nil)
     new Collection(this, label, e.path, e.schema, e.colMap, e.defaults,
       pageLen, e.bss)
   }
@@ -397,12 +441,13 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * (see [[Repo.RegEntry]].bss) — idempotent, one registry commit on
     * the false->true transition only. Located by PATH, which is
     * unique per entry, so namespaced labels need no reverse lookup. */
-  private[graft] def markBss(path: String): Unit = synchronized {
+  private[graft] def markBss(path: String): Unit =
+      Repo.ddlLock(rootUri).synchronized {
     val state = regState()
     state.find(_._2.path == path) match {
       case Some((k, e)) if !e.bss =>
         val ne = e.copy(bss = true)
-        writeRegDelta(state.updated(k, ne), Seq(k -> ne), Nil)
+        writeRegDelta(state, Seq(k -> ne), Nil)
       case _ => ()
     }
   }
@@ -477,23 +522,24 @@ class Repo(val rootUri: String, val spark: SparkSession,
   }
 
   def deleteCollection(label: String,
-      namespace: String = DefaultNs): Unit = {
+      namespace: String = DefaultNs): Unit =
+      Repo.ddlLock(rootUri).synchronized {
     val state = regState()
     val key = mkKey(namespace, label)
     state.get(key).foreach { e =>
-      writeRegDelta(state - key, Nil, Seq(key))
+      writeRegDelta(state, Nil, Seq(key))
       store.rm(e.path, recursive = true)
     }
   }
 
   def renameCollection(from: String, to: String,
-      namespace: String = DefaultNs): Unit = {
+      namespace: String = DefaultNs): Unit =
+      Repo.ddlLock(rootUri).synchronized {
     val state = regState()
     val (fromK, toK) = (mkKey(namespace, from), mkKey(namespace, to))
     state.get(fromK).foreach { e =>
       require(!state.contains(toK), s"collection $to already exists")
-      writeRegDelta(state - fromK + (toK -> e),
-        Seq(toK -> e), Seq(fromK))
+      writeRegDelta(state, Seq(toK -> e), Seq(fromK))
     }
   }
 
@@ -502,7 +548,6 @@ class Repo(val rootUri: String, val spark: SparkSession,
   def pull(remote: Repo, labels: Seq[String] = Nil,
       shallow: Boolean = false): Unit = {
     val want = if (labels.nonEmpty) labels else remote.ls()
-    val state = regState()
     val remoteState = remote.ls().filter(want.contains)
       .flatMap(l => remote.collection(l).map(l -> _)).toMap
     // merge registry: a label already known locally KEEPS its local
@@ -512,12 +557,15 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // the remote path would orphan every local-only commit/segment
     // (which gc would then delete). The remote changelog is pulled
     // into the local path below instead.
-    val added = remoteState.collect {
-      case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
-        mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
-          c.defaults, c.pageLenCfg, c.bssMode) }.toSeq
-    if (added.nonEmpty)
-      writeRegDelta(state ++ added, added, Nil)
+    Repo.ddlLock(rootUri).synchronized {
+      val state = regState()
+      val added = remoteState.collect {
+        case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
+          mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,
+            c.defaults, c.pageLenCfg, c.bssMode) }.toSeq
+      if (added.nonEmpty)
+        writeRegDelta(state, added, Nil)
+    }
     remoteState.foreach { case (l, rc) =>
       collection(l).foreach(_.pull(rc, shallow))
     }
@@ -758,6 +806,21 @@ object Repo {
       refs: Vector[RegistryCodec.ChunkRef],
       sortedKeys: Array[String],
       paths: Set[String])
+
+  /** Per-root DDL monitor: serializes registry WRITERS (create /
+    * delete / rename / alter / markBss / pull-delta) across every
+    * Repo HANDLE in this JVM — [[regDecodeCache]] is JVM-global per
+    * root, so two handles' unsynchronized DDLs could interleave a
+    * commit between one another's regState() read and the delta
+    * splice (ADVICE r14: NoSuchElementException during encode, or a
+    * committed document whose seeded cache silently lacks the
+    * concurrent key). Reads stay lock-free; cross-PROCESS racers
+    * still fork and union-merge heal. Keyed by rootUri — one small
+    * monitor object per distinct root opened over the JVM lifetime. */
+  private val ddlLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[api] def ddlLock(root: String): AnyRef =
+    ddlLocks.computeIfAbsent(root, _ => new Object)
 
   /** full O(n log n) registry key sorts — DDLs against a warm handle
     * must NOT pay one (spec-pinned); only the first write after a

@@ -837,6 +837,13 @@ class Series(val collection: Collection, val label: String) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       schema.sparkSchema)
 
+  /** [[Collection.segmentCount]] for this label — the scan planner's
+    * O(touched) diagnostics denominator (never enumerate the manifest
+    * just to display a total). */
+  private[graft] def segmentCountFast(
+      beforeMs: Option[Long] = None): Int =
+    collection.segmentCount(label, beforeMs)
+
   def segments(start: Any = null, stop: Any = null,
       beforeMs: Option[Long] = None,
       closed: Closed = Closed.Left,

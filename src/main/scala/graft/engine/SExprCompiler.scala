@@ -258,7 +258,16 @@ object SExprCompiler {
     case other if custom.contains(other) =>
       custom(other)(args.map(compile))
     case other =>
-      throw new IllegalArgumentException(s"unknown s-expr operator: $other")
+      // the reference resolves any name against live numpy at eval
+      // time (lakota/sexpr.py:153-161) — deliberately not reproduced
+      // (unrestricted dispatch, un-analyzable by Catalyst); the error
+      // must route a porting user to the policy, not read as a bug
+      throw new IllegalArgumentException(
+        s"unknown s-expr operator: $other — graft keeps a curated " +
+        "function registry instead of the reference's dynamic " +
+        "numpy-by-name dispatch; add it with SExprCompiler" +
+        s""".register("$other", ...) (see MIGRATION.md """ +
+        "'S-expression functions: dynamic numpy dispatch')")
   }
 
   /** split `(kw 'name' value …)` arguments out of a call's argument

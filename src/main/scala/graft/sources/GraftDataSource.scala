@@ -730,7 +730,11 @@ class GraftScan(table: GraftTable, start: Any, stop: Any,
   private lazy val (plannedSegments, totalSegments):
       (Seq[SegmentRead], Int) = {
     val s = resolvedSeries
-    val total = s.segments().count(_.meta.hasData)
+    // O(touched), not O(manifest): enumerating every segment (and
+    // thus parsing every manifest chunk) to display a denominator
+    // made COLD planning against a 1e6-segment table pay the full
+    // decode the bisected prune exists to avoid
+    val total = s.segmentCountFast(beforeMs)
     val covering1 = s.segments(start, stop, beforeMs, closed)
       .filter(_.meta.hasData)
     // data skipping on VALUE-column stats: drop segments whose

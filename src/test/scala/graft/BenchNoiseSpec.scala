@@ -99,4 +99,96 @@ class BenchNoiseSpec extends AnyFunSuite {
     // back under both thresholds (the artifact median re-forms)
     assert(!Bench.dispNoiseFlag(Vector(0.73, 1.50, 1.55, 0.74)))
   }
+
+  // ---- compact stdout line (BENCH_r14 shipped parsed:null: the old
+  // emitter's final stage still carried the full query map and the
+  // 1907-char line was clipped at the FRONT by the driver's 2000-char
+  // tail capture; the builder now enforces a 1500-char budget BY
+  // CONSTRUCTION, so adding bench rows can never overflow again) ----
+
+  /** every row the bench currently emits: the named engine rows plus
+    * the headline oracle queries (keep in sync when adding rows — but
+    * the budget invariant below holds for ANY row set, so drift here
+    * only weakens realism, never the guarantee) */
+  private val engineRows = Seq("bulk_write", "bulk_write_100k_ts",
+    "bulk_write_5m", "bulk_write_5m_sort", "bulk_write_53m",
+    "bulk_write_53m_bss", "full_read", "full_read_5m", "full_read_53m",
+    "range_read", "agg_read", "frag_write", "frag_read",
+    "wide_write_1m", "wide_read_1m", "read_val_5m", "read_val_5m_bss",
+    "read_val_53m", "read_val_53m_bss", "conn_read_5m",
+    "conn_range_5m", "conn_range_53m", "conn_update_5m",
+    "conn_update_53m", "meta_commit_1e5", "reg_ddl_1e5",
+    "conn_cold_1e6seg",
+    "q54_dist_components", "text_terms_1x", "text_terms_10x",
+    "text_lsh_1x", "text_lsh_10x")
+  private val allRows = engineRows ++ Bench.headline
+
+  private def render(rows: Seq[String],
+      flagged: Seq[String] = Nil): String =
+    Bench.compactStdoutLine(
+      total = 35.123, totalFirst = 38.42, reps = 3,
+      disks = Seq("disk_mb_5m" -> 40.0, "disk_mb_5m_bss" -> 33.1,
+        "disk_mb_53m" -> 400.2, "disk_mb_53m_bss" -> 330.4),
+      calib = Seq(
+        "calib_s" -> Vector(0.101, 0.102, 0.099, 0.1, 0.103),
+        "calib_mt_s" -> Vector(0.201, 0.202, 0.199, 0.2, 0.203),
+        "calib_io_s" -> Vector(0.151, 0.52, 0.149, 0.15, 0.52)),
+      quietIo = 0.149,
+      ioNoiseRows = flagged, dispNoiseRows = flagged,
+      retryRows = flagged,
+      medians = rows.zipWithIndex.map { case (r, i) =>
+        r -> (0.05 + (i % 37) * 0.13) },
+      sfShort = "sf0.1")
+
+  test("compact line: full current row set fits the 1500 budget and " +
+      "keeps total/calib/labels parseable") {
+    val line = render(allRows, flagged = Seq("bulk_write_53m"))
+    assert(line.length <= 1500, s"line is ${line.length} chars")
+    val m = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+    // the fields whose loss zeroed the r14 artifact
+    for (k <- Seq("metric", "value", "unit", "reps", "total_first",
+        "calib_s", "calib_mt_s", "calib_io_s", "io_quiet_s",
+        "queries", "sf"))
+      assert(m.contains(k), s"missing $k")
+    assert(m.contains("io_noise_rows") || m.contains("io_noise_n"))
+    assert(m.contains("disp_noise_rows") || m.contains("disp_noise_n"))
+    assert(m.contains("retry_rows") || m.contains("retry_n"))
+    val qs = m("queries").asInstanceOf[Map[String, Any]]
+    assert(qs.nonEmpty)
+    // slowest-first fill: the most expensive row is always present
+    val slowest = allRows.zipWithIndex
+      .maxBy { case (_, i) => (0.05 + (i % 37) * 0.13, "") }._1
+    assert(qs.contains(slowest))
+    // truncation is DECLARED, never silent
+    if (qs.size < allRows.length)
+      assert(m("queries_omitted").asInstanceOf[Number].intValue ==
+        allRows.length - qs.size)
+  }
+
+  test("compact line budget holds for ANY row set (adversarial: many " +
+      "long-named rows, everything flagged)") {
+    val rows = (1 to 400).map(i =>
+      f"q${i}%03d_some_very_long_query_row_name_segment_$i")
+    for (flag <- Seq(Nil, rows.take(120))) {
+      val line = render(rows, flagged = flag)
+      assert(line.length <= 1500,
+        s"${line.length} chars with ${flag.length} flags")
+      val m = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+      assert(m("value").asInstanceOf[Number].doubleValue == 35.123)
+      // name arrays degrade to counts rather than overflowing — the
+      // polluted run is exactly the one that must stay parseable
+      if (flag.nonEmpty && !m.contains("retry_rows"))
+        assert(m("retry_n").asInstanceOf[Number].intValue ==
+          flag.length)
+    }
+  }
+
+  test("compact line: empty and degenerate inputs stay valid JSON") {
+    val line = Bench.compactStdoutLine(-1.0, -1.0, 2, Nil, Nil, 0.0,
+      Nil, Nil, Nil, Nil, "sf0.01")
+    assert(line.length <= 1500)
+    val m = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+    assert(m("value").asInstanceOf[Number].doubleValue == -1.0)
+    assert(m("queries").asInstanceOf[Map[String, Any]].isEmpty)
+  }
 }

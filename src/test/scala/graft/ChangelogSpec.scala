@@ -271,6 +271,86 @@ class ChangelogSpec extends AnyFunSuite {
       f"(${trainMs / 1000}%.2f ms/commit)")
   }
 
+  test("1e6 revisions (10x decade): cold build interactive, warm " +
+      "commits incremental, order canonical") {
+    // the 10x-decade sibling of the 1e5 pin (same treatment the
+    // manifest codec got): a changelog held for a full year of
+    // ~2-minute CDC micro-batches without a trim. An in-memory Store
+    // stands in for the filesystem — 1e6 REAL file creates would
+    // spend the test budget on syscalls, and the pin is about the
+    // CHANGELOG's algorithm (one listing-sort + DFS cold, O(1)
+    // splices warm), which consumes only ls/write/read.
+    final class MapStore extends Store {
+      val files =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+      def ls(dir: String): Seq[String] = {
+        val pre = dir + "/"
+        import scala.jdk.CollectionConverters._
+        files.keySet.asScala.iterator.filter(_.startsWith(pre))
+          .map(_.drop(pre.length)).filter(!_.contains('/')).toVector
+      }
+      def read(path: String): Array[Byte] = {
+        val b = files.get(path)
+        if (b == null) throw new java.io.FileNotFoundException(path)
+        b
+      }
+      def write(path: String, data: Array[Byte]): Boolean =
+        files.putIfAbsent(path, data) == null
+      def rm(path: String, recursive: Boolean): Unit = {
+        files.remove(path)
+        if (recursive) ls(path).foreach(c => rm(s"$path/$c", recursive))
+      }
+      def mv(from: String, to: String): Unit = {
+        val b = files.remove(from)
+        if (b == null) throw new java.io.FileNotFoundException(from)
+        files.put(to, b)
+      }
+      def exists(path: String): Boolean = files.containsKey(path)
+      def walk(prefix: String): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        files.keySet.asScala.iterator
+          .filter(_.startsWith(prefix + "/")).toVector
+      }
+      def uri(path: String): String = s"memstub:///$path"
+    }
+    val store = new MapStore
+    val n = 1000000
+    var parent = Changelog.Phi
+    (0 until n).foreach { i =>
+      val child = f"$i%011x-deadbeef$i%08d"
+      store.files.put(s"changelog/$parent.$child", Array.emptyByteArray)
+      parent = child
+    }
+    val log = new Changelog(store, "changelog")
+    val full0 = Changelog.fullComputes.get()
+    val t0 = System.nanoTime()
+    assert(log.leaf().get.child == parent)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    assert(Changelog.fullComputes.get() == full0 + 1)
+    val inc0 = Changelog.incAppends.get()
+    val t1 = System.nanoTime()
+    (0 until 1000).foreach(i => log.commit(s"p$i".getBytes))
+    val trainMs = (System.nanoTime() - t1) / 1e6
+    assert(Changelog.fullComputes.get() == full0 + 1,
+      "warm commits at 1e6 revisions must not relinearize")
+    assert(Changelog.incAppends.get() - inc0 == 1000L)
+    assert(log.log().length == n + 1000)
+    assert(new String(log.payload(log.leaf().get)) == "p999")
+    // the spliced view must equal a from-scratch linearization even
+    // one decade up (any divergence compounds into wrong leaf wins)
+    val warm = log.log()
+    log.refresh()
+    assert(log.log() == warm,
+      "incremental cache must equal the canonical DFS order at 1e6")
+    // generous interactive bounds (CI hosts jitter): the cold build
+    // is one sort+DFS (~1-3 s here); each warm commit is O(1)
+    assert(coldMs < 30000, f"1e6-revision cold build $coldMs%.0f ms")
+    assert(trainMs < 10000,
+      f"1000 warm commits at 1e6 revs $trainMs%.0f ms")
+    info(f"1e6 revisions: cold build $coldMs%.0f ms, 1000 warm " +
+      f"commits $trainMs%.0f ms (${trainMs / 1000}%.2f ms/commit)")
+  }
+
   test("incremental commit after a merge heal keeps canonical order") {
     val log = freshLog()
     val a = log.commit("a".getBytes).head

@@ -182,6 +182,60 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent registry DDL across shared and separate handles " +
+      "loses nothing and never poisons the decode cache") {
+    // regression for ADVICE r15: unsynchronized create/delete/rename
+    // could pass writeRegDelta's leaf guard with a state snapshot
+    // predating a concurrent thread's commit — NoSuchElementException
+    // during encode, or a committed registry document missing an
+    // entry (silent loss, visible only on a COLD re-decode)
+    for (iter <- 1 to 3) {
+      val root = Files.createTempDirectory(s"graft-ddl$iter").toString
+      val shared = new Repo(root, spark)
+      val nThreads = 4
+      val perThread = 12
+      val pool = Executors.newFixedThreadPool(nThreads)
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(nThreads)
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until nThreads).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try {
+              start.await()
+              // odd threads use the shared handle, even threads their
+              // own — the decode cache is JVM-global either way
+              val repo =
+                if (t % 2 == 1) shared else new Repo(root, spark)
+              for (i <- 0 until perThread) {
+                val l = s"t${t}_c$i"
+                repo.createCollection(schema, l)
+                if (i % 4 == 3) repo.renameCollection(l, s"${l}_r")
+                else if (i % 4 == 2) repo.deleteCollection(l)
+              }
+            } catch { case x: Throwable => errors.add(x) }
+            finally done.countDown()
+          }
+        })
+      }
+      start.countDown()
+      assert(done.await(300, TimeUnit.SECONDS), "DDL threads timed out")
+      pool.shutdown()
+      assert(errors.isEmpty, s"iter $iter DDL error: ${errors.peek()}")
+      val expect = (for {
+        t <- 0 until nThreads; i <- 0 until perThread
+        if i % 4 != 2
+      } yield if (i % 4 == 3) s"t${t}_c${i}_r" else s"t${t}_c$i").toSet
+      // cold handle + cold cache: what the committed DOCUMENT holds,
+      // not what a warm cache believes it holds
+      graft.api.Repo.clearRegDecodeCache()
+      val got = new Repo(root, spark).ls().toSet
+      assert(got == expect,
+        s"iter $iter: lost ${expect -- got}, extra ${got -- expect}")
+    }
+  }
+
   test("property: forked branches with disjoint shards merge " +
       "losslessly under random write order and defrag") {
     // randomized generalization of the defragged-gap regression: the

@@ -369,6 +369,82 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(new graft.api.Repo(root, spark).ls().length == 100002)
   }
 
+  test("SQL-door composition: a stone-cold SELECT with an index " +
+      "predicate against a 1e6-segment table plans O(touched)") {
+    // the parts are each pinned (bisected prune, chunked decode,
+    // registry cache); this is their COMPOSITION — the statement a
+    // 100 TB user actually runs: fresh session, cold caches, one
+    // indexed SELECT through the catalog. Driver planning must touch
+    // only the covering chunks, and the scan must open only the
+    // pruned segments (real files exist ONLY inside the probed
+    // window — touching any other segment crashes the test).
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-conncold").toString
+    val repo = new graft.api.Repo(root, spark)
+    val c = repo.createCollection(schema, "cc")
+    val n10 = 1000000
+    // real files for the probed window plus one straddle-widen
+    // neighbor each side
+    (699999 to 700003).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("seg").toString
+      spark.range(i * 100L, (i + 1) * 100L, 1, 1)
+        .selectExpr("id AS ts", "cast(id AS double) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(root, "seg/aa/bb",
+        f"$i%08d.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.copy(part.toPath, dest)
+    }
+    val huge = Manifest(schema, Vector.tabulate(n10) { i =>
+      SegmentMeta("_", IndexKey(Vector(i * 100L)),
+        IndexKey(Vector((i + 1) * 100L)), Closed.Left, 100L,
+        Vector(f"seg/aa/bb/$i%08d.parquet"),
+        dataStart = Some(IndexKey(Vector(i * 100L))),
+        dataStop = Some(IndexKey(Vector((i + 1) * 100L - 1))))
+    })
+    c.commitManifest(huge, Seq(Changelog.Phi))
+
+    val cat = "gcold" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", root)
+    // stone-cold: what a fresh driver JVM's first statement sees
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    graft.api.Repo.clearRegDecodeCache()
+    val p0 = ManifestCodec.chunkParses.get()
+    val t0 = System.nanoTime()
+    val df = spark.sql(
+      s"""SELECT sum(v) AS sv, count(*) AS n FROM $cat.cc.`_`
+         |WHERE ts >= 70000000 AND ts < 70000300""".stripMargin)
+    df.queryExecution.executedPlan // force full driver planning
+    val planMs = (System.nanoTime() - t0) / 1e6
+    val row = df.collect()(0)
+    val execMs = (System.nanoTime() - t0) / 1e6 - planMs
+    // correctness: exactly the 300 rows of the window
+    assert(row.getLong(1) == 300L)
+    assert(math.abs(row.getDouble(0) -
+      (70000000L to 70000299L).map(_.toDouble).sum) < 1e-3)
+    // segments OPENED == the pruned answer (3 covering, +1 possible
+    // straddle-widen) out of 1e6
+    val scanned = graft.sources.GraftScanProbe.lastSegmentsScanned
+    assert(scanned >= 3 && scanned <= 4,
+      s"scan opened $scanned of $n10 segments")
+    assert(graft.sources.GraftScanProbe.lastSegmentsTotal == n10)
+    // planning parsed only the covering manifest chunks, not ~245
+    val parses = ManifestCodec.chunkParses.get() - p0
+    assert(parses <= 3,
+      s"cold SQL planning parsed $parses manifest chunks")
+    assert(planMs < 5000,
+      f"cold planning at 1e6 segments took $planMs%.0f ms")
+    info(f"conn_cold_1e6seg: plan $planMs%.0f ms, exec $execMs%.0f " +
+      f"ms, $scanned/$n10 segments, $parses chunk parses")
+  }
+
   test("a DDL against a 1e6-collection registry: O(touched) chunks, " +
       "zero full sorts, interactive wall-clock") {
     val spark = TestSpark.spark

@@ -243,4 +243,32 @@ class SExprSpec extends AnyFunSuite {
     // fallback ordering (all columns) is index order here too
     assert(run(Nil) == expect)
   }
+
+  test("an exotic numpy name outside the curated registry fails LOUD " +
+      "and the message routes to register() and MIGRATION.md") {
+    // the reference would resolve this against live numpy
+    // (lakota/sexpr.py:153-161); graft's deliberate policy deviation
+    // must surface itself at first contact, not read as a bug
+    val e = intercept[IllegalArgumentException] {
+      SExprCompiler.compile("(char.swapcase self.name)")
+    }
+    assert(e.getMessage.contains("char.swapcase"))
+    assert(e.getMessage.contains(
+      """SExprCompiler.register("char.swapcase""""))
+    assert(e.getMessage.contains("MIGRATION.md"))
+    // ...and the hatch it points at actually closes the gap:
+    // swapcase via per-char compare (no direct Spark builtin) —
+    // escape hatches are ordinary Column expressions
+    SExprCompiler.register("char.swapcase", cols => {
+      import org.apache.spark.sql.functions._
+      concat_ws("", transform(split(cols.head, ""), c =>
+        when(c === upper(c), lower(c)).otherwise(upper(c))))
+    })
+    val s = TestSpark.spark
+    import s.implicits._
+    val got = Seq("aBc").toDF("name")
+      .select(SExprCompiler.compile("(char.swapcase self.name)")
+        .as("sw")).head.getString(0)
+    assert(got == "AbC")
+  }
 }
