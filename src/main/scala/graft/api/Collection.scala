@@ -297,6 +297,43 @@ class Collection(val repo: Repo, val label: String, val path: String,
         prunedTailSegments0(label, start, stop, closed, beforeMs, need)
     }
 
+  /** Head-oriented sibling of [[prunedTailSegments]] — first visible
+    * segments of the label without a full decode (one-sided DML
+    * bounds at 1e6-segment scale). */
+  private[graft] def prunedHeadSegments(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
+    try prunedHeadSegments0(label, start, stop, closed, beforeMs, need)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        changelog.refresh()
+        prunedHeadSegments0(label, start, stop, closed, beforeMs, need)
+    }
+
+  private def prunedHeadSegments0(label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
+    changelog.leaf(beforeMs) match {
+      case None => Seq.empty
+      case Some(rev) =>
+        Collection.peekManifestCache(rev.child) match {
+          case Some(m) => m.segments(label, start, stop, closed)
+          case None =>
+            val root = Collection.rootCached(rev.child, () => {
+              val bytes = changelog.payload(rev)
+              if (ManifestCodec.isChunked(bytes))
+                Some(ManifestCodec.parseRoot(bytes))
+              else None
+            })
+            root match {
+              case Some(r) => ManifestCodec.prunedHeadSegments(r,
+                readChunk, label, start, stop, closed, need)
+              case None =>
+                decodeCached(rev).segments(label, start, stop, closed)
+            }
+        }
+    }
+
   private def prunedTailSegments0(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long], need: Long): Seq[SegmentRead] =

@@ -369,6 +369,61 @@ object ManifestCodec {
       .segments(label, start, stop, closed)
   }
 
+  /** Head-oriented sibling of [[prunedTailSegments]]: walk the
+    * covering chunks from the FRONT, stopping once the collected
+    * prefix guarantees `need` visible rows — a cold "first segment of
+    * the label" probe (the one-sided SQL DELETE bound) decodes one or
+    * two chunks of a 1e6-segment manifest instead of all of them.
+    * Same guarantee accounting as the tail walk: the result is a true
+    * prefix of the full decode, covering >= need rows or the whole
+    * range. */
+  def prunedHeadSegments(root: Root, fetch: String => Array[Byte],
+      label: String, start: Option[IndexKey], stop: Option[IndexKey],
+      closed: Closed, need: Long): Seq[SegmentRead] = {
+    val hd = root.schema.idx.head.dtype
+    val chunks = root.chunks
+    def cmpLo(cl: String, ch: Any): Int = {
+      val c = cl.compareTo(label)
+      if (c != 0) c
+      else start.fold(1)(s => hd.cmp(ch, s.values(0)))
+    }
+    def cmpHi(cl: String, ch: Any): Int = {
+      val c = cl.compareTo(label)
+      if (c != 0) c
+      else stop.fold(-1)(s => hd.cmp(ch, s.values(0)))
+    }
+    var lo = 0
+    while (lo < chunks.length && cmpLo(chunks(lo).l1, chunks(lo).h1) < 0)
+      lo += 1
+    if (lo > 0) lo -= 1 // straddle widen
+    var hi = lo
+    while (hi < chunks.length && cmpHi(chunks(hi).l0, chunks(hi).h0) <= 0)
+      hi += 1
+    if (hi <= lo) return Seq.empty
+    def guaranteed(sr: SegmentRead): Long =
+      (sr.meta.dataStart, sr.meta.dataStop) match {
+        case (Some(ds), Some(de)) =>
+          val l = root.schema.cmpKey(sr.start, ds)
+          val r = root.schema.cmpKey(sr.stop, de)
+          if ((l < 0 || (l == 0 && sr.closed.left)) &&
+              (r > 0 || (r == 0 && sr.closed.right))) sr.meta.length
+          else 0L
+        case _ => 0L
+      }
+    var i = lo
+    var got = 0L
+    var rows = Vector.empty[SegmentMeta]
+    while (i < hi && got < need) {
+      val cr = chunkRows(root.schema, chunks(i), fetch)
+      rows = rows ++ cr
+      Manifest(root.schema, cr).segments(label, start, stop, closed)
+        .foreach(sr => got += guaranteed(sr))
+      i += 1
+    }
+    Manifest(root.schema, rows)
+      .segments(label, start, stop, closed)
+  }
+
   // ---- JVM-wide content-addressed chunk row cache ----
   // Keyed by (sha, schema): the bytes are unique per sha, but parsing
   // is schema-directed (dtypes), so the same bytes under two schemas

@@ -338,11 +338,28 @@ class GraftTable(rootUri: String, collectionName: String,
         IndexKey(Vector(v))))
     case DeleteRange(startK, stopK, closed) =>
       // one-sided range: substitute the manifest's recorded extreme
-      // (exact for the rows this snapshot holds)
-      val segs = s.segments().filter(_.meta.hasData)
-      if (segs.isEmpty) return
-      val st = if (startK != null) startK else segs.head.start
-      val sp = if (stopK != null) stopK else segs.last.stop
+      // (exact for the rows this snapshot holds). Head/tail pruned
+      // walks, NOT a full decode — a one-sided DELETE against a
+      // 1e6-segment table must stay O(touched) like every other
+      // planning path.
+      val st =
+        if (startK != null) startK
+        else {
+          val head = s.collection.prunedHeadSegments(s.label,
+            None, None, closed, None, need = 1L)
+            .filter(_.meta.hasData)
+          if (head.isEmpty) return
+          head.head.start
+        }
+      val sp =
+        if (stopK != null) stopK
+        else {
+          val tail = s.collection.prunedTailSegments(s.label,
+            None, None, closed, None, need = 1L)
+            .filter(_.meta.hasData)
+          if (tail.isEmpty) return
+          tail.last.stop
+        }
       if (gschema.cmpKey(st, sp) > 0) return // empty range: no-op
       s.delete(st, sp, closed)
   }

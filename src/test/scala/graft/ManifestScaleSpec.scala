@@ -316,6 +316,20 @@ class ManifestScaleSpec extends AnyFunSuite {
     assert(tailSegs.last.stop == IndexKey(Vector(100000000L)))
     assert(tailParses <= 2,
       s"cold tail parsed $tailParses of ~245 chunks")
+
+    // stone-cold head: leading chunks only (the one-sided SQL DELETE
+    // bound probe — it used to decode the WHOLE manifest)
+    graft.api.Collection.clearManifestCache()
+    ManifestCodec.clearChunkCache()
+    val hq0 = ManifestCodec.chunkParses.get()
+    val headSegs = new graft.api.Repo(root, spark).collection("cc").get
+      .prunedHeadSegments("_", None, None, graft.core.Closed.Left,
+        None, need = 1L)
+    val headParses = ManifestCodec.chunkParses.get() - hq0
+    assert(headSegs.nonEmpty)
+    assert(headSegs.head.start == IndexKey(Vector(0L)))
+    assert(headParses <= 2,
+      s"cold head parsed $headParses of ~245 chunks")
     info(f"1e6 chunked: full encode $fullS%.1fs (${root1.chunks.length} " +
       f"chunks), incremental commit $commitMs%.0f ms ($freshChunks " +
       f"fresh), moved-leaf re-decode $reparsed chunks, cold pruned " +
