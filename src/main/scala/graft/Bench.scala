@@ -619,9 +619,15 @@ object Bench {
         sin(col("id").cast("double")).as("value"))
       .cache()
     ts100k.count() // materialize input outside the timed region
+    // the reference's 24.24 ms comparable times ONLY series.write —
+    // create_collection sits outside its timeit block
+    // (examples/data_size.py:30-34); match that measured scope:
+    // collections pre-created (indices 0..reps cover the possible
+    // retry rep), the timed body is the write alone
+    val w100k = (0 to reps).map(i =>
+      repo.createCollection(schema2c, s"ts100k_$i").series("_"))
     bench("bulk_write_100k_ts", ioRow = true) { i =>
-      repo.createCollection(schema2c, s"ts100k_$i").series("_")
-        .write(ts100k, presorted = true)
+      w100k(i).write(ts100k, presorted = true)
     }
     val series = repo.collection("events_0").get.series("_")
     bench("full_read") { _ => series.frame().count(); () }
