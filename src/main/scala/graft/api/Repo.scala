@@ -171,12 +171,26 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // commit must extend that commit, not fork from its stale view —
     // forks are only for cross-PROCESS racers (healed by union-merge,
     // which is add-wins and would undo an in-JVM rename/delete).
-    val parent =
-      if (hit != null && localParent != Changelog.Phi &&
-          hit.leaf > localParent) hit.leaf
-      else localParent
+    // Repo.notedLeaf survives regDecodeCache eviction, so the
+    // guarantee holds even for a root the LRU dropped.
+    val noted = Repo.notedLeaf(rootUri)
+    val parent = {
+      var p = localParent
+      if (hit != null && p != Changelog.Phi && hit.leaf > p) p = hit.leaf
+      if (noted != null && p != Changelog.Phi && noted > p) p = noted
+      p
+    }
     if (parent == Changelog.Phi || hit == null || hit.leaf != parent) {
-      writeRegWithParents((base -- del) ++ put, Seq(parent))
+      if (parent != localParent && (hit == null || hit.leaf != parent)) {
+        // a newer in-JVM leaf is KNOWN (noteLeaf) but its decoded
+        // state is gone (LRU-evicted): committing base+delta onto it
+        // would drop whatever that leaf added. Relist so this handle
+        // sees it, re-read the state, apply the delta to THAT.
+        registry.refresh()
+        val fresh = regState()
+        writeRegWithParents((fresh -- del) ++ put,
+          Seq(registry.leaf().map(_.child).getOrElse(Changelog.Phi)))
+      } else writeRegWithParents((base -- del) ++ put, Seq(parent))
       return
     }
     if (!(hit.state eq base)) {
@@ -309,9 +323,11 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // seed the decode cache with the state we just committed: the
     // next regState() on this leaf decodes nothing, and carries the
     // refs AND the sorted keys for the next DDL's O(touched) encode
-    revs.headOption.foreach(r =>
+    revs.headOption.foreach { r =>
       Repo.regDecodeCache.put(rootUri,
-        Repo.RegCached(r.child, state, enc.refs, keys, paths)))
+        Repo.RegCached(r.child, state, enc.refs, keys, paths))
+      Repo.noteLeaf(rootUri, r.child)
+    }
     ()
   }
 
@@ -821,6 +837,20 @@ object Repo {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private[api] def ddlLock(root: String): AnyRef =
     ddlLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Newest registry leaf committed by THIS JVM per root — the
+    * in-JVM single-chain guarantee must survive [[regDecodeCache]]'s
+    * 256-root LRU: with only the cache, an evicted root's next DDL
+    * from a warm-stale handle would parent onto its old leaf and
+    * fork (whose add-wins union heal resurrects deleted keys). One
+    * leaf-id string per root ever opened — never evicted. */
+  private val latestRegLeaf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[api] def notedLeaf(root: String): String =
+    latestRegLeaf.get(root)
+  private[api] def noteLeaf(root: String, leaf: String): Unit =
+    latestRegLeaf.merge(root, leaf,
+      (old, nw) => if (nw > old) nw else old)
 
   /** full O(n log n) registry key sorts — DDLs against a warm handle
     * must NOT pay one (spec-pinned); only the first write after a

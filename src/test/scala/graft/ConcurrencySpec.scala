@@ -236,6 +236,28 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("registry DDL from a stale handle survives decode-cache " +
+      "eviction without forking (no delete resurrection)") {
+    // the in-JVM single-chain guarantee must not depend on the
+    // 256-root LRU: after eviction, a stale warm handle's DDL knows
+    // (via Repo.noteLeaf) that a newer leaf exists, relists, and
+    // applies its delta to the CURRENT state — instead of forking
+    // from its old view, whose add-wins union heal would resurrect
+    // the deleted key
+    val root = Files.createTempDirectory("graft-evict").toString
+    val h1 = new Repo(root, spark)
+    val h2 = new Repo(root, spark)
+    h1.createCollection(schema, "a")
+    assert(h2.ls().toSet == Set("a")) // h2's changelog warm at leaf 1
+    h1.createCollection(schema, "b")  // leaf 2 — h2 never relists
+    graft.api.Repo.clearRegDecodeCache() // simulate LRU eviction
+    h2.deleteCollection("a") // stale view + evicted cache
+    graft.api.Repo.clearRegDecodeCache()
+    val got = new Repo(root, spark).ls().toSet
+    assert(got == Set("b"),
+      s"expected delete of 'a' and survival of 'b'; got $got")
+  }
+
   test("property: forked branches with disjoint shards merge " +
       "losslessly under random write order and defrag") {
     // randomized generalization of the defragged-gap regression: the
