@@ -610,9 +610,7 @@ object Bench {
     // the reference's EXACT 100k comparable shape (data_size.py:36-47,
     // 24.24 ms): 2 columns — 5-min timestamp grid + random float —
     // where bulk_write above carries the 4-column events frame
-    // (strings included, a heavier write than the baseline row). Same
-    // one-commit workload: fresh series per rep, repo open + create
-    // inside the timed region like the reference's write_lk.
+    // (strings included, a heavier write than the baseline row).
     val schema2c = GSchema("ts" -> "timestamp*", "value" -> "float")
     val ts100k = spark.range(0, 100000L, 1, cpus.toInt)
       .select(timestamp_seconds(col("id") * 300L).as("ts"),

@@ -270,17 +270,54 @@ class Collection(val repo: Repo, val label: String, val path: String,
     * unbounded read, `ls`, or a SQL snapshot), the cached manifest
     * serves directly. Freshness is identical to [[manifest]]: the
     * leaf LISTING is never cached. */
+  /** ONE retry for a racing squash/trim that deleted the revision
+    * mid-read (see [[manifest]]): re-list and re-run. The single copy
+    * of the recovery every pruned read shares. */
+  private def retryStale[A](body: => A): A =
+    try body
+    catch {
+      case _: java.io.FileNotFoundException =>
+        changelog.refresh()
+        body
+    }
+
+  /** Dispatch over how revision `rev`'s manifest materializes:
+    * decoded-in-cache / chunked root (the O(touched) codec paths) /
+    * plain payload (small by construction — full decode, cached).
+    * The single copy of the scaffold every pruned read shares. */
+  private def overRoot[A](rev: Revision)(whole: Manifest => A)(
+      chunked: ManifestCodec.Root => A): A =
+    Collection.peekManifestCache(rev.child) match {
+      case Some(m) => whole(m)
+      case None =>
+        Collection.rootCached(rev.child, () => {
+          val bytes = changelog.payload(rev)
+          if (ManifestCodec.isChunked(bytes))
+            Some(ManifestCodec.parseRoot(bytes))
+          else None
+        }) match {
+          case Some(r) => chunked(r)
+          case None => whole(decodeCached(rev))
+        }
+    }
+
   private[graft] def prunedSegments(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long] = None): Seq[SegmentRead] =
-    try prunedSegments0(label, start, stop, closed, beforeMs)
-    catch {
-      case _: java.io.FileNotFoundException =>
-        // racing squash/trim deleted the revision mid-read (see
-        // [[manifest]]) — re-list and retry once
-        changelog.refresh()
-        prunedSegments0(label, start, stop, closed, beforeMs)
+    retryStale {
+      changelog.leaf(beforeMs).map(
+        prunedSegmentsAt(_, label, start, stop, closed))
+        .getOrElse(Seq.empty)
     }
+
+  /** [[prunedSegments]] against a FIXED revision — a caller that
+    * resolves several values must read them all from one snapshot. */
+  private[graft] def prunedSegmentsAt(rev: Revision, label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed)
+      : Seq[SegmentRead] =
+    overRoot(rev)(_.segments(label, start, stop, closed))(r =>
+      ManifestCodec.prunedSegments(r, readChunk, label, start, stop,
+        closed))
 
   /** Tail-oriented sibling of [[prunedSegments]]: when the leaf is
     * chunked and cold, only the TRAILING chunks that guarantee `need`
@@ -290,12 +327,18 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private[graft] def prunedTailSegments(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
-    try prunedTailSegments0(label, start, stop, closed, beforeMs, need)
-    catch {
-      case _: java.io.FileNotFoundException =>
-        changelog.refresh()
-        prunedTailSegments0(label, start, stop, closed, beforeMs, need)
+    retryStale {
+      changelog.leaf(beforeMs).map(
+        prunedTailSegmentsAt(_, label, start, stop, closed, need))
+        .getOrElse(Seq.empty)
     }
+
+  private[graft] def prunedTailSegmentsAt(rev: Revision, label: String,
+      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
+      need: Long): Seq[SegmentRead] =
+    overRoot(rev)(_.segments(label, start, stop, closed))(r =>
+      ManifestCodec.prunedTailSegments(r, readChunk, label, start,
+        stop, closed, need))
 
   /** Head-oriented sibling of [[prunedTailSegments]] — first visible
     * segments of the label without a full decode (one-sided DML
@@ -303,120 +346,48 @@ class Collection(val repo: Repo, val label: String, val path: String,
   private[graft] def prunedHeadSegments(label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
       beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
-    try prunedHeadSegments0(label, start, stop, closed, beforeMs, need)
-    catch {
-      case _: java.io.FileNotFoundException =>
-        changelog.refresh()
-        prunedHeadSegments0(label, start, stop, closed, beforeMs, need)
+    retryStale {
+      changelog.leaf(beforeMs).map(
+        prunedHeadSegmentsAt(_, label, start, stop, closed, need))
+        .getOrElse(Seq.empty)
     }
 
-  private def prunedHeadSegments0(label: String,
+  private[graft] def prunedHeadSegmentsAt(rev: Revision, label: String,
       start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
-      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
-    changelog.leaf(beforeMs) match {
-      case None => Seq.empty
-      case Some(rev) =>
-        Collection.peekManifestCache(rev.child) match {
-          case Some(m) => m.segments(label, start, stop, closed)
-          case None =>
-            val root = Collection.rootCached(rev.child, () => {
-              val bytes = changelog.payload(rev)
-              if (ManifestCodec.isChunked(bytes))
-                Some(ManifestCodec.parseRoot(bytes))
-              else None
-            })
-            root match {
-              case Some(r) => ManifestCodec.prunedHeadSegments(r,
-                readChunk, label, start, stop, closed, need)
-              case None =>
-                decodeCached(rev).segments(label, start, stop, closed)
-            }
-        }
-    }
+      need: Long): Seq[SegmentRead] =
+    overRoot(rev)(_.segments(label, start, stop, closed))(r =>
+      ManifestCodec.prunedHeadSegments(r, readChunk, label, start,
+        stop, closed, need))
 
-  private def prunedTailSegments0(label: String,
-      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
-      beforeMs: Option[Long], need: Long): Seq[SegmentRead] =
-    changelog.leaf(beforeMs) match {
-      case None => Seq.empty
-      case Some(rev) =>
-        Collection.peekManifestCache(rev.child) match {
-          case Some(m) => m.segments(label, start, stop, closed)
-          case None =>
-            val root = Collection.rootCached(rev.child, () => {
-              val bytes = changelog.payload(rev)
-              if (ManifestCodec.isChunked(bytes))
-                Some(ManifestCodec.parseRoot(bytes))
-              else None
-            })
-            root match {
-              case Some(r) => ManifestCodec.prunedTailSegments(r,
-                readChunk, label, start, stop, closed, need)
-              case None =>
-                decodeCached(rev).segments(label, start, stop, closed)
-            }
-        }
-    }
-
-  private def prunedSegments0(label: String,
-      start: Option[IndexKey], stop: Option[IndexKey], closed: Closed,
-      beforeMs: Option[Long]): Seq[SegmentRead] =
-    changelog.leaf(beforeMs) match {
-      case None => Seq.empty
-      case Some(rev) =>
-        Collection.peekManifestCache(rev.child) match {
-          case Some(m) => m.segments(label, start, stop, closed)
-          case None =>
-            val root = Collection.rootCached(rev.child, () => {
-              val bytes = changelog.payload(rev)
-              if (ManifestCodec.isChunked(bytes))
-                Some(ManifestCodec.parseRoot(bytes))
-              else None
-            })
-            root match {
-              case Some(r) => ManifestCodec.prunedSegments(r, readChunk,
-                label, start, stop, closed)
-              case None => // plain payload: full decode, cached
-                decodeCached(rev).segments(label, start, stop, closed)
-            }
-        }
+  /** Both one-sided DML bound substitutes from ONE snapshot: (head,
+    * tail) pruned walks of the label against the SAME revision — two
+    * independent reads could straddle a concurrent commit and yield a
+    * [st, sp] window no snapshot ever held. None = no revisions. */
+  private[graft] def labelBoundsSnapshot(label: String, closed: Closed)
+      : Option[(Seq[SegmentRead], Seq[SegmentRead])] =
+    retryStale {
+      changelog.leaf(None).map { rev =>
+        (prunedHeadSegmentsAt(rev, label, None, None, closed, 1L),
+          prunedTailSegmentsAt(rev, label, None, None, closed, 1L))
+      }
     }
 
   /** Manifest row count for `label` WITHOUT enumerating the manifest
     * — the scan planner's display/probe denominator. O(touched) via
     * [[ManifestCodec.countLabelRows]] when the leaf is chunked and
-    * cold (fully-covered chunks count tombstoned rows too — an upper
-    * bound, diagnostics only); exact hasData count when a decoded
-    * manifest is already in memory. */
+    * cold. ONE semantics in every tier: ALL manifest rows of the
+    * label, tombstones included — fully-covered chunk refs can't see
+    * hasData without being fetched, and a denominator that changed
+    * between cold and warm runs of the same statement would read as
+    * a pruning regression. */
   private[graft] def segmentCount(label: String,
-      beforeMs: Option[Long] = None): Int = {
-    def go(): Int = changelog.leaf(beforeMs) match {
-      case None => 0
-      case Some(rev) =>
-        Collection.peekManifestCache(rev.child) match {
-          case Some(m) =>
-            m.rows.count(r => r.label == label && r.hasData)
-          case None =>
-            val root = Collection.rootCached(rev.child, () => {
-              val bytes = changelog.payload(rev)
-              if (ManifestCodec.isChunked(bytes))
-                Some(ManifestCodec.parseRoot(bytes))
-              else None
-            })
-            root match {
-              case Some(r) =>
-                ManifestCodec.countLabelRows(r, readChunk, label)
-              case None => decodeCached(rev).rows
-                .count(r => r.label == label && r.hasData)
-            }
-        }
+      beforeMs: Option[Long] = None): Int =
+    retryStale {
+      changelog.leaf(beforeMs).map { rev =>
+        overRoot(rev)(_.rows.count(_.label == label))(r =>
+          ManifestCodec.countLabelRows(r, readChunk, label))
+      }.getOrElse(0)
     }
-    try go()
-    catch {
-      case _: java.io.FileNotFoundException =>
-        changelog.refresh(); go()
-    }
-  }
 
   def manifest(beforeMs: Option[Long] = None): Option[Manifest] =
     try changelog.leaf(beforeMs).map(decodeCached)

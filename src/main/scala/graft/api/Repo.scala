@@ -58,38 +58,76 @@ class Repo(val rootUri: String, val spark: SparkSession,
   private def regState(): Map[String, RegEntry] = {
     // concurrent creates produce sibling registry revisions; a plain
     // last-leaf-wins read could drop a collection. Union all leaves
-    // (and heal the registry with a merge commit when forked).
+    // (and heal the registry with a merge commit when forked). The
+    // heal COMMITS, so it must hold the per-root DDL lock like every
+    // other registry writer — an unlocked heal racing a locked DDL
+    // would mint fresh sibling leaves whose re-heal resurrects the
+    // DDL's delete (monitor is re-entrant: DDL methods already
+    // holding the lock pass straight through).
     val leaves = registry.leafs()
-    if (leaves.length > 1) {
-      val merged = leaves.sortBy(_.child)
-        .map(r => decodeReg(registry.payload(r))._1)
-        .reduce(_ ++ _)
-      writeRegWithParents(merged, leaves.map(_.child))
-      merged
-    } else leaves.headOption.map { r =>
-      val hit = Repo.regDecodeCache.get(rootUri)
-      // serve the cache when it matches the handle's leaf OR is
-      // strictly NEWER (child ids lead with Store.hextime, so string
-      // order is time order): another handle in this JVM committed a
-      // DDL this warm handle hasn't relisted. Without this, a stale
-      // handle's DDL would parent onto its old leaf — an in-JVM fork
-      // whose add-wins union heal RESURRECTS renamed/deleted keys.
-      if (hit != null && (hit.leaf == r.child || hit.leaf > r.child))
-        hit.state
-      else {
-        val (m, refs) = decodeReg(registry.payload(r))
-        // sortedKeys stays null until a write needs it: decodes
-        // (reads, SQL statements) never pay a sort. Put atomically:
-        // never replace an entry a concurrent commit installed after
-        // our get (it is newer than this decode).
-        Repo.regDecodeCache.synchronized {
-          if (Repo.regDecodeCache.get(rootUri) eq hit)
-            Repo.regDecodeCache.put(rootUri,
-              Repo.RegCached(r.child, m, refs, null, null)) // LRU
-        }
-        m
+    if (leaves.length > 1) Repo.ddlLock(rootUri).synchronized {
+      registry.refresh() // a racer may have healed while we waited
+      val lv = registry.leafs()
+      if (lv.length > 1) {
+        val merged = lv.sortBy(_.child)
+          .map(r => decodeReg(registry.payload(r))._1)
+          .reduce(_ ++ _)
+        writeRegWithParents(merged, lv.map(_.child))
+        merged
+      } else regStateSingle(lv.headOption)
+    } else regStateSingle(leaves.headOption)
+  }
+
+  private def regStateSingle(leaf: Option[Revision])
+      : Map[String, RegEntry] = leaf.map { r =>
+    val hit = Repo.regDecodeCache.get(rootUri)
+    // serve the cache when it matches the handle's leaf OR is a
+    // strictly NEWER leaf COMMITTED BY THIS JVM (noteLeaf; in-JVM
+    // commit ids share one clock, so hextime string order is commit
+    // order): another handle here committed a DDL this warm handle
+    // hasn't relisted. Without this, a stale handle's DDL would
+    // parent onto its old leaf — an in-JVM fork whose add-wins union
+    // heal RESURRECTS renamed/deleted keys. A leaf that merely
+    // STRING-compares newer is NOT trusted (a cross-process commit
+    // from a skewed clock could sort below its own parent).
+    if (hit != null && (hit.leaf == r.child ||
+        (hit.leaf == Repo.notedLeaf(rootUri) && hit.leaf > r.child)))
+      hit.state
+    else {
+      val (m, refs) = decodeReg(registry.payload(r))
+      // sortedKeys stays null until a write needs it: decodes
+      // (reads, SQL statements) never pay a sort. Put atomically:
+      // never replace an entry a concurrent commit installed after
+      // our get (it is newer than this decode).
+      Repo.regDecodeCache.synchronized {
+        if (Repo.regDecodeCache.get(rootUri) eq hit)
+          Repo.regDecodeCache.put(rootUri,
+            Repo.RegCached(r.child, m, refs, null, null)) // LRU
       }
-    }.getOrElse(Map.empty)
+      m
+    }
+  }.getOrElse(Map.empty)
+
+  /** [[regState]] with a CURRENCY guarantee for DDL preconditions
+    * (call only under [[Repo.ddlLock]]): if this JVM has committed a
+    * registry leaf this handle's warm view hasn't seen AND the
+    * decoded state for it is gone (LRU-evicted regDecodeCache), the
+    * plain read would return a stale snapshot — and a DDL validating
+    * against it could e.g. pass rename's "target free" check while
+    * the target exists, silently overwriting a sibling handle's
+    * collection. Relist + re-decode in that case; O(1) extra work on
+    * the common path (one map get + string compare). */
+  private def regStateCurrent(): Map[String, RegEntry] = {
+    val st = regState()
+    val noted = Repo.notedLeaf(rootUri)
+    if (noted == null) return st
+    val hit = Repo.regDecodeCache.get(rootUri)
+    if (hit != null && (hit.state eq st) &&
+        (hit.leaf == noted || hit.leaf > noted)) st
+    else {
+      registry.refresh()
+      regState()
+    }
   }
 
   /** Decode a registry payload of either format: plain v1 single-doc
@@ -166,20 +204,20 @@ class Repo(val rootUri: String, val spark: SparkSession,
     val localParent =
       registry.leaf().map(_.child).getOrElse(Changelog.Phi)
     val hit = Repo.regDecodeCache.get(rootUri)
-    // parent onto the newest leaf this JVM KNOWS (hextime-ordered
-    // ids): a warm handle whose own lineage lags a sibling handle's
-    // commit must extend that commit, not fork from its stale view —
-    // forks are only for cross-PROCESS racers (healed by union-merge,
-    // which is add-wins and would undo an in-JVM rename/delete).
-    // Repo.notedLeaf survives regDecodeCache eviction, so the
-    // guarantee holds even for a root the LRU dropped.
+    // parent onto the newest leaf COMMITTED BY THIS JVM (noteLeaf;
+    // one clock, so hextime string order is commit order — a leaf
+    // that merely string-compares newer is NOT trusted, see
+    // regStateSingle): a warm handle whose own lineage lags a sibling
+    // handle's commit must extend that commit, not fork from its
+    // stale view — forks are only for cross-PROCESS racers (healed by
+    // union-merge, which is add-wins and would undo an in-JVM
+    // rename/delete). notedLeaf survives regDecodeCache eviction, so
+    // the guarantee holds even for a root the LRU dropped.
     val noted = Repo.notedLeaf(rootUri)
-    val parent = {
-      var p = localParent
-      if (hit != null && p != Changelog.Phi && hit.leaf > p) p = hit.leaf
-      if (noted != null && p != Changelog.Phi && noted > p) p = noted
-      p
-    }
+    val parent =
+      if (noted != null && localParent != Changelog.Phi &&
+          noted > localParent) noted
+      else localParent
     if (parent == Changelog.Phi || hit == null || hit.leaf != parent) {
       if (parent != localParent && (hit == null || hit.leaf != parent)) {
         // a newer in-JVM leaf is KNOWN (noteLeaf) but its decoded
@@ -341,7 +379,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // reference repo.py:189-191: labels are stripped, empty is invalid
     val label = label0.trim
     require(label.nonEmpty, s"invalid label: '$label0'")
-    val state = regState()
+    val state = regStateCurrent()
     state.get(mkKey(namespace, label)) match {
       case Some(e) =>
         require(e.schema == schema,
@@ -389,7 +427,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     pageLenChange.foreach(_.foreach(n =>
       require(n > 0, s"pageLen must be positive: $n")))
     val key = mkKey(namespace, label)
-    val state = regState()
+    val state = regStateCurrent()
     val e = state.getOrElse(key, throw new IllegalArgumentException(
       s"no collection '$label' in namespace '$namespace'"))
     val oldPhysIdx = e.schema.idx.map(c =>
@@ -444,7 +482,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
       Repo.ddlLock(rootUri).synchronized {
     pageLen.foreach(n => require(n > 0, s"pageLen must be positive: $n"))
     val key = mkKey(namespace, label)
-    val state = regState()
+    val state = regStateCurrent()
     val e = state.getOrElse(key, throw new IllegalArgumentException(
       s"no collection '$label' in namespace '$namespace'"))
     val ne = e.copy(pageLen = pageLen)
@@ -459,7 +497,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     * unique per entry, so namespaced labels need no reverse lookup. */
   private[graft] def markBss(path: String): Unit =
       Repo.ddlLock(rootUri).synchronized {
-    val state = regState()
+    val state = regStateCurrent()
     state.find(_._2.path == path) match {
       case Some((k, e)) if !e.bss =>
         val ne = e.copy(bss = true)
@@ -538,20 +576,25 @@ class Repo(val rootUri: String, val spark: SparkSession,
   }
 
   def deleteCollection(label: String,
-      namespace: String = DefaultNs): Unit =
-      Repo.ddlLock(rootUri).synchronized {
-    val state = regState()
-    val key = mkKey(namespace, label)
-    state.get(key).foreach { e =>
-      writeRegDelta(state, Nil, Seq(key))
-      store.rm(e.path, recursive = true)
+      namespace: String = DefaultNs): Unit = {
+    // only the registry delta needs the DDL lock; the recursive data
+    // deletion (one IO per segment file — minutes on a large remote
+    // collection) must not stall every other DDL on the root
+    val path = Repo.ddlLock(rootUri).synchronized {
+      val state = regStateCurrent()
+      val key = mkKey(namespace, label)
+      state.get(key).map { e =>
+        writeRegDelta(state, Nil, Seq(key))
+        e.path
+      }
     }
+    path.foreach(p => store.rm(p, recursive = true))
   }
 
   def renameCollection(from: String, to: String,
       namespace: String = DefaultNs): Unit =
       Repo.ddlLock(rootUri).synchronized {
-    val state = regState()
+    val state = regStateCurrent()
     val (fromK, toK) = (mkKey(namespace, from), mkKey(namespace, to))
     state.get(fromK).foreach { e =>
       require(!state.contains(toK), s"collection $to already exists")
@@ -574,7 +617,7 @@ class Repo(val rootUri: String, val spark: SparkSession,
     // (which gc would then delete). The remote changelog is pulled
     // into the local path below instead.
     Repo.ddlLock(rootUri).synchronized {
-      val state = regState()
+      val state = regStateCurrent()
       val added = remoteState.collect {
         case (l, c) if !state.contains(mkKey(DefaultNs, l)) =>
           mkKey(DefaultNs, l) -> RegEntry(c.path, c.schema, c.colMap,

@@ -474,12 +474,12 @@ object ManifestCodec {
     * range sits strictly inside the label contribute their recorded
     * `n` WITHOUT being fetched; only the (≤2) chunks straddling a
     * label boundary are parsed (cache-shared with real reads) and
-    * counted row-exact. Rows in fully-covered chunks count whether or
-    * not they still hold data (tombstones included) — a slight upper
-    * bound; exact hasData accounting would fetch every chunk of the
-    * label, which is the O(n) planning cost this replaces (the scan
-    * DESCRIPTION's denominator was enumerating 1e6 segments per
-    * statement). */
+    * counted row-exact. Semantics are uniform across tiers: ALL
+    * manifest rows of the label, tombstones included (chunk refs
+    * can't see hasData without being fetched, and exact hasData
+    * accounting would fetch every chunk of the label — the O(n)
+    * planning cost this replaces: the scan DESCRIPTION's denominator
+    * was enumerating 1e6 segments per statement). */
   def countLabelRows(root: Root, fetch: String => Array[Byte],
       label: String): Int = {
     var total = 0
@@ -487,7 +487,7 @@ object ManifestCodec {
       if (c.l1 < label || c.l0 > label) ()
       else if (c.l0 == label && c.l1 == label) total += c.n
       else total += chunkRows(root.schema, c, fetch)
-        .count(r => r.label == label && r.hasData)
+        .count(_.label == label)
     }
     total
   }

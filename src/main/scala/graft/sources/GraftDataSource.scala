@@ -339,24 +339,26 @@ class GraftTable(rootUri: String, collectionName: String,
     case DeleteRange(startK, stopK, closed) =>
       // one-sided range: substitute the manifest's recorded extreme
       // (exact for the rows this snapshot holds). Head/tail pruned
-      // walks, NOT a full decode — a one-sided DELETE against a
-      // 1e6-segment table must stay O(touched) like every other
-      // planning path.
+      // walks against ONE revision snapshot, NOT a full decode — a
+      // one-sided DELETE against a 1e6-segment table must stay
+      // O(touched) like every other planning path, and two
+      // independent leaf reads could straddle a concurrent commit
+      // into a [st, sp] window no snapshot ever held.
+      val bounds =
+        if (startK != null && stopK != null) null
+        else s.collection.labelBoundsSnapshot(s.label, closed)
+          .getOrElse(return)
       val st =
         if (startK != null) startK
         else {
-          val head = s.collection.prunedHeadSegments(s.label,
-            None, None, closed, None, need = 1L)
-            .filter(_.meta.hasData)
+          val head = bounds._1.filter(_.meta.hasData)
           if (head.isEmpty) return
           head.head.start
         }
       val sp =
         if (stopK != null) stopK
         else {
-          val tail = s.collection.prunedTailSegments(s.label,
-            None, None, closed, None, need = 1L)
-            .filter(_.meta.hasData)
+          val tail = bounds._2.filter(_.meta.hasData)
           if (tail.isEmpty) return
           tail.last.stop
         }
