@@ -1452,11 +1452,28 @@ object QueriesSeries {
       .collection("events").get
     require(reopened.pageLen == 2000L,
       s"page_len must persist across reopen, got ${reopened.pageLen}")
-    val nSegs = reopened.series("ev").segments().count(_.meta.hasData)
+    val segs = reopened.series("ev").segments().filter(_.meta.hasData)
+    val nSegs = segs.size.toLong
     val expect = (nRows + 1999L) / 2000L
-    require(nSegs == expect,
-      s"expected $expect segments of <=2000 rows for $nRows rows, " +
+    // The page_len contract for a DISTRIBUTED writer: no segment
+    // exceeds page_len rows, (nearly) all pages are full, and the
+    // only sub-full files are the per-task remainders. The write
+    // stage's task count is AQE's call (Distributions.ordered lets
+    // Spark size the exchange), so the EXACT file count is
+    // legitimately plan-dependent — requiring exactly
+    // ceil(rows/page_len) pinned one AQE outcome, not the contract,
+    // and a loaded full-suite run once planned the insert as two
+    // tasks -> 51 files of <=2000 rows (each task's tail page
+    // sub-full), which is a correct layout at any scale.
+    val slack = 8L // one remainder per plausible coalesced write task
+    require(segs.forall(_.meta.length <= 2000L),
+      s"segment over page_len: ${segs.map(_.meta.length).max} rows")
+    require(nSegs >= expect && nSegs <= expect + slack,
+      s"expected ~$expect segments of <=2000 rows for $nRows rows, " +
         s"got $nSegs")
+    require(segs.count(_.meta.length == 2000L) >= expect - slack,
+      s"too few full pages: ${segs.count(_.meta.length == 2000L)} " +
+        s"of $nSegs segments hold exactly page_len rows")
     graft.sources.GraftScanProbe.lastRuntimeScanned = -1
     graft.sources.GraftScanProbe.lastSegmentsTotal = -1
     s.sql(
