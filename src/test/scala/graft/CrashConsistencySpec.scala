@@ -317,6 +317,75 @@ class CrashConsistencySpec extends AnyFunSuite {
       s"inline write took ${counter.ops.get()} mutations, expected 1")
   }
 
+  test("crash enumeration: pull into a remote (sync crash safety)") {
+    // the sync path: every revision + chunk the destination lacks is
+    // copied THROUGH the destination's store — a dying pull must
+    // leave the destination readable (old state) and a retried pull
+    // must converge, because content-addressed copies are idempotent
+    val srcRoot = Files.createTempDirectory("graft-crash-psrc").toString
+    clearCaches()
+    locally {
+      val src = new Repo(srcRoot, spark)
+      src.createCollection(schema, "c")
+      wr(src, "c", 0L until 60L)
+      val c = coll(src, "c")
+      c.refresh(); c.defrag(1)
+    }
+    val dstSetup = Files.createTempDirectory("graft-crash-pdst")
+    clearCaches()
+    new Repo(dstSetup.toString, spark).createCollection(schema, "other")
+    val fpOld = fingerprint(dstSetup.toString)
+    // pull's atomicity unit is the REVISION, not the whole sync: the
+    // destination may legally surface any PREFIX of the source's
+    // history (each pulled revision is a consistent snapshot the
+    // source itself once showed). For this source that adds exactly
+    // one intermediate state — "c" created but not yet written —
+    // which materializes it here for the allowed set.
+    val fpPrefix = {
+      val r = Files.createTempDirectory("graft-crash-ppre").toString
+      copyDir(dstSetup.toString, r)
+      new Repo(r, spark).createCollection(schema, "c")
+      fingerprint(r)
+    }
+
+    def pull(dstRepo: Repo): Unit =
+      dstRepo.pull(new Repo(srcRoot, spark), Seq("c"))
+    val dryRoot = Files.createTempDirectory("graft-crash-pdry").toString
+    copyDir(dstSetup.toString, dryRoot)
+    val counter = new CrashStore(new HadoopStore(dryRoot))
+    clearCaches()
+    pull(new Repo(dryRoot, spark, counter))
+    val totalOps = counter.ops.get()
+    assert(totalOps >= 3,
+      s"pull of a chunk-bearing collection should copy several " +
+        s"objects, got $totalOps ops")
+    val fpNew = fingerprint(dryRoot)
+    assert(fpNew != fpOld)
+
+    for (n <- 0 until totalOps) {
+      val root = Files.createTempDirectory(s"graft-crash-p$n").toString
+      copyDir(dstSetup.toString, root)
+      val gated = new CrashStore(new HadoopStore(root))
+      gated.crashAt = n
+      clearCaches()
+      try pull(new Repo(root, spark, gated))
+      catch {
+        case t: Throwable if crashOf(t).isDefined => ()
+        case t: Throwable =>
+          fail(s"pull crash at op $n surfaced a foreign error: $t")
+      }
+      val fp = fingerprint(root)
+      assert(fp == fpOld || fp == fpPrefix || fp == fpNew,
+        s"pull: torn destination after crash at op $n/$totalOps:\n" +
+        s" got  $fp\n old  $fpOld\n pre  $fpPrefix\n new  $fpNew")
+      clearCaches()
+      pull(new Repo(root, spark))
+      assert(fingerprint(root) == fpNew,
+        s"pull retry after crash at op $n did not converge")
+    }
+    info(s"pull: $totalOps mutation points enumerated")
+  }
+
   test("crash enumeration: merge of forked branches") {
     // fork: branch A [0,40) defragged, branch B writes [40,60) from
     // the same empty parent (pull preserves the edge → sibling leafs)
