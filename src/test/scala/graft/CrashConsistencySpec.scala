@@ -93,12 +93,13 @@ class CrashConsistencySpec extends AnyFunSuite {
   private def fingerprint(root: String): String = {
     clearCaches()
     val repo = new Repo(root, spark)
-    repo.ls().sorted.map { l =>
+    val live = repo.ls().sorted.map { l =>
       val rows = repo.collection(l).get.series("_").frame()
         .select("timestamp", "value").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
       s"$l=${rows.mkString(",")}"
     }.mkString(";")
+    live + repo.ls("archive").sorted.mkString("|arch[", ",", "]")
   }
 
   private def crashOf(t: Throwable): Option[CrashPoint] = t match {
@@ -207,6 +208,22 @@ class CrashConsistencySpec extends AnyFunSuite {
       // the enumeration crashes inside bury (mv), inside delete (rm),
       // and between the phases
       op = r => { r.gc(0L); r.gc(0L); () }),
+    Scenario("restore (manifest rollback commit)",
+      setup = r => {
+        r.createCollection(schema, "c")
+        wr(r, "c", 0L until 30L)
+        wr(r, "c", 0L until 30L, mul = 5.0)
+      },
+      op = r => {
+        val c = coll(r, "c"); c.refresh()
+        c.restore(c.changelog.log().head.child); ()
+      }),
+    Scenario("archive (namespace snapshot registry commit)",
+      setup = r => {
+        r.createCollection(schema, "c")
+        wr(r, "c", 0L until 10L)
+      },
+      op = r => { r.archive(r.collection("c").get); () }),
     Scenario("trim (revision retirement)",
       setup = r => {
         r.createCollection(schema, "c")
