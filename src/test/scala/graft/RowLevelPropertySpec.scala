@@ -74,8 +74,8 @@ class RowLevelPropertySpec extends AnyFunSuite {
     check("seed")
     snapshot()
 
-    (0 until 8).foreach { step =>
-      rnd.nextInt(6) match {
+    (0 until 10).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 => // UPDATE over a random index range
           val lo = rnd.nextInt(500)
           val hi = lo + 1 + rnd.nextInt(120)
@@ -123,13 +123,27 @@ class RowLevelPropertySpec extends AnyFunSuite {
           val (rev, snap) = snapshots(rnd.nextInt(snapshots.length))
           spark.sql(s"CALL $cat.sys.restore('c', '$rev')").collect()
           model = snap
+        case 6 => // REPLACE WHERE (day-backfill): tombstone the
+          // window + splice the corrected rows, one atomic commit
+          import org.apache.spark.sql.functions.{col, lit}
+          import spark.implicits._
+          val lo = rnd.nextInt(500).toLong
+          val hi = lo + 1L + rnd.nextInt(60)
+          // lo always present so the replacement set is never empty
+          val keys = (lo until hi).filter(k =>
+            k == lo || rnd.nextBoolean())
+          keys.map(k => (k, k * 0.25)).toDF("ts", "v")
+            .writeTo(s"$cat.c.s")
+            .overwrite(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          model = model.filterNot { case (k, _) =>
+            k >= lo && k < hi } ++ keys.map(k => k -> k * 0.25)
       }
       check(s"step$step")
       snapshot()
     }
   }
 
-  test("randomized DML scenarios match the model (seeds 1-4)") {
-    (1 to 4).foreach(runScenario)
+  test("randomized DML scenarios match the model (seeds 1-6)") {
+    (1 to 6).foreach(runScenario)
   }
 }
