@@ -119,10 +119,17 @@ class CrashConsistencySpec extends AnyFunSuite {
     *                 retry idempotent). DDL retries check first — the
     *                 reference's retry-after-crash is "look, then redo".
     * @param extraOk  additional legal post-crash fingerprints beyond
-    *                 {old, new} (merge: each fork's pre-merge view). */
+    *                 {old, new} (merge: each fork's pre-merge view).
+    * @param prefixes legal INTERMEDIATE states, each expressed as a
+    *                 transform applied to a copy of the setup
+    *                 snapshot; the harness fingerprints the result and
+    *                 admits it (multi-commit ops like clone pass
+    *                 through states that are neither old nor new but
+    *                 are consistent snapshots in their own right). */
   case class Scenario(name: String, setup: Repo => Unit,
       op: Repo => Unit, heal: Repo => Unit = null,
-      extraOk: Set[String] = Set.empty)
+      extraOk: Set[String] = Set.empty,
+      prefixes: Seq[Repo => Unit] = Nil)
 
   /** Collection handle with segment embedding OFF: tiny writes
     * otherwise inline their rows into the changelog commit and the
@@ -208,6 +215,39 @@ class CrashConsistencySpec extends AnyFunSuite {
       // the enumeration crashes inside bury (mv), inside delete (rm),
       // and between the phases
       op = r => { r.gc(0L); r.gc(0L); () }),
+    Scenario("clone (zero-copy: registry commit + target manifest)",
+      setup = r => {
+        r.createCollection(schema, "c")
+        wr(r, "c", 0L until 25L)
+      },
+      op = r => { coll(r, "c").cloneTo("c2"); () },
+      // a crash between the clone's two commits leaves the target
+      // created-but-empty — delete-and-reclone is the recovery
+      heal = r => {
+        val stale = r.collection("c2")
+          .exists(_.series("_").frame().count() == 0L)
+        if (stale) r.deleteCollection("c2")
+        if (stale || r.collection("c2").isEmpty) {
+          coll(r, "c").cloneTo("c2"); ()
+        }
+      },
+      prefixes = Seq(r => { r.createCollection(schema, "c2"); () })),
+    Scenario("series rename (manifest-level DDL)",
+      setup = r => {
+        r.createCollection(schema, "c")
+        wr(r, "c", 0L until 20L)
+      },
+      op = r => {
+        val c = coll(r, "c"); c.refresh(); c.renameSeries("_", "s2")
+      }),
+    Scenario("series delete (manifest label drop)",
+      setup = r => {
+        r.createCollection(schema, "c")
+        wr(r, "c", 0L until 20L)
+      },
+      op = r => {
+        val c = coll(r, "c"); c.refresh(); c.deleteSeries("_")
+      }),
     Scenario("restore (manifest rollback commit)",
       setup = r => {
         r.createCollection(schema, "c")
@@ -251,7 +291,14 @@ class CrashConsistencySpec extends AnyFunSuite {
     assert(totalOps >= 1, s"${sc.name}: op performed no store mutations")
     val fpNew = fingerprint(dryRoot)
     val fpOld = fingerprint(setupRoot.toString)
-    val allowed = Set(fpOld, fpNew) ++ sc.extraOk
+    val prefixFps = sc.prefixes.map { fn =>
+      val r = Files.createTempDirectory("graft-crash-pre").toString
+      copyDir(setupRoot.toString, r)
+      clearCaches()
+      fn(new Repo(r, spark))
+      fingerprint(r)
+    }.toSet
+    val allowed = Set(fpOld, fpNew) ++ sc.extraOk ++ prefixFps
 
     var crashed = 0
     for (n <- 0 until totalOps) {
