@@ -215,6 +215,26 @@ class CrashConsistencySpec extends AnyFunSuite {
       // the enumeration crashes inside bury (mv), inside delete (rm),
       // and between the phases
       op = r => { r.gc(0L); r.gc(0L); () }),
+    Scenario("kv upsert (merge-on-write commit)",
+      setup = r => {
+        r.createCollection(
+          GSchema.kv("timestamp" -> "int*", "value" -> "float"), "c")
+        wr(r, "c", 0L until 20L)
+      },
+      // overlaps keys 10-19 (new wins) and inserts 20-29: the commit
+      // carries a MERGED view, so a torn write would surface as a
+      // half-merged key set
+      op = r => wr(r, "c", 10L until 30L, mul = 7.0)),
+    Scenario("kv delete (key tombstone merge)",
+      setup = r => {
+        r.createCollection(
+          GSchema.kv("timestamp" -> "int*", "value" -> "float"), "c")
+        wr(r, "c", 0L until 20L)
+      },
+      op = r => {
+        val c = coll(r, "c")
+        c.kvSeries("_").deleteKeys(Seq(5L, 6L, 7L))
+      }),
     Scenario("clone (zero-copy: registry commit + target manifest)",
       setup = r => {
         r.createCollection(schema, "c")
