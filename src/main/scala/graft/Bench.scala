@@ -182,7 +182,8 @@ object Bench {
       retryRows: Seq[String],
       medians: Seq[(String, Double)],
       sfShort: String,
-      budget: Int = 1500): String = {
+      budget: Int = 1500,
+      prev: Map[String, Double] = Map.empty): String = {
     def arr(v: Vector[Double]) = v.map(trim2).mkString("[", ",", "]")
     def names(v: Seq[String]) =
       v.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -216,7 +217,23 @@ object Bench {
       .map { case (fc, na) => base(fc, na) }
       .find(_.length <= budget - 150)
       .getOrElse(base(fullCalib = false, nameArrays = false))
-    val bySlow = medians.sortBy { case (k, v) => (-v, k) }
+    // REGRESSION-AWARE priority (round-15 verdict #4): pure
+    // absolute-time ordering silently drops a small row that
+    // regressed 4× (0.05 s -> 0.2 s never outranks a stable 1 s row).
+    // Priority = time × regression-vs-previous-round, the regression
+    // factor clamped to [1, 10] so a prior-round fluke can neither
+    // demote a row (factor < 1) nor let a microsecond row starve the
+    // genuinely slow ones (factor → ∞). Rows with no prior reading
+    // (new rows) and all rows when no prior artifact exists keep the
+    // plain absolute-time order.
+    val bySlow = medians.sortBy { case (k, v) =>
+      val reg = prev.get(k) match {
+        case Some(p) if p > 0 && v > 0 =>
+          math.max(1.0, math.min(10.0, v / p))
+        case _ => 1.0
+      }
+      (-v * reg, k)
+    }
     val sfPart = s""","sf":"$sfShort"}"""
     val tailRoom = sfPart.length +
       s""","queries_omitted":${medians.length}""".length + 1
@@ -234,6 +251,40 @@ object Bench {
     sb.append(sfPart)
     sb.toString
   }
+
+  /** Previous-round per-query medians for the compact line's
+    * regression-aware priority: the newest `BENCH_r<N>.json` the
+    * driver left in the working directory (its `parsed.queries` map —
+    * itself budget-truncated, which is fine: a row absent there was
+    * small AND stable last round, so the plain time term covers it).
+    * Never throws — a missing/malformed artifact just disables the
+    * regression term. Override dir for tests via `benchPrevDir`. */
+  private[graft] def priorRoundMedians(
+      dir: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_DIR", "."))
+      : Map[String, Double] = try {
+    val fs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    if (fs.isEmpty) Map.empty
+    else {
+      val latest = fs.maxBy(f =>
+        f.getName.replaceAll("\\D+", "").toInt)
+      val root = graft.core.Json.parse(new String(
+        java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8"))
+        .asInstanceOf[Map[String, Any]]
+      root.get("parsed") match {
+        case Some(p: Map[_, _]) =>
+          p.asInstanceOf[Map[String, Any]].get("queries") match {
+            case Some(q: Map[_, _]) =>
+              q.asInstanceOf[Map[String, Any]].collect {
+                case (k, v: Number) => k -> v.doubleValue()
+              }
+            case _ => Map.empty[String, Double]
+          }
+        case _ => Map.empty[String, Double]
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
 
   /** One harness session for Bench AND Profile: identical configs so
     * profiled numbers stay comparable to benched ones. */
@@ -416,6 +467,34 @@ object Bench {
       s
     }
     def calibrateIo(): Unit = calibIoSamples += ioProbe()
+    // READ-side evidence (round-15 verdict #2): the write probe above
+    // measures disk-write windows, but a READ row regresses for
+    // reasons it can't see — its files fell out of page cache (real
+    // disk reads appear), or the heap is thrashing (GC time appears).
+    // Both are observable for free: cumulative sectors-read from
+    // /proc/diskstats and cumulative collector time from the GC
+    // MXBeans, sampled as per-rep DELTAS around every probed row. A
+    // warm-cache rep reads ~0 MB from disk; a rep that shows the
+    // row's whole working set in real reads was page-cache-cold —
+    // exculpatory (or damning) either way, with zero perturbation.
+    def diskReadMb(): Double = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/diskstats")).asScala
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 5 &&
+          // whole devices only — partitions would double-count their
+          // parent (vda yes, vda1 no; nvme0n1 yes, nvme0n1p1 no)
+          f(2).matches(
+            "vd[a-z]+|sd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+|mmcblk\\d+"))
+        .map(_(5).toDouble * 512 / 1e6).sum
+    } catch { case _: Throwable => 0.0 }
+    def gcMsTotal(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime)
+        .filter(_ > 0).sum
+    }
     // MULTI-core twin of the CPU probe: the same fixed LCG loop run on
     // `cpus` threads simultaneously. The 1-thread probe is blind to
     // partial core steal — round-12 attribution found the whole
@@ -460,6 +539,12 @@ object Bench {
     // to cross-reference the three global calib_io probes by hand)
     val rowProbes =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // per-rep REAL-disk-read MB and GC-time-ms deltas for every probed
+    // row (round-15 verdict #2: read regressions had no evidence)
+    val rowDiskMb =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val rowGcMs =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Long]]()
     // rows that consumed their one same-process retry (either
     // trigger) — shipped in the artifact so a reader sees both that
     // noise hit and that the median re-formed over reps+1
@@ -477,12 +562,20 @@ object Bench {
       * artifact. The final per-row flag (vs the whole run's quiet
       * band) ships in the JSON either way. */
     def bench(name: String, beforeRep: () => Unit = () => (),
-        ioRow: Boolean = false, retryIdx: Int => Int = i => i)(
+        ioRow: Boolean = false, readRow: Boolean = false,
+        retryIdx: Int => Int = i => i)(
         body: Int => Unit): Unit = {
+      // readRow marks a disk-READ-bound row: same adjacent probe +
+      // retry contract as ioRow, plus the per-rep disk-read/GC deltas
+      // (which ioRow rows also get — a write row's read-back stats
+      // pass can be cache-cold too)
+      val probed = ioRow || readRow
       spark.sparkContext.setJobDescription(name) // event-log attribution
       try {
         val times = scala.collection.mutable.ArrayBuffer[Double]()
         val probes = scala.collection.mutable.ArrayBuffer[Double]()
+        val diskDeltas = scala.collection.mutable.ArrayBuffer[Double]()
+        val gcDeltas = scala.collection.mutable.ArrayBuffer[Long]()
         // noise-injection hook for the self-labeling e2e proof:
         // SPARK_GRAFT_BENCH_NOISE_INJECT=<row>:<seconds> sleeps that
         // long inside every MEDIAN-FORMING rep of <row> (all but the
@@ -496,12 +589,18 @@ object Bench {
             case Array(n, s) if n == name => s.toDouble }
         def rep(i: Int, injected: Boolean = false): Unit = {
           beforeRep()
+          val d0 = if (probed) diskReadMb() else 0.0
+          val g0 = if (probed) gcMsTotal() else 0L
           times += time {
             if (injected) inject.foreach(s =>
               Thread.sleep((s * 1000).toLong))
             body(i)
           }
-          if (ioRow) probes += ioProbe()
+          if (probed) {
+            diskDeltas += diskReadMb() - d0
+            gcDeltas += gcMsTotal() - g0
+            probes += ioProbe()
+          }
         }
         (0 until reps).foreach(i =>
           rep(i, injected = i < reps - 1 || reps == 1))
@@ -509,7 +608,7 @@ object Bench {
         // an IO-noise window seen by the adjacent probes, or (any row,
         // the r13 blind spot) a median its own fastest rep beats 2×
         val ioNoisy =
-          ioRow && Bench.ioNoiseFlag(probes.toVector, minIoProbe)
+          probed && Bench.ioNoiseFlag(probes.toVector, minIoProbe)
         val dispNoisy = Bench.dispRetryFlag(times.toVector)
         if (ioNoisy || dispNoisy) {
           val why =
@@ -524,7 +623,11 @@ object Bench {
           retriedRows += name
         }
         samples(name) = times.toVector
-        if (ioRow) rowProbes(name) = probes.toVector
+        if (probed) {
+          rowProbes(name) = probes.toVector
+          rowDiskMb(name) = diskDeltas.toVector
+          rowGcMs(name) = gcDeltas.toVector
+        }
       }
       catch {
         case e: Throwable =>
@@ -628,7 +731,7 @@ object Bench {
       w100k(i).write(ts100k, presorted = true)
     }
     val series = repo.collection("events_0").get.series("_")
-    bench("full_read") { _ => series.frame().count(); () }
+    bench("full_read", readRow = true) { _ => series.frame().count(); () }
     bench("range_read") { _ =>
       series.frame("2024-01-10 00:00:00", "2024-01-20 00:00:00",
         closed = Closed.Left).count(); ()
@@ -685,7 +788,7 @@ object Bench {
         .write(ts5m)
     }
     val series5m = repo.collection("ts5m_0").get.series("_")
-    bench("full_read_5m") { _ => series5m.frame().count(); () }
+    bench("full_read_5m", readRow = true) { _ => series5m.frame().count(); () }
     // BYTE_STREAM_SPLIT storage mode (opt-in `zstd+bss`): the same
     // series shape stored with BSS float pages — disk_mb_5m_bss
     // records the footprint win (float column 39.9 -> ~30 MB, the
@@ -711,10 +814,10 @@ object Bench {
     // away entirely, so only a read that DECODES the value column
     // shows the BSS fallback cost — benched against the identical
     // aggregate on the plain series as the like-for-like twin
-    bench("read_val_5m") { _ =>
+    bench("read_val_5m", readRow = true) { _ =>
       series5m.frame().agg(sum(col("value"))).collect(); ()
     }
-    bench("read_val_5m_bss") { _ =>
+    bench("read_val_5m_bss", readRow = true) { _ =>
       series5mBss.frame().agg(sum(col("value"))).collect(); ()
     }
     // the same 5.26M-row series through the SQL door: the DSv2
@@ -722,8 +825,8 @@ object Bench {
     // must match the API path at the baseline-comparable scale
     val conn5m = spark.read.format("graft").option("path", root)
       .option("collection", "ts5m_0").option("series", "_").load()
-    bench("conn_read_5m") { _ => conn5m.count(); () }
-    bench("conn_range_5m") { _ =>
+    bench("conn_read_5m", readRow = true) { _ => conn5m.count(); () }
+    bench("conn_range_5m", readRow = true) { _ =>
       conn5m.filter(col("ts") >= lit("1990-01-01").cast("timestamp")
           && col("ts") < lit("1991-01-01").cast("timestamp"))
         .agg(count(col("value"))).collect(); ()
@@ -768,7 +871,7 @@ object Bench {
         .write(w1m, presorted = true) // bench_parallel frames arrive sorted
     }
     val seriesW = repo.collection("wide_0").get.series("_")
-    bench("wide_read_1m") { _ => seriesW.frame().count(); () }
+    bench("wide_read_1m", readRow = true) { _ => seriesW.frame().count(); () }
 
     // 10x SCALE SLOPE (52.59M rows = 10x the baseline-comparable
     // series): the local[32] numbers above hide skew and memory
@@ -791,7 +894,7 @@ object Bench {
         .write(ts53m, presorted = true)
     }
     val series53m = repo.collection("ts53m_0").get.series("_")
-    bench("full_read_53m") { _ => series53m.frame().count(); () }
+    bench("full_read_53m", readRow = true) { _ => series53m.frame().count(); () }
     // the 53M series under the zstd+bss storage mode (the r13 verdict
     // asked for the bss default decision to rest on slope-scale
     // numbers, not just the 5M pair): write tax, value-read tax and
@@ -810,10 +913,10 @@ object Bench {
       finally spark.conf.set("spark.graft.segment.codec", "zstd")
     }
     val series53mBss = repo.collection("ts53mbss_0").get.series("_")
-    bench("read_val_53m") { _ =>
+    bench("read_val_53m", readRow = true) { _ =>
       series53m.frame().agg(sum(col("value"))).collect(); ()
     }
-    bench("read_val_53m_bss") { _ =>
+    bench("read_val_53m_bss", readRow = true) { _ =>
       series53mBss.frame().agg(sum(col("value"))).collect(); ()
     }
     ts53mBss.unpersist()
@@ -821,7 +924,7 @@ object Bench {
       .option("collection", "ts53m_0").option("series", "_").load()
     // one-year window out of ~500 years: manifest pruning must keep
     // this O(1 segment) no matter the series size
-    bench("conn_range_53m") { _ =>
+    bench("conn_range_53m", readRow = true) { _ =>
       conn53m.filter(col("ts") >= lit("1990-01-01").cast("timestamp")
           && col("ts") < lit("1991-01-01").cast("timestamp"))
         .agg(count(col("value"))).collect(); ()
@@ -1051,6 +1154,15 @@ object Bench {
     val ioProbesJson = rowProbes.map { case (k, v) =>
       "\"" + k + "\":" + v.map(p => f"$p%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // read-side evidence maps (verdict r15 #2): per-rep real-disk-read
+    // MB and GC-ms deltas for every probed row — BENCH.json only (the
+    // compact line carries the derived io_noise flags)
+    val diskMbJson = rowDiskMb.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(p => f"$p%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gcMsJson = rowGcMs.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val ioFlaggedJson =
       ioFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     // dispersion flags for EVERY row, not just IO rows (see
@@ -1073,6 +1185,7 @@ object Bench {
       s""""calib_io_s":$calibIoJson,""" +
       f""""io_probe_mb":$ioProbeMb,"io_quiet_s":$quietIo%.3f,""" +
       s""""io_noise":$ioNoiseJson,"io_probes":$ioProbesJson,""" +
+      s""""read_disk_mb":$diskMbJson,"row_gc_ms":$gcMsJson,""" +
       s""""disp_noise_rows":$dispFlaggedJson,""" +
       s""""retry_rows":$retryRowsJson,""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
@@ -1094,7 +1207,8 @@ object Bench {
         "calib_mt_s" -> calibMtSamples.toVector,
         "calib_io_s" -> calibIoSamples.toVector),
       quietIo, ioFlagged, dispFlagged, retriedRows.toSeq,
-      samples.toSeq.map { case (k, v) => k -> median(v) }, sfShort)
+      samples.toSeq.map { case (k, v) => k -> median(v) }, sfShort,
+      prev = Bench.priorRoundMedians())
     println(compact)
     if (compact.length > 1500)
       System.err.println(s"[bench] BUG compact stdout line is " +

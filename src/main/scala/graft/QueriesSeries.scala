@@ -1426,10 +1426,15 @@ object QueriesSeries {
     * INSERT lands ceil(rows/N) files instead of one monolith and a
     * narrow COW UPDATE's runtime group filter rewrites only the
     * covering segments (Delta's target-file-size knob, applied to the
-    * versioned store). The query itself asserts both: exact file
-    * count from the manifest, and — when the table has enough
-    * segments to prune — that the UPDATE scanned strictly fewer than
-    * all of them. The oracle recomputes the mutated aggregate. */
+    * versioned store). The query asserts the BOUNDED page_len
+    * contract (an exact file count would pin one AQE outcome, not
+    * the contract): every segment holds ≤ page_len rows, the lengths
+    * sum to the inserted row count, and the only sub-full files are
+    * per-write-task remainder pages (at most one per task, tasks
+    * bounded by the session's shuffle parallelism) — plus, when the
+    * table has enough segments to prune, that the UPDATE scanned
+    * strictly fewer than all of them. The oracle recomputes the
+    * mutated aggregate. */
   def q204_page_len(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-q").toString
@@ -1465,15 +1470,27 @@ object QueriesSeries {
     // and a loaded full-suite run once planned the insert as two
     // tasks -> 51 files of <=2000 rows (each task's tail page
     // sub-full), which is a correct layout at any scale.
-    val slack = 8L // one remainder per plausible coalesced write task
-    require(segs.forall(_.meta.length <= 2000L),
-      s"segment over page_len: ${segs.map(_.meta.length).max} rows")
-    require(nSegs >= expect && nSegs <= expect + slack,
-      s"expected ~$expect segments of <=2000 rows for $nRows rows, " +
-        s"got $nSegs")
-    require(segs.count(_.meta.length == 2000L) >= expect - slack,
-      s"too few full pages: ${segs.count(_.meta.length == 2000L)} " +
-        s"of $nSegs segments hold exactly page_len rows")
+    val lens = segs.map(_.meta.length)
+    require(lens.forall(_ <= 2000L),
+      s"segment over page_len: ${lens.max} rows")
+    require(lens.sum == nRows,
+      s"segment lengths sum to ${lens.sum}, inserted $nRows")
+    // each write task emits at most ONE sub-full remainder page, and
+    // AQE cannot plan the write exchange wider than the session's
+    // shuffle parallelism — a DERIVED bound (was a magic `slack = 8`
+    // that a heavily loaded run planning >8 coalesced tasks would
+    // have re-flaked): sub-full count ≤ max task count, and with
+    // lengths ≤ page_len summing to nRows, nSegs ∈
+    // [expect, expect + subFull] follows arithmetically.
+    val subFull = lens.count(_ < 2000L)
+    val maxTasks =
+      s.conf.get("spark.sql.shuffle.partitions").toLong
+    require(subFull <= maxTasks,
+      s"$subFull sub-full pages exceed the $maxTasks-task bound — " +
+        "some task split a page it should have filled")
+    require(nSegs >= expect && nSegs <= expect + subFull,
+      s"expected $expect..${expect + subFull} segments of <=2000 " +
+        s"rows for $nRows rows, got $nSegs")
     graft.sources.GraftScanProbe.lastRuntimeScanned = -1
     graft.sources.GraftScanProbe.lastSegmentsTotal = -1
     s.sql(

@@ -183,6 +183,51 @@ class BenchNoiseSpec extends AnyFunSuite {
     }
   }
 
+  test("compact line: a 4x-regressed small row outranks stable slow " +
+      "rows (round-15 verdict #4 — regression-aware priority)") {
+    // 400 stable rows at 0.3-1.0 s swamp the budget; the victim row
+    // is 0.2 s — absolute-time priority drops it every time
+    val stable = (1 to 400).map(i =>
+      f"q${i}%03d_stable_long_query_row_name_padding_$i")
+    val rows = stable :+ "small_regressed_query_row_name_padding_00"
+    val meds = stable.map(r => r -> (0.3 + (r.hashCode.abs % 40) / 100.0)) :+
+      ("small_regressed_query_row_name_padding_00" -> 0.2)
+    def line(prev: Map[String, Double]) = Bench.compactStdoutLine(
+      35.0, 36.0, 3, Nil, Nil, 0.1, Nil, Nil, Nil, meds, "sf0.1",
+      prev = prev)
+    val without = graft.core.Json.parse(line(Map.empty))
+      .asInstanceOf[Map[String, Any]]("queries")
+      .asInstanceOf[Map[String, Any]]
+    assert(!without.contains("small_regressed_query_row_name_padding_00"),
+      "premise broken: the row must be budget-dropped without a prior")
+    // prior round had it at 0.05 s -> 4x regression -> priority 0.8
+    val withPrev = graft.core.Json.parse(
+      line(Map("small_regressed_query_row_name_padding_00" -> 0.05)))
+      .asInstanceOf[Map[String, Any]]("queries")
+      .asInstanceOf[Map[String, Any]]
+    assert(withPrev.contains("small_regressed_query_row_name_padding_00"),
+      "4x-regressed row must make the compact line")
+    val _ = rows
+  }
+
+  test("priorRoundMedians reads the newest BENCH_r*.json and survives " +
+      "junk") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev")
+    def put(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    assert(Bench.priorRoundMedians(dir.toString).isEmpty) // empty dir
+    put("BENCH_r2.json",
+      """{"parsed":{"queries":{"a":0.5,"b":1.25}}}""")
+    put("BENCH_r10.json",
+      """{"parsed":{"queries":{"a":0.7,"conn_range_53m":1.1}}}""")
+    val m = Bench.priorRoundMedians(dir.toString)
+    assert(m == Map("a" -> 0.7, "conn_range_53m" -> 1.1)) // r10 > r2
+    put("BENCH_r11.json", """{"n":15,"parsed":null}""") // driver miss
+    assert(Bench.priorRoundMedians(dir.toString).isEmpty)
+    put("BENCH_r12.json", "not json at all {")
+    assert(Bench.priorRoundMedians(dir.toString).isEmpty) // never throws
+  }
+
   test("compact line: empty and degenerate inputs stay valid JSON") {
     val line = Bench.compactStdoutLine(-1.0, -1.0, 2, Nil, Nil, 0.0,
       Nil, Nil, Nil, Nil, "sf0.01")

@@ -250,6 +250,20 @@ class ChangelogSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     assert(log.leaf().get.child == parent)
     val coldMs = (System.nanoTime() - t0) / 1e6
+    // the regime that matters at scale is a FRESH HANDLE in a warm
+    // JVM (the SQL door opens one per statement): measure 3 fresh
+    // linearizations after JIT warmup and pin the steady-state bound
+    // (round-15 verdict #6 — was ~3.4 s when ls stat'ed every file;
+    // the names-only readdir makes cold open sub-0.3 s)
+    val steadyMs = (0 until 3).map { _ =>
+      val h = new Changelog(new HadoopStore(root.toString), "changelog")
+      val t = System.nanoTime()
+      assert(h.leaf().get.child == parent)
+      (System.nanoTime() - t) / 1e6
+    }.min
+    assert(steadyMs < 600,
+      f"1e5-revision steady cold open $steadyMs%.0f ms (bound 600 " +
+        "— quiet runs measure ~0.15-0.3 s)")
     val full0 = Changelog.fullComputes.get()
     val inc0 = Changelog.incAppends.get()
     val t1 = System.nanoTime()
@@ -266,8 +280,8 @@ class ChangelogSpec extends AnyFunSuite {
     assert(log.log() == warm,
       "incremental cache must equal the canonical DFS order")
     assert(trainMs < 10000, f"1000 warm commits $trainMs%.0f ms")
-    info(f"1e5 revisions: cold build $coldMs%.0f ms, " +
-      f"1000 warm commits $trainMs%.0f ms " +
+    info(f"1e5 revisions: cold build $coldMs%.0f ms " +
+      f"(steady $steadyMs%.0f ms), 1000 warm commits $trainMs%.0f ms " +
       f"(${trainMs / 1000}%.2f ms/commit)")
   }
 

@@ -296,6 +296,19 @@ class CrashConsistencySpec extends AnyFunSuite {
       })
   )
 
+  /** Recursive delete for the per-scenario temp stores: ~2 full repo
+    * copies per mutating op across ~17 scenarios × 2 format modes
+    * would exhaust a small CI tmpfs if left behind (ADVICE r15), so
+    * every copy is deleted AS SOON AS its assertions pass — a failing
+    * assertion throws first, leaving that copy on disk for debugging. */
+  private def deleteRec(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
   private def runScenario(sc: Scenario): Unit = {
     val setupRoot = Files.createTempDirectory("graft-crash-setup")
     clearCaches()
@@ -316,7 +329,9 @@ class CrashConsistencySpec extends AnyFunSuite {
       copyDir(setupRoot.toString, r)
       clearCaches()
       fn(new Repo(r, spark))
-      fingerprint(r)
+      val fp = fingerprint(r)
+      deleteRec(r)
+      fp
     }.toSet
     val allowed = Set(fpOld, fpNew) ++ sc.extraOk ++ prefixFps
 
@@ -349,9 +364,12 @@ class CrashConsistencySpec extends AnyFunSuite {
       assert(fpHealed == fpNew,
         s"${sc.name}: retry after crash at op $n did not converge:\n" +
         s" got  $fpHealed\n want $fpNew")
+      deleteRec(root) // assertions passed — reclaim this crash copy
     }
     assert(crashed > 0,
       s"${sc.name}: no replay actually crashed ($totalOps dry ops)")
+    deleteRec(dryRoot)
+    deleteRec(setupRoot.toString)
     info(s"${sc.name}: $totalOps mutation points, $crashed crashed " +
       "replays, all untorn, all healed")
   }

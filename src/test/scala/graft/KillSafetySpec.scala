@@ -54,11 +54,24 @@ class KillSafetySpec extends AnyFunSuite {
       val drain = new Thread(() => {
         val br = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
+        var drainMax = -1L // highest batch this life has parsed
         var line = br.readLine()
         while (line != null) {
           if (line.contains("GRAFT_CHILD_READY")) ready.countDown()
-          else if (line.startsWith("COMMITTED "))
-            announced.add(line.drop("COMMITTED ".length).trim.toLong)
+          else if (line.startsWith("COMMITTED ")) {
+            // SIGKILL can truncate the FINAL line mid-write ("COMMITTED
+            // 12" read back as "COMMITTED 1" — or just "COMMITTED " —
+            // at EOF). The drain stays sound because announcements are
+            // strictly increasing within a life, so a parsed value
+            // BELOW the running max can only be a truncated tail:
+            // record via max-merge, never trust a decrease, and skip
+            // unparseable tails outright.
+            val tail = line.drop("COMMITTED ".length).trim
+            if (tail.nonEmpty && tail.forall(_.isDigit)) {
+              val k = tail.toLong
+              if (k >= drainMax) { drainMax = k; announced.add(k) }
+            }
+          }
           line = br.readLine()
         }
       })
