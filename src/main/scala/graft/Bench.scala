@@ -286,6 +286,53 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** The text-slope bench rows' SQL, shared with Profile so the rows
+    * can be measured in isolation (same views, same statements —
+    * extracted from main() verbatim, round 16). Replicas are
+    * vowel-rotated so each is shingle-disjoint (see the slope-row
+    * comment in main()). */
+  private[graft] def textSlopeViews(spark: SparkSession): Unit = {
+    // REPARTITION below the translate (round 16): the replica
+    // projection otherwise runs inside the single scan task of the
+    // one-file documents table — the raw (doc_id, text, r) rows are
+    // what shuffles, and the per-replica vowel rotation runs on all
+    // cores (guide §2.5 input-skew: one unsplittable input, so
+    // repartition immediately after the read).
+    def docsView(mult: Int, view: String): Unit =
+      spark.sql(
+        s"""SELECT concat(doc_id, '#', r) AS doc_id, lang,
+           |  translate(text, 'etaoinshrd',
+           |    substr('etaoinshrdetaoinshrd', r, 10)) AS text
+           |FROM (
+           |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, lang,
+           |    text, r FROM documents
+           |  LATERAL VIEW explode(sequence(1, $mult)) t AS r)"""
+          .stripMargin).createOrReplaceTempView(view)
+    docsView(1, "documents_1x")
+    docsView(10, "documents_10x")
+  }
+  /** Same aggregate as rounds 9-15 over the same term rows; the term
+    * extraction is restructured round 16 (guide §2.3/§4.4): the
+    * REPARTITION now moves RAW text so `graft_termcounts` runs on all
+    * cores (it previously sat below the exchange — the whole kernel
+    * pass ran inside the single scan task), and the one-element-array
+    * Generate barrier pins the kernel to ONE evaluation per row
+    * (InferFiltersFromGenerate's pushed size/isnotnull conditions
+    * re-evaluated it twice more per row; against an attribute they
+    * are free). Row-for-row identical output. */
+  private[graft] def termsSlopeSql(ref: String): String =
+    s"""SELECT count(*) AS terms, sum(cnt) AS toks FROM (
+       |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM (
+       |    SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+       |      lang, text FROM $ref)
+       |  LATERAL VIEW explode(array(graft_termcounts(text))) g AS tcs
+       |  LATERAL VIEW explode(tcs) t AS tc)""".stripMargin
+  private[graft] def lshSlopeSql(ref: String): String =
+    s"""WITH sigx AS (${QueriesSim.sigInlineSql(ref)}),
+       |${QueriesSim.lshPairCtes(ref, "sigx")}
+       |SELECT count(*) AS pairs, sum(cnt) AS isect
+       |FROM j WHERE cnt > 0""".stripMargin
+
   /** One harness session for Bench AND Profile: identical configs so
     * profiled numbers stay comparable to benched ones. */
   private[graft] def buildSession(cpus: String): SparkSession = {
@@ -1067,35 +1114,15 @@ object Bench {
     locally {
       Tables.registerAll(spark, sfDir)
       graft.functions.VectorFunctions.register(spark)
-      def docsView(mult: Int, view: String): Unit =
-        spark.sql(
-          s"""SELECT concat(doc_id, '#', r) AS doc_id, lang,
-             |  translate(text, 'etaoinshrd',
-             |    substr('etaoinshrdetaoinshrd', r, 10)) AS text
-             |FROM documents
-             |LATERAL VIEW explode(sequence(1, $mult)) t AS r"""
-            .stripMargin).createOrReplaceTempView(view)
-      docsView(1, "documents_1x")
-      docsView(10, "documents_10x")
-      def termsSql(ref: String): String =
-        s"""SELECT count(*) AS terms, sum(cnt) AS toks FROM (
-           |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM (
-           |    SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
-           |      lang, graft_termcounts(text) AS tcs FROM $ref)
-           |  LATERAL VIEW explode(tcs) t AS tc)""".stripMargin
-      def lshSql(ref: String): String =
-        s"""WITH sigx AS (${QueriesSim.sigInlineSql(ref)}),
-           |${QueriesSim.lshPairCtes(ref, "sigx")}
-           |SELECT count(*) AS pairs, sum(cnt) AS isect
-           |FROM j WHERE cnt > 0""".stripMargin
+      Bench.textSlopeViews(spark)
       bench("text_terms_1x") { _ =>
-        spark.sql(termsSql("documents_1x")).count(); () }
+        spark.sql(Bench.termsSlopeSql("documents_1x")).count(); () }
       bench("text_terms_10x") { _ =>
-        spark.sql(termsSql("documents_10x")).count(); () }
+        spark.sql(Bench.termsSlopeSql("documents_10x")).count(); () }
       bench("text_lsh_1x") { _ =>
-        spark.sql(lshSql("documents_1x")).count(); () }
+        spark.sql(Bench.lshSlopeSql("documents_1x")).count(); () }
       bench("text_lsh_10x") { _ =>
-        spark.sql(lshSql("documents_10x")).count(); () }
+        spark.sql(Bench.lshSlopeSql("documents_10x")).count(); () }
     }
 
     // On-disk footprint of ONE 5.26M-row series (MB): sum of the

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame => DataFrameLike}
 
 /** Ad-hoc single-query profiler: run named [[SparkEntry.queries]]
   * entries repeatedly with wall-clock per rep, outside the full Bench
@@ -109,11 +110,25 @@ object Profile {
         })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.registerAll(spark, sfDir)
+    // the bench-only text-slope rows are profilable too (same views +
+    // statements as Bench.main — see Bench.textSlopeViews)
+    lazy val slopeReady = {
+      graft.functions.VectorFunctions.register(spark)
+      Bench.textSlopeViews(spark); true
+    }
+    val slopeRows: Map[String, () => DataFrameLike] = Map(
+      "text_terms_1x" -> (() => spark.sql(Bench.termsSlopeSql("documents_1x"))),
+      "text_terms_10x" -> (() => spark.sql(Bench.termsSlopeSql("documents_10x"))),
+      "text_lsh_1x" -> (() => spark.sql(Bench.lshSlopeSql("documents_1x"))),
+      "text_lsh_10x" -> (() => spark.sql(Bench.lshSlopeSql("documents_10x"))))
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
+      val fn: () => DataFrameLike = slopeRows.get(name) match {
+        case Some(f) => val _ = slopeReady; f
+        case None => () => SparkEntry.queries(name)(spark, sfDir)
+      }
       for (i <- 1 to reps) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).collect().length
+        val n = fn().collect().length
         val ms = (System.nanoTime() - t0) / 1e6
         System.err.println(f"[profile] $name rep $i: $ms%.0f ms ($n rows)")
       }

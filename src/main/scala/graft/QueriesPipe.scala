@@ -310,21 +310,28 @@ object QueriesPipe {
     // hash repartition on doc_id, not round-robin: round-robin inserts
     // a binary row sort before the exchange (sortBeforeRepartition) —
     // pure overhead here, and the hash spread is just as even.
-    // The REPARTITION sits BELOW the in-row counting so every core
-    // processes its own slice of documents (the documents table is one
-    // small parquet file here; on a real corpus scan parallelism comes
-    // from file count and the exchange disappears).
+    // The REPARTITION moves RAW text so every core counts its own
+    // slice of documents (round 16: it previously sat ABOVE the
+    // kernel projection, so the whole termcounts pass ran inside the
+    // one-file table's single scan task — guide §2.5 input skew).
     // Per-doc term counts come from the native `graft_termcounts`
     // kernel — map-side combine at ROW grain: the explode emits one
     // row per DISTINCT (doc, term) (~20x fewer rows than exploding
     // every token occurrence) and the old explode -> GROUP BY
     // (doc, lang, term) aggregate disappears entirely, shuffle and
     // all. Tokenization is bit-identical to split(text, ' ', -1), so
-    // the DuckDB aggregate oracle is unchanged.
+    // the DuckDB aggregate oracle is unchanged. The one-element-array
+    // Generate barrier pins the kernel to ONE evaluation per row:
+    // InferFiltersFromGenerate's size/isnotnull conditions otherwise
+    // push below the projection and re-run the kernel twice more per
+    // row (guide §4.4's duplicated-expression trap, JVM edition);
+    // against the Generate output attribute they are free, and
+    // size(array(e)) > 0 on the inner explode constant-folds away.
     QueriesSim.materialize(s, dir,
       s"""SELECT doc_id, lang, tc.term AS term, tc.cnt AS cnt FROM (
         |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
-        |    lang, graft_termcounts(text) AS tcs FROM documents)
+        |    lang, text FROM documents)
+        |LATERAL VIEW explode(array(graft_termcounts(text))) g AS tcs
         |LATERAL VIEW explode(tcs) t AS tc""".stripMargin, "doc_terms")
   }
 

@@ -223,9 +223,18 @@ object QueriesSim {
   private[graft] def sigInlineSql(docsRef: String): String = {
     val cols = (1 to 8)
       .map(i => s"element_at(sig, $i) AS mh$i").mkString(",\n  ")
+    // Round 16 (guide §2.3/§4.4), same rows out: the REPARTITION now
+    // moves RAW text so the minhash kernel runs on every core (it
+    // previously computed below its own exchange — the whole pass sat
+    // in the single scan task of a one-file table), and the
+    // one-element-array Generate barrier pins the kernel to ONE
+    // evaluation per row (the pushed-down `sig IS NOT NULL` used to
+    // re-evaluate it: filters cannot cross a Generate, and
+    // size(array(e)) > 0 constant-folds away instead of re-running e).
     s"""SELECT doc_id, $cols FROM (
-       |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-       |    graft_minhash(text) AS sig FROM $docsRef)
+       |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+       |  FROM $docsRef)
+       |LATERAL VIEW explode(array(graft_minhash(text))) g AS sig
        |WHERE sig IS NOT NULL""".stripMargin
   }
 
@@ -321,7 +330,8 @@ object QueriesSim {
        |    struct(mh5 AS x, mh6 AS y), struct(mh7 AS x, mh8 AS y)))
        |    b AS bpos, bxy),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  SELECT /*+ SHUFFLE_MERGE(a) */ DISTINCT
+       |    a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.x = b.x AND a.y = b.y
        |   AND a.doc_id < b.doc_id)""".stripMargin
@@ -354,12 +364,21 @@ object QueriesSim {
     //    elements through the exchange). Collisions hit both engines
     //    identically (same md5-top-32 hash), so the oracle stays an
     //    exact hash compare.
-    //  * Join strategies are left to AQE: the candidate id/pair sets
-    //    are usually tiny but NOT bounded (a stop-band bucket of B
-    //    docs is O(B²) pairs), and AQE sees the band shuffle's actual
-    //    size at runtime — it broadcasts while the set fits and falls
-    //    back to a shuffle join past that, which is exactly the
-    //    static hint-vs-OOM tradeoff done right at 100 TB.
+    //  * The band self-join is pinned to SHUFFLE_MERGE (round 16);
+    //    every other join strategy is left to AQE: the candidate
+    //    id/pair sets are usually tiny but NOT bounded (a stop-band
+    //    bucket of B docs is O(B²) pairs), and AQE sees the band
+    //    shuffle's actual size at runtime — it broadcasts while the
+    //    set fits and falls back to a shuffle join past that. The
+    //    self-join is the exception because symmetry is worth more
+    //    than a broadcast: both sides become the IDENTICAL
+    //    Exchange(hashpartitioning(band, x, y)), so AQE's stage reuse
+    //    computes the signature+banding pass ONCE (ReusedExchange) —
+    //    where the broadcast plan built the subtree twice (a second
+    //    full corpus minhash pass when signatures are inline, as in
+    //    the text_lsh slope rows). At 100 TB the band table cannot
+    //    broadcast anyway, so the pinned strategy is also the
+    //    at-scale plan.
     //  * Each pair explodes into its two doc slots, one join attaches
     //    the shingle arrays, and a (da, db) regroup reassembles both
     //    sides — half the array-table lookups of a two-join shape.
@@ -391,8 +410,8 @@ object QueriesSim {
        |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd
        |    ON d.doc_id = cd.doc_id),
        |arrs AS (
-       |  SELECT doc_id, ss FROM (
-       |    SELECT doc_id, graft_shingles(text) AS ss FROM cdoc)
+       |  SELECT doc_id, ss FROM cdoc
+       |  LATERAL VIEW explode(array(graft_shingles(text))) g AS ss
        |  WHERE ss IS NOT NULL),
        |pe AS (
        |  SELECT pe0.da, pe0.db, pe0.slot, a.ss
