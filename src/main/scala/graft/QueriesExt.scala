@@ -67,8 +67,9 @@ object QueriesExt {
     s.sql(
       s"""WITH tk AS (
          |  SELECT doc_id, pos, tok FROM (
-         |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-         |      split(text, ' ', -1) AS toks FROM documents)
+         |    SELECT doc_id, split(text, ' ', -1) AS toks FROM (
+         |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |      FROM documents))
          |  LATERAL VIEW posexplode(toks) t AS pos, tok),
          |h AS (SELECT doc_id, pos,
          |  cast(conv(substr(md5(tok),1,8),16,10) as bigint) % 100000 AS hv

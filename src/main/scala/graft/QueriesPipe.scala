@@ -607,11 +607,12 @@ object QueriesPipe {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH t AS (
-        |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id, lang,
+        |  SELECT doc_id, lang,
         |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
         |      AS bigint) % 16 AS shard,
         |    size(split(text, ' ', -1)) AS n_tok
-        |  FROM documents),
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+        |          lang, text FROM documents)),
         |c AS (
         |  SELECT doc_id, lang, shard, n_tok,
         |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
@@ -697,8 +698,9 @@ object QueriesPipe {
   def q73_chunking(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH t AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-        |    split(text, ' ', -1) AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, split(text, ' ', -1) AS w FROM (
+        |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |    FROM documents)),
         |c AS (SELECT doc_id, w,
         |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
         |  FROM t)
@@ -1230,11 +1232,12 @@ object QueriesPipe {
   def q154_token_budget(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH d AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |    source, size(split(text, ' ', -1)) AS ntok,
         |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 12),
         |      16, 10) AS bigint) AS hv
-        |  FROM documents),
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |          source, text FROM documents)),
         |d2 AS (SELECT doc_id, source, ntok, hv, pmod(hv, 16) AS shard
         |  FROM d),
         |l AS (SELECT doc_id, source, ntok, hv, shard,
@@ -1901,8 +1904,9 @@ object QueriesPipe {
         |  SELECT doc_id, p AS pos,
         |    concat(element_at(t, p + 1), ' ', element_at(t, p + 2),
         |      ' ', element_at(t, p + 3)) AS sh
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-        |          split(text, ' ', -1) AS t FROM documents)
+        |  FROM (SELECT doc_id, split(text, ' ', -1) AS t FROM (
+        |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |      FROM documents))
         |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 2, 0)))
         |    AS p, x),
         |bench AS (SELECT DISTINCT sh FROM ptok WHERE doc_id < 20)
@@ -1940,8 +1944,9 @@ object QueriesPipe {
     s.sql(
       s"""WITH w AS (
         |  SELECT explode(toks) AS word FROM (
-        |    SELECT /*+ REPARTITION(${Tables.np}) */
-        |      split(text, ' ', -1) AS toks FROM documents)),
+        |    SELECT split(text, ' ', -1) AS toks FROM (
+        |      SELECT /*+ REPARTITION(${Tables.np}) */ text
+        |      FROM documents))),
         |p AS (
         |  SELECT explode(transform(sequence(1, length(word) - 1),
         |    i -> concat(substr(word, i, 1), substr(word, i + 1, 1))))
@@ -2062,8 +2067,9 @@ object QueriesPipe {
        |    concat_ws(' ', element_at(t, p + 1), element_at(t, p + 2),
        |      element_at(t, p + 3), element_at(t, p + 4),
        |      element_at(t, p + 5)) AS gram
-       |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-       |          split(text, ' ', -1) AS t FROM documents)
+       |  FROM (SELECT doc_id, split(text, ' ', -1) AS t FROM (
+       |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+       |      FROM documents))
        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
        |    AS p, x),
        |dup AS (SELECT gram FROM g GROUP BY gram
@@ -2184,9 +2190,10 @@ object QueriesPipe {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH d AS (
-        |  SELECT /*+ REPARTITION(${Tables.np}) */ source, lang, doc_id,
+        |  SELECT source, lang, doc_id,
         |    size(split(text, ' ', -1)) AS n_toks, md5(text) AS fp
-        |  FROM documents),
+        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ source, lang,
+        |          doc_id, text FROM documents)),
         |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
         |f AS (SELECT d.source, d.lang, d.doc_id, d.n_toks,
         |    CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END AS is_dup
@@ -2246,8 +2253,9 @@ object QueriesPipe {
     }
     s.sql(
       s"""WITH toks AS (
-        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-        |    split(text, ' ', -1) AS t FROM documents),
+        |  SELECT doc_id, split(text, ' ', -1) AS t FROM (
+        |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |    FROM documents)),
         |d AS (SELECT doc_id, size(t) AS n_toks FROM toks),
         |g AS (
         |  SELECT doc_id, gn.n, gn.gram FROM toks

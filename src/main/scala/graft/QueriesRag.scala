@@ -511,9 +511,9 @@ object QueriesRag {
   def q119_context_pack(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH t AS (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-         |    split(text, ' ', -1) AS w FROM documents
-         |  WHERE doc_id != 5),
+      s"""WITH t AS (SELECT doc_id, split(text, ' ', -1) AS w FROM (
+         |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |    FROM documents WHERE doc_id != 5)),
          |c AS (SELECT doc_id, w,
          |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
          |  FROM t),

@@ -606,10 +606,14 @@ object QueriesSim {
   def q26_simhash(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
+    // repartition RAW text (round 16): with the hint above the kernel
+    // projection the whole simhash pass ran inside the one-file
+    // table's single scan task (guide §2.5 input skew)
     run(s, dir,
-      s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-         |  graft_simhash(text) AS simhash
-         |FROM documents ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id, graft_simhash(text) AS simhash FROM (
+         |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin)
   }
 
   val q26_oracle: String = simhashSql(duckHex,
@@ -638,9 +642,9 @@ object QueriesSim {
     // of the band self-join, running the signature pass over the
     // corpus twice (profiled 2.4 s with the pre-kernel lambda fold)
     materialize(s, dir,
-      s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
-         |  graft_simhash(text) AS simhash
-         |FROM documents""".stripMargin, "sim_simhash")
+      s"""SELECT doc_id, graft_simhash(text) AS simhash FROM (
+         |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |  FROM documents)""".stripMargin, "sim_simhash")
     s.sql(
       s"""WITH sh AS (SELECT doc_id, simhash FROM sim_simhash),
          |b AS (SELECT doc_id, simhash, i,
