@@ -340,21 +340,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE coalesce small shuffles to the advisory size instead
-      // of pinning them at the default parallelism (guide §2.2 —
-      // fewer, larger reduce partitions; Spark's docs recommend
-      // `parallelismFirst=false`, the true default exists only to
-      // avoid legacy-workload surprises). The query tail here is
-      // dominated by sub-MB aggregate/join shuffles that ran 32 tiny
-      // tasks per stage; coalescing cuts the fixed task overhead
-      // (measured -17..-28% on q104/q106/q113, flat elsewhere). NOT
-      // core-count-tuned: the advisory size is byte-based, so the
-      // same setting is the recommended shape on a cluster. Explicit
-      // REPARTITION(N) hints — the CPU-kernel spreads — are
-      // REPARTITION_BY_NUM and never coalesced.
-      .config(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+      // NOTE (round 16): advisory-size-first AQE coalescing
+      // (`coalescePartitions.parallelismFirst=false`) was measured
+      // here: -17..-28% on the sub-MB aggregate/join tail (q104/q106/
+      // q113), but it also coalesces every WRITE-feeding sort to the
+      // 64 MB read-oriented advisory — the parquet+zstd encode behind
+      // it serialized (bulk_write_5m_sort 0.77 -> 3.4 s) and the DML
+      // rewrite sorts lost their width. Spark's per-write advisory
+      // (RequiresDistributionAndOrdering.advisoryPartitionSizeInBytes)
+      // can win that back, but its interaction with parallelism-first
+      // is version-subtle; net across the suite the default stays the
+      // right trade, so the session keeps Spark's default (true) and
+      // the engine write paths pin their own width explicitly
+      // (Series.write).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // benched plans run with the same extension set users get

@@ -231,15 +231,24 @@ class Series(val collection: Collection, val label: String) {
       }
     }
 
-    // Global sort via range partitioning; AQE coalesces the default
-    // shuffle partition count for small inputs; SegmentWriter.writeJob
-    // rolls files at pageLen rows. No driver-side count needed.
-    // Columns are stored under their PHYSICAL names (see
+    // Global sort via range partitioning with an EXPLICIT partition
+    // count (the session's shuffle parallelism — the deployment's
+    // scale knob): an unpinned repartitionByRange is fair game for
+    // AQE partition coalescing, which sizes post-shuffle partitions
+    // for shuffle-READ efficiency (~64 MB advisory) — but this
+    // shuffle's consumer is the CPU-heavy parquet+zstd encode, where
+    // coalescing to a handful of tasks serializes the write (measured
+    // 0.77 s -> 3.4 s on the 5M-row sort write when the session
+    // enables advisory-size coalescing). REPARTITION_BY_NUM pins the
+    // width; SegmentWriter.writeJob still rolls files at pageLen
+    // rows. Columns are stored under their PHYSICAL names (see
     // Collection.physOf) so post-clone writes stay uniform with
     // shared pre-clone segments.
     val sorted =
       (if (presorted) data
-       else data.repartitionByRange(idxCols: _*)
+       else data.repartitionByRange(
+           spark.conf.get("spark.sql.shuffle.partitions").toInt,
+           idxCols: _*)
          .sortWithinPartitions(idxCols: _*))
         .select(schema.cols.map(c =>
           col(c.name).as(collection.physOf(c.name))): _*)
