@@ -320,15 +320,17 @@ object Bench {
     * (InferFiltersFromGenerate's pushed size/isnotnull conditions
     * re-evaluated it twice more per row; against an attribute they
     * are free). Row-for-row identical output. */
+  /** No REPARTITION of its own (round 16): the slope views already
+    * shuffle below their replica projection, so the kernel input is
+    * spread; a second exchange of the same text was pure overhead. */
   private[graft] def termsSlopeSql(ref: String): String =
     s"""SELECT count(*) AS terms, sum(cnt) AS toks FROM (
-       |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM (
-       |    SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
-       |      lang, text FROM $ref)
+       |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM $ref
        |  LATERAL VIEW explode(array(graft_termcounts(text))) g AS tcs
        |  LATERAL VIEW explode(tcs) t AS tc)""".stripMargin
   private[graft] def lshSlopeSql(ref: String): String =
-    s"""WITH sigx AS (${QueriesSim.sigInlineSql(ref)}),
+    s"""WITH sigx AS (${QueriesSim.sigInlineSql(ref,
+          repartition = false)}),
        |${QueriesSim.lshPairCtes(ref, "sigx")}
        |SELECT count(*) AS pairs, sum(cnt) AS isect
        |FROM j WHERE cnt > 0""".stripMargin

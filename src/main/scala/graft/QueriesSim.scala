@@ -220,7 +220,8 @@ object QueriesSim {
   /** [[sparkSigInline]] over any documents-shaped relation (the 10x
     * text-slope bench rows run the SAME signature stage over a
     * replicated corpus view). */
-  private[graft] def sigInlineSql(docsRef: String): String = {
+  private[graft] def sigInlineSql(docsRef: String,
+      repartition: Boolean = true): String = {
     val cols = (1 to 8)
       .map(i => s"element_at(sig, $i) AS mh$i").mkString(",\n  ")
     // Round 16 (guide §2.3/§4.4), same rows out: the REPARTITION now
@@ -231,9 +232,17 @@ object QueriesSim {
     // evaluation per row (the pushed-down `sig IS NOT NULL` used to
     // re-evaluate it: filters cannot cross a Generate, and
     // size(array(e)) > 0 constant-folds away instead of re-running e).
+    // `repartition = false` for callers whose docsRef is already
+    // spread (the slope views shuffle below their replica projection)
+    // — a second round-robin of the same text is a pure extra
+    // exchange.
+    val inner =
+      if (repartition)
+        s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+           |  FROM $docsRef""".stripMargin
+      else s"SELECT doc_id, text FROM $docsRef"
     s"""SELECT doc_id, $cols FROM (
-       |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
-       |  FROM $docsRef)
+       |  $inner)
        |LATERAL VIEW explode(array(graft_minhash(text))) g AS sig
        |WHERE sig IS NOT NULL""".stripMargin
   }
