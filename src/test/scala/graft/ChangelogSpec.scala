@@ -279,20 +279,24 @@ class ChangelogSpec extends AnyFunSuite {
     log.refresh()
     assert(log.log() == warm,
       "incremental cache must equal the canonical DFS order")
-    // one same-process retry on a wall-clock miss (round 16): these
-    // 1000 commits each write+fsync one real file, so a neighbor-IO
-    // window can stretch the batch arbitrarily (measured 14.2 s in a
-    // window where the in-memory 1e6 twin did 0.02 ms/commit) — a
-    // REAL O(history) regression also fails the retry, and the
-    // fullComputes/incAppends counter pins above stay unconditional.
-    val trainMs2 = if (trainMs < 10000) trainMs else {
+    // Wall bound + one same-process retry (round 16): these 1000
+    // commits each write+fsync one REAL file, so the batch time is
+    // 1000 x the disk's current fsync latency — measured 2-16 ms per
+    // fsync depending on neighbor IO and parallel-suite contention
+    // (the in-memory 1e6 twin does 0.02 ms/commit in the same runs).
+    // The bound exists to catch a per-commit ALGORITHMIC regression,
+    // which the counter pins above already catch structurally; a real
+    // O(history) relinearization at 1e5 revisions costs >= 300 ms per
+    // commit = >= 300 s for the batch, so 30 s separates disk weather
+    // from regression with a 10x margin on both sides.
+    val trainMs2 = if (trainMs < 30000) trainMs else {
       val t2 = System.nanoTime()
       (0 until 1000).foreach(i => log.commit(s"r$i".getBytes))
       val r = (System.nanoTime() - t2) / 1e6
       info(f"retry: 1000 more warm commits $r%.0f ms " +
         f"(first batch $trainMs%.0f ms)"); r
     }
-    assert(trainMs2 < 10000,
+    assert(trainMs2 < 30000,
       f"1000 warm commits $trainMs%.0f ms / retry $trainMs2%.0f ms")
     info(f"1e5 revisions: cold build $coldMs%.0f ms " +
       f"(steady $steadyMs%.0f ms), 1000 warm commits $trainMs%.0f ms " +
