@@ -1,11 +1,12 @@
 package graft
 
 /** Writes `.explain("formatted")` output for named
-  * [[SparkEntry.queries]] entries to `plans/r16/<name>_<tag>.txt` —
-  * the round-16 optimization evidence files (the judge reads plan
+  * [[SparkEntry.queries]] entries to `plans/<round>/<name>_<tag>.txt`
+  * — the optimization-round evidence files (the judge reads plan
   * claims against these). Run:
   * `sbt "runMain graft.PlanDump <tag> q113_bm25 q60_tfidf_terms ..."`.
-  * `SPARK_GRAFT_SF_DIR` picks the scale (default sf0.1).
+  * `SPARK_GRAFT_SF_DIR` picks the scale (default sf0.1);
+  * `SPARK_GRAFT_PLANS_ROUND` the output subdir (default r17).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -16,7 +17,8 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Bench.buildSession(cpus)
     Tables.registerAll(spark, sfDir)
-    val dir = java.nio.file.Paths.get("plans", "r16")
+    val dir = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_ROUND", "r17"))
     java.nio.file.Files.createDirectories(dir)
     lazy val slopeReady = {
       graft.functions.VectorFunctions.register(spark)

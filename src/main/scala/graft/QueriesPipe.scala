@@ -343,10 +343,18 @@ object QueriesPipe {
     // the vocabulary-sized df table broadcast-joins back (AQE picks
     // broadcast when df fits, shuffle join past that). The rank window
     // runs over the vocabulary-sized score table, never the corpus.
+    // Round 17 (guide §2.4 duplicated subtrees): df now aggregates
+    // doc_terms DIRECTLY (rows are unique on (doc_id, term), so
+    // count(*) per term == sum over langs of the per-(lang,term) doc
+    // counts — identical bigint). Deriving it from lt made lt
+    // multi-referenced, and Spark's InlineCTE duplicates the whole
+    // aggregate subtree per reference: the (lang,term) aggregate over
+    // the corpus-sized index ran TWICE per call (plan-verified, two
+    // Exchange(lang,term) subtrees). One pass each now.
     s.sql(
-      """WITH lt AS (SELECT lang, term, sum(cnt) AS tf, count(*) AS dfl
+      """WITH lt AS (SELECT lang, term, sum(cnt) AS tf
         |       FROM doc_terms GROUP BY 1, 2),
-        |df AS (SELECT term, sum(dfl) AS df FROM lt GROUP BY term),
+        |df AS (SELECT term, count(*) AS df FROM doc_terms GROUP BY term),
         |sc AS (
         |  SELECT lang, lt.term AS term,
         |    round(tf * ln(cast((SELECT count(*) FROM documents) AS double)
@@ -466,13 +474,18 @@ object QueriesPipe {
     // equi-joined back (vocabulary-sized — AQE broadcasts it while it
     // fits, shuffle-joins past that); an earlier `sum() OVER
     // (PARTITION BY lang, term)` window formulation shuffled AND
-    // sorted the full doc_terms table instead. Per-language token
-    // totals fold out of the LM itself (sum of its counts), so the
-    // raw text is never re-scanned.
+    // sorted the full doc_terms table instead. Round 17 (guide §2.4):
+    // the per-language totals aggregate doc_terms DIRECTLY
+    // (sum(cnt) per lang == sum over terms of the LM's counts —
+    // identical bigint); deriving them FROM lm made lm
+    // multi-referenced and InlineCTE duplicated the whole
+    // vocabulary aggregate — the corpus-sized pass ran twice per
+    // call (plan-verified). tot is a 5-row map-side-combined
+    // aggregate; the raw text is still never re-scanned.
     s.sql(
       """WITH lm AS (SELECT lang, term, sum(cnt) AS c
         |       FROM doc_terms GROUP BY 1, 2),
-        |tot AS (SELECT lang, sum(c) AS n FROM lm GROUP BY lang),
+        |tot AS (SELECT lang, sum(cnt) AS n FROM doc_terms GROUP BY lang),
         |sc AS (
         |  SELECT wf.doc_id, wf.cnt AS k,
         |    -ln(cast(lm.c AS double) / tot.n) AS nll
@@ -2620,20 +2633,30 @@ object QueriesPipe {
     * divide per language at the end. */
   def q106_lang_kl(s: SparkSession, dir: String): DataFrame = {
     termView(s, dir)
+    // Round 17 (guide §2.4 duplicated subtrees): the per-language
+    // totals (nl), per-term totals (ct) and grand total each
+    // aggregate doc_terms DIRECTLY — by sum-associativity they equal
+    // the old lt-derived window/aggregate values bigint-for-bigint,
+    // but lt is now single-referenced so InlineCTE no longer clones
+    // its corpus-sized aggregate subtree (the old shape computed lt
+    // THREE times: under lt2, under g, and again under g inside the
+    // scalar n — plan-verified). nl (5 rows) and the 1-row total
+    // broadcast; no by-lang window sort remains.
     s.sql(
       """WITH lt AS (
         |  SELECT lang, term, sum(cnt) AS c FROM doc_terms
         |  GROUP BY lang, term),
-        |lt2 AS (SELECT lang, term, c,
-        |    sum(c) OVER (PARTITION BY lang) AS nl FROM lt),
-        |g AS (SELECT term, sum(c) AS ct FROM lt GROUP BY term),
-        |n AS (SELECT sum(ct) AS total FROM g),
+        |nlang AS (SELECT lang, sum(cnt) AS nl FROM doc_terms
+        |  GROUP BY lang),
+        |g AS (SELECT term, sum(cnt) AS ct FROM doc_terms
+        |  GROUP BY term),
         |q AS (
-        |  SELECT l.lang, l.c, l.nl,
-        |    cast(round(ln((l.c * (SELECT total FROM n))
-        |      / (l.nl * cast(g.ct AS double))) * 1000000.0D, 0)
+        |  SELECT l.lang, l.c, nlang.nl,
+        |    cast(round(ln((l.c * (SELECT sum(cnt) FROM doc_terms))
+        |      / (nlang.nl * cast(g.ct AS double))) * 1000000.0D, 0)
         |      AS bigint) AS qlr
-        |  FROM lt2 l JOIN g ON l.term = g.term)
+        |  FROM lt l JOIN g ON l.term = g.term
+        |  JOIN nlang ON l.lang = nlang.lang)
         |SELECT lang, max(nl) AS n_tokens,
         |  round(sum(c * qlr) / (1000000.0D * max(nl)), 4) + 0
         |    AS kl_nats

@@ -46,9 +46,17 @@ object QueriesRag {
     * engine-stored + fresh posting union, so the incremental index
     * must reproduce the full rebuild bit-for-bit */
   private def bm25Sql(rel: String): String =
+    // Round 17 (guide §2.4 duplicated subtrees): st aggregates the
+    // postings DIRECTLY — sum(cnt) == the sum of the per-doc length
+    // sums, count(DISTINCT doc_id) == the length-table row count,
+    // identical bigints — so dl is single-referenced and InlineCTE no
+    // longer clones the per-doc aggregate (the old st-FROM-dl shape
+    // ran the corpus-sized doc_id aggregate twice, plan-verified).
+    // Both stay map-side-combining aggregates; no global window.
     s"""WITH dl AS (SELECT doc_id, sum(cnt) AS dl FROM $rel
        |        GROUP BY doc_id),
-       |st AS (SELECT sum(dl) AS sdl, count(*) AS ndl FROM dl),
+       |st AS (SELECT sum(cnt) AS sdl, count(DISTINCT doc_id) AS ndl
+       |  FROM $rel),
        |n AS (SELECT count(*) AS n FROM documents),
        |qt AS (SELECT DISTINCT term FROM $rel WHERE doc_id = 5),
        |df AS (SELECT /*+ BROADCAST(qt) */ t.term, count(*) AS df
