@@ -68,7 +68,7 @@ object QueriesExt {
       s"""WITH tk AS (
          |  SELECT doc_id, pos, tok FROM (
          |    SELECT doc_id, split(text, ' ', -1) AS toks FROM (
-         |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |      SELECT ${Tables.spread("documents")} doc_id, text
          |      FROM documents))
          |  LATERAL VIEW posexplode(toks) t AS pos, tok),
          |h AS (SELECT doc_id, pos,
@@ -233,7 +233,7 @@ object QueriesExt {
     // any_value(label)/any_value(e) are deterministic: every row in a
     // vec_id group carries the identical label/e.
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, label,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id, label,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v
         |  WHERE vec_id BETWEEN 1 AND 8),
@@ -317,7 +317,7 @@ object QueriesExt {
          |    struct(dim, val))), x -> x.val) AS ce
          |  FROM $mRef GROUP BY cid)""".stripMargin
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, e AS ce FROM v
          |  WHERE vec_id BETWEEN 1 AND 8),
@@ -440,7 +440,7 @@ object QueriesExt {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |c AS (SELECT vec_id AS cid, e AS ce FROM v
          |  WHERE vec_id BETWEEN 1 AND 8),
@@ -492,7 +492,7 @@ object QueriesExt {
   def q92_vec_quant(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |d AS (SELECT vec_id, p + 1 AS dim, val
          |  FROM v LATERAL VIEW posexplode(e) AS p, val),
@@ -560,7 +560,7 @@ object QueriesExt {
        |      THEN 1 ELSE -1 END AS sgn
        |  FROM (SELECT explode(sequence(0, 63)) AS k) k
        |  CROSS JOIN (SELECT explode(sequence(0, ${nj - 1})) AS j) j),
-       |d AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id, p AS k,
+       |d AS (SELECT ${Tables.spread("embeddings")} vec_id, p AS k,
        |    cast(round(cast(val AS double) * 1000000, 0) AS bigint)
        |      AS qv
        |  FROM embeddings LATERAL VIEW posexplode(embedding) AS p, val),
@@ -624,7 +624,7 @@ object QueriesExt {
       s"""SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
         |  round(graft_cosine(v.e, p.pe), 6) AS sim,
         |  pmod(hash(v.vec_id), 16) AS shard
-        |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+        |FROM (SELECT ${Tables.spread("embeddings")} vec_id,
         |        cast(embedding AS array<double>) AS e
         |      FROM embeddings) v
         |JOIN (SELECT vec_id AS pid,
@@ -690,7 +690,7 @@ object QueriesExt {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    label, cast(embedding AS array<double>) AS e
          |  FROM embeddings),
          |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
@@ -750,7 +750,7 @@ object QueriesExt {
   def q156_dim_collapse(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH d AS (SELECT /*+ REPARTITION(${Tables.np}) */ pos AS dim,
+      s"""WITH d AS (SELECT ${Tables.spread("embeddings")} pos AS dim,
          |    cast(round(cast(v AS double) * 1000, 0) AS bigint) AS q
          |  FROM embeddings
          |  LATERAL VIEW posexplode(embedding) t AS pos, v),
@@ -831,7 +831,7 @@ object QueriesExt {
   def q97_pq_codes(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |sub AS (SELECT vec_id, sp, slice(e, sp * 8 + 1, 8) AS sv
          |  FROM v LATERAL VIEW explode(sequence(0, 7)) AS sp),
@@ -887,7 +887,7 @@ object QueriesExt {
   def q98_pq_adc(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |sub AS (SELECT vec_id, sp, slice(e, sp * 8 + 1, 8) AS sv
          |  FROM v LATERAL VIEW explode(sequence(0, 7)) AS sp),
@@ -1008,7 +1008,7 @@ object QueriesExt {
          |  SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
          |      AS k,
          |    event_id % 8 AS salt, event_type
-         |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */
+         |  FROM (SELECT ${Tables.spread("events")}
          |          event_id, user_id, event_type FROM events)),
          |dim AS (SELECT user_id AS k, count(*) AS n_events
          |  FROM events GROUP BY user_id),
@@ -1048,7 +1048,7 @@ object QueriesExt {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    label, cast(embedding AS array<double>) AS e
          |  FROM embeddings),
          |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v
@@ -1099,7 +1099,7 @@ object QueriesExt {
   def q102_embed_hygiene(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    label, cast(embedding AS array<double>) AS e
          |  FROM embeddings),
          |n AS (SELECT label,
@@ -1166,7 +1166,7 @@ object QueriesExt {
       s"""SELECT /*+ BROADCAST(p) */ p.pid, v.vec_id,
         |  round(graft_cosine(v.e, p.pe), 6) AS sim,
         |  pmod(hash(v.vec_id), 16) AS shard
-        |FROM (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+        |FROM (SELECT ${Tables.spread("embeddings")} vec_id,
         |        cast(embedding AS array<double>) AS e
         |      FROM embeddings) v
         |JOIN (SELECT vec_id AS pid,
@@ -1175,7 +1175,7 @@ object QueriesExt {
         |      WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15) p
         |  ON v.vec_id != p.pid""".stripMargin, "ann_sc")
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
         |    cast(embedding AS array<double>) AS e FROM embeddings),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v
         |  WHERE vec_id BETWEEN 1 AND 8),

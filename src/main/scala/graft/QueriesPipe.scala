@@ -96,7 +96,7 @@ object QueriesPipe {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH q AS (
-        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, source,
+        |  SELECT ${Tables.spread("documents")} doc_id, source,
         |    n_chars - 2 * (length(text) -
         |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) AS score
         |  FROM documents),
@@ -310,10 +310,14 @@ object QueriesPipe {
     // hash repartition on doc_id, not round-robin: round-robin inserts
     // a binary row sort before the exchange (sortBeforeRepartition) —
     // pure overhead here, and the hash spread is just as even.
-    // The REPARTITION moves RAW text so every core counts its own
+    // The spread hint moves RAW text so every core counts its own
     // slice of documents (round 16: it previously sat ABOVE the
     // kernel projection, so the whole termcounts pass ran inside the
     // one-file table's single scan task — guide §2.5 input skew).
+    // Round 17: the hint is GATED on the scan's split count
+    // (Tables.spread) — a many-file real corpus feeds every core from
+    // the scan itself, and the full-corpus raw-text shuffle this hint
+    // would force at 100 TB disappears with it (guide §2.3).
     // Per-doc term counts come from the native `graft_termcounts`
     // kernel — map-side combine at ROW grain: the explode emits one
     // row per DISTINCT (doc, term) (~20x fewer rows than exploding
@@ -329,7 +333,7 @@ object QueriesPipe {
     // size(array(e)) > 0 on the inner explode constant-folds away.
     QueriesSim.materialize(s, dir,
       s"""SELECT doc_id, lang, tc.term AS term, tc.cnt AS cnt FROM (
-        |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+        |  SELECT ${Tables.spread("documents", "doc_id")} doc_id,
         |    lang, text FROM documents)
         |LATERAL VIEW explode(array(graft_termcounts(text))) g AS tcs
         |LATERAL VIEW explode(tcs) t AS tc""".stripMargin, "doc_terms")
@@ -442,7 +446,7 @@ object QueriesPipe {
     s.sql(
       s"""SELECT source, CAST(pos + 1 AS BIGINT) AS rank, val AS n_chars
         |FROM (SELECT source, graft_topk(n_chars, 5) AS top
-        |      FROM (SELECT /*+ REPARTITION(${Tables.np}) */ source, n_chars
+        |      FROM (SELECT ${Tables.spread("documents")} source, n_chars
         |            FROM documents)
         |      GROUP BY source)
         |LATERAL VIEW posexplode(top) AS pos, val
@@ -526,7 +530,7 @@ object QueriesPipe {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH d AS (
-        |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |  SELECT ${Tables.spread("documents")} doc_id,
         |    concat(text, ' contact user', cast(doc_id AS string),
         |      '@mail-', lang, '.com or +1-555-',
         |      lpad(cast(doc_id % 10000 AS string), 4, '0')) AS dirty
@@ -572,7 +576,7 @@ object QueriesPipe {
     s.sql(
       s"""WITH w AS (
         |  SELECT doc_id, explode(split(text, ' ', -1)) AS term
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |  FROM (SELECT ${Tables.spread("documents")} doc_id, text
         |        FROM documents)),
         |tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
         |a AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
@@ -624,7 +628,7 @@ object QueriesPipe {
         |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
         |      AS bigint) % 16 AS shard,
         |    size(split(text, ' ', -1)) AS n_tok
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ doc_id,
+        |  FROM (SELECT ${Tables.spread("documents", "doc_id")} doc_id,
         |          lang, text FROM documents)),
         |c AS (
         |  SELECT doc_id, lang, shard, n_tok,
@@ -712,7 +716,7 @@ object QueriesPipe {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH t AS (SELECT doc_id, split(text, ' ', -1) AS w FROM (
-        |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |    SELECT ${Tables.spread("documents")} doc_id, text
         |    FROM documents)),
         |c AS (SELECT doc_id, w,
         |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
@@ -746,7 +750,7 @@ object QueriesPipe {
   def q74_profile(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(
-      s"""WITH src AS (SELECT /*+ REPARTITION(${Tables.np}) */ * FROM documents)
+      s"""WITH src AS (SELECT ${Tables.spread("documents")} * FROM documents)
         |SELECT 'doc_id' AS col, count(*) AS n_rows,
         |  count(DISTINCT doc_id) AS n_distinct,
         |  count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
@@ -1249,7 +1253,7 @@ object QueriesPipe {
         |    source, size(split(text, ' ', -1)) AS ntok,
         |    cast(conv(substr(md5(cast(doc_id AS string)), 1, 12),
         |      16, 10) AS bigint) AS hv
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+        |  FROM (SELECT ${Tables.spread("documents")} doc_id,
         |          source, text FROM documents)),
         |d2 AS (SELECT doc_id, source, ntok, hv, pmod(hv, 16) AS shard
         |  FROM d),
@@ -1918,7 +1922,7 @@ object QueriesPipe {
         |    concat(element_at(t, p + 1), ' ', element_at(t, p + 2),
         |      ' ', element_at(t, p + 3)) AS sh
         |  FROM (SELECT doc_id, split(text, ' ', -1) AS t FROM (
-        |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |      SELECT ${Tables.spread("documents")} doc_id, text
         |      FROM documents))
         |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 2, 0)))
         |    AS p, x),
@@ -1958,7 +1962,7 @@ object QueriesPipe {
       s"""WITH w AS (
         |  SELECT explode(toks) AS word FROM (
         |    SELECT split(text, ' ', -1) AS toks FROM (
-        |      SELECT /*+ REPARTITION(${Tables.np}) */ text
+        |      SELECT ${Tables.spread("documents")} text
         |      FROM documents))),
         |p AS (
         |  SELECT explode(transform(sequence(1, length(word) - 1),
@@ -2081,7 +2085,7 @@ object QueriesPipe {
        |      element_at(t, p + 3), element_at(t, p + 4),
        |      element_at(t, p + 5)) AS gram
        |  FROM (SELECT doc_id, split(text, ' ', -1) AS t FROM (
-       |      SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+       |      SELECT ${Tables.spread("documents")} doc_id, text
        |      FROM documents))
        |  LATERAL VIEW posexplode(slice(t, 1, greatest(size(t) - 4, 0)))
        |    AS p, x),
@@ -2205,7 +2209,7 @@ object QueriesPipe {
       s"""WITH d AS (
         |  SELECT source, lang, doc_id,
         |    size(split(text, ' ', -1)) AS n_toks, md5(text) AS fp
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ source, lang,
+        |  FROM (SELECT ${Tables.spread("documents")} source, lang,
         |          doc_id, text FROM documents)),
         |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
         |f AS (SELECT d.source, d.lang, d.doc_id, d.n_toks,
@@ -2267,7 +2271,7 @@ object QueriesPipe {
     s.sql(
       s"""WITH toks AS (
         |  SELECT doc_id, split(text, ' ', -1) AS t FROM (
-        |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |    SELECT ${Tables.spread("documents")} doc_id, text
         |    FROM documents)),
         |d AS (SELECT doc_id, size(t) AS n_toks FROM toks),
         |g AS (
@@ -2735,7 +2739,7 @@ object QueriesPipe {
     s.sql(
       s"""WITH d AS (
         |  SELECT doc_id, size(split(text, ' ', -1)) AS n_tok
-        |  FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        |  FROM (SELECT ${Tables.spread("documents")} doc_id, text
         |        FROM documents)),
         |b AS (SELECT doc_id, n_tok,
         |    cast((n_tok + 63) div 64 AS bigint) AS bucket,

@@ -136,7 +136,7 @@ object QueriesRag {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
          |sc AS (SELECT v.vec_id,
@@ -249,7 +249,7 @@ object QueriesRag {
     Tables.registerAll(s, dir)
     graft.functions.VectorFunctions.register(s)
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    cast(embedding AS array<double>) AS e FROM embeddings),
          |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
          |sc AS (SELECT v.vec_id,
@@ -520,7 +520,7 @@ object QueriesRag {
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH t AS (SELECT doc_id, split(text, ' ', -1) AS w FROM (
-         |    SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |    SELECT ${Tables.spread("documents")} doc_id, text
          |    FROM documents WHERE doc_id != 5)),
          |c AS (SELECT doc_id, w,
          |    explode(sequence(1, greatest(1, size(w) - 25), 25)) AS st
@@ -791,7 +791,7 @@ object QueriesRag {
     val dArr = ndcgD.mkString("array(", "L, ", "L)")
     val pArr = ndcgP.mkString("array(", "L, ", "L)")
     s.sql(
-      s"""WITH v AS (SELECT /*+ REPARTITION(${Tables.np}) */ vec_id,
+      s"""WITH v AS (SELECT ${Tables.spread("embeddings")} vec_id,
          |    label, cast(embedding AS array<double>) AS e
          |  FROM embeddings),
          |p AS (SELECT vec_id AS pid, label AS plabel, e AS pe FROM v

@@ -160,16 +160,19 @@ object QueriesSim {
   // ---- dialect snippets -------------------------------------------------
 
   /** doc_id + DISTINCT 3-gram shingles + their hash, Spark dialect.
-    * Two explicit REPARTITIONs keep both the explode and the md5 stage
-    * parallel (AQE would otherwise coalesce the small shuffles to one
-    * partition and serialize the CPU-heavy hashing). */
+    * The inner spread hint keeps the tokenize+explode parallel on a
+    * one-file fixture (gated: a many-file corpus scan is already
+    * parallel and the raw-text exchange disappears — guide §2.3); the
+    * outer doc_id REPARTITION is the DISTINCT's own load-bearing
+    * shuffle, re-keyed to doc_id (a subset of the distinct keys, so
+    * one exchange serves both) so the md5 stage stays parallel. */
   private[graft] def sparkShingleSelect =
     s"""SELECT doc_id, s, ${sparkHex("s")} AS hv FROM (
       |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */ DISTINCT doc_id, s FROM (
       |    SELECT doc_id, explode(transform(sequence(1, size(t)-2),
       |      i -> concat(element_at(t,i),' ',element_at(t,i+1),' ',
       |                  element_at(t,i+2)))) AS s
-      |    FROM (SELECT /*+ REPARTITION(${Tables.np}) */ doc_id,
+      |    FROM (SELECT ${Tables.spread("documents")} doc_id,
       |            split(text,' ', -1) AS t FROM documents)
       |    WHERE size(t) >= 3))""".stripMargin
 
@@ -238,7 +241,7 @@ object QueriesSim {
     // exchange.
     val inner =
       if (repartition)
-        s"""SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+        s"""SELECT ${Tables.spread(docsRef)} doc_id, text
            |  FROM $docsRef""".stripMargin
       else s"SELECT doc_id, text FROM $docsRef"
     s"""SELECT doc_id, $cols FROM (
@@ -413,7 +416,7 @@ object QueriesSim {
        |  FROM cand LATERAL VIEW posexplode(array(da, db))
        |    AS slot, doc_id),
        |cdoc AS (
-       |  SELECT /*+ REPARTITION(${Tables.np}, doc_id) */
+       |  SELECT ${Tables.spread(docsRef, "doc_id")}
        |    d.doc_id, d.text
        |  FROM $docsRef d
        |  JOIN (SELECT DISTINCT doc_id FROM pe0) cd

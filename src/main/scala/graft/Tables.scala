@@ -26,6 +26,73 @@ object Tables {
     org.apache.spark.sql.SparkSession.active.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Estimated scan-task count for relation `name` under the active
+    * session's split settings — FileSourceScanExec's own formula
+    * (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    * totalBytes/minPartitionNum))) applied to the relation's
+    * already-listed FileIndex, so it costs no extra listing and no
+    * job. Conservative packing estimate: ceil(totalPaddedBytes /
+    * maxSplitBytes). Views that do not bottom out in a file relation
+    * (LogicalRDD checkpoints, in-memory fixtures) report 1 — the
+    * can't-tell case keeps today's behavior (hint emitted). */
+  private val splitsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Int]])
+  private[graft] def scanTasks(spark: SparkSession, name: String): Int = {
+    val memo = splitsMemo.computeIfAbsent(spark,
+      _ => scala.collection.mutable.Map.empty[String, Int])
+    memo.synchronized {
+      memo.getOrElseUpdate(name, try {
+        val rels = spark.table(name).queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation =>
+            l.relation
+        }.collect {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h
+        }
+        if (rels.isEmpty) 1
+        else {
+          val conf = spark.sessionState.conf
+          val openCost = conf.filesOpenCostInBytes
+          val minPN = conf.filesMinPartitionNum
+            .getOrElse(spark.sparkContext.defaultParallelism)
+          val nFiles = rels.map(_.location.inputFiles.length.toLong).sum
+          val total = rels.map(_.location.sizeInBytes).sum +
+            nFiles * openCost
+          val maxSplit = math.min(conf.filesMaxPartitionBytes,
+            math.max(openCost, total / math.max(1, minPN)))
+          math.max(1L, (total + maxSplit - 1) / math.max(1L, maxSplit))
+            .min(Int.MaxValue).toInt
+        }
+      } catch { case _: Throwable => 1 })
+    }
+  }
+
+  /** Scan-parallelism REPARTITION hint for CPU-heavy kernel
+    * projections over raw `table` rows (text, embeddings): emitted
+    * ONLY when the scan itself cannot feed the session width — on the
+    * local one-file fixtures the whole kernel pass would otherwise
+    * run inside a single scan task (guide §2.5 input skew). On a
+    * many-file real corpus the scan has >= `np` input splits, the
+    * hint disappears, and with it the full-corpus shuffle of raw
+    * payloads it would force at 100 TB (guide §2.3: don't move bytes
+    * you don't have to — a REPARTITION hint ALWAYS inserts its
+    * exchange). `spark.graft.spreadHint` overrides the gate:
+    * `always` / `never` force each side (plan-evidence + A/B knob),
+    * default `auto`. */
+  private[graft] def spread(table: String, keys: String = ""): String = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val mode = spark.conf.get("spark.graft.spreadHint", "auto")
+    val need = mode match {
+      case "always" => true
+      case "never" => false
+      case _ => scanTasks(spark, table) < np
+    }
+    if (!need) ""
+    else s"/*+ REPARTITION($np${if (keys.isEmpty) "" else s", $keys"}) */"
+  }
+
   def init(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -210,6 +210,31 @@ class BenchNoiseSpec extends AnyFunSuite {
     val _ = rows
   }
 
+  test("compact line: pinned allowlist rows survive a synthetic " +
+      "budget squeeze (round-16 verdict #3)") {
+    // 400 slow long-named rows swamp the budget; every pinned row is
+    // tiny (0.05-0.12 s) AND improved vs its prior (regression factor
+    // 1) — the exact conditions that dropped conn_range_53m from
+    // BENCH_r16. All pinned rows must still ship.
+    val filler = (1 to 400).map(i =>
+      f"q${i}%03d_stable_long_query_row_name_padding_$i")
+    val pinned = Bench.pinnedRows.toSeq.sorted
+    val meds = filler.map(r =>
+      r -> (1.0 + (r.hashCode.abs % 40) / 100.0)) ++
+      pinned.zipWithIndex.map { case (r, i) => r -> (0.05 + i * 0.01) }
+    val prev = pinned.map(_ -> 5.0).toMap // all hugely IMPROVED
+    val line = Bench.compactStdoutLine(
+      35.0, 36.0, 3, Nil, Nil, 0.1, Nil, Nil, Nil, meds, "sf0.1",
+      prev = prev)
+    assert(line.length <= 1500, s"line is ${line.length} chars")
+    val qs = graft.core.Json.parse(line)
+      .asInstanceOf[Map[String, Any]]("queries")
+      .asInstanceOf[Map[String, Any]]
+    for (r <- pinned)
+      assert(qs.contains(r), s"pinned row $r was budget-dropped")
+    assert(qs.size < meds.length, "premise broken: no squeeze happened")
+  }
+
   test("priorRoundMedians reads the newest BENCH_r*.json and survives " +
       "junk") {
     val dir = java.nio.file.Files.createTempDirectory("bench-prev")
