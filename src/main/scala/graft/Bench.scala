@@ -334,17 +334,16 @@ object Bench {
     docsView(10, "documents_10x")
   }
   /** Same aggregate as rounds 9-15 over the same term rows; the term
-    * extraction is restructured round 16 (guide §2.3/§4.4): the
-    * REPARTITION now moves RAW text so `graft_termcounts` runs on all
-    * cores (it previously sat below the exchange — the whole kernel
-    * pass ran inside the single scan task), and the one-element-array
-    * Generate barrier pins the kernel to ONE evaluation per row
-    * (InferFiltersFromGenerate's pushed size/isnotnull conditions
-    * re-evaluated it twice more per row; against an attribute they
-    * are free). Row-for-row identical output. */
-  /** No REPARTITION of its own (round 16): the slope views already
-    * shuffle below their replica projection, so the kernel input is
-    * spread; a second exchange of the same text was pure overhead. */
+    * extraction was restructured in round 16 (guide §2.3/§4.4) with
+    * the same two fixes the production doc_terms build carries: the
+    * one-element-array Generate barrier pins `graft_termcounts` to
+    * ONE evaluation per row (InferFiltersFromGenerate's pushed
+    * size/isnotnull conditions re-evaluated it twice more per row;
+    * against an attribute they are free), and the kernel computes
+    * post-shuffle on all cores. No REPARTITION of its own: the slope
+    * views already shuffle below their replica projection, so the
+    * kernel input is spread — a second exchange of the same text was
+    * pure overhead. Row-for-row identical output. */
   private[graft] def termsSlopeSql(ref: String): String =
     s"""SELECT count(*) AS terms, sum(cnt) AS toks FROM (
        |  SELECT doc_id, tc.term AS term, tc.cnt AS cnt FROM $ref

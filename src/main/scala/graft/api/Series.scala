@@ -232,24 +232,44 @@ class Series(val collection: Collection, val label: String) {
     }
 
     // Global sort via range partitioning with an EXPLICIT partition
-    // count (the session's shuffle parallelism — the deployment's
-    // scale knob): an unpinned repartitionByRange is fair game for
-    // AQE partition coalescing, which sizes post-shuffle partitions
-    // for shuffle-READ efficiency (~64 MB advisory) — but this
-    // shuffle's consumer is the CPU-heavy parquet+zstd encode, where
-    // coalescing to a handful of tasks serializes the write (measured
+    // count: an unpinned repartitionByRange is fair game for AQE
+    // partition coalescing, which sizes post-shuffle partitions for
+    // shuffle-READ efficiency (~64 MB advisory) — but this shuffle's
+    // consumer is the CPU-heavy parquet+zstd encode, where coalescing
+    // to a handful of tasks serializes the write (measured
     // 0.77 s -> 3.4 s on the 5M-row sort write when the session
     // enables advisory-size coalescing). REPARTITION_BY_NUM pins the
     // width; SegmentWriter.writeJob still rolls files at pageLen
-    // rows. Columns are stored under their PHYSICAL names (see
+    // rows. The width itself is the session's shuffle parallelism
+    // CAPPED by an input-size estimate (round 17, ADVICE): a write
+    // just over the ~32 MB driver gate must not fan out to a
+    // production session's thousands of shuffle partitions — one
+    // near-empty segment file per task. ceil(est/writeTaskBytes)
+    // keeps small writes at a sane file count while a 4 MB-per-task
+    // target can never re-create the serialized-encode failure the
+    // pin exists to prevent. numShufflePartitions comes from the
+    // FRAME's session state (already parsed — a conf string like
+    // "auto" on some platforms would NumberFormatException, and the
+    // repo session can disagree with the frame's in multi-session
+    // use). Columns are stored under their PHYSICAL names (see
     // Collection.physOf) so post-clone writes stay uniform with
     // shared pre-clone segments.
     val sorted =
       (if (presorted) data
-       else data.repartitionByRange(
-           spark.conf.get("spark.sql.shuffle.partitions").toInt,
-           idxCols: _*)
-         .sortWithinPartitions(idxCols: _*))
+       else {
+         val maxW =
+           data.sparkSession.sessionState.conf.numShufflePartitions
+         val estBytes =
+           try data.queryExecution.optimizedPlan.stats.sizeInBytes
+           catch { case scala.util.control.NonFatal(_) =>
+             BigInt(Long.MaxValue) }
+         val target = data.sparkSession.conf
+           .get("spark.graft.writeTaskBytes", (4L << 20).toString).toLong
+         val width = ((estBytes + target - 1) / target)
+           .min(BigInt(math.max(1, maxW))).max(BigInt(1)).toInt
+         data.repartitionByRange(width, idxCols: _*)
+           .sortWithinPartitions(idxCols: _*)
+       })
         .select(schema.cols.map(c =>
           col(c.name).as(collection.physOf(c.name))): _*)
 
