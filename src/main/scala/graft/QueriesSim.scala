@@ -623,7 +623,7 @@ object QueriesSim {
     // table's single scan task (guide §2.5 input skew)
     run(s, dir,
       s"""SELECT doc_id, graft_simhash(text) AS simhash FROM (
-         |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |  SELECT ${Tables.spread("documents")} doc_id, text
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin)
   }
@@ -655,7 +655,7 @@ object QueriesSim {
     // corpus twice (profiled 2.4 s with the pre-kernel lambda fold)
     materialize(s, dir,
       s"""SELECT doc_id, graft_simhash(text) AS simhash FROM (
-         |  SELECT /*+ REPARTITION(${Tables.np}) */ doc_id, text
+         |  SELECT ${Tables.spread("documents")} doc_id, text
          |  FROM documents)""".stripMargin, "sim_simhash")
     s.sql(
       s"""WITH sh AS (SELECT doc_id, simhash FROM sim_simhash),

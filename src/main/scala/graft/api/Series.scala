@@ -245,9 +245,11 @@ class Series(val collection: Collection, val label: String) {
     // just over the ~32 MB driver gate must not fan out to a
     // production session's thousands of shuffle partitions — one
     // near-empty segment file per task. ceil(est/writeTaskBytes)
-    // keeps small writes at a sane file count while a 4 MB-per-task
+    // keeps small writes at a sane file count while a 2 MB-per-task
     // target can never re-create the serialized-encode failure the
-    // pin exists to prevent. numShufflePartitions comes from the
+    // pin exists to prevent (4 MB measured a 15-30% encode-width
+    // loss on the 5M-row bench sort — the cap should only bite
+    // writes well under the benched regime). numShufflePartitions comes from the
     // FRAME's session state (already parsed — a conf string like
     // "auto" on some platforms would NumberFormatException, and the
     // repo session can disagree with the frame's in multi-session
@@ -264,7 +266,7 @@ class Series(val collection: Collection, val label: String) {
            catch { case scala.util.control.NonFatal(_) =>
              BigInt(Long.MaxValue) }
          val target = data.sparkSession.conf
-           .get("spark.graft.writeTaskBytes", (4L << 20).toString).toLong
+           .get("spark.graft.writeTaskBytes", (2L << 20).toString).toLong
          val width = ((estBytes + target - 1) / target)
            .min(BigInt(math.max(1, maxW))).max(BigInt(1)).toInt
          data.repartitionByRange(width, idxCols: _*)
