@@ -11,13 +11,6 @@ import org.apache.spark.sql.functions._
   * agree).
   */
 object QueriesExt {
-  /** q146's per-call `pl` sketch pin: holds the live checkpoint so
-    * the NEXT call can free the previous one (no cross-call result
-    * reuse — the sketch is rebuilt from scratch inside every timed
-    * call; same contract as QueriesRag.idxAllPin). */
-  private val jlPlPin =
-    new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.sql.DataFrame](null)
 
   /** REAL image decode end-to-end: synthesize one PNG per document
     * (this container ships no media fixtures — dimensions and solid
@@ -639,26 +632,23 @@ object QueriesExt {
         |      FROM embeddings
         |      WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15) p
         |  ON v.vec_id != p.pid""".stripMargin, "ann_sc")
-    // Round 17 (verdict #6, measured A/B): the 16-dim `pl` sketch is
-    // consumed TWICE — as the big join side AND as the broadcast
-    // probe set `pp`. AQE stage reuse dedupes the shuffle-side clone,
-    // but a BroadcastExchange can never reuse a shuffle stage, so the
-    // pp subtree recomputed the whole posexplode+join+aggregate
-    // chain per call. A per-call localCheckpoint pins the 2000-row
-    // sketch once per execution (isolated A/B: min 2.66 s -> 1.56 s
-    // per rep); the pin is rebuilt inside every call and the previous
-    // call's blocks are freed, so nothing is cached across runs.
-    locally {
-      val prev = jlPlPin.get()
-      val pl = s.sql(s"WITH ${jlSparkCtes(16)} SELECT * FROM pl")
-        .localCheckpoint(true)
-      pl.createOrReplaceTempView("jl_pl16")
-      jlPlPin.set(pl)
-      if (prev != null)
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
-    }
+    // Round 17 (verdict #6, measured A/B, kept the INLINE shape): the
+    // 16-dim `pl` sketch is consumed twice — as the big join side and
+    // as the broadcast probe set `pp` — and a BroadcastExchange can
+    // never reuse a shuffle stage, so the pp subtree's sketch chain
+    // recomputes per call. A per-call localCheckpoint pin was built
+    // and measured both ways: isolated it looked faster (min 2.66 ->
+    // 1.56 s, but across ambient windows), while the in-suite bench —
+    // the number that counts — regressed 0.46 -> 0.78 s in a QUIET
+    // window: the pin serializes (checkpoint job, then query) what
+    // the single-job plan runs as CONCURRENT duplicate stages on idle
+    // cores, so total CPU drops but wall rises. The duplicate is a
+    // 2000-row sketch chain; at 100 TB scale the same reasoning holds
+    // as long as the cluster has idle capacity during the probe
+    // build, and the shuffle-side clone is already deduped by AQE
+    // stage reuse (1 ReusedExchange in the executed plan).
     s.sql(
-      s"""WITH pl AS (SELECT * FROM jl_pl16),
+      s"""WITH ${jlSparkCtes(16)},
          |pp AS (SELECT vec_id AS pid, j, pj FROM pl
          |  WHERE vec_id = 0 OR vec_id BETWEEN 9 AND 15),
          |sd AS (SELECT /*+ BROADCAST(pp) */ pp.pid, pl.vec_id,
